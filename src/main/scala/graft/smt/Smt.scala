@@ -1,0 +1,117 @@
+package graft.smt
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The Single-Message-Transform (SMT) algebra: the reference's per-record
+ * "expression language", re-expressed as pure `DataFrame => DataFrame`
+ * functions over the connect-frame convention ([[graft.model.Connect]]).
+ *
+ * Every transform is tombstone-safe: rows with `value IS NULL` pass
+ * through untouched (the reference keeps tombstones with
+ * `drop.tombstones=false`, `실습수행/Debezium MySQL CDC Source Connector
+ * 실습 - 01.md:306-308`). All are narrow (no shuffle) and stay inside
+ * whole-stage codegen, so a chain of N SMTs costs one pass over the data
+ * at any scale.
+ */
+object Smt {
+
+  /** A transform is a pure function; chains compose left-to-right exactly
+   * like the reference's ordered `transforms: "a, b, c"` list
+   * (`실습수행/JDBC Source Connector 실습.md:445`). */
+  type Transform = DataFrame => DataFrame
+
+  def chain(ts: Transform*): Transform =
+    ts.reduceOption(_ andThen _).getOrElse(identity[DataFrame])
+
+  /**
+   * T1 `ValueToKey`: copy named value field(s) into the key as a struct.
+   * Composite keys supported (reference:
+   * `connector_configs/mysql_jdbc_om_source_mkey.json:14-16`).
+   */
+  def valueToKey(fields: Seq[String]): Transform = df =>
+    df.withColumn("key",
+      struct(fields.map(f => col(s"value.$f").as(f)).toIndexedSeq: _*))
+
+  /**
+   * T2 `ExtractField$Key`: replace a struct key by one of its fields,
+   * yielding a bare scalar key
+   * (`connector_configs/mysql_jdbc_om_source_smt.json:19-20`).
+   */
+  def extractKeyField(field: String): Transform = df =>
+    df.withColumn("key", col(s"key.$field"))
+
+  /** `ExtractField$Value` twin (same Connect SMT class, Value variant). */
+  def extractValueField(field: String): Transform = df =>
+    df.withColumn("value", col(s"value.$field"))
+
+  /**
+   * T3 `RegexRouter`: rewrite the destination topic by regex, e.g.
+   * `mysql_om_smt_key_(.*)` -> `mysql_$1`
+   * (`실습수행/JDBC Source Connector 실습.md:445-453`) and
+   * `(.*)\.(.*)\.(.*)` -> `$1-$2-$3`
+   * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:760-763`).
+   * Routing is just a column the sink partitions on — at scale this is a
+   * free narrow map, and a sink can `partitionBy("topic")`.
+   */
+  def regexRouter(pattern: String, replacement: String): Transform = df =>
+    df.withColumn("topic", regexp_replace(col("topic"), pattern, replacement))
+
+  /** Target types for [[timestampConverter]], mirroring Connect's
+   * `TimestampConverter` `target.type`. */
+  sealed trait TsTarget
+  object TsTarget {
+    case object Timestamp extends TsTarget          // parse string/epoch -> timestamp
+    final case class Str(format: String) extends TsTarget // format -> string
+    case object Unix extends TsTarget               // -> epoch millis
+    case object Date extends TsTarget               // -> date
+  }
+
+  /**
+   * T4 `TimestampConverter$Value`: convert one *value field* between
+   * string/epoch-millis/Timestamp/Date representations using a format,
+   * e.g. `"yyyy-MM-dd'T'HH:mm:ss'Z'"` -> Timestamp
+   * (`실습수행/Debezium PostgreSQL CDC Source Connector 실습.md:759-764`).
+   * Uses `Column.withField` so the value struct is rebuilt in place —
+   * narrow, codegen'd, tombstone-safe (`withField` on a NULL struct
+   * yields NULL).
+   */
+  def timestampConverter(field: String, target: TsTarget,
+                         sourceFormat: Option[String] = None): Transform = df => {
+    val in = col(s"value.$field")
+    val converted: Column = target match {
+      case TsTarget.Timestamp =>
+        sourceFormat.map(f => to_timestamp(in, f)).getOrElse(to_timestamp(in))
+      case TsTarget.Str(fmt) => date_format(in, fmt)
+      case TsTarget.Unix => unix_millis(in.cast(TimestampType))
+      case TsTarget.Date => in.cast(DateType)
+    }
+    df.withColumn("value", col("value").withField(field, converted))
+  }
+
+  /**
+   * T5 `ExtractNewRecordState` (Debezium unwrap): CDC envelope -> flat row.
+   * Keeps `after` (NULL for deletes, i.e. the record becomes a tombstone);
+   * with `dropTombstones = false` (the labs' setting) tombstones and
+   * delete-rewrites are preserved
+   * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 01.md:283-311`).
+   * Position-independent: applicable source-side or sink-side.
+   */
+  def extractNewRecordState(dropTombstones: Boolean = false): Transform = df => {
+    val unwrapped = df.withColumn("value",
+      when(col("value").isNotNull, col("value.after")))
+    if (dropTombstones) unwrapped.filter(col("value").isNotNull) else unwrapped
+  }
+
+  /** `InsertField`-style helper (stock Connect SMT family): add a static
+   * or derived field to the value struct. */
+  def insertValueField(field: String, c: Column): Transform = df =>
+    df.withColumn("value", col("value").withField(field, c))
+
+  /** Stock `Filter` SMT analog (predicate over value fields);
+   * tombstones pass through so deletes still reach the sink. */
+  def filterRecords(predicate: Column): Transform = df =>
+    df.filter(col("value").isNull || predicate)
+}
