@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,10 +28,14 @@ object SparkEntry {
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
    * rejects; read nanos as long and truncate to micros (exactly DuckDB's
    * ns->us conversion), surfacing the column as TIMESTAMP_NTZ like every
-   * other no-zone parquet timestamp in the testdata. */
+   * other no-zone parquet timestamp in the testdata. The legacy flag is
+   * scoped to a child session (shared SparkContext, isolated conf) so the
+   * caller's session never observes the side effect. */
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 
@@ -157,34 +161,45 @@ object SparkEntry {
 
     /** K1 with a composite PK (reference: order_items
      * `pk.fields: "order_id, line_item_id"`): base snapshot + update
-     * batch + delete batch, last-write-wins by seq. */
+     * batch + delete batch, last-write-wins by seq.
+     *
+     * Scale shape: the source dedup is ONE `min(struct)` aggregation
+     * (map-side combine, no sort — the payload columns are exactly the
+     * former window's sort key), and the three changelog batches are
+     * emitted by a narrow `explode` in the same pass instead of three
+     * scans of the deduped table. Total: 2 shuffles for a 3-batch
+     * upsert+delete merge, independent of batch count. */
     def sinkUpsertCompositeKey(s: SparkSession, dir: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       // the synthetic lineitem's (l_orderkey, l_linenumber) is NOT unique;
       // a real source table's PK is — dedup deterministically first.
-      val w = Window.partitionBy("l_orderkey", "l_linenumber")
-        .orderBy("l_quantity", "l_extendedprice", "l_returnflag")
       val li = T(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
-          "l_returnflag")
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
-      def frame(df: DataFrame, seqVal: Int, tombstone: Boolean): DataFrame = {
-        val f = Connect.toConnectFrame(
-          df.withColumn("_seq", lit(seqVal.toLong)),
-          Seq("l_orderkey", "l_linenumber"), "om.order_items", "_seq")
-        if (tombstone) f.withColumn("value", lit(null).cast(f.schema("value").dataType))
-        else f
-      }
-      val base = frame(li, 1, tombstone = false)
-      val updates = frame(
-        li.filter(col("l_quantity") >= 45)
-          .withColumn("l_quantity", col("l_quantity") + 100),
-        2, tombstone = false)
-      val deletes = frame(
-        li.filter(col("l_returnflag") === "R" && col("l_quantity") < 5),
-        3, tombstone = true)
-      MergeSink.materialize(base.unionByName(updates).unionByName(deletes))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(min(struct(col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))).as("_p"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("_p.l_quantity").as("l_quantity"),
+          col("_p.l_extendedprice").as("l_extendedprice"),
+          col("_p.l_returnflag").as("l_returnflag"))
+      val entry = (seqV: Int, del: Boolean, qty: Column) => struct(
+        lit(seqV.toLong).as("seq"), lit(del).as("del"), qty.as("l_quantity"))
+      val entries = li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("l_quantity").as("_q0"), col("l_returnflag").as("_rf"),
+        explode(array(
+          entry(1, false, col("l_quantity")),
+          entry(2, false, col("l_quantity") + 100),
+          entry(3, true, col("l_quantity")))).as("_e"))
+        .filter(col("_e.seq") === 1 ||
+          (col("_e.seq") === 2 && col("_q0") >= 45) ||
+          (col("_e.seq") === 3 && col("_rf") === "R" && col("_q0") < 5))
+      val changelog = entries.select(
+        struct(col("l_orderkey"), col("l_linenumber")).as("key"),
+        when(!col("_e.del"), struct(col("l_orderkey"), col("l_linenumber"),
+          col("_e.l_quantity").as("l_quantity"),
+          col("l_extendedprice"))).as("value"),
+        lit("om.order_items").as("topic"),
+        col("_e.seq").as("seq"))
+      MergeSink.materialize(changelog)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")
     }

@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
  *  - `schemas.enable=false`: bare JSON payload
  *    (`connector_configs/mysql_jdbc_om_source_noschema.json:22-25`).
  *
- * Encoding composes `to_json` (codegen'd) with a constant schema header —
- * the schema member is per-plan constant, so at 100 TB the only per-row
- * work is the payload serialization Spark would do anyway.
+ * Logical types follow the Connect wire format (SURVEY.md §1.3): Timestamp
+ * = int64 epoch millis, Date = int32 epoch days, Decimal = base64 of the
+ * minimal big-endian two's-complement unscaled bytes (exactly
+ * `BigInteger.toByteArray`). Encoding composes `to_json` (codegen'd) with
+ * a constant schema header — the schema member is per-plan constant and
+ * every logical-type conversion below is a built-in codegen'd expression,
+ * so at 100 TB the per-row cost is the payload serialization Spark would
+ * do anyway.
  */
 object JsonEnvelope {
 
@@ -56,23 +61,110 @@ object JsonEnvelope {
     }
   }
 
+  // ---- logical-type wire mapping -----------------------------------------
+
+  private val EpochDay = to_date(lit("1970-01-01"))
+
+  /** The Spark type a value has ON THE WIRE (inside the JSON payload). */
+  def wireType(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => LongType
+    case DateType => IntegerType
+    case _: DecimalType => BinaryType
+    case s: StructType =>
+      StructType(s.fields.map(f => f.copy(dataType = wireType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = wireType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = wireType(m.keyType), valueType = wireType(m.valueType))
+    case other => other
+  }
+
+  /** Minimal big-endian two's-complement bytes of a long — exactly
+   * `BigInteger.valueOf(v).toByteArray`. `hex()` of a negative long is the
+   * full 16-digit two's complement; the regex strips redundant leading FF
+   * bytes while the next byte keeps the sign bit. Positive values pad to
+   * whole bytes and gain a 00 byte when the top bit would read as a sign. */
+  private def longToMinimalBytes(lng: Column): Column = {
+    val h = hex(lng)
+    val padded = when(length(h) % 2 === 1, concat(lit("0"), h)).otherwise(h)
+    val pos = when(substring(padded, 1, 1).rlike("[89A-F]"),
+      concat(lit("00"), padded)).otherwise(padded)
+    val neg = regexp_replace(h, "^(FF)+(?=[89A-F])", "")
+    unhex(when(lng < 0, neg).otherwise(pos))
+  }
+
+  /** Inverse of [[longToMinimalBytes]], returning DECIMAL(38,0) (sign via
+   * two's complement: unsigned - 2^bits when the top bit is set). */
+  private def minimalBytesToDecimal(bin: Column): Column = {
+    val h = hex(bin)
+    val unsigned = conv(h, 16, 10).cast(DecimalType(38, 0))
+    val negative = substring(h, 1, 1).rlike("[89A-F]")
+    val modulus = pow(lit(2.0), length(h) * 4).cast(DecimalType(38, 0))
+    when(negative, unsigned - modulus).otherwise(unsigned)
+  }
+
+  /** Convert a column to its wire representation (nulls propagate). */
+  def toWire(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_millis(c)
+    case TimestampNTZType => unix_millis(c.cast(TimestampType)) // session TZ = UTC
+    case DateType => datediff(c, EpochDay)
+    case d: DecimalType =>
+      longToMinimalBytes((c * lit(BigDecimal(10).pow(d.scale))).cast(LongType))
+    case s: StructType =>
+      when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
+        toWire(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case a: ArrayType => transform(c, x => toWire(x, a.elementType))
+    case m: MapType => transform_values(c, (_, v) => toWire(v, m.valueType))
+    case _ => c
+  }
+
+  /** Convert a wire-typed column back to its Spark type. */
+  def fromWire(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => timestamp_millis(c)
+    case TimestampNTZType => timestamp_millis(c).cast(TimestampNTZType)
+    case DateType => date_add(EpochDay, c)
+    case d: DecimalType =>
+      (minimalBytesToDecimal(c) / lit(BigDecimal(10).pow(d.scale)))
+        .cast(d)
+    case s: StructType =>
+      when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
+        fromWire(c.getField(f.name), f.dataType).as(f.name)): _*))
+    case a: ArrayType => transform(c, x => fromWire(x, a.elementType))
+    case m: MapType => transform_values(c, (_, v) => fromWire(v, m.valueType))
+    case _ => c
+  }
+
+  // ---- encode / decode ---------------------------------------------------
+
   /** Encode a struct column as a schema'd envelope string
    * (`schemas.enable=true`). NULL input (tombstone) encodes as SQL NULL —
    * an absent Kafka value, not the string "null". */
   def encodeWithSchema(c: Column, schema: DataType): Column = {
     val header = lit(s"""{"schema":${connectSchemaJson(schema)},"payload":""")
-    when(c.isNotNull, concat(header, to_json(c), lit("}")))
+    when(c.isNotNull, concat(header, to_json(toWire(c, schema)), lit("}")))
   }
 
-  /** Encode bare (`schemas.enable=false`). */
-  def encodeSchemaless(c: Column): Column = when(c.isNotNull, to_json(c))
+  /** Encode bare (`schemas.enable=false`). Logical types still travel in
+   * wire form (epoch millis/days, base64 decimal) — without a schema
+   * member there is nothing else a reader could interpret. */
+  def encodeSchemaless(c: Column, schema: DataType): Column =
+    when(c.isNotNull, to_json(toWire(c, schema)))
 
-  /** Decode an envelope string: payload parsed with the given schema.
-   * Works for both enveloped and bare messages (bare JSON has no
-   * `$.payload`, so we fall back to the whole document). */
-  def decode(c: Column, schema: DataType): Column = {
-    val payload = coalesce(get_json_object(c, "$.payload"), c)
-    from_json(payload, schema)
+  /**
+   * Decode a message: enveloped (`schemas.enable=true`) takes `$.payload`,
+   * bare parses the whole document. `schemasEnable = None` sniffs the
+   * `schema` member — NOT the payload one, so a bare message that happens
+   * to contain a "payload" field decodes correctly, and an enveloped
+   * message whose payload is JSON null yields a tombstone.
+   */
+  def decode(c: Column, schema: DataType,
+             schemasEnable: Option[Boolean] = None): Column = {
+    val payload = schemasEnable match {
+      case Some(true) => get_json_object(c, "$.payload")
+      case Some(false) => c
+      case None => when(get_json_object(c, "$.schema").isNotNull,
+        get_json_object(c, "$.payload")).otherwise(c)
+    }
+    fromWire(from_json(payload, wireType(schema)), schema)
   }
 
   /** Round-trip a connect frame's `value` through the envelope (identity
@@ -80,7 +172,15 @@ object JsonEnvelope {
   def roundTrip(df: DataFrame): DataFrame = {
     val schema = df.schema("value").dataType
     df.withColumn("_wire", encodeWithSchema(col("value"), schema))
-      .withColumn("value", decode(col("_wire"), schema))
+      .withColumn("value", decode(col("_wire"), schema, Some(true)))
+      .drop("_wire")
+  }
+
+  /** Schemaless round-trip (C2). */
+  def roundTripSchemaless(df: DataFrame): DataFrame = {
+    val schema = df.schema("value").dataType
+    df.withColumn("_wire", encodeSchemaless(col("value"), schema))
+      .withColumn("value", decode(col("_wire"), schema, Some(false)))
       .drop("_wire")
   }
 }

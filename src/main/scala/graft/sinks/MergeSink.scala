@@ -107,7 +107,8 @@ object SchemaEvolution {
     a.unionByName(b, allowMissingColumns = true)
 
   /** Align two connect-frame changelogs whose `value` struct schemas
-   * drifted add-only, then union them. */
+   * drifted add-only, then union them. Top-level columns may differ too
+   * (e.g. a snapshot-derived log has no `topic`): missing ones NULL-pad. */
   def alignChangelogs(a: DataFrame, b: DataFrame): DataFrame = {
     val va = a.schema("value").dataType.asInstanceOf[StructType]
     val vb = b.schema("value").dataType.asInstanceOf[StructType]
@@ -122,7 +123,7 @@ object SchemaEvolution {
       df.withColumn("value",
         when(col("value").isNotNull, struct(fields.toIndexedSeq: _*)))
     }
-    pad(a, va).unionByName(pad(b, vb))
+    pad(a, va).unionByName(pad(b, vb), allowMissingColumns = true)
   }
 
   /** `CREATE TABLE IF NOT EXISTS` DDL from a Spark schema (K3

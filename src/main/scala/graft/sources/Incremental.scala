@@ -142,15 +142,29 @@ final class WatermarkStore(dir: String) {
       val s = Files.readString(p)
       def grab(k: String): Option[String] =
         (s"""\"$k\"\\s*:\\s*\"([^\"]*)\"""").r.findFirstMatchIn(s).map(_.group(1))
-      Incremental.Watermark(grab("ts"), grab("inc").map(_.toLong))
+      val w = Incremental.Watermark(grab("ts"), grab("inc").map(_.toLong))
+      // A present-but-unparseable offset file must fail loudly: silently
+      // treating it as zero would re-read the entire source (duplicate
+      // capture). Absent file = legitimate fresh start only.
+      if (w == Incremental.Watermark.zero && s.trim != "{}")
+        throw new IllegalStateException(
+          s"corrupt offset file $p: '$s' — reset() it explicitly to re-ingest")
+      w
     }
   }
 
+  /** Atomic save (temp file + ATOMIC_MOVE): a crash mid-write leaves the
+   * previous offset intact, never a torn file (the reference persists
+   * offsets durably in the replicated connect-offsets topic). */
   def save(table: String, w: Incremental.Watermark): Unit = {
     val parts = Seq(
       w.ts.map(t => s""""ts": "$t""""),
       w.inc.map(i => s""""inc": "$i"""")).flatten
-    Files.writeString(path(table), parts.mkString("{", ", ", "}"))
+    val tmp = Paths.get(dir, s".$table.offset.json.tmp")
+    Files.writeString(tmp, parts.mkString("{", ", ", "}"))
+    Files.move(tmp, path(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Targeted offset reset (L4): the null-to-connect-offsets analog. */
