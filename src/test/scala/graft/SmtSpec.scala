@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import graft.model.Connect
+import graft.smt.Smt
+
+class SmtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame() = Connect.toConnectFrame(
+    Seq((1, "alice", "2020-01-02 03:04:05"),
+        (2, "bob", "2021-06-07 08:09:10")).toDF("id", "name", "ts"),
+    Seq("id"), "om.t", "id")
+
+  test("T1 valueToKey builds a struct key from value fields") {
+    val out = Smt.valueToKey(Seq("id", "name"))(frame())
+    val k = out.select("key.*").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(k.toSet == Set((1, "alice"), (2, "bob")))
+  }
+
+  test("T2 extractKeyField flattens the key to a scalar") {
+    val out = Smt.extractKeyField("id")(frame())
+    assert(out.schema("key").dataType == IntegerType)
+    assert(out.select("key").as[Int].collect().toSet == Set(1, 2))
+  }
+
+  test("T3 regexRouter rewrites topic by pattern incl. dot->dash form") {
+    val f = frame().withColumn("topic", lit("server.db.table"))
+    val out = Smt.regexRouter("""(.*)\.(.*)\.(.*)""", "$1-$2-$3")(f)
+    assert(out.select("topic").head().getString(0) == "server-db-table")
+  }
+
+  test("T4 timestampConverter string->timestamp->unix round trip") {
+    val out = Smt.chain(
+      Smt.timestampConverter("ts", Smt.TsTarget.Timestamp,
+        Some("yyyy-MM-dd HH:mm:ss")),
+      Smt.insertValueField("epoch", col("value.ts")),
+      Smt.timestampConverter("epoch", Smt.TsTarget.Unix))(frame())
+    val r = out.filter(col("key.id") === 1).select("value.epoch").head()
+    assert(r.getLong(0) == 1577934245000L) // 2020-01-02T03:04:05Z
+  }
+
+  test("T5 extractNewRecordState keeps after, preserves tombstones") {
+    val ev = Seq((1, "a", "c"), (2, "b", "d")).toDF("id", "payload", "op")
+    val row = struct(col("id"), col("payload"))
+    val env = ev.select(col("id").as("key"),
+      struct(lit(null).cast(StructType(Seq(
+        StructField("id", IntegerType), StructField("payload", StringType)))).as("before"),
+        when(col("op") =!= "d", row).as("after"),
+        col("op")).as("value"),
+      lit("t").as("topic"), col("id").cast("long").as("seq"))
+    val keep = Smt.extractNewRecordState(dropTombstones = false)(env)
+    assert(keep.count() == 2)
+    assert(keep.filter(col("value").isNull).count() == 1)
+    val drop = Smt.extractNewRecordState(dropTombstones = true)(env)
+    assert(drop.count() == 1)
+  }
+
+  test("SMTs are tombstone-safe: null value rows pass through untouched") {
+    val f = frame().withColumn("value",
+      when(col("key.id") === 1, col("value")))
+    val out = Smt.chain(
+      Smt.insertValueField("x", lit(9)),
+      Smt.timestampConverter("ts", Smt.TsTarget.Timestamp, Some("yyyy-MM-dd HH:mm:ss")),
+      Smt.filterRecords(col("value.x") === 9))(f)
+    assert(out.count() == 2) // tombstone survived the filter + rewrites
+    assert(out.filter(col("value").isNull).count() == 1)
+  }
+
+  test("T6 chain applies in order") {
+    val out = Smt.chain(
+      Smt.valueToKey(Seq("name")),
+      Smt.extractKeyField("name"))(frame())
+    assert(out.select("key").as[String].collect().toSet == Set("alice", "bob"))
+  }
+}
