@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hashing
+import graft.ml.Similarity
+import graft.multimodal.Multimodal
+import graft.text.{Dedup, TextAnalysis}
+
+/**
+ * LLM-training-data pipeline queries (dedup / similarity / text analysis /
+ * multimodal) with DuckDB oracles. The oracle SQL is GENERATED from the
+ * same Scala constants the Spark plans embed (minhash permutations, LSH
+ * hyperplanes, stopword profiles), and every float reduction folds
+ * left-to-right in double precision in both engines — so even the
+ * hash-based and cosine-based results compare exactly, not rows-only.
+ */
+object LlmQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared constants (Spark plan AND oracle SQL derive from these) ----
+
+  private val NumPerms = 16
+  private val Bands = 4
+  private val Rows = NumPerms / Bands
+  private val Perms = Hashing.minhashPerms(NumPerms)
+  private val NPlanes = 8
+  private val Dim = 64
+  private val Planes = Similarity.hyperplanes(NPlanes, Dim)
+  private val TopK = 10
+
+  // ---- DuckDB SQL fragments ----------------------------------------------
+
+  private val P = Hashing.P
+  private def h60(e: String) = Hashing.h60Sql(e)
+  private val toksSql = """regexp_extract_all(text, '\S+')"""
+
+  /** shingle hash list per doc (distinct word-3-grams, 60-bit hashed). */
+  private val shingleHashesSql =
+    s"""list_distinct(list_transform(
+       |  list_transform(range(0, len($toksSql) - 2),
+       |    i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3]),
+       |  s -> ${h60("s")}))""".stripMargin
+
+  /** minhash signature literal list (one expr per permutation). */
+  private val sigSql = Perms.map { case (a, b) =>
+    s"list_min(list_transform(hashes, h -> ($a * (h % $P) + $b) % $P))"
+  }.mkString("[", ",\n    ", "]")
+
+  /** sequential double dot product of two DuckDB lists. */
+  private def dotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, ${Dim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private def cosineSql(a: String, b: String) =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  // ---- queries -----------------------------------------------------------
+
+  /** D1: exact dedup over a corpus with planted duplicates (the table
+   * unioned with itself under shifted ids — keep min id, count copies). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = T(s, dir, "documents").select("doc_id", "text")
+    val corpus = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 1000000L))
+    Dedup.exactDedup(corpus, "doc_id", "text").orderBy("doc_id")
+  }
+
+  /** D2: MinHash-LSH candidate pairs with matching-minhash counts. */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands)
+      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  /** D3: SimHash near-dup pairs within hamming radius 16. */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  /** D4: exact n-gram Jaccard verification over the LSH candidates. */
+  def dedupJaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
+      .filter(col("jaccard") >= 0.5)
+      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** E1: brute-force cosine top-k (queries = vec_id < 5). */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, TopK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** E2: hyperplane-LSH ANN top-k — the bucketed scale path. */
+  def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.annTopK(emb.filter(col("id") < 5), emb, TopK, NPlanes)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** X1: language ID (marker-profile heuristic). */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .groupBy("lang_guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang_guess")
+
+  /** X2: quality features + composite score per document. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val f = TextAnalysis.qualityFeatures(col("text"))
+    T(s, dir, "documents").select(col("doc_id"),
+      f.getField("n_words").as("n_words"),
+      f.getField("mean_word_len").as("mean_word_len"),
+      f.getField("punct_ratio").as("punct_ratio"),
+      f.getField("stopword_ratio").as("stopword_ratio"),
+      f.getField("distinct_ratio").as("distinct_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** X3: token counts — whitespace and BPE-ish subword units. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
+      TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** X4: rolling-hash document fingerprints. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** M1: multimodal plumbing — pack docs as binary media, extract
+   * features via the partition-batched (stub) decoder. */
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsMedia(T(s, dir, "documents"), "doc_id", "text")
+    val feats = Multimodal.extractFeatures(packed)
+    feats.join(packed.select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height")), "media_id")
+      .select(col("media_id"),
+        col("features.n_bytes").as("n_bytes"),
+        col("features.first_byte").as("first_byte"),
+        col("features.byte_sum").as("byte_sum"),
+        col("features.mean_luma").as("mean_luma"),
+        col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (dedupExact _),
+    "d2_dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "d3_dedup_simhash" -> (dedupSimhash _),
+    "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
+    "e1_cosine_topk" -> (cosineTopK _),
+    "e2_ann_lsh_topk" -> (annTopK _),
+    "x1_lang_id" -> (langId _),
+    "x2_quality_score" -> (qualityScore _),
+    "x3_token_count" -> (tokenCount _),
+    "x4_fingerprint" -> (fingerprint _),
+    "m1_multimodal_features" -> (multimodalFeatures _)
+  )
+
+  // ---- oracle SQL --------------------------------------------------------
+
+  private val minhashPipelineSql =
+    s"""sigs AS (
+       |  SELECT doc_id AS _id, $sigSql AS sig
+       |  FROM (SELECT doc_id, $shingleHashesSql AS hashes
+       |        FROM documents WHERE len($toksSql) >= 3)),
+       |banded AS (
+       |  ${(0 until Bands).map(b =>
+            s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs")
+            .mkString("\n  UNION ALL ")}),
+       |cand AS (
+       |  SELECT a._id AS doc_a, b._id AS doc_b, a.sig AS siga, b.sig AS sigb
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a._id < b._id)""".stripMargin
+
+  private val langScoreSql = TextAnalysis.LangProfiles.map { case (lang, words) =>
+    val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> list_contains($wl, t))) AS s_$lang"
+  }.mkString(",\n    ")
+
+  private val langGuessSql = {
+    val langs = TextAnalysis.LangProfiles.map(_._1)
+    val cases = langs.zipWithIndex.map { case (l, i) =>
+      val geAll = langs.filterNot(_ == l).drop(i).map(o => s"s_$l >= s_$o")
+      val gtPrior = langs.take(i).map(o => s"s_$l > s_$o")
+      val conds = (Seq(s"s_$l > 0") ++ gtPrior ++ geAll).mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n      ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
+  private val stopwordsSql = TextAnalysis.LangProfiles.flatMap(_._2).distinct
+    .map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val planesSql = Planes.map(_.mkString("[", ",", "]"))
+    .mkString("[", ",\n     ", "]")
+
+  private def bucketSql(vec: String) =
+    (0 until NPlanes).map { j =>
+      s"CASE WHEN (${dotSql(s"pl[${j + 1}]", vec)}) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin,
+    "d2_dedup_minhash_lsh" ->
+      s"""WITH $minhashPipelineSql
+         |SELECT doc_a, doc_b,
+         |  max(list_sum(list_transform(range(1, ${NumPerms + 1}),
+         |    j -> CASE WHEN siga[j] = sigb[j] THEN 1 ELSE 0 END)))::INTEGER AS n_matching
+         |FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    "d3_dedup_simhash" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS _id,
+         |    list_sum(list_transform(range(0, 60), i ->
+         |      CASE WHEN list_sum(list_transform(hs, h ->
+         |          CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |        THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS sh
+         |  FROM (SELECT doc_id,
+         |          list_transform($toksSql, t -> ${h60("t")}) AS hs
+         |        FROM documents)),
+         |banded AS (
+         |  ${(0 until 4).map(b =>
+              s"SELECT _id, $b AS band, (sh >> ${b * 15}) & 32767 AS bkey, sh FROM sh")
+              .mkString("\n  UNION ALL ")}),
+         |pairs AS (
+         |  SELECT a._id AS doc_a, b._id AS doc_b,
+         |    min(bit_count(xor(a.sh, b.sh)))::INTEGER AS hamming
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a._id < b._id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |WHERE hamming <= 16 ORDER BY doc_a, doc_b""".stripMargin,
+    "d4_dedup_jaccard_verify" ->
+      s"""WITH $minhashPipelineSql,
+         |pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s FROM documents)
+         |SELECT doc_a, doc_b,
+         |  len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+         |FROM pairs JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+         |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "e1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e2_ann_lsh_topk" ->
+      s"""WITH planes AS (SELECT $planesSql AS pl),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |        ${bucketSql("qv")} AS bucket
+         |      FROM embeddings, planes WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        ${bucketSql("cv")} AS bucket
+         |      FROM embeddings, planes),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "x1_lang_id" ->
+      s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents)
+         |SELECT $langGuessSql AS lang_guess, count(*) AS n
+         |FROM scored GROUP BY 1 ORDER BY lang_guess""".stripMargin,
+    "x2_quality_score" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($toksSql)::BIGINT AS n_words,
+         |    list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / length(text)::DOUBLE AS punct_ratio,
+         |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS stopword_ratio,
+         |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_words, mean_word_len, punct_ratio, stopword_ratio,
+         |  distinct_ratio,
+         |  ((least(n_words::DOUBLE / 50.0, 1.0) * 0.3 + distinct_ratio * 0.4)
+         |     + least(stopword_ratio * 5.0, 1.0) * 0.3)
+         |    * (1.0 - least(punct_ratio * 10.0, 1.0) * 0.5) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "x3_token_count" ->
+      s"""SELECT doc_id,
+         |  len($toksSql)::INTEGER AS n_ws_tokens,
+         |  (list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+         |     w -> ceil(length(w) / 4.0)::BIGINT))
+         |   + length(regexp_replace(text, '[A-Za-z\\s]+', '', 'g')))::BIGINT AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x4_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(norm) > 0 THEN
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range(1, length(norm) + 1),
+         |        i -> unicode(substr(norm, i, 1))::BIGINT)),
+         |      (acc, c) -> (acc * 31 + c) % $P)
+         |  ELSE 0 END AS fp
+         |FROM (SELECT doc_id,
+         |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "m1_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  length(text)::BIGINT AS n_bytes,
+        |  unicode(substr(text, 1, 1)) AS first_byte,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> unicode(substr(text, i, 1))::BIGINT))::BIGINT AS byte_sum,
+        |  list_sum(list_transform(range(1, length(text) + 1),
+        |    i -> unicode(substr(text, i, 1))::BIGINT))::DOUBLE
+        |    / length(text)::DOUBLE AS mean_luma,
+        |  1 + length(text) % 640 AS width,
+        |  1 + length(text) % 480 AS height
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Hashing
+
+/**
+ * Deduplication operators for large-scale text corpora — the four
+ * standard tiers, each shaped for 100 TB:
+ *
+ *  - exact       : hash-groupBy on the md5 digest (16-byte shuffle key,
+ *                  never the document body),
+ *  - MinHash+LSH : shingle → minhash signature → banded bucket join; the
+ *                  join key is (band, signature slice), so candidate
+ *                  generation is one shuffle on small keys and never
+ *                  compares documents pairwise across the corpus,
+ *  - SimHash     : 60-bit fingerprint, banded for hamming-radius lookup,
+ *  - n-gram Jaccard: exact verification over LSH candidates only
+ *                  (O(candidates), not O(n^2)).
+ *
+ * Everything is built-in codegen'd expressions (no UDFs); per-document
+ * work is proportional to token count. Hash arithmetic lives in
+ * [[graft.functions.Hashing]] and is bit-identical to the DuckDB oracle.
+ */
+object Dedup {
+
+  /** Whitespace tokens (keeps multiplicity, drops empties). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Distinct word k-shingles, space-joined. Documents with fewer than k
+   * tokens produce an empty array (callers filter them). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(tokens(text), k)
+
+  /** Shingles from a pre-tokenized column. Pass an attribute (aliased
+   * column) — `toks` is referenced per shingle index, so an inline
+   * tokenizer expression would re-split the text per shingle. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    // guard: Spark's sequence(0, n) DESCENDS when n < 0, so short docs
+    // must short-circuit to an empty array, not a bogus sequence
+    when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+
+  /** Distinct 60-bit shingle hashes. */
+  def shingleHashes(text: Column, k: Int): Column =
+    transform(shingles(text, k), s => Hashing.h60(s))
+
+  /** Distinct 60-bit shingle hashes from a pre-tokenized attribute. */
+  def shingleHashesFromTokens(toks: Column, k: Int): Column =
+    transform(shinglesFromTokens(toks, k), s => Hashing.h60(s))
+
+  /** MinHash signature: for each permutation j, min over shingle hashes
+   * of (a_j * (h mod P) + b_j) mod P. The permutation loop unrolls at
+   * plan-build time so a_j/b_j are scalar literals in codegen — a runtime
+   * `transform(sequence(...))` would re-materialize the constant arrays
+   * per hash element (measured 10x slower). `hashes` MUST be an attribute
+   * (aliased column): it is referenced once per permutation. */
+  def minhashSignature(hashes: Column, perms: Seq[(Long, Long)]): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h =>
+        pmod(lit(a) * pmod(h, lit(Hashing.P)) + lit(b), lit(Hashing.P))))
+    }: _*)
+
+  /** LSH bands: split the signature into `bands` slices of `rows`; each
+   * becomes a (band index, joined-values key) struct. */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        concat_ws(",", slice(sig, b * rows + lit(1), lit(rows))).as("bkey")))
+
+  /**
+   * MinHash-LSH candidate pairs: documents sharing at least one band.
+   * Returns (idA, idB, n_matching) with idA < idB, where n_matching is
+   * the number of equal signature positions (estimated Jaccard =
+   * n_matching / perms.size — exact integer, engine-portable).
+   */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numPerms: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val perms = Hashing.minhashPerms(numPerms)
+    val rows = numPerms / bands
+    // alias boundary: materialize the shingle hashes ONCE per row before
+    // the signature references them 16 times — without it the md5 subtree
+    // is inlined per permutation (a 16x recompute; CollapseProject keeps
+    // multi-referenced non-cheap aliases in their own projection)
+    val sigs = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col("_id"), shingleHashesFromTokens(col("_t"), k).as("_h"))
+      .select(col("_id"), minhashSignature(col("_h"), perms).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      explode(lshBands(col("_sig"), bands, rows)).as("_b"))
+      .select(col("_id"), col("_sig"), col("_b.band"), col("_b.bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("_id").as("ida"), col("_sig").as("siga"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("_id").as("idb"), col("_sig").as("sigb"))
+    a.join(b, Seq("band", "bkey")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        aggregate(sequence(lit(1), lit(numPerms)), lit(0),
+          (acc, j) => acc + when(
+            element_at(col("siga"), j) === element_at(col("sigb"), j), 1)
+            .otherwise(0)).as("n_matching"))
+      .groupBy("ida", "idb").agg(max("n_matching").as("n_matching"))
+  }
+
+  /** 60-bit SimHash over whitespace tokens (with multiplicity): bit i is
+   * set iff the count-weighted sum of token-hash bit i beats its
+   * complement. */
+  def simhash60(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => Hashing.h60(t)))
+
+  /** SimHash from pre-computed token hashes. The bit loop references the
+   * hash array 120 times — callers MUST pass an attribute (aliased
+   * column), not an expression, or the hashing recomputes per bit. */
+  def simhashFromHashes(hs: Column): Column = {
+    // bit loop unrolled at plan-build time (shift amounts must be
+    // literals); per-row work is 60 x n_tokens cheap int ops
+    val bits = (0 until 60).map { i =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: bucket by 4 bands of 15 bits (a pair within
+   * hamming radius 3 of the 60-bit space shares at least one band by
+   * pigeonhole), verify with exact hamming <= maxHamming.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 16): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("_id"),
+        transform(tokens(col(textCol)), t => Hashing.h60(t)).as("_hs"))
+      .select(col("_id"), simhashFromHashes(col("_hs")).as("_sh"))
+    val banded = sh.select(col("_id"), col("_sh"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        pmod(shiftright(col("_sh"), b * 15), lit(32768L)).as("bkey"))): _*))
+        .as("_b"))
+      .select(col("_id"), col("_sh"), col("_b.band"), col("_b.bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("_id").as("ida"), col("_sh").as("sha"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("_id").as("idb"), col("_sh").as("shb"))
+    a.join(b, Seq("band", "bkey")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), hamming(col("sha"), col("shb")).as("hamming"))
+      .groupBy("ida", "idb").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact word-k-gram Jaccard for candidate pairs: join shingle-hash
+   * sets back and intersect — O(candidates), the verification stage
+   * after LSH. `pairs` must have columns (ida, idb). */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val sets = df
+      .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
+      .select(col("_id"), shingleHashesFromTokens(col("_t"), k).as("_set"))
+    pairs
+      .join(sets.select(col("_id").as("ida"), col("_set").as("seta")), "ida")
+      .join(sets.select(col("_id").as("idb"), col("_set").as("setb")), "idb")
+      .withColumn("_i", size(array_intersect(col("seta"), col("setb"))))
+      .select(col("ida"), col("idb"),
+        (col("_i").cast(DoubleType) /
+          (size(col("seta")) + size(col("setb")) - col("_i")).cast(DoubleType))
+          .as("jaccard"))
+  }
+
+  /** Exact dedup: keep the smallest id per identical text. The groupBy
+   * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
+   * ids, never document bodies. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("_digest"), col(idCol))
+      .groupBy("_digest")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .drop("_digest")
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Hashing
+
+/**
+ * Text-analysis operators for training-data pipelines: language ID,
+ * quality scoring, token counting, document fingerprinting. All pure
+ * built-in expressions (codegen'd, no UDFs) so a 100 TB corpus pays one
+ * narrow pass; every formula is integer/double arithmetic the DuckDB
+ * oracle reproduces bit-for-bit.
+ */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram-heuristic language ID. Ordered:
+   * ties break toward the earlier entry (then 'und' when nothing hits). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Language ID: count marker-word hits per profile over whitespace
+   * tokens; emit the best-scoring language, 'und' if nothing matched.
+   * Ties resolve by profile order (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(lower(text))
+    val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
+      struct(hits.as("hits"), lit(LangProfiles.size - i).as("prio"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Token count, whitespace definition. */
+  def tokenCountWs(text: Column): Column = size(Dedup.tokens(text))
+
+  /** BPE-ish token count: alphabetic runs count ceil(len/4) subword
+   * units, digits and other symbols one each — a deterministic stand-in
+   * for a real tokenizer's piece count. */
+  def tokenCountBpe(text: Column): Column = {
+    val words = regexp_extract_all(text, lit("[A-Za-z]+"), lit(0))
+    val wordPieces = aggregate(words, lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast(LongType))
+    val others = length(regexp_replace(text, "[A-Za-z\\s]+", ""))
+    wordPieces + others
+  }
+
+  /** Quality features + composite score (length / punctuation / stopword
+   * / repetition heuristics, cf. C4-style corpus filtering). */
+  def qualityFeatures(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nChars = length(text).cast(DoubleType)
+    val nWords = size(toks).cast(DoubleType)
+    val meanWordLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      .cast(DoubleType) / nWords
+    val punctRatio = length(regexp_replace(text, "[^.,;:!?]", ""))
+      .cast(DoubleType) / nChars
+    val stopRatio = size(filter(toks, t =>
+      lower(t).isin(LangProfiles.flatMap(_._2).distinct.map(lit): _*)))
+      .cast(DoubleType) / nWords
+    val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / nWords
+    struct(nWords.cast(LongType).as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stopword_ratio"),
+      distinctRatio.as("distinct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: reward mid-length docs, stopword
+   * presence, lexical diversity; penalize punctuation walls. Weights are
+   * arbitrary but fixed — the oracle reproduces them exactly. */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_words").cast(DoubleType) / lit(50.0), lit(1.0))
+    val divScore = f.getField("distinct_ratio")
+    val stopScore = least(f.getField("stopword_ratio") * 5.0, lit(1.0))
+    val punctPenalty = least(f.getField("punct_ratio") * 10.0, lit(1.0))
+    (lenScore * 0.3 + divScore * 0.4 + stopScore * 0.3) * (lit(1.0) - punctPenalty * 0.5)
+  }
+
+  /** Rolling polynomial fingerprint of the normalized document (lowercase,
+   * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
+   * character. Order-sensitive (unlike bag-of-words hashes). */
+  def fingerprint(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    // index-based fold (not split-on-empty, whose semantics differ across
+    // engines): h = (h*31 + codepoint(norm[i])) mod P. Empty-text guard:
+    // sequence(1, 0) would DESCEND, not produce an empty range.
+    when(length(norm) > 0,
+      aggregate(sequence(lit(1), length(norm)), lit(0L),
+        (acc, i) => pmod(acc * 31 + ascii(norm.substr(i, lit(1))), lit(Hashing.P))))
+      .otherwise(lit(0L))
+  }
+}
