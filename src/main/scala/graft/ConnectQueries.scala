@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.codec.{AvroCodec, JsonEnvelope}
+import graft.model.Connect
+import graft.sinks.{MergeSink, SchemaEvolution}
+import graft.sources.{Incremental, SpoolDir}
+
+/**
+ * Coverage queries for the remaining SURVEY.md §2 rows: bulk polling
+ * (S1), timestamp mode (S3), table multiplexing (S5), snapshot modes
+ * (S7), SpoolDir CSV (S9), schemaless JSON (C2), Avro (C3), compat
+ * report (C4), auto-create DDL (K3), and the snapshot+changelog
+ * applyBatch merge (K1/K4 composition).
+ */
+object ConnectQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def polled(df: DataFrame, mode: Incremental.Mode,
+                     w: Incremental.Watermark): (DataFrame, Incremental.Watermark) =
+    Incremental.poll(p => p.foldLeft(df)((d, pred) => d.filter(expr(pred))), mode, w)
+
+  /** S1 `mode=bulk`: every poll re-reads the ENTIRE table. */
+  def bulkMode(s: SparkSession, dir: String): DataFrame = {
+    val region = T(s, dir, "region")
+    (1 to 2).map { p =>
+      polled(region, Incremental.Bulk, Incremental.Watermark.zero)._1
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("r_regionkey")).as("key_sum"))
+        .withColumn("poll", lit(p))
+    }.reduce(_.unionByName(_)).select("poll", "n_rows", "key_sum").orderBy("poll")
+  }
+
+  /** S3 `mode=timestamp`: captures rows strictly past the watermark —
+   * rows sharing the watermark timestamp are MISSED (documented; S4
+   * exists to fix it). */
+  def timestampMode(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val mode = Incremental.Timestamp("o_orderdate")
+    val (_, w1) = Incremental.poll(
+      p => p.foldLeft(orders.filter(col("o_orderdate") <= lit("1998-01-01")))(
+        (d, pred) => d.filter(expr(pred))), mode, Incremental.Watermark.zero)
+    val (batch2, _) = polled(orders, mode, w1)
+    batch2.select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+  }
+
+  /** S5 table multiplexing: one connector, whitelist of N tables, one
+   * topic per table (`topic.prefix` + name). */
+  def tableMultiplex(s: SparkSession, dir: String): DataFrame = {
+    val whitelist = Seq("region", "nation", "supplier")
+    whitelist.map { t =>
+      polled(T(s, dir, t), Incremental.Bulk, Incremental.Watermark.zero)._1
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("topic", lit(s"om.$t"))
+    }.reduce(_.unionByName(_)).select("topic", "n_rows").orderBy("topic")
+  }
+
+  /** S7 snapshot modes: `initial` = backfill + change stream,
+   * `schema_only` = change stream only. */
+  def snapshotModes(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+    val snap = orders.filter(col("o_orderdate") <= lit("1998-06-01"))
+    val changes = orders.filter(col("o_orderdate") > lit("1998-06-01"))
+    Seq("initial" -> Incremental.Initial, "schema_only" -> Incremental.SchemaOnly)
+      .map { case (name, m) =>
+        Incremental.withSnapshot(m, snap, changes)
+          .agg(count(lit(1)).as("n_rows")).withColumn("mode", lit(name))
+      }.reduce(_.unionByName(_)).select("mode", "n_rows").orderBy("mode")
+  }
+
+  /** S9 SpoolDir CSV: spool the nation table out as a headered CSV file,
+   * ingest it back with schema inference. */
+  def spoolDirCsv(s: SparkSession, dir: String): DataFrame = {
+    val spool = s"target/tmp/spool_${new java.io.File(dir).getName}"
+    T(s, dir, "nation").coalesce(1).write.mode("overwrite")
+      .option("header", true).csv(spool)
+    SpoolDir.readBatch(s, SpoolDir.Config(inputPath = spool))
+      .orderBy("n_nationkey")
+  }
+
+  /** C2 schemaless JSON round-trip, decoded via the schema-member sniff
+   * (no `schemas.enable` hint). */
+  def schemalessRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val frame = Connect.toConnectFrame(
+      T(s, dir, "nation"), Seq("n_nationkey"), "om.nation", "n_nationkey")
+    val schema = frame.schema("value").dataType
+    frame
+      .withColumn("_wire", JsonEnvelope.encodeSchemaless(col("value"), schema))
+      .withColumn("value", JsonEnvelope.decode(col("_wire"), schema)) // sniff path
+      .select(col("value.n_nationkey").as("n_nationkey"),
+        col("value.n_name").as("n_name"),
+        col("value.n_regionkey").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** C3 Avro round-trip (explicit schema — no registry offline). */
+  def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val frame = Connect.toConnectFrame(
+      T(s, dir, "nation"), Seq("n_nationkey"), "om.nation", "n_nationkey")
+    AvroCodec.roundTrip(frame)
+      .select(col("value.n_nationkey").as("n_nationkey"),
+        col("value.n_name").as("n_name"),
+        col("value.n_regionkey").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  /** C4 compatibility report over an evolution matrix (add + drop +
+   * retype against the customer schema). */
+  def schemaCompat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val old = T(s, dir, "customer").schema
+    val evolved = StructType(
+      old.fields.filterNot(_.name == "c_mktsegment").map { f =>
+        if (f.name == "c_acctbal") f.copy(dataType = StringType) else f
+      } :+ StructField("c_phone", StringType, nullable = true))
+    SchemaEvolution.compatReport(old, evolved)
+      .toDF("change", "field", "type", "compatible")
+      .orderBy("change", "field")
+  }
+
+  /** K3 auto.create: target DDL generated from the record schema. */
+  def autoCreateDdl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ddl = SchemaEvolution.createTableDdl("om.lineitem",
+      T(s, dir, "lineitem").schema, Seq("l_orderkey", "l_linenumber"))
+    Seq(("om.lineitem", ddl)).toDF("tbl", "ddl")
+  }
+
+  /** K1+K4 applyBatch: a changelog (inserts + updates + tombstones)
+   * merged over an existing snapshot — the foreachBatch body of the
+   * table-state sink. */
+  def applyBatchMerge(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val snap = c.filter(col("c_custkey") % 3 === 0)
+    def entry(df: DataFrame, seqV: Int, tombstone: Boolean): DataFrame =
+      df.select(struct(col("c_custkey")).as("key"),
+        when(lit(!tombstone),
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal"))).as("value"),
+        lit("om.customer").as("topic"), lit(seqV.toLong).as("seq"))
+    val changelog =
+      entry(c.filter(col("c_custkey") % 3 === 1), 1, tombstone = false)
+        .unionByName(entry(
+          c.filter(col("c_custkey") % 6 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 100), 2, tombstone = false))
+        .unionByName(entry(c.filter(col("c_custkey") % 9 === 0), 3, tombstone = true))
+    MergeSink.applyBatch(snap, changelog, Seq("c_custkey"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_bulk_mode" -> (bulkMode _),
+    "s3_jdbc_timestamp" -> (timestampMode _),
+    "s5_table_multiplex" -> (tableMultiplex _),
+    "s7_snapshot_modes" -> (snapshotModes _),
+    "s9_spooldir_csv" -> (spoolDirCsv _),
+    "c2_schemaless_roundtrip" -> (schemalessRoundTrip _),
+    "c3_avro_roundtrip" -> (avroRoundTrip _),
+    "c4_schema_compat" -> (schemaCompat _),
+    "k3_auto_create_ddl" -> (autoCreateDdl _),
+    "k5_apply_batch_merge" -> (applyBatchMerge _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_bulk_mode" ->
+      """SELECT 1 AS poll, count(*) AS n_rows, sum(r_regionkey) AS key_sum FROM region
+        |UNION ALL
+        |SELECT 2, count(*), sum(r_regionkey) FROM region
+        |ORDER BY poll""".stripMargin,
+    "s3_jdbc_timestamp" ->
+      """WITH b1 AS (SELECT * FROM orders WHERE o_orderdate <= '1998-01-01'),
+        |w AS (SELECT max(o_orderdate) AS m FROM b1)
+        |SELECT o_orderkey, o_orderdate FROM orders, w
+        |WHERE o_orderdate > w.m ORDER BY o_orderkey""".stripMargin,
+    "s5_table_multiplex" ->
+      """SELECT 'om.region' AS topic, count(*) AS n_rows FROM region
+        |UNION ALL SELECT 'om.nation', count(*) FROM nation
+        |UNION ALL SELECT 'om.supplier', count(*) FROM supplier
+        |ORDER BY topic""".stripMargin,
+    "s7_snapshot_modes" ->
+      """SELECT 'initial' AS mode, count(*) AS n_rows FROM orders
+        |UNION ALL
+        |SELECT 'schema_only', count(*) FROM orders WHERE o_orderdate > '1998-06-01'
+        |ORDER BY mode""".stripMargin,
+    "s9_spooldir_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "c2_schemaless_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "c3_avro_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "c4_schema_compat" ->
+      """SELECT * FROM (VALUES
+        |  ('add', 'c_phone', 'VARCHAR(4000)', true),
+        |  ('drop', 'c_mktsegment', 'VARCHAR(4000)', false),
+        |  ('retype', 'c_acctbal', 'DOUBLE->VARCHAR(4000)', false))
+        |AS t(change, field, type, compatible)
+        |ORDER BY change, field""".stripMargin,
+    "k3_auto_create_ddl" ->
+      """SELECT 'om.lineitem' AS tbl,
+        |  'CREATE TABLE om.lineitem (l_orderkey BIGINT NOT NULL, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INTEGER NOT NULL, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR(4000), l_linestatus VARCHAR(4000), l_shipdate TIMESTAMP, PRIMARY KEY (l_orderkey, l_linenumber))' AS ddl""".stripMargin,
+    "k5_apply_batch_merge" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |log AS (
+        |  SELECT c_custkey, c_name, c_acctbal, -1 AS seq, false AS del
+        |  FROM c WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, 1, false FROM c WHERE c_custkey % 3 = 1
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 100, 2, false FROM c WHERE c_custkey % 6 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, 3, true FROM c WHERE c_custkey % 9 = 0)
+        |SELECT c_custkey, c_name, c_acctbal FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |  FROM log) t
+        |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin
+  )
+}

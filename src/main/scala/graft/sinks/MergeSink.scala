@@ -141,6 +141,24 @@ object SchemaEvolution {
   def evolveDdl(table: String, d: Diff): Seq[String] =
     d.added.map(f => s"ALTER TABLE $table ADD COLUMN ${f.name} ${sqlType(f.dataType)}")
 
+  /**
+   * C4 — registry-compatibility report: classify each schema change the
+   * way the reference's Schema Registry would under BACKWARD
+   * compatibility (the default): adding an optional field is compatible;
+   * drops/retypes are breaking (the labs set compatibility NONE to force
+   * a rename through: `실습수행/Schema Registry 기반의 Connector 구성
+   * 실습.md:533-537`). Rows: (change, field, type, compatible).
+   */
+  def compatReport(target: StructType, incoming: StructType): Seq[(String, String, String, Boolean)] = {
+    val d = diff(target, incoming)
+    d.added.toSeq.map(f =>
+      ("add", f.name, sqlType(f.dataType), f.nullable)) ++
+      d.dropped.toSeq.map(f => ("drop", f.name, sqlType(f.dataType), false)) ++
+      d.retyped.map { case (from, to) =>
+        ("retype", to.name, s"${sqlType(from.dataType)}->${sqlType(to.dataType)}", false)
+      }
+  }
+
   private def sqlType(dt: DataType): String = dt match {
     case IntegerType => "INTEGER"
     case LongType => "BIGINT"

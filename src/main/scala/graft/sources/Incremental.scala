@@ -121,6 +121,20 @@ object Incremental {
     val batch = reader(mode.predicate(w))
     (batch, mode.advance(batch, w))
   }
+
+  /** S7 — Debezium snapshot modes (`snapshot.mode`,
+   * `실습수행/Debezium MySQL CDC Source Connector 실습 - 03.md:387-488`):
+   * `initial` emits a full backfill ahead of the change stream;
+   * `schema_only` emits only changes after connector creation. */
+  sealed trait SnapshotMode
+  case object Initial extends SnapshotMode
+  case object SchemaOnly extends SnapshotMode
+
+  def withSnapshot(mode: SnapshotMode, snapshot: => DataFrame,
+                   changes: DataFrame): DataFrame = mode match {
+    case Initial => snapshot.unionByName(changes, allowMissingColumns = true)
+    case SchemaOnly => changes
+  }
 }
 
 /**
