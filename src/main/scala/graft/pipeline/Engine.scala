@@ -1,0 +1,217 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.Connect
+import graft.sinks.MergeSink
+
+/**
+ * L1-L8 — the Connect-worker analog: registers pipeline specs, runs each
+ * as a Structured Streaming query, and manages lifecycle + offsets.
+ *
+ * | Reference (cite in SURVEY.md §2.5)          | Engine                        |
+ * |---------------------------------------------|-------------------------------|
+ * | POST/GET/DELETE /connectors (L1)            | register / list / delete      |
+ * | pause / resume / restart / status (L2)      | pause / resume / status       |
+ * | connect-offsets per connector (L3)          | checkpoint dir per pipeline   |
+ * | offset reset (L4)                           | resetOffsets (checkpoint rm)  |
+ * | topic partitions (L5), tasks.max (L7)       | maxFilesPerTrigger, shuffle   |
+ * | single-writer per source table (L6)         | name+checkpoint uniqueness    |
+ * | poll.interval.ms / batch knobs (L8)         | Trigger.ProcessingTime        |
+ *
+ * Recovery model is the reference's: at-least-once delivery from the
+ * checkpoint, made effectively-exactly-once by the keyed idempotent
+ * merge sink (re-applying a batch is a no-op).
+ */
+final class Engine(spark: SparkSession, root: String) {
+
+  sealed trait State
+  case object Running extends State
+  case object Paused extends State
+  final case class Failed(err: String) extends State
+
+  private final case class Entry(spec: PipelineSpec,
+                                 query: Option[StreamingQuery],
+                                 state: State)
+
+  private val pipelines = TrieMap.empty[String, Entry]
+
+  private def checkpointDir(name: String) = s"$root/checkpoints/$name"
+
+  /** L1: register + start. Rejects duplicate names (L6 single-writer —
+   * one running query per (pipeline, checkpoint)). */
+  def register(spec: PipelineSpec): StreamingQuery = synchronized {
+    if (pipelines.get(spec.name).exists(_.query.exists(_.isActive)))
+      throw new IllegalStateException(
+        s"pipeline '${spec.name}' already running (single-writer rule)")
+    val q = start(spec)
+    pipelines(spec.name) = Entry(spec, Some(q), Running)
+    q
+  }
+
+  def registerJson(json: String): StreamingQuery =
+    register(PipelineSpec.fromJson(json))
+
+  /** L2: stop the query; offsets stay in the checkpoint. */
+  def pause(name: String): Unit = synchronized {
+    val e = entry(name)
+    e.query.filter(_.isActive).foreach(_.stop())
+    pipelines(name) = e.copy(query = None, state = Paused)
+  }
+
+  /** L2: restart from the checkpoint — processing resumes after the last
+   * committed offset, exactly like a Connect task restart. */
+  def resume(name: String): StreamingQuery = synchronized {
+    val e = entry(name)
+    if (e.query.exists(_.isActive)) e.query.get
+    else {
+      val q = start(e.spec)
+      pipelines(name) = e.copy(query = Some(q), state = Running)
+      q
+    }
+  }
+
+  /** L2: status — name, state, and whether the query is active. */
+  def status(name: String): (String, String) = {
+    val e = entry(name)
+    val s = e.query match {
+      case Some(q) if q.isActive => "RUNNING"
+      case _ => e.state match {
+        case Paused => "PAUSED"
+        case Failed(err) => s"FAILED: $err"
+        case _ => "STOPPED"
+      }
+    }
+    (name, s)
+  }
+
+  def list(): Seq[String] = pipelines.keys.toSeq.sorted
+
+  /** L1 DELETE: stop and forget (checkpoint retained, like Connect's
+   * config removal leaving connect-offsets behind). */
+  def delete(name: String): Unit = synchronized {
+    pipelines.remove(name).foreach(_.query.filter(_.isActive).foreach(_.stop()))
+  }
+
+  /** L4: targeted offset reset — delete the pipeline's checkpoint so the
+   * next resume re-ingests from scratch (the produce-null-to-
+   * connect-offsets analog). Only legal while paused. */
+  def resetOffsets(name: String): Unit = synchronized {
+    val e = entry(name)
+    if (e.query.exists(_.isActive))
+      throw new IllegalStateException(s"pause '$name' before resetting offsets")
+    val p = Paths.get(checkpointDir(name))
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+  }
+
+  private def entry(name: String): Entry =
+    pipelines.getOrElse(name,
+      throw new NoSuchElementException(s"no pipeline '$name'"))
+
+  // ---- query assembly ----------------------------------------------------
+
+  private def start(spec: PipelineSpec): StreamingQuery = {
+    val src = readSource(spec.source)
+    val framed = toFrame(src, spec.source)
+    val transformed = spec.transforms.map(_.toTransform)
+      .foldLeft(framed)((df, t) => t(df))
+    val writer = transformed.writeStream
+      .option("checkpointLocation", checkpointDir(spec.name))
+      .outputMode("update")
+    val triggered = spec.triggerMs
+      .map(ms => writer.trigger(Trigger.ProcessingTime(ms)))
+      .getOrElse(writer)
+    val sink = spec.sink
+    sink.kind match {
+      case "table" =>
+        triggered.foreachBatch { (batch: DataFrame, _: Long) =>
+          TableSink.applyBatch(spark, sink, batch)
+        }.start()
+      case "append" =>
+        transformed.writeStream
+          .option("checkpointLocation", checkpointDir(spec.name))
+          .option("path", sink.path)
+          .outputMode("append")
+          .format("parquet").start()
+      case other =>
+        throw new IllegalArgumentException(s"unknown sink '$other'")
+    }
+  }
+
+  private def readSource(s: SourceSpec): DataFrame = s.kind match {
+    case "csv" =>
+      graft.sources.SpoolDir.readStream(spark, graft.sources.SpoolDir.Config(
+        inputPath = s.path, schema = s.schema,
+        maxFilesPerTrigger = s.maxFilesPerTrigger))
+    case "parquet" =>
+      val r = spark.readStream
+        .option("maxFilesPerTrigger", s.maxFilesPerTrigger)
+      s.schema.map(r.schema).getOrElse(r).format("parquet").load(s.path)
+    case "rate" =>
+      spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+    case other => throw new IllegalArgumentException(s"unknown source '$other'")
+  }
+
+  /** Lift raw rows into the connect-frame convention. A `__deleted`
+   * column (Debezium's soft-delete marker) turns rows into tombstones. */
+  private def toFrame(df: DataFrame, s: SourceSpec): DataFrame = {
+    val seqCol = s.seqColumn.map(col)
+      .getOrElse(monotonically_increasing_id())
+    val dataCols = df.columns.filterNot(_ == "__deleted")
+    val value = struct(dataCols.map(col).toIndexedSeq: _*)
+    val tomb = if (df.columns.contains("__deleted"))
+      col("__deleted").cast("boolean") else lit(false)
+    df.select(
+      struct(s.keyFields.map(col).toIndexedSeq: _*).as(Connect.KeyCol),
+      when(!coalesce(tomb, lit(false)), value).as(Connect.ValueCol),
+      lit(s.topic).as(Connect.TopicCol),
+      seqCol.cast("long").as(Connect.SeqCol))
+  }
+}
+
+/**
+ * The keyed table sink (K1-K4) as a `foreachBatch` body: read current
+ * state, merge the batch (last-write-wins, tombstone deletes, add-only
+ * evolution), atomically swap the state directory. A production target
+ * would MERGE into Delta/Iceberg/JDBC; the swap keeps the offline demo
+ * transactional on a local FS.
+ */
+object TableSink {
+
+  def applyBatch(spark: SparkSession, sink: SinkSpec, batch: DataFrame): Unit = {
+    val statePath = Paths.get(sink.path)
+    val hasState = Files.exists(statePath) &&
+      Files.list(statePath).anyMatch(p => p.toString.endsWith(".parquet"))
+    val merged =
+      if (hasState) {
+        val snapshot = spark.read.parquet(sink.path)
+        MergeSink.applyBatch(snapshot, dropDeletes(sink, batch), sink.keys)
+      } else
+        MergeSink.materialize(dropDeletes(sink, batch))
+    val tmp = sink.path + ".staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    val old = sink.path + ".old"
+    deleteRecursive(Paths.get(old))
+    if (Files.exists(statePath)) Files.move(statePath, Paths.get(old))
+    Files.move(Paths.get(tmp), statePath)
+    deleteRecursive(Paths.get(old))
+  }
+
+  private def dropDeletes(sink: SinkSpec, batch: DataFrame): DataFrame =
+    if (sink.deleteEnabled) batch
+    else batch.filter(col(Connect.ValueCol).isNotNull) // tombstones ignored
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

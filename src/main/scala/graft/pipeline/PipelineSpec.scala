@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.smt.Smt
+import scala.jdk.CollectionConverters._
+
+/**
+ * L1 — the connector-config analog: a pipeline is declared as JSON
+ * (source + ordered SMT chain + sink + cadence), registered with the
+ * [[Engine]]. Mirrors the reference's REST payloads
+ * (the `connector_configs` JSON files, `scripts/register_connector:1`): where a
+ * Connect config says `connector.class` + `transforms` + `topics`, a
+ * graft spec says source/transforms/sink.
+ *
+ * Example:
+ * {{{
+ * {
+ *   "name": "csv_to_table",
+ *   "source": {"type": "csv", "path": "/in", "schemaDdl": "id INT, v STRING, seq LONG"},
+ *   "transforms": [
+ *     {"type": "valueToKey", "fields": ["id"]},
+ *     {"type": "regexRouter", "pattern": "om_(.*)", "replacement": "$1"}
+ *   ],
+ *   "sink": {"type": "table", "path": "/out", "keys": ["id"], "seqColumn": "seq"},
+ *   "triggerMs": 1000
+ * }
+ * }}}
+ */
+final case class PipelineSpec(
+    name: String,
+    source: SourceSpec,
+    transforms: Seq[TransformSpec],
+    sink: SinkSpec,
+    triggerMs: Option[Long])
+
+final case class SourceSpec(
+    kind: String,             // csv | parquet | rate
+    path: String,
+    schemaDdl: Option[String],     // CSV/parquet stream schema (DDL string)
+    keyFields: Seq[String],        // lifted into the connect frame key
+    seqColumn: Option[String],     // ordering column (Kafka-offset analog)
+    topic: String,
+    maxFilesPerTrigger: Int = 3) { // tasks.max / poll batch analog
+  def schema: Option[StructType] =
+    schemaDdl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
+}
+
+final case class TransformSpec(kind: String, args: Map[String, String],
+                               fields: Seq[String]) {
+  /** Resolve to the pure SMT function (T1-T6 + Filter/Insert). */
+  def toTransform: Smt.Transform = kind match {
+    case "valueToKey" => Smt.valueToKey(fields)
+    case "extractKeyField" => Smt.extractKeyField(args("field"))
+    case "extractValueField" => Smt.extractValueField(args("field"))
+    case "regexRouter" => Smt.regexRouter(args("pattern"), args("replacement"))
+    case "timestampConverter" =>
+      val target = args("target") match {
+        case "Timestamp" => Smt.TsTarget.Timestamp
+        case "unix" => Smt.TsTarget.Unix
+        case "Date" => Smt.TsTarget.Date
+        case "string" => Smt.TsTarget.Str(args("format"))
+      }
+      Smt.timestampConverter(args("field"), target, args.get("sourceFormat"))
+    case "extractNewRecordState" =>
+      Smt.extractNewRecordState(args.get("dropTombstones").exists(_.toBoolean))
+    case "filter" => Smt.filterRecords(expr(args("predicate")))
+    case "insertField" =>
+      Smt.insertValueField(args("field"), expr(args("value")))
+    case other => throw new IllegalArgumentException(s"unknown SMT '$other'")
+  }
+}
+
+final case class SinkSpec(
+    kind: String,             // table (keyed merge) | append
+    path: String,
+    keys: Seq[String],
+    deleteEnabled: Boolean = true,
+    autoEvolve: Boolean = true)
+
+object PipelineSpec {
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse the JSON spec (jackson ships with Spark — no extra dep). */
+  def fromJson(json: String): PipelineSpec = {
+    val n = mapper.readTree(json)
+    def str(node: JsonNode, f: String): Option[String] =
+      Option(node.get(f)).filterNot(_.isNull).map(_.asText)
+    def strs(node: JsonNode, f: String): Seq[String] =
+      Option(node.get(f)).map(_.elements().asScala.map(_.asText).toSeq)
+        .getOrElse(Seq.empty)
+    val src = n.get("source")
+    val sink = n.get("sink")
+    PipelineSpec(
+      name = n.get("name").asText,
+      source = SourceSpec(
+        kind = src.get("type").asText,
+        path = str(src, "path").getOrElse(""),
+        schemaDdl = str(src, "schemaDdl"),
+        keyFields = strs(src, "keyFields"),
+        seqColumn = str(src, "seqColumn"),
+        topic = str(src, "topic").getOrElse(n.get("name").asText),
+        maxFilesPerTrigger = str(src, "maxFilesPerTrigger").map(_.toInt).getOrElse(3)),
+      transforms = Option(n.get("transforms")).map(_.elements().asScala.map { t =>
+        TransformSpec(
+          kind = t.get("type").asText,
+          args = t.properties().asScala
+            .filterNot(e => e.getKey == "type" || e.getKey == "fields")
+            .map(e => e.getKey -> e.getValue.asText).toMap,
+          fields = strs(t, "fields"))
+      }.toSeq).getOrElse(Seq.empty),
+      sink = SinkSpec(
+        kind = sink.get("type").asText,
+        path = str(sink, "path").getOrElse(""),
+        keys = strs(sink, "keys"),
+        deleteEnabled = str(sink, "deleteEnabled").forall(_.toBoolean),
+        autoEvolve = str(sink, "autoEvolve").forall(_.toBoolean)),
+      triggerMs = str(n, "triggerMs").map(_.toLong))
+  }
+}
