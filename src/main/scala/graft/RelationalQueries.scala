@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.T
+import graft.operators.AsOfJoin
+
+/**
+ * Classical relational + streaming-window operators the reference lacks
+ * (SURVEY.md §2.6 "engine adds"): window functions, rollup, top-k, set
+ * operations, as-of join, and event-time windows (tumbling / sliding /
+ * session) expressed so the same query runs batch (oracle-checkable)
+ * and over a stream.
+ */
+object RelationalQueries {
+
+  /** Q3: ranking + analytic window functions — top-3 customers per
+   * market segment by balance, with running segment totals. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val byBal = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    c.select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        row_number().over(byBal).as("rn"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).over(
+          byBal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_bal"),
+        lag(col("c_custkey"), 1).over(byBal).as("prev_custkey"))
+      .filter(col("rn") <= 3)
+      .orderBy("c_mktsegment", "rn")
+  }
+
+  /** Q4: ROLLUP aggregation with grouping ids (partial+final agg via
+   * Catalyst; Expand feeds one shuffle). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+
+  /** Q5: global top-k with total tie-break — plans as
+   * TakeOrderedAndProject (no full sort, no single-node shuffle). */
+  def topK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+
+  /** Q6: set operations — semi/anti join as the source<->sink diff tool
+   * (SURVEY.md §2.6), INTERSECT/EXCEPT over key sets. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val custKeys = T(s, dir, "customer").select(col("c_custkey").as("k"))
+    val orderCust = T(s, dir, "orders").select(col("o_custkey").as("k"))
+    def n(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).withColumn("op", lit(name))
+    n("customers_with_orders", custKeys.intersect(orderCust))
+      .unionByName(n("customers_without_orders", custKeys.except(orderCust)))
+      .unionByName(n("semi", custKeys.join(orderCust, Seq("k"), "left_semi")))
+      .unionByName(n("anti", custKeys.join(orderCust, Seq("k"), "left_anti")))
+      .select("op", "n").orderBy("op")
+  }
+
+  /** Q7: as-of join — each event matched to the customer's most recent
+   * order at event time (union-tag implementation, one shuffle). */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = T(s, dir, "events")
+      .select("event_id", "user_id", "ts", "event_type")
+    // dedup right side to one row per (key, ts) for determinism
+    val orders = T(s, dir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    AsOfJoin.asof(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof.o_orderkey").as("o_orderkey"),
+        col("asof.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** W1: tumbling event-time window (1 hour) — the `window()` operator;
+   * with `withWatermark` this exact plan runs on a stream. */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** W2: sliding window (2h length, 1h slide) — each event lands in two
+   * windows (Expand: no self-join, single shuffle). */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+      .orderBy("window_start")
+
+  /** W3: session window (10-minute gap) per user — `session_window`
+   * merges events closer than the gap; the batch plan is oracle-checked
+   * against an islands computation. */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_window_rank" -> (windowRank _),
+    "q4_rollup" -> (rollupAgg _),
+    "q5_topk" -> (topK _),
+    "q6_set_ops" -> (setOps _),
+    "q7_asof_join" -> (asofJoin _),
+    "w1_tumbling_window" -> (tumblingWindow _),
+    "w2_sliding_window" -> (slidingWindow _),
+    "w3_session_window" -> (sessionWindow _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q3_window_rank" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn, running_bal, prev_custkey
+        |FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER w AS rn,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+        |      (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal,
+        |    lag(c_custkey, 1) OVER w AS prev_custkey
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q4_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  grouping(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q5_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+    "q6_set_ops" ->
+      """WITH ck AS (SELECT c_custkey AS k FROM customer),
+        |ok AS (SELECT o_custkey AS k FROM orders)
+        |SELECT 'anti' AS op, count(*) AS n FROM (SELECT k FROM ck EXCEPT SELECT k FROM ok)
+        |UNION ALL
+        |SELECT 'customers_with_orders', count(*) FROM (SELECT k FROM ck INTERSECT SELECT k FROM ok)
+        |UNION ALL
+        |SELECT 'customers_without_orders', count(*) FROM (SELECT k FROM ck EXCEPT SELECT k FROM ok)
+        |UNION ALL
+        |SELECT 'semi', count(*) FROM (SELECT k FROM ck INTERSECT SELECT k FROM ok)
+        |ORDER BY op""".stripMargin,
+    "q7_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "w1_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "w2_sliding_window" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', ts) AS w FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+        |SELECT w AS window_start, count(*) AS n
+        |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
+    "w3_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

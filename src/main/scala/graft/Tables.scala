@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared testdata readers for the query registries. */
+object Tables {
+
+  def T(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") readEvents(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+   * rejects; read nanos as long and truncate to micros (exactly DuckDB's
+   * ns->us conversion), surfacing the column as TIMESTAMP_NTZ like every
+   * other no-zone parquet timestamp in the testdata. The legacy flag is
+   * scoped to a child session (shared SparkContext, isolated conf) so the
+   * caller's session never observes the side effect. */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
+}
