@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Dedup, TextAnalysis}
+import graft.ml.Similarity
+import graft.operators.AsOfJoin
+
+/** Specs for the LLM-pipeline operators and the as-of join. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exactDedup(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds the near-dup pair, not the unrelated doc") {
+    val pairs = Dedup.minhashCandidates(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 4L))) // exact dup: all 16 minhashes match
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 16)
+    assert(keys.contains((1L, 2L)) || keys.contains((2L, 4L))) // near dup
+    assert(!keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard verify: exact dup = 1.0, near dup in (0,1)") {
+    val cands = Dedup.minhashCandidates(docs(), "doc_id", "text")
+      .select("ida", "idb")
+    val j = Dedup.jaccardVerify(cands, docs(), "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 4L)) == 1.0)
+    j.get((1L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
+  }
+
+  test("simhash: identical texts distance 0, near-dups close, unrelated far") {
+    val sh = docs().select(col("doc_id"),
+        transform(Dedup.tokens(col("text")), t => graft.functions.Hashing.h60(t)).as("_hs"))
+      .select(col("doc_id"), Dedup.simhashFromHashes(col("_hs")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 0.0f, 1.0f)))   // orthogonal
+      .toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(
+        vecs.filter(col("id") === 0), vecs, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")), r.getInt(r.fieldIndex("rank"))))
+    assert(out.head == (1L, 1)) // identical vector ranks first
+    assert(out(1) == (2L, 2))
+    assert(out(2) == (3L, 3))
+  }
+
+  test("langId picks the profile with most marker hits; und when none") {
+    val out = Seq(
+      (1, "the cat and the dog is here"),
+      (2, "der hund und die katze ist hier"),
+      (3, "xyzzy plugh"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "en", 2 -> "de", 3 -> "und"))
+  }
+
+  test("token counts: ws vs BPE-ish") {
+    val out = Seq(("ab cdefgh 12, x!")).toDF("text")
+      .select(TextAnalysis.tokenCountWs(col("text")).as("ws"),
+        TextAnalysis.tokenCountBpe(col("text")).as("bpe"))
+      .head()
+    assert(out.getInt(0) == 4)
+    // ab(1) + cdefgh(2) + x(1) pieces, plus '1','2',',','!' = 4 others
+    assert(out.getLong(1) == 8L)
+  }
+
+  test("fingerprint is whitespace/case-normalized and order-sensitive") {
+    val fps = Seq(
+      (1, "Hello  World"), (2, "hello world"), (3, "world hello"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fps(1) == fps(2)) // case + whitespace normalize
+    assert(fps(2) != fps(3)) // order matters
+  }
+
+  test("asof join matches latest right row at or before left ts, else null") {
+    val left = Seq((1, 10, 100L), (2, 10, 205L), (3, 10, 50L), (4, 99, 100L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((10, 100L, "v100"), (10, 200L, "v200"))
+      .toDF("k", "ts", "payload")
+    val out = AsOfJoin.asof(left, right, "k", "k", "ts", "ts")
+      .select(col("event_id"), col("asof.payload").as("p"))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(out(1).contains("v100")) // ties: <= is inclusive
+    assert(out(2).contains("v200"))
+    assert(out(3).isEmpty)          // before any right row
+    assert(out(4).isEmpty)          // key with no right rows
+  }
+}

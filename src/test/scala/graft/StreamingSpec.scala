@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StatefulOps
+
+/** Streaming semantics: cross-batch stateful dedup and watermark-driven
+  * late-data handling — the event-time half of the engine's streaming
+  * surface (the pipeline half lives in EngineSpec). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful dedupByKey drops replays across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val deduped = StatefulOps.dedupByKey(
+      in.toDF().toDF("id", "v"), Seq("id"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData((1, "a"), (2, "b"), (1, "a-replay"))
+      q.processAllAvailable()
+      // replay of key 1 within the same batch dropped
+      assert(spark.table("dedup_out").count() == 2)
+      in.addData((1, "a-replay2"), (3, "c"))
+      q.processAllAvailable()
+      // replay ACROSS batches dropped too; new key passes
+      val rows = spark.table("dedup_out")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(rows == Set((1, "a"), (2, "b"), (3, "c")))
+    } finally q.stop()
+  }
+
+  test("watermark drops late events from windowed aggregation") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("start"), col("n"))
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_out").outputMode("append").start()
+    try {
+      in.addData((ts(1), "a"), (ts(2), "b"))   // window 10:00
+      q.processAllAvailable()
+      in.addData((ts(31), "c"))                // advances watermark to 10:21
+      q.processAllAvailable()
+      in.addData((ts(3), "LATE"))              // before watermark -> dropped
+      q.processAllAvailable()
+      in.addData((ts(55), "d"))                // pushes watermark; 10:30 window closes
+      q.processAllAvailable()
+      val closed = spark.table("wm_out")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+      // the 10:00 window emitted n=2: the late event did NOT count
+      assert(closed(ts(0)) == 2L)
+      assert(closed(ts(30)) == 1L)
+    } finally q.stop()
+  }
+}
