@@ -113,12 +113,22 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** X1: language ID (marker-profile heuristic). */
+  /** X1: language ID (marker-profile heuristic). Tokens alias-bound so
+   * the tokenizer runs once, not once per language profile. */
   def langId(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
-      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .select(col("doc_id"), Dedup.tokens(lower(col("text"))).as("_t"))
+      .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("_t")).as("lang_guess"))
       .groupBy("lang_guess").agg(count(lit(1)).as("n"))
       .orderBy("lang_guess")
+
+  /** X5: within-doc repetition ratio — boilerplate detection. */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("_t"), 3).as("rep_ratio"))
+      .orderBy("doc_id")
 
   /** X2: quality features + composite score per document. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
@@ -173,6 +183,7 @@ object LlmQueries {
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
     "x4_fingerprint" -> (fingerprint _),
+    "x5_repetition" -> (repetition _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -330,6 +341,15 @@ object LlmQueries {
          |FROM (SELECT doc_id,
          |        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
          |      FROM documents) ORDER BY doc_id""".stripMargin,
+    "x5_repetition" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN len($toksSql) >= 3 THEN
+         |    1.0 - len(list_distinct(list_transform(range(0, len($toksSql) - 2),
+         |      i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3])))::DOUBLE
+         |    / len(list_transform(range(0, len($toksSql) - 2),
+         |      i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3]))::DOUBLE
+         |  ELSE 0.0 END AS rep_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "m1_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  length(text)::BIGINT AS n_bytes,

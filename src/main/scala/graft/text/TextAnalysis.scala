@@ -26,8 +26,12 @@ object TextAnalysis {
   /** Language ID: count marker-word hits per profile over whitespace
    * tokens; emit the best-scoring language, 'und' if nothing matched.
    * Ties resolve by profile order (deterministic). */
-  def langId(text: Column): Column = {
-    val toks = Dedup.tokens(lower(text))
+  def langId(text: Column): Column =
+    langIdFromTokens(Dedup.tokens(lower(text)))
+
+  /** Language ID from pre-lowercased tokens. Pass an attribute (aliased
+   * column): the token array is referenced once per profile. */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = LangProfiles.zipWithIndex.map { case ((lang, words), i) =>
       val hits = size(filter(toks, t => t.isin(words.map(lit): _*)))
       struct(hits.as("hits"), lit(LangProfiles.size - i).as("prio"),
@@ -35,6 +39,18 @@ object TextAnalysis {
     }
     val best = greatest(scored: _*)
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Within-document repetition ratio: 1 - distinct/total word k-grams —
+   * the boilerplate/template detector (C4-style repetition filter).
+   * Documents shorter than k words score 0. */
+  def repetitionRatio(toks: Column, k: Int = 3): Column = {
+    val grams = when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    when(grams.isNull, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast(DoubleType) /
+        size(grams).cast(DoubleType))
   }
 
   /** Token count, whitespace definition. */
