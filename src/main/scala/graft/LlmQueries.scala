@@ -32,6 +32,9 @@ object LlmQueries {
   private val Dim = 64
   private val Planes = Similarity.hyperplanes(NPlanes, Dim)
   private val TopK = 10
+  private val NCells = 16
+  private val NProbe = 2
+  private val Cents = Similarity.ivfCentroids(NCells, Dim)
 
   // ---- DuckDB SQL fragments ----------------------------------------------
 
@@ -113,6 +116,24 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E3: IVF ANN top-k — coarse quantize to cells, probe the 2 best
+   * cells per query, exact-cosine rerank. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(emb.filter(col("id") < 5), emb, TopK, NCells, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** E4: embedding-cosine near-dup — top pairs among LSH cohabitants. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.nearDupPairs(emb, NPlanes, topPairs = 20)
+      .orderBy(col("sim").desc, col("ida"), col("idb"))
+  }
+
   /** X1: language ID (marker-profile heuristic). Tokens alias-bound so
    * the tokenizer runs once, not once per language profile. */
   def langId(s: SparkSession, dir: String): DataFrame =
@@ -179,6 +200,8 @@ object LlmQueries {
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
+    "e3_ivf_topk" -> (ivfTopK _),
+    "e4_embedding_neardup" -> (embeddingNearDup _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
@@ -224,6 +247,16 @@ object LlmQueries {
 
   private val planesSql = Planes.map(_.mkString("[", ",", "]"))
     .mkString("[", ",\n     ", "]")
+
+  private val centsSql = Cents.map(_.mkString("[", ",", "]"))
+    .mkString("[", ",\n     ", "]")
+
+  /** Cells ranked desc by centroid score, ties to smaller id — mirrors
+   * Similarity.rankedCells (list_sort asc then reverse = sort_array
+   * desc on struct(s, nj)). */
+  private def rankedSql(v: String) =
+    s"""list_reverse(list_sort(list_transform(range(1, ${NCells + 1}),
+       |  j -> {'s': ${dotSql("ct[j]", v)}, 'nj': -j})))""".stripMargin
 
   private def bucketSql(vec: String) =
     (0 until NPlanes).map { j =>
@@ -301,6 +334,30 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e3_ivf_topk" ->
+      s"""WITH cents AS (SELECT $centsSql AS ct),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |        unnest(list_transform(list_slice(${rankedSql("qv")}, 1, $NProbe),
+         |          x -> -x.nj)) AS cell
+         |      FROM embeddings, cents WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        -(${rankedSql("cv")})[1].nj AS cell
+         |      FROM embeddings, cents),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e4_embedding_neardup" ->
+      s"""WITH planes AS (SELECT $planesSql AS pl),
+         |b AS (SELECT vec_id AS id, embedding AS v,
+         |        ${bucketSql("v")} AS bucket
+         |      FROM embeddings, planes)
+         |SELECT a.id AS ida, b2.id AS idb, ${cosineSql("a.v", "b2.v")} AS sim
+         |FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id
+         |ORDER BY sim DESC, ida, idb LIMIT 20""".stripMargin,
     "x1_lang_id" ->
       s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents)
          |SELECT $langGuessSql AS lang_guess, count(*) AS n

@@ -136,6 +136,9 @@ object AvroCodec {
             val ldt = row.getAs[java.time.LocalDateTime](i)
             Long.box(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
               ldt.getNano / 1000)
+          case d: DecimalType =>
+            java.nio.ByteBuffer.wrap(row.getDecimal(i)
+              .setScale(d.scale).unscaledValue().toByteArray)
           case other =>
             throw new IllegalArgumentException(s"unsupported $other")
         }
@@ -167,6 +170,10 @@ object AvroCodec {
             Math.floorDiv(micros, 1000000L),
             (Math.floorMod(micros, 1000000L) * 1000L).toInt,
             java.time.ZoneOffset.UTC)
+        case d: DecimalType =>
+          val bb = v.asInstanceOf[java.nio.ByteBuffer]
+          val arr = new Array[Byte](bb.remaining()); bb.get(arr)
+          new java.math.BigDecimal(new java.math.BigInteger(arr), d.scale)
         case _ => v
       }
     }

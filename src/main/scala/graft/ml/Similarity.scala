@@ -64,6 +64,75 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Fixed pseudo-random IVF centroids: component (j, d) =
+   * (h60("centroid_j_d") mod 2001) - 1000 — like [[hyperplanes]],
+   * literal-embedded in the plan and in the oracle SQL. A production
+   * build would train these with k-means; the quantizer mechanics
+   * (assign, nprobe, in-cell rerank) are identical. */
+  def ivfCentroids(nCells: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until nCells).map(j => (0 until dim).map(d =>
+      graft.functions.Hashing.h60(s"centroid_${j}_$d") % 2001 - 1000))
+
+  /** Cells ranked by centroid score, descending; ties to the smaller
+   * cell id. Element shape: struct(s: score, nj: -cellId). */
+  private def rankedCells(vec: Column, cents: Seq[Seq[Long]]): Column = {
+    val pairs = cents.zipWithIndex.map { case (c, j) =>
+      struct(dot(array(c.map(x => lit(x.toDouble)): _*), vec).as("s"),
+        lit(-j).as("nj"))
+    }
+    sort_array(array(pairs: _*), asc = false)
+  }
+
+  /** IVF coarse assignment: the best-scoring cell. */
+  def ivfAssign(vec: Column, cents: Seq[Seq[Long]]): Column =
+    -element_at(rankedCells(vec, cents), 1).getField("nj")
+
+  /** The `nprobe` best cells for a query. */
+  def ivfProbes(vec: Column, cents: Seq[Seq[Long]], nprobe: Int): Column =
+    transform(slice(rankedCells(vec, cents), 1, nprobe), x => -x.getField("nj"))
+
+  /**
+   * ANN via IVF: corpus partitions into cells by nearest centroid;
+   * queries probe their `nprobe` best cells and rerank candidates by
+   * exact cosine. The other classic ANN scale path next to
+   * [[annTopK]]'s LSH: one shuffle on (cell), search cost |corpus| *
+   * nprobe / nCells per query.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(nCells, dim = 64)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      explode(ivfProbes(col("vec"), cents, nprobe)).as("cell"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      ivfAssign(col("vec"), cents).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * Embedding-cosine near-dup report: the most similar pairs among
+   * LSH-bucket cohabitants (candidate generation never goes O(n^2)).
+   * Returns the global top `topPairs` by similarity, total-ordered.
+   */
+  def nearDupPairs(corpus: DataFrame, nPlanes: Int = 8,
+                   topPairs: Int = 20): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim = 64)
+    val b = corpus.select(col("id"), col("vec"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("ida"), col("vec").as("veca"))
+    val r = b.select(col("bucket"), col("id").as("idb"), col("vec").as("vecb"))
+    l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), cosine(col("veca"), col("vecb")).as("sim"))
+      .orderBy(col("sim").desc, col("ida"), col("idb"))
+      .limit(topPairs)
+  }
+
   /**
    * ANN via hyperplane LSH: queries search only their own bucket, then
    * rank by exact cosine. Same output shape as [[bruteForceTopK]]

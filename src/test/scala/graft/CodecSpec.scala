@@ -20,7 +20,8 @@ class CodecSpec extends SparkSpec {
       .select(col("id"), col("s"), col("d"), col("b"),
         col("dt").cast(DateType).as("dt"),
         col("ts").cast(TimestampType).as("ts"),
-        col("ts").cast(TimestampNTZType).as("ntz"))
+        col("ts").cast(TimestampNTZType).as("ntz"),
+        col("dec").cast(DecimalType(10, 2)).as("dec"))
     val frame = Connect.toConnectFrame(df, Seq("id"), "t", "id")
     val rt = AvroCodec.roundTrip(frame).select("value.*")
     assert(rt.exceptAll(df).count() == 0 && df.exceptAll(rt).count() == 0)
