@@ -88,11 +88,17 @@ object Dedup {
     // the signature references them 16 times — without it the md5 subtree
     // is inlined per permutation (a 16x recompute; CollapseProject keeps
     // multi-referenced non-cheap aliases in their own projection)
+    // The signature table is materialized (persisted) before the banded
+    // self-join: both join sides reuse one tokenize+hash pass — the
+    // standard "build the signature table first" LSH shape. It is tiny
+    // relative to the corpus (id + 16 longs per doc) and spills to disk
+    // if it ever isn't.
     val sigs = df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
       .filter(size(col("_t")) >= k)
       .select(col("_id"), shingleHashesFromTokens(col("_t"), k).as("_h"))
       .select(col("_id"), minhashSignature(col("_h"), perms).as("_sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("_id"), col("_sig"),
       explode(lshBands(col("_sig"), bands, rows)).as("_b"))
       .select(col("_id"), col("_sig"), col("_b.band"), col("_b.bkey"))
@@ -139,10 +145,13 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 16): DataFrame = {
+    // materialized once; both self-join sides reuse it (see
+    // minhashCandidates for the rationale)
     val sh = df
       .select(col(idCol).as("_id"),
         transform(tokens(col(textCol)), t => Hashing.h60(t)).as("_hs"))
       .select(col("_id"), simhashFromHashes(col("_hs")).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sh.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         pmod(shiftright(col("_sh"), b * 15), lit(32768L)).as("bkey"))): _*))
