@@ -21,10 +21,16 @@ import graft.functions.Hashing
  */
 object Similarity {
 
-  /** Sequential double-precision dot product. */
+  /** Sequential double-precision dot product — the native codegen'd
+   * [[graft.functions.VectorDot]] expression (tight primitive loop in
+   * whole-stage codegen; arithmetic identical to the
+   * `aggregate(zip_with(...))` fold it replaces, so oracle scores stay
+   * bit-exact). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
