@@ -81,6 +81,19 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** J1: JSON functions — extract from the events.props JSON column via
+   * both `get_json_object` (path probe) and `from_json` (typed parse),
+   * then aggregate. */
+  def jsonFunctions(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k2"))
+      .groupBy(pmod(col("k"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k2").as("max_k"))
+      .orderBy("bucket")
+
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -119,6 +132,7 @@ object RelationalQueries {
     "q5_topk" -> (topK _),
     "q6_set_ops" -> (setOps _),
     "q7_asof_join" -> (asofJoin _),
+    "j1_json_functions" -> (jsonFunctions _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -166,6 +180,12 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "j1_json_functions" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket,
+        |  count(*) AS n,
+        |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS sum_k,
+        |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
