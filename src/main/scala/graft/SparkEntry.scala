@@ -144,6 +144,27 @@ object SparkEntry {
         .orderBy("key")
     }
 
+    /** T7: the rest of the stock SMT family chained — include/rename/
+     * mask/cast/hoist/flatten/timestamp-route in one pass. */
+    def smtStockChain(s: SparkSession, dir: String): DataFrame = {
+      val frame = Connect.toConnectFrame(
+        T(s, dir, "customer"), Seq("c_custkey"), "om.customer", "c_custkey")
+      Smt.chain(
+        Smt.includeFields(Seq("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        Smt.renameFields(Map("c_name" -> "name")),
+        Smt.maskField("c_acctbal"),
+        Smt.castFields(Map("c_nationkey" -> StringType)),
+        Smt.hoistField("row"),
+        Smt.flattenValue("_"),
+        Smt.timestampRouter(lit("2024-03-15").cast(TimestampType)))(frame)
+        .select(col("topic"),
+          col("value.row_c_custkey").as("c_custkey"),
+          col("value.row_name").as("name"),
+          col("value.row_c_acctbal").as("acctbal_masked"),
+          col("value.row_c_nationkey").as("nationkey_str"))
+        .orderBy("c_custkey")
+    }
+
     // ---- sink merge (K1-K4) ---------------------------------------------
 
     /** K1+K2: upsert + tombstone-delete materialization of a keyed
@@ -272,6 +293,7 @@ object SparkEntry {
     "t3_smt_regex_router" -> (Q.smtRegexRouter _),
     "t4_smt_timestamp_converter" -> (Q.smtTimestampConverter _),
     "t5_cdc_unwrap" -> (Q.cdcUnwrap _),
+    "t7_smt_stock_chain" -> (Q.smtStockChain _),
     "k1_k2_sink_upsert_tombstone" -> (Q.sinkUpsert _),
     "k1_sink_upsert_composite_key" -> (Q.sinkUpsertCompositeKey _),
     "k4_schema_evolution_add" -> (Q.schemaEvolutionAdd _),
@@ -316,6 +338,11 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS etype,
         |  (event_type = 'error') AS tomb
         |FROM events ORDER BY key""".stripMargin,
+    "t7_smt_stock_chain" ->
+      """SELECT 'om.customer-20240315' AS topic, c_custkey, c_name AS name,
+        |  CAST(NULL AS DOUBLE) AS acctbal_masked,
+        |  CAST(c_nationkey AS VARCHAR) AS nationkey_str
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "k1_k2_sink_upsert_tombstone" ->
       """SELECT user_id, event_type AS last_type, value AS last_value
         |FROM (SELECT user_id, event_type, value,

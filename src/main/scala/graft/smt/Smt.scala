@@ -114,4 +114,85 @@ object Smt {
    * tombstones pass through so deletes still reach the sink. */
   def filterRecords(predicate: Column): Transform = df =>
     df.filter(col("value").isNull || predicate)
+
+  // ---- remaining stock Connect SMT family --------------------------------
+  // (beyond the five the reference configures; same algebra, same
+  // tombstone-safety, all narrow)
+
+  /** `MaskField$Value`: null out (or replace) a value field, keeping its
+   * type — PII scrubbing. */
+  def maskField(field: String, replacement: Option[Column] = None): Transform =
+    df => {
+      val t = df.schema("value").dataType.asInstanceOf[StructType](field).dataType
+      df.withColumn("value", col("value")
+        .withField(field, replacement.getOrElse(lit(null)).cast(t)))
+    }
+
+  /** `ReplaceField$Value` rename part: rename value fields. */
+  def renameFields(renames: Map[String, String]): Transform = df => {
+    val vt = df.schema("value").dataType.asInstanceOf[StructType]
+    val fields = vt.fields.map { f =>
+      col(s"value.${f.name}").as(renames.getOrElse(f.name, f.name))
+    }
+    df.withColumn("value",
+      when(col("value").isNotNull, struct(fields.toIndexedSeq: _*)))
+  }
+
+  /** `ReplaceField$Value` exclude part: drop value fields. */
+  def excludeFields(fields: Seq[String]): Transform = df =>
+    df.withColumn("value", col("value").dropFields(fields: _*))
+
+  /** `ReplaceField$Value` include part: keep ONLY these value fields. */
+  def includeFields(fields: Seq[String]): Transform = df => {
+    val vt = df.schema("value").dataType.asInstanceOf[StructType]
+    val drop = vt.fieldNames.filterNot(fields.contains)
+    excludeFields(drop.toIndexedSeq)(df)
+  }
+
+  /** `HoistField$Value`: wrap the whole value inside a single-field
+   * struct — the inverse of [[extractValueField]]. */
+  def hoistField(name: String): Transform = df =>
+    df.withColumn("value",
+      when(col("value").isNotNull, struct(col("value").as(name))))
+
+  /** `Flatten$Value`: flatten nested value structs into delimited flat
+   * fields (`a.b` -> `a_b` with the default delimiter). */
+  def flattenValue(delimiter: String = "_"): Transform = df => {
+    val vt = df.schema("value").dataType.asInstanceOf[StructType]
+    def walk(prefix: String, path: String, t: StructType): Seq[Column] =
+      t.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix$delimiter${f.name}"
+        val p = s"$path.${f.name}"
+        f.dataType match {
+          case s: StructType => walk(name, p, s)
+          case _ => Seq(col(p).as(name))
+        }
+      }
+    df.withColumn("value",
+      when(col("value").isNotNull, struct(walk("", "value", vt).toIndexedSeq: _*)))
+  }
+
+  /** `Cast$Value`: cast value fields to new types. */
+  def castFields(casts: Map[String, DataType]): Transform = df =>
+    casts.foldLeft(df) { case (d, (f, t)) =>
+      d.withColumn("value", col("value").withField(f, col(s"value.$f").cast(t)))
+    }
+
+  /** `TimestampRouter`: route by record time — topic becomes
+   * `format` with `$${topic}` and `$${timestamp}` substituted
+   * (`yyyyMMdd`-style granularity gives daily topics/partitions). */
+  def timestampRouter(ts: Column, format: String = "${topic}-${timestamp}",
+                      tsFormat: String = "yyyyMMdd"): Transform = df => {
+    val rendered = date_format(ts, tsFormat)
+    val token = """\$\{topic\}|\$\{timestamp\}""".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var idx = 0
+    for (m <- token.findAllMatchIn(format)) {
+      if (m.start > idx) parts += lit(format.substring(idx, m.start))
+      parts += (if (m.matched == "${topic}") col("topic") else rendered)
+      idx = m.end
+    }
+    if (idx < format.length) parts += lit(format.substring(idx))
+    df.withColumn("topic", concat(parts.toSeq: _*))
+  }
 }

@@ -69,6 +69,31 @@ class SmtSpec extends SparkSpec {
     assert(out.filter(col("value").isNull).count() == 1)
   }
 
+  test("stock SMTs: mask/rename/include/hoist/flatten/cast, tombstone-safe") {
+    val f = frame().withColumn("value",
+      when(col("key.id") === 1, col("value"))) // id=2 is a tombstone
+    val out = Smt.chain(
+      Smt.includeFields(Seq("id", "name")),
+      Smt.renameFields(Map("name" -> "nm")),
+      Smt.maskField("nm"),
+      Smt.castFields(Map("id" -> StringType)),
+      Smt.hoistField("row"),
+      Smt.flattenValue("_"))(f)
+    assert(out.count() == 2)
+    assert(out.filter(col("value").isNull).count() == 1) // tombstone survived
+    val live = out.filter(col("key.id") === 1).select("value.*").head()
+    assert(live.schema.fieldNames.toSeq == Seq("row_id", "row_nm"))
+    assert(live.getString(0) == "1") // cast int -> string
+    assert(live.isNullAt(1))         // masked
+  }
+
+  test("TimestampRouter substitutes topic and formatted time") {
+    val out = Smt.timestampRouter(
+      lit("2024-03-15 10:00:00").cast(TimestampType),
+      "pre-${timestamp}.${topic}!", "yyyyMMdd")(frame())
+    assert(out.select("topic").head().getString(0) == "pre-20240315.om.t!")
+  }
+
   test("T6 chain applies in order") {
     val out = Smt.chain(
       Smt.valueToKey(Seq("name")),
