@@ -81,6 +81,22 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Q8: range (point-in-interval) join — events matched to the
+   * half-open maintenance window [hour+10min, hour+40min) containing
+   * them, via the binned equi-join (no nested-loop blowup). */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events").select("event_id", "ts")
+    val intervals = ev.select(date_trunc("hour", col("ts")).as("h")).distinct()
+      .select((col("h") + expr("INTERVAL 10 MINUTES")).as("w_start"),
+        (col("h") + expr("INTERVAL 40 MINUTES")).as("w_end"))
+    graft.operators.RangeJoin.pointInInterval(
+        ev, intervals, "ts", "w_start", "w_end",
+        binWidthMicros = 30L * 60 * 1000000)
+      .groupBy(col("range.w_start").as("interval_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("interval_start")
+  }
+
   /** J1: JSON functions — extract from the events.props JSON column via
    * both `get_json_object` (path probe) and `from_json` (typed parse),
    * then aggregate. */
@@ -132,6 +148,7 @@ object RelationalQueries {
     "q5_topk" -> (topK _),
     "q6_set_ops" -> (setOps _),
     "q7_asof_join" -> (asofJoin _),
+    "q8_range_join" -> (rangeJoin _),
     "j1_json_functions" -> (jsonFunctions _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
@@ -180,6 +197,14 @@ object RelationalQueries {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q8_range_join" ->
+      """WITH iv AS (
+        |  SELECT DISTINCT date_trunc('hour', ts) + INTERVAL 10 MINUTE AS s,
+        |                  date_trunc('hour', ts) + INTERVAL 40 MINUTE AS e
+        |  FROM events)
+        |SELECT s AS interval_start, count(*) AS n_events
+        |FROM events, iv WHERE ts >= s AND ts < e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "j1_json_functions" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket,
         |  count(*) AS n,
