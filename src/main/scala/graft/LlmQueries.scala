@@ -42,12 +42,15 @@ object LlmQueries {
   private def h60(e: String) = Hashing.h60Sql(e)
   private val toksSql = """regexp_extract_all(text, '\S+')"""
 
-  /** shingle hash list per doc (distinct word-3-grams, 60-bit hashed). */
+  /** distinct shingle hashes from 31-bit token hashes `th` (mirrors
+   * Dedup.shingleHashesFromTokenHashes: poly combination mod P). */
   private val shingleHashesSql =
-    s"""list_distinct(list_transform(
-       |  list_transform(range(0, len($toksSql) - 2),
-       |    i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3]),
-       |  s -> ${h60("s")}))""".stripMargin
+    s"""list_distinct(list_transform(range(0, len(th) - 2),
+       |  i -> ((th[i+1] * 31 + th[i+2]) * 31 + th[i+3]) % $P))""".stripMargin
+
+  /** per-token 31-bit hashes (mirrors Dedup.tokenHashes31). */
+  private val tokenHashesSql =
+    s"""list_transform($toksSql, t -> ${h60("t")} % $P)"""
 
   /** minhash signature literal list (one expr per permutation). */
   private val sigSql = Perms.map { case (a, b) =>
@@ -216,7 +219,8 @@ object LlmQueries {
     s"""sigs AS (
        |  SELECT doc_id AS _id, $sigSql AS sig
        |  FROM (SELECT doc_id, $shingleHashesSql AS hashes
-       |        FROM documents WHERE len($toksSql) >= 3)),
+       |        FROM (SELECT doc_id, $tokenHashesSql AS th
+       |              FROM documents WHERE len($toksSql) >= 3))),
        |banded AS (
        |  ${(0 until Bands).map(b =>
             s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs")
@@ -300,7 +304,8 @@ object LlmQueries {
     "d4_dedup_jaccard_verify" ->
       s"""WITH $minhashPipelineSql,
          |pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
-         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s FROM documents)
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents))
          |SELECT doc_a, doc_b,
          |  len(list_intersect(a.s, b.s))::DOUBLE /
          |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard

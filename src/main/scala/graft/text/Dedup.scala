@@ -50,9 +50,27 @@ object Dedup {
   def shingleHashes(text: Column, k: Int): Column =
     transform(shingles(text, k), s => Hashing.h60(s))
 
-  /** Distinct 60-bit shingle hashes from a pre-tokenized attribute. */
-  def shingleHashesFromTokens(toks: Column, k: Int): Column =
-    transform(shinglesFromTokens(toks, k), s => Hashing.h60(s))
+  /** 31-bit-reduced per-token hashes — md5 each token ONCE; alias the
+   * result before feeding [[shingleHashesFromTokenHashes]]. */
+  def tokenHashes31(toks: Column): Column =
+    transform(toks, t => pmod(Hashing.h60(t), lit(Hashing.P)))
+
+  /**
+   * Distinct shingle hashes from pre-computed token hashes (MUST be an
+   * aliased attribute — referenced k times per shingle): a k-shingle's
+   * hash is the polynomial `((h1*31 + h2)*31 + h3) mod P`. This costs k
+   * md5s per *token* instead of one md5 per *shingle string* (which
+   * also re-concatenates k words each) — ~5x less hashing per corpus
+   * pass. Collisions live in 31-bit space but are identical in the
+   * DuckDB oracle (same formula), so comparisons stay exact.
+   */
+  def shingleHashesFromTokenHashes(hs: Column, k: Int): Column =
+    when(size(hs) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(hs) - k), i =>
+          pmod((0 until k).map(j => element_at(hs, i + lit(j + 1)))
+            .reduce((acc, h) => acc * 31 + h), lit(Hashing.P)))))
+      .otherwise(array().cast(ArrayType(LongType)))
 
   /** MinHash signature: for each permutation j, min over shingle hashes
    * of (a_j * (h mod P) + b_j) mod P. The permutation loop unrolls at
@@ -96,7 +114,8 @@ object Dedup {
     val sigs = df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
       .filter(size(col("_t")) >= k)
-      .select(col("_id"), shingleHashesFromTokens(col("_t"), k).as("_h"))
+      .select(col("_id"), tokenHashes31(col("_t")).as("_th"))
+      .select(col("_id"), shingleHashesFromTokenHashes(col("_th"), k).as("_h"))
       .select(col("_id"), minhashSignature(col("_h"), perms).as("_sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("_id"), col("_sig"),
@@ -174,7 +193,8 @@ object Dedup {
                     textCol: String, k: Int = 3): DataFrame = {
     val sets = df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
-      .select(col("_id"), shingleHashesFromTokens(col("_t"), k).as("_set"))
+      .select(col("_id"), tokenHashes31(col("_t")).as("_th"))
+      .select(col("_id"), shingleHashesFromTokenHashes(col("_th"), k).as("_set"))
     pairs
       .join(sets.select(col("_id").as("ida"), col("_set").as("seta")), "ida")
       .join(sets.select(col("_id").as("idb"), col("_set").as("setb")), "idb")
