@@ -1,0 +1,50 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/**
+ * Typed `Aggregator` UDAF: element-wise mean of embedding vectors — the
+ * class-centroid computation of a training pipeline (per-label average
+ * embedding, cluster centers for IVF training, etc.).
+ *
+ * Why an Aggregator and not explode+groupBy(pos)+avg: the explode path
+ * shuffles one row per (vector, dimension) — 64x the data; this UDAF
+ * shuffles one 64-float buffer per key per map task (partial
+ * aggregation), the same shape as any built-in agg.
+ */
+object VectorAgg {
+
+  final case class AvgBuffer(sums: Array[Double], n: Long)
+
+  val vectorAvg: Aggregator[Seq[Float], AvgBuffer, Seq[Double]] =
+    new Aggregator[Seq[Float], AvgBuffer, Seq[Double]] {
+      override def zero: AvgBuffer = AvgBuffer(Array.empty, 0L)
+      override def reduce(b: AvgBuffer, v: Seq[Float]): AvgBuffer = {
+        val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        AvgBuffer(s, b.n + 1)
+      }
+      override def merge(a: AvgBuffer, b: AvgBuffer): AvgBuffer =
+        if (a.sums.isEmpty) b
+        else if (b.sums.isEmpty) a
+        else {
+          var i = 0
+          while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+          AvgBuffer(a.sums, a.n + b.n)
+        }
+      override def finish(b: AvgBuffer): Seq[Double] =
+        if (b.n == 0) Seq.empty else b.sums.toSeq.map(_ / b.n)
+      override def bufferEncoder: Encoder[AvgBuffer] = Encoders.product[AvgBuffer]
+      override def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.IterableEncoder(
+          scala.reflect.classTag[Seq[Double]],
+          org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.PrimitiveDoubleEncoder,
+          containsNull = false, lenientSerialization = false)
+    }
+
+  /** Column form: `df.groupBy("label").agg(vectorAvgCol(col("embedding")))`. */
+  def vectorAvgCol(c: Column): Column = udaf(vectorAvg).apply(c)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Plan-shape assertions: the optimizations the engine RELIES on must
+  * actually fire (pushdown, rank-limit pushdown, broadcast, top-k).
+  * Guards against silent plan regressions across Spark upgrades. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.toString
+
+  test("incremental watermark predicate pushes into the parquet scan") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderkey") > 42).select("o_orderkey")
+    assert(plan(df).contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,42)]"))
+  }
+
+  test("rank-only window + filter plans as WindowGroupLimit (heap top-k per key)") {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+    assert(plan(df).contains("WindowGroupLimit"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(col("o_totalprice").desc).limit(5)
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
+  test("small dimension joins broadcast") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val n = spark.read.parquet(s"$dir/nation.parquet")
+    val df = o.join(broadcast(n), o("o_custkey") % 25 === n("n_nationkey"))
+    assert(plan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("approximate sketches: HLL distinct and CountMinSketch frequency") {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
+    val approx = o.select(approx_count_distinct("o_custkey", 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+    val cms = o.stat.countMinSketch("o_orderstatus", eps = 0.01,
+      confidence = 0.95, seed = 42)
+    val f = o.filter(col("o_orderstatus") === "F").count()
+    assert(cms.estimateCount("F") >= f) // CMS never under-counts
+  }
+}

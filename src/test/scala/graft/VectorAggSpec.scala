@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.VectorAgg
+
+class VectorAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vectorAvg computes per-group element-wise means") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f)))
+      .toDF("label", "embedding")
+      .repartition(4) // exercise partial + merge across partitions
+    val out = df.groupBy("label")
+      .agg(VectorAgg.vectorAvgCol(col("embedding")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, 3.0))
+    assert(out(1) == Seq(10.0, 20.0))
+  }
+
+  test("centroids over the embeddings table have the right shape") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.groupBy("label")
+      .agg(VectorAgg.vectorAvgCol(col("embedding")).as("c"))
+    assert(cents.count() == 10)
+    assert(cents.select(size(col("c"))).distinct().head().getInt(0) == 64)
+  }
+}
