@@ -180,6 +180,21 @@ object LlmQueries {
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** X6: winnowing fingerprints — per-doc count/min/sum of the
+   * window-minima fingerprint set (scalar projections; the set itself
+   * is an array, which the oracle harness can't sort on). */
+  def winnowingFp(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), Dedup.tokenHashes31(col("_t")).as("_th"))
+      .select(col("doc_id"), Dedup.shingleHashSeq(col("_th"), 3).as("_g"))
+      .select(col("doc_id"), Dedup.winnowing(col("_g"), 4).as("_fp"))
+      .select(col("doc_id"),
+        size(col("_fp")).as("n_fp"),
+        array_min(col("_fp")).as("fp_min"),
+        aggregate(col("_fp"), lit(0L), (a, x) => a + x).as("fp_sum"))
+      .orderBy("doc_id")
+
   /** M1: multimodal plumbing — pack docs as binary media, extract
    * features via the partition-batched (stub) decoder. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
@@ -210,6 +225,7 @@ object LlmQueries {
     "x3_token_count" -> (tokenCount _),
     "x4_fingerprint" -> (fingerprint _),
     "x5_repetition" -> (repetition _),
+    "x6_winnowing" -> (winnowingFp _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -412,6 +428,24 @@ object LlmQueries {
          |      i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3]))::DOUBLE
          |  ELSE 0.0 END AS rep_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x6_winnowing" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(th) >= 3 THEN
+         |      list_transform(range(0, len(th) - 2),
+         |        i -> ((th[i+1] * 31 + th[i+2]) * 31 + th[i+3]) % $P)
+         |    ELSE []::BIGINT[] END AS grams
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(grams) >= 4 THEN
+         |      list_distinct(list_transform(range(0, len(grams) - 3),
+         |        i -> list_min(list_slice(grams, i + 1, i + 4))))
+         |    ELSE list_distinct(grams) END AS fps
+         |  FROM g)
+         |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
+         |  list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> a + x) AS fp_sum
+         |FROM fp ORDER BY doc_id""".stripMargin,
     "m1_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  length(text)::BIGINT AS n_bytes,

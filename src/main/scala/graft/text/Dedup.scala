@@ -55,6 +55,27 @@ object Dedup {
   def tokenHashes31(toks: Column): Column =
     transform(toks, t => pmod(Hashing.h60(t), lit(Hashing.P)))
 
+  /** POSITIONAL k-gram hash sequence (no dedup — order preserved) from
+   * aliased token hashes; the winnowing input. */
+  def shingleHashSeq(hs: Column, k: Int): Column =
+    when(size(hs) >= k,
+      transform(sequence(lit(0), size(hs) - k), i =>
+        pmod((0 until k).map(j => element_at(hs, i + lit(j + 1)))
+          .reduce((acc, h) => acc * 31 + h), lit(Hashing.P))))
+      .otherwise(array().cast(ArrayType(LongType)))
+
+  /** Winnowing (Schleimer/Wilkerson/Aiken): slide a window of `w` over
+   * the positional k-gram hashes, keep each window's minimum — a robust
+   * local fingerprint set guaranteeing shared fingerprints for any
+   * sufficiently long shared substring. `grams` MUST be an aliased
+   * attribute. */
+  def winnowing(grams: Column, w: Int): Column =
+    when(size(grams) >= w,
+      array_distinct(
+        transform(sequence(lit(0), size(grams) - w), i =>
+          array_min(slice(grams, i + lit(1), lit(w))))))
+      .otherwise(array_distinct(grams))
+
   /**
    * Distinct shingle hashes from pre-computed token hashes (MUST be an
    * aliased attribute — referenced k times per shingle): a k-shingle's

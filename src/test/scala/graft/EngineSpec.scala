@@ -9,6 +9,8 @@ import graft.pipeline.{Engine, PipelineSpec}
   * -> SMT chain -> keyed table sink, with pause/resume (offset
   * continuation), tombstone deletes, single-writer enforcement, and
   * offset reset — the reference's L1-L6 semantics. */
+case class After(id: Int, v: String)
+
 class EngineSpec extends SparkSpec {
 
   private def writeCsv(dir: String, name: String, lines: String*): Unit = {
@@ -65,6 +67,41 @@ class EngineSpec extends SparkSpec {
     assert(!Files.exists(deleted))
     engine.delete("p1")
     assert(engine.list().isEmpty)
+  }
+
+  test("CDC envelope parquet stream: unwrap SMT -> keyed sink (S6 shape)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cdc").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    Files.createDirectories(Paths.get(in))
+    // Debezium-consumption shape: envelope rows {id, after, op, pos}
+    def writeBatch(name: String, rows: Seq[(Int, Option[After], String, Long)]): Unit =
+      rows.toDF("id", "after", "op", "pos")
+        .coalesce(1).write.mode("append").parquet(in)
+    writeBatch("b1", Seq(
+      (1, Some(After(1, "a")), "c", 10L), (2, Some(After(2, "b")), "c", 11L)))
+    val spec =
+      s"""{
+         |  "name": "cdc1",
+         |  "source": {"type": "parquet", "path": "$in",
+         |    "schemaDdl": "id INT, after STRUCT<id: INT, v: STRING>, op STRING, pos LONG",
+         |    "keyFields": ["id"], "seqColumn": "pos", "topic": "srv.db.t"},
+         |  "transforms": [{"type": "extractNewRecordState"}],
+         |  "sink": {"type": "table", "path": "$out", "keys": ["id"]}
+         |}""".stripMargin
+    val engine = new Engine(spark, s"$base/engine")
+    val q = engine.registerJson(spec)
+    q.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 2)
+    // update id=1, delete id=2 (after = null => tombstone after unwrap)
+    writeBatch("b2", Seq(
+      (1, Some(After(1, "a2")), "u", 20L), (2, None, "d", 21L)))
+    q.processAllAvailable()
+    engine.pause("cdc1")
+    val state = spark.read.parquet(out)
+      .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(state == Set((1, "a2")))
+    engine.delete("cdc1")
   }
 
   test("spec JSON parses the full surface") {
