@@ -211,7 +211,25 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M2: frame sampling + resize metadata over binary media — every 4th
+   * 16-byte frame, first sampled frame's byte sum as checksum. */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsMedia(T(s, dir, "documents"), "doc_id", "text")
+    val sampled = Multimodal.resizeStub(
+      Multimodal.sampleFrames(packed, frameBytes = 16, stride = 4), 50)
+    sampled.select(col("media_id"),
+        col("n_frames_sampled"),
+        col("meta.width").as("half_width"),
+        element_at(col("frames"), 1).as("_f1"))
+      .select(col("media_id"), col("n_frames_sampled"), col("half_width"),
+        aggregate(sequence(lit(1), octet_length(col("_f1"))), lit(0L),
+          (a, i) => a + ascii(col("_f1").substr(i, lit(1)).cast(StringType)))
+          .as("f1_checksum"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m2_frame_sample" -> (frameSample _),
     "d1_dedup_exact" -> (dedupExact _),
     "d2_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "d3_dedup_simhash" -> (dedupSimhash _),
@@ -446,6 +464,14 @@ object LlmQueries {
          |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
          |  list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> a + x) AS fp_sum
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        |  len(range(0, greatest(CAST(ceil(length(text) / 16.0) AS INTEGER) - 1, 0) + 1, 4))
+        |    AS n_frames_sampled,
+        |  CAST(floor((1 + length(text) % 640) * 50 / 100.0) AS INTEGER) AS half_width,
+        |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
+        |    i -> unicode(substr(text, i, 1))::BIGINT))::BIGINT AS f1_checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
     "m1_multimodal_features" ->
       """SELECT doc_id AS media_id,
         |  length(text)::BIGINT AS n_bytes,

@@ -47,6 +47,33 @@ object Multimodal {
         lit(1).as("n_frames")).as("meta"))
 
   /**
+   * Frame sampling: treat the payload as fixed-size frames and keep
+   * every `stride`-th one, starting at frame 0 (a video keyframe
+   * sampler's Spark-side shape — pure column ops, `substring` on
+   * binary; a real codec would replace the framing, not the plumbing).
+   * Output adds `frames: array<binary>` and `n_frames_sampled`.
+   */
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble))
+      .cast(IntegerType)
+    df
+      .withColumn("_n", nFrames)
+      .withColumn("frames",
+        transform(sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(stride)),
+          i => substring(col("payload"), i * frameBytes + lit(1), lit(frameBytes))))
+      .withColumn("n_frames_sampled", size(col("frames")))
+      .drop("_n")
+  }
+
+  /** Resize stub: a real image op only touches pixels; the Spark-side
+   * contract is metadata bookkeeping plus a payload transform seam.
+   * Scales the metadata dims and (STUB) leaves bytes untouched. */
+  def resizeStub(df: DataFrame, scalePercent: Int): DataFrame =
+    df.withColumn("meta", col("meta")
+      .withField("width", (col("meta.width") * scalePercent / 100).cast(IntegerType))
+      .withField("height", (col("meta.height") * scalePercent / 100).cast(IntegerType)))
+
+  /**
    * Batched feature extraction over the payload column. Runs via
    * `mapPartitions` on the underlying RDD: one decoder instance per
    * partition, rows streamed through it — the seam where a real codec
