@@ -137,9 +137,13 @@ final class Engine(spark: SparkSession, root: String) {
           TableSink.applyBatch(spark, sink, batch)
         }.start()
       case "append" =>
+        // topic routing (T3 RegexRouter) lands here: one directory
+        // partition per topic — the file-sink analog of per-topic Kafka
+        // destinations, and partition pruning makes per-topic reads free
         transformed.writeStream
           .option("checkpointLocation", checkpointDir(spec.name))
           .option("path", sink.path)
+          .partitionBy(graft.model.Connect.TopicCol)
           .outputMode("append")
           .format("parquet").start()
       case other =>

@@ -104,6 +104,31 @@ class EngineSpec extends SparkSpec {
     engine.delete("cdc1")
   }
 
+  test("append sink partitions output by routed topic (T3 -> L5)") {
+    val base = Files.createTempDirectory("route").toString
+    val in = s"$base/in"; val out = s"$base/routed"
+    writeCsv(in, "f1.csv", "1,a,10,false", "2,b,11,false")
+    val spec =
+      s"""{
+         |  "name": "r1",
+         |  "source": {"type": "csv", "path": "$in",
+         |    "schemaDdl": "id INT, v STRING, seq LONG, __deleted STRING",
+         |    "keyFields": ["id"], "seqColumn": "seq", "topic": "om.t"},
+         |  "transforms": [
+         |    {"type": "regexRouter", "pattern": "om\\\\.(.*)", "replacement": "routed_$$1"}
+         |  ],
+         |  "sink": {"type": "append", "path": "$out", "keys": ["id"]}
+         |}""".stripMargin
+    val engine = new Engine(spark, s"$base/engine")
+    engine.registerJson(spec).processAllAvailable()
+    engine.delete("r1")
+    // directory layout partitioned by the ROUTED topic
+    assert(Files.exists(Paths.get(out, "topic=routed_t")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    assert(back.select("topic").distinct().head().getString(0) == "routed_t")
+  }
+
   test("spec JSON parses the full surface") {
     val spec = PipelineSpec.fromJson(specJson("/i", "/o"))
     assert(spec.name == "p1")
