@@ -193,8 +193,16 @@ object TableSink {
 
   def applyBatch(spark: SparkSession, sink: SinkSpec, batch: DataFrame): Unit = {
     val statePath = Paths.get(sink.path)
-    val hasState = Files.exists(statePath) &&
-      Files.list(statePath).anyMatch(p => p.toString.endsWith(".parquet"))
+    val old = Paths.get(sink.path + ".old")
+    // crash recovery: a previous swap may have moved the state aside
+    // without completing the replace — restore it before reading, or the
+    // merge would silently run against an empty snapshot
+    if (!Files.exists(statePath) && Files.exists(old))
+      Files.move(old, statePath)
+    val hasState = Files.exists(statePath) && {
+      val s = Files.list(statePath)
+      try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
+    }
     val merged =
       if (hasState) {
         val snapshot = spark.read.parquet(sink.path)
@@ -203,11 +211,10 @@ object TableSink {
         MergeSink.materialize(dropDeletes(sink, batch))
     val tmp = sink.path + ".staging"
     merged.write.mode("overwrite").parquet(tmp)
-    val old = sink.path + ".old"
-    deleteRecursive(Paths.get(old))
-    if (Files.exists(statePath)) Files.move(statePath, Paths.get(old))
+    deleteRecursive(old)
+    if (Files.exists(statePath)) Files.move(statePath, old)
     Files.move(Paths.get(tmp), statePath)
-    deleteRecursive(Paths.get(old))
+    deleteRecursive(old)
   }
 
   private def dropDeletes(sink: SinkSpec, batch: DataFrame): DataFrame =
