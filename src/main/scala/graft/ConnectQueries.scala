@@ -18,8 +18,7 @@ import graft.sources.{Incremental, SpoolDir}
  */
 object ConnectQueries {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import graft.Tables.T
 
   private def polled(df: DataFrame, mode: Incremental.Mode,
                      w: Incremental.Watermark): (DataFrame, Incremental.Watermark) =
@@ -198,7 +197,7 @@ object ConnectQueries {
     "c4_schema_compat" ->
       """SELECT * FROM (VALUES
         |  ('add', 'c_phone', 'VARCHAR(4000)', true),
-        |  ('drop', 'c_mktsegment', 'VARCHAR(4000)', false),
+        |  ('drop', 'c_mktsegment', 'VARCHAR(4000)', true),
         |  ('retype', 'c_acctbal', 'DOUBLE->VARCHAR(4000)', false))
         |AS t(change, field, type, compatible)
         |ORDER BY change, field""".stripMargin,

@@ -19,8 +19,7 @@ import graft.text.{Dedup, TextAnalysis}
  */
 object LlmQueries {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  import graft.Tables.T
 
   // ---- shared constants (Spark plan AND oracle SQL derive from these) ----
 

@@ -227,7 +227,7 @@ object RelationalQueries {
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |           <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+        |           < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
         |  FROM events),
         |sessions AS (
         |  SELECT user_id, ts,

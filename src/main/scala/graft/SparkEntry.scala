@@ -21,23 +21,7 @@ import graft.codec.JsonEnvelope
  */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") readEvents(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
-
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-   * rejects; read nanos as long and truncate to micros (exactly DuckDB's
-   * ns->us conversion), surfacing the column as TIMESTAMP_NTZ like every
-   * other no-zone parquet timestamp in the testdata. The legacy flag is
-   * scoped to a child session (shared SparkContext, isolated conf) so the
-   * caller's session never observes the side effect. */
-  private def readEvents(s: SparkSession, dir: String): DataFrame = {
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-  }
+  import graft.Tables.T
 
   /** Flagship: the reference's end-to-end slice — changelog with
    * interleaved updates + tombstones materialized by keyed last-write-wins

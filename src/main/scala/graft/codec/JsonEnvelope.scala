@@ -40,6 +40,7 @@ object JsonEnvelope {
       case StringType => s"""{"type":"string",$opt}"""
       case BinaryType => s"""{"type":"bytes",$opt}"""
       case d: DecimalType =>
+        requireCodecableDecimal(d)
         s"""{"type":"bytes","name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"${d.scale}"},$opt}"""
       case DateType =>
         s"""{"type":"int32","name":"org.apache.kafka.connect.data.Date",$opt}"""
@@ -65,17 +66,33 @@ object JsonEnvelope {
 
   private val EpochDay = to_date(lit("1970-01-01"))
 
-  /** The Spark type a value has ON THE WIRE (inside the JSON payload). */
+  /** The unscaled value must fit an int64 (the arithmetic codec path is
+   * codegen'd long math); wider decimals fail LOUDLY at plan time
+   * instead of silently nulling/wrapping at runtime. */
+  private def requireCodecableDecimal(d: DecimalType): Unit =
+    require(d.precision <= 18,
+      s"Connect JSON decimal codec supports precision <= 18 " +
+        s"(unscaled value must fit int64); got $d")
+
+  /** The Spark type a value has ON THE WIRE (inside the JSON payload).
+   * Map keys are strings on the wire — JSON object keys always are. */
   def wireType(dt: DataType): DataType = dt match {
     case TimestampType | TimestampNTZType => LongType
     case DateType => IntegerType
-    case _: DecimalType => BinaryType
+    case d: DecimalType => requireCodecableDecimal(d); BinaryType
     case s: StructType =>
       StructType(s.fields.map(f => f.copy(dataType = wireType(f.dataType))))
     case a: ArrayType => a.copy(elementType = wireType(a.elementType))
     case m: MapType =>
-      m.copy(keyType = wireType(m.keyType), valueType = wireType(m.valueType))
+      m.copy(keyType = StringType, valueType = wireType(m.valueType))
     case other => other
+  }
+
+  private def requireCodecableMapKey(dt: DataType): Unit = dt match {
+    case _: DecimalType | BinaryType | _: StructType | _: ArrayType | _: MapType =>
+      throw new IllegalArgumentException(
+        s"JSON map keys must be scalar string/numeric/temporal; got $dt")
+    case _ => ()
   }
 
   /** Minimal big-endian two's-complement bytes of a long — exactly
@@ -108,12 +125,17 @@ object JsonEnvelope {
     case TimestampNTZType => unix_millis(c.cast(TimestampType)) // session TZ = UTC
     case DateType => datediff(c, EpochDay)
     case d: DecimalType =>
+      requireCodecableDecimal(d)
       longToMinimalBytes((c * lit(BigDecimal(10).pow(d.scale))).cast(LongType))
     case s: StructType =>
       when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
         toWire(c.getField(f.name), f.dataType).as(f.name)): _*))
     case a: ArrayType => transform(c, x => toWire(x, a.elementType))
-    case m: MapType => transform_values(c, (_, v) => toWire(v, m.valueType))
+    case m: MapType =>
+      requireCodecableMapKey(m.keyType)
+      transform_values(
+        transform_keys(c, (k, _) => toWire(k, m.keyType).cast(StringType)),
+        (_, v) => toWire(v, m.valueType))
     case _ => c
   }
 
@@ -123,14 +145,28 @@ object JsonEnvelope {
     case TimestampNTZType => timestamp_millis(c).cast(TimestampNTZType)
     case DateType => date_add(EpochDay, c)
     case d: DecimalType =>
+      requireCodecableDecimal(d)
       (minimalBytesToDecimal(c) / lit(BigDecimal(10).pow(d.scale)))
         .cast(d)
     case s: StructType =>
       when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
         fromWire(c.getField(f.name), f.dataType).as(f.name)): _*))
     case a: ArrayType => transform(c, x => fromWire(x, a.elementType))
-    case m: MapType => transform_values(c, (_, v) => fromWire(v, m.valueType))
+    case m: MapType =>
+      // wire keys are JSON strings: cast back through the scalar wire
+      // type, then reverse the logical conversion
+      transform_values(
+        transform_keys(c, (k, _) =>
+          fromWire(k.cast(wireScalar(m.keyType)), m.keyType)),
+        (_, v) => fromWire(v, m.valueType))
     case _ => c
+  }
+
+  /** Scalar wire type for map keys (strings on the wire). */
+  private def wireScalar(dt: DataType): DataType = dt match {
+    case TimestampType | TimestampNTZType => LongType
+    case DateType => IntegerType
+    case other => other
   }
 
   // ---- encode / decode ---------------------------------------------------

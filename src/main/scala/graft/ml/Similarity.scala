@@ -105,9 +105,9 @@ object Similarity {
    * nprobe / nCells per query.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nprobe: Int = 2): DataFrame = {
+              nCells: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = ivfCentroids(nCells, dim = 64)
+    val cents = ivfCentroids(nCells, dim)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       explode(ivfProbes(col("vec"), cents, nprobe)).as("cell"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
@@ -127,8 +127,8 @@ object Similarity {
    * Returns the global top `topPairs` by similarity, total-ordered.
    */
   def nearDupPairs(corpus: DataFrame, nPlanes: Int = 8,
-                   topPairs: Int = 20): DataFrame = {
-    val planes = hyperplanes(nPlanes, dim = 64)
+                   topPairs: Int = 20, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
     val b = corpus.select(col("id"), col("vec"),
       lshBucket(col("vec"), planes).as("bucket"))
     val l = b.select(col("bucket"), col("id").as("ida"), col("vec").as("veca"))
@@ -145,9 +145,8 @@ object Similarity {
    * (minus whatever true neighbors hash elsewhere — the recall trade).
    */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nPlanes: Int = 8): DataFrame = {
+              nPlanes: Int = 8, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = 64
     val planes = hyperplanes(nPlanes, dim)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       lshBucket(col("vec"), planes).as("bucket"))

@@ -45,12 +45,14 @@ final class Engine(spark: SparkSession, root: String) {
 
   private def checkpointDir(name: String) = s"$root/checkpoints/$name"
 
-  /** L1: register + start. Rejects duplicate names (L6 single-writer —
-   * one running query per (pipeline, checkpoint)). */
+  /** L1: register + start. Rejects duplicate names outright — paused
+   * included — because a replacement spec would inherit the previous
+   * pipeline's checkpoint offsets (L6 single-writer/identity rule);
+   * `delete` first to re-register. */
   def register(spec: PipelineSpec): StreamingQuery = synchronized {
-    if (pipelines.get(spec.name).exists(_.query.exists(_.isActive)))
+    if (pipelines.contains(spec.name))
       throw new IllegalStateException(
-        s"pipeline '${spec.name}' already running (single-writer rule)")
+        s"pipeline '${spec.name}' already registered (single-writer rule; delete it first)")
     val q = start(spec)
     pipelines(spec.name) = Entry(spec, Some(q), Running)
     q
@@ -124,27 +126,26 @@ final class Engine(spark: SparkSession, root: String) {
     val framed = toFrame(src, spec.source)
     val transformed = spec.transforms.map(_.toTransform)
       .foldLeft(framed)((df, t) => t(df))
-    val writer = transformed.writeStream
-      .option("checkpointLocation", checkpointDir(spec.name))
-      .outputMode("update")
-    val triggered = spec.triggerMs
-      .map(ms => writer.trigger(Trigger.ProcessingTime(ms)))
-      .getOrElse(writer)
     val sink = spec.sink
+    def writer(mode: String) = {
+      val w = transformed.writeStream
+        .option("checkpointLocation", checkpointDir(spec.name))
+        .outputMode(mode)
+      // L8 cadence (poll.interval.ms analog) applies to EVERY sink kind
+      spec.triggerMs.map(ms => w.trigger(Trigger.ProcessingTime(ms))).getOrElse(w)
+    }
     sink.kind match {
       case "table" =>
-        triggered.foreachBatch { (batch: DataFrame, _: Long) =>
+        writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
           TableSink.applyBatch(spark, sink, batch)
         }.start()
       case "append" =>
         // topic routing (T3 RegexRouter) lands here: one directory
         // partition per topic — the file-sink analog of per-topic Kafka
         // destinations, and partition pruning makes per-topic reads free
-        transformed.writeStream
-          .option("checkpointLocation", checkpointDir(spec.name))
+        writer("append")
           .option("path", sink.path)
           .partitionBy(graft.model.Connect.TopicCol)
-          .outputMode("append")
           .format("parquet").start()
       case other =>
         throw new IllegalArgumentException(s"unknown sink '$other'")

@@ -34,16 +34,25 @@ final class PollingPipeline(
 
   private val store = new WatermarkStore(stateDir)
 
-  /** One poll tick. Returns the number of captured rows. */
+  /** One poll tick. Returns the number of captured rows. The captured
+   * batch is persisted for the tick: the watermark advance, the count,
+   * and the sink write would otherwise re-execute the source read —
+   * wasted I/O against a live database, and rows arriving between
+   * executions could make the written batch diverge from the one the
+   * watermark was computed from. */
   def pollOnce(): Long = {
     val w = store.load(name)
-    val (batch, w2) = Incremental.poll(reader, mode, w)
-    val framed = Connect.toConnectFrame(batch, keyFields, name, seqColumn)
-    val transformed = transforms.foldLeft(framed)((df, t) => t(df))
-    val n = transformed.count()
-    if (n > 0) TableSink.applyBatch(spark, sink, transformed)
-    store.save(name, w2) // AFTER the sink write — replay-safe ordering
-    n
+    val (batch, w2) = Incremental.poll(
+      p => reader(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      mode, w)
+    try {
+      val framed = Connect.toConnectFrame(batch, keyFields, name, seqColumn)
+      val transformed = transforms.foldLeft(framed)((df, t) => t(df))
+      val n = transformed.count()
+      if (n > 0) TableSink.applyBatch(spark, sink, transformed)
+      store.save(name, w2) // AFTER the sink write — replay-safe ordering
+      n
+    } finally batch.unpersist()
   }
 
   /** Run `n` ticks back-to-back (testing / manual cadence). Production

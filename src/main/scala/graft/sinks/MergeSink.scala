@@ -144,16 +144,19 @@ object SchemaEvolution {
   /**
    * C4 — registry-compatibility report: classify each schema change the
    * way the reference's Schema Registry would under BACKWARD
-   * compatibility (the default): adding an optional field is compatible;
-   * drops/retypes are breaking (the labs set compatibility NONE to force
-   * a rename through: `실습수행/Schema Registry 기반의 Connector 구성
-   * 실습.md:533-537`). Rows: (change, field, type, compatible).
+   * compatibility (the default): adding an OPTIONAL field is compatible
+   * (a required add breaks new readers on old data), deleting a field
+   * is compatible (new readers simply ignore old data's extra field),
+   * retypes are breaking. A rename is a delete + required add — which
+   * is why the labs set compatibility NONE to force one through
+   * (`실습수행/Schema Registry 기반의 Connector 구성 실습.md:533-537`).
+   * Rows: (change, field, type, compatible).
    */
   def compatReport(target: StructType, incoming: StructType): Seq[(String, String, String, Boolean)] = {
     val d = diff(target, incoming)
     d.added.toSeq.map(f =>
       ("add", f.name, sqlType(f.dataType), f.nullable)) ++
-      d.dropped.toSeq.map(f => ("drop", f.name, sqlType(f.dataType), false)) ++
+      d.dropped.toSeq.map(f => ("drop", f.name, sqlType(f.dataType), true)) ++
       d.retyped.map { case (from, to) =>
         ("retype", to.name, s"${sqlType(from.dataType)}->${sqlType(to.dataType)}", false)
       }

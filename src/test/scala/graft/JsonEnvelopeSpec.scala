@@ -68,6 +68,25 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(rts.exceptAll(df).count() == 0 && df.exceptAll(rts).count() == 0)
   }
 
+  test("maps with temporal keys round-trip (wire keys are JSON strings)") {
+    val df = Seq(1).toDF("id")
+      .select(col("id"),
+        map(lit("2020-03-15 00:00:00").cast(TimestampType), lit(7)).as("m"))
+    val f = Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    val rt = JsonEnvelope.roundTrip(f).select("value.*")
+    val got = rt.select(map_keys(col("m")).getItem(0).cast("string"),
+      map_values(col("m")).getItem(0)).head()
+    assert(got.getString(0) == "2020-03-15 00:00:00")
+    assert(got.getInt(1) == 7)
+  }
+
+  test("decimals wider than 18 digits are rejected loudly, not corrupted") {
+    intercept[IllegalArgumentException](
+      JsonEnvelope.wireType(DecimalType(38, 2)))
+    intercept[IllegalArgumentException](
+      JsonEnvelope.connectSchemaJson(DecimalType(20, 0)))
+  }
+
   test("connect schema JSON matches the reference wire shape") {
     // reference proof: {"schema":{"type":"int32","optional":false},"payload":3}
     assert(JsonEnvelope.connectSchemaJson(IntegerType) ==
