@@ -210,6 +210,45 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** X7: PII detection + redaction. The synthetic corpus has no PII, so
+   * the query plants a deterministic email/phone per doc, then counts
+   * and scrubs — exercising the real mechanism end-to-end. */
+  def piiRedact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555-01"), format_string("%02d", col("doc_id") % 100),
+          lit(".")).as("_pii"))
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("_pii"), "email").as("n_email"),
+        TextAnalysis.piiCount(col("_pii"), "phone").as("n_phone"),
+        TextAnalysis.redactPii(col("_pii")).as("redacted"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"),
+        substring(col("redacted"), -40, 40).as("redacted_tail"))
+      .orderBy("doc_id")
+
+  /** X8: top terms per document by a deterministic tf-idf variant
+   * (score = tf * N/df — exact division instead of ln(), so both
+   * engines agree bit-for-bit; ranking is what matters). */
+  def tfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T(s, dir, "documents")
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(Dedup.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** M2: frame sampling + resize metadata over binary media — every 4th
    * 16-byte frame, first sampled frame's byte sum as checksum. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
@@ -243,6 +282,8 @@ object LlmQueries {
     "x4_fingerprint" -> (fingerprint _),
     "x5_repetition" -> (repetition _),
     "x6_winnowing" -> (winnowingFp _),
+    "x7_pii_redact" -> (piiRedact _),
+    "x8_tfidf_top_terms" -> (tfIdfTopTerms _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -463,6 +504,42 @@ object LlmQueries {
          |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
          |  list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> a + x) AS fp_sum
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "x7_pii_redact" -> {
+      val email = TextAnalysis.PiiPatterns.toMap.apply("email")
+      val phone = TextAnalysis.PiiPatterns.toMap.apply("phone")
+      val card = TextAnalysis.PiiPatterns.toMap.apply("card")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com or +1 555-01'
+         |      || printf('%02d', doc_id % 100) || '.' AS p
+         |  FROM documents),
+         |red AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(p, '$email')) AS n_email,
+         |    len(regexp_extract_all(p, '$phone')) AS n_phone,
+         |    regexp_replace(regexp_replace(regexp_replace(p,
+         |      '$email', '[EMAIL]', 'g'),
+         |      '$phone', '[PHONE]', 'g'),
+         |      '$card', '[CARD]', 'g') AS redacted
+         |  FROM planted)
+         |SELECT doc_id, n_email, n_phone,
+         |  substr(redacted, -40, 40) AS redacted_tail
+         |FROM red ORDER BY doc_id""".stripMargin
+    },
+    "x8_tfidf_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf * (nd / df) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * (nd / df) DESC, term) AS rank
+        |  FROM tf JOIN idf USING (term), n)
+        |SELECT doc_id, rank, term, score FROM scored
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id,
         |  len(range(0, greatest(CAST(ceil(length(text) / 16.0) AS INTEGER) - 1, 0) + 1, 4))

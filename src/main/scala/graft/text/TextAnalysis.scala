@@ -100,6 +100,26 @@ object TextAnalysis {
     (lenScore * 0.3 + divScore * 0.4 + stopScore * 0.3) * (lit(1.0) - punctPenalty * 0.5)
   }
 
+  /** PII patterns for detection/redaction — emails, international-ish
+   * phone numbers, 16-digit card-like numbers. (ASCII regex classes so
+   * Java and RE2-style engines agree.) */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{4}",
+    "card" -> "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}")
+
+  /** Count PII matches of one category. */
+  def piiCount(text: Column, category: String): Column =
+    size(regexp_extract_all(text,
+      lit(PiiPatterns.toMap.apply(category)), lit(0)))
+
+  /** Redact all PII categories (each replaced by its `[CATEGORY]` tag) —
+   * the scrubbing stage of a training-data pipeline. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
   /** Rolling polynomial fingerprint of the normalized document (lowercase,
    * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
    * character. Order-sensitive (unlike bag-of-words hashes). */
