@@ -249,6 +249,37 @@ object LlmQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** X9: stratified reproducible sampling — per-language rates applied
+   * via hash thresholds (en downsampled to 20%, others kept at 80%). */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(when(col("lang") === "en",
+        TextAnalysis.hashSampleKeep(col("text"), 0.2))
+        .otherwise(TextAnalysis.hashSampleKeep(col("text"), 0.8)))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("lang")
+
+  /** X10: sequence packing — concatenate documents in id order and chunk
+   * into fixed token-budget training sequences (seq = floor of the
+   * preceding cumulative token count / budget); reports per-sequence
+   * document and token counts. */
+  def sequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 256
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"))
+      .withColumn("seq_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .orderBy("seq_id")
+  }
+
   /** M2: frame sampling + resize metadata over binary media — every 4th
    * 16-byte frame, first sampled frame's byte sum as checksum. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
@@ -284,6 +315,8 @@ object LlmQueries {
     "x6_winnowing" -> (winnowingFp _),
     "x7_pii_redact" -> (piiRedact _),
     "x8_tfidf_top_terms" -> (tfIdfTopTerms _),
+    "x9_stratified_sample" -> (stratifiedSample _),
+    "x10_sequence_packing" -> (sequencePacking _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -504,6 +537,26 @@ object LlmQueries {
          |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS fp_min,
          |  list_reduce(list_prepend(0::BIGINT, fps), (a, x) -> a + x) AS fp_sum
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "x9_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id,
+         |  max(doc_id) AS max_id
+         |FROM documents
+         |WHERE CASE WHEN lang = 'en'
+         |  THEN ${h60("text")} % 1000 < 200
+         |  ELSE ${h60("text")} % 1000 < 800 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "x10_sequence_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |seqd AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |      / 256) AS BIGINT) AS seq_id
+        |  FROM d)
+        |SELECT seq_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM seqd GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "x7_pii_redact" -> {
       val email = TextAnalysis.PiiPatterns.toMap.apply("email")
       val phone = TextAnalysis.PiiPatterns.toMap.apply("phone")

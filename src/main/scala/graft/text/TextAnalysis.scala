@@ -120,6 +120,14 @@ object TextAnalysis {
       regexp_replace(c, pat, s"[${name.toUpperCase}]")
     }
 
+  /** Deterministic hash-based sampling decision: keep a row iff
+   * h(text) mod 1000 < rate*1000. Reproducible across engines and runs
+   * (unlike `DataFrame.sample`), stable under re-partitioning, and
+   * per-stratum rates compose by branching on the stratum column —
+   * how large corpus pipelines downsample over-represented sources. */
+  def hashSampleKeep(text: Column, rate: Double): Column =
+    pmod(graft.functions.Hashing.h60(text), lit(1000L)) < (rate * 1000).toLong
+
   /** Rolling polynomial fingerprint of the normalized document (lowercase,
    * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
    * character. Order-sensitive (unlike bag-of-words hashes). */
