@@ -261,23 +261,27 @@ object LlmQueries {
         max("doc_id").as("max_id"))
       .orderBy("lang")
 
-  /** X10: sequence packing — concatenate documents in id order and chunk
+  /** X10: sequence packing — documents concatenate in id order and chunk
    * into fixed token-budget training sequences (seq = floor of the
-   * preceding cumulative token count / budget); reports per-sequence
-   * document and token counts. */
+   * preceding cumulative token count / budget). Packing runs WITHIN
+   * contiguous id shards: a global ordered window would serialize on
+   * one task at 100 TB; per-shard packing is the distributed version of
+   * the same contract (each shard = one packing stream). */
   def sequencePacking(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 256
-    val w = Window.orderBy("doc_id")
+    val shardSize = 100
+    val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     T(s, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
       .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"))
+      .withColumn("shard", floor(col("doc_id") / shardSize))
       .withColumn("seq_id",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
-      .groupBy("seq_id")
+      .groupBy("shard", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-      .orderBy("seq_id")
+      .orderBy("shard", "seq_id")
   }
 
   /** M2: frame sampling + resize metadata over binary media — every 4th
@@ -547,16 +551,17 @@ object LlmQueries {
          |GROUP BY lang ORDER BY lang""".stripMargin,
     "x10_sequence_packing" ->
       """WITH d AS (
-        |  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS shard,
+        |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
         |  FROM documents),
         |seqd AS (
-        |  SELECT doc_id, n_tokens,
-        |    CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |      / 256) AS BIGINT) AS seq_id
         |  FROM d)
-        |SELECT seq_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
-        |FROM seqd GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+        |SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |FROM seqd GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "x7_pii_redact" -> {
       val email = TextAnalysis.PiiPatterns.toMap.apply("email")
       val phone = TextAnalysis.PiiPatterns.toMap.apply("phone")
