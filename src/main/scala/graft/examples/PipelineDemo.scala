@@ -1,0 +1,62 @@
+package graft.examples
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Graft
+import graft.pipeline.Engine
+
+/**
+ * End-to-end usage demo — what a user of the reference writes after
+ * switching to this engine: build a session, declare a pipeline as JSON
+ * (the connector-config analog), register it, watch state materialize,
+ * exercise pause/resume and tombstones.
+ *
+ * Run: `sbt "runMain graft.examples.PipelineDemo"`.
+ */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = Graft.sessionBuilder("graft-demo", Some(8))
+      .master("local[8]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = Files.createTempDirectory("graft_demo").toString
+    val in = s"$base/in"; val state = s"$base/customers"
+    Files.createDirectories(Paths.get(in))
+
+    def drop(name: String, rows: String*): Unit =
+      Files.writeString(Paths.get(in, name),
+        ("customer_id,name,balance,seq,__deleted" +: rows).mkString("\n"))
+
+    // the connector-config analog (SURVEY.md §2.5 L1)
+    val spec =
+      s"""{
+         |  "name": "csv_customers",
+         |  "source": {"type": "csv", "path": "$in",
+         |    "schemaDdl": "customer_id INT, name STRING, balance DOUBLE, seq LONG, __deleted STRING",
+         |    "keyFields": ["customer_id"], "seqColumn": "seq", "topic": "om.customers"},
+         |  "transforms": [
+         |    {"type": "insertField", "field": "name_upper", "value": "upper(value.name)"},
+         |    {"type": "maskField", "field": "balance"}
+         |  ],
+         |  "sink": {"type": "table", "path": "$state", "keys": ["customer_id"]},
+         |  "triggerMs": 500
+         |}""".stripMargin
+
+    val engine = new Engine(spark, s"$base/engine")
+    drop("batch1.csv", "1,alice,100.5,10,false", "2,bob,7.25,11,false")
+    val q = engine.registerJson(spec)
+    q.processAllAvailable()
+    println("--- after batch 1 (insert x2):")
+    spark.read.parquet(state).orderBy("customer_id").show(false)
+
+    engine.pause("csv_customers")
+    drop("batch2.csv", "1,alice2,999.0,20,false", "2,bob,0,21,true", "3,carol,55.5,22,false")
+    engine.resume("csv_customers").processAllAvailable()
+    println("--- after batch 2 (update 1, DELETE 2 via tombstone, insert 3):")
+    spark.read.parquet(state).orderBy("customer_id").show(false)
+    println("--- status: " + engine.status("csv_customers"))
+    engine.delete("csv_customers")
+    spark.stop()
+  }
+}

@@ -70,6 +70,20 @@ final case class TransformSpec(kind: String, args: Map[String, String],
     case "filter" => Smt.filterRecords(expr(args("predicate")))
     case "insertField" =>
       Smt.insertValueField(args("field"), expr(args("value")))
+    case "maskField" =>
+      Smt.maskField(args("field"), args.get("replacement").map(expr))
+    case "renameField" => Smt.renameFields(Map(args("from") -> args("to")))
+    case "excludeFields" => Smt.excludeFields(fields)
+    case "includeFields" => Smt.includeFields(fields)
+    case "hoistField" => Smt.hoistField(args("name"))
+    case "flatten" =>
+      Smt.flattenValue(args.getOrElse("delimiter", "_"))
+    case "cast" =>
+      Smt.castFields(Map(args("field") -> DataType.fromDDL(args("to"))))
+    case "timestampRouter" =>
+      Smt.timestampRouter(expr(s"value.${args("tsField")}"),
+        args.getOrElse("format", "${topic}-${timestamp}"),
+        args.getOrElse("tsFormat", "yyyyMMdd"))
     case other => throw new IllegalArgumentException(s"unknown SMT '$other'")
   }
 }
