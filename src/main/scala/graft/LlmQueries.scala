@@ -19,7 +19,7 @@ import graft.text.{Dedup, TextAnalysis}
  */
 object LlmQueries {
 
-  import graft.Tables.T
+  import graft.Tables.{T, Tpar}
 
   // ---- shared constants (Spark plan AND oracle SQL derive from these) ----
 
@@ -78,20 +78,20 @@ object LlmQueries {
 
   /** D2: MinHash-LSH candidate pairs with matching-minhash counts. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashCandidates(Tpar(s, dir, "documents"), "doc_id", "text",
         k = 3, numPerms = NumPerms, bands = Bands)
       .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
       .orderBy("doc_a", "doc_b")
 
   /** D3: SimHash near-dup pairs within hamming radius 16. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+    Dedup.simhashPairs(Tpar(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
       .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
       .orderBy("doc_a", "doc_b")
 
   /** D4: exact n-gram Jaccard verification over the LSH candidates. */
   def dedupJaccardVerify(s: SparkSession, dir: String): DataFrame = {
-    val docs = T(s, dir, "documents")
+    val docs = Tpar(s, dir, "documents")
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
       k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
     Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
@@ -139,7 +139,7 @@ object LlmQueries {
   /** X1: language ID (marker-profile heuristic). Tokens alias-bound so
    * the tokenizer runs once, not once per language profile. */
   def langId(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    Tpar(s, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(lower(col("text"))).as("_t"))
       .select(col("doc_id"), TextAnalysis.langIdFromTokens(col("_t")).as("lang_guess"))
       .groupBy("lang_guess").agg(count(lit(1)).as("n"))
@@ -147,7 +147,7 @@ object LlmQueries {
 
   /** X5: within-doc repetition ratio — boilerplate detection. */
   def repetition(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    Tpar(s, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
       .select(col("doc_id"),
         TextAnalysis.repetitionRatio(col("_t"), 3).as("rep_ratio"))
@@ -156,7 +156,7 @@ object LlmQueries {
   /** X2: quality features + composite score per document. */
   def qualityScore(s: SparkSession, dir: String): DataFrame = {
     val f = TextAnalysis.qualityFeatures(col("text"))
-    T(s, dir, "documents").select(col("doc_id"),
+    Tpar(s, dir, "documents").select(col("doc_id"),
       f.getField("n_words").as("n_words"),
       f.getField("mean_word_len").as("mean_word_len"),
       f.getField("punct_ratio").as("punct_ratio"),
@@ -168,14 +168,14 @@ object LlmQueries {
 
   /** X3: token counts — whitespace and BPE-ish subword units. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+    Tpar(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCountWs(col("text")).as("n_ws_tokens"),
       TextAnalysis.tokenCountBpe(col("text")).as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** X4: rolling-hash document fingerprints. */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(col("doc_id"),
+    Tpar(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -183,7 +183,7 @@ object LlmQueries {
    * window-minima fingerprint set (scalar projections; the set itself
    * is an array, which the oracle harness can't sort on). */
   def winnowingFp(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    Tpar(s, dir, "documents")
       .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
       .select(col("doc_id"), Dedup.tokenHashes31(col("_t")).as("_th"))
       .select(col("doc_id"), Dedup.shingleHashSeq(col("_th"), 3).as("_g"))
@@ -197,7 +197,7 @@ object LlmQueries {
   /** M1: multimodal plumbing — pack docs as binary media, extract
    * features via the partition-batched (stub) decoder. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packAsMedia(T(s, dir, "documents"), "doc_id", "text")
+    val packed = Multimodal.packAsMedia(Tpar(s, dir, "documents"), "doc_id", "text")
     val feats = Multimodal.extractFeatures(packed)
     feats.join(packed.select(col("media_id"), col("meta.width").as("width"),
         col("meta.height").as("height")), "media_id")
@@ -214,7 +214,7 @@ object LlmQueries {
    * the query plants a deterministic email/phone per doc, then counts
    * and scrubs — exercising the real mechanism end-to-end. */
   def piiRedact(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
+    Tpar(s, dir, "documents")
       .select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com or +1 555-01"), format_string("%02d", col("doc_id") % 100),
@@ -287,7 +287,7 @@ object LlmQueries {
   /** M2: frame sampling + resize metadata over binary media — every 4th
    * 16-byte frame, first sampled frame's byte sum as checksum. */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packAsMedia(T(s, dir, "documents"), "doc_id", "text")
+    val packed = Multimodal.packAsMedia(Tpar(s, dir, "documents"), "doc_id", "text")
     val sampled = Multimodal.resizeStub(
       Multimodal.sampleFrames(packed, frameBytes = 16, stride = 4), 50)
     sampled.select(col("media_id"),

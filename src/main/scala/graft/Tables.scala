@@ -11,6 +11,16 @@ object Tables {
     if (name == "events") readEvents(s, dir)
     else s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[T]] plus an explicit repartition to the session's default
+   * parallelism. The synthetic testdata packs each table into a SINGLE
+   * parquet row group, so Spark cannot split the scan and any
+   * compute-heavy narrow pipeline (tokenize + hash) pins to one task; a
+   * real corpus has thousands of row groups and needs no such step. The
+   * shuffle moves only the raw rows once and buys full-core parallelism
+   * for everything downstream. */
+  def Tpar(s: SparkSession, dir: String, name: String): DataFrame =
+    T(s, dir, name).repartition(s.sparkContext.defaultParallelism)
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
    * rejects; read nanos as long and truncate to micros (exactly DuckDB's
    * ns->us conversion), surfacing the column as TIMESTAMP_NTZ like every
