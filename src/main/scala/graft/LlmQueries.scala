@@ -100,6 +100,13 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D5: decontamination — training docs overlapping the "benchmark"
+   * slice (doc_id < 20) by >= 5 rare shingles. */
+  def decontamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.decontaminate(Tpar(s, dir, "documents"), "doc_id", "text",
+        benchPred = col("doc_id") < 20, k = 3, minShared = 5, maxDf = 10)
+      .orderBy("bench_id", "train_id")
+
   /** E1: brute-force cosine top-k (queries = vec_id < 5). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -307,6 +314,7 @@ object LlmQueries {
     "d2_dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "d3_dedup_simhash" -> (dedupSimhash _),
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
+    "d5_decontamination" -> (decontamination _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
@@ -424,6 +432,18 @@ object LlmQueries {
          |WHERE len(list_intersect(a.s, b.s))::DOUBLE /
          |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_decontamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) <= 10),
+         |filt AS (SELECT doc_id, h FROM sh JOIN rare USING (h)),
+         |b AS (SELECT doc_id AS bench_id, h FROM filt WHERE doc_id < 20),
+         |t AS (SELECT doc_id AS train_id, h FROM filt WHERE doc_id >= 20)
+         |SELECT bench_id, train_id, count(*) AS n_shared
+         |FROM b JOIN t USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY bench_id, train_id""".stripMargin,
     "e1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),

@@ -226,6 +226,39 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /**
+   * Decontamination: find training documents sharing at least
+   * `minShared` distinct k-shingles with any benchmark document — the
+   * train/eval overlap scan every serious corpus pipeline runs.
+   *
+   * Shape: an inverted index on shingle hashes (explode + equi-join),
+   * with shingles occurring in more than `maxDf` documents dropped
+   * first — both the standard practice (ubiquitous n-grams are not
+   * contamination evidence) and the skew mitigation (hot shingles would
+   * otherwise concentrate the join on a few reducers).
+   */
+  def decontaminate(df: DataFrame, idCol: String, textCol: String,
+                    benchPred: Column, k: Int = 3, minShared: Int = 5,
+                    maxDf: Int = 10): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("_id"), benchPred.as("_bench"),
+        tokens(col(textCol)).as("_t"))
+      .select(col("_id"), col("_bench"), tokenHashes31(col("_t")).as("_th"))
+      .select(col("_id"), col("_bench"),
+        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("h"))
+    val rare = sh.groupBy("h")
+      .agg(count(lit(1)).as("_df")) // hashes are distinct per doc
+      .filter(col("_df") <= maxDf)
+      .select("h")
+    val filt = sh.join(rare, "h")
+    val bench = filt.filter(col("_bench")).select(col("h"), col("_id").as("bench_id"))
+    val train = filt.filter(!col("_bench")).select(col("h"), col("_id").as("train_id"))
+    bench.join(train, "h")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */
