@@ -80,11 +80,15 @@ final class Engine(spark: SparkSession, root: String) {
     }
   }
 
-  /** L2: status — name, state, and whether the query is active. */
+  /** L2: status — name, state, and whether the query is active. A query
+   * that died with an exception reports FAILED with the cause, like a
+   * Connect task in the /status payload. */
   def status(name: String): (String, String) = {
     val e = entry(name)
     val s = e.query match {
       case Some(q) if q.isActive => "RUNNING"
+      case Some(q) if q.exception.isDefined =>
+        s"FAILED: ${q.exception.get.message.linesIterator.next()}"
       case _ => e.state match {
         case Paused => "PAUSED"
         case Failed(err) => s"FAILED: $err"

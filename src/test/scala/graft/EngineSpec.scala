@@ -129,6 +129,28 @@ class EngineSpec extends SparkSpec {
     assert(back.select("topic").distinct().head().getString(0) == "routed_t")
   }
 
+  test("a crashing pipeline reports FAILED with the cause (L2 status)") {
+    val base = Files.createTempDirectory("fail").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false")
+    // assert_true analyzes fine but blows up on the first row at runtime
+    val spec =
+      s"""{
+         |  "name": "bad1",
+         |  "source": {"type": "csv", "path": "$in",
+         |    "schemaDdl": "id INT, v STRING, seq LONG, __deleted STRING",
+         |    "keyFields": ["id"], "seqColumn": "seq", "topic": "om.t"},
+         |  "transforms": [{"type": "insertField", "field": "x",
+         |    "value": "assert_true(value.id > 99)"}],
+         |  "sink": {"type": "table", "path": "$out", "keys": ["id"]}
+         |}""".stripMargin
+    val engine = new Engine(spark, s"$base/engine")
+    val q = engine.registerJson(spec)
+    intercept[Exception](q.processAllAvailable())
+    assert(engine.status("bad1")._2.startsWith("FAILED:"))
+    engine.delete("bad1")
+  }
+
   test("spec JSON parses the full surface") {
     val spec = PipelineSpec.fromJson(specJson("/i", "/o"))
     assert(spec.name == "p1")

@@ -72,6 +72,37 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 10)
   }
 
+  test("minhash match count tracks true jaccard on generated near-dups") {
+    import graft.text.Dedup
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val docGen = for {
+      base <- Gen.listOfN(40, wordGen)
+      nEdits <- Gen.choose(0, 12)
+      edits <- Gen.listOfN(nEdits, Gen.zip(Gen.choose(0, 39), wordGen))
+    } yield (base.mkString(" "),
+      edits.foldLeft(base.toVector) { case (v, (i, w)) => v.updated(i, w) }
+        .mkString(" "))
+    check("minhashAccuracy", Prop.forAll(docGen) { case (a, b) =>
+      val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val sets = df
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+        .select(col("doc_id"), Dedup.tokenHashes31(col("_t")).as("_th"))
+        .select(col("doc_id"),
+          Dedup.shingleHashesFromTokenHashes(col("_th"), 3).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val inter = (sets(1L) & sets(2L)).size.toDouble
+      val trueJ = inter / (sets(1L).size + sets(2L).size - inter)
+      val matching = Dedup.minhashCandidates(df, "doc_id", "text")
+        .collect().headOption.map(_.getInt(2)).getOrElse(0)
+      // 16 permutations => sigma ~ 0.125; candidates only exist when a
+      // band matched, so only assert the estimate is not wildly off
+      val estJ = matching / 16.0
+      math.abs(estJ - trueJ) < 0.45 ||
+        (matching == 0 && trueJ < 0.9) // LSH may legitimately miss low-J pairs
+    }, minSuccessful = 15)
+  }
+
   test("asof join agrees with the brute-force definition") {
     val gen = for {
       lefts <- Gen.listOfN(15, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 100L)))
