@@ -240,7 +240,9 @@ object LlmQueries {
   def tfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = T(s, dir, "documents")
-    val nDocs = docs.count()
+    // N folds in as a broadcast scalar (like the oracle's CTE) — no
+    // eager count() job at plan-construction time
+    val n = docs.agg(count(lit(1)).cast(DoubleType).as("nd"))
     val terms = docs
       .select(col("doc_id"), explode(Dedup.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -248,8 +250,8 @@ object LlmQueries {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df_, "term")
-      .withColumn("score", col("tf") * (lit(nDocs.toDouble) / col("df")))
+    tf.join(df_, "term").crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("nd") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "term", "score")

@@ -21,7 +21,7 @@ import graft.codec.JsonEnvelope
  */
 object SparkEntry {
 
-  import graft.Tables.{T, Tpar}
+  import graft.Tables.T
 
   /** Flagship: the reference's end-to-end slice — changelog with
    * interleaved updates + tombstones materialized by keyed last-write-wins

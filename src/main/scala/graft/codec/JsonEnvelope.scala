@@ -56,7 +56,11 @@ object JsonEnvelope {
       case a: ArrayType =>
         s"""{"type":"array","items":${connectSchemaJson(a.elementType, a.containsNull)},$opt}"""
       case m: MapType =>
-        s"""{"type":"map","keys":${connectSchemaJson(m.keyType)},"values":${connectSchemaJson(m.valueType, m.valueContainsNull)},$opt}"""
+        // keys are declared STRING to match the wire: JSON object keys
+        // are always strings (the logical key type travels out-of-band;
+        // real Connect sidesteps this with array-of-pairs maps — a
+        // documented divergence, not a schema/payload mismatch)
+        s"""{"type":"map","keys":${connectSchemaJson(StringType)},"values":${connectSchemaJson(m.valueType, m.valueContainsNull)},$opt}"""
       case other =>
         throw new IllegalArgumentException(s"no Connect mapping for $other")
     }
@@ -154,7 +158,9 @@ object JsonEnvelope {
     case a: ArrayType => transform(c, x => fromWire(x, a.elementType))
     case m: MapType =>
       // wire keys are JSON strings: cast back through the scalar wire
-      // type, then reverse the logical conversion
+      // type, then reverse the logical conversion (same key-type
+      // restriction as encode — inbound messages fail loudly too)
+      requireCodecableMapKey(m.keyType)
       transform_values(
         transform_keys(c, (k, _) =>
           fromWire(k.cast(wireScalar(m.keyType)), m.keyType)),

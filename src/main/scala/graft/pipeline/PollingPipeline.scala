@@ -42,17 +42,24 @@ final class PollingPipeline(
    * watermark was computed from. */
   def pollOnce(): Long = {
     val w = store.load(name)
-    val (batch, w2) = Incremental.poll(
-      p => reader(p).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      mode, w)
+    // the unpersist must cover the watermark-advance action inside
+    // Incremental.poll too: if that first action throws, a lingering
+    // cache entry would serve THIS tick's stale snapshot to the next
+    // tick (same predicate => same cached plan)
+    var cached: Option[DataFrame] = None
     try {
+      val (batch, w2) = Incremental.poll(p => {
+        val d = reader(p)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached = Some(d); d
+      }, mode, w)
       val framed = Connect.toConnectFrame(batch, keyFields, name, seqColumn)
       val transformed = transforms.foldLeft(framed)((df, t) => t(df))
       val n = transformed.count()
       if (n > 0) TableSink.applyBatch(spark, sink, transformed)
       store.save(name, w2) // AFTER the sink write — replay-safe ordering
       n
-    } finally batch.unpersist()
+    } finally cached.foreach(_.unpersist())
   }
 
   /** Run `n` ticks back-to-back (testing / manual cadence). Production

@@ -240,12 +240,18 @@ object Dedup {
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     benchPred: Column, k: Int = 3, minShared: Int = 5,
                     maxDf: Int = 10): DataFrame = {
-    val sh = df
+    // the hashed table feeds three consumers (df computation, bench
+    // side, train side) — materialize the expensive tokenize+hash pass
+    // once, like the sibling LSH operators; the explode itself is cheap
+    val hashed = df
       .select(col(idCol).as("_id"), benchPred.as("_bench"),
         tokens(col(textCol)).as("_t"))
       .select(col("_id"), col("_bench"), tokenHashes31(col("_t")).as("_th"))
       .select(col("_id"), col("_bench"),
-        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("h"))
+        shingleHashesFromTokenHashes(col("_th"), k).as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = hashed.select(col("_id"), col("_bench"),
+      explode(col("_h")).as("h"))
     val rare = sh.groupBy("h")
       .agg(count(lit(1)).as("_df")) // hashes are distinct per doc
       .filter(col("_df") <= maxDf)
