@@ -57,6 +57,24 @@ class CodecSpec extends SparkSpec {
       Set((1, "x"), (2, "y")))
   }
 
+  test("spooldir error channel: PERMISSIVE nulls bad rows, FAILFAST halts") {
+    val dir = Files.createTempDirectory("spoolerr").toString
+    Files.writeString(Paths.get(dir, "a.csv"), "id,name\n1,x\nnotanint,y\n3,z")
+    val schema = StructType(Seq(StructField("id", IntegerType),
+      StructField("name", StringType)))
+    // halt.on.error=false: malformed row surfaces as nulls, rest flow
+    val permissive = SpoolDir.readBatch(spark,
+      SpoolDir.Config(inputPath = dir, schema = Some(schema)))
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("id").isNull).count() == 1)
+    // halt.on.error=true: the connector FAILS, like the reference's
+    // missing-error-path lab (Spool Dir 실습.md:76-81)
+    intercept[org.apache.spark.SparkException] {
+      SpoolDir.readBatch(spark, SpoolDir.Config(inputPath = dir,
+        schema = Some(schema), haltOnError = true)).collect()
+    }
+  }
+
   test("spooldir streaming archives finished files (finished.path)") {
     val base = Files.createTempDirectory("spoolstream")
     val in = base.resolve("in"); val fin = base.resolve("done")
