@@ -166,9 +166,9 @@ object ConnectQueries {
 
   val oracleSql: Map[String, String] = Map(
     "s1_bulk_mode" ->
-      """SELECT 1 AS poll, count(*) AS n_rows, sum(r_regionkey) AS key_sum FROM region
+      """SELECT 1 AS poll, count(*) AS n_rows, CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
         |UNION ALL
-        |SELECT 2, count(*), sum(r_regionkey) FROM region
+        |SELECT 2, count(*), CAST(sum(r_regionkey) AS BIGINT) FROM region
         |ORDER BY poll""".stripMargin,
     "s3_jdbc_timestamp" ->
       """WITH b1 AS (SELECT * FROM orders WHERE o_orderdate <= '1998-01-01'),

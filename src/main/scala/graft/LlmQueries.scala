@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.functions.Hashing
 import graft.ml.Similarity
 import graft.multimodal.Multimodal
+import graft.operators.CacheScope
 import graft.text.{Dedup, TextAnalysis}
 
 /**
@@ -76,36 +77,42 @@ object LlmQueries {
     Dedup.exactDedup(corpus, "doc_id", "text").orderBy("doc_id")
   }
 
-  /** D2: MinHash-LSH candidate pairs with matching-minhash counts. */
+  /** D2: MinHash-LSH candidate pairs with matching-minhash counts. The
+   * candidate set (small) materializes inside a [[CacheScope]] so the
+   * signature-table cache is released as soon as it is consumed. */
   def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tpar(s, dir, "documents"), "doc_id", "text",
+    CacheScope.materialized { implicit scope =>
+      Dedup.minhashCandidates(Tpar(s, dir, "documents"), "doc_id", "text",
         k = 3, numPerms = NumPerms, bands = Bands)
-      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+    }.withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
       .orderBy("doc_a", "doc_b")
 
   /** D3: SimHash near-dup pairs within hamming radius 16. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tpar(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
-      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+    CacheScope.materialized { implicit scope =>
+      Dedup.simhashPairs(Tpar(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+    }.withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
       .orderBy("doc_a", "doc_b")
 
   /** D4: exact n-gram Jaccard verification over the LSH candidates. */
   def dedupJaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val docs = Tpar(s, dir, "documents")
-    val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-      k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
-    Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
-      .filter(col("jaccard") >= 0.5)
-      .withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
+    CacheScope.materialized { implicit scope =>
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+    }.withColumnRenamed("ida", "doc_a").withColumnRenamed("idb", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
-    Dedup.decontaminate(Tpar(s, dir, "documents"), "doc_id", "text",
+    CacheScope.materialized { implicit scope =>
+      Dedup.decontaminate(Tpar(s, dir, "documents"), "doc_id", "text",
         benchPred = col("doc_id") < 20, k = 3, minShared = 5, maxDf = 10)
-      .orderBy("bench_id", "train_id")
+    }.orderBy("bench_id", "train_id")
 
   /** E1: brute-force cosine top-k (queries = vec_id < 5). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -246,8 +253,11 @@ object LlmQueries {
     val terms = docs
       .select(col("doc_id"), explode(Dedup.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df_ = terms.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives FROM tf (one row per (doc, term) ⇒ count per term =
+    // document frequency): the corpus tokenizes once, and both branches
+    // share tf's aggregation exchange (ReuseExchange), instead of a
+    // second tokenize+explode+distinct pass over the documents
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     tf.join(df_, "term").crossJoin(broadcast(n))
@@ -582,7 +592,7 @@ object LlmQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |      / 256) AS BIGINT) AS seq_id
         |  FROM d)
-        |SELECT shard, seq_id, count(*) AS n_docs, sum(n_tokens) AS n_tokens
+        |SELECT shard, seq_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM seqd GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin,
     "x7_pii_redact" -> {
       val email = TextAnalysis.PiiPatterns.toMap.apply("email")

@@ -208,7 +208,7 @@ object RelationalQueries {
     "j1_json_functions" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) % 10 AS bucket,
         |  count(*) AS n,
-        |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS sum_k,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
         |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
     "w1_tumbling_window" ->

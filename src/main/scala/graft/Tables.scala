@@ -27,11 +27,22 @@ object Tables {
    * other no-zone parquet timestamp in the testdata. The legacy flag is
    * scoped to a child session (shared SparkContext, isolated conf) so the
    * caller's session never observes the side effect. */
-  def readEvents(s: SparkSession, dir: String): DataFrame = {
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-  }
+  def readEvents(s: SparkSession, dir: String): DataFrame =
+    eventsCache.getOrElseUpdate((s.sparkContext, dir), {
+      val scoped = s.newSession()
+      scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      scoped.conf.set("spark.sql.session.timeZone", "UTC")
+      scoped.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    })
+
+  /** The converted events frame, memoized per (context, dir): building
+   * it costs a child-session spin-up plus a parquet file-listing +
+   * footer read at plan time, and a dozen queries read events — paying
+   * that per call tripled their wall time at bench scale. Keyed by
+   * SparkContext so a restarted context never serves a frame bound to a
+   * stopped one; only the (tiny) analyzed plan is held, no data is
+   * pinned. */
+  private val eventsCache =
+    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), DataFrame]
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Hashing
+import graft.operators.CacheScope
 
 /**
  * Deduplication operators for large-scale text corpora — the four
@@ -120,25 +121,24 @@ object Dedup {
    */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numPerms: Int = 16,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4)(implicit scope: CacheScope): DataFrame = {
     val perms = Hashing.minhashPerms(numPerms)
     val rows = numPerms / bands
     // alias boundary: materialize the shingle hashes ONCE per row before
     // the signature references them 16 times — without it the md5 subtree
     // is inlined per permutation (a 16x recompute; CollapseProject keeps
     // multi-referenced non-cheap aliases in their own projection)
-    // The signature table is materialized (persisted) before the banded
-    // self-join: both join sides reuse one tokenize+hash pass — the
-    // standard "build the signature table first" LSH shape. It is tiny
-    // relative to the corpus (id + 16 longs per doc) and spills to disk
-    // if it ever isn't.
-    val sigs = df
+    // The signature table is materialized (scope-persisted) before the
+    // banded self-join: both join sides reuse one tokenize+hash pass —
+    // the standard "build the signature table first" LSH shape. It is
+    // tiny relative to the corpus (id + 16 longs per doc) and spills to
+    // disk if it ever isn't; the caller's CacheScope owns its lifetime.
+    val sigs = scope.persist(df
       .select(col(idCol).as("_id"), tokens(col(textCol)).as("_t"))
       .filter(size(col("_t")) >= k)
       .select(col("_id"), tokenHashes31(col("_t")).as("_th"))
       .select(col("_id"), shingleHashesFromTokenHashes(col("_th"), k).as("_h"))
-      .select(col("_id"), minhashSignature(col("_h"), perms).as("_sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("_id"), minhashSignature(col("_h"), perms).as("_sig")))
     val banded = sigs.select(col("_id"), col("_sig"),
       explode(lshBands(col("_sig"), bands, rows)).as("_b"))
       .select(col("_id"), col("_sig"), col("_b.band"), col("_b.bkey"))
@@ -184,14 +184,13 @@ object Dedup {
    * pigeonhole), verify with exact hamming <= maxHamming.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 16): DataFrame = {
+                   maxHamming: Int = 16)(implicit scope: CacheScope): DataFrame = {
     // materialized once; both self-join sides reuse it (see
     // minhashCandidates for the rationale)
-    val sh = df
+    val sh = scope.persist(df
       .select(col(idCol).as("_id"),
         transform(tokens(col(textCol)), t => Hashing.h60(t)).as("_hs"))
-      .select(col("_id"), simhashFromHashes(col("_hs")).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("_id"), simhashFromHashes(col("_hs")).as("_sh")))
     val banded = sh.select(col("_id"), col("_sh"),
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         pmod(shiftright(col("_sh"), b * 15), lit(32768L)).as("bkey"))): _*))
@@ -239,24 +238,28 @@ object Dedup {
    */
   def decontaminate(df: DataFrame, idCol: String, textCol: String,
                     benchPred: Column, k: Int = 3, minShared: Int = 5,
-                    maxDf: Int = 10): DataFrame = {
-    // the hashed table feeds three consumers (df computation, bench
-    // side, train side) — materialize the expensive tokenize+hash pass
-    // once, like the sibling LSH operators; the explode itself is cheap
-    val hashed = df
+                    maxDf: Int = 10)(implicit scope: CacheScope): DataFrame = {
+    // the hashed table feeds two consumers (the df-count aggregation and
+    // the rare-join probe side) — materialize the expensive
+    // tokenize+hash pass once, like the sibling LSH operators
+    val hashed = scope.persist(df
       .select(col(idCol).as("_id"), benchPred.as("_bench"),
         tokens(col(textCol)).as("_t"))
       .select(col("_id"), col("_bench"), tokenHashes31(col("_t")).as("_th"))
       .select(col("_id"), col("_bench"),
-        shingleHashesFromTokenHashes(col("_th"), k).as("_h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shingleHashesFromTokenHashes(col("_th"), k).as("_h")))
     val sh = hashed.select(col("_id"), col("_bench"),
       explode(col("_h")).as("h"))
     val rare = sh.groupBy("h")
       .agg(count(lit(1)).as("_df")) // hashes are distinct per doc
       .filter(col("_df") <= maxDf)
       .select("h")
-    val filt = sh.join(rare, "h")
+    // the rare-filtered postings feed BOTH the bench and the train side;
+    // persist them (small — rare shingles only, df <= maxDf) so the
+    // explode → df-count → join subtree derives exactly once instead of
+    // once per side (exchange reuse does not catch it: the two
+    // consumers filter before their next shuffle)
+    val filt = scope.persist(sh.join(rare, "h"))
     val bench = filt.filter(col("_bench")).select(col("h"), col("_id").as("bench_id"))
     val train = filt.filter(!col("_bench")).select(col("h"), col("_id").as("train_id"))
     bench.join(train, "h")

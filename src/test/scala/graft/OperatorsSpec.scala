@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.text.{Dedup, TextAnalysis}
 import graft.ml.Similarity
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, CacheScope}
 
 /** Specs for the LLM-pipeline operators and the as-of join. */
 class OperatorsSpec extends SparkSpec {
@@ -23,8 +23,10 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("minhash LSH finds the near-dup pair, not the unrelated doc") {
-    val pairs = Dedup.minhashCandidates(docs(), "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val pairs = CacheScope.withScope { implicit scope =>
+      Dedup.minhashCandidates(docs(), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((1L, 4L))) // exact dup: all 16 minhashes match
     assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 16)
@@ -33,10 +35,12 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("jaccard verify: exact dup = 1.0, near dup in (0,1)") {
-    val cands = Dedup.minhashCandidates(docs(), "doc_id", "text")
-      .select("ida", "idb")
-    val j = Dedup.jaccardVerify(cands, docs(), "doc_id", "text")
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val j = CacheScope.withScope { implicit scope =>
+      val cands = Dedup.minhashCandidates(docs(), "doc_id", "text")
+        .select("ida", "idb")
+      Dedup.jaccardVerify(cands, docs(), "doc_id", "text")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    }
     assert(j((1L, 4L)) == 1.0)
     j.get((1L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
   }

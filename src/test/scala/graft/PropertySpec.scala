@@ -93,8 +93,10 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
       val inter = (sets(1L) & sets(2L)).size.toDouble
       val trueJ = inter / (sets(1L).size + sets(2L).size - inter)
-      val matching = Dedup.minhashCandidates(df, "doc_id", "text")
-        .collect().headOption.map(_.getInt(2)).getOrElse(0)
+      val matching = graft.operators.CacheScope.withScope { implicit scope =>
+        Dedup.minhashCandidates(df, "doc_id", "text")
+          .collect().headOption.map(_.getInt(2)).getOrElse(0)
+      }
       // 16 permutations => sigma ~ 0.125; candidates only exist when a
       // band matched, so only assert the estimate is not wildly off
       val estJ = matching / 16.0
