@@ -97,6 +97,45 @@ object ConnectQueries {
       .orderBy("n_nationkey")
   }
 
+  /** Typed base frame for the temporal/decimal wire-format round-trips:
+   * DATE (epoch-day int32 leg), TIMESTAMP with sub-second precision
+   * (epoch-millis/micros int64 leg), and DECIMAL including negatives
+   * (base64 minimal two's-complement unscaled-bytes leg) — the
+   * reference's single biggest test surface (`실습수행/Debezium MySQL CDC
+   * Source Connector 실습 - 02.md:70-432`, type table `실습수행/JDBC Sink
+   * Connector 실습.md:376-378`). */
+  private def temporalDecimalFrame(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(struct(
+        col("o_orderkey").cast(IntegerType).as("o_key"),
+        col("o_orderdate").cast(DateType).as("o_date"),
+        (col("o_orderdate") + expr("make_interval(0,0,0,0,0,0, o_orderkey % 86400)")
+          + expr("INTERVAL 0.123 SECOND")).as("o_ts"),
+        col("o_totalprice").cast(DecimalType(12, 2)).as("o_price"),
+        (col("o_totalprice") - lit(150000)).cast(DecimalType(12, 2)).as("o_bal"))
+        .as("value"))
+
+  private def unpackTemporalDecimal(df: DataFrame): DataFrame =
+    df.select(col("value.o_key").as("o_key"),
+        col("value.o_date").as("o_date"),
+        col("value.o_ts").as("o_ts"),
+        col("value.o_price").as("o_price"),
+        col("value.o_bal").as("o_bal"))
+      .orderBy("o_key")
+
+  /** C1b: schema'd-JSON envelope round-trip of the DATE / sub-second
+   * TIMESTAMP / signed DECIMAL legs (epoch-day int32, epoch-millis
+   * int64, base64 unscaled bytes). */
+  def jsonTemporalDecimal(s: SparkSession, dir: String): DataFrame =
+    unpackTemporalDecimal(
+      JsonEnvelope.roundTrip(temporalDecimalFrame(s, dir)))
+
+  /** C3b: Avro round-trip of the same legs (date int, timestamp-micros
+   * long, decimal bytes logical types). */
+  def avroTemporalDecimal(s: SparkSession, dir: String): DataFrame =
+    unpackTemporalDecimal(
+      AvroCodec.roundTrip(temporalDecimalFrame(s, dir)))
+
   /** C3 Avro round-trip (explicit schema — no registry offline). */
   def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val frame = Connect.toConnectFrame(
@@ -120,6 +159,41 @@ object ConnectQueries {
     SchemaEvolution.compatReport(old, evolved)
       .toDF("change", "field", "type", "compatible")
       .orderBy("change", "field")
+  }
+
+  /** C5 registry subject/version bookkeeping — the lab's evolution
+   * script against one subject: base registers as v1, a duplicate
+   * register is idempotent (same version back), an optional add passes
+   * BACKWARD as v2, a rename (drop + required add) is REJECTED under
+   * BACKWARD, and passes as v3 only after the subject's compatibility
+   * is overridden to NONE (`실습수행/Schema Registry 기반의 Connector
+   * 구성 실습.md:140-174,533-537`). */
+  def registryVersions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.codec.SchemaRegistry.Compat
+    val reg = new graft.codec.SchemaRegistry()
+    val subject = "om.customer-value"
+    val base = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_name", StringType, nullable = false),
+      StructField("c_acctbal", DoubleType, nullable = true)))
+    val withPhone = StructType(base.fields :+
+      StructField("c_phone", StringType, nullable = true))
+    val renamed = StructType(withPhone.fields.map(f =>
+      if (f.name == "c_name") f.copy(name = "c_fullname") else f))
+    def step(n: Int, action: String,
+             r: Either[String, graft.codec.SchemaRegistry.Registered]) =
+      (n, action, r.fold(_ => "rejected", x => s"v${x.version}"),
+        reg.versions(subject).size)
+    val rows = Seq(
+      step(1, "register base", reg.register(subject, base)),
+      step(2, "register duplicate", reg.register(subject, base)),
+      step(3, "add nullable c_phone", reg.register(subject, withPhone)),
+      step(4, "rename under BACKWARD", reg.register(subject, renamed)), {
+        reg.setCompat(subject, Compat.None)
+        step(5, "rename under NONE", reg.register(subject, renamed))
+      })
+    rows.toDF("step", "action", "outcome", "n_versions").orderBy("step")
   }
 
   /** K3 auto.create: target DDL generated from the record schema. */
@@ -159,6 +233,9 @@ object ConnectQueries {
     "s9_spooldir_csv" -> (spoolDirCsv _),
     "c2_schemaless_roundtrip" -> (schemalessRoundTrip _),
     "c3_avro_roundtrip" -> (avroRoundTrip _),
+    "c1b_json_temporal_decimal" -> (jsonTemporalDecimal _),
+    "c3b_avro_temporal_decimal" -> (avroTemporalDecimal _),
+    "c5_registry_versions" -> (registryVersions _),
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
     "k5_apply_batch_merge" -> (applyBatchMerge _)
@@ -218,6 +295,28 @@ object ConnectQueries {
         |SELECT c_custkey, c_name, c_acctbal FROM (
         |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
         |  FROM log) t
-        |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin
+        |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin,
+    "c1b_json_temporal_decimal" -> temporalDecimalOracle,
+    "c3b_avro_temporal_decimal" -> temporalDecimalOracle,
+    "c5_registry_versions" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'register base', 'v1', 1),
+        |  (2, 'register duplicate', 'v1', 1),
+        |  (3, 'add nullable c_phone', 'v2', 2),
+        |  (4, 'rename under BACKWARD', 'rejected', 2),
+        |  (5, 'rename under NONE', 'v3', 3))
+        |AS t(step, action, outcome, n_versions) ORDER BY step""".stripMargin
   )
+
+  /** Round-trips are identity, so the oracle recomputes the typed base
+   * frame directly (same derivations as [[temporalDecimalFrame]]).
+   * (A `def`: the oracleSql val above initializes first.) */
+  private def temporalDecimalOracle =
+    """SELECT CAST(o_orderkey AS INTEGER) AS o_key,
+      |  CAST(o_orderdate AS DATE) AS o_date,
+      |  o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND
+      |    + INTERVAL 123 MILLISECOND AS o_ts,
+      |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_price,
+      |  CAST(o_totalprice - 150000 AS DECIMAL(12,2)) AS o_bal
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_key""".stripMargin
 }

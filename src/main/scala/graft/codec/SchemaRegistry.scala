@@ -1,0 +1,137 @@
+package graft.codec
+
+import org.apache.spark.sql.types._
+
+import graft.sinks.SchemaEvolution
+
+/**
+ * C4 — in-memory model of the reference's Schema Registry bookkeeping:
+ * subjects named `<topic>-key`/`<topic>-value` (`실습수행/Schema Registry
+ * 기반의 Connector 구성 실습.md:146`), monotonically growing version
+ * lists with globally unique schema ids, a global compatibility default
+ * plus per-subject overrides, and the lab's "set NONE to force a rename
+ * through" flow (`:533-537` — a rename is a delete + required add, which
+ * BACKWARD rejects).
+ *
+ * The registry *service* is out of scope offline (SURVEY.md §7.5); this
+ * models its data contract so pipelines can resolve schemas by
+ * (subject, version) and evolution is gated the way the labs observe.
+ * Compatibility maps Avro defaults onto Spark nullability: a nullable
+ * field is one a reader can fill when the writer omitted it.
+ */
+object SchemaRegistry {
+
+  /** Confluent compatibility levels. Non-transitive levels check the new
+   * schema against the LATEST version only; transitive ones against all. */
+  sealed abstract class Compat(val name: String, val transitive: Boolean) {
+    /** Does `candidate` satisfy this level against `existing`? */
+    def ok(candidate: StructType, existing: StructType): Boolean = this match {
+      case Compat.None => true
+      case Compat.Backward | Compat.BackwardTransitive => canRead(candidate, existing)
+      case Compat.Forward | Compat.ForwardTransitive => canRead(existing, candidate)
+      case Compat.Full | Compat.FullTransitive =>
+        canRead(candidate, existing) && canRead(existing, candidate)
+    }
+  }
+  object Compat {
+    case object None extends Compat("NONE", false)
+    case object Backward extends Compat("BACKWARD", false)
+    case object Forward extends Compat("FORWARD", false)
+    case object Full extends Compat("FULL", false)
+    case object BackwardTransitive extends Compat("BACKWARD_TRANSITIVE", true)
+    case object ForwardTransitive extends Compat("FORWARD_TRANSITIVE", true)
+    case object FullTransitive extends Compat("FULL_TRANSITIVE", true)
+    val all: Seq[Compat] = Seq(None, Backward, Forward, Full,
+      BackwardTransitive, ForwardTransitive, FullTransitive)
+    def parse(s: String): Compat = all.find(_.name == s.toUpperCase)
+      .getOrElse(throw new IllegalArgumentException(s"unknown compatibility level: $s"))
+  }
+
+  /** Can a `reader`-schema consumer decode data written as `writer`?
+   * Fields only the reader has need a default (nullable); fields only
+   * the writer has are ignored; retypes always break. */
+  private def canRead(reader: StructType, writer: StructType): Boolean = {
+    val d = SchemaEvolution.diff(writer, reader)
+    d.added.forall(_.nullable) && d.retyped.isEmpty
+  }
+
+  /** One registered schema version. `id` is registry-global (the wire
+   * id an Avro message would carry); `version` is per-subject. */
+  final case class Registered(subject: String, version: Int, id: Int,
+                              schema: StructType)
+}
+
+/** @param defaultCompat the registry-global compatibility level
+ *                       (Confluent ships BACKWARD). */
+final class SchemaRegistry(
+    defaultCompat: SchemaRegistry.Compat = SchemaRegistry.Compat.Backward) {
+  import SchemaRegistry._
+
+  private val bySubject =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[Registered]]
+  private val compatOverrides =
+    scala.collection.mutable.HashMap.empty[String, Compat]
+  private var nextId = 1
+
+  def subjects: Seq[String] = synchronized(bySubject.keys.toSeq)
+
+  def versions(subject: String): Seq[Registered] =
+    synchronized(bySubject.getOrElse(subject, Vector.empty))
+
+  def latest(subject: String): Option[Registered] = versions(subject).lastOption
+
+  def schemaById(id: Int): Option[Registered] =
+    synchronized(bySubject.valuesIterator.flatten.find(_.id == id))
+
+  /** Per-subject override, falling back to the global default. */
+  def compatLevel(subject: String): Compat =
+    synchronized(compatOverrides.getOrElse(subject, defaultCompat))
+
+  def setCompat(subject: String, level: Compat): Unit =
+    synchronized { compatOverrides(subject) = level }
+
+  /** Would `schema` register cleanly right now? (The REST
+   * `/compatibility/subjects/.../versions/latest` probe.) */
+  def testCompatibility(subject: String, schema: StructType): Boolean =
+    synchronized(checkAgainst(subject, schema).isEmpty)
+
+  private def checkAgainst(subject: String, schema: StructType): Seq[Registered] = {
+    val level = compatLevel(subject)
+    val vs = bySubject.getOrElse(subject, Vector.empty)
+    val against = if (level.transitive) vs else vs.takeRight(1)
+    against.filterNot(prev => level.ok(schema, prev.schema))
+  }
+
+  /**
+   * Register a schema under a subject. Re-registering a schema the
+   * subject already holds returns the existing version (idempotent, as
+   * the real registry does); an incompatible schema is rejected with the
+   * offending versions named; otherwise the schema becomes the next
+   * version with a fresh global id.
+   */
+  def register(subject: String, schema: StructType): Either[String, Registered] =
+    synchronized {
+      val vs = bySubject.getOrElse(subject, Vector.empty)
+      vs.find(_.schema == schema) match {
+        case Some(existing) => Right(existing)
+        case scala.None =>
+          val bad = checkAgainst(subject, schema)
+          if (bad.nonEmpty)
+            Left(s"schema incompatible with version(s) " +
+              s"${bad.map(_.version).mkString(",")} of $subject " +
+              s"under ${compatLevel(subject).name}")
+          else {
+            val r = Registered(subject, vs.size + 1, nextId, schema)
+            nextId += 1
+            bySubject(subject) = vs :+ r
+            Right(r)
+          }
+      }
+    }
+
+  /** Delete a subject (the lab's cleanup path). Versions are gone; the
+   * global id counter never reuses ids. */
+  def deleteSubject(subject: String): Unit = synchronized {
+    bySubject.remove(subject); compatOverrides.remove(subject)
+  }
+}

@@ -34,6 +34,10 @@ object RangeJoin {
     val r = right.select(rPayload.as("_r"),
       unix_micros(col(rightStart).cast("timestamp")).as("_s"),
       unix_micros(col(rightEnd).cast("timestamp")).as("_e"))
+      // empty/inverted intervals can match nothing — and Spark's
+      // sequence(a, b) DESCENDS when b < a, which would replicate such
+      // an interval into bins it never covers; drop them before explode
+      .filter(col("_e") > col("_s"))
       .withColumn("_bin", explode(sequence(
         floor(col("_s") / binWidthMicros).cast("long"),
         floor((col("_e") - 1) / binWidthMicros).cast("long"))))

@@ -119,8 +119,52 @@ object Incremental {
   def poll(reader: Option[String] => DataFrame, mode: Mode,
            w: Watermark): (DataFrame, Watermark) = {
     val batch = reader(mode.predicate(w))
+    requireUtcForTimestampModes(batch, mode)
     (batch, mode.advance(batch, w))
   }
+
+  /** The timestamp watermark travels as a rendered UTC wall-clock string,
+   * and Spark casts that literal back using the SESSION time zone at scan
+   * time — in a non-UTC session the boundary silently shifts by the
+   * offset, skipping or re-reading rows. Fail loudly instead (the same
+   * stance as the corrupt-offset path). */
+  private def requireUtcForTimestampModes(batch: DataFrame, mode: Mode): Unit =
+    mode match {
+      case Timestamp(_) | TimestampIncrementing(_, _) =>
+        val tz = batch.sparkSession.conf
+          .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+        if (tz != "UTC")
+          throw new IllegalStateException(
+            s"timestamp-mode polling requires spark.sql.session.timeZone=UTC " +
+              s"(watermark predicates render UTC wall-clock strings); session " +
+              s"has '$tz' — use Graft.sessionBuilder or set the conf")
+      case _ => ()
+    }
+
+  /**
+   * S1-S4 against a real database: the poll seam wired to Spark's JDBC
+   * source. The watermark predicate folds into the `dbtable` subquery,
+   * so the WHERE clause executes IN the database and a poll costs the
+   * new rows, not a table scan (`connector_configs/
+   * mysql_jdbc_om_source.json:4-13` is the reference shape). No database
+   * ships in this container — the option assembly is unit-tested and the
+   * reader compiles against the public `DataFrameReader` API.
+   */
+  def jdbcReader(spark: org.apache.spark.sql.SparkSession, url: String,
+                 table: String, connProps: Map[String, String] = Map.empty)
+      : Option[String] => DataFrame =
+    pred => spark.read.format("jdbc")
+      .options(connProps ++ jdbcOptions(url, table, pred))
+      .load()
+
+  /** The JDBC source options for one poll — `dbtable` carries the
+   * pushdown predicate as a subquery (exposed for tests). */
+  private[graft] def jdbcOptions(url: String, table: String,
+                                 pred: Option[String]): Map[String, String] =
+    Map(
+      "url" -> url,
+      "dbtable" -> pred.map(p => s"(SELECT * FROM $table WHERE $p) graft_poll")
+        .getOrElse(table))
 
   /** S7 — Debezium snapshot modes (`snapshot.mode`,
    * `실습수행/Debezium MySQL CDC Source Connector 실습 - 03.md:387-488`):

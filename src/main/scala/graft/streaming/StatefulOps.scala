@@ -32,8 +32,16 @@ object StatefulOps {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString("\u0000"))(
-        Encoders.STRING)
+    // Unambiguous composite-key encoding: nulls get a sentinel no value
+    // can produce (values are length-prefixed, so they always start with
+    // a digit), and the length prefix makes separator collisions
+    // impossible -- ("a|b","c") and ("a","b|c") encode differently.
+    df.groupByKey { r =>
+        keyIdx.map { i =>
+          if (r.isNullAt(i)) ""
+          else { val s = String.valueOf(r.get(i)); s"${s.length}:$s" }
+        }.mkString("|")
+      }(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>

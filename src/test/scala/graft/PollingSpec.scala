@@ -14,6 +14,29 @@ import graft.sources.Incremental
 class PollingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("jdbc reader folds the watermark predicate into the dbtable subquery") {
+    val o = Incremental.jdbcOptions("jdbc:mysql://host/om", "om.customers",
+      Some("customer_id > 42"))
+    assert(o("dbtable") ==
+      "(SELECT * FROM om.customers WHERE customer_id > 42) graft_poll")
+    assert(o("url") == "jdbc:mysql://host/om")
+    // no watermark yet (first poll) -> plain table scan
+    assert(Incremental.jdbcOptions("u", "om.customers", None)("dbtable") ==
+      "om.customers")
+  }
+
+  test("timestamp-mode polling refuses a non-UTC session") {
+    val nonUtc = spark.newSession()
+    nonUtc.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    val scoped = nonUtc.range(1)
+      .selectExpr("id", "timestamp'2024-01-01 00:00:00' as ts")
+    val e = intercept[IllegalStateException] {
+      Incremental.poll(_ => scoped, Incremental.Timestamp("ts"),
+        Incremental.Watermark.zero)
+    }
+    assert(e.getMessage.contains("UTC"))
+  }
+
   test("polling pipeline: capture, restart, reset — effectively-once") {
     val base = Files.createTempDirectory("poll").toString
     val src = s"$base/source"; val out = s"$base/state"

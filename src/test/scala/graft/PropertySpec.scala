@@ -105,6 +105,32 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 15)
   }
 
+  test("range join agrees with brute force, incl. multi-bin and empty intervals") {
+    import graft.operators.RangeJoin
+    // points and interval bounds in SECONDS (cast long -> timestamp is
+    // seconds); binWidth 64s vs spans up to 300s forces multi-bin
+    // replication; spans <= 0 generate empty/inverted intervals
+    val gen = for {
+      points <- Gen.listOfN(20, Gen.choose(0L, 500L))
+      ivs <- Gen.listOfN(8, Gen.zip(Gen.choose(0L, 500L), Gen.choose(-50L, 300L)))
+    } yield (points.zipWithIndex.map { case (t, i) => (i, t) },
+      ivs.zipWithIndex.map { case ((s, span), i) => (i, s, s + span) })
+    check("rangeJoin", Prop.forAll(gen) { case (points, ivs) =>
+      val l = points.toDF("pid", "ts")
+      val r = ivs.toDF("iid", "s", "e")
+      val got = RangeJoin.pointInInterval(l, r, "ts", "s", "e",
+          binWidthMicros = 64L * 1000000L)
+        .select(col("pid"), col("range.iid"))
+        .collect().map(x => (x.getInt(0), x.getInt(1))).toSet
+      val want = (for {
+        (pid, t) <- points
+        (iid, s, e) <- ivs
+        if t >= s && t < e
+      } yield (pid, iid)).toSet
+      got == want
+    }, minSuccessful = 10)
+  }
+
   test("asof join agrees with the brute-force definition") {
     val gen = for {
       lefts <- Gen.listOfN(15, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 100L)))

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.SchemaRegistry
+import graft.codec.SchemaRegistry.Compat
+
+/** Subject/version bookkeeping of the registry model: idempotent
+ * registration, global ids, compat gating per level, per-subject
+ * overrides, and the rename-needs-NONE lab flow. */
+class RegistrySpec extends AnyFunSuite {
+
+  private val base = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+  private val addOptional = StructType(base.fields :+
+    StructField("phone", StringType, nullable = true))
+  private val addRequired = StructType(base.fields :+
+    StructField("phone", StringType, nullable = false))
+  private val renamed = StructType(base.fields.map(f =>
+    if (f.name == "name") f.copy(name = "full_name") else f))
+
+  test("register is idempotent and versions/ids grow monotonically") {
+    val reg = new SchemaRegistry()
+    val v1 = reg.register("s-value", base).toOption.get
+    assert(v1.version == 1)
+    assert(reg.register("s-value", base).toOption.get == v1) // same version back
+    val v2 = reg.register("s-value", addOptional).toOption.get
+    assert(v2.version == 2 && v2.id > v1.id)
+    assert(reg.latest("s-value").contains(v2))
+    assert(reg.schemaById(v1.id).contains(v1))
+    // ids are registry-global: a second subject keeps counting
+    val other = reg.register("t-value", base).toOption.get
+    assert(other.version == 1 && other.id > v2.id)
+  }
+
+  test("BACKWARD accepts optional add and drop, rejects required add and retype") {
+    val reg = new SchemaRegistry()
+    reg.register("s", base)
+    assert(reg.register("s", addOptional).isRight)
+    // drop of the optional field (back to base) = compatible... but base
+    // is already version 1, so idempotency returns it; use a fresh drop
+    val dropped = StructType(Seq(base.fields.head))
+    assert(reg.register("s", dropped).isRight)
+    val retyped = StructType(Seq(
+      StructField("id", StringType, nullable = false)))
+    assert(reg.register("s", retyped).isLeft)
+    val reg2 = new SchemaRegistry()
+    reg2.register("s", base)
+    assert(reg2.register("s", addRequired).isLeft)
+  }
+
+  test("FORWARD rejects dropping a required field, accepts adds") {
+    val reg = new SchemaRegistry(Compat.Forward)
+    reg.register("s", base)
+    assert(reg.register("s", addRequired).isRight) // old reader ignores it
+    val droppedRequired = StructType(Seq(base.fields.head))
+    assert(reg.register("s", droppedRequired).isLeft) // old reader needs name
+  }
+
+  test("rename is rejected under BACKWARD and passes after NONE override") {
+    val reg = new SchemaRegistry()
+    reg.register("om.customer-value", base)
+    assert(reg.register("om.customer-value", renamed).isLeft)
+    assert(!reg.testCompatibility("om.customer-value", renamed))
+    reg.setCompat("om.customer-value", Compat.None)
+    assert(reg.compatLevel("om.customer-value") == Compat.None)
+    val v2 = reg.register("om.customer-value", renamed).toOption.get
+    assert(v2.version == 2)
+    // the override is per-subject: a different subject still gates
+    reg.register("other-value", base)
+    assert(reg.register("other-value", renamed).isLeft)
+  }
+
+  test("transitive levels check all versions, not just latest") {
+    val reg = new SchemaRegistry(Compat.BackwardTransitive)
+    reg.register("s", base)
+    reg.register("s", addOptional)
+    // compatible with latest (drops optional phone) AND with v1 (identity
+    // modulo nothing) — passes
+    assert(reg.register("s", base).isRight) // idempotent short-circuit
+    // a retype of a v1 field fails against v1 even if some later schema
+    // dropped that field
+    val reg2 = new SchemaRegistry(Compat.BackwardTransitive)
+    reg2.register("s", base)
+    reg2.register("s", StructType(Seq(base.fields.head))) // dropped name
+    val nameAsInt = StructType(Seq(base.fields.head,
+      StructField("name", IntegerType, nullable = true)))
+    assert(reg2.register("s", nameAsInt).isLeft)
+    // non-transitive BACKWARD would have accepted it (latest lacks name)
+    val reg3 = new SchemaRegistry(Compat.Backward)
+    reg3.register("s", base)
+    reg3.register("s", StructType(Seq(base.fields.head)))
+    assert(reg3.register("s", nameAsInt).isRight)
+  }
+
+  test("deleteSubject forgets versions and the compat override") {
+    val reg = new SchemaRegistry()
+    reg.register("s", base)
+    reg.setCompat("s", Compat.None)
+    reg.deleteSubject("s")
+    assert(reg.versions("s").isEmpty)
+    assert(reg.compatLevel("s") == Compat.Backward)
+    val again = reg.register("s", base).toOption.get
+    assert(again.version == 1 && again.id == 2) // ids never reuse
+  }
+}
