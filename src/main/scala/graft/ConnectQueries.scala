@@ -196,6 +196,26 @@ object ConnectQueries {
     rows.toDF("step", "action", "outcome", "n_versions").orderBy("step")
   }
 
+  /** S6b — the Debezium schema-history topic as data: replay a schema
+   * chain (create → optional add → drop + retype) into its ordered DDL
+   * event stream. Adds auto-apply; drops/retypes surface as `manual`
+   * events, matching the reference's behavior exactly. */
+  def schemaHistoryDdl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v1 = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_name", StringType, nullable = false),
+      StructField("c_acctbal", DoubleType, nullable = true)))
+    val v2 = StructType(v1.fields :+
+      StructField("c_phone", StringType, nullable = true))
+    val v3 = StructType(Seq(v2.fields(0), v2.fields(1),
+      StructField("c_phone", IntegerType, nullable = true)))
+    graft.sinks.SchemaHistory.events("om.customers", Seq("c_custkey"),
+        Seq(v1, v2, v3))
+      .map(e => (e.version, e.change, e.ddl))
+      .toDF("version", "change", "ddl").orderBy("version")
+  }
+
   /** K3 auto.create: target DDL generated from the record schema. */
   def autoCreateDdl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -236,6 +256,7 @@ object ConnectQueries {
     "c1b_json_temporal_decimal" -> (jsonTemporalDecimal _),
     "c3b_avro_temporal_decimal" -> (avroTemporalDecimal _),
     "c5_registry_versions" -> (registryVersions _),
+    "s6b_schema_history_ddl" -> (schemaHistoryDdl _),
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
     "k5_apply_batch_merge" -> (applyBatchMerge _)
@@ -305,7 +326,14 @@ object ConnectQueries {
         |  (3, 'add nullable c_phone', 'v2', 2),
         |  (4, 'rename under BACKWARD', 'rejected', 2),
         |  (5, 'rename under NONE', 'v3', 3))
-        |AS t(step, action, outcome, n_versions) ORDER BY step""".stripMargin
+        |AS t(step, action, outcome, n_versions) ORDER BY step""".stripMargin,
+    "s6b_schema_history_ddl" ->
+      """SELECT * FROM (VALUES
+        |  (1, 'create', 'CREATE TABLE om.customers (c_custkey BIGINT NOT NULL, c_name VARCHAR(4000) NOT NULL, c_acctbal DOUBLE, PRIMARY KEY (c_custkey))'),
+        |  (2, 'alter', 'ALTER TABLE om.customers ADD COLUMN c_phone VARCHAR(4000)'),
+        |  (3, 'manual', '-- NOT auto-applied: DROP COLUMN c_acctbal'),
+        |  (4, 'manual', '-- NOT auto-applied: retype c_phone VARCHAR(4000) -> INTEGER'))
+        |AS t(version, change, ddl) ORDER BY version""".stripMargin
   )
 
   /** Round-trips are identity, so the oracle recomputes the typed base

@@ -142,6 +142,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E3b: IVF with k-means-TRAINED centroids — the production path next
+   * to e3's fixed-centroid verifiable stand-in. Two Lloyd iterations
+   * from the deterministic init, then the identical quantizer. No hash
+   * oracle: distributed float means depend on reduction order, so the
+   * driver records the rows-only check (50 rows = 5 queries × top-10). */
+  def ivfKmeansTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Similarity.trainIvfCentroids(emb, NCells, Dim, iters = 2)
+    Similarity.ivfTopKWith(emb.filter(col("id") < 5), emb, TopK, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** E4: embedding-cosine near-dup — top pairs among LSH cohabitants. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -330,6 +344,7 @@ object LlmQueries {
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
+    "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),

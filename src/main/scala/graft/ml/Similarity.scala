@@ -81,9 +81,9 @@ object Similarity {
 
   /** Cells ranked by centroid score, descending; ties to the smaller
    * cell id. Element shape: struct(s: score, nj: -cellId). */
-  private def rankedCells(vec: Column, cents: Seq[Seq[Long]]): Column = {
+  private def rankedCells(vec: Column, cents: Seq[Seq[Double]]): Column = {
     val pairs = cents.zipWithIndex.map { case (c, j) =>
-      struct(dot(array(c.map(x => lit(x.toDouble)): _*), vec).as("s"),
+      struct(dot(array(c.map(lit): _*), vec).as("s"),
         lit(-j).as("nj"))
     }
     sort_array(array(pairs: _*), asc = false)
@@ -91,11 +91,55 @@ object Similarity {
 
   /** IVF coarse assignment: the best-scoring cell. */
   def ivfAssign(vec: Column, cents: Seq[Seq[Long]]): Column =
+    ivfAssignD(vec, cents.map(_.map(_.toDouble)))
+
+  def ivfAssignD(vec: Column, cents: Seq[Seq[Double]]): Column =
     -element_at(rankedCells(vec, cents), 1).getField("nj")
 
   /** The `nprobe` best cells for a query. */
   def ivfProbes(vec: Column, cents: Seq[Seq[Long]], nprobe: Int): Column =
+    ivfProbesD(vec, cents.map(_.map(_.toDouble)), nprobe)
+
+  def ivfProbesD(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
     transform(slice(rankedCells(vec, cents), 1, nprobe), x => -x.getField("nj"))
+
+  /**
+   * Lloyd's k-means over the corpus, initialized from the deterministic
+   * [[ivfCentroids]] — the production IVF path (the fixed pseudo-random
+   * centroids are the verifiable stand-in; this trains real ones and
+   * they drop into the same quantizer with no plan change).
+   *
+   * Each iteration is one corpus scan: assign (codegen'd [[dot]] per
+   * centroid) → per-cell elementwise sums (ONE shuffle of `nCells × dim`
+   * double partials with map-side combine) → `nCells` rows collected to
+   * the driver. Empty cells keep their previous centroid. At 100 TB the
+   * per-iteration cost is the scan; driver state is `nCells × dim`
+   * doubles. Output depends on float reduction order across partitions
+   * (like every distributed mean), so queries built on trained centroids
+   * carry rows-only oracles, not hash-exact ones.
+   */
+  def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16, dim: Int = 64,
+                        iters: Int = 3): Seq[Seq[Double]] = {
+    var cents = ivfCentroids(nCells, dim).map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = corpus
+        .select(col("vec"), ivfAssignD(col("vec"), cents).as("cell"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("vec"), i + 1).cast(DoubleType))): _*).as("s"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        sums.get(j) match {
+          case Some((n, s)) if n > 0 => s.map(_ / n).toSeq
+          case _ => old
+        }
+      }
+    }
+    cents
+  }
 
   /**
    * ANN via IVF: corpus partitions into cells by nearest centroid;
@@ -105,13 +149,19 @@ object Similarity {
    * nprobe / nCells per query.
    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCells: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame = {
+              nCells: Int = 16, nprobe: Int = 2, dim: Int = 64): DataFrame =
+    ivfTopKWith(queries, corpus, k,
+      ivfCentroids(nCells, dim).map(_.map(_.toDouble)), nprobe)
+
+  /** IVF search against explicit (e.g. [[trainIvfCentroids]]-trained)
+   * centroids — identical mechanics, centroids are plan literals. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  cents: Seq[Seq[Double]], nprobe: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = ivfCentroids(nCells, dim)
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
-      explode(ivfProbes(col("vec"), cents, nprobe)).as("cell"))
+      explode(ivfProbesD(col("vec"), cents, nprobe)).as("cell"))
     val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-      ivfAssign(col("vec"), cents).as("cell"))
+      ivfAssignD(col("vec"), cents).as("cell"))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -258,12 +258,21 @@ object TableSink {
       val s = Files.list(statePath)
       try s.anyMatch(p => p.toString.endsWith(".parquet")) finally s.close()
     }
+    // schema-as-a-stream (Debezium history-topic analog): record the
+    // CREATE on first materialization and every drift event after
+    val table = statePath.getFileName.toString
+    val cur = batch.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val merged =
       if (hasState) {
         val snapshot = spark.read.parquet(sink.path)
+        graft.sinks.SchemaHistory.record(sink.path, table, sink.keys,
+          Some(snapshot.schema), cur)
         MergeSink.applyBatch(snapshot, dropDeletes(sink, batch), sink.keys)
-      } else
+      } else {
+        graft.sinks.SchemaHistory.record(sink.path, table, sink.keys, None, cur)
         MergeSink.materialize(dropDeletes(sink, batch))
+      }
     val tmp = sink.path + ".staging"
     merged.write.mode("overwrite").parquet(tmp)
     deleteRecursive(old)

@@ -162,7 +162,7 @@ object SchemaEvolution {
       }
   }
 
-  private def sqlType(dt: DataType): String = dt match {
+  private[sinks] def sqlType(dt: DataType): String = dt match {
     case IntegerType => "INTEGER"
     case LongType => "BIGINT"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"

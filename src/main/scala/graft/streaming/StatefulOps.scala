@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /**
@@ -54,4 +55,77 @@ object StatefulOps {
           }
       }(Encoders.scalaBoolean, Encoders.row(schema))
   }
+
+  /**
+   * Streaming MinHash near-dup detection — the in-stream complement of
+   * [[graft.text.Dedup.minhashCandidates]]: as documents arrive, each
+   * LSH band bucket remembers the FIRST document that claimed it; a
+   * later document colliding in ANY band is a near-dup candidate of an
+   * earlier one.
+   *
+   * Emits one row per (doc, band): `(doc_id, band_dup)` where
+   * `band_dup` is true iff that band's bucket was already owned by a
+   * different document. The per-document verdict is
+   * `bool_or(band_dup)` grouped by doc — a downstream aggregation,
+   * legal after `flatMapGroupsWithState` in Append mode (see
+   * [[nearDupVerdicts]]).
+   *
+   * Scale: state is ONE long (owner id) per occupied bucket, keyed by
+   * (band, bucket key) — the same partitioning the batch LSH join
+   * shuffles on; `ttlMs` bounds state for unbounded streams. Ties
+   * within a micro-batch resolve by arrival order inside the group
+   * iterator (any owner is a valid dedup representative).
+   */
+  def lshNearDupFlags(docs: DataFrame, idCol: String, textCol: String,
+                      numPerms: Int = 16, bands: Int = 4,
+                      ttlMs: Long = 0L): DataFrame = {
+    import graft.text.Dedup
+    import graft.functions.Hashing
+    val perms = Hashing.minhashPerms(numPerms)
+    val rows = numPerms / bands
+    val banded = docs
+      .select(col(idCol).cast("long").as("_id"),
+        Dedup.tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= 3)
+      .select(col("_id"), Dedup.tokenHashes31(col("_t")).as("_th"))
+      .select(col("_id"), Dedup.shingleHashesFromTokenHashes(col("_th"), 3).as("_h"))
+      .select(col("_id"), Dedup.minhashSignature(col("_h"), perms).as("_sig"))
+      .select(col("_id"),
+        explode(Dedup.lshBands(col("_sig"), bands, rows)).as("_b"))
+      .select(col("_id"), col("_b.band").as("_band"), col("_b.bkey").as("_bkey"))
+    val timeout =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    banded
+      .groupByKey(r => s"${r.getInt(1)}:${r.getString(2)}")(Encoders.STRING)
+      .flatMapGroupsWithState[Long, (Long, Boolean)](
+        OutputMode.Append(), timeout) {
+        (_: String, recs: Iterator[Row], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var owner = state.getOption
+            val out = recs.map { r =>
+              val id = r.getLong(0)
+              owner match {
+                case None => owner = Some(id); (id, false)
+                case Some(o) => (id, o != id)
+              }
+            }.toVector
+            owner.foreach { o =>
+              state.update(o)
+              if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
+      }(Encoders.scalaLong, Encoders.product[(Long, Boolean)])
+      .toDF("doc_id", "band_dup")
+  }
+
+  /** Per-document near-dup verdicts over [[lshNearDupFlags]] output:
+   * `(doc_id, is_dup)` — true iff any band collided with an earlier
+   * document. Run with Update/Complete output mode (it is a streaming
+   * aggregation). */
+  def nearDupVerdicts(flags: DataFrame): DataFrame =
+    flags.groupBy("doc_id")
+      .agg(bool_or(col("band_dup")).as("is_dup"))
 }

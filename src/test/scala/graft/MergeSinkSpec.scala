@@ -58,6 +58,48 @@ class MergeSinkSpec extends SparkSpec {
     assert(out == Set((1, 1, "x2"), (1, 2, "y")))
   }
 
+  test("TableSink records the schema-history stream: CREATE then drift events") {
+    import graft.pipeline.{SinkSpec, TableSink}
+    import graft.sinks.SchemaHistory
+    val base = java.nio.file.Files.createTempDirectory("hist").toString
+    val sink = SinkSpec("table", s"$base/state", Seq("id"))
+    def frame(withExtra: Boolean) = {
+      val df = Seq((1, "a", 1L)).toDF("id", "payload", "s")
+      val f = Connect.toConnectFrame(df, Seq("id"), "t", "s")
+      if (withExtra) f.withColumn("value",
+        col("value").withField("extra", lit(42))) else f
+    }
+    TableSink.applyBatch(spark, sink, frame(withExtra = false))
+    val h1 = SchemaHistory.load(sink.path)
+    assert(h1.size == 1 && h1.head.contains("CREATE TABLE state"))
+    // same schema again: no new events
+    TableSink.applyBatch(spark, sink, frame(withExtra = false))
+    assert(SchemaHistory.load(sink.path).size == 1)
+    // add-only drift: one ALTER event, versions continue
+    TableSink.applyBatch(spark, sink, frame(withExtra = true))
+    val h2 = SchemaHistory.load(sink.path)
+    assert(h2.size == 2)
+    assert(h2.last.contains("\"version\":2"))
+    assert(h2.last.contains("ADD COLUMN extra INTEGER"))
+    // the history file is itself consumable as a table of DDL events
+    val read = spark.read.json(SchemaHistory.historyPath(sink.path).toString)
+    assert(read.count() == 2)
+    assert(read.columns.sorted.toSeq == Seq("change", "ddl", "version"))
+  }
+
+  test("schema history replays a chain incl. manual drop/retype events") {
+    import org.apache.spark.sql.types._
+    import graft.sinks.SchemaHistory
+    val v1 = StructType(Seq(StructField("a", IntegerType, nullable = false)))
+    val v2 = StructType(v1.fields :+ StructField("b", StringType))
+    val v3 = StructType(Seq(v1.fields.head, StructField("b", LongType)))
+    val evs = SchemaHistory.events("t", Seq("a"), Seq(v1, v2, v3))
+    assert(evs.map(_.version) == Seq(1, 2, 3))
+    assert(evs.map(_.change) == Seq("create", "alter", "manual"))
+    assert(evs(1).ddl == "ALTER TABLE t ADD COLUMN b VARCHAR(4000)")
+    assert(evs(2).ddl.contains("retype b VARCHAR(4000) -> BIGINT"))
+  }
+
   test("schema diff reports add/drop/retype; DDL generation") {
     import org.apache.spark.sql.types._
     val t = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))

@@ -71,6 +71,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == (3L, 3))
   }
 
+  test("k-means IVF: training converges on clustered data, recall matches brute force") {
+    // 4 well-separated clusters on the axes of a 4-dim space; every
+    // point gets a distinct small off-axis offset so similarities are
+    // tie-free
+    val vecs = (0 until 60).map { i =>
+      val c = i % 4
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v((c + 1) % 4) = 0.001f * (i + 1)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val init = Similarity.ivfCentroids(4, 4).map(_.map(_.toDouble))
+    val cents = Similarity.trainIvfCentroids(df, nCells = 4, dim = 4, iters = 3)
+    assert(cents != init) // training actually moved the centroids
+    // single-probe search against trained cells reproduces the exact
+    // brute-force top-5 (same-cluster points co-locate in one cell)
+    val queries = df.filter(col("id") < 4)
+    val got = Similarity.ivfTopKWith(queries, df, 5, cents, nprobe = 1)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(queries, df, 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("langId picks the profile with most marker hits; und when none") {
     val out = Seq(
       (1, "the cat and the dog is here"),

@@ -31,6 +31,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup: exact/near dups flagged across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val flags = StatefulOps.lshNearDupFlags(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = StatefulOps.nearDupVerdicts(flags)
+      .writeStream.format("memory")
+      .queryName("neardup_out").outputMode("complete").start()
+    try {
+      in.addData(
+        1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "completely different words entirely here now today")
+      q.processAllAvailable()
+      in.addData(
+        3L -> "the quick brown fox jumps over the lazy dog", // exact dup of 1
+        4L -> "the quick brown fox jumps over the lazy cat", // near dup of 1
+        5L -> "unrelated fresh content with novel vocabulary throughout")
+      q.processAllAvailable()
+      val v = spark.table("neardup_out")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!v(1L) && !v(2L) && !v(5L)) // firsts and unrelated survive
+      assert(v(3L))                      // exact dup flagged (all bands collide)
+      assert(v(4L))                      // near dup flagged (some band collides)
+    } finally q.stop()
+  }
+
   test("watermark drops late events from windowed aggregation") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
