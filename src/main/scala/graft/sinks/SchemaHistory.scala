@@ -81,7 +81,9 @@ object SchemaHistory {
     if (evs.nonEmpty) {
       val lines = evs.map(e =>
         s"""{"version":${e.version},"change":"${esc(e.change)}","ddl":"${esc(e.ddl)}"}""")
-      Files.writeString(historyPath(sinkPath), lines.mkString("", "\n", "\n"),
+      val p = historyPath(sinkPath)
+      Option(p.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(p, lines.mkString("", "\n", "\n"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
   }
