@@ -267,14 +267,18 @@ object LlmQueries {
     val terms = docs
       .select(col("doc_id"), explode(Dedup.tokens(lower(col("text")))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df derives FROM tf (one row per (doc, term) ⇒ count per term =
-    // document frequency): the corpus tokenizes once, and both branches
-    // share tf's aggregation exchange (ReuseExchange), instead of a
-    // second tokenize+explode+distinct pass over the documents
-    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df derives FROM tf as a window count over `term` (tf has one row
+    // per (doc, term), so rows-per-term IS document frequency): the
+    // corpus tokenizes ONCE and no join is needed. A separate
+    // `tf.groupBy(term).count` branch does NOT get exchange-reused —
+    // column pruning strips the count from the df side, so the subtrees
+    // differ and the tokenize runs twice (verified in the plan;
+    // PlanQualitySpec pins the single-scan shape).
+    val wTerm = Window.partitionBy("term")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df_, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * (col("nd") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)

@@ -99,7 +99,9 @@ object RelationalQueries {
 
   /** J1: JSON functions — extract from the events.props JSON column via
    * both `get_json_object` (path probe) and `from_json` (typed parse),
-   * then aggregate. */
+   * then aggregate. The props column is deliberately parsed TWICE (k and
+   * k2) to exercise both APIs side by side — coverage, not the plan
+   * you'd write in production (one `from_json` serves both). */
   def jsonFunctions(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "events")
       .select(
@@ -109,6 +111,23 @@ object RelationalQueries {
       .groupBy(pmod(col("k"), lit(10)).as("bucket"))
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k2").as("max_k"))
       .orderBy("bucket")
+
+  /** Q9: pivot — event counts per user-id bucket, one column per event
+   * type, as conditional aggregates over DECLARED values. Two deliberate
+   * plan choices for scale: declared values (an undiscovered `.pivot`
+   * runs an eager distinct job at plan time and makes the schema
+   * data-dependent), and `count(when(...))` instead of `.pivot(...)`
+   * (whose pivotfirst compiles to TWO shuffles — (bucket, type) agg then
+   * bucket agg; conditionals are one map-side-combined shuffle). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    T(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(cols.head, cols.tail: _*)
+      .orderBy("user_bucket")
+  }
 
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
@@ -150,6 +169,7 @@ object RelationalQueries {
     "q7_asof_join" -> (asofJoin _),
     "q8_range_join" -> (rangeJoin _),
     "j1_json_functions" -> (jsonFunctions _),
+    "q9_pivot" -> (pivotAgg _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -211,6 +231,14 @@ object RelationalQueries {
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
         |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q9_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

@@ -38,6 +38,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"))
   }
 
+  test("tf-idf is one-pass: the corpus scans exactly once") {
+    // df comes from a window over term on tf — a second groupBy branch
+    // loses exchange reuse (column pruning strips its count), silently
+    // re-tokenizing the whole corpus. The document TEXT must be read by
+    // exactly one scan; the only other corpus scan is the zero-column
+    // count-star for N (metadata-only, ReadSchema: struct<>)
+    val df = LlmQueries.tfIdfTopTerms(spark, dir)
+    assert("text:string".r.findAllIn(plan(df)).size == 1)
+  }
+
+  test("pivot via conditional aggregates plans one shuffle, no distinct job") {
+    val df = RelationalQueries.pivotAgg(spark, dir)
+    val p = plan(df)
+    // single aggregation chain: partial + final = exactly one hash
+    // exchange before the output sort (`.pivot` would add a second)
+    assert(p.contains("HashAggregate"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("decontamination: rare-postings subtree is cached, derived once") {
+    import graft.operators.CacheScope
+    import graft.text.Dedup
+    CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val d = Dedup.decontaminate(docs, "doc_id", "text",
+        benchPred = col("doc_id") < 20)
+      d.count()
+      // both the bench and train branches read the persisted postings:
+      // the executed plan shows InMemoryTableScan (cache hits), and the
+      // tokenize+hash scan appears under at most one live subtree
+      assert(plan(d).contains("InMemoryTableScan"))
+    }
+  }
+
   test("approximate sketches: HLL distinct and CountMinSketch frequency") {
     val o = spark.read.parquet(s"$dir/orders.parquet")
     val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
