@@ -224,6 +224,36 @@ object ConnectQueries {
     Seq(("om.lineitem", ddl)).toDF("tbl", "ddl")
   }
 
+  /** K6 — the delta-versioned keyed sink end-to-end: three batches
+   * (snapshot, updates, tombstones) append three O(batch) delta
+   * versions, compaction folds them, and the merged read matches the
+   * classic last-write-wins oracle. This is the scale path replacing
+   * TableSink's full-state rewrite. */
+  def logTableMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LogTable
+    val path = s"target/tmp/logtable_${new java.io.File(dir).getName}"
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.delete(p))
+    val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    def frame(df: DataFrame, seqV: Int, tombstone: Boolean): DataFrame =
+      df.select(struct(col("c_custkey")).as("key"),
+        when(lit(!tombstone),
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal"))).as("value"),
+        lit(seqV.toLong).as("seq"))
+    LogTable.applyBatch(s, path,
+      frame(c.filter(col("c_custkey") % 3 === 0), 1, tombstone = false), Seq("c_custkey"))
+    LogTable.applyBatch(s, path,
+      frame(c.filter(col("c_custkey") % 6 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100), 2, tombstone = false), Seq("c_custkey"))
+    LogTable.applyBatch(s, path,
+      frame(c.filter(col("c_custkey") % 9 === 0), 3, tombstone = true), Seq("c_custkey"))
+    LogTable.compact(s, path, Seq("c_custkey"))
+    LogTable.read(s, path, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
   /** K1+K4 applyBatch: a changelog (inserts + updates + tombstones)
    * merged over an existing snapshot — the foreachBatch body of the
    * table-state sink. */
@@ -259,7 +289,8 @@ object ConnectQueries {
     "s6b_schema_history_ddl" -> (schemaHistoryDdl _),
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
-    "k5_apply_batch_merge" -> (applyBatchMerge _)
+    "k5_apply_batch_merge" -> (applyBatchMerge _),
+    "k6_logtable_merge" -> (logTableMerge _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -327,6 +358,11 @@ object ConnectQueries {
         |  (4, 'rename under BACKWARD', 'rejected', 2),
         |  (5, 'rename under NONE', 'v3', 3))
         |AS t(step, action, outcome, n_versions) ORDER BY step""".stripMargin,
+    "k6_logtable_merge" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     "s6b_schema_history_ddl" ->
       """SELECT * FROM (VALUES
         |  (1, 'create', 'CREATE TABLE om.customers (c_custkey BIGINT NOT NULL, c_name VARCHAR(4000) NOT NULL, c_acctbal DOUBLE, PRIMARY KEY (c_custkey))'),

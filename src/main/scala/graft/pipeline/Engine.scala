@@ -132,7 +132,7 @@ final class Engine(spark: SparkSession, root: String) {
     // name a real ordering column (kafka carries its offset, rate its
     // monotonic `value`). Append sinks keep every row — a synthetic seq
     // is harmless there.
-    if (spec.sink.kind == "table" && spec.source.seqColumn.isEmpty &&
+    if (Set("table", "logtable")(spec.sink.kind) && spec.source.seqColumn.isEmpty &&
         spec.source.kind != "kafka" && spec.source.kind != "rate")
       throw new IllegalArgumentException(
         s"table sink requires source.seqColumn (the offset analog) for " +
@@ -154,6 +154,17 @@ final class Engine(spark: SparkSession, root: String) {
       case "table" =>
         writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
           TableSink.applyBatch(spark, sink, batch)
+        }.start()
+      case "logtable" =>
+        // delta-versioned keyed sink: O(batch) writes (TableSink rewrites
+        // full state — its documented scale limit); read-side merge cost
+        // bounded by compacting once the log grows past 8 versions
+        writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = if (sink.deleteEnabled) batch
+                  else batch.filter(col(Connect.ValueCol).isNotNull)
+          graft.sinks.LogTable.applyBatch(spark, sink.path, b, sink.keys)
+          if (graft.sinks.LogTable.versions(sink.path).size >= 8)
+            graft.sinks.LogTable.compact(spark, sink.path, sink.keys)
         }.start()
       case "append" =>
         // topic routing (T3 RegexRouter) lands here: one directory

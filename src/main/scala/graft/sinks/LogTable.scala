@@ -1,0 +1,145 @@
+package graft.sinks
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Versioned keyed table — a miniature transaction-log format that
+ * removes [[graft.pipeline.TableSink]]'s documented scale limit (full
+ * state rewrite per batch). The idea is Delta/Iceberg's, reduced to the
+ * piece the keyed sink needs:
+ *
+ *  - each batch appends ONE delta version holding only that batch's
+ *    last-per-key rows (tombstones travel as marker rows) — write cost
+ *    is O(batch), never O(state);
+ *  - reads merge the versions by (version, seq) last-write-wins —
+ *    cost bounded by compaction cadence;
+ *  - [[compact]] folds everything into a single version that KEEPS
+ *    tombstone markers, so a crash between the compacted write and the
+ *    old-version cleanup re-merges to the identical state (replay-safe,
+ *    like every other graft merge path).
+ *
+ * Commit protocol: write to a hidden temp dir, then a single atomic
+ * directory rename to `v%08d` — a version either exists completely or
+ * not at all; leftover temp dirs are ignored by readers and swept by
+ * the next writer. (A distributed object store would use a manifest
+ * commit instead; the version-listing contract is the same.)
+ */
+object LogTable {
+
+  private val VersionRe = "v(\\d{8})".r
+
+  private def versionDirs(path: String): Seq[(Int, Path)] = {
+    val root = Paths.get(path)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString match {
+          case VersionRe(n) => Some(n.toInt -> p)
+          case _ => None
+        }).toSeq.sortBy(_._1)
+      finally s.close()
+    }
+  }
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  /** Append one batch (connect frame: key struct, value struct or NULL
+   * tombstone, seq) as the next delta version. */
+  def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
+                 keys: Seq[String]): Unit = {
+    sweepTemp(path)
+    val keyed = flatten(batch)
+    val delta = MergeSink.lastPerKey(keyed, keys, "seq")
+    val n = versionDirs(path).lastOption.map(_._1 + 1).getOrElse(1)
+    commit(path, n, delta)
+  }
+
+  /** Current table state: merge all versions, newest (version, seq)
+   * wins per key, tombstoned keys dropped. One shuffle over the deltas
+   * (and the base, if compacted). */
+  def read(spark: SparkSession, path: String, keys: Seq[String]): DataFrame = {
+    val vs = versionDirs(path)
+    require(vs.nonEmpty, s"no committed versions under $path")
+    val all = vs.map { case (n, p) =>
+      spark.read.parquet(p.toString).withColumn("_v", lit(n))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val merged = MergeSink.lastPerKey(
+      all.withColumn("_ord", struct(col("_v"), col("seq"))), keys, "_ord")
+    merged.filter(!col("_tombstone"))
+      .drop("_tombstone", "_v", "_ord", "seq")
+  }
+
+  /** Fold all versions into one. Tombstone markers are preserved so the
+   * compacted base re-merges idempotently with any delta a crash left
+   * behind; old versions are deleted only after the new base commits. */
+  def compact(spark: SparkSession, path: String, keys: Seq[String]): Unit = {
+    val vs = versionDirs(path)
+    if (vs.size <= 1) return
+    val all = vs.map { case (n, p) =>
+      spark.read.parquet(p.toString).withColumn("_v", lit(n))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val merged = MergeSink.lastPerKey(
+        all.withColumn("_ord", struct(col("_v"), col("seq"))), keys, "_ord")
+      .drop("_v", "_ord") // seq rides along in the payload unchanged
+    commit(path, vs.last._1 + 1, merged)
+    vs.foreach { case (_, p) => deleteRecursive(p) }
+  }
+
+  def versions(path: String): Seq[Int] = versionDirs(path).map(_._1)
+
+  /** Flatten a connect frame to (key fields..., payload..., _tombstone,
+   * seq) rows — tombstones become marker rows carrying only their key.
+   * Key columns keep their struct-field names (the names `keys`
+   * callers pass); same-named value fields are the key's copy and drop. */
+  private def flatten(batch: DataFrame): DataFrame = {
+    val (keyNames, keyCols) = batch.schema("key").dataType match {
+      case s: org.apache.spark.sql.types.StructType =>
+        (s.fieldNames.toSeq, s.fieldNames.toSeq.map(f => col(s"key.$f").as(f)))
+      case _ => (Seq("key"), Seq(col("key")))
+    }
+    // value-struct copies of the key fields and of the frame-level
+    // `seq` (Engine frames carry the ordering column in both places)
+    // would collide with the flattened columns — the frame's own are
+    // authoritative, the copies drop
+    val valueFields = batch.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq
+      .filterNot(f => keyNames.contains(f) || f == "seq" || f == "_tombstone")
+    batch.select(
+      keyCols ++
+        valueFields.map(f => col(s"value.$f").as(f)) ++
+        Seq(col("value").isNull.as("_tombstone"), col("seq")): _*)
+  }
+
+  private def commit(path: String, n: Int, df: DataFrame): Unit = {
+    Files.createDirectories(Paths.get(path))
+    val tmp = Paths.get(path, f".tmp-v$n%08d")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, Paths.get(path, f"v$n%08d"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def sweepTemp(path: String): Unit = {
+    val root = Paths.get(path)
+    if (Files.isDirectory(root)) {
+      val s = Files.list(root)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".tmp-v"))
+        .foreach(deleteRecursive)
+      finally s.close()
+    }
+  }
+
+  private def deleteRecursive(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}
