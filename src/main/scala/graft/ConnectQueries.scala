@@ -232,11 +232,7 @@ object ConnectQueries {
   def logTableMerge(s: SparkSession, dir: String): DataFrame = {
     import graft.sinks.LogTable
     val path = s"target/tmp/logtable_${new java.io.File(dir).getName}"
-    val root = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.delete(p))
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(path)) // fresh run
     val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
     def frame(df: DataFrame, seqV: Int, tombstone: Boolean): DataFrame =
       df.select(struct(col("c_custkey")).as("key"),

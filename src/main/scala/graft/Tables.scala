@@ -42,7 +42,10 @@ object Tables {
    * that per call tripled their wall time at bench scale. Keyed by
    * SparkContext so a restarted context never serves a frame bound to a
    * stopped one; only the (tiny) analyzed plan is held, no data is
-   * pinned. */
+   * pinned. The plan's file listing freezes at first read — fine HERE
+   * because `Tables` reads the driver's immutable testdata by contract;
+   * a general-purpose reader over mutable paths must re-list (read
+   * through `spark.read` directly, not this cache). */
   private val eventsCache =
     scala.collection.concurrent.TrieMap.empty[(org.apache.spark.SparkContext, String), DataFrame]
 }

@@ -205,7 +205,10 @@ final class Engine(spark: SparkSession, root: String) {
           .option("startingOffsets", "earliest")
           .load()
       catch {
-        case e: Exception =>
+        // ONLY the missing-data-source condition gets relabeled; with
+        // the jars present, real errors (bad options, auth) must
+        // surface as themselves
+        case e: Exception if isMissingDataSource(e) =>
           throw new IllegalStateException(
             "kafka source declared but the Kafka connector jars are " +
               "unavailable in this environment; add the " +
@@ -214,6 +217,12 @@ final class Engine(spark: SparkSession, root: String) {
       }
     case other => throw new IllegalArgumentException(s"unknown source '$other'")
   }
+
+  private def isMissingDataSource(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists(t =>
+      t.isInstanceOf[ClassNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("DATA_SOURCE_NOT_FOUND") || m.contains("Failed to find")))
 
   /** Lift raw rows into the connect-frame convention. A `__deleted`
    * column (Debezium's soft-delete marker) turns rows into tombstones.
@@ -225,17 +234,37 @@ final class Engine(spark: SparkSession, root: String) {
     if (s.kind == "kafka") {
       val sc = s.schema.getOrElse(throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value"))
+      val keySchema = org.apache.spark.sql.types.StructType(
+        sc.fields.filter(f => s.keyFields.contains(f.name)))
+      // A tombstone's key CANNOT come from the (null) value — decode the
+      // Kafka key itself: a struct key parses as a JSON object (envelope
+      // or bare, the decode sniffs), a bare scalar key falls back to a
+      // direct cast into the single key field. Live records still lift
+      // the key from the decoded value (it is authoritative post-SMT).
+      val rawKey = col("key").cast("string")
+      val parsedKey = graft.codec.JsonEnvelope.decode(rawKey, keySchema)
+      val scalarKey =
+        if (s.keyFields.size == 1)
+          struct(rawKey.cast(keySchema.fields.head.dataType)
+            .as(s.keyFields.head))
+        else lit(null).cast(keySchema)
       return df
         .withColumn("_v",
           graft.codec.JsonEnvelope.decode(col("value").cast("string"), sc))
         .select(
-          struct(s.keyFields.map(f => col(s"_v.$f")).toIndexedSeq: _*).as(Connect.KeyCol),
+          when(col("_v").isNotNull,
+            struct(s.keyFields.map(f => col(s"_v.$f")).toIndexedSeq: _*))
+            .otherwise(coalesce(parsedKey, scalarKey)).as(Connect.KeyCol),
           col("_v").as(Connect.ValueCol), // null kafka value stays a tombstone
           col("topic").as(Connect.TopicCol),
           col("offset").cast("long").as(Connect.SeqCol))
     }
-    val seqCol = s.seqColumn.map(col)
-      .getOrElse(monotonically_increasing_id())
+    val seqCol = s.seqColumn.map(col).getOrElse {
+      // rate's own monotonic `value` IS an arrival order — the layout-
+      // dependent fallback id is only for append sinks (the start()
+      // guard refuses it for keyed merges)
+      if (s.kind == "rate") col("value") else monotonically_increasing_id()
+    }
     val dataCols = df.columns.filterNot(_ == "__deleted")
     val value = struct(dataCols.map(col).toIndexedSeq: _*)
     val tomb = if (df.columns.contains("__deleted"))
@@ -286,18 +315,13 @@ object TableSink {
       }
     val tmp = sink.path + ".staging"
     merged.write.mode("overwrite").parquet(tmp)
-    deleteRecursive(old)
+    graft.util.Fs.deleteRecursive(old)
     if (Files.exists(statePath)) Files.move(statePath, old)
     Files.move(Paths.get(tmp), statePath)
-    deleteRecursive(old)
+    graft.util.Fs.deleteRecursive(old)
   }
 
   private def dropDeletes(sink: SinkSpec, batch: DataFrame): DataFrame =
     if (sink.deleteEnabled) batch
     else batch.filter(col(Connect.ValueCol).isNotNull) // tombstones ignored
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

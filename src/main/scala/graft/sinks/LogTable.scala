@@ -1,10 +1,13 @@
 package graft.sinks
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.util.Fs
 
 /**
  * Versioned keyed table — a miniature transaction-log format that
@@ -43,11 +46,6 @@ object LogTable {
           case _ => None
         }).toSeq.sortBy(_._1)
       finally s.close()
-    }
-  }
-  private implicit class IterOps[A](it: java.util.Iterator[A]) {
-    def asScala: Iterator[A] = new Iterator[A] {
-      def hasNext = it.hasNext; def next() = it.next()
     }
   }
 
@@ -90,7 +88,7 @@ object LogTable {
         all.withColumn("_ord", struct(col("_v"), col("seq"))), keys, "_ord")
       .drop("_v", "_ord") // seq rides along in the payload unchanged
     commit(path, vs.last._1 + 1, merged)
-    vs.foreach { case (_, p) => deleteRecursive(p) }
+    vs.foreach { case (_, p) => Fs.deleteRecursive(p) }
   }
 
   def versions(path: String): Seq[Int] = versionDirs(path).map(_._1)
@@ -133,13 +131,8 @@ object LogTable {
       val s = Files.list(root)
       try s.iterator().asScala
         .filter(_.getFileName.toString.startsWith(".tmp-v"))
-        .foreach(deleteRecursive)
+        .foreach(Fs.deleteRecursive)
       finally s.close()
     }
   }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

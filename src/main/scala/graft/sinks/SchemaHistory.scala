@@ -69,15 +69,21 @@ object SchemaHistory {
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Append the events of one observed transition (or the initial
-   * CREATE), continuing the stored version sequence. */
+   * CREATE), continuing the stored version sequence. Idempotent per
+   * DDL: an event whose ddl line is already in the history is skipped,
+   * so a batch retry, or a persistently drifted writer (the add-only
+   * merge keeps evolved columns an older incoming schema never
+   * re-declares), cannot grow the file without bound. */
   def record(sinkPath: String, table: String, pks: Seq[String],
              prev: Option[StructType], cur: StructType): Unit = {
-    val evs = prev match {
-      case None => events(table, pks, Seq(cur))
-      case Some(p) => transition(table, p, cur).zipWithIndex.map {
-        case ((change, ddl), i) => Event(storedCount(sinkPath) + i + 1, change, ddl)
+    val seen = load(sinkPath)
+    val evs = (prev match {
+      case None => events(table, pks, Seq(cur)).map(e => (e.change, e.ddl))
+      case Some(p) => transition(table, p, cur)
+    }).filterNot { case (_, ddl) => seen.exists(_.contains(esc(ddl))) }
+      .zipWithIndex.map { case ((change, ddl), i) =>
+        Event(seen.size + i + 1, change, ddl)
       }
-    }
     if (evs.nonEmpty) {
       val lines = evs.map(e =>
         s"""{"version":${e.version},"change":"${esc(e.change)}","ddl":"${esc(e.ddl)}"}""")
@@ -86,12 +92,6 @@ object SchemaHistory {
       Files.writeString(p, lines.mkString("", "\n", "\n"),
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
-  }
-
-  private def storedCount(sinkPath: String): Int = {
-    val p = historyPath(sinkPath)
-    if (!Files.exists(p)) 0
-    else Files.readString(p).linesIterator.count(_.nonEmpty)
   }
 
   /** The stored history, oldest first (empty if none recorded). */

@@ -133,7 +133,11 @@ object Incremental {
       case Timestamp(_) | TimestampIncrementing(_, _) =>
         val tz = batch.sparkSession.conf
           .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
-        if (tz != "UTC")
+        // normalize before comparing: Etc/UTC, GMT, +00:00 are all UTC
+        val isUtc = try
+          java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+        catch { case _: Exception => false }
+        if (!isUtc)
           throw new IllegalStateException(
             s"timestamp-mode polling requires spark.sql.session.timeZone=UTC " +
               s"(watermark predicates render UTC wall-clock strings); session " +

@@ -25,6 +25,11 @@ object StatefulOps {
    * Emit only the FIRST record seen for each key (by `keyCols`), across
    * all micro-batches. `ttlMs` > 0 expires key state after that many ms
    * of processing time (bounded-state mode for unbounded key domains).
+   *
+   * State-format note: the group key uses the length-prefixed encoding
+   * below. Checkpoints written by an earlier encoding (plain separator
+   * join) do not resolve against it — restart such a query from a fresh
+   * checkpoint.
    */
   def dedupByKey(df: DataFrame, keyCols: Seq[String],
                  ttlMs: Long = 0L): DataFrame = {
