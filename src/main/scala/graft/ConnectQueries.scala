@@ -161,6 +161,29 @@ object ConnectQueries {
       .orderBy("change", "field")
   }
 
+  /** C3c — the Confluent wire format end-to-end: payloads framed with
+   * magic byte + registry schema id, decoded via Avro schema RESOLUTION
+   * (writer = the embedded id's version, reader = the subject's latest).
+   * The reader here is an evolved v2 with an added optional field, so
+   * v1-encoded rows decode with its null default — the
+   * producers-run-old-versions flow the registry labs exercise. */
+  def avroRegistryFramed(s: SparkSession, dir: String): DataFrame = {
+    val registry = new graft.codec.SchemaRegistry()
+    val subject = "om.nation-value"
+    val frame = Connect.toConnectFrame(
+      T(s, dir, "nation"), Seq("n_nationkey"), "om.nation", "n_nationkey")
+    val encoded = AvroCodec.encodeFramed(frame, registry, subject) // v1
+    val v1 = frame.schema("value").dataType.asInstanceOf[StructType]
+    registry.register(subject,
+      StructType(v1.fields :+ StructField("n_note", StringType, nullable = true)))
+    AvroCodec.decodeFramed(encoded, registry, subject)
+      .select(col("value.n_nationkey").as("n_nationkey"),
+        col("value.n_name").as("n_name"),
+        col("value.n_regionkey").as("n_regionkey"),
+        col("value.n_note").as("n_note"))
+      .orderBy("n_nationkey")
+  }
+
   /** C5 registry subject/version bookkeeping — the lab's evolution
    * script against one subject: base registers as v1, a duplicate
    * register is idempotent (same version back), an optional add passes
@@ -281,6 +304,7 @@ object ConnectQueries {
     "c3_avro_roundtrip" -> (avroRoundTrip _),
     "c1b_json_temporal_decimal" -> (jsonTemporalDecimal _),
     "c3b_avro_temporal_decimal" -> (avroTemporalDecimal _),
+    "c3c_avro_registry_framed" -> (avroRegistryFramed _),
     "c5_registry_versions" -> (registryVersions _),
     "s6b_schema_history_ddl" -> (schemaHistoryDdl _),
     "c4_schema_compat" -> (schemaCompat _),
@@ -346,6 +370,9 @@ object ConnectQueries {
         |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin,
     "c1b_json_temporal_decimal" -> temporalDecimalOracle,
     "c3b_avro_temporal_decimal" -> temporalDecimalOracle,
+    "c3c_avro_registry_framed" ->
+      """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_note
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "c5_registry_versions" ->
       """SELECT * FROM (VALUES
         |  (1, 'register base', 'v1', 1),

@@ -44,8 +44,12 @@ object AvroCodec {
         throw new IllegalArgumentException(s"no Avro mapping for $other")
     }
     val fields = s.fields.map { f =>
-      val t = if (f.nullable) s"""["null",${prim(f.dataType)}]""" else prim(f.dataType)
-      s"""{"name":"${f.name}","type":$t}"""
+      // nullable fields carry "default": null — required for Avro schema
+      // RESOLUTION (a reader with an added optional field must be able
+      // to fill it when the writer schema lacks it)
+      if (f.nullable)
+        s"""{"name":"${f.name}","type":["null",${prim(f.dataType)}],"default":null}"""
+      else s"""{"name":"${f.name}","type":${prim(f.dataType)}}"""
     }
     s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
   }
@@ -111,6 +115,78 @@ object AvroCodec {
   def roundTrip(df: DataFrame, column: String = "value"): DataFrame = {
     val structSchema = df.schema(column).dataType.asInstanceOf[StructType]
     decode(encode(df, column), structSchema, column)
+  }
+
+  // ---- Confluent wire framing (magic byte + schema id) -------------------
+
+  /** Prefix Avro payloads with the Confluent wire header — magic byte
+   * `0x00` then the registry schema id as a big-endian int32 — after
+   * registering the frame's schema under `subject` (the AvroConverter's
+   * serialize path, `실습수행/Schema Registry 기반의 Connector 구성
+   * 실습.md:90-146`). Registration is idempotent and compat-gated by
+   * the registry's level for the subject. */
+  def encodeFramed(df: DataFrame, registry: SchemaRegistry, subject: String,
+                   column: String = "value"): DataFrame = {
+    val structSchema = df.schema(column).dataType.asInstanceOf[StructType]
+    val reg = registry.register(subject, structSchema)
+      .fold(err => throw new IllegalStateException(err), identity)
+    val header = java.nio.ByteBuffer.allocate(5)
+      .put(0: Byte).putInt(reg.id).array()
+    encode(df, column).withColumn(column,
+      when(col(column).isNotNull, concat(lit(header), col(column))))
+  }
+
+  /**
+   * Decode Confluent-framed payloads: the embedded id selects the
+   * WRITER schema from the registry, the subject's LATEST version is
+   * the READER schema, and Avro schema resolution bridges them — an
+   * added optional reader field fills with its null default, a field
+   * the reader dropped is skipped. This is exactly how the sink side
+   * keeps consuming while producers run older (or newer) versions.
+   */
+  def decodeFramed(df: DataFrame, registry: SchemaRegistry, subject: String,
+                   column: String = "value"): DataFrame = {
+    val spark = df.sparkSession
+    val reader = registry.latest(subject).getOrElse(
+      throw new NoSuchElementException(s"no versions for $subject")).schema
+    // driver-side snapshot of id -> writer avro json (serializable)
+    val writers: Map[Int, String] = registry.versions(subject)
+      .map(r => r.id -> avroSchemaJson(r.schema)).toMap
+    val readerJson = avroSchemaJson(reader)
+    val inIdx = df.schema.fieldIndex(column)
+    val outSchema = StructType(df.schema.fields.updated(inIdx,
+      StructField(column, reader, nullable = true)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      // one fresh Parser per parse: all record schemas share the name
+      // "record0", and a reused Parser rejects the "redefinition"
+      val readerSchema = new Schema.Parser().parse(readerJson)
+      val writerSchemas = scala.collection.mutable.HashMap.empty[Int, Schema]
+      val readers = scala.collection.mutable.HashMap
+        .empty[Int, GenericDatumReader[GenericRecord]]
+      rows.map { r =>
+        val vals = r.toSeq.toArray
+        vals(inIdx) =
+          if (r.isNullAt(inIdx)) null
+          else {
+            val bytes = r.getAs[Array[Byte]](inIdx)
+            require(bytes.length >= 5 && bytes(0) == 0,
+              s"not a Confluent-framed payload (magic=${bytes.headOption})")
+            val id = java.nio.ByteBuffer.wrap(bytes, 1, 4).getInt
+            val rd = readers.getOrElseUpdate(id, {
+              val w = writerSchemas.getOrElseUpdate(id,
+                new Schema.Parser().parse(writers.getOrElse(id,
+                  throw new NoSuchElementException(
+                    s"schema id $id not in registry subject"))))
+              new GenericDatumReader[GenericRecord](w, readerSchema)
+            })
+            val dec = DecoderFactory.get()
+              .binaryDecoder(bytes, 5, bytes.length - 5, null)
+            fromAvro(rd.read(null, dec), reader)
+          }
+        Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   private def toAvro(row: Row, st: StructType, avro: Schema): GenericRecord = {

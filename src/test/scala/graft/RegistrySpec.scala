@@ -95,6 +95,39 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg3.register("s", nameAsInt).isRight)
   }
 
+  test("Confluent framing: header carries the id; mixed-version stream resolves") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.codec.AvroCodec
+    import graft.model.Connect
+    val reg = new SchemaRegistry()
+    val subject = "s-value"
+    def frame(rows: Seq[(Int, String)], extra: Boolean) = {
+      val df = if (extra)
+        rows.toDF("id", "v").withColumn("w", concat(col("v"), lit("!")))
+      else rows.toDF("id", "v")
+      Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    }
+    // batch 1 under v1, batch 2 under evolved v2 (adds optional w)
+    val b1 = AvroCodec.encodeFramed(frame(Seq(1 -> "a", 2 -> "b"), extra = false),
+      reg, subject)
+    val b2 = AvroCodec.encodeFramed(frame(Seq(3 -> "c"), extra = true),
+      reg, subject)
+    assert(reg.versions(subject).map(_.version) == Seq(1, 2))
+    // wire header: magic 0x00 + big-endian id of the writer's version
+    val head = b1.select(col("value")).head().getAs[Array[Byte]](0).take(5)
+    val expectId = reg.versions(subject).head.id
+    assert(head(0) == 0 &&
+      java.nio.ByteBuffer.wrap(head, 1, 4).getInt == expectId)
+    // one decode over BOTH versions: v1 rows fill w with the null default
+    val all = b1.unionByName(b2)
+    val out = AvroCodec.decodeFramed(all, reg, subject)
+      .select(col("value.id"), col("value.v"), col("value.w"))
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(out == Set((1, "a", None), (2, "b", None), (3, "c", Some("c!"))))
+  }
+
   test("deleteSubject forgets versions and the compat override") {
     val reg = new SchemaRegistry()
     reg.register("s", base)
