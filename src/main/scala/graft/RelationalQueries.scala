@@ -129,6 +129,30 @@ object RelationalQueries {
       .orderBy("user_bucket")
   }
 
+  /** Q10: TPC-H Q3 shape through the SQL STRING entry point — temp
+   * views + `spark.sql` — proving the engine's tables are consumable
+   * from plain SQL, not just the DataFrame API. Catalyst compiles this
+   * to the identical plan the DataFrame version would get (broadcast or
+   * shuffled joins by size, partial+final agg, TakeOrdered top-k). */
+  def tpchQ3Sql(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("v_customer")
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    T(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT l_orderkey,
+        CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+          AS DOUBLE) AS revenue,
+        o_orderdate, o_orderpriority
+      FROM v_customer
+      JOIN v_orders ON c_custkey = o_custkey
+      JOIN v_lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""")
+  }
+
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -170,6 +194,7 @@ object RelationalQueries {
     "q8_range_join" -> (rangeJoin _),
     "j1_json_functions" -> (jsonFunctions _),
     "q9_pivot" -> (pivotAgg _),
+    "q10_tpch_q3_sql" -> (tpchQ3Sql _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -239,6 +264,18 @@ object RelationalQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q10_tpch_q3_sql" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

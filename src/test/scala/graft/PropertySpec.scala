@@ -105,6 +105,42 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 15)
   }
 
+  test("LogTable over arbitrary batch splits equals one-shot materialize") {
+    import graft.sinks.LogTable
+    val gen = for {
+      log <- changelogGen
+      cut1 <- Gen.choose(0, 60)
+      cut2 <- Gen.choose(0, 60)
+      compactAfterFirst <- Gen.oneOf(true, false)
+    } yield (log, Seq(cut1, cut2).sorted, compactAfterFirst)
+    check("logTableEquiv", Prop.forAll(gen) {
+      case (log, Seq(a, b), compactAfterFirst) =>
+        val path = java.nio.file.Files.createTempDirectory("lt_prop").toString + "/t"
+        def frame(part: List[(Int, String, Int, Boolean)]) = {
+          val df = part.toDF("id", "payload", "s", "del")
+          Connect.toConnectFrame(df, Seq("id"), "t", "s")
+            .withColumn("value",
+              when(!col("value.del"), col("value").dropFields("del")))
+        }
+        // the same changelog applied as 1-3 arbitrary delta batches
+        // (some possibly empty), with compaction at a random point,
+        // must equal the single-shot reference merge
+        val parts = Seq(log.take(a), log.slice(a, b), log.drop(b))
+          .filter(_.nonEmpty)
+        parts.zipWithIndex.foreach { case (p, i) =>
+          LogTable.applyBatch(spark, path, frame(p), Seq("id"))
+          if (compactAfterFirst && i == 0)
+            LogTable.compact(spark, path, Seq("id"))
+        }
+        val got =
+          if (parts.isEmpty) Set.empty
+          else LogTable.read(spark, path, Seq("id"))
+            .select("id", "payload")
+            .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        got == materialize(log)
+    }, minSuccessful = 8)
+  }
+
   test("range join agrees with brute force, incl. multi-bin and empty intervals") {
     import graft.operators.RangeJoin
     // points and interval bounds in SECONDS (cast long -> timestamp is
