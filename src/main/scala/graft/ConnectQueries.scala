@@ -262,12 +262,12 @@ object ConnectQueries {
         when(lit(!tombstone),
           struct(col("c_custkey"), col("c_name"), col("c_acctbal"))).as("value"),
         lit(seqV.toLong).as("seq"))
-    LogTable.applyBatch(s, path,
+    LogTable.applyBatch(path,
       frame(c.filter(col("c_custkey") % 3 === 0), 1, tombstone = false), Seq("c_custkey"))
-    LogTable.applyBatch(s, path,
+    LogTable.applyBatch(path,
       frame(c.filter(col("c_custkey") % 6 === 0)
         .withColumn("c_acctbal", col("c_acctbal") + 100), 2, tombstone = false), Seq("c_custkey"))
-    LogTable.applyBatch(s, path,
+    LogTable.applyBatch(path,
       frame(c.filter(col("c_custkey") % 9 === 0), 3, tombstone = true), Seq("c_custkey"))
     LogTable.compact(s, path, Seq("c_custkey"))
     LogTable.read(s, path, Seq("c_custkey")).orderBy("c_custkey")

@@ -160,9 +160,8 @@ final class Engine(spark: SparkSession, root: String) {
         // full state — its documented scale limit); read-side merge cost
         // bounded by compacting once the log grows past 8 versions
         writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
-          val b = if (sink.deleteEnabled) batch
-                  else batch.filter(col(Connect.ValueCol).isNotNull)
-          graft.sinks.LogTable.applyBatch(spark, sink.path, b, sink.keys)
+          graft.sinks.LogTable.applyBatch(sink.path,
+            TableSink.dropDeletes(sink, batch), sink.keys)
           if (graft.sinks.LogTable.versions(sink.path).size >= 8)
             graft.sinks.LogTable.compact(spark, sink.path, sink.keys)
         }.start()
@@ -234,19 +233,29 @@ final class Engine(spark: SparkSession, root: String) {
     if (s.kind == "kafka") {
       val sc = s.schema.getOrElse(throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value"))
+      // keySchema in keyFields ORDER — it must be the same struct type
+      // the live-record branch builds, or when/otherwise fails to plan
       val keySchema = org.apache.spark.sql.types.StructType(
-        sc.fields.filter(f => s.keyFields.contains(f.name)))
+        s.keyFields.map(f => sc(f)))
       // A tombstone's key CANNOT come from the (null) value — decode the
-      // Kafka key itself: a struct key parses as a JSON object (envelope
-      // or bare, the decode sniffs), a bare scalar key falls back to a
-      // direct cast into the single key field. Live records still lift
-      // the key from the decoded value (it is authoritative post-SMT).
+      // Kafka key itself. The envelope sniff strips {schema,payload};
+      // whether the remaining JSON is an OBJECT decides the path: object
+      // keys parse with the key schema, a bare scalar (from_json of a
+      // non-object returns a non-null all-null struct — useless) parses
+      // via a one-element JSON array so numbers AND quoted strings both
+      // land typed in the single key field. Live records still lift the
+      // key from the decoded value (authoritative post-SMT).
       val rawKey = col("key").cast("string")
+      val keyPayload = when(get_json_object(rawKey, "$.schema").isNotNull,
+        get_json_object(rawKey, "$.payload")).otherwise(rawKey)
+      val isObject = substring(ltrim(keyPayload), 1, 1) === "{"
       val parsedKey = graft.codec.JsonEnvelope.decode(rawKey, keySchema)
       val scalarKey =
         if (s.keyFields.size == 1)
-          struct(rawKey.cast(keySchema.fields.head.dataType)
-            .as(s.keyFields.head))
+          struct(element_at(
+            from_json(concat(lit("["), keyPayload, lit("]")),
+              org.apache.spark.sql.types.ArrayType(keySchema.fields.head.dataType)),
+            1).as(s.keyFields.head))
         else lit(null).cast(keySchema)
       return df
         .withColumn("_v",
@@ -254,7 +263,8 @@ final class Engine(spark: SparkSession, root: String) {
         .select(
           when(col("_v").isNotNull,
             struct(s.keyFields.map(f => col(s"_v.$f")).toIndexedSeq: _*))
-            .otherwise(coalesce(parsedKey, scalarKey)).as(Connect.KeyCol),
+            .otherwise(when(isObject, parsedKey).otherwise(scalarKey))
+            .as(Connect.KeyCol),
           col("_v").as(Connect.ValueCol), // null kafka value stays a tombstone
           col("topic").as(Connect.TopicCol),
           col("offset").cast("long").as(Connect.SeqCol))
@@ -321,7 +331,9 @@ object TableSink {
     graft.util.Fs.deleteRecursive(old)
   }
 
-  private def dropDeletes(sink: SinkSpec, batch: DataFrame): DataFrame =
+  /** Shared tombstone policy for the keyed sinks: with deletes disabled,
+   * tombstones are simply ignored. */
+  private[pipeline] def dropDeletes(sink: SinkSpec, batch: DataFrame): DataFrame =
     if (sink.deleteEnabled) batch
-    else batch.filter(col(Connect.ValueCol).isNotNull) // tombstones ignored
+    else batch.filter(col(Connect.ValueCol).isNotNull)
 }

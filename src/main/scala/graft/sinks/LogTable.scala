@@ -33,7 +33,9 @@ import graft.util.Fs
  */
 object LogTable {
 
-  private val VersionRe = "v(\\d{8})".r
+  // 8+ digits: zero-padding keeps names sortable, but the match must not
+  // silently drop a version that outgrows the padding
+  private val VersionRe = "v(\\d{8,})".r
 
   private def versionDirs(path: String): Seq[(Int, Path)] = {
     val root = Paths.get(path)
@@ -51,7 +53,7 @@ object LogTable {
 
   /** Append one batch (connect frame: key struct, value struct or NULL
    * tombstone, seq) as the next delta version. */
-  def applyBatch(spark: SparkSession, path: String, batch: DataFrame,
+  def applyBatch(path: String, batch: DataFrame,
                  keys: Seq[String]): Unit = {
     sweepTemp(path)
     val keyed = flatten(batch)

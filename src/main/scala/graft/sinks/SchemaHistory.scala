@@ -77,10 +77,14 @@ object SchemaHistory {
   def record(sinkPath: String, table: String, pks: Seq[String],
              prev: Option[StructType], cur: StructType): Unit = {
     val seen = load(sinkPath)
+    // exact ddl-field comparison (it is the line's last member) — a
+    // substring check would drop a DDL that happens to prefix another
+    def recorded(ddl: String): Boolean =
+      seen.exists(_.endsWith(s""""ddl":"${esc(ddl)}"}"""))
     val evs = (prev match {
       case None => events(table, pks, Seq(cur)).map(e => (e.change, e.ddl))
       case Some(p) => transition(table, p, cur)
-    }).filterNot { case (_, ddl) => seen.exists(_.contains(esc(ddl))) }
+    }).filterNot { case (_, ddl) => recorded(ddl) }
       .zipWithIndex.map { case ((change, ddl), i) =>
         Event(seen.size + i + 1, change, ddl)
       }

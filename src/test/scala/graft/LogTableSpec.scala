@@ -27,44 +27,44 @@ class LogTableSpec extends SparkSpec {
 
   test("append deltas, merge-on-read, tombstones delete") {
     val path = Files.createTempDirectory("logtable").toString + "/t"
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a2", 3 -> "c"), 2), Seq("id"))
-    LogTable.applyBatch(spark, path, frame(Seq(2 -> ""), 3, tombstone = true), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a2", 3 -> "c"), 2), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(2 -> ""), 3, tombstone = true), Seq("id"))
     assert(LogTable.versions(path) == Seq(1, 2, 3))
     assert(state(path) == Set(1 -> "a2", 3 -> "c"))
   }
 
   test("replaying a batch as a new version converges (effectively-once)") {
     val path = Files.createTempDirectory("logtable").toString + "/t"
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
     val before = state(path)
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
     assert(state(path) == before)
   }
 
   test("compaction folds versions, keeps deletes deleted, is re-mergeable") {
     val path = Files.createTempDirectory("logtable").toString + "/t"
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
-    LogTable.applyBatch(spark, path, frame(Seq(2 -> ""), 2, tombstone = true), Seq("id"))
-    LogTable.applyBatch(spark, path, frame(Seq(3 -> "c"), 3), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(2 -> ""), 2, tombstone = true), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(3 -> "c"), 3), Seq("id"))
     val before = state(path)
     LogTable.compact(spark, path, Seq("id"))
     assert(LogTable.versions(path).size == 1)
     assert(state(path) == before)
     assert(!state(path).exists(_._1 == 2)) // tombstone survived compaction
     // appends continue after compaction
-    LogTable.applyBatch(spark, path, frame(Seq(4 -> "d"), 4), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(4 -> "d"), 4), Seq("id"))
     assert(state(path) == before + (4 -> "d"))
   }
 
   test("leftover temp dirs from a crashed commit are ignored and swept") {
     val path = Files.createTempDirectory("logtable").toString + "/t"
-    LogTable.applyBatch(spark, path, frame(Seq(1 -> "a"), 1), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a"), 1), Seq("id"))
     val junk = Paths.get(path, ".tmp-v00000099")
     Files.createDirectories(junk)
     Files.writeString(junk.resolve("garbage"), "not parquet")
     assert(state(path) == Set(1 -> "a")) // reader ignores temp dirs
-    LogTable.applyBatch(spark, path, frame(Seq(2 -> "b"), 2), Seq("id"))
+    LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"))
     assert(!Files.exists(junk)) // next writer swept it
     assert(state(path) == Set(1 -> "a", 2 -> "b"))
   }

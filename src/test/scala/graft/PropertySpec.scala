@@ -128,7 +128,7 @@ class PropertySpec extends SparkSpec {
         val parts = Seq(log.take(a), log.slice(a, b), log.drop(b))
           .filter(_.nonEmpty)
         parts.zipWithIndex.foreach { case (p, i) =>
-          LogTable.applyBatch(spark, path, frame(p), Seq("id"))
+          LogTable.applyBatch(path, frame(p), Seq("id"))
           if (compactAfterFirst && i == 0)
             LogTable.compact(spark, path, Seq("id"))
         }
