@@ -286,6 +286,37 @@ object LlmQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** X11: quantile-band quality filtering — keep documents whose quality
+   * score falls in the exact-rank [p25, p75] band, the
+   * threshold-selection step of a curation pipeline. Thresholds are
+   * ORDER STATISTICS (the k-th smallest by (q, doc_id), k =
+   * floor(p·(n-1))+1), not interpolated percentiles: rank selection is
+   * engine-exact where interpolation arithmetic is not. Each bound is a
+   * `TakeOrdered` heap top-k + 1-row agg — no global sort, no window
+   * over a single partition; the two tiny driver-side lookups are the
+   * same O(1) pattern as the incremental watermark reads. */
+  def qualityBand(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tpar(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = scored.count()
+      def bound(p: Double): Double = {
+        val k = (p * (n - 1)).floor.toInt + 1
+        scored.orderBy("q", "doc_id").limit(k)
+          .agg(max("q")).head().getDouble(0)
+      }
+      val (lo, hi) = (bound(0.25), bound(0.75))
+      scored.filter(col("q") >= lo && col("q") <= hi)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_in_band"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+        .localCheckpoint()
+    } finally scored.unpersist(blocking = false)
+  }
+
   /** X9: stratified reproducible sampling — per-language rates applied
    * via hash thresholds (en downsampled to 20%, others kept at 80%). */
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
@@ -360,6 +391,7 @@ object LlmQueries {
     "x8_tfidf_top_terms" -> (tfIdfTopTerms _),
     "x9_stratified_sample" -> (stratifiedSample _),
     "x10_sequence_packing" -> (sequencePacking _),
+    "x11_quality_band" -> (qualityBand _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -529,6 +561,29 @@ object LlmQueries {
       s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents)
          |SELECT $langGuessSql AS lang_guess, count(*) AS n
          |FROM scored GROUP BY 1 ORDER BY lang_guess""".stripMargin,
+    "x11_quality_band" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, lang,
+         |    len($toksSql)::BIGINT AS n_words,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / length(text)::DOUBLE AS punct_ratio,
+         |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS stopword_ratio,
+         |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ((least(n_words::DOUBLE / 50.0, 1.0) * 0.3 + distinct_ratio * 0.4)
+         |     + least(stopword_ratio * 5.0, 1.0) * 0.3)
+         |    * (1.0 - least(punct_ratio * 10.0, 1.0) * 0.5) AS q
+         |  FROM f),
+         |r AS (SELECT s.*, row_number() OVER (ORDER BY q, doc_id) AS rn,
+         |        count(*) OVER () AS c FROM s),
+         |b AS (SELECT
+         |  max(CASE WHEN rn = CAST(floor(0.25*(c-1)) AS INT) + 1 THEN q END) AS lo,
+         |  max(CASE WHEN rn = CAST(floor(0.75*(c-1)) AS INT) + 1 THEN q END) AS hi FROM r)
+         |SELECT lang, count(*) AS n_in_band, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM r, b WHERE q >= lo AND q <= hi
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "x2_quality_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,
