@@ -56,7 +56,37 @@ object PipelineDemo {
     println("--- after batch 2 (update 1, DELETE 2 via tombstone, insert 3):")
     spark.read.parquet(state).orderBy("customer_id").show(false)
     println("--- status: " + engine.status("csv_customers"))
+    println("--- schema history (Debezium schema-changes analog):")
+    graft.sinks.SchemaHistory.load(state).foreach(println)
     engine.delete("csv_customers")
+
+    // the scale-path sink: same spec, kind "logtable" — each batch
+    // appends an O(batch) delta version instead of rewriting state
+    val ltState = s"$base/customers_log"
+    val lt = engine.registerJson(spec
+      .replace(""""name": "csv_customers"""", """"name": "csv_customers_log"""")
+      .replace(s""""type": "table", "path": "$state"""",
+        s""""type": "logtable", "path": "$ltState""""))
+    lt.processAllAvailable()
+    println("--- logtable versions: " + graft.sinks.LogTable.versions(ltState))
+    println("--- logtable merged state:")
+    graft.sinks.LogTable.read(spark, ltState, Seq("customer_id"))
+      .orderBy("customer_id").show(false)
+    engine.delete("csv_customers_log")
+
+    // registry-governed Avro wire (Confluent framing + evolution)
+    import org.apache.spark.sql.types._
+    val reg = new graft.codec.SchemaRegistry()
+    val frame = graft.model.Connect.toConnectFrame(
+      graft.sinks.LogTable.read(spark, ltState, Seq("customer_id"))
+        .select("customer_id", "name"), Seq("customer_id"), "om.customers", "customer_id")
+    val framed = graft.codec.AvroCodec.encodeFramed(frame, reg, "om.customers-value")
+    reg.register("om.customers-value", StructType(
+      frame.schema("value").dataType.asInstanceOf[StructType].fields :+
+        StructField("tier", StringType, nullable = true)))
+    println("--- framed avro decoded under the evolved v2 reader (tier = null):")
+    graft.codec.AvroCodec.decodeFramed(framed, reg, "om.customers-value")
+      .select("value.*").orderBy("customer_id").show(false)
     spark.stop()
   }
 }
