@@ -229,7 +229,7 @@ final class Engine(spark: SparkSession, root: String) {
    * A kafka source is already connect-shaped: the JSON value decodes
    * with the declared schema, key fields lift from it, and the Kafka
    * offset is the seq (exactly the Connect record's ordering). */
-  private def toFrame(df: DataFrame, s: SourceSpec): DataFrame = {
+  private[graft] def toFrame(df: DataFrame, s: SourceSpec): DataFrame = {
     if (s.kind == "kafka") {
       val sc = s.schema.getOrElse(throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value"))

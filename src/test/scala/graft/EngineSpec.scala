@@ -179,6 +179,38 @@ class EngineSpec extends SparkSpec {
     assert(engine.list().isEmpty) // failed start never registers
   }
 
+  test("kafka frame decode: live keys from value, tombstone keys from the kafka key") {
+    import spark.implicits._
+    import graft.pipeline.SourceSpec
+    val engine = new Engine(spark,
+      Files.createTempDirectory("kframe").toString)
+    val spec = SourceSpec("kafka", "localhost:9092",
+      Some("id INT, v STRING"), Seq("id"), None, "om.t")
+    // the exact column shape Spark's kafka source emits (key/value
+    // binary, topic, offset) — the one thing this cannot exercise is
+    // format("kafka") itself
+    val raw = Seq(
+      // live record: bare-object key and value
+      ("""{"id":1}""", """{"id":1,"v":"a"}""", "om.t", 0L),
+      // tombstone with a schema'd-envelope scalar key (the lab's wire
+      // proof shape: {"schema":{"type":"int32",...},"payload":2})
+      ("""{"schema":{"type":"int32","optional":false},"payload":2}""",
+        null, "om.t", 1L),
+      // tombstone with a bare scalar key
+      ("3", null, "om.t", 2L),
+      // tombstone with a bare-object key
+      ("""{"id":4}""", null, "om.t", 3L))
+      .toDF("key", "value", "topic", "offset")
+      .select(col("key").cast("binary").as("key"),
+        col("value").cast("binary").as("value"),
+        col("topic"), col("offset"))
+    val out = engine.toFrame(raw, spec)
+      .select(col("key.id").as("id"), col("value").isNull.as("tomb"),
+        col("seq"))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1), r.getLong(2))).toSet
+    assert(out == Set((1, false, 0L), (2, true, 1L), (3, true, 2L), (4, true, 3L)))
+  }
+
   test("table sink demands an explicit seqColumn (layout-independent merges)") {
     val base = Files.createTempDirectory("noseq").toString
     val spec =
