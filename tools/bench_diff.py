@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Compare two bench outputs per query. Accepts either the raw one-line
+JSON `graft.Bench` prints or a driver BENCH_r{N}.json wrapper (the JSON
+line is extracted from its "tail"). Usage:
+    python3 tools/bench_diff.py OLD NEW [--threshold PCT]
+Lists regressions (slower than threshold %) and improvements, then the
+totals. Exit code 1 if any query regressed beyond the threshold AND by
+more than 0.5s absolute (absorbs machine-load noise on tiny queries).
+"""
+import json, sys
+
+def load(path):
+    raw = open(path).read()
+    try:
+        d = json.loads(raw)
+        if "queries" in d:
+            return d
+        raw = d.get("tail", "")
+    except json.JSONDecodeError:
+        pass
+    for line in raw.splitlines():
+        if line.startswith('{"metric"'):
+            return json.loads(line)
+    sys.exit(f"no bench JSON found in {path}")
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thr = 25.0
+    if "--threshold" in sys.argv:
+        thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    old, new = load(args[0]), load(args[1])
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for k in sorted(set(oq) | set(nq)):
+        a, b = oq.get(k), nq.get(k)
+        if a is None or b is None or a <= 0 or b <= 0:
+            rows.append((k, a, b, None))
+        else:
+            rows.append((k, a, b, 100.0 * (b - a) / a))
+    bad = [(k, a, b, d) for k, a, b, d in rows
+           if d is not None and d > thr and (b - a) > 0.5]
+    print(f"{'query':38s} {'old':>7s} {'new':>7s} {'delta':>8s}")
+    for k, a, b, d in sorted(rows, key=lambda r: -(r[3] or 0)):
+        da = "new" if a is None else "gone" if b is None else f"{d:+7.1f}%"
+        print(f"{k:38s} {a if a is not None else float('nan'):7.2f} "
+              f"{b if b is not None else float('nan'):7.2f} {da:>8s}")
+    t_old = sum(v for v in oq.values() if v > 0)
+    t_new = sum(v for v in nq.values() if v > 0)
+    print(f"\ntotal: {t_old:.1f}s -> {t_new:.1f}s "
+          f"({100.0 * (t_new - t_old) / t_old:+.1f}%)   "
+          f"queries: {len(oq)} -> {len(nq)}")
+    if bad:
+        print(f"\nREGRESSIONS past {thr:.0f}% and 0.5s:")
+        for k, a, b, d in bad:
+            print(f"  {k}: {a:.2f}s -> {b:.2f}s ({d:+.1f}%)")
+        sys.exit(1)
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BrokenPipeError:  # piping into head is fine
+        pass
