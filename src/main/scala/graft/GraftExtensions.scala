@@ -20,5 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_vector_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[graft.functions.SimHash60].getName,
+        "graft_simhash60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash60(children.head)))
   }
 }

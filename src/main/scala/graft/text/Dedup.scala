@@ -161,12 +161,21 @@ object Dedup {
   def simhash60(text: Column): Column =
     simhashFromHashes(transform(tokens(text), t => Hashing.h60(t)))
 
-  /** SimHash from pre-computed token hashes. The bit loop references the
-   * hash array 120 times — callers MUST pass an attribute (aliased
-   * column), not an expression, or the hashing recomputes per bit. */
-  def simhashFromHashes(hs: Column): Column = {
-    // bit loop unrolled at plan-build time (shift amounts must be
-    // literals); per-row work is 60 x n_tokens cheap int ops
+  /** SimHash from pre-computed token hashes — the native codegen'd
+   * [[graft.functions.SimHash60]] expression: one array pass bumping 60
+   * primitive counters per element (the unrolled-`aggregate` form it
+   * replaces traversed the array once PER BIT with boxed lambda
+   * accumulators; results are bit-identical, d3's oracle still
+   * hash-matches). Also registered as SQL `graft_simhash60` via
+   * [[graft.GraftExtensions]]. */
+  def simhashFromHashes(hs: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.SimHash60(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hs)))
+
+  /** The pre-native unrolled formulation, kept as the reference
+   * implementation the spec cross-checks the expression against. */
+  private[graft] def simhashFromHashesUnrolled(hs: Column): Column = {
     val bits = (0 until 60).map { i =>
       val bitSum = aggregate(hs, lit(0L), (acc, h) =>
         acc + when(shiftright(h, i) % 2 === 1, 1L).otherwise(-1L))

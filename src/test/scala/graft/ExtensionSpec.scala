@@ -37,6 +37,26 @@ class ExtensionSpec extends SparkSpec {
     assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
   }
 
+  test("SimHash60 matches the unrolled reference formulation exactly") {
+    import graft.text.Dedup
+    // real token-hash arrays from the testdata corpus, plus edges
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"), Dedup.tokenHashes31(Dedup.tokens(col("text"))).as("hs"))
+    val both = docs.select(col("doc_id"),
+      Dedup.simhashFromHashes(col("hs")).as("native"),
+      Dedup.simhashFromHashesUnrolled(col("hs")).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    // edges: empty array => 0; null element => NULL; null array => NULL
+    val edges = spark.sql(
+      """SELECT
+        |  graft_simhash60(CAST(array() AS ARRAY<BIGINT>)) AS a,
+        |  graft_simhash60(array(5L, CAST(NULL AS BIGINT))) AS b,
+        |  graft_simhash60(CAST(NULL AS ARRAY<BIGINT>)) AS c
+        |""".stripMargin).head()
+    assert(edges.getLong(0) == 0L && edges.isNullAt(1) && edges.isNullAt(2))
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
