@@ -95,12 +95,19 @@ object Dedup {
       .otherwise(array().cast(ArrayType(LongType)))
 
   /** MinHash signature: for each permutation j, min over shingle hashes
-   * of (a_j * (h mod P) + b_j) mod P. The permutation loop unrolls at
-   * plan-build time so a_j/b_j are scalar literals in codegen — a runtime
-   * `transform(sequence(...))` would re-materialize the constant arrays
-   * per hash element (measured 10x slower). `hashes` MUST be an attribute
-   * (aliased column): it is referenced once per permutation. */
+   * of (a_j * (h mod P) + b_j) mod P — the native one-pass
+   * [[graft.functions.MinHashSig]] codegen expression (the unrolled
+   * `array(array_min(transform(...)) x k)` form it replaces traversed
+   * and copied the array once per permutation). */
   def minhashSignature(hashes: Column, perms: Seq[(Long, Long)]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.MinHashSig(
+        org.apache.spark.sql.graft.ColumnBridge.expression(hashes), perms))
+
+  /** The pre-native unrolled formulation, kept as the reference the
+   * spec cross-checks the expression against. */
+  private[graft] def minhashSignatureUnrolled(hashes: Column,
+                                              perms: Seq[(Long, Long)]): Column =
     array(perms.map { case (a, b) =>
       array_min(transform(hashes, h =>
         pmod(lit(a) * pmod(h, lit(Hashing.P)) + lit(b), lit(Hashing.P))))

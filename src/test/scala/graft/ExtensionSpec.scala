@@ -57,6 +57,26 @@ class ExtensionSpec extends SparkSpec {
     assert(edges.getLong(0) == 0L && edges.isNullAt(1) && edges.isNullAt(2))
   }
 
+  test("MinHashSig matches the unrolled reference formulation exactly") {
+    import graft.text.Dedup
+    import graft.functions.Hashing
+    val perms = Hashing.minhashPerms(16)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+      .select(col("doc_id"), Dedup.tokenHashes31(Dedup.tokens(col("text"))).as("th"))
+      .select(col("doc_id"), Dedup.shingleHashesFromTokenHashes(col("th"), 3).as("hs"))
+    val both = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("hs"), perms).as("native"),
+      Dedup.minhashSignatureUnrolled(col("hs"), perms).as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    // empty array => all-null signature slots (array_min-of-empty semantics)
+    val empty = docs.limit(1)
+      .select(Dedup.minhashSignature(
+        expr("CAST(array() AS ARRAY<BIGINT>)"), perms).as("sig"))
+      .head().getSeq[Any](0)
+    assert(empty.size == 16 && empty.forall(_ == null))
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
