@@ -17,7 +17,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args = subset of query names to run (local iteration);
+    // the driver passes none and gets the full suite.
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     // warmup: run everything once on the smallest SF (ignore failures —
     // the timed run reports them as -1)
     val warmDir = "/root/testdata/sf0.001"
@@ -32,10 +36,24 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(dec: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dec}f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // The harness that captures this keeps only the last ~2000 chars of
+    // output; the metric line must fit entirely inside that window, so
+    // round the seconds and drop a decimal if the suite has grown long.
+    val out = if (line(3).length <= 1900) line(3) else line(2)
+    // Full precision for local round-over-round diffing (tools/bench_diff.py).
+    val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    try {
+      val p = java.nio.file.Paths.get("target/bench_full.json")
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes)
+    } catch { case _: Throwable => () }
+    println(out)
     spark.stop()
   }
 }

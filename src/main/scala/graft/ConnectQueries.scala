@@ -115,12 +115,19 @@ object ConnectQueries {
         (col("o_totalprice") - lit(150000)).cast(DecimalType(12, 2)).as("o_bal"))
         .as("value"))
 
+  /** The price/bal legs stay DecimalType(12,2) THROUGH the codec (that is
+   * what proves the base64-unscaled-bytes / Avro decimal leg); only the
+   * final comparison projection casts to DOUBLE, because a decimal128
+   * parquet column and a DuckDB DECIMAL deserialize to different host
+   * representations (Decimal object vs float64) and hash-mismatch even
+   * when every value is equal. Decimal→double is exact and deterministic
+   * in both engines at scale 2. */
   private def unpackTemporalDecimal(df: DataFrame): DataFrame =
     df.select(col("value.o_key").as("o_key"),
         col("value.o_date").as("o_date"),
         col("value.o_ts").as("o_ts"),
-        col("value.o_price").as("o_price"),
-        col("value.o_bal").as("o_bal"))
+        col("value.o_price").cast(DoubleType).as("o_price"),
+        col("value.o_bal").cast(DoubleType).as("o_bal"))
       .orderBy("o_key")
 
   /** C1b: schema'd-JSON envelope round-trip of the DATE / sub-second
@@ -403,7 +410,7 @@ object ConnectQueries {
       |  CAST(o_orderdate AS DATE) AS o_date,
       |  o_orderdate + (o_orderkey % 86400) * INTERVAL 1 SECOND
       |    + INTERVAL 123 MILLISECOND AS o_ts,
-      |  CAST(o_totalprice AS DECIMAL(12,2)) AS o_price,
-      |  CAST(o_totalprice - 150000 AS DECIMAL(12,2)) AS o_bal
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_price,
+      |  CAST(CAST(o_totalprice - 150000 AS DECIMAL(12,2)) AS DOUBLE) AS o_bal
       |FROM orders WHERE o_orderkey < 2000 ORDER BY o_key""".stripMargin
 }
