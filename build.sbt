@@ -17,6 +17,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // No "[success] Total time: ..." trailer either: the harness keeps only
 // the last ~2000 chars of output and the metric line must fit inside.
 ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -106,6 +106,22 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D6: duplicate clusters — connected components over the LSH
+   * candidate pairs (pairs→groups: cluster id = min doc id in the
+   * component, the representative a dedup pass would keep). */
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val pairs = Dedup.minhashCandidates(Tpar(s, dir, "documents"),
+        "doc_id", "text", k = 3, numPerms = NumPerms, bands = Bands)
+        .select("ida", "idb")
+      val labels = Dedup.duplicateClusters(pairs)
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+    }.orderBy("doc_id")
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -376,6 +392,7 @@ object LlmQueries {
     "d3_dedup_simhash" -> (dedupSimhash _),
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
     "d5_decontamination" -> (decontamination _),
+    "d6_dup_clusters" -> (dupClusters _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
@@ -462,6 +479,23 @@ object LlmQueries {
          |  max(list_sum(list_transform(range(1, ${NumPerms + 1}),
          |    j -> CASE WHEN siga[j] = sigb[j] THEN 1 ELSE 0 END)))::INTEGER AS n_matching
          |FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
+    // Connected components as a recursive transitive closure — O(n^2)
+    // per component, fine for an oracle over the tiny candidate graph
+    // (the Spark side is the scalable label-propagation loop).
+    "d6_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPipelineSql,
+         |pairs AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand),
+         |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT l.doc_id, l.cluster_id, c.cluster_size
+         |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+         |                 FROM lab GROUP BY cluster_id) c USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id AS _id,

@@ -284,6 +284,56 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * Connected components over near-duplicate candidate pairs — the
+   * pairs→groups step that turns LSH output into actionable clusters
+   * (cluster id = smallest doc id in the component; a dedup pass keeps
+   * that representative and drops the rest).
+   *
+   * Algorithm: iterative min-label propagation. Each round is one
+   * shuffle join (symmetric edges ⋈ labels) and one shuffle aggregation
+   * (min label per node); the label frame is `localCheckpoint`ed per
+   * round so lineage stays O(1) across iterations instead of growing a
+   * plan per round. Rounds needed = component diameter; LSH components
+   * are band-bucket near-cliques, so 2-3 rounds close them in practice
+   * (a 100 TB corpus with adversarially long duplicate chains would want
+   * the large-star/small-star variant, which this loop's edge/label
+   * representation is the direct substrate for). Convergence is detected
+   * by the label SUM: labels only ever decrease, so the sum strictly
+   * decreases iff any label changed — one O(1) aggregate per round, no
+   * change-count join.
+   *
+   * Input must have columns (ida, idb); output is (node, label) with one
+   * row per distinct id appearing in any pair.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25)
+                       (implicit scope: CacheScope): DataFrame = {
+    val edges = scope.persist(
+      pairs.select(col("ida").as("u"), col("idb").as("v"))
+        .union(pairs.select(col("idb").as("u"), col("ida").as("v")))
+        .distinct())
+    var labels = edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      labels = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+        .select(col("u"), col("vl"))
+        .union(labels.select(col("node").as("u"), col("label").as("vl")))
+        .groupBy(col("u").as("node")).agg(min("vl").as("label"))
+        .localCheckpoint()
+      val sumNow = labels.agg(sum("label")).head().getLong(0)
+      converged = sumNow == prevSum
+      prevSum = sumNow
+      iter += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    labels
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

@@ -45,6 +45,23 @@ class OperatorsSpec extends SparkSpec {
     j.get((1L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
   }
 
+  test("duplicateClusters: min-label components over a chain + a clique + a singleton pair") {
+    // chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("ida", "idb")
+    val labels = CacheScope.withScope { implicit scope =>
+      Dedup.duplicateClusters(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
   test("simhash: identical texts distance 0, near-dups close, unrelated far") {
     val sh = docs().select(col("doc_id"),
         transform(Dedup.tokens(col("text")), t => graft.functions.Hashing.h60(t)).as("_hs"))
