@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.codec.{AvroCodec, JsonEnvelope}
 import graft.model.Connect
 import graft.sinks.{MergeSink, SchemaEvolution}
+import graft.smt.Smt
 import graft.sources.{Incremental, SpoolDir}
 
 /**
@@ -301,6 +302,55 @@ object ConnectQueries {
       .orderBy("c_custkey")
   }
 
+  /**
+   * K7 — the reference's flagship workload end-to-end: the
+   * `CONNECT_DML_TEST` mixed-DML soak (`실습수행/Debezium MySQL CDC
+   * Source Connector 실습 - 02.md:696`, proc def `:439-502` — bulk
+   * insert, update every N-th, delete every M-th) pushed through the
+   * ENTIRE wire path in one measured query: Debezium envelope →
+   * schema'd-JSON encode → decode → ExtractNewRecordState → keyed merge
+   * over a pre-existing snapshot. The reference's largest single ingest
+   * is 10k rows (`INSERT_CUSTOMERS_BATCH(0, 10000)`); this runs the
+   * same shape at the benchmark scale factor (15k rows at sf0.01, 150k
+   * at sf0.1) with the DATE epoch-day leg live on the wire.
+   *
+   * Scale shape: encode/decode/unwrap are narrow codegen'd per-row work;
+   * the merge is the single `max_by` shuffle of K1 (wire volume ≈
+   * distinct keys, not batch size). Nothing here is per-batch quadratic.
+   */
+  def cdcIngestDml(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    val snapshot = base.filter(col("o_orderkey") % 2 === 0)
+    def entry(df: DataFrame, op: String, seqV: Long): DataFrame = {
+      val r = struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val env = struct(
+        when(lit(op == "d"), r).as("before"),
+        when(lit(op != "d"), r).as("after"),
+        struct(lit("mysql").as("name"), col("o_orderkey").as("pos")).as("source"),
+        lit(op).as("op"),
+        lit(seqV).as("ts_ms"))
+      df.select(struct(col("o_orderkey")).as("key"), env.as("value"),
+        lit("om.orders").as("topic"), lit(seqV).as("seq"))
+    }
+    val changelog = entry(base.filter(col("o_orderkey") % 2 === 1), "c", 1L)
+      .unionByName(entry(
+        base.filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 10), "u", 2L))
+      .unionByName(entry(base.filter(col("o_orderkey") % 97 === 0), "d", 3L))
+    val envSchema = changelog.schema("value").dataType
+    val wire = changelog.withColumn("_json",
+      JsonEnvelope.encodeWithSchema(col("value"), envSchema))
+    val decoded = wire
+      .withColumn("value", JsonEnvelope.decode(col("_json"), envSchema, Some(true)))
+      .drop("_json")
+    val unwrapped = Smt.extractNewRecordState(dropTombstones = false)(decoded)
+    MergeSink.applyBatch(snapshot, unwrapped, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_bulk_mode" -> (bulkMode _),
     "s3_jdbc_timestamp" -> (timestampMode _),
@@ -317,7 +367,8 @@ object ConnectQueries {
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
     "k5_apply_batch_merge" -> (applyBatchMerge _),
-    "k6_logtable_merge" -> (logTableMerge _)
+    "k6_logtable_merge" -> (logTableMerge _),
+    "k7_cdc_ingest_dml" -> (cdcIngestDml _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -393,6 +444,15 @@ object ConnectQueries {
         |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    // final state = snapshot(even) ∪ inserts(odd), +10 on every 100th,
+    // every 97th deleted — every orderkey reaches the sink exactly once
+    // per op, so the oracle is a direct projection of orders
+    "k7_cdc_ingest_dml" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "s6b_schema_history_ddl" ->
       """SELECT * FROM (VALUES
         |  (1, 'create', 'CREATE TABLE om.customers (c_custkey BIGINT NOT NULL, c_name VARCHAR(4000) NOT NULL, c_acctbal DOUBLE, PRIMARY KEY (c_custkey))'),
