@@ -139,6 +139,17 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E5: int8-quantized similarity search — the corpus quantizes to
+   * symmetric int8 (4x smaller scan/shuffle than float32), neighbors
+   * rank by the exact integer dot product. */
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.quantizedTopK(emb.filter(col("id") < 5), emb, TopK)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+      .orderBy("query_id", "rank")
+  }
+
   /** E2: hyperplane-LSH ANN top-k — the bucketed scale path. */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -398,6 +409,7 @@ object LlmQueries {
     "e3_ivf_topk" -> (ivfTopK _),
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
+    "e5_quantized_topk" -> (quantizedTopK _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
@@ -551,6 +563,31 @@ object LlmQueries {
          |SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    // quantization mirrored exactly: floor(x/amax*127) (floor, not
+    // round — half-way rules differ across engines); the dot is pure
+    // integer arithmetic, so no fold-order contract is needed
+    "e5_quantized_topk" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding AS v,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+         |  FROM embeddings),
+         |quant AS (
+         |  SELECT vec_id,
+         |    CASE WHEN amax > 0
+         |      THEN list_transform(v, x -> CAST(floor(x::DOUBLE / amax * 127) AS BIGINT))
+         |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM base),
+         |q AS (SELECT vec_id AS query_id, qv AS qa FROM quant WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, qv AS qb FROM quant),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> qa[i] * qb[i])) AS BIGINT) AS qdot
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, qdot FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY qdot DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e2_ann_lsh_topk" ->
       s"""WITH planes AS (SELECT $planesSql AS pl),

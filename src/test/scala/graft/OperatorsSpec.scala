@@ -72,6 +72,25 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
   }
 
+  test("int8 quantization stays in [-127,127] and quantized top-k finds the duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f, -0.4f)),
+      (1L, Array(0.9f, 0.1f, -0.4f)), // duplicate of 0
+      (2L, Array(-0.5f, 0.8f, 0.2f)),
+      (3L, Array(0.0f, 0.0f, 0.0f))) // zero vector edge
+      .toDF("id", "vec")
+    val quant = vecs
+      .select(col("id"), col("vec").as("_v"), Similarity.absMax(col("vec")).as("_m"))
+      .select(col("id"), Similarity.quantizeInt8(col("_v"), col("_m")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(quant.values.flatten.forall(v => v >= -127 && v <= 127))
+    assert(quant(3L).forall(_ == 0))
+    assert(quant(0L) == quant(1L))
+    val top1 = Similarity.quantizedTopK(vecs.filter(col("id") === 0), vecs, 1)
+      .select("neighbor_id").collect().map(_.getLong(0))
+    assert(top1.sameElements(Array(1L)))
+  }
+
   test("cosine top-k ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
