@@ -356,6 +356,15 @@ object LlmQueries {
         max("doc_id").as("max_id"))
       .orderBy("lang")
 
+  /** X12: per-domain quota sampling — cap each source at 10 documents,
+   * selected by hash order (deterministic, unbiased within the source). */
+  def domainCap(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.domainCap(
+      T(s, dir, "documents").select("doc_id", "source"),
+      "source", "doc_id", cap = 10)
+      .select("source", "rk", "doc_id")
+      .orderBy("source", "rk")
+
   /** X10: sequence packing — documents concatenate in id order and chunk
    * into fixed token-budget training sequences (seq = floor of the
    * preceding cumulative token count / budget). Packing runs WITHIN
@@ -421,6 +430,7 @@ object LlmQueries {
     "x9_stratified_sample" -> (stratifiedSample _),
     "x10_sequence_packing" -> (sequencePacking _),
     "x11_quality_band" -> (qualityBand _),
+    "x12_domain_cap" -> (domainCap _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -632,6 +642,13 @@ object LlmQueries {
       s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents)
          |SELECT $langGuessSql AS lang_guess, count(*) AS n
          |FROM scored GROUP BY 1 ORDER BY lang_guess""".stripMargin,
+    "x12_domain_cap" ->
+      s"""SELECT source, rk, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${h60("source || '|' || doc_id")}, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "x11_quality_band" ->
       s"""WITH f AS (
          |  SELECT doc_id, lang,

