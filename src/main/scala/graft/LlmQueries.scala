@@ -106,6 +106,15 @@ object LlmQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** D7: Bloom-pruned decontamination — the asymmetric small-bench /
+   * huge-train shape: bench shingles → broadcast Bloom, train shingles
+   * pruned before the join shuffle, exact verify after. */
+  def decontaminationBloom(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      Dedup.decontaminateBloom(Tpar(s, dir, "documents"), "doc_id", "text",
+        benchPred = col("doc_id") < 20, k = 3, minShared = 3, benchMaxDf = 10)
+    }.orderBy("bench_id", "train_id")
+
   /** D6: duplicate clusters — connected components over the LSH
    * candidate pairs (pairs→groups: cluster id = min doc id in the
    * component, the representative a dedup pass would keep). */
@@ -413,6 +422,7 @@ object LlmQueries {
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
     "d5_decontamination" -> (decontamination _),
     "d6_dup_clusters" -> (dupClusters _),
+    "d7_decontaminate_bloom" -> (decontaminationBloom _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
@@ -562,6 +572,20 @@ object LlmQueries {
          |SELECT bench_id, train_id, count(*) AS n_shared
          |FROM b JOIN t USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 5
+         |ORDER BY bench_id, train_id""".stripMargin,
+    // the Bloom prune is invisible to results (no false negatives; false
+    // positives die in the exact join), so the oracle is plain overlap
+    "d7_decontaminate_bloom" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |b0 AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 20),
+         |keep AS (SELECT h FROM b0 GROUP BY h HAVING count(*) <= 10),
+         |b AS (SELECT bench_id, h FROM b0 JOIN keep USING (h)),
+         |t AS (SELECT doc_id AS train_id, h FROM sh WHERE doc_id >= 20)
+         |SELECT bench_id, train_id, count(*) AS n_shared
+         |FROM b JOIN t USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY bench_id, train_id""".stripMargin,
     "e1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -3,7 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.Hashing
+import graft.functions.{Blooms, Hashing}
 import graft.operators.CacheScope
 
 /**
@@ -278,6 +278,47 @@ object Dedup {
     val filt = scope.persist(sh.join(rare, "h"))
     val bench = filt.filter(col("_bench")).select(col("h"), col("_id").as("bench_id"))
     val train = filt.filter(!col("_bench")).select(col("h"), col("_id").as("train_id"))
+    bench.join(train, "h")
+      .groupBy("bench_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * Bloom-pruned decontamination — the ASYMMETRIC variant of
+   * [[decontaminate]] for the common real shape: a small benchmark
+   * suite against a huge training corpus. The bench side's (df-capped)
+   * shingle hashes compile into a broadcast Bloom filter; train-side
+   * shingles are pruned by `might_contain` BEFORE the join shuffle, so
+   * the shuffle carries ~|bench shingles| worth of train postings
+   * instead of the whole corpus's. No df-aggregation ever runs over the
+   * train side (d5's inverted-index variant pays one). Bloom false
+   * positives survive the prune and die in the exact join — the result
+   * is bit-identical to the unpruned plan, so the oracle is the plain
+   * exact-overlap SQL.
+   */
+  def decontaminateBloom(df: DataFrame, idCol: String, textCol: String,
+                         benchPred: Column, k: Int = 3, minShared: Int = 3,
+                         benchMaxDf: Int = 10, numBits: Long = 1L << 22)
+                        (implicit scope: CacheScope): DataFrame = {
+    val hashed = scope.persist(df
+      .select(col(idCol).as("_id"), benchPred.as("_bench"),
+        tokens(col(textCol)).as("_t"))
+      .select(col("_id"), col("_bench"), tokenHashes31(col("_t")).as("_th"))
+      .select(col("_id"), col("_bench"),
+        shingleHashesFromTokenHashes(col("_th"), k).as("_h")))
+    val benchSh = hashed.filter(col("_bench"))
+      .select(col("_id").as("bench_id"), explode(col("_h")).as("h"))
+    // df cap on the BENCH side only (it is small, the count is cheap):
+    // bounds join fanout the way d5's corpus-wide rare-filter does
+    val keep = benchSh.groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= benchMaxDf).select("h")
+    val bench = scope.persist(benchSh.join(keep, "h"))
+    val bloom = Blooms.build(bench, col("h"),
+      expectedItems = math.max(1L, numBits / 16), numBits = numBits)
+    val train = hashed.filter(!col("_bench"))
+      .select(col("_id").as("train_id"), explode(col("_h")).as("h"))
+      .filter(if (bloom == null) lit(false) else Blooms.mightContain(bloom, col("h")))
     bench.join(train, "h")
       .groupBy("bench_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))

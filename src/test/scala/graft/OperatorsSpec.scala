@@ -45,6 +45,32 @@ class OperatorsSpec extends SparkSpec {
     j.get((1L, 2L)).foreach(v => assert(v > 0.0 && v < 1.0))
   }
 
+  test("bloom filter: no false negatives, real selectivity, prune-then-verify matches exact") {
+    import graft.functions.Blooms
+    val members = (0L until 500L).map(i => i * 7919L)
+    val bloom = Blooms.build(members.toDF("h"), col("h"), 500L, 1L << 16)
+    val probes = (0L until 5000L).toDF("x")
+      .select(col("x"), Blooms.mightContain(bloom, col("x") * 7919L).as("m"),
+        Blooms.mightContain(bloom, col("x") * 7919L + 1L).as("nm"))
+      .collect()
+    assert(probes.filter(_.getLong(0) < 500).forall(_.getBoolean(1))) // no FNs
+    val fp = probes.count(_.getBoolean(2)).toDouble / probes.length
+    assert(fp < 0.1, s"false-positive rate $fp too high to prune anything")
+
+    // operator: bloom-pruned result == plain exact overlap
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // bench
+      (21L, "alpha beta gamma delta epsilon eta"), // shares 3 shingles with 1
+      (22L, "unrelated words entirely different here")
+    ).toDF("doc_id", "text")
+    val out = CacheScope.withScope { implicit scope =>
+      Dedup.decontaminateBloom(docs, "doc_id", "text",
+        benchPred = col("doc_id") < 20, k = 3, minShared = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }
+    assert(out.toSeq == Seq((1L, 21L, 3L)))
+  }
+
   test("duplicateClusters: min-label components over a chain + a clique + a singleton pair") {
     // chain 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
     // clique {10,11,12}, isolated pair {20,21}
