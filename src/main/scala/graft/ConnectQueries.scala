@@ -319,7 +319,9 @@ object ConnectQueries {
    * distinct keys, not batch size). Nothing here is per-batch quadratic.
    */
   def cdcIngestDml(s: SparkSession, dir: String): DataFrame = {
-    val base = T(s, dir, "orders")
+    // Tpar: the encode→decode→unwrap chain is all narrow work, and the
+    // single-row-group testdata would otherwise pin it to one task
+    val base = graft.Tables.Tpar(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate"), col("o_totalprice"))
     val snapshot = base.filter(col("o_orderkey") % 2 === 0)
