@@ -72,6 +72,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k: corpus streams past a broadcast query side") {
+    val df = LlmQueries.quantizedTopK(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+    // the rank filter compiles to the per-key heap, not a full sort
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("bloom decontamination: might_contain prunes BEFORE the join exchange") {
+    import graft.operators.CacheScope
+    import graft.text.Dedup
+    CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val d = Dedup.decontaminateBloom(docs, "doc_id", "text",
+        benchPred = col("doc_id") < 20)
+      val p = plan(d)
+      // the probe appears as a Filter feeding the train-side exchange
+      assert(p.contains("might_contain"))
+      val probeIdx = p.indexOf("might_contain")
+      val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("ShuffledHashJoin")
+      assert(probeIdx >= 0)
+      // filter sits below (prints after) the join operator in the tree
+      assert(joinIdx < 0 || probeIdx > joinIdx)
+    }
+  }
+
   test("approximate sketches: HLL distinct and CountMinSketch frequency") {
     val o = spark.read.parquet(s"$dir/orders.parquet")
     val exact = o.select(countDistinct("o_custkey")).head().getLong(0)
