@@ -84,4 +84,33 @@ class StreamingSpec extends SparkSpec {
       assert(closed(ts(30)) == 1L)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: orders match payments within the window, state bounded by watermarks") {
+    implicit val sq = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val orders = MemoryStream[(Int, java.sql.Timestamp)]
+    val pays = MemoryStream[(Int, java.sql.Timestamp)]
+    // both sides watermarked — Spark derives the state retention bound
+    // from the watermark + the interval condition, so neither side's
+    // join state grows unboundedly (the 100 TB-stream requirement)
+    val o = orders.toDF().toDF("order_id", "ots").withWatermark("ots", "10 minutes")
+    val p = pays.toDF().toDF("pay_order_id", "pts").withWatermark("pts", "10 minutes")
+    val joined = o.join(p,
+      col("order_id") === col("pay_order_id") &&
+        col("pts") >= col("ots") && col("pts") <= col("ots") + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_out").outputMode("append").start()
+    try {
+      orders.addData((1, ts(0)), (2, ts(1)))
+      pays.addData((1, ts(3)))               // within 5 min of order 1
+      q.processAllAvailable()
+      pays.addData((2, ts(30)))              // 29 min after order 2 -> outside interval
+      orders.addData((3, ts(31)))
+      pays.addData((3, ts(33)))              // within
+      q.processAllAvailable()
+      val got = spark.table("ssj_out")
+        .select("order_id").collect().map(_.getInt(0)).sorted
+      assert(got.sameElements(Array(1, 3)))
+    } finally q.stop()
+  }
 }
