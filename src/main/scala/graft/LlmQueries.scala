@@ -374,6 +374,23 @@ object LlmQueries {
       .select("source", "rk", "doc_id")
       .orderBy("source", "rk")
 
+  /** X13: corpus mix report — GROUPING SETS over (lang), (source), and
+   * (lang, source): doc and token tallies at every granularity a
+   * sampling-plan needs, in ONE aggregation pass (Expand + single
+   * shuffle — Catalyst never rescans the corpus per grouping). */
+  def mixReport(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "documents").createOrReplaceTempView("v_documents")
+    s.sql("""
+      SELECT lang, source,
+        grouping_id() AS gid,
+        count(*) AS n_docs,
+        CAST(sum(size(filter(split(text, '\\s+'), t -> length(t) > 0)))
+          AS BIGINT) AS n_tokens
+      FROM v_documents
+      GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+      ORDER BY gid, lang, source""")
+  }
+
   /** X10: sequence packing — documents concatenate in id order and chunk
    * into fixed token-budget training sequences (seq = floor of the
    * preceding cumulative token count / budget). Packing runs WITHIN
@@ -441,6 +458,7 @@ object LlmQueries {
     "x10_sequence_packing" -> (sequencePacking _),
     "x11_quality_band" -> (qualityBand _),
     "x12_domain_cap" -> (domainCap _),
+    "x13_mix_report" -> (mixReport _),
     "m1_multimodal_features" -> (multimodalFeatures _)
   )
 
@@ -666,6 +684,13 @@ object LlmQueries {
       s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents)
          |SELECT $langGuessSql AS lang_guess, count(*) AS n
          |FROM scored GROUP BY 1 ORDER BY lang_guess""".stripMargin,
+    "x13_mix_report" ->
+      s"""SELECT lang, source, grouping(lang, source) AS gid,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+         |ORDER BY gid, lang, source""".stripMargin,
     "x12_domain_cap" ->
       s"""SELECT source, rk, doc_id FROM (
          |  SELECT source, doc_id,
