@@ -35,6 +35,11 @@ object LlmQueries {
   private val NCells = 16
   private val NProbe = 2
   private val Cents = Similarity.ivfCentroids(NCells, Dim)
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM
+  private val PqCodes = 16
+  private val PqBooks = Similarity.pqCodebooks(PqM, PqSubDim, PqCodes)
+  private val PqNorms = Similarity.pqCellNorms(PqBooks)
 
   // ---- DuckDB SQL fragments ----------------------------------------------
 
@@ -145,6 +150,17 @@ object LlmQueries {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.bruteForceTopK(emb.filter(col("id") < 5), emb, TopK)
       .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
+  /** E6: product-quantization ADC top-k — the corpus collapses to m
+   * one-byte codes per vector (32x smaller than float32 here); queries
+   * stay exact and score neighbors by codebook table lookups. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.pqTopK(emb.filter(col("id") < 5), emb, TopK, PqBooks)
+      .select("query_id", "rank", "neighbor_id", "adc")
       .orderBy("query_id", "rank")
   }
 
@@ -446,6 +462,7 @@ object LlmQueries {
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "e5_quantized_topk" -> (quantizedTopK _),
+    "e6_pq_topk" -> (pqTopK _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
@@ -503,6 +520,27 @@ object LlmQueries {
 
   private val centsSql = Cents.map(_.mkString("[", ",", "]"))
     .mkString("[", ",\n     ", "]")
+
+  // ---- PQ fragments (mirror Similarity.pqEncode/pqAdcTables exactly) ----
+
+  private val pqBooksSql = PqBooks.map(_.map(_.mkString("[", ",", "]"))
+    .mkString("[", ",", "]")).mkString("[", ",\n     ", "]")
+
+  private val pqNormsSql = PqNorms.map(_.mkString("[", ",", "]"))
+    .mkString("[", ",\n     ", "]")
+
+  /** sequential double dot over one PQ subspace. */
+  private def pqDotSql(a: String, b: String) =
+    s"""list_reduce(list_prepend(0.0::DOUBLE,
+       |  list_transform(range(1, ${PqSubDim + 1}), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  /** 1-based nearest-codeword index for subspace j (argmax of
+   * dot − ½‖c‖², ties to the smaller code — mirrors the struct sort). */
+  private def pqCodeSql(j: Int) =
+    s"""CAST(-(list_reverse(list_sort(list_transform(range(1, ${PqCodes + 1}),
+       |  c -> {'s': ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")} - cn[${j + 1}][c],
+       |        'nj': -c})))[1].nj) AS INTEGER)""".stripMargin
 
   /** Cells ranked desc by centroid score, ties to smaller id — mirrors
    * Similarity.rankedCells (list_sort asc then reverse = sort_array
@@ -615,6 +653,29 @@ object LlmQueries {
          |SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e6_pq_topk" ->
+      s"""WITH cb AS (SELECT $pqBooksSql AS cbs, $pqNormsSql AS cn),
+         |sub AS (SELECT vec_id,
+         |  ${(0 until PqM).map(j =>
+              s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
+              .mkString(",\n  ")}
+         |  FROM embeddings),
+         |enc AS (SELECT vec_id,
+         |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
+         |  FROM sub, cb),
+         |q AS (SELECT vec_id AS query_id,
+         |  [${(0 until PqM).map(j =>
+              s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
+              .mkString(",\n   ")}] AS adct
+         |  FROM sub, cb WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
+         |  FROM q, enc e WHERE query_id <> e.vec_id)
+         |SELECT query_id, rank, neighbor_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     // quantization mirrored exactly: floor(x/amax*127) (floor, not
     // round — half-way rules differ across engines); the dot is pure

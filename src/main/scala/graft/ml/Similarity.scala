@@ -109,6 +109,88 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- product quantization (PQ) ----------------------------------------
+
+  /** Fixed pseudo-random PQ codebooks in data range: entry (j, c, d) =
+   * ((h60("pq_j_c_d") mod 2001) - 1000) / 2000 ∈ [-0.5, 0.5] — like
+   * [[ivfCentroids]], literal-embedded in both the Spark plan and the
+   * oracle SQL (a production build trains them with per-subspace
+   * k-means; the encode/ADC mechanics are identical). */
+  def pqCodebooks(m: Int, subDim: Int, codes: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => (0 until codes).map(c => (0 until subDim).map(d =>
+      (Hashing.h60(s"pq_${j}_${c}_$d") % 2001 - 1000) / 2000.0)))
+
+  /** 0.5·‖codeword‖² per (subspace, code) — driver-computed constants
+   * shared verbatim by plan and oracle, so argmin-L2 assignment is
+   * engine-exact (argmax of dot − ½‖c‖², ‖x‖² constant per row). */
+  def pqCellNorms(books: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
+    books.map(_.map(cb => 0.5 * cb.map(x => x * x).sum))
+
+  /** Project each row's vector to its m aliased subvectors — one slice
+   * per subspace, materialized ONCE so the 16 codeword dots per
+   * subspace reference an attribute instead of re-slicing. */
+  private def withSubvectors(df: DataFrame, idAs: String,
+                             m: Int, subDim: Int): DataFrame =
+    df.select((col("id").as(idAs) +: (0 until m).map(j =>
+      slice(col("vec"), j * subDim + 1, subDim).as(s"_s$j"))): _*)
+
+  /** PQ encode: per subspace, the 1-BASED index of the L2-nearest
+   * codeword (ties to the smaller index — the [[rankedCells]] struct
+   * sort). Output: (id, codes array<int>) — at 100 TB this is the whole
+   * point: m bytes of code replace dim floats (32x here), so the corpus
+   * fits memory tiers it otherwise never could, and search never touches
+   * the original vectors. */
+  def pqEncode(corpus: DataFrame, idAs: String, books: Seq[Seq[Seq[Double]]],
+               cns: Seq[Seq[Double]]): DataFrame = {
+    val (m, subDim) = (books.size, books.head.head.size)
+    val codes = (0 until m).map { j =>
+      val pairs = books(j).zipWithIndex.map { case (cb, ci) =>
+        struct((dot(array(cb.map(lit): _*), col(s"_s$j")) - lit(cns(j)(ci))).as("s"),
+          lit(-(ci + 1)).as("nj"))
+      }
+      (-element_at(sort_array(array(pairs: _*), asc = false), 1).getField("nj"))
+        .cast(IntegerType)
+    }
+    withSubvectors(corpus, idAs, m, subDim)
+      .select(col(idAs), array(codes: _*).as("codes"))
+  }
+
+  /** Per-query ADC lookup tables: adct[j][c] = dot(q_subj, books[j][c])
+   * — m×codes doubles per query, computed once, broadcast with the
+   * query row. */
+  def pqAdcTables(queries: DataFrame, idAs: String,
+                  books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val (m, subDim) = (books.size, books.head.head.size)
+    val adct = array((0 until m).map(j =>
+      array(books(j).map(cb =>
+        dot(array(cb.map(lit): _*), col(s"_s$j"))): _*)): _*)
+    withSubvectors(queries, idAs, m, subDim)
+      .select(col(idAs), adct.as("adct"))
+  }
+
+  /**
+   * PQ asymmetric-distance top-k: queries stay exact, the corpus is its
+   * codes; score = Σ_j adct[j][code_j] (a fixed left-to-right sum of m
+   * doubles — engine-exact). One broadcast join, zero corpus-side float
+   * math at query time; m table lookups per (query, doc).
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.size
+    val cns = pqCellNorms(books)
+    val c = pqEncode(corpus, "neighbor_id", books, cns)
+    val q = pqAdcTables(queries, "query_id", books)
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("adct"), j + 1),
+        element_at(col("codes"), j + 1))).reduce(_ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (j, d) =
    * (h60("plane_j_d") mod 2001) - 1000, literal-embedded in the plan and
    * reproducible in SQL. */

@@ -117,6 +117,25 @@ class OperatorsSpec extends SparkSpec {
     assert(top1.sameElements(Array(1L)))
   }
 
+  test("PQ: identical vectors encode identically, codes in range, duplicate outranks the negation") {
+    val dim = 64
+    val base = Array.tabulate(dim)(i => (math.sin(i + 1) * 0.3).toFloat)
+    val vecs = Seq(
+      (0L, base),
+      (1L, base.clone()),        // exact duplicate of the query
+      (2L, base.map(x => -x)))   // worst possible ADC
+      .toDF("id", "vec")
+    val books = Similarity.pqCodebooks(8, 8, 16)
+    val cns = Similarity.pqCellNorms(books)
+    val codes = Similarity.pqEncode(vecs, "id", books, cns)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == codes(1L))
+    assert(codes.values.flatten.forall(c => c >= 1 && c <= 16))
+    val top = Similarity.pqTopK(vecs.filter(col("id") === 0), vecs, 2, books)
+      .orderBy("rank").select("neighbor_id").collect().map(_.getLong(0))
+    assert(top.head == 1L)
+  }
+
   test("cosine top-k ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
