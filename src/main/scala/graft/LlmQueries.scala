@@ -164,6 +164,17 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E7: IVF-PQ — the composed scale architecture: probe nprobe cells,
+   * ADC-score only those cells' codes. */
+  def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfPqTopK(emb.filter(col("id") < 5), emb, TopK,
+      PqBooks, Cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** E5: int8-quantized similarity search — the corpus quantizes to
    * symmetric int8 (4x smaller scan/shuffle than float32), neighbors
    * rank by the exact integer dot product. */
@@ -463,6 +474,7 @@ object LlmQueries {
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
+    "e7_ivfpq_topk" -> (ivfPqTopK _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
@@ -653,6 +665,33 @@ object LlmQueries {
          |SELECT query_id, rank, neighbor_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e7_ivfpq_topk" ->
+      s"""WITH cents AS (SELECT $centsSql AS ct),
+         |cb AS (SELECT $pqBooksSql AS cbs, $pqNormsSql AS cn),
+         |sub AS (SELECT vec_id, embedding,
+         |  ${(0 until PqM).map(j =>
+              s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
+              .mkString(",\n  ")}
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |  -(${rankedSql("embedding")})[1].nj AS cell,
+         |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
+         |  FROM sub, cents, cb),
+         |q AS (SELECT vec_id AS query_id,
+         |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
+         |    x -> -x.nj)) AS cell,
+         |  [${(0 until PqM).map(j =>
+              s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
+              .mkString(",\n   ")}] AS adct
+         |  FROM sub, cents, cb WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
+         |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e6_pq_topk" ->
       s"""WITH cb AS (SELECT $pqBooksSql AS cbs, $pqNormsSql AS cn),

@@ -129,9 +129,9 @@ object Similarity {
   /** Project each row's vector to its m aliased subvectors — one slice
    * per subspace, materialized ONCE so the 16 codeword dots per
    * subspace reference an attribute instead of re-slicing. */
-  private def withSubvectors(df: DataFrame, idAs: String,
-                             m: Int, subDim: Int): DataFrame =
-    df.select((col("id").as(idAs) +: (0 until m).map(j =>
+  private def withSubvectors(df: DataFrame, idAs: String, m: Int, subDim: Int,
+                             extra: Seq[Column] = Nil): DataFrame =
+    df.select((col("id").as(idAs) +: extra) ++ ((0 until m).map(j =>
       slice(col("vec"), j * subDim + 1, subDim).as(s"_s$j"))): _*)
 
   /** PQ encode: per subspace, the 1-BASED index of the L2-nearest
@@ -140,33 +140,36 @@ object Similarity {
    * point: m bytes of code replace dim floats (32x here), so the corpus
    * fits memory tiers it otherwise never could, and search never touches
    * the original vectors. */
-  def pqEncode(corpus: DataFrame, idAs: String, books: Seq[Seq[Seq[Double]]],
-               cns: Seq[Seq[Double]]): DataFrame = {
-    val (m, subDim) = (books.size, books.head.head.size)
-    val codes = (0 until m).map { j =>
+  /** The codes array over `_s0.._sm` subvector attributes. */
+  private def pqCodesColumn(books: Seq[Seq[Seq[Double]]],
+                            cns: Seq[Seq[Double]]): Column =
+    array(books.indices.map { j =>
       val pairs = books(j).zipWithIndex.map { case (cb, ci) =>
         struct((dot(array(cb.map(lit): _*), col(s"_s$j")) - lit(cns(j)(ci))).as("s"),
           lit(-(ci + 1)).as("nj"))
       }
       (-element_at(sort_array(array(pairs: _*), asc = false), 1).getField("nj"))
         .cast(IntegerType)
-    }
-    withSubvectors(corpus, idAs, m, subDim)
-      .select(col(idAs), array(codes: _*).as("codes"))
-  }
+    }: _*)
+
+  /** The ADC lookup tables over `_s0.._sm` subvector attributes. */
+  private def pqAdctColumn(books: Seq[Seq[Seq[Double]]]): Column =
+    array(books.indices.map(j =>
+      array(books(j).map(cb =>
+        dot(array(cb.map(lit): _*), col(s"_s$j"))): _*)): _*)
+
+  def pqEncode(corpus: DataFrame, idAs: String, books: Seq[Seq[Seq[Double]]],
+               cns: Seq[Seq[Double]]): DataFrame =
+    withSubvectors(corpus, idAs, books.size, books.head.head.size)
+      .select(col(idAs), pqCodesColumn(books, cns).as("codes"))
 
   /** Per-query ADC lookup tables: adct[j][c] = dot(q_subj, books[j][c])
    * — m×codes doubles per query, computed once, broadcast with the
    * query row. */
   def pqAdcTables(queries: DataFrame, idAs: String,
-                  books: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val (m, subDim) = (books.size, books.head.head.size)
-    val adct = array((0 until m).map(j =>
-      array(books(j).map(cb =>
-        dot(array(cb.map(lit): _*), col(s"_s$j"))): _*)): _*)
-    withSubvectors(queries, idAs, m, subDim)
-      .select(col(idAs), adct.as("adct"))
-  }
+                  books: Seq[Seq[Seq[Double]]]): DataFrame =
+    withSubvectors(queries, idAs, books.size, books.head.head.size)
+      .select(col(idAs), pqAdctColumn(books).as("adct"))
 
   /**
    * PQ asymmetric-distance top-k: queries stay exact, the corpus is its
@@ -185,6 +188,41 @@ object Similarity {
       element_at(element_at(col("adct"), j + 1),
         element_at(col("codes"), j + 1))).reduce(_ + _)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF-PQ — the composed 100 TB architecture (what FAISS runs at
+   * scale): the corpus carries only (cell, m codes) per vector; a query
+   * probes its `nprobe` best cells and ADC-scores just those cells'
+   * codes. Search I/O = corpus × nprobe/nCells × m bytes — with 1024
+   * cells, nprobe 8 and m 8, that is ~0.01% of the float corpus per
+   * query. One equi-shuffle on cell (or zero if the code table is
+   * bucketed by cell at ingest).
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                books: Seq[Seq[Seq[Double]]], cents: Seq[Seq[Long]],
+                nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (m, subDim) = (books.size, books.head.head.size)
+    val cns = pqCellNorms(books)
+    val centsD = cents.map(_.map(_.toDouble))
+    val c = withSubvectors(corpus, "neighbor_id", m, subDim,
+        extra = Seq(ivfAssignD(col("vec"), centsD).as("cell")))
+      .select(col("neighbor_id"), col("cell"),
+        pqCodesColumn(books, cns).as("codes"))
+    val q = withSubvectors(queries, "query_id", m, subDim,
+        extra = Seq(ivfProbesD(col("vec"), centsD, nprobe).as("_probes")))
+      .select(col("query_id"), explode(col("_probes")).as("cell"),
+        pqAdctColumn(books).as("adct"))
+    val adc = (0 until m).map(j =>
+      element_at(element_at(col("adct"), j + 1),
+        element_at(col("codes"), j + 1))).reduce(_ + _)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").desc, col("neighbor_id"))
