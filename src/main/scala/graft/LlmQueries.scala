@@ -157,7 +157,9 @@ object LlmQueries {
    * one-byte codes per vector (32x smaller than float32 here); queries
    * stay exact and score neighbors by codebook table lookups. */
   def pqTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
+    // Tpar: the per-row encode (m×codes sub-dots + m struct sorts) is
+    // narrow; the single-row-group testdata would pin it to one task
+    val emb = Tpar(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.pqTopK(emb.filter(col("id") < 5), emb, TopK, PqBooks)
       .select("query_id", "rank", "neighbor_id", "adc")
@@ -167,7 +169,7 @@ object LlmQueries {
   /** E7: IVF-PQ — the composed scale architecture: probe nprobe cells,
    * ADC-score only those cells' codes. */
   def ivfPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val emb = T(s, dir, "embeddings")
+    val emb = Tpar(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.ivfPqTopK(emb.filter(col("id") < 5), emb, TopK,
       PqBooks, Cents, NProbe)
