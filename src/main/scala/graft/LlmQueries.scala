@@ -177,6 +177,25 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E8: per-label centroid sums through the typed `Aggregator` UDAF —
+   * one int8-quantized 64-long buffer per (key, map task) shuffles
+   * instead of 64 exploded rows per vector; integer sums make the
+   * custom-UDAF surface oracle-exact (the float mean variant is
+   * spec-tested in `VectorAggSpec`). */
+  def labelCentroidSum(s: SparkSession, dir: String): DataFrame = {
+    val q = Tpar(s, dir, "embeddings")
+      .select(col("label"), col("embedding").as("_v"),
+        Similarity.absMax(col("embedding")).as("_amax"))
+      .select(col("label"), Similarity.quantizeInt8(col("_v"), col("_amax")).as("_q"))
+    q.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.ml.VectorAgg.vectorSumCol(col("_q")).as("_sums"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("_sums")).as(Seq("_pos", "s")))
+      .select(col("label"), col("n_vecs"), (col("_pos") + 1).as("d"), col("s"))
+      .orderBy("label", "d")
+  }
+
   /** E5: int8-quantized similarity search — the corpus quantizes to
    * symmetric int8 (4x smaller scan/shuffle than float32), neighbors
    * rank by the exact integer dot product. */
@@ -477,6 +496,7 @@ object LlmQueries {
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e7_ivfpq_topk" -> (ivfPqTopK _),
+    "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x3_token_count" -> (tokenCount _),
@@ -668,6 +688,24 @@ object LlmQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e8_label_centroid_sum" ->
+      s"""WITH base AS (
+         |  SELECT label, embedding AS v,
+         |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+         |  FROM embeddings),
+         |quant AS (
+         |  SELECT label,
+         |    CASE WHEN amax > 0
+         |      THEN list_transform(v, x -> CAST(floor(x::DOUBLE / amax * 127) AS BIGINT))
+         |      ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM base),
+         |n AS (SELECT label, count(*) AS n_vecs FROM quant GROUP BY label),
+         |pos AS (SELECT label, i, qv[i] AS q FROM quant, range(1, ${Dim + 1}) t(i))
+         |SELECT p.label, n.n_vecs, CAST(p.i AS INTEGER) AS d,
+         |  CAST(sum(p.q) AS BIGINT) AS s
+         |FROM pos p JOIN n USING (label)
+         |GROUP BY p.label, n.n_vecs, p.i
+         |ORDER BY label, d""".stripMargin,
     "e7_ivfpq_topk" ->
       s"""WITH cents AS (SELECT $centsSql AS ct),
          |cb AS (SELECT $pqBooksSql AS cbs, $pqNormsSql AS cn),

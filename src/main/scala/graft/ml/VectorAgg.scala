@@ -47,4 +47,39 @@ object VectorAgg {
 
   /** Column form: `df.groupBy("label").agg(vectorAvgCol(col("embedding")))`. */
   def vectorAvgCol(c: Column): Column = udaf(vectorAvg).apply(c)
+
+  final case class SumBuffer(sums: Array[Long])
+
+  /** Element-wise LONG sum of int vectors (quantized embeddings) — same
+   * partial-aggregation shape as [[vectorAvg]], but integer addition is
+   * associative, so the result is independent of partitioning and
+   * engine-exact against an oracle (the float mean above is not — it is
+   * spec-tested instead). */
+  val vectorSumLong: Aggregator[Seq[Int], SumBuffer, Seq[Long]] =
+    new Aggregator[Seq[Int], SumBuffer, Seq[Long]] {
+      override def zero: SumBuffer = SumBuffer(Array.empty)
+      override def reduce(b: SumBuffer, v: Seq[Int]): SumBuffer = {
+        val s = if (b.sums.isEmpty) new Array[Long](v.length) else b.sums
+        var i = 0
+        while (i < v.length) { s(i) += v(i); i += 1 }
+        SumBuffer(s)
+      }
+      override def merge(a: SumBuffer, b: SumBuffer): SumBuffer =
+        if (a.sums.isEmpty) b
+        else if (b.sums.isEmpty) a
+        else {
+          var i = 0
+          while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
+          a
+        }
+      override def finish(b: SumBuffer): Seq[Long] = b.sums.toSeq
+      override def bufferEncoder: Encoder[SumBuffer] = Encoders.product[SumBuffer]
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.IterableEncoder(
+          scala.reflect.classTag[Seq[Long]],
+          org.apache.spark.sql.catalyst.encoders.AgnosticEncoders.PrimitiveLongEncoder,
+          containsNull = false, lenientSerialization = false)
+    }
+
+  def vectorSumCol(c: Column): Column = udaf(vectorSumLong).apply(c)
 }

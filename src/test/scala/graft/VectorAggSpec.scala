@@ -19,6 +19,19 @@ class VectorAggSpec extends SparkSpec {
     assert(out(1) == Seq(10.0, 20.0))
   }
 
+  test("vectorSumLong sums int vectors element-wise across partitions") {
+    val df = Seq(
+      (0, Seq(1, -2)), (0, Seq(3, 4)), (0, Seq(100, 200)),
+      (1, Seq(-7, 0)))
+      .toDF("label", "qv")
+      .repartition(4) // exercise partial + merge across partitions
+    val out = df.groupBy("label")
+      .agg(VectorAgg.vectorSumCol(col("qv")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(out(0) == Seq(104L, 202L))
+    assert(out(1) == Seq(-7L, 0L))
+  }
+
   test("centroids over the embeddings table have the right shape") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = emb.groupBy("label")
