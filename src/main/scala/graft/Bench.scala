@@ -45,7 +45,7 @@ object Bench {
     // The harness that captures this keeps only the last ~2000 chars of
     // output; the metric line must fit entirely inside that window, so
     // round the seconds and drop a decimal if the suite has grown long.
-    val out = if (line(3).length <= 1900) line(3) else line(2)
+    val out = Seq(line(3), line(2), line(1)).find(_.length <= 1900).getOrElse(line(0))
     // Full precision for local round-over-round diffing (tools/bench_diff.py).
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     try {

@@ -136,6 +136,24 @@ object LlmQueries {
           col("cluster_size"))
     }.orderBy("doc_id")
 
+  /** D8: duplicate clusters via large-star/small-star contraction —
+   * same pairs→groups contract as [[dupClusters]] (identical output,
+   * identical oracle), but rounds are O(log^2 n) in component size
+   * instead of O(diameter): the variant a 100 TB corpus with
+   * adversarially chained duplicates needs. */
+  def dupClustersStar(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val pairs = Dedup.minhashCandidates(Tpar(s, dir, "documents"),
+        "doc_id", "text", k = 3, numPerms = NumPerms, bands = Bands)
+        .select("ida", "idb")
+      val labels = Dedup.duplicateClustersStar(pairs)
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+    }.orderBy("doc_id")
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -487,6 +505,7 @@ object LlmQueries {
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
     "d5_decontamination" -> (decontamination _),
     "d6_dup_clusters" -> (dupClusters _),
+    "d8_dup_clusters_star" -> (dupClustersStar _),
     "d7_decontaminate_bloom" -> (decontaminationBloom _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
@@ -588,6 +607,24 @@ object LlmQueries {
       s"CASE WHEN (${dotSql(s"pl[${j + 1}]", vec)}) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Shared by d6 (min-label propagation) and d8 (star contraction):
+   * both produce cluster id = component minimum over the same LSH
+   * candidate pairs. */
+  private lazy val ccClosureOracleSql =
+    s"""WITH RECURSIVE $minhashPipelineSql,
+       |pairs AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand),
+       |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |        FROM reach GROUP BY u)
+       |SELECT l.doc_id, l.cluster_id, c.cluster_size
+       |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
+       |                 FROM lab GROUP BY cluster_id) c USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d1_dedup_exact" ->
       """WITH corpus AS (
@@ -603,21 +640,11 @@ object LlmQueries {
          |FROM cand GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     // Connected components as a recursive transitive closure — O(n^2)
     // per component, fine for an oracle over the tiny candidate graph
-    // (the Spark side is the scalable label-propagation loop).
-    "d6_dup_clusters" ->
-      s"""WITH RECURSIVE $minhashPipelineSql,
-         |pairs AS (SELECT DISTINCT doc_a AS u, doc_b AS v FROM cand),
-         |edges AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
-         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |        FROM reach GROUP BY u)
-         |SELECT l.doc_id, l.cluster_id, c.cluster_size
-         |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
-         |                 FROM lab GROUP BY cluster_id) c USING (cluster_id)
-         |ORDER BY doc_id""".stripMargin,
+    // (the Spark side is the scalable label-propagation loop; d8 is the
+    // star-contraction variant with the identical pairs→groups contract,
+    // so both check against the same closure).
+    "d6_dup_clusters" -> ccClosureOracleSql,
+    "d8_dup_clusters_star" -> ccClosureOracleSql,
     "d3_dedup_simhash" ->
       s"""WITH sh AS (
          |  SELECT doc_id AS _id,

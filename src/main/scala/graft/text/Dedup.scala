@@ -375,6 +375,89 @@ object Dedup {
     labels
   }
 
+  /**
+   * Connected components by alternating large-star / small-star
+   * contraction — the scale path for components whose diameter is not
+   * small. [[duplicateClusters]] needs rounds = component diameter
+   * (fine for LSH band-bucket near-cliques); an adversarially chained
+   * corpus (A~B~C~... with no short-cuts) would need thousands of
+   * min-label rounds, while star contraction closes any component in
+   * O(log^2 n) alternations regardless of diameter.
+   *
+   * Each round is two shuffle-aggregate + shuffle-join passes over the
+   * edge list only (no separate label frame):
+   *  - large-star: every neighbor v > u links to m(u) = min(N(u) u {u}),
+   *    over the symmetric adjacency;
+   *  - small-star: on the (big, small)-oriented output, every smaller
+   *    neighbor and u itself link to m(u) = min of u's smaller neighbors.
+   * Both only ever re-point edges at neighborhood minima, so endpoint
+   * sums are non-increasing; convergence is detected by an O(1)
+   * (count, sum(u), sum(v)) fingerprint and then *proven* by two cheap
+   * structural aggregates (out-degree 1, no two-level chains) — the loop
+   * never trusts the fingerprint alone.
+   *
+   * Input must have columns (ida, idb); output is (node, label) with one
+   * row per distinct id appearing in any pair — identical to
+   * [[duplicateClusters]] (label = component minimum).
+   */
+  def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 50)
+                           (implicit scope: CacheScope): DataFrame = {
+    // Canonical (u > v) orientation; self-pairs dropped.
+    var edges = pairs
+      .select(greatest(col("ida"), col("idb")).as("u"),
+              least(col("ida"), col("idb")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    var prev = fingerprint(edges)
+    if (prev._1 == 0L)
+      return edges.select(col("u").as("node"), col("u").as("label"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // Large-star over the symmetric adjacency: (v, m(u)) for v > u.
+      // Output keeps the (big, small) orientation: v > u >= m.
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val largeMin = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star on the oriented edges: every smaller neighbor != m
+      // and u itself link to m(u) = min(N_small(u)). v > m, u > m hold.
+      val smallMin = large.groupBy("u").agg(min("v").as("m"))
+      val joined = large.join(smallMin, "u")
+      edges = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smallMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val now = fingerprint(edges)
+      converged = now == prev
+      prev = now
+      iter += 1
+    }
+    require(converged, s"duplicateClustersStar did not converge in $maxIters rounds")
+    // Prove the fixed point is a star forest: every non-root points to
+    // exactly one node, and no pointed-at node points anywhere itself.
+    val maxOutDeg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head().getLong(0)
+    require(maxOutDeg == 1L, s"star fixed point violated: out-degree $maxOutDeg")
+    val chains = edges.select(col("v").as("u")).distinct()
+      .join(edges.select(col("u")), "u").limit(1).count()
+    require(chains == 0L, "star fixed point violated: two-level chain remains")
+    edges.select(col("u").as("node"), col("v").as("label"))
+      .union(edges.select(col("v").as("node"), col("v").as("label")))
+      .distinct()
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

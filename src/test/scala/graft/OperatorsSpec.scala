@@ -88,6 +88,19 @@ class OperatorsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClustersStar: long chain closes without diameter-many rounds") {
+    // path 0-1-2-...-39: diameter 39, the min-label worst case; star
+    // contraction must close it well inside its iteration budget.
+    val chain = (0L until 39L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L))).toDF("ida", "idb")
+    val labels = CacheScope.withScope { implicit scope =>
+      Dedup.duplicateClustersStar(pairs, maxIters = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val want = (0L to 39L).map(_ -> 0L).toMap ++ Map(100L -> 100L, 101L -> 100L)
+    assert(labels == want)
+  }
+
   test("simhash: identical texts distance 0, near-dups close, unrelated far") {
     val sh = docs().select(col("doc_id"),
         transform(Dedup.tokens(col("text")), t => graft.functions.Hashing.h60(t)).as("_hs"))

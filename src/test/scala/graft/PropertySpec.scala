@@ -195,6 +195,33 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("duplicateClustersStar agrees with union-find on random pair lists") {
+    import graft.operators.CacheScope
+    import graft.text.Dedup
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+      .suchThat(_.nonEmpty)
+    check("connectedComponentsStar", Prop.forAll(gen) { pairs =>
+      val got = CacheScope.withScope { implicit scope =>
+        Dedup.duplicateClustersStar(pairs.toDF("ida", "idb"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      got == want
+    }, minSuccessful = 8)
+  }
+
   test("asof join agrees with the brute-force definition") {
     val gen = for {
       lefts <- Gen.listOfN(15, Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 100L)))
