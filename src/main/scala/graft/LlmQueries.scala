@@ -195,6 +195,22 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E6b: PQ ADC top-k with k-means-TRAINED codebooks — the production
+   * path next to e6's fixed-book verifiable stand-in (exactly the
+   * e3/e3b relationship). Two per-subspace Lloyd iterations from the
+   * deterministic init, then the identical encode/ADC mechanics. No
+   * hash oracle: distributed float means depend on reduction order, so
+   * the driver records the rows-only check (50 = 5 queries x top-10). */
+  def pqTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tpar(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val books = Similarity.trainPqCodebooks(emb, PqM, PqSubDim, PqCodes,
+      iters = 2)
+    Similarity.pqTopK(emb.filter(col("id") < 5), emb, TopK, books)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** E8: per-label centroid sums through the typed `Aggregator` UDAF —
    * one int8-quantized 64-long buffer per (key, map task) shuffles
    * instead of 64 exploded rows per vector; integer sums make the
@@ -514,6 +530,7 @@ object LlmQueries {
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
+    "e6b_pq_trained_topk" -> (pqTrainedTopK _),
     "e7_ivfpq_topk" -> (ivfPqTopK _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),

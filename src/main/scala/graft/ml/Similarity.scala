@@ -172,6 +172,47 @@ object Similarity {
       .select(col(idAs), pqAdctColumn(books).as("adct"))
 
   /**
+   * Per-subspace Lloyd training of PQ codebooks — the production path
+   * next to the fixed pseudo-random stand-ins ([[pqCodebooks]]), same
+   * relationship as [[trainIvfCentroids]] to [[ivfCentroids]]. One
+   * aggregation pass per iteration: encode with the current books, then
+   * re-center every (subspace, code) cell on the mean of its assigned
+   * subvectors (codewords with no members keep their value). The
+   * shuffle carries only (m*codes) partial sum rows per map task.
+   * Distributed float means depend on reduction order, so searches over
+   * trained books are rows-only checkable, like the trained-IVF path.
+   */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, subDim: Int, codes: Int,
+                       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+    var books = pqCodebooks(m, subDim, codes)
+    for (_ <- 0 until iters) {
+      val cns = pqCellNorms(books)
+      val exploded = withSubvectors(corpus, "id", m, subDim)
+        .withColumn("_codes", pqCodesColumn(books, cns))
+        .select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), element_at(col("_codes"), j + 1).as("c"),
+            col(s"_s$j").as("sub"))): _*)).as("e"))
+        .select(col("e.j"), col("e.c"), col("e.sub"))
+      val sums = exploded.groupBy("j", "c")
+        .agg(count(lit(1)).as("n"),
+          array((0 until subDim).map(i =>
+            sum(element_at(col("sub"), i + 1).cast(DoubleType))): _*).as("s"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Double](3)))
+        .toMap
+      books = books.zipWithIndex.map { case (book, j) =>
+        book.zipWithIndex.map { case (old, ci) =>
+          sums.get((j, ci + 1)) match {
+            case Some((n, sArr)) if n > 0 => sArr.map(_ / n)
+            case _ => old
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /**
    * PQ asymmetric-distance top-k: queries stay exact, the corpus is its
    * codes; score = Σ_j adct[j][code_j] (a fixed left-to-right sum of m
    * doubles — engine-exact). One broadcast join, zero corpus-side float

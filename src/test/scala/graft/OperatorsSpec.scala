@@ -149,6 +149,25 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head == 1L)
   }
 
+  test("trainPqCodebooks reduces quantization distortion on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val (m, subDim, codes) = (8, 8, 16)
+    val init = Similarity.pqCodebooks(m, subDim, codes)
+    val trained = Similarity.trainPqCodebooks(emb, m, subDim, codes, iters = 2)
+    val vecs = emb.collect().map(_.getSeq[Float](1).map(_.toDouble))
+    // mean min-L2^2 reconstruction error; Lloyd steps must not worsen it
+    def distortion(books: Seq[Seq[Seq[Double]]]): Double =
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val s = v.slice(j * subDim, (j + 1) * subDim)
+          books(j).map(cb =>
+            cb.zip(s).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    assert(distortion(trained) < distortion(init))
+  }
+
   test("cosine top-k ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
