@@ -154,6 +154,14 @@ object LlmQueries {
           col("cluster_size"))
     }.orderBy("doc_id")
 
+  /** D9: chunk-level (paragraph-style) boilerplate removal — chunks
+   * appearing in >= 2 distinct docs are stripped, documents reassembled
+   * in order; output digests the cleaned text. */
+  def chunkDedupDocs(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tpar(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 10, minDf = 2)
+      .orderBy("doc_id")
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -522,6 +530,7 @@ object LlmQueries {
     "d5_decontamination" -> (decontamination _),
     "d6_dup_clusters" -> (dupClusters _),
     "d8_dup_clusters_star" -> (dupClustersStar _),
+    "d9_chunk_dedup" -> (chunkDedupDocs _),
     "d7_decontaminate_bloom" -> (decontaminationBloom _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
@@ -661,6 +670,31 @@ object LlmQueries {
     // star-contraction variant with the identical pairs→groups contract,
     // so both check against the same closure).
     "d6_dup_clusters" -> ccClosureOracleSql,
+    "d9_chunk_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE len($toksSql) > 0),
+         |chunks AS (
+         |  SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.chunk FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)),
+         |        i -> {'pos': i, 'chunk': array_to_string(t[i*10+1:i*10+10], ' ')})) AS u
+         |    FROM toks)),
+         |freq AS (
+         |  SELECT chunk, count(DISTINCT doc_id) AS dfreq FROM chunks GROUP BY chunk),
+         |kept AS (
+         |  SELECT c.doc_id, c.pos, c.chunk FROM chunks c JOIN freq f USING (chunk)
+         |  WHERE f.dfreq < 2),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    md5(string_agg(chunk, ' ' ORDER BY pos)) AS clean_digest
+         |  FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(ceil(len(t)/10.0) AS INTEGER) AS n_chunks FROM toks)
+         |SELECT b.doc_id, b.n_chunks,
+         |  CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+         |  coalesce(a.clean_digest, md5('')) AS clean_digest
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "d8_dup_clusters_star" -> ccClosureOracleSql,
     "d3_dedup_simhash" ->
       s"""WITH sh AS (

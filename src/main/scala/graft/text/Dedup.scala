@@ -458,6 +458,54 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Chunk-level cross-corpus dedup — the paragraph-dedup pass
+   * (RefinedWeb/Gopher-style: a paragraph appearing in >= minDf distinct
+   * documents is boilerplate; strip it, keep the rest of each document
+   * in order). The synthetic corpus has no paragraph breaks, so a
+   * deterministic fixed-size token chunker stands in for the splitter —
+   * swapping in `split(text, "\n\n")` changes one line, not the shape.
+   *
+   * Scale shape: the frequency pass groups on the chunk's 16-byte md5
+   * (like [[exactDedup]]); the rejoin is a shuffle on the same digest so
+   * it co-partitions with the frequency table; reassembly is one
+   * groupBy(doc) with an array_sort on (pos, chunk) — no window, no
+   * driver-side state. Output per input doc: (id, n_chunks, n_kept,
+   * clean_digest) where clean_digest = md5 of the space-rejoined kept
+   * chunks (md5("") when everything was boilerplate).
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int = 10, minDf: Int = 2): DataFrame = {
+    val base = df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) > 0)
+      .select(col(idCol),
+        ceil(size(col("_t")).cast(DoubleType) / chunkTokens)
+          .cast(IntegerType).as("n_chunks"),
+        col("_t"))
+    val chunks = base.select(col(idCol), posexplode(
+        transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("_t"), i * chunkTokens + 1, lit(chunkTokens)))))
+        .as(Seq("pos", "chunk")))
+      .select(col(idCol), col("pos"), col("chunk"), md5(col("chunk")).as("_d"))
+    val freq = chunks.groupBy("_d")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+    // anti join: boilerplate digests are the FILTERED-OUT minority, so
+    // the right side is small; everything else passes through untouched
+    val kept = chunks.join(freq, Seq("_d"), "left_anti")
+    val agg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(IntegerType).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+            x => x.getField("chunk")))).as("clean_digest"))
+    base.select(col(idCol), col("n_chunks"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

@@ -88,6 +88,19 @@ class OperatorsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("chunkDedup strips cross-doc boilerplate chunks and reassembles in order") {
+    // chunkTokens=2: docs 1/2 share chunk "x y"; doc 3 is pure boilerplate
+    val docs = Seq(
+      (1L, "a b x y"), (2L, "c d x y e"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((2, 1, h("a b"))))
+    assert(out(2L) == ((3, 2, h("c d e"))))   // trailing short chunk kept
+    assert(out(3L) == ((1, 0, h(""))))        // fully boilerplate
+  }
+
   test("duplicateClustersStar: long chain closes without diameter-many rounds") {
     // path 0-1-2-...-39: diameter 39, the min-label worst case; star
     // contraction must close it well inside its iteration budget.
