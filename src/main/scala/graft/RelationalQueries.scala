@@ -153,6 +153,51 @@ object RelationalQueries {
       LIMIT 10""")
   }
 
+  /** Q11: TPC-H Q5 shape — the 6-table star join. The dimension chain
+   * region→nation→supplier broadcasts as one small build side (no
+   * shuffle for any dimension); only the fact-side lineitem⋈orders⋈
+   * customer joins shuffle, each on its own key with the date filter
+   * pushed to the orders scan. Revenue aggregates through DECIMAL for
+   * engine-exact doubles. */
+  def tpchQ5Join(s: SparkSession, dir: String): DataFrame = {
+    val dims = broadcast(
+      T(s, dir, "supplier")
+        .join(T(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(T(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1996-01-01" &&
+                  col("o_orderdate") < "1997-01-01"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q12: TPC-H Q4 shape — correlated EXISTS through the SQL entry
+   * point. Catalyst decorrelates the subquery into a left SEMI join on
+   * l_orderkey (the plan never materializes per-order lineitem lists),
+   * which is the 100 TB shape: one shuffle on the join key, early-out
+   * on first match. */
+  def existsSemiJoinSql(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    T(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM v_orders
+      WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        AND EXISTS (SELECT 1 FROM v_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > date_add(o_orderdate, 60))
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -195,6 +240,8 @@ object RelationalQueries {
     "j1_json_functions" -> (jsonFunctions _),
     "q9_pivot" -> (pivotAgg _),
     "q10_tpch_q3_sql" -> (tpchQ3Sql _),
+    "q11_tpch_q5" -> (tpchQ5Join _),
+    "q12_exists_semijoin" -> (existsSemiJoinSql _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -276,6 +323,28 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q11_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q12_exists_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

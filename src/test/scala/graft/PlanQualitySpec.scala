@@ -38,6 +38,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"))
   }
 
+  test("tpch q5: dimension chain broadcasts, date filter reaches the orders scan") {
+    val p = plan(RelationalQueries.tpchQ5Join(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"))
+  }
+
+  test("correlated EXISTS decorrelates to a semi join, not a subquery per row") {
+    val p = plan(RelationalQueries.existsSemiJoinSql(spark, dir))
+    assert(p.toLowerCase.contains("leftsemi"))
+    assert(!p.contains("InSubquery"))
+  }
+
   test("tf-idf is one-pass: the corpus scans exactly once") {
     // df comes from a window over term on tf — a second groupBy branch
     // loses exchange reuse (column pruning strips its count), silently
