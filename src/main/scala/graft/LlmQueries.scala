@@ -213,7 +213,7 @@ object LlmQueries {
     val emb = Tpar(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val books = Similarity.trainPqCodebooks(emb, PqM, PqSubDim, PqCodes,
-      iters = 2)
+      iters = 2, sampleMod = 4)
     Similarity.pqTopK(emb.filter(col("id") < 5), emb, TopK, books)
       .select("query_id", "rank", "neighbor_id", "adc")
       .orderBy("query_id", "rank")

@@ -152,6 +152,31 @@ object Similarity {
         .cast(IntegerType)
     }: _*)
 
+  /** Compact (typedLit + higher-order-function) variant of
+   * [[pqCodesColumn]]: one nested array literal per subspace instead of
+   * m*codes*subDim scalar literals. Byte-identical assignment semantics
+   * (same left-to-right fold, same (score, -code) tie-break), but the
+   * expression tree is ~100x smaller, so Catalyst analysis/codegen is
+   * milliseconds instead of seconds. Per-row it is slower than the
+   * unrolled codegen loop — use it where rows are few and the plan is
+   * rebuilt repeatedly, i.e. the Lloyd training loop whose book
+   * literals change every iteration; search over the full corpus keeps
+   * the unrolled form. */
+  private def pqCodesColumnCompact(books: Seq[Seq[Seq[Double]]],
+                                   cns: Seq[Seq[Double]]): Column =
+    array(books.indices.map { j =>
+      val cb = typedLit(books(j))
+      val cn = typedLit(cns(j))
+      val scored = transform(sequence(lit(1), lit(books(j).size)),
+        c => struct(
+          (aggregate(zip_with(element_at(cb, c), col(s"_s$j"),
+              (a, b) => a * b.cast(DoubleType)),
+            lit(0.0), (acc, x) => acc + x) - element_at(cn, c)).as("s"),
+          (-c).as("nj")))
+      (-element_at(sort_array(scored, asc = false), 1).getField("nj"))
+        .cast(IntegerType)
+    }: _*)
+
   /** The ADC lookup tables over `_s0.._sm` subvector attributes. */
   private def pqAdctColumn(books: Seq[Seq[Seq[Double]]]): Column =
     array(books.indices.map(j =>
@@ -181,14 +206,24 @@ object Similarity {
    * shuffle carries only (m*codes) partial sum rows per map task.
    * Distributed float means depend on reduction order, so searches over
    * trained books are rows-only checkable, like the trained-IVF path.
+   *
+   * `sampleMod`: train on the deterministic hash-sample `hash(id) %
+   * sampleMod == 0` — the production shape (codebooks need a
+   * representative sample, not the corpus; FAISS trains on ~100k
+   * vectors regardless of corpus size). At 100 TB this is the
+   * difference between iters full scans and iters scans of a fixed
+   * small frame; 1 disables sampling.
    */
   def trainPqCodebooks(corpus: DataFrame, m: Int, subDim: Int, codes: Int,
-                       iters: Int = 2): Seq[Seq[Seq[Double]]] = {
+                       iters: Int = 2, sampleMod: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val train =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(hash(col("id")), lit(sampleMod)) === 0)
     var books = pqCodebooks(m, subDim, codes)
     for (_ <- 0 until iters) {
       val cns = pqCellNorms(books)
-      val exploded = withSubvectors(corpus, "id", m, subDim)
-        .withColumn("_codes", pqCodesColumn(books, cns))
+      val exploded = withSubvectors(train, "id", m, subDim)
+        .withColumn("_codes", pqCodesColumnCompact(books, cns))
         .select(explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), element_at(col("_codes"), j + 1).as("c"),
             col(s"_s$j").as("sub"))): _*)).as("e"))
