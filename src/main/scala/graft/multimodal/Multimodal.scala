@@ -16,6 +16,24 @@ import org.apache.spark.sql.types._
  * bytes. The Spark-side contract — schema, binary transport,
  * partition-batched iteration, feature schema — is real and tested, and
  * a production decoder drops in by replacing one function.
+ *
+ * Swap recipe (the ONLY changes a production build makes):
+ *  1. Replace [[FakeDecoder]] with a class holding the native handles
+ *     (e.g. `javax.imageio` for images, an ffmpeg JNI binding or a
+ *     long-lived subprocess pipe for video/audio). Keep the per-
+ *     partition construction in [[extractFeatures]] — that placement IS
+ *     the amortization; never construct per row.
+ *  2. Extend [[FeatureSchema]] with the real outputs (e.g. phash,
+ *     embedding: array<float>); `decode` returns a matching Row. The
+ *     surrounding plan (schema projection, partition batching, the
+ *     downstream queries) is schema-driven and needs no edits.
+ *  3. If the decoder is not thread-safe, guard with one instance per
+ *     partition (already the case) — Spark runs one task per partition
+ *     per thread, so no extra locking is needed.
+ *  4. Failure policy: wrap `decode` and route undecodable payloads to a
+ *     (doc_id, error) side output instead of throwing — at 100 TB some
+ *     corrupt members are certain, and one bad byte stream must not
+ *     kill a 256 MB task's work.
  */
 object Multimodal {
 
