@@ -57,6 +57,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state by event time") {
+    // The built-in bounded-state streaming dedup next to the custom
+    // TTL'd flatMapGroupsWithState op: replays inside the watermark
+    // horizon are dropped, and state for expired keys is evictable —
+    // the only streaming-dedup shape that survives an unbounded key
+    // domain at 100 TB/day.
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Int, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val deduped = in.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("ddww_out").outputMode("append").start()
+    try {
+      in.addData((1, ts(0)), (2, ts(1)), (1, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("ddww_out").count() == 2) // in-batch replay dropped
+      in.addData((1, ts(5)), (3, ts(6)))
+      q.processAllAvailable()
+      // replay across batches within the horizon dropped; new key passes
+      assert(spark.table("ddww_out").count() == 3)
+      // advance event time far past the horizon, then replay key 1:
+      // its state is expired, so the replay is treated as new — bounded
+      // state means semantics are "dedup within horizon", by contract
+      in.addData((4, ts(40)))
+      q.processAllAvailable()
+      in.addData((1, ts(41)))
+      q.processAllAvailable()
+      val ids = spark.table("ddww_out").collect().map(_.getInt(0))
+      assert(ids.count(_ == 1) == 2) // once at 10:00, once at 10:41
+      assert(ids.toSet == Set(1, 2, 3, 4))
+    } finally q.stop()
+  }
+
   test("watermark drops late events from windowed aggregation") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
