@@ -198,6 +198,29 @@ object RelationalQueries {
       ORDER BY o_orderpriority""")
   }
 
+  /** Q13: window FRAMES — lag deltas and a 7-row moving sum over a
+   * deterministic (date, key) order. One shuffle on the partition key;
+   * frame evaluation is a single sorted pass per partition (no
+   * self-join, no re-sort between the two frames since they share the
+   * ordering). Money math stays in DECIMAL until the final projection. */
+  def windowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w7 = w.rowsBetween(-6, Window.currentRow)
+    T(s, dir, "orders")
+      .filter(col("o_orderdate") >= "1997-01-01" &&
+              col("o_orderdate") < "1997-02-01")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("_p"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("_p") - coalesce(lag(col("_p"), 1).over(w),
+          lit(0).cast(DecimalType(18, 2)))).cast(DoubleType).as("delta_prev"),
+        sum(col("_p")).over(w7).cast(DoubleType).as("sum_7"),
+        count(lit(1)).over(w7).cast(IntegerType).as("n_7"),
+        row_number().over(w).as("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -242,6 +265,7 @@ object RelationalQueries {
     "q10_tpch_q3_sql" -> (tpchQ3Sql _),
     "q11_tpch_q5" -> (tpchQ5Join _),
     "q12_exists_semijoin" -> (existsSemiJoinSql _),
+    "q13_window_frames" -> (windowFrames _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -345,6 +369,21 @@ object RelationalQueries {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q13_window_frames" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(p - coalesce(lag(p, 1) OVER w, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta_prev,
+        |  CAST(sum(p) OVER w7 AS DOUBLE) AS sum_7,
+        |  CAST(count(*) OVER w7 AS INTEGER) AS n_7,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn
+        |FROM (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |      FROM orders
+        |      WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-02-01')
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+        |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
