@@ -43,9 +43,27 @@ object Bench {
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // The harness that captures this keeps only the last ~2000 chars of
-    // output; the metric line must fit entirely inside that window, so
-    // round the seconds and drop a decimal if the suite has grown long.
-    val out = Seq(line(3), line(2), line(1)).find(_.length <= 1900).getOrElse(line(0))
+    // output; the metric line must fit entirely inside that window.
+    // First try the full per-query map at 3 then 2 decimals; once the
+    // suite is too large for that, keep the SLOWEST queries (the ones
+    // whose numbers carry information) at 2 decimals and say exactly
+    // what was dropped — "queries_omitted" + their combined seconds —
+    // so the truncation is loud, never silent.
+    val budget = 1950
+    def topLine(k: Int): String = {
+      val sorted = results.sortBy { case (n, v) => (-v, n) }
+      val kept = sorted.take(k)
+      val om = sorted.drop(k)
+      val qs = kept.map { case (n, v) => "\"" + n + "\":" + "%.2f".format(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_omitted":${om.size},"omitted_sec":${"%.3f".format(om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
+    }
+    val out = Seq(line(3), line(2)).find(_.length <= budget).getOrElse {
+      var k = results.size
+      while (k > 1 && topLine(k).length > budget) k -= 1
+      topLine(k)
+    }
     // Full precision for local round-over-round diffing (tools/bench_diff.py).
     val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     try {
