@@ -33,5 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Whole-stage codegen emits one class per plan; a long query suite
+  // fills the JVM's default 240 MB code cache, after which the JIT
+  // disables itself and every later compute-heavy query runs
+  // interpreted (measured 2-3x slowdowns on late-suite queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )
