@@ -35,6 +35,11 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // NOTE: do NOT force GC between queries — measured 61s -> 71s
+    // suite-wide: a full GC unloads weakly-reachable generated classes
+    // and their JIT-compiled code, so every later query recompiles.
+    // The large heap (build.sbt) exists precisely to keep natural GC —
+    // and that eviction — rare across the suite.
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
