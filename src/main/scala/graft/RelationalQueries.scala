@@ -43,6 +43,17 @@ object RelationalQueries {
         grouping_id().as("gid"))
       .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
 
+  /** Q14: CUBE — all 4 grouping sets of (priority, status) in one
+   * Expand + one shuffle (completes the rollup/grouping-sets/cube
+   * family next to q4 and x13). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("o_orderstatus"))
+
   /** Q5: global top-k with total tie-break — plans as
    * TakeOrderedAndProject (no full sort, no single-node shuffle). */
   def topK(s: SparkSession, dir: String): DataFrame =
@@ -266,6 +277,7 @@ object RelationalQueries {
     "q11_tpch_q5" -> (tpchQ5Join _),
     "q12_exists_semijoin" -> (existsSemiJoinSql _),
     "q13_window_frames" -> (windowFrames _),
+    "q14_cube" -> (cubeAgg _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -291,6 +303,13 @@ object RelationalQueries {
         |  grouping(l_returnflag, l_linestatus) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+    "q14_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n,
+        |  grouping(o_orderpriority, o_orderstatus) AS gid
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin,
     "q5_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
