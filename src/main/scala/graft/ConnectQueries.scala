@@ -281,6 +281,37 @@ object ConnectQueries {
     LogTable.read(s, path, Seq("c_custkey")).orderBy("c_custkey")
   }
 
+  /** K8 — incremental aggregate maintenance (materialized-view-style):
+   * per-arrival-batch PARTIAL states (count + DECIMAL sum per group)
+   * merge by group-wise addition, never rescanning earlier batches —
+   * the running-corpus-stats pattern where history is 100 TB but the
+   * state table is O(groups). Decimal partials are associative, so the
+   * merged state is bit-identical to a full recompute — which is
+   * exactly what the oracle computes. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("_p"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("_p")).as("_sum"))
+    // three arrival windows (days land in exactly one)
+    val batches = Seq(
+      orders.filter(col("o_orderdate") < "1997-01-01"),
+      orders.filter(col("o_orderdate") >= "1997-01-01" &&
+                    col("o_orderdate") < "1999-01-01"),
+      orders.filter(col("o_orderdate") >= "1999-01-01"))
+    // fold each batch's partial into the state: union + group-wise add,
+    // cost O(|state| + |batch groups|) per step
+    val state = batches.map(partial).reduce { (acc, b) =>
+      acc.unionByName(b).groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n"), sum(col("_sum")).as("_sum"))
+    }
+    state.select(col("o_orderpriority"), col("n"),
+        col("_sum").cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   /** K1+K4 applyBatch: a changelog (inserts + updates + tombstones)
    * merged over an existing snapshot — the foreachBatch body of the
    * table-state sink. */
@@ -370,7 +401,8 @@ object ConnectQueries {
     "k3_auto_create_ddl" -> (autoCreateDdl _),
     "k5_apply_batch_merge" -> (applyBatchMerge _),
     "k6_logtable_merge" -> (logTableMerge _),
-    "k7_cdc_ingest_dml" -> (cdcIngestDml _)
+    "k7_cdc_ingest_dml" -> (cdcIngestDml _),
+    "k8_incremental_agg" -> (incrementalAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -446,6 +478,12 @@ object ConnectQueries {
         |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    // incremental merge of decimal partials == full recompute, exactly
+    "k8_incremental_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // final state = snapshot(even) ∪ inserts(odd), +10 on every 100th,
     // every 97th deleted — every orderkey reaches the sink exactly once
     // per op, so the oracle is a direct projection of orders
