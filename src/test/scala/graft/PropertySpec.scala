@@ -195,6 +195,42 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 8)
   }
 
+  test("chunkDedup agrees with the brute-force reference on random corpora") {
+    import graft.text.Dedup
+    // small vocab forces chunk collisions; doc lengths straddle the
+    // chunk size (including shorter-than-one-chunk docs)
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(1, 7).flatMap(n => Gen.listOfN(n, word))
+    val gen = Gen.choose(3, 8).flatMap(k =>
+      Gen.listOfN(k, docGen).map(_.zipWithIndex.map {
+        case (ws, i) => (i.toLong, ws.mkString(" "))
+      }))
+    val chunkTokens = 2
+    val minDf = 2
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    check("chunkDedup", Prop.forAll(gen) { docs =>
+      val got = Dedup.chunkDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkTokens, minDf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3))))
+        .toMap
+      // brute force: chunk every doc, count distinct-doc frequency,
+      // strip chunks at or over minDf, md5 the space-rejoined rest
+      val chunked = docs.map { case (id, text) =>
+        id -> text.split("\\s+").filter(_.nonEmpty).grouped(chunkTokens)
+          .map(_.mkString(" ")).toVector
+      }
+      val df_ = chunked.flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+      val want = chunked.map { case (id, cs) =>
+        val kept = cs.filter(c => df_(c) < minDf)
+        id -> ((cs.size, kept.size, md5hex(kept.mkString(" "))))
+      }.toMap
+      got == want
+    }, minSuccessful = 12)
+  }
+
   test("duplicateClustersStar agrees with union-find on random pair lists") {
     import graft.operators.CacheScope
     import graft.text.Dedup
