@@ -41,19 +41,22 @@ object Bench {
     // The large heap (build.sbt) exists precisely to keep natural GC —
     // and that eviction — rare across the suite.
     //
-    // Each query is timed twice back-to-back and the MIN recorded:
-    // single-shot numbers swung up to 3x run-to-run with JIT/compiler
-    // scheduling, and the driver only runs this once.
-    val results = names.map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val a = once()
-      val dt = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
-      name -> dt
+    // Each query is timed in TWO full passes over the suite and the MIN
+    // recorded: single-shot numbers swung up to 3x with JIT/compiler
+    // scheduling, and back-to-back repeats share that transient state —
+    // a full pass in between decorrelates it (by pass 2 the whole
+    // suite's generated code is as compiled as it will ever be).
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = names.map(n => n -> once(n)).toMap
+    val results = names.map { n =>
+      val a = pass1(n)
+      val b = once(n)
+      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(dec: Int): String = {
