@@ -38,6 +38,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan(df).contains("BroadcastHashJoin"))
   }
 
+  test("chunk dedup: boilerplate removal is a left-anti join, no window over the corpus") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.text.Dedup.chunkDedup(docs, "doc_id", "text"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("Window"), "reassembly must be array_sort in the agg, not a window")
+  }
+
   test("tpch q5: dimension chain broadcasts, date filter reaches the orders scan") {
     val p = plan(RelationalQueries.tpchQ5Join(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
