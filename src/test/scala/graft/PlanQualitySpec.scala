@@ -45,6 +45,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "reassembly must be array_sort in the agg, not a window")
   }
 
+  test("date-partitioned layout prunes partitions at scan time") {
+    val out = "target/tmp/orders_by_year"
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("year", date_format(col("o_orderdate"), "yyyy"))
+      .write.mode("overwrite").partitionBy("year").parquet(out)
+    val df = spark.read.parquet(out).filter(col("year") === "1997")
+    val p = plan(df)
+    assert(p.contains("PartitionFilters") && p.contains("year"),
+      "the year predicate must prune directories, not filter rows")
+    val want = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(date_format(col("o_orderdate"), "yyyy") === "1997").count()
+    assert(df.count() == want)
+  }
+
   test("tpch q5: dimension chain broadcasts, date filter reaches the orders scan") {
     val p = plan(RelationalQueries.tpchQ5Join(spark, dir))
     assert(p.contains("BroadcastHashJoin"))
