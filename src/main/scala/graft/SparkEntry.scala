@@ -23,11 +23,13 @@ object SparkEntry {
 
   import graft.Tables.T
 
-  /** Flagship: the reference's end-to-end slice — changelog with
-   * interleaved updates + tombstones materialized by keyed last-write-wins
-   * merge (S2→T1→K1/K2). Driver smoke-checks rows>0 on sf0.001. */
+  /** Flagship: the reference's CONNECT_DML_TEST shape end-to-end —
+   * mixed-DML changelog through the full wire path (CDC envelope →
+   * JSON encode → decode → unwrap → keyed last-write-wins merge over a
+   * snapshot), i.e. S6/T5/C1/K1-K2 in one pipeline. Driver
+   * smoke-checks rows>0 on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    Q.sinkUpsert(spark, "/root/testdata/sf0.001")
+    ConnectQueries.cdcIngestDml(spark, "/root/testdata/sf0.001")
 
   /** Query implementations (kept in a private object so each is a named,
    * testable function rather than an inline lambda). */
