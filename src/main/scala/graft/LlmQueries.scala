@@ -162,6 +162,28 @@ object LlmQueries {
       chunkTokens = 10, minDf = 2)
       .orderBy("doc_id")
 
+  /** X14: repeated n-gram mining — the boilerplate diagnostic: which
+   * 5-grams recur across the most documents. Top-k plans as
+   * TakeOrderedAndProject after one gram-keyed aggregation. (At 100 TB
+   * the groupBy key would be the gram's 16-byte digest with text
+   * resolved for the top-k only — the d9/d1 digest pattern; text keys
+   * here keep the oracle direct.) */
+  def repeatedNgrams(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val toks = Tpar(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("_t"))
+      .filter(size(col("_t")) >= k)
+    val grams = toks.select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("_t")) - k),
+        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as("gram"))
+    grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
+      .limit(15)
+  }
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -531,6 +553,7 @@ object LlmQueries {
     "d6_dup_clusters" -> (dupClusters _),
     "d8_dup_clusters_star" -> (dupClustersStar _),
     "d9_chunk_dedup" -> (chunkDedupDocs _),
+    "x14_repeated_ngrams" -> (repeatedNgrams _),
     "d7_decontaminate_bloom" -> (decontaminationBloom _),
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
@@ -670,6 +693,21 @@ object LlmQueries {
     // star-contraction variant with the identical pairs→groups contract,
     // so both check against the same closure).
     "d6_dup_clusters" -> ccClosureOracleSql,
+    "x14_repeated_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE len($toksSql) >= 5),
+         |grams AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(0, len(t) - 4),
+         |      i -> array_to_string(t[i+1:i+5], ' '))) AS gram
+         |  FROM toks)
+         |SELECT gram, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occurrences
+         |FROM grams GROUP BY gram
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occurrences DESC, gram
+         |LIMIT 15""".stripMargin,
     "d9_chunk_dedup" ->
       s"""WITH toks AS (
          |  SELECT doc_id, $toksSql AS t FROM documents
