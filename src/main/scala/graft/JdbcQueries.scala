@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks.JdbcSink
+import graft.sinks.JdbcSink.{Config, Derby, MySql, Postgres}
+import graft.sources.Incremental
+
+/**
+ * Live-JDBC coverage queries — the reference's daily path is a real
+ * database on both ends (`connector_configs/mysql_jdbc_sink_customers
+ * .json`, `실습수행/JDBC Source Connector 실습.md:42-99`). These run the
+ * statement-emitting sink and the pushdown source against an EMBEDDED
+ * Derby (`jdbc:derby:memory:` — in this container's Spark distribution),
+ * over real `java.sql.Connection`s: auto-create DDL, add-only ALTER
+ * evolution, MERGE upserts, tombstone DELETEs, and a watermark predicate
+ * that executes inside the database. Swapping Derby for MySQL/PostgreSQL
+ * is a [[JdbcSink.Dialect]] + URL change; the MySQL and PostgreSQL
+ * statement text is pinned verbatim by `k9b_upsert_sql_dialects`.
+ */
+object JdbcQueries {
+
+  import graft.Tables.T
+
+  private def derbyUrl(db: String) = s"jdbc:derby:memory:$db;create=true"
+
+  private def dbName(prefix: String, dir: String) =
+    prefix + "_" + new java.io.File(dir).getName.replace('.', '_')
+
+  /**
+   * K9 — the sink's statement path executed LIVE, end-to-end: three
+   * changelog waves (insert / upsert-update with a schema-evolving new
+   * column / tombstone-delete) applied through
+   * [[JdbcSink.applyChangelog]] — real CREATE TABLE, ALTER TABLE ADD
+   * COLUMN, MERGE and DELETE statements against embedded Derby — then the
+   * final table state read back through `spark.read.jdbc`. The oracle is
+   * the last-write-wins projection the reference's sink labs verify with
+   * `SELECT *` after the DML soak (`실습수행/JDBC Sink Connector
+   * 실습.md:331-363`).
+   *
+   * Wave shape: wave 1 inserts keys ≡ 0,1 (mod 3); wave 2 upserts keys
+   * ≡ 1,2 (mod 3) with +100 balance AND a new `c_phone` column (key ≡ 1
+   * exercises the MATCHED/update arm, key ≡ 2 the NOT MATCHED/insert arm,
+   * the new column exercises live auto.evolve); wave 3 deletes keys ≡ 0
+   * (mod 5).
+   */
+  def jdbcStatementsLive(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dbName("graft_k9", dir))
+    val table = "customer_live"
+    val cfg = Config(url, table, Derby, Seq("c_custkey"))
+    // idempotent re-runs (bench runs every query twice)
+    JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, table))
+
+    val cust = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    def wave(df: DataFrame, seqV: Long, tombstone: Boolean): DataFrame =
+      df.select(struct(col("c_custkey")).as("key"),
+        when(lit(!tombstone),
+          struct(df.columns.map(col).toIndexedSeq: _*)).as("value"),
+        lit(seqV).as("seq"))
+
+    JdbcSink.applyChangelog(
+      wave(cust.filter(col("c_custkey") % 3 =!= 2), 1L, tombstone = false), cfg)
+    JdbcSink.applyChangelog(
+      wave(cust.filter(col("c_custkey") % 3 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100)
+        .withColumn("c_phone", concat(lit("p"), col("c_custkey"))),
+        2L, tombstone = false), cfg)
+    JdbcSink.applyChangelog(
+      wave(cust.filter(col("c_custkey") % 5 === 0), 3L, tombstone = true), cfg)
+
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", Derby.q(table)).load()
+      .orderBy("c_custkey")
+  }
+
+  /** K9b — the statement surface itself, pinned verbatim per dialect:
+   * what the sink sends to MySQL (`ON DUPLICATE KEY UPDATE`), PostgreSQL
+   * (`ON CONFLICT … DO UPDATE`) and Derby (`MERGE INTO`) for the lab's
+   * customers table shape. */
+  def upsertSqlDialects(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType, nullable = false),
+      StructField("c_name", StringType, nullable = true),
+      StructField("c_acctbal", DoubleType, nullable = true)))
+    Seq(MySql, Postgres, Derby)
+      .flatMap(d => JdbcSink.statements(d, "customer_live", schema, Seq("c_custkey"))
+        .map { case (kind, sql) => (d.name, kind, sql) })
+      .toDF("dialect", "kind", "sql")
+      .orderBy("dialect", "kind")
+  }
+
+  /**
+   * S2b — the incrementing-mode source against a LIVE database: stage the
+   * customer table into Derby through the sink (exercising the write
+   * direction), then poll twice through [[Incremental.jdbcReader]] — the
+   * second poll's watermark predicate folds into the `dbtable` subquery
+   * and executes IN Derby, so the poll reads only new rows (the whole
+   * point of S2: `실습수행/JDBC Source Connector 실습.md:42-99`).
+   *
+   * Staging columns are UPPERCASE so the unquoted watermark predicate
+   * (`c_custkey > n`, exactly what the reference's connector emits)
+   * resolves against Derby's case-normalized catalog; Spark-side
+   * resolution is case-insensitive, so the mode's `advance` agg and the
+   * final projection are unaffected.
+   */
+  def jdbcLiveSource(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dbName("graft_s2b", dir))
+    val table = "customer_stage"
+    val cfg = Config(url, table, Derby, Seq("C_CUSTKEY"))
+    JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, table))
+
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey").as("C_CUSTKEY"),
+        col("c_acctbal").as("C_ACCTBAL"),
+        col("c_mktsegment").as("C_MKTSEGMENT"))
+    JdbcSink.applyChangelog(
+      cust.select(struct(col("C_CUSTKEY")).as("key"),
+        struct(cust.columns.map(col).toIndexedSeq: _*).as("value"),
+        lit(1L).as("seq")), cfg)
+
+    val cut = cust.agg(floor(max(col("C_CUSTKEY")) * 0.6).cast("long"))
+      .head().getLong(0)
+    val reader = Incremental.jdbcReader(s, url, Derby.q(table))
+    val mode = Incremental.Incrementing("c_custkey")
+    val (_, w1) = Incremental.poll(
+      p => reader(p).filter(col("c_custkey") <= cut), mode,
+      Incremental.Watermark.zero)
+    val (batch2, _) = Incremental.poll(reader, mode, w1)
+    batch2.select(col("c_custkey").as("c_custkey"),
+        col("c_acctbal").as("c_acctbal"),
+        col("c_mktsegment").as("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k9_jdbc_statements" -> (jdbcStatementsLive _),
+    "k9b_upsert_sql_dialects" -> (upsertSqlDialects _),
+    "s2b_jdbc_live_source" -> (jdbcLiveSource _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // wave algebra: %3==0 keys keep wave-1 values (no phone); %3==1,2 get
+    // wave 2's +100 and phone; %5==0 keys deleted
+    "k9_jdbc_statements" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 3 = 0 THEN c_acctbal
+        |       ELSE c_acctbal + 100 END AS c_acctbal,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE 'p' || CAST(c_custkey AS VARCHAR) END AS c_phone
+        |FROM customer WHERE c_custkey % 5 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    "k9b_upsert_sql_dialects" ->
+      """SELECT * FROM (VALUES
+        |  ('derby', 'create', 'CREATE TABLE "customer_live" ("c_custkey" BIGINT NOT NULL, "c_name" VARCHAR(4000), "c_acctbal" DOUBLE, PRIMARY KEY ("c_custkey"))'),
+        |  ('derby', 'upsert_update', 'UPDATE "customer_live" SET "c_name" = ?, "c_acctbal" = ? WHERE "c_custkey" = ?'),
+        |  ('derby', 'upsert_insert', 'INSERT INTO "customer_live" ("c_custkey", "c_name", "c_acctbal") VALUES (?, ?, ?)'),
+        |  ('derby', 'delete', 'DELETE FROM "customer_live" WHERE "c_custkey" = ?'),
+        |  ('mysql', 'create', 'CREATE TABLE `customer_live` (`c_custkey` BIGINT NOT NULL, `c_name` TEXT, `c_acctbal` DOUBLE, PRIMARY KEY (`c_custkey`))'),
+        |  ('mysql', 'upsert', 'INSERT INTO `customer_live` (`c_custkey`, `c_name`, `c_acctbal`) VALUES (?, ?, ?) ON DUPLICATE KEY UPDATE `c_name`=VALUES(`c_name`), `c_acctbal`=VALUES(`c_acctbal`)'),
+        |  ('mysql', 'delete', 'DELETE FROM `customer_live` WHERE `c_custkey` = ?'),
+        |  ('postgres', 'create', 'CREATE TABLE "customer_live" ("c_custkey" BIGINT NOT NULL, "c_name" TEXT, "c_acctbal" DOUBLE PRECISION, PRIMARY KEY ("c_custkey"))'),
+        |  ('postgres', 'upsert', 'INSERT INTO "customer_live" ("c_custkey", "c_name", "c_acctbal") VALUES (?, ?, ?) ON CONFLICT ("c_custkey") DO UPDATE SET "c_name"=EXCLUDED."c_name", "c_acctbal"=EXCLUDED."c_acctbal"'),
+        |  ('postgres', 'delete', 'DELETE FROM "customer_live" WHERE "c_custkey" = ?'))
+        |AS t(dialect, kind, sql) ORDER BY dialect, kind""".stripMargin,
+    "s2b_jdbc_live_source" ->
+      """WITH cut AS (SELECT CAST(floor(max(c_custkey) * 0.6) AS BIGINT) AS c FROM customer),
+        |w AS (SELECT max(c_custkey) AS m FROM customer, cut WHERE c_custkey <= cut.c)
+        |SELECT c_custkey, c_acctbal, c_mktsegment
+        |FROM customer, w WHERE c_custkey > w.m ORDER BY c_custkey""".stripMargin
+  )
+}

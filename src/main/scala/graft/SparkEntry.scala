@@ -286,7 +286,8 @@ object SparkEntry {
     "s2_jdbc_incrementing" -> (Q.jdbcIncrementing _),
     "s4_jdbc_timestamp_incrementing" -> (Q.jdbcTimestampIncrementing _),
     "c1_json_envelope_roundtrip" -> (Q.jsonEnvelopeRoundTrip _)
-  ) ++ LlmQueries.queries ++ ConnectQueries.queries ++ RelationalQueries.queries
+  ) ++ LlmQueries.queries ++ ConnectQueries.queries ++ RelationalQueries.queries ++
+    JdbcQueries.queries
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -376,5 +377,6 @@ object SparkEntry {
     "c1_json_envelope_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin
-  ) ++ LlmQueries.oracleSql ++ ConnectQueries.oracleSql ++ RelationalQueries.oracleSql
+  ) ++ LlmQueries.oracleSql ++ ConnectQueries.oracleSql ++ RelationalQueries.oracleSql ++
+    JdbcQueries.oracleSql
 }

@@ -132,7 +132,7 @@ final class Engine(spark: SparkSession, root: String) {
     // name a real ordering column (kafka carries its offset, rate its
     // monotonic `value`). Append sinks keep every row — a synthetic seq
     // is harmless there.
-    if (Set("table", "logtable")(spec.sink.kind) && spec.source.seqColumn.isEmpty &&
+    if (Set("table", "logtable", "jdbc")(spec.sink.kind) && spec.source.seqColumn.isEmpty &&
         spec.source.kind != "kafka" && spec.source.kind != "rate")
       throw new IllegalArgumentException(
         s"table sink requires source.seqColumn (the offset analog) for " +
@@ -164,6 +164,26 @@ final class Engine(spark: SparkSession, root: String) {
             TableSink.dropDeletes(sink, batch), sink.keys)
           if (graft.sinks.LogTable.versions(sink.path).size >= 8)
             graft.sinks.LogTable.compact(spark, sink.path, sink.keys)
+        }.start()
+      case "jdbc" =>
+        // the live database sink: per-batch statement execution through
+        // JdbcSink (auto-create/evolve DDL, dialect-native upserts,
+        // tombstone DELETEs) — the reference's JDBC sink connector shape
+        val cfg = graft.sinks.JdbcSink.Config(
+          url = sink.url.getOrElse(throw new IllegalArgumentException(
+            "jdbc sink requires 'url'")),
+          table = sink.table.getOrElse(spec.name),
+          dialect = sink.dialect.getOrElse("derby") match {
+            case "mysql" => graft.sinks.JdbcSink.MySql
+            case "postgres" => graft.sinks.JdbcSink.Postgres
+            case "derby" => graft.sinks.JdbcSink.Derby
+            case d => throw new IllegalArgumentException(s"unknown dialect '$d'")
+          },
+          pks = sink.keys,
+          deleteEnabled = sink.deleteEnabled,
+          autoEvolve = sink.autoEvolve)
+        writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sinks.JdbcSink.applyChangelog(batch, cfg)
         }.start()
       case "append" =>
         // topic routing (T3 RegexRouter) lands here: one directory

@@ -89,11 +89,16 @@ final case class TransformSpec(kind: String, args: Map[String, String],
 }
 
 final case class SinkSpec(
-    kind: String,             // table (keyed merge) | append
+    kind: String,             // table | logtable | append | jdbc
     path: String,
     keys: Seq[String],
     deleteEnabled: Boolean = true,
-    autoEvolve: Boolean = true)
+    autoEvolve: Boolean = true,
+    // jdbc sink only — the reference's connection.url / table.name /
+    // dialect knobs (`connector_configs/mysql_jdbc_sink_customers.json`)
+    url: Option[String] = None,
+    table: Option[String] = None,
+    dialect: Option[String] = None)
 
 object PipelineSpec {
 
@@ -132,7 +137,10 @@ object PipelineSpec {
         path = str(sink, "path").getOrElse(""),
         keys = strs(sink, "keys"),
         deleteEnabled = str(sink, "deleteEnabled").forall(_.toBoolean),
-        autoEvolve = str(sink, "autoEvolve").forall(_.toBoolean)),
+        autoEvolve = str(sink, "autoEvolve").forall(_.toBoolean),
+        url = str(sink, "url"),
+        table = str(sink, "table"),
+        dialect = str(sink, "dialect")),
       triggerMs = str(n, "triggerMs").map(_.toLong))
   }
 }

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sinks.{JdbcSink, MergeSink}
+import graft.sinks.JdbcSink.{Config, Derby, MySql, Postgres}
+
+/** The live JDBC sink: statement emission per dialect, and the Derby
+  * dialect EXECUTED against an embedded in-memory database — create,
+  * evolve, MERGE-upsert, tombstone DELETE — checked equal to the
+  * Spark-side [[MergeSink]] semantics on the same changelog. */
+class JdbcSinkSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("bal", DoubleType, nullable = true)))
+
+  test("MySQL upsert is INSERT .. ON DUPLICATE KEY UPDATE of non-keys") {
+    assert(MySql.upsert("t", schema, Seq("id")) === JdbcSink.Native(
+      "INSERT INTO `t` (`id`, `name`, `bal`) VALUES (?, ?, ?) " +
+        "ON DUPLICATE KEY UPDATE `name`=VALUES(`name`), `bal`=VALUES(`bal`)"))
+  }
+
+  test("Postgres upsert is INSERT .. ON CONFLICT DO UPDATE; all-key tables DO NOTHING") {
+    assert(Postgres.upsert("t", schema, Seq("id")) === JdbcSink.Native(
+      "INSERT INTO \"t\" (\"id\", \"name\", \"bal\") VALUES (?, ?, ?) " +
+        "ON CONFLICT (\"id\") DO UPDATE SET \"name\"=EXCLUDED.\"name\", \"bal\"=EXCLUDED.\"bal\""))
+    val keysOnly = StructType(schema.fields.take(1))
+    assert(Postgres.upsert("t", keysOnly, Seq("id")) === JdbcSink.Native(
+      "INSERT INTO \"t\" (\"id\") VALUES (?) ON CONFLICT (\"id\") DO NOTHING"))
+  }
+
+  test("Derby upsert is the portable UPDATE-then-INSERT pair") {
+    assert(Derby.upsert("t", schema, Seq("id")) === JdbcSink.UpdateThenInsert(
+      "UPDATE \"t\" SET \"name\" = ?, \"bal\" = ? WHERE \"id\" = ?",
+      "INSERT INTO \"t\" (\"id\", \"name\", \"bal\") VALUES (?, ?, ?)"))
+  }
+
+  test("composite-PK delete conjoins all key columns") {
+    assert(MySql.deleteSql("t", Seq("a", "b")) ===
+      "DELETE FROM `t` WHERE `a` = ? AND `b` = ?")
+  }
+
+  test("create DDL maps types per dialect and pins NOT NULL keys") {
+    val withTypes = StructType(schema.fields ++ Seq(
+      StructField("d", DateType), StructField("ts", TimestampType),
+      StructField("dec", DecimalType(12, 2))))
+    val mysql = MySql.createTableSql("t", withTypes, Seq("id"))
+    assert(mysql.contains("`id` BIGINT NOT NULL"))
+    assert(mysql.contains("`name` TEXT"))
+    assert(mysql.contains("`ts` TIMESTAMP(6)")) // micros survive
+    assert(mysql.contains("`dec` DECIMAL(12,2)"))
+    assert(mysql.endsWith("PRIMARY KEY (`id`))"))
+    // a string PK needs a bounded type for the index
+    val strKey = StructType(Seq(StructField("k", StringType, nullable = false)))
+    assert(MySql.createTableSql("t", strKey, Seq("k")).contains("`k` VARCHAR(256)"))
+    assert(Postgres.createTableSql("t", withTypes, Seq("id"))
+      .contains("\"bal\" DOUBLE PRECISION"))
+  }
+
+  private def changelog(rows: Seq[(Long, Option[(Long, String, Double)], Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("_k", "_v", "seq")
+      .select(struct(col("_k").as("id")).as("key"),
+        when(col("_v").isNotNull,
+          struct(col("_v._1").as("id"), col("_v._2").as("name"),
+            col("_v._3").as("bal"))).as("value"),
+        col("seq"))
+  }
+
+  private def freshCfg(db: String): Config = {
+    val cfg = Config(s"jdbc:derby:memory:$db;create=true", "t", Derby, Seq("id"))
+    JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, "t"))
+    cfg
+  }
+
+  private def readBack(cfg: Config): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", Derby.q(cfg.table)).load()
+
+  test("live Derby: auto-create + upsert + update + tombstone delete end-to-end") {
+    val cfg = freshCfg("spec_e2e")
+    // batch 1: two inserts
+    JdbcSink.applyChangelog(changelog(Seq(
+      (1L, Some((1L, "a", 10.0)), 1L),
+      (2L, Some((2L, "b", 20.0)), 2L))), cfg)
+    // batch 2: update 1 (MATCHED arm), insert 3 (NOT MATCHED arm), delete 2
+    JdbcSink.applyChangelog(changelog(Seq(
+      (1L, Some((1L, "a2", 11.0)), 3L),
+      (3L, Some((3L, "c", 30.0)), 4L),
+      (2L, None, 5L))), cfg)
+    val got = readBack(cfg).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, "a2", 11.0), (3L, "c", 30.0)))
+  }
+
+  test("live Derby: within-batch last-write-wins (one statement per key)") {
+    val cfg = freshCfg("spec_lww")
+    JdbcSink.applyChangelog(changelog(Seq(
+      (1L, Some((1L, "old", 1.0)), 1L),
+      (1L, Some((1L, "new", 2.0)), 9L),
+      (1L, Some((1L, "mid", 1.5)), 5L))), cfg)
+    val got = readBack(cfg).collect()
+    assert(got.length === 1 && got(0).getString(1) === "new")
+  }
+
+  test("live Derby: auto.evolve ALTERs in new nullable columns; old rows NULL") {
+    import spark.implicits._
+    val cfg = freshCfg("spec_evolve")
+    JdbcSink.applyChangelog(changelog(Seq((1L, Some((1L, "a", 1.0)), 1L))), cfg)
+    val evolved = Seq((2L, "b", 2.0, "x2"))
+      .toDF("id", "name", "bal", "note")
+      .select(struct(col("id")).as("key"),
+        struct(col("id"), col("name"), col("bal"), col("note")).as("value"),
+        lit(2L).as("seq"))
+    JdbcSink.applyChangelog(evolved, cfg)
+    val got = readBack(cfg).orderBy("id").collect()
+    assert(got.map(_.getAs[String]("note")).toSeq === Seq(null, "x2"))
+    // a required add must fail loudly, not corrupt the target
+    val required = StructType(schema.fields :+
+      StructField("must", StringType, nullable = false))
+    val err = intercept[IllegalStateException] {
+      JdbcSink.withConnection(cfg)(c =>
+        JdbcSink.ensureTable(c, cfg, required))
+    }
+    assert(err.getMessage.contains("auto.evolve"))
+  }
+
+  test("live Derby: delete.enabled=false ignores tombstones") {
+    val cfg = freshCfg("spec_nodel").copy(deleteEnabled = false)
+    JdbcSink.applyChangelog(changelog(Seq(
+      (1L, Some((1L, "a", 1.0)), 1L),
+      (1L, None, 2L))), cfg)
+    // tombstone won the batch reduction but deletes are disabled -> row kept
+    assert(readBack(cfg).count() === 1)
+  }
+
+  test("Engine 'jdbc' sink: CSV spool streams into a live Derby table") {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory("jdbc_engine").toString
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    Files.writeString(Paths.get(in, "f1.csv"),
+      Seq("id,v,seq,__deleted", "1,a,10,false", "2,b,11,false",
+        "1,a2,12,false", "2,,13,true").mkString("\n"))
+    val cfg = freshCfg("spec_engine").copy(table = "stream_t", pks = Seq("id"))
+    JdbcSink.withConnection(cfg)(c =>
+      JdbcSink.dropTableIfExists(c, Derby, "stream_t"))
+    val engine = new graft.pipeline.Engine(spark, s"$base/engine")
+    val q = engine.registerJson(
+      s"""{
+         |  "name": "to_jdbc",
+         |  "source": {"type": "csv", "path": "$in",
+         |    "schemaDdl": "id INT, v STRING, seq LONG, __deleted STRING",
+         |    "keyFields": ["id"], "seqColumn": "seq"},
+         |  "sink": {"type": "jdbc", "url": "${cfg.url}",
+         |    "table": "stream_t", "dialect": "derby", "keys": ["id"]}
+         |}""".stripMargin)
+    q.processAllAvailable()
+    engine.delete("to_jdbc")
+    val got = spark.read.format("jdbc")
+      .option("url", cfg.url).option("dbtable", Derby.q("stream_t")).load()
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq === Seq((1, "a2"))) // update applied, tombstone deleted
+  }
+
+  test("statement replay equals MergeSink.applyBatch on a mixed soak") {
+    import spark.implicits._
+    // 60 keys, 3 waves mirroring the k9 query shape
+    val base = (1L to 60L).map(i => (i, s"n$i", i * 1.5))
+    val w1 = base.filter(_._1 % 3 != 2).map { case (i, n, b) => (i, Some((i, n, b)), 1L) }
+    val w2 = base.filter(_._1 % 3 != 0).map { case (i, n, b) => (i, Some((i, n, b + 100)), 2L) }
+    val w3 = base.filter(_._1 % 5 == 0).map { case (i, _, _) => (i, None, 3L) }
+    val cfg = freshCfg("spec_replay")
+    Seq(w1, w2, w3).foreach(w => JdbcSink.applyChangelog(changelog(w), cfg))
+    val live = readBack(cfg).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+
+    // the Spark-side semantics over the SAME concatenated changelog
+    val snapshot = Seq.empty[(Long, String, Double)].toDF("id", "name", "bal")
+    val merged = MergeSink.applyBatch(snapshot,
+      changelog(w1 ++ w2 ++ w3), Seq("id"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(live.toSeq === merged.toSeq)
+  }
+}
