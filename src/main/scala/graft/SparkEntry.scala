@@ -379,4 +379,10 @@ object SparkEntry {
         |FROM nation ORDER BY n_nationkey""".stripMargin
   ) ++ LlmQueries.oracleSql ++ ConnectQueries.oracleSql ++ RelationalQueries.oracleSql ++
     JdbcQueries.oracleSql
+
+  /** Oracles whose SQL embeds TRAINED constants (deterministic — DECIMAL
+   * training sums — but data-dependent): rendered per data dir at dump
+   * time. Verify merges these into oracle_sql.json. */
+  def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
+    LlmQueries.dynamicOracleSql
 }

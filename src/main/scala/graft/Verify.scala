@@ -40,7 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // trained-constant oracles render per dir; only the requested ones
+    // (training runs once per dir — the query fns share the memo)
+    val dynamic = SparkEntry.dynamicOracleSql
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) => name -> fn(spark, sfDir) }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

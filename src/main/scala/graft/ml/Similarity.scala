@@ -204,8 +204,13 @@ object Similarity {
    * re-center every (subspace, code) cell on the mean of its assigned
    * subvectors (codewords with no members keep their value). The
    * shuffle carries only (m*codes) partial sum rows per map task.
-   * Distributed float means depend on reduction order, so searches over
-   * trained books are rows-only checkable, like the trained-IVF path.
+   *
+   * DETERMINISTIC: partial sums accumulate in DECIMAL (exact and
+   * associative — reduction order cannot change the result), and the
+   * single mean division happens once on the driver. Trained codebooks
+   * are therefore bit-identical across partitionings and retries, which
+   * is what lets searches over them carry hash-exact oracles (the
+   * trained literals render into the oracle SQL verbatim).
    *
    * `sampleMod`: train on the deterministic hash-sample `hash(id) %
    * sampleMod == 0` — the production shape (codebooks need a
@@ -216,9 +221,19 @@ object Similarity {
    */
   def trainPqCodebooks(corpus: DataFrame, m: Int, subDim: Int, codes: Int,
                        iters: Int = 2, sampleMod: Int = 1): Seq[Seq[Seq[Double]]] = {
+    // the sample is scanned once per iteration — pin it in memory for
+    // the loop (it is small by construction: FAISS-style fixed-size
+    // training sets, not the corpus)
     val train =
-      if (sampleMod <= 1) corpus
-      else corpus.filter(pmod(hash(col("id")), lit(sampleMod)) === 0)
+      (if (sampleMod <= 1) corpus
+       else corpus.filter(pmod(hash(col("id")), lit(sampleMod)) === 0)).cache()
+    try {
+      trainPqLoop(train, m, subDim, codes, iters)
+    } finally train.unpersist(blocking = false)
+  }
+
+  private def trainPqLoop(train: DataFrame, m: Int, subDim: Int, codes: Int,
+                          iters: Int): Seq[Seq[Seq[Double]]] = {
     var books = pqCodebooks(m, subDim, codes)
     for (_ <- 0 until iters) {
       val cns = pqCellNorms(books)
@@ -231,14 +246,15 @@ object Similarity {
       val sums = exploded.groupBy("j", "c")
         .agg(count(lit(1)).as("n"),
           array((0 until subDim).map(i =>
-            sum(element_at(col("sub"), i + 1).cast(DoubleType))): _*).as("s"))
+            sum(element_at(col("sub"), i + 1).cast(SumDecimal))): _*).as("s"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Double](3)))
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getSeq[java.math.BigDecimal](3)))
         .toMap
       books = books.zipWithIndex.map { case (book, j) =>
         book.zipWithIndex.map { case (old, ci) =>
           sums.get((j, ci + 1)) match {
-            case Some((n, sArr)) if n > 0 => sArr.map(_ / n)
+            case Some((n, sArr)) if n > 0 => sArr.map(_.doubleValue / n)
             case _ => old
           }
         }
@@ -362,12 +378,16 @@ object Similarity {
    *
    * Each iteration is one corpus scan: assign (codegen'd [[dot]] per
    * centroid) → per-cell elementwise sums (ONE shuffle of `nCells × dim`
-   * double partials with map-side combine) → `nCells` rows collected to
+   * DECIMAL partials with map-side combine) → `nCells` rows collected to
    * the driver. Empty cells keep their previous centroid. At 100 TB the
    * per-iteration cost is the scan; driver state is `nCells × dim`
-   * doubles. Output depends on float reduction order across partitions
-   * (like every distributed mean), so queries built on trained centroids
-   * carry rows-only oracles, not hash-exact ones.
+   * doubles.
+   *
+   * DETERMINISTIC like [[trainPqCodebooks]]: DECIMAL partial sums are
+   * exact and associative, and the mean divides once on the driver —
+   * identical centroids under any partitioning, so trained-centroid
+   * searches hash-compare against an oracle built from the same
+   * literals.
    */
   def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16, dim: Int = 64,
                         iters: Int = 3): Seq[Seq[Double]] = {
@@ -378,19 +398,25 @@ object Similarity {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"),
           array((0 until dim).map(i =>
-            sum(element_at(col("vec"), i + 1).cast(DoubleType))): _*).as("s"))
+            sum(element_at(col("vec"), i + 1).cast(SumDecimal))): _*).as("s"))
         .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[java.math.BigDecimal](2)))
         .toMap
       cents = cents.zipWithIndex.map { case (old, j) =>
         sums.get(j) match {
-          case Some((n, s)) if n > 0 => s.map(_ / n).toSeq
+          case Some((n, s)) if n > 0 => s.map(_.doubleValue / n).toSeq
           case _ => old
         }
       }
     }
     cents
   }
+
+  /** Accumulator type for training sums: a float element rounds to 12
+   * decimal places deterministically, sums stay exact (15 integer
+   * digits of headroom), and order never matters — decimal addition is
+   * associative where double addition is not. */
+  private val SumDecimal = DecimalType(27, 12)
 
   /**
    * ANN via IVF: corpus partitions into cells by nearest centroid;
