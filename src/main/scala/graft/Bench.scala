@@ -20,8 +20,12 @@ object Bench {
     // Optional args = subset of query names to run (local iteration);
     // the driver passes none and gets the full suite.
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).distinct.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    // locale-pinned formatting: the driver parses this line as JSON, and
+    // a comma-decimal default locale would corrupt it
+    def fmt(dec: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
     // Two warmup passes (ignore failures — the timed run reports them
     // as -1): sf0.001 pays session/plan/parquet-footer bring-up; sf0.01
     // pushes enough rows through the hot loops that C2 actually
@@ -60,9 +64,9 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dec}f".format(v) }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
     // The harness that captures this keeps only the last ~2000 chars of
     // output; the metric line must fit entirely inside that window.
@@ -76,10 +80,10 @@ object Bench {
       val sorted = results.sortBy { case (n, v) => (-v, n) }
       val kept = sorted.take(k)
       val om = sorted.drop(k)
-      val qs = kept.map { case (n, v) => "\"" + n + "\":" + "%.2f".format(v) }
+      val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_omitted":${om.size},"omitted_sec":${"%.3f".format(om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,""" +
+        s""""queries_omitted":${om.size},"omitted_sec":${fmt(3, om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
     }
     val out = Seq(line(3), line(2)).find(_.length <= budget).getOrElse {
       var k = results.size

@@ -190,10 +190,13 @@ object LlmQueries {
 
   /** X14: repeated n-gram mining — the boilerplate diagnostic: which
    * 5-grams recur across the most documents. Top-k plans as
-   * TakeOrderedAndProject after one gram-keyed aggregation. (At 100 TB
-   * the groupBy key would be the gram's 16-byte digest with text
-   * resolved for the top-k only — the d9/d1 digest pattern; text keys
-   * here keep the oracle direct.) */
+   * TakeOrderedAndProject after one aggregation keyed on the gram's
+   * 16-byte md5 digest (the d9/d1 pattern): the shuffle hashes, sorts
+   * and compares fixed-width binary instead of ~5-token strings, and
+   * `min(gram)` carries one exemplar text per (key, map task) to
+   * resolve the digest back — invisible to results (an md5 collision
+   * between distinct 5-grams is negligible; every row in a digest
+   * group holds the identical gram, so min = the gram). */
   def repeatedNgrams(s: SparkSession, dir: String): DataFrame = {
     val k = 5
     val toks = Tpar(s, dir, "documents")
@@ -202,10 +205,14 @@ object LlmQueries {
     val grams = toks.select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("_t")) - k),
         i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as("gram"))
-    grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
+    grams
+      .select(unhex(md5(col("gram"))).as("_g"), col("doc_id"), col("gram"))
+      .groupBy("_g")
+      .agg(min(col("gram")).as("gram"),
+        countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= 2)
+      .select("gram", "n_docs", "n_occurrences")
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("gram"))
       .limit(15)
   }

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions.udaf
  */
 object VectorAgg {
 
+  /** Ragged inputs would silently drop the longer vector's tail (or walk
+   * off the buffer) — a wrong sum must be a loud failure instead. */
+  private def requireSameLength(have: Int, got: Int): Unit =
+    if (have != got) throw new IllegalArgumentException(
+      s"vector aggregate over ragged lengths: buffer has $have dims, row has $got")
+
   final case class AvgBuffer(sums: Array[Double], n: Long)
 
   val vectorAvg: Aggregator[Seq[Float], AvgBuffer, Seq[Double]] =
@@ -23,6 +29,7 @@ object VectorAgg {
       override def zero: AvgBuffer = AvgBuffer(Array.empty, 0L)
       override def reduce(b: AvgBuffer, v: Seq[Float]): AvgBuffer = {
         val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
+        requireSameLength(s.length, v.length)
         var i = 0
         while (i < v.length) { s(i) += v(i); i += 1 }
         AvgBuffer(s, b.n + 1)
@@ -31,6 +38,7 @@ object VectorAgg {
         if (a.sums.isEmpty) b
         else if (b.sums.isEmpty) a
         else {
+          requireSameLength(a.sums.length, b.sums.length)
           var i = 0
           while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
           AvgBuffer(a.sums, a.n + b.n)
@@ -60,6 +68,7 @@ object VectorAgg {
       override def zero: SumBuffer = SumBuffer(Array.empty)
       override def reduce(b: SumBuffer, v: Seq[Int]): SumBuffer = {
         val s = if (b.sums.isEmpty) new Array[Long](v.length) else b.sums
+        requireSameLength(s.length, v.length)
         var i = 0
         while (i < v.length) { s(i) += v(i); i += 1 }
         SumBuffer(s)
@@ -68,6 +77,7 @@ object VectorAgg {
         if (a.sums.isEmpty) b
         else if (b.sums.isEmpty) a
         else {
+          requireSameLength(a.sums.length, b.sums.length)
           var i = 0
           while (i < a.sums.length) { a.sums(i) += b.sums(i); i += 1 }
           a

@@ -356,7 +356,12 @@ object Dedup {
     var labels = edges.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // sum over an empty label frame is NULL (an LSH run with zero
+    // candidate pairs) — coalesce so the empty case converges to the
+    // empty (node,label) frame instead of NPEing, like the star variant
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -366,7 +371,7 @@ object Dedup {
         .union(labels.select(col("node").as("u"), col("label").as("vl")))
         .groupBy(col("u").as("node")).agg(min("vl").as("label"))
         .localCheckpoint()
-      val sumNow = labels.agg(sum("label")).head().getLong(0)
+      val sumNow = labelSum(labels)
       converged = sumNow == prevSum
       prevSum = sumNow
       iter += 1

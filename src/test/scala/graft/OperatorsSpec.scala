@@ -88,6 +88,14 @@ class OperatorsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters: zero candidate pairs yields an empty labeling, not an NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("ida", "idb")
+    val n = CacheScope.withScope { implicit scope =>
+      Dedup.duplicateClusters(pairs).count()
+    }
+    assert(n === 0)
+  }
+
   test("chunkDedup strips cross-doc boilerplate chunks and reassembles in order") {
     // chunkTokens=2: docs 1/2 share chunk "x y"; doc 3 is pure boilerplate
     val docs = Seq(

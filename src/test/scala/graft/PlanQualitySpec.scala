@@ -45,6 +45,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "reassembly must be array_sort in the agg, not a window")
   }
 
+  test("repeated n-gram mining groups on the 16-byte digest, not the gram text") {
+    val df = LlmQueries.queries("x14_repeated_ngrams")(spark, dir)
+    // no aggregate may key on a string: the gram text must never be a
+    // shuffle key (16-byte digest + long doc_id only; min(gram) rides as
+    // an aggregate buffer, one exemplar per key per map task)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.nonEmpty => a
+    }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(a.groupingExpressions.forall(
+        _.dataType != org.apache.spark.sql.types.StringType),
+        s"gram text used as grouping key: ${a.groupingExpressions.map(_.dataType)}")
+      assert(a.groupingExpressions.exists(
+        _.dataType == org.apache.spark.sql.types.BinaryType))
+    }
+    assert(plan(df).contains("TakeOrderedAndProject"))
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val out = "target/tmp/orders_by_year"
     spark.read.parquet(s"$dir/orders.parquet")

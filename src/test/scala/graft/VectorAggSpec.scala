@@ -32,6 +32,19 @@ class VectorAggSpec extends SparkSpec {
     assert(out(1) == Seq(-7L, 0L))
   }
 
+  test("ragged vector lengths fail loudly instead of summing wrong") {
+    val df = Seq((0, Seq(1, 2, 3)), (0, Seq(1, 2)))
+      .toDF("label", "qv").coalesce(1)
+    val e = intercept[Exception] {
+      df.groupBy("label").agg(VectorAgg.vectorSumCol(col("qv"))).collect()
+    }
+    // Spark wraps the task failure; the root message must survive
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(_.getMessage != null) &&
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(t => Option(t.getMessage).exists(_.contains("ragged"))))
+  }
+
   test("centroids over the embeddings table have the right shape") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = emb.groupBy("label")
