@@ -138,6 +138,19 @@ final class Engine(spark: SparkSession, root: String) {
         s"table sink requires source.seqColumn (the offset analog) for " +
           s"source '${spec.source.kind}': without one, merge order for " +
           "duplicate keys within a batch depends on partition layout")
+    // S8 — the PostgreSQL rule for key-less sources (`실습수행/Debezium
+    // PostgreSQL CDC Source Connector 실습.md:339-353`): a published
+    // table with no PK cannot emit deletes until REPLICA IDENTITY FULL;
+    // mirror that refusal at registration instead of failing downstream
+    // with an unaddressable tombstone.
+    if (Set("table", "logtable", "jdbc")(spec.sink.kind) && spec.sink.deleteEnabled &&
+        spec.source.keyFields.isEmpty && !spec.source.replicaIdentityFull)
+      throw new IllegalArgumentException(
+        "cannot capture deletes from a key-less source: the database " +
+          "rejects DELETE on a published table with no replica identity " +
+          "(ALTER TABLE ... REPLICA IDENTITY FULL) — set source." +
+          "replicaIdentityFull to key tombstones by the full row image, " +
+          "or disable sink deletes")
     val src = readSource(spec.source)
     val framed = toFrame(src, spec.source)
     val transformed = spec.transforms.map(_.toTransform)
@@ -299,8 +312,15 @@ final class Engine(spark: SparkSession, root: String) {
     val value = struct(dataCols.map(col).toIndexedSeq: _*)
     val tomb = if (df.columns.contains("__deleted"))
       col("__deleted").cast("boolean") else lit(false)
+    // key-less source under REPLICA IDENTITY FULL: the key IS the full
+    // row image (exactly Debezium's delete-event key for such tables) —
+    // minus the seq/offset column, which is transport metadata, not row
+    // data (a tombstone arrives at a LATER offset than the row it kills)
+    val keyFields =
+      if (s.keyFields.nonEmpty) s.keyFields
+      else dataCols.toSeq.filterNot(c => s.seqColumn.contains(c))
     df.select(
-      struct(s.keyFields.map(col).toIndexedSeq: _*).as(Connect.KeyCol),
+      struct(keyFields.map(col).toIndexedSeq: _*).as(Connect.KeyCol),
       when(!coalesce(tomb, lit(false)), value).as(Connect.ValueCol),
       lit(s.topic).as(Connect.TopicCol),
       seqCol.cast("long").as(Connect.SeqCol))

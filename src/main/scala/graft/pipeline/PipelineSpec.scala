@@ -44,7 +44,14 @@ final case class SourceSpec(
     keyFields: Seq[String],        // lifted into the connect frame key
     seqColumn: Option[String],     // ordering column (Kafka-offset analog)
     topic: String,
-    maxFilesPerTrigger: Int = 3) { // tasks.max / poll batch analog
+    maxFilesPerTrigger: Int = 3,   // tasks.max / poll batch analog
+    // PostgreSQL-CDC semantics for key-less tables (`실습수행/Debezium
+    // PostgreSQL CDC Source Connector 실습.md:339-353`): deletes from a
+    // PK-less published table are rejected by the database unless
+    // REPLICA IDENTITY FULL is set; with it, the delete event's key is
+    // the FULL row image. Declaring it here makes the engine enforce
+    // the same contract (and key tombstones by the whole row).
+    replicaIdentityFull: Boolean = false) {
   def schema: Option[StructType] =
     schemaDdl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
 }
@@ -123,7 +130,8 @@ object PipelineSpec {
         keyFields = strs(src, "keyFields"),
         seqColumn = str(src, "seqColumn"),
         topic = str(src, "topic").getOrElse(n.get("name").asText),
-        maxFilesPerTrigger = str(src, "maxFilesPerTrigger").map(_.toInt).getOrElse(3)),
+        maxFilesPerTrigger = str(src, "maxFilesPerTrigger").map(_.toInt).getOrElse(3),
+        replicaIdentityFull = str(src, "replicaIdentityFull").exists(_.toBoolean)),
       transforms = Option(n.get("transforms")).map(_.elements().asScala.map { t =>
         TransformSpec(
           kind = t.get("type").asText,

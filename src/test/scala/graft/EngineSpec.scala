@@ -225,4 +225,74 @@ class EngineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](engine.registerJson(spec))
     assert(e.getMessage.contains("seqColumn"))
   }
+
+  test("S8: deletes from a key-less source are rejected without REPLICA IDENTITY FULL") {
+    val base = Files.createTempDirectory("nopk").toString
+    def spec(flag: String) =
+      s"""{
+         |  "name": "nopk",
+         |  "source": {"type": "csv", "path": "$base/in",
+         |    "schemaDdl": "c1 INT, v STRING, seq LONG, __deleted STRING",
+         |    "seqColumn": "seq", "topic": "om.no_pk_tab"$flag},
+         |  "sink": {"type": "table", "path": "$base/state",
+         |    "keys": ["c1", "v"]}
+         |}""".stripMargin
+    val engine = new Engine(spark, s"$base/engine")
+    val e = intercept[IllegalArgumentException](engine.registerJson(spec("")))
+    assert(e.getMessage.contains("replica identity"))
+    // delete.enabled=false is the other lab-sanctioned way out
+    val engine2 = new Engine(spark, s"$base/engine2")
+    val specNoDel = spec("").replace("\"keys\": [\"c1\", \"v\"]",
+      "\"keys\": [\"c1\", \"v\"], \"deleteEnabled\": \"false\"")
+    writeCsv(s"$base/in", "f0.csv") // empty file so the stream can start
+    engine2.registerJson(specNoDel).processAllAvailable()
+    engine2.delete("nopk")
+  }
+
+  test("S8: REPLICA IDENTITY FULL keys tombstones by the full row image") {
+    val base = Files.createTempDirectory("nopkfull").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    // columns c1,v double as the row identity; row (2,b) gets deleted
+    writeCsv(in, "f1.csv", "1,a,10,false", "2,b,11,false", "2,c,12,false")
+    writeCsv(in, "f2.csv", "2,b,13,true")
+    val spec =
+      s"""{
+         |  "name": "nopkfull",
+         |  "source": {"type": "csv", "path": "$in",
+         |    "schemaDdl": "id INT, v STRING, seq LONG, __deleted STRING",
+         |    "seqColumn": "seq", "topic": "om.no_pk_tab",
+         |    "replicaIdentityFull": "true"},
+         |  "sink": {"type": "table", "path": "$out", "keys": ["id", "v"]}
+         |}""".stripMargin
+    val engine = new Engine(spark, s"$base/engine")
+    val q = engine.registerJson(spec)
+    q.processAllAvailable()
+    engine.delete("nopkfull")
+    val got = spark.read.parquet(out)
+      .select("id", "v").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // (2,b) tombstoned away by its full-row key; (2,c) survives — a PK
+    // key of just id=2 would have clobbered it
+    assert(got == Set((1, "a"), (2, "c")))
+  }
+
+  test("S8: publication autocreate modes resolve like the connector") {
+    import graft.sources.PgCdc
+    import graft.sources.PgCdc._
+    val all = Seq("public.customers", "public.products", "public.orders")
+    val incl = Seq("public.customers", "public.orders")
+    assert(resolvePublication(AllTables, incl, all, None) == Right(all))
+    assert(resolvePublication(Filtered, incl, all, None) == Right(incl))
+    assert(resolvePublication(Disabled, incl, all, None).isLeft)
+    assert(resolvePublication(Disabled, incl, all,
+      Some(Seq("public.customers"))) == Right(Seq("public.customers")))
+    assert(AutocreateMode.parse("filtered") == Filtered)
+    // the raw PG-side refusal and the Debezium key-shape rule
+    assert(PgCdc.validateDeletes("no_pk_tab", Nil, replicaIdentityFull = false).isLeft)
+    assert(PgCdc.validateDeletes("no_pk_tab", Nil, replicaIdentityFull = true).isRight)
+    assert(PgCdc.validateDeletes("pk_tab", Seq("col1"), replicaIdentityFull = false).isRight)
+    assert(PgCdc.eventKeyFields(Nil, Seq("c1", "c2"), replicaIdentityFull = true)
+      == Seq("c1", "c2"))
+    assert(PgCdc.eventKeyFields(Seq("c1"), Seq("c1", "c2"), replicaIdentityFull = false)
+      == Seq("c1"))
+  }
 }
