@@ -405,16 +405,20 @@ object LlmQueries {
   /** M1: multimodal plumbing — pack docs as binary media, extract
    * features via the partition-batched (stub) decoder. */
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    val packed = Multimodal.packAsMedia(Tpar(s, dir, "documents"), "doc_id", "text")
-    val feats = Multimodal.extractFeatures(packed)
-    feats.join(packed.select(col("media_id"), col("meta.width").as("width"),
-        col("meta.height").as("height")), "media_id")
+    // REAL codec path end-to-end: synthesize genuine PNG bytes into the
+    // binary column, then decode them with javax.imageio in the
+    // partition-batched seam. Every output column below comes from the
+    // DECODER's raster reads, not the synthesis metadata — the oracle
+    // checks the decode because PNG is lossless and the pixel algebra
+    // has a closed form over length(text).
+    val packed = Multimodal.packAsPng(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractImageFeatures(packed)
       .select(col("media_id"),
-        col("features.n_bytes").as("n_bytes"),
-        col("features.first_byte").as("first_byte"),
-        col("features.byte_sum").as("byte_sum"),
-        col("features.mean_luma").as("mean_luma"),
-        col("width"), col("height"))
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.n_pixels").as("n_pixels"),
+        col("features.pixel_sum").as("pixel_sum"),
+        col("features.mean_luma").as("mean_luma"))
       .orderBy("media_id")
   }
 
@@ -1178,17 +1182,20 @@ object LlmQueries {
         |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
         |    i -> unicode(substr(text, i, 1))::BIGINT))::BIGINT AS f1_checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
+    // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |  length(text)::BIGINT AS n_bytes,
-        |  unicode(substr(text, 1, 1)) AS first_byte,
-        |  list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> unicode(substr(text, i, 1))::BIGINT))::BIGINT AS byte_sum,
-        |  list_sum(list_transform(range(1, length(text) + 1),
-        |    i -> unicode(substr(text, i, 1))::BIGINT))::DOUBLE
-        |    / length(text)::DOUBLE AS mean_luma,
-        |  1 + length(text) % 640 AS width,
-        |  1 + length(text) % 480 AS height
-        |FROM documents ORDER BY media_id""".stripMargin
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 16 AS w,
+        |    1 + length(text) % 12 AS h, length(text) % 200 AS a
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS pixel_sum,
+        |  (w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2))::DOUBLE
+        |    / (w*h)::DOUBLE AS mean_luma
+        |FROM d ORDER BY media_id""".stripMargin
   )
 }

@@ -11,19 +11,23 @@ import org.apache.spark.sql.types._
  * subprocess, native lib) amortizes setup per-partition, not per-row —
  * the Scala analog of a pandas-batch UDF.
  *
- * The decode step itself is STUBBED: this container has no image/audio
- * codecs, so [[FakeDecoder]] derives features deterministically from the
- * bytes. The Spark-side contract — schema, binary transport,
- * partition-batched iteration, feature schema — is real and tested, and
- * a production decoder drops in by replacing one function.
+ * The IMAGE path is REAL: [[ImageIoDecoder]] decodes PNG payloads with
+ * `javax.imageio` (pure-JVM, no native codecs needed) and emits true
+ * width/height/pixel statistics; [[packAsPng]] synthesizes genuine PNG
+ * bytes so the pipeline is exercised end-to-end in this container
+ * (encode → binary column → partition-batched decode). PNG is lossless,
+ * so the decoded pixel stats equal the synthesis parameters — which is
+ * what lets the DuckDB oracle check the real decoder's output.
  *
- * Swap recipe (the ONLY changes a production build makes):
+ * Audio/video decode stays behind the same seam with [[FakeDecoder]] as
+ * the deterministic stand-in (no ffmpeg in this container). Swap recipe
+ * for those formats:
  *  1. Replace [[FakeDecoder]] with a class holding the native handles
- *     (e.g. `javax.imageio` for images, an ffmpeg JNI binding or a
- *     long-lived subprocess pipe for video/audio). Keep the per-
- *     partition construction in [[extractFeatures]] — that placement IS
- *     the amortization; never construct per row.
- *  2. Extend [[FeatureSchema]] with the real outputs (e.g. phash,
+ *     (an ffmpeg JNI binding or a long-lived subprocess pipe). Keep the
+ *     per-partition construction in [[extractFeatures]] — that placement
+ *     IS the amortization; never construct per row. [[ImageIoDecoder]]
+ *     is the worked example.
+ *  2. Extend the feature schema with the real outputs (e.g. phash,
  *     embedding: array<float>); `decode` returns a matching Row. The
  *     surrounding plan (schema projection, partition batching, the
  *     downstream queries) is schema-driven and needs no edits.
@@ -91,6 +95,72 @@ object Multimodal {
       .withField("width", (col("meta.width") * scalePercent / 100).cast(IntegerType))
       .withField("height", (col("meta.height") * scalePercent / 100).cast(IntegerType)))
 
+  /** Feature row emitted by the REAL image decoder. */
+  val ImageFeatureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("pixel_sum", LongType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /**
+   * Synthesize REAL PNG payloads from a text table: each row becomes a
+   * W×H grayscale image (W = 1+len%16, H = 1+len%12) with pixel(x,y) =
+   * len%200 + x + y — all values < 256 by construction, so the pixel
+   * algebra needs no modular wrap and the oracle computes the decoded
+   * stats in closed form from `length(text)` (ASCII corpus: char count
+   * == UTF-8 byte count, which the existing m1 contract already relies
+   * on). Encoding runs in the same partition-batched codec seam as
+   * decoding.
+   */
+  def packAsPng(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MediaMetaSchema, nullable = false)))
+    val projected = df.select(col(idCol).cast(LongType),
+      encode(col(textCol), "UTF-8"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache in tasks
+      rows.map { r =>
+        val id = r.getLong(0)
+        val len = r.getAs[Array[Byte]](1).length
+        val w = 1 + len % 16
+        val h = 1 + len % 12
+        val a = len % 200
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, a + x + y); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, Row("image/png", w, h, 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Batched REAL image decode: one [[ImageIoDecoder]] per partition,
+   * PNG payloads in, true width/height/pixel stats out. */
+  def extractImageFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", ImageFeatureSchema, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new ImageIoDecoder // per-partition init (amortized)
+      rows.map(r => Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /**
    * Batched feature extraction over the payload column. Runs via
    * `mapPartitions` on the underlying RDD: one decoder instance per
@@ -116,9 +186,39 @@ object Multimodal {
 }
 
 /**
- * STUB DECODER — deterministic fake standing in for a real image/audio
- * codec (none available in this container). Features are pure functions
- * of the payload bytes so the DuckDB oracle can reproduce them.
+ * REAL image decoder over `javax.imageio` — pure JVM, present in every
+ * Java runtime, no native codecs required. Decodes the payload to a
+ * BufferedImage and reads true dimensions + per-pixel luma stats from
+ * the raster. This is the production drop-in the multimodal seam was
+ * designed for; a corrupt payload fails loudly (`decode` returns no
+ * null image silently).
+ */
+final class ImageIoDecoder {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  def decode(bytes: Array[Byte]): Row = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    val n = w.toLong * h
+    Row(w, h, n, sum, sum.toDouble / n)
+  }
+}
+
+/**
+ * STUB DECODER — deterministic fake standing in for a real audio/video
+ * codec (no ffmpeg in this container; images use the REAL
+ * [[ImageIoDecoder]] above). Features are pure functions of the payload
+ * bytes so the DuckDB oracle can reproduce them.
  */
 final class FakeDecoder {
   def decode(bytes: Array[Byte]): Row = {
