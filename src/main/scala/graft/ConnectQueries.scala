@@ -384,6 +384,92 @@ object ConnectQueries {
       .orderBy("o_orderkey")
   }
 
+  /**
+   * K7b — the SAME mixed-DML workload as [[cdcIngestDml]], but driven
+   * through the ENGINE's streaming lifecycle instead of a hand-built
+   * batch plan: the four waves (snapshot 'r', insert 'c', update 'u',
+   * delete 'd') land as four parquet files with ascending mtimes, a
+   * registered pipeline streams them one file per micro-batch through
+   * the ExtractNewRecordState SMT into the `logtable` delta sink (four
+   * O(batch) versions), compaction folds them, and the merged read-back
+   * must equal the identical last-write-wins oracle k7 uses. This is
+   * the L1-L8 + K6 surface measured at bench scale, not just in specs.
+   */
+  def cdcEngineStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/k7b_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"; val state = s"$base/state"
+    Files.createDirectories(Paths.get(in))
+
+    val orders = T(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+    def wave(df: DataFrame, op: String, seqV: Long): DataFrame = {
+      val r = struct(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      df.select(col("o_orderkey"),
+        when(lit(op == "d"), r).as("before"),
+        when(lit(op != "d"), r).as("after"),
+        struct(lit("mysql").as("name"), col("o_orderkey").as("pos")).as("source"),
+        lit(op).as("op"), lit(seqV).as("ts_ms"), lit(seqV).as("seq"))
+    }
+    val waves = Seq(
+      wave(orders.filter(col("o_orderkey") % 2 === 0), "r", 0L), // snapshot
+      wave(orders.filter(col("o_orderkey") % 2 === 1), "c", 1L),
+      wave(orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10), "u", 2L),
+      wave(orders.filter(col("o_orderkey") % 97 === 0), "d", 3L))
+    // stage the four waves as four CONCURRENT Spark jobs (independent
+    // writes; the scheduler interleaves their tasks across the cores a
+    // single coalesce(1) write would leave idle)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val staged = waves.zipWithIndex.map { case (w, i) => Future {
+      val stage = s"$base/stage$i"
+      w.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = {
+        val st = Files.list(Paths.get(stage))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally st.close()
+      }.headOption.getOrElse(sys.error(s"no parquet part in $stage"))
+      (i, part)
+    }}
+    val t0 = 1000000000000L
+    Await.result(Future.sequence(staged), Duration.Inf).foreach { case (i, part) =>
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      // ascending mtimes: the file source processes oldest-first, so
+      // each wave is its own micro-batch in op order (the offset order
+      // a Kafka topic would provide)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+    }
+
+    val engine = new graft.pipeline.Engine(s, s"$base/engine")
+    val spec = graft.pipeline.PipelineSpec(
+      name = "k7b",
+      source = graft.pipeline.SourceSpec(
+        kind = "parquet", path = in,
+        schemaDdl = Some(waves.head.schema.toDDL),
+        keyFields = Seq("o_orderkey"), seqColumn = Some("seq"),
+        topic = "om.orders", maxFilesPerTrigger = 1),
+      transforms = Seq(graft.pipeline.TransformSpec(
+        "extractNewRecordState", Map.empty, Seq.empty)),
+      sink = graft.pipeline.SinkSpec("logtable", state, Seq("o_orderkey")),
+      triggerMs = None)
+    val q = engine.register(spec)
+    q.processAllAvailable()
+    engine.delete("k7b")
+    graft.sinks.LogTable.compact(s, state, Seq("o_orderkey"))
+    graft.sinks.LogTable.read(s, state, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_bulk_mode" -> (bulkMode _),
     "s3_jdbc_timestamp" -> (timestampMode _),
@@ -402,6 +488,7 @@ object ConnectQueries {
     "k5_apply_batch_merge" -> (applyBatchMerge _),
     "k6_logtable_merge" -> (logTableMerge _),
     "k7_cdc_ingest_dml" -> (cdcIngestDml _),
+    "k7b_cdc_engine_stream" -> (cdcEngineStream _),
     "k8_incremental_agg" -> (incrementalAgg _)
   )
 
@@ -488,6 +575,13 @@ object ConnectQueries {
     // every 97th deleted — every orderkey reaches the sink exactly once
     // per op, so the oracle is a direct projection of orders
     "k7_cdc_ingest_dml" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders WHERE o_orderkey % 97 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+    // identical final state through the engine's streaming lifecycle
+    "k7b_cdc_engine_stream" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
         |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 10
         |       ELSE o_totalprice END AS o_totalprice
