@@ -336,6 +336,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** D10: semantic dedup (SemDeDup) — coarse-cluster by IVF cell, drop
+   * within-cell vectors with a smaller-id neighbor at cosine ≥ τ, keep
+   * the survivors. τ sits at this synthetic corpus's similarity tail
+   * (max pairwise cosine ≈ 0.51 — no planted semantic dups), so the
+   * operator exercises real drops; a production corpus sets τ ≈ 0.95+
+   * and trained centroids ([[Similarity.trainIvfCentroids]]). */
+  def semDedupQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embFrame(s, dir), Cents, SemDedupTau)
+      .orderBy("id")
+
+  private val SemDedupTau = 0.40
+
   /** E4: embedding-cosine near-dup — top pairs among LSH cohabitants. */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -596,6 +608,7 @@ object LlmQueries {
     "e3_ivf_topk" -> (ivfTopK _),
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
+    "d10_semdedup" -> (semDedupQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -1005,6 +1018,17 @@ object LlmQueries {
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
+    // same cell assignment + sequential-fold cosine as the Spark plan;
+    // the survivors are ids with no smaller-id same-cell neighbor >= tau
+    "d10_semdedup" ->
+      s"""WITH cents AS (SELECT $centsSql AS ct),
+         |b AS (SELECT vec_id AS id, embedding AS v,
+         |        CAST(-(${rankedSql("v")})[1].nj - 1 AS INTEGER) AS cell
+         |      FROM embeddings, cents),
+         |d AS (SELECT DISTINCT y.id FROM b x JOIN b y USING (cell)
+         |      WHERE x.id < y.id AND ${cosineSql("x.v", "y.v")} >= 0.40e0)
+         |SELECT id, cell FROM b WHERE id NOT IN (SELECT id FROM d)
+         |ORDER BY id""".stripMargin,
     "e4_embedding_neardup" ->
       s"""WITH planes AS (SELECT $planesSql AS pl),
          |b AS (SELECT vec_id AS id, embedding AS v,

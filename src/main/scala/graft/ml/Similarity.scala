@@ -449,6 +449,30 @@ object Similarity {
   }
 
   /**
+   * Semantic deduplication (the SemDeDup shape — Abbas et al. 2023):
+   * coarse-cluster the corpus by nearest centroid, then WITHIN each
+   * cluster drop every vector that has a higher-priority (smaller-id)
+   * neighbor with cosine ≥ `tau`. Returns the survivors (id, cell).
+   *
+   * Scale shape: candidate generation is a self-equi-join on (cell) —
+   * never all-pairs; pair count is Σ|cell|², controlled by nCells (at
+   * 100 TB: k-means cells sized so each fits an executor, exactly the
+   * paper's setup, with [[trainIvfCentroids]] supplying real
+   * centroids). The anti-join back is one shuffle on id.
+   */
+  def semDedup(corpus: DataFrame, cents: Seq[Seq[Long]], tau: Double): DataFrame = {
+    val b = corpus.select(col("id"), col("vec"),
+      ivfAssign(col("vec"), cents).as("cell"))
+    val l = b.select(col("cell"), col("id").as("ida"), col("vec").as("veca"))
+    val r = b.select(col("cell"), col("id").as("idb"), col("vec").as("vecb"))
+    val dropped = l.join(r, Seq("cell"))
+      .filter(col("ida") < col("idb"))
+      .filter(cosine(col("veca"), col("vecb")) >= lit(tau))
+      .select(col("idb").as("id")).distinct()
+    b.join(dropped, Seq("id"), "left_anti").select(col("id"), col("cell"))
+  }
+
+  /**
    * Embedding-cosine near-dup report: the most similar pairs among
    * LSH-bucket cohabitants (candidate generation never goes O(n^2)).
    * Returns the global top `topPairs` by similarity, total-ordered.

@@ -189,6 +189,20 @@ class OperatorsSpec extends SparkSpec {
     assert(distortion(trained) < distortion(init))
   }
 
+  test("semDedup drops the smaller-priority twin within a cell, keeps strangers") {
+    import graft.ml.Similarity
+    val dim = 4
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val aDup = Seq(0.99f, 0.01f, 0.0f, 0.0f)   // cos(a, aDup) ~ 1
+    val ortho = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val corpus = Seq((1L, a), (2L, aDup), (3L, ortho)).toDF("id", "vec")
+    // one centroid -> everything lands in the same cell; tau 0.9
+    val cents = Seq(Seq(1L, 1L, 1L, 1L))
+    val kept = Similarity.semDedup(corpus, cents, tau = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L)) // 2 dropped: smaller-id near-twin exists
+  }
+
   test("cosine top-k ranks an identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
