@@ -386,6 +386,20 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** X15: classifier-head quality FILTER — the logreg/fasttext stage of
+   * a CCNet/GPT-3-style pipeline: linear head over the x2 features,
+   * rational fast-sigmoid probability, keep = logit ≥ 0. Features
+   * compute once behind an alias; the head is a handful of codegen'd
+   * multiply-adds per doc. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Tpar(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("_f"))
+      .select(col("doc_id"), TextAnalysis.classifierLogit(col("_f")).as("logit"))
+      .select(col("doc_id"), col("logit"),
+        TextAnalysis.fastSigmoid(col("logit")).as("prob"),
+        (col("logit") >= 0.0).as("keep"))
+      .orderBy("doc_id")
+
   /** X3: token counts — whitespace and BPE-ish subword units. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tpar(s, dir, "documents").select(col("doc_id"),
@@ -616,6 +630,7 @@ object LlmQueries {
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
+    "x15_quality_classifier" -> (qualityClassifier _),
     "x3_token_count" -> (tokenCount _),
     "x4_fingerprint" -> (fingerprint _),
     "x5_repetition" -> (repetition _),
@@ -1078,6 +1093,31 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_in_band, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM r, b WHERE q >= lo AND q <= hi
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // same feature CTE as x2; the head is generated from the SAME
+    // weight constants the Spark plan folds in (left-associative, like
+    // Catalyst), and the fast-sigmoid is rational — bit-exact
+    "x15_quality_classifier" -> {
+      val z = TextAnalysis.QualityWeights.map { case (n, w) =>
+        val f = if (n == "n_words") s"$n::DOUBLE" else n
+        s"(${w}e0) * $f"
+      }.mkString(s"(${TextAnalysis.QualityBias}e0) + ", " + ", "")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len($toksSql)::BIGINT AS n_words,
+         |    list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS mean_word_len,
+         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+         |      / length(text)::DOUBLE AS punct_ratio,
+         |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS stopword_ratio,
+         |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
+         |  FROM documents),
+         |z AS (SELECT doc_id, $z AS logit FROM f)
+         |SELECT doc_id, logit,
+         |  0.5e0 * (1.0e0 + logit / (1.0e0 + abs(logit))) AS prob,
+         |  logit >= 0.0e0 AS keep
+         |FROM z ORDER BY doc_id""".stripMargin
+    },
     "x2_quality_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -88,6 +88,33 @@ object TextAnalysis {
       distinctRatio.as("distinct_ratio"))
   }
 
+  /** Classifier-head quality filter (the fasttext/logreg filtering stage
+   * of CCNet/GPT-3-style pipelines): a linear head over the
+   * interpretable [[qualityFeatures]], squashed by the RATIONAL fast
+   * sigmoid `0.5·(1 + z/(1+|z|))` — pure arithmetic, so the score is
+   * bit-identical across engines (a transcendental `exp()` sigmoid is
+   * not: libm rounding differs). Weights are deployment constants — a
+   * trained head exports to exactly this shape; only the numbers change.
+   * Takes the ALIASED feature struct (compute `qualityFeatures` once
+   * behind an alias; referencing it five times inline would re-tokenize
+   * per term). */
+  val QualityBias: Double = -3.6
+  val QualityWeights: Seq[(String, Double)] = Seq(
+    "n_words" -> 0.015,
+    "mean_word_len" -> 0.35,
+    "punct_ratio" -> -8.0,
+    "stopword_ratio" -> 4.0,
+    "distinct_ratio" -> 2.0)
+
+  def classifierLogit(features: Column): Column =
+    QualityWeights.foldLeft(lit(QualityBias): Column) { case (acc, (name, w)) =>
+      acc + lit(w) * features.getField(name).cast(DoubleType)
+    }
+
+  /** `0.5·(1 + z/(1+|z|))` ∈ (0,1), monotone in z, engine-exact. */
+  def fastSigmoid(z: Column): Column =
+    lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+
   /** Composite quality score in [0,1]: reward mid-length docs, stopword
    * presence, lexical diversity; penalize punctuation walls. Weights are
    * arbitrary but fixed — the oracle reproduces them exactly. */
