@@ -135,13 +135,75 @@ object JdbcQueries {
       .orderBy("c_custkey")
   }
 
+  /**
+   * K10 — the reference's flagship INTEGRATION lab fully live: source
+   * database → incremental capture → SMT → sink database (`실습수행/
+   * Debezium Source MySQL에서 JDBC Sink PostgreSQL 연동 실습.md`, Derby
+   * standing in on both ends). Two incremental polls (the second one's
+   * watermark predicate executes IN the source database), a rename SMT
+   * between them, and dialect-native upserts into a second database the
+   * sink auto-creates — then the target table read back as the result.
+   */
+  def dbToDbLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.Connect
+    import graft.smt.Smt
+    val srcUrl = derbyUrl(dbName("graft_k10_src", dir))
+    val dstUrl = derbyUrl(dbName("graft_k10_dst", dir))
+    val srcTable = "customer_src"
+    val dstTable = "customer_dst"
+    val srcCfg = Config(srcUrl, srcTable, Derby, Seq("C_CUSTKEY"))
+    val dstCfg = Config(dstUrl, dstTable, Derby, Seq("C_CUSTKEY"))
+    JdbcSink.withConnection(srcCfg)(c => JdbcSink.dropTableIfExists(c, Derby, srcTable))
+    JdbcSink.withConnection(dstCfg)(c => JdbcSink.dropTableIfExists(c, Derby, dstTable))
+
+    // stage the "MySQL" side (uppercase so unquoted predicates resolve)
+    val cust = T(s, dir, "customer")
+      .select(col("c_custkey").as("C_CUSTKEY"),
+        col("c_acctbal").as("C_ACCTBAL"),
+        col("c_mktsegment").as("C_MKTSEGMENT"))
+    JdbcSink.applyChangelog(
+      cust.select(struct(col("C_CUSTKEY")).as("key"),
+        struct(cust.columns.map(col).toIndexedSeq: _*).as("value"),
+        lit(1L).as("seq")), srcCfg)
+
+    // the connector loop: poll -> SMT -> sink, twice (backfill + delta)
+    val cut = cust.agg(floor(max(col("C_CUSTKEY")) * 0.6).cast("long"))
+      .head().getLong(0)
+    val reader = Incremental.jdbcReader(s, srcUrl, Derby.q(srcTable))
+    val mode = Incremental.Incrementing("c_custkey")
+    val rename = Smt.renameFields(Map("C_MKTSEGMENT" -> "SEGMENT"))
+    def deliver(batch: org.apache.spark.sql.DataFrame): Unit =
+      JdbcSink.applyChangelog(
+        rename(Connect.toConnectFrame(batch, Seq("C_CUSTKEY"),
+          "om.customer", "C_CUSTKEY")), dstCfg)
+    val (batch1, w1) = Incremental.poll(
+      p => reader(p).filter(col("c_custkey") <= cut), mode,
+      Incremental.Watermark.zero)
+    deliver(batch1)
+    val (batch2, _) = Incremental.poll(reader, mode, w1)
+    deliver(batch2)
+
+    s.read.format("jdbc")
+      .option("url", dstUrl).option("dbtable", Derby.q(dstTable)).load()
+      .select(col("C_CUSTKEY").as("c_custkey"),
+        col("C_ACCTBAL").as("c_acctbal"),
+        col("SEGMENT").as("segment"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k10_db_to_db_live" -> (dbToDbLive _),
     "k9_jdbc_statements" -> (jdbcStatementsLive _),
     "k9b_upsert_sql_dialects" -> (upsertSqlDialects _),
     "s2b_jdbc_live_source" -> (jdbcLiveSource _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // backfill + delta polls cover every key exactly once; the SMT only
+    // renames, so the target is a straight projection
+    "k10_db_to_db_live" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment AS segment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // wave algebra: %3==0 keys keep wave-1 values (no phone); %3==1,2 get
     // wave 2's +100 and phone; %5==0 keys deleted
     "k9_jdbc_statements" ->
