@@ -264,7 +264,62 @@ object RelationalQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** W4: a RUNNING stream-stream interval join (not a batch plan of
+   * one): two watermarked file streams over the events table — views on
+   * one side, purchases on the other — joined per user within
+   * `[view_ts, view_ts + 4h)`, written through a streaming sink and
+   * read back. All rows arrive in one micro-batch here, so watermark
+   * state eviction never drops a match and the result equals the static
+   * interval join the oracle computes; on an unbounded stream the same
+   * plan bounds its join state by the watermark delay — that state
+   * bound is what a 100 TB/day stream needs from this operator. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/w4_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    // the file source wants a DIRECTORY; hardlink the single events file
+    // into one (copy if the fs refuses links)
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val src = Paths.get(s"$dir/events.parquet")
+    val dst = in.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    // events.parquet carries TIMESTAMP(NANOS): scope the legacy
+    // nanos-as-long flag to a child session, like Tables.readEvents
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    def side(tpe: String, tsAs: String) = scoped.readStream.schema(raw)
+      .parquet(in.toString)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .withWatermark(tsAs, "1 hour")
+    val views = side("view", "view_ts")
+    val buys = side("purchase", "buy_ts").withColumnRenamed("user_id", "buyer_id")
+    val joined = views.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr("INTERVAL 4 HOURS"))
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("user_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("buy_ts").cast(TimestampNTZType).as("buy_ts"))
+      .orderBy("user_id", "view_ts", "buy_ts")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w4_stream_stream_join" -> (streamStreamJoin _),
     "q3_window_rank" -> (windowRank _),
     "q4_rollup" -> (rollupAgg _),
     "q5_topk" -> (topK _),
@@ -403,6 +458,13 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "w4_stream_stream_join" ->
+      """SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 4 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     "w1_tumbling_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,

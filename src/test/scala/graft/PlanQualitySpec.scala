@@ -65,6 +65,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan(df).contains("TakeOrderedAndProject"))
   }
 
+  test("semDedup candidates come from a cell equi-join, never a cartesian") {
+    val df = LlmQueries.queries("d10_semdedup")(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "within-cell pairing must be an equi-join on cell")
+    assert(p.contains("LeftAnti"), "survivors via anti-join, not a window")
+  }
+
   test("date-partitioned layout prunes partitions at scan time") {
     val out = "target/tmp/orders_by_year"
     spark.read.parquet(s"$dir/orders.parquet")
