@@ -290,6 +290,11 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    // a stateful join materializes one state store PER shuffle partition
+    // PER side; at this SF the state fits a handful of stores, and the
+    // per-store open/commit overhead dominates wall time otherwise (a
+    // real deployment sizes this to state volume / executor count)
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
