@@ -55,6 +55,49 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("live JDBC replay equals the last-write-wins model on random batched changelogs") {
+    import graft.sinks.JdbcSink
+    import graft.sinks.JdbcSink.{Config, Derby}
+    // random logs + random batch boundaries: tombstones for absent keys
+    // (DELETE no-ops), re-inserts after deletes, updates across batches
+    val gen = for {
+      log <- Gen.listOfN(30, for {
+        key <- Gen.choose(1, 6)
+        payload <- Gen.alphaStr.map(_.take(5))
+        del <- Gen.prob(0.3)
+      } yield (key, payload, del))
+      cut1 <- Gen.choose(0, 30)
+      cut2 <- Gen.choose(0, 30)
+    } yield (log.zipWithIndex.map { case ((k, p, d), i) => (k, p, i, d) },
+      Seq(cut1, cut2).sorted)
+    var trial = 0
+    check("jdbcReplay", Prop.forAll(gen) { case (log, cuts) =>
+      trial += 1
+      val cfg = Config(s"jdbc:derby:memory:prop_$trial;create=true",
+        "t", Derby, Seq("id"))
+      JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, "t"))
+      val batches = Seq(log.take(cuts(0)), log.slice(cuts(0), cuts(1)),
+        log.drop(cuts(1))).filter(_.nonEmpty)
+      batches.foreach { b =>
+        val frame = Connect.toConnectFrame(
+          b.toDF("id", "payload", "s", "del"), Seq("id"), "t", "s")
+          .withColumn("value",
+            when(!col("value.del"), col("value").dropFields("del")))
+        JdbcSink.applyChangelog(frame, cfg)
+      }
+      val live = spark.read.format("jdbc")
+        .option("url", cfg.url).option("dbtable", Derby.q("t")).load()
+        .select("id", "payload")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      // reference model: global last entry per key wins, tombstone = gone
+      val expected = log.groupBy(_._1).flatMap { case (k, entries) =>
+        val last = entries.maxBy(_._3)
+        if (last._4) None else Some((k, last._2))
+      }.toSet
+      live == expected
+    }, minSuccessful = 8)
+  }
+
   test("json envelope round-trip is identity for random primitive rows") {
     val rowGen = Gen.listOfN(8, for {
       id <- Gen.choose(-1000000, 1000000)
