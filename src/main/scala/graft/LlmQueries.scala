@@ -217,6 +217,14 @@ object LlmQueries {
       .limit(15)
   }
 
+  /** D11: exact substring-span dedup (Lee et al. 2022) — maximal
+   * cross-doc duplicated token spans per document, 15-token windows.
+   * The spans are what a pipeline cuts before training. */
+  def duplicateSpans(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      Dedup.duplicateSpans(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
+    }.orderBy("doc_id", "span_start")
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -623,6 +631,7 @@ object LlmQueries {
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "d10_semdedup" -> (semDedupQ _),
+    "d11_dup_spans" -> (duplicateSpans _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -1033,6 +1042,28 @@ object LlmQueries {
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
+    // duplicated 15-token windows (>= 2 distinct docs) merge into
+    // maximal spans per doc: islands over ascending window starts, gap
+    // > 15 breaks (same-length intervals)
+    "d11_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents
+         |           WHERE len($toksSql) >= 15),
+         |w AS (SELECT doc_id, i, array_to_string(t[i+1:i+15], ' ') AS gram
+         |      FROM (SELECT doc_id, t, unnest(range(0, len(t)-15+1)) AS i FROM t)),
+         |d AS (SELECT gram FROM w GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (SELECT doc_id, i FROM w JOIN d USING (gram)),
+         |b AS (SELECT doc_id, i,
+         |        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 15
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM m),
+         |g AS (SELECT doc_id, i,
+         |        sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |      FROM b)
+         |SELECT doc_id, CAST(min(i) AS INTEGER) AS span_start,
+         |  CAST(max(i) + 15 AS INTEGER) AS span_end
+         |FROM g GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
     // same cell assignment + sequential-fold cosine as the Spark plan;
     // the survivors are ids with no smaller-id same-cell neighbor >= tau
     "d10_semdedup" ->

@@ -511,6 +511,52 @@ object Dedup {
         coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
   }
 
+  /**
+   * Exact substring-span dedup — the sliding-window method of
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et
+   * al. 2022): every k-token window is digested; windows whose digest
+   * appears in >= minDf DISTINCT documents mark their positions, and
+   * overlapping/adjacent marked windows merge into maximal spans
+   * `[span_start, span_end)` in token coordinates — the byte ranges a
+   * pipeline would cut. (The paper uses a suffix array on one machine;
+   * the window-digest formulation is the distributable equivalent at a
+   * fixed granularity k.)
+   *
+   * Scale shape: the frequency pass groups on the window's 16-byte md5
+   * — fixed-width keys with map-side combine, never window text; the
+   * mark-join co-partitions on the same digest; span merging is a
+   * per-document window function (islands over ascending positions:
+   * same-length intervals merge iff the position gap <= k), so state
+   * never exceeds one document's marked windows per task.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, minDf: Int = 2)
+                    (implicit scope: graft.operators.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = scope.persist(df
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .filter(size(col("_t")) >= k)
+      .select(col(idCol), explode(transform(
+          sequence(lit(0), size(col("_t")) - k),
+          i => struct(i.as("i"),
+            unhex(md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as("g"))))
+        .as("_w"))
+      .select(col(idCol), col("_w.i").as("i"), col("_w.g").as("g")))
+    val dup = wins.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("g")
+    val marked = wins.join(dup, Seq("g")).select(col(idCol), col("i"))
+    val byDoc = Window.partitionBy(idCol).orderBy("i")
+    marked
+      .withColumn("_brk",
+        when(col("i") - lag(col("i"), 1).over(byDoc) > k, 1).otherwise(0))
+      .withColumn("_grp", sum(col("_brk")).over(byDoc))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("i")).as("span_start"), (max(col("i")) + k).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

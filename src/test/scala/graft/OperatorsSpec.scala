@@ -189,6 +189,21 @@ class OperatorsSpec extends SparkSpec {
     assert(distortion(trained) < distortion(init))
   }
 
+  test("duplicateSpans merges overlapping duplicated windows into maximal spans") {
+    // docs 1 and 2 share tokens 'c d e f' (positions 2..5 in doc 1,
+    // 0..3 in doc 2); with k=3, duplicated windows are 'c d e' and
+    // 'd e f' — overlapping, so each doc reports ONE merged span
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "c d e f x y z w"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val spans = CacheScope.withScope { implicit scope =>
+      Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    }
+    assert(spans === Set((1L, 2, 6), (2L, 0, 4)))
+  }
+
   test("semDedup drops the smaller-priority twin within a cell, keeps strangers") {
     import graft.ml.Similarity
     val dim = 4
