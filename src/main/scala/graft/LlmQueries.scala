@@ -408,6 +408,39 @@ object LlmQueries {
         (col("logit") >= 0.0).as("keep"))
       .orderBy("doc_id")
 
+  /** Char-bigram counts per data dir, memoized (exact integers — the
+   * oracle recomputes the identical histogram in SQL, so no dynamic
+   * oracle is needed). One aggregation over the corpus; char counts
+   * derive from the bigram counts on the driver (count(c·) = Σ count(c*)). */
+  private val bigramLm =
+    scala.collection.concurrent.TrieMap.empty[String, (Map[String, Long], Map[String, Long])]
+
+  private def trainBigramLm(s: SparkSession, dir: String): (Map[String, Long], Map[String, Long]) =
+    bigramLm.getOrElseUpdate(dir, {
+      val mb = Tpar(s, dir, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(explode(transform(sequence(lit(1), length(col("text")) - 1),
+          i => substr(col("text"), i, lit(2)))).as("b"))
+        .groupBy("b").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mc = mb.groupBy(_._1.substring(0, 1))
+        .map { case (c, xs) => c -> xs.values.sum }
+      (mb, mc)
+    })
+
+  /** X16: LM-likelihood scoring (the perplexity-filter stage) — mean
+   * Laplace-smoothed char-bigram probability per document under a model
+   * trained on the corpus (a production run trains on a trusted
+   * reference corpus — same query, different training frame). */
+  def bigramLmQ(s: SparkSession, dir: String): DataFrame = {
+    val (mb, mc) = trainBigramLm(s, dir)
+    Tpar(s, dir, "documents")
+      .filter(length(col("text")) >= 2)
+      .select(col("doc_id"),
+        TextAnalysis.bigramLmScore(col("text"), mb, mc).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** X3: token counts — whitespace and BPE-ish subword units. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tpar(s, dir, "documents").select(col("doc_id"),
@@ -640,6 +673,7 @@ object LlmQueries {
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
     "x15_quality_classifier" -> (qualityClassifier _),
+    "x16_bigram_lm" -> (bigramLmQ _),
     "x3_token_count" -> (tokenCount _),
     "x4_fingerprint" -> (fingerprint _),
     "x5_repetition" -> (repetition _),
@@ -1124,6 +1158,22 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_in_band, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM r, b WHERE q >= lo AND q <= hi
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // histogram() rebuilds the exact integer counts the Spark plan
+    // embeds as map literals; the per-position fold is sequential in
+    // both engines, so the mean probability compares bit-exact
+    "x16_bigram_lm" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+         |bg AS (SELECT substr(text, i, 2) AS b, substr(text, i, 1) AS c
+         |       FROM d, LATERAL unnest(range(1, length(text))) AS u(i)),
+         |stats AS (SELECT histogram(b) AS mb, histogram(c) AS mc,
+         |                 count(DISTINCT b) AS v FROM bg)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, length(text)),
+         |      i -> (coalesce((mb[substr(text, i, 2)])[1]::BIGINT, 0) + 1.0)
+         |           / (coalesce((mc[substr(text, i, 1)])[1]::BIGINT, 0) + v))),
+         |    (acc, x) -> acc + x) / (length(text) - 1) AS lm_score
+         |FROM d, stats ORDER BY doc_id""".stripMargin,
     // same feature CTE as x2; the head is generated from the SAME
     // weight constants the Spark plan folds in (left-associative, like
     // Catalyst), and the fast-sigmoid is rational — bit-exact

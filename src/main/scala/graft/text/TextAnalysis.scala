@@ -115,6 +115,31 @@ object TextAnalysis {
   def fastSigmoid(z: Column): Column =
     lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
 
+  /**
+   * Language-model likelihood scoring — the perplexity-filter stage of
+   * CCNet-style pipelines, as a char-bigram model: score = mean over
+   * positions of the Laplace-smoothed in-context bigram probability
+   * `(count(c_i c_{i+1}) + 1) / (count(c_i ·) + V)`. Log-free on
+   * purpose: the mean probability is a monotone proxy for (negative)
+   * perplexity, and pure arithmetic stays bit-identical across engines
+   * where `log()`'s libm rounding does not. Counts arrive as plain maps
+   * (exact integers — train once, embed as literals); a production run
+   * trains them on a TRUSTED reference corpus instead of the corpus
+   * being scored, which changes the input frame, not this function.
+   * The sequential left fold matches the oracle's `list_reduce`.
+   */
+  def bigramLmScore(text: Column, bigramCounts: Map[String, Long],
+                    charCounts: Map[String, Long]): Column = {
+    val v = bigramCounts.size.toLong
+    val mb = typedLit(bigramCounts)
+    val mc = typedLit(charCounts)
+    aggregate(
+      transform(sequence(lit(1), length(text) - 1),
+        i => (coalesce(element_at(mb, substr(text, i, lit(2))), lit(0L)) + lit(1.0)) /
+          (coalesce(element_at(mc, substr(text, i, lit(1))), lit(0L)) + lit(v))),
+      lit(0.0), (acc, x) => acc + x) / (length(text) - 1)
+  }
+
   /** Composite quality score in [0,1]: reward mid-length docs, stopword
    * presence, lexical diversity; penalize punctuation walls. Weights are
    * arbitrary but fixed — the oracle reproduces them exactly. */
