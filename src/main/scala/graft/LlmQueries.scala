@@ -225,6 +225,52 @@ object LlmQueries {
       Dedup.duplicateSpans(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
     }.orderBy("doc_id", "span_start")
 
+  /** D12: the END-TO-END near-dedup verdict — the full pipeline a
+   * curation run executes, composed from the stages d2/d4/d6 check
+   * individually: MinHash-LSH candidates → exact-Jaccard verify (≥ 0.5)
+   * → connected components over the VERIFIED pairs → keep one canonical
+   * representative (min id) per cluster. Every document gets a verdict
+   * row: its cluster id and whether it survives. The labels frame is
+   * O(documents-in-clusters) — tiny next to the corpus — so the final
+   * verdict join broadcasts; everything upstream is the bucketed
+   * candidate generation d2 scales by. */
+  def nearDedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents")
+    CacheScope.materialized { implicit scope =>
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5).select("ida", "idb")
+      val labels = Dedup.duplicateClusters(verified)
+      docs.select("doc_id")
+        .join(broadcast(labels), col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+    }.orderBy("doc_id")
+  }
+
+  /** X17: temperature-weighted source mixing — per-source quotas
+   * ∝ sqrt(ns) of a 300-doc target (alpha = 0.5 flattens the natural
+   * distribution toward uniform), selected by the deterministic
+   * rank-by-hash order. The quota derivation is a driver-side fold over
+   * the per-source counts; the corpus sees one count aggregation and
+   * one rank window. */
+  def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
+    val target = 300L
+    val docs = T(s, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val quotas = TextAnalysis.temperatureQuotas(counts, target)
+    val qmap = quotas.map { case (src, _, q) => src -> q }.toMap
+    TextAnalysis.quotaSample(docs, "source", "doc_id", qmap)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_selected"), sum("doc_id").as("sum_ids"))
+      .withColumn("quota", element_at(typedLit(qmap), col("source")))
+      .select("source", "quota", "n_selected", "sum_ids")
+      .orderBy("source")
+  }
+
   /** D5: decontamination — training docs overlapping the "benchmark"
    * slice (doc_id < 20) by >= 5 rare shingles. */
   def decontamination(s: SparkSession, dir: String): DataFrame =
@@ -665,6 +711,8 @@ object LlmQueries {
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "d10_semdedup" -> (semDedupQ _),
     "d11_dup_spans" -> (duplicateSpans _),
+    "d12_neardedup_corpus" -> (nearDedupCorpus _),
+    "x17_temperature_mix" -> (temperatureMixQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -859,7 +907,54 @@ object LlmQueries {
        |                 FROM lab GROUP BY cluster_id) c USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** d12: the composed pipeline — candidates, exact-Jaccard verify,
+   * closure over VERIFIED pairs, left join back to every document. */
+  private lazy val nearDedupCorpusOracleSql =
+    s"""WITH RECURSIVE $minhashPipelineSql,
+       |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+       |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+       |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+       |vpairs AS (
+       |  SELECT doc_a AS u, doc_b AS v
+       |  FROM cpairs JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+       |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+       |edges AS (SELECT u, v FROM vpairs UNION SELECT v AS u, u AS v FROM vpairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |        FROM reach GROUP BY u)
+       |SELECT d.doc_id,
+       |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |  (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS kept
+       |FROM documents d LEFT JOIN lab l USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "d12_neardedup_corpus" -> nearDedupCorpusOracleSql,
+    // quota derivation mirrored exactly: sqrt (correctly rounded, unlike
+    // pow), name-ordered fold for Z, floor((300*p)/z) — identical doubles
+    // → identical integer quotas; selection is the x12 rank-by-hash order
+    "x17_temperature_mix" ->
+      s"""WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+         |z AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+         |        list(sqrt(ns::DOUBLE) ORDER BY source)), (a, x) -> a + x) AS z
+         |      FROM n),
+         |q AS (SELECT source, ns,
+         |        least(ns, CAST(floor(300 * sqrt(ns::DOUBLE) / z) AS BIGINT)) AS quota
+         |      FROM n, z),
+         |r AS (SELECT source, doc_id,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY ${h60("source || '|' || doc_id")}, doc_id) AS rk
+         |      FROM documents),
+         |sel AS (SELECT r.source, r.doc_id
+         |        FROM r JOIN q USING (source) WHERE rk <= quota)
+         |SELECT source, q.quota, count(*) AS n_selected,
+         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM sel JOIN q USING (source)
+         |GROUP BY source, q.quota ORDER BY source""".stripMargin,
     "d1_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -209,6 +209,34 @@ object RelationalQueries {
       ORDER BY o_orderpriority""")
   }
 
+  /** Q15: TPC-H Q22 shape — a scalar subquery (global average balance)
+   * gating the rows AND a correlated NOT EXISTS. Catalyst compiles the
+   * scalar subquery to one tiny broadcast-reused subquery result (never
+   * per-row) and decorrelates NOT EXISTS into a left ANTI join on
+   * o_custkey — one shuffle, early-out on first match, the inverse of
+   * q12's SEMI (the anti side carries a pushed-down date filter, so the
+   * build input is the recent-orders slice, not the full history). The
+   * threshold is sum/count over DECIMAL (exact) divided in DOUBLE, so
+   * both engines compare against the identical bits. The business shape:
+   * high-balance customers DORMANT since 2000 — Q22's "positive balance,
+   * no orders" per country. */
+  def notExistsAntiSql(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("v_customer")
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT c_nationkey AS cntry, count(*) AS numcust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      FROM v_customer
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM v_customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM v_orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= '2000-01-01')
+      GROUP BY c_nationkey
+      ORDER BY cntry""")
+  }
+
   /** Q13: window FRAMES — lag deltas and a 7-row moving sum over a
    * deterministic (date, key) order. One shuffle on the partition key;
    * frame evaluation is a single sorted pass per partition (no
@@ -336,6 +364,7 @@ object RelationalQueries {
     "q10_tpch_q3_sql" -> (tpchQ3Sql _),
     "q11_tpch_q5" -> (tpchQ5Join _),
     "q12_exists_semijoin" -> (existsSemiJoinSql _),
+    "q15_not_exists_anti" -> (notExistsAntiSql _),
     "q13_window_frames" -> (windowFrames _),
     "q14_cube" -> (cubeAgg _),
     "w1_tumbling_window" -> (tumblingWindow _),
@@ -448,6 +477,18 @@ object RelationalQueries {
         |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q15_not_exists_anti" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY cntry""".stripMargin,
     "q13_window_frames" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(p - coalesce(lag(p, 1) OVER w, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta_prev,

@@ -205,6 +205,47 @@ object TextAnalysis {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
   }
 
+  /**
+   * Temperature-weighted mixing quotas: per-source document quotas
+   * proportional to `ns^alpha / Σ ns^alpha` of a `target` total — the
+   * standard rebalancing between over- and under-represented sources in
+   * a multilingual/multi-domain pretraining mix (alpha=1 keeps natural
+   * proportions; alpha→0 flattens toward uniform). Runs on the DRIVER
+   * over the per-source counts (a handful of rows — the same O(domains)
+   * pattern as the incremental watermark), so the corpus-side work is
+   * one count aggregation plus one rank window.
+   *
+   * Determinism contract: the fold over sources runs in NAME order and
+   * alpha=0.5 routes through `sqrt` (correctly rounded in IEEE where
+   * `pow` is not), so an oracle re-deriving the quotas in SQL lands on
+   * identical doubles, hence identical integer quotas.
+   */
+  def temperatureQuotas(counts: Seq[(String, Long)], target: Long,
+                        alpha: Double = 0.5): Seq[(String, Long, Long)] = {
+    val sorted = counts.sortBy(_._1)
+    def p(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val z = sorted.foldLeft(0.0)((a, x) => a + p(x._2))
+    sorted.map { case (src, n) =>
+      (src, n, math.min(n, math.floor(target * p(n) / z).toLong))
+    }
+  }
+
+  /** Per-domain VARIABLE-quota sampling — [[domainCap]] with a quota map
+   * instead of one cap: keep the `quota(domain)` hash-smallest documents
+   * of each domain (deterministic rank-by-hash order, id tiebreak). The
+   * quota map is a plan literal (O(domains) entries, broadcast with the
+   * task binary); one shuffle on the domain key. */
+  def quotaSample(df: org.apache.spark.sql.DataFrame, domainCol: String,
+                  idCol: String, quotas: Map[String, Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Hashing.h60(
+      concat(col(domainCol), lit("|"), col(idCol).cast(StringType)))
+    val w = Window.partitionBy(domainCol).orderBy(h, col(idCol))
+    df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= element_at(typedLit(quotas), col(domainCol)))
+  }
+
   /** Rolling polynomial fingerprint of the normalized document (lowercase,
    * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
    * character. Order-sensitive (unlike bag-of-words hashes). */

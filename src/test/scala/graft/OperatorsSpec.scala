@@ -309,6 +309,60 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(2) != fps(3)) // order matters
   }
 
+  test("temperatureQuotas flattens the mix and never over-draws a source") {
+    // natural 400:100:4 — sqrt-flattened 20:10:2 proportions
+    val q = TextAnalysis.temperatureQuotas(
+      Seq(("big", 400L), ("mid", 100L), ("tiny", 4L)), target = 160L)
+      .map { case (s, _, quota) => s -> quota }.toMap
+    assert(q("big") == 100L)  // floor(160*20/32)
+    assert(q("mid") == 50L)   // floor(160*10/32)
+    assert(q("tiny") == 4L)   // capped at ns (floor would be 10)
+    // flattening: big is 100x tiny by count but only 25x by quota
+    assert(q("big").toDouble / q("tiny") < 400.0 / 4.0)
+    // input order must not matter (the fold is name-ordered)
+    assert(TextAnalysis.temperatureQuotas(
+      Seq(("tiny", 4L), ("big", 400L), ("mid", 100L)), 160L)
+      .map { case (s, _, quota) => s -> quota }.toMap == q)
+  }
+
+  test("quotaSample keeps exactly quota(domain) docs, hash-smallest first") {
+    val df = (1L to 30L).map(i => (i, if (i <= 20) "a" else "b"))
+      .toDF("doc_id", "source")
+    val out = TextAnalysis.quotaSample(df, "source", "doc_id",
+      Map("a" -> 5L, "b" -> 100L))
+    val byDomain = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDomain == Map("a" -> 5L, "b" -> 10L)) // b capped by its size
+    // the kept 'a' docs are the 5 hash-smallest — re-running with a
+    // larger quota must keep a superset (rank-by-hash is stable)
+    val kept5 = out.filter(col("source") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept9 = TextAnalysis.quotaSample(df, "source", "doc_id",
+      Map("a" -> 9L, "b" -> 100L)).filter(col("source") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept5.subsetOf(kept9))
+  }
+
+  test("near-dedup verdict keeps one representative per duplicate cluster") {
+    val corpus = docs() // 1 ≈ 2 near-dup, 4 = exact dup of 1, 3 unrelated
+    val out = CacheScope.withScope { implicit scope =>
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text")
+        .select("ida", "idb")
+      val verified = Dedup.jaccardVerify(cands, corpus, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5).select("ida", "idb")
+      val labels = Dedup.duplicateClusters(verified)
+      corpus.select("doc_id")
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(out(1L) == 1L && out(4L) == 1L) // exact dups cluster to min id
+    assert(out(3L) == 3L)                  // unrelated doc is its own rep
+    val kept = out.filter { case (id, c) => id == c }.keySet
+    assert(kept.contains(1L) && !kept.contains(4L))
+  }
+
   test("asof join matches latest right row at or before left ts, else null") {
     val left = Seq((1, 10, 100L), (2, 10, 205L), (3, 10, 50L), (4, 99, 100L))
       .toDF("event_id", "k", "ts")

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
   * actually fire (pushdown, rank-limit pushdown, broadcast, top-k).
   * Guards against silent plan regressions across Spark upgrades. */
 class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private def plan(df: org.apache.spark.sql.DataFrame) =
@@ -169,5 +170,37 @@ class PlanQualitySpec extends SparkSpec {
       confidence = 0.95, seed = 42)
     val f = o.filter(col("o_orderstatus") === "F").count()
     assert(cms.estimateCount("F") >= f) // CMS never under-counts
+  }
+
+  test("NOT EXISTS decorrelates to an anti join with the date filter pushed down") {
+    val p = plan(RelationalQueries.notExistsAntiSql(spark, dir))
+    assert(p.toLowerCase.contains("leftanti"),
+      "correlated NOT EXISTS must become a left anti join")
+    assert(!p.contains("InSubquery") && !p.contains("CartesianProduct"))
+    // the o_orderdate >= bound must reach the orders parquet scan so the
+    // anti build side is the recent slice, not full history
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"))
+  }
+
+  test("near-dedup verdict: labels broadcast back onto the corpus, no cartesian") {
+    // the query itself materializes behind a CacheScope localCheckpoint
+    // (its executed plan is an RDD scan) — assert the verdict join's
+    // plan directly: corpus ids ⋈ broadcast(labels)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val labels = Seq((1L, 1L), (7L, 1L)).toDF("node", "label")
+    val df = docs.select(col("doc_id"))
+      .join(broadcast(labels), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      "the tiny cluster-label frame must broadcast onto the doc ids")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("temperature mix: one rank window on the domain key, quotas as plan literals") {
+    val df = LlmQueries.queries("x17_temperature_mix")(spark, dir)
+    val p = plan(df)
+    assert("Window ".r.findAllIn(p).size <= 1 && p.contains("row_number"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 }
