@@ -390,6 +390,15 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E9: k-NN graph — every embedding's 3 nearest neighbors via the
+   * cell-partitioned shuffle join (queries = corpus, so nothing
+   * broadcasts; see [[Similarity.knnGraph]] for the scale contract). */
+  def knnGraphQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embFrame(s, dir), k = 3,
+        Cents.map(_.map(_.toDouble)), NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+
   /** D10: semantic dedup (SemDeDup) — coarse-cluster by IVF cell, drop
    * within-cell vectors with a smaller-id neighbor at cosine ≥ τ, keep
    * the survivors. τ sits at this synthetic corpus's similarity tail
@@ -532,6 +541,25 @@ object LlmQueries {
         col("features.n_pixels").as("n_pixels"),
         col("features.pixel_sum").as("pixel_sum"),
         col("features.mean_luma").as("mean_luma"))
+      .orderBy("media_id")
+  }
+
+  /** M3: REAL audio decode end-to-end — synthesize RIFF/WAVE PCM16
+   * payloads into the binary column, decode them with
+   * `javax.sound.sampled` in the partition-batched seam. Every output
+   * column comes from the DECODER's frame reads (format, rate and
+   * endianness included); the oracle rebuilds the waveform from
+   * `length(text)` because PCM is lossless. */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsWav(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractAudioFeatures(packed)
+      .select(col("media_id"),
+        col("features.sample_rate").as("sample_rate"),
+        col("features.n_samples").as("n_samples"),
+        col("features.duration_ms").as("duration_ms"),
+        col("features.peak_abs").as("peak_abs"),
+        col("features.amp_sum").as("amp_sum"),
+        col("features.rms").as("rms"))
       .orderBy("media_id")
   }
 
@@ -713,6 +741,7 @@ object LlmQueries {
     "d11_dup_spans" -> (duplicateSpans _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
+    "e9_knn_graph" -> (knnGraphQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -733,7 +762,8 @@ object LlmQueries {
     "x11_quality_band" -> (qualityBand _),
     "x12_domain_cap" -> (domainCap _),
     "x13_mix_report" -> (mixReport _),
-    "m1_multimodal_features" -> (multimodalFeatures _)
+    "m1_multimodal_features" -> (multimodalFeatures _),
+    "m3_audio_stats" -> (audioStats _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -806,16 +836,18 @@ object LlmQueries {
     s"""list_reverse(list_sort(list_transform(range(1, ${NCells + 1}),
        |  j -> {'s': ${dotSql("ct[j]", v)}, 'nj': -j})))""".stripMargin
 
-  /** e3/e3b share one oracle shape: only the centroid literal differs
-   * (fixed pseudo-random vs k-means-trained). `Double.toString` output
-   * round-trips exactly through DuckDB's parser, so trained doubles
-   * compare bit-exact like the fixed longs. */
-  private def ivfOracleSql(centsLit: String): String =
+  /** e3/e3b/e9 share one oracle shape: the centroid literal, the query
+   * predicate (5 probes vs the whole corpus for the k-NN graph) and k
+   * differ. `Double.toString` output round-trips exactly through
+   * DuckDB's parser, so trained doubles compare bit-exact like the
+   * fixed longs. */
+  private def ivfOracleSql(centsLit: String, qPred: String = "vec_id < 5",
+                           topK: Int = TopK): String =
     s"""WITH cents AS (SELECT $centsLit AS ct),
        |q AS (SELECT vec_id AS query_id, embedding AS qv,
        |        unnest(list_transform(list_slice(${rankedSql("qv")}, 1, $NProbe),
        |          x -> -x.nj)) AS cell
-       |      FROM embeddings, cents WHERE vec_id < 5),
+       |      FROM embeddings, cents WHERE $qPred),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
        |        -(${rankedSql("cv")})[1].nj AS cell
        |      FROM embeddings, cents),
@@ -825,7 +857,7 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, sim FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
-       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   /** e6/e6b likewise: one PQ-ADC oracle shape over (codebooks, ½‖c‖²
    * norms) literals. */
@@ -1171,6 +1203,7 @@ object LlmQueries {
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
+    "e9_knn_graph" -> ivfOracleSql(centsSql, qPred = "TRUE", topK = 3),
     // duplicated 15-token windows (>= 2 distinct docs) merge into
     // maximal spans per doc: islands over ascending window starts, gap
     // > 15 breaks (same-length intervals)
@@ -1422,6 +1455,27 @@ object LlmQueries {
         |  list_sum(list_transform(range(1, least(length(text), 16) + 1),
         |    i -> unicode(substr(text, i, 1))::BIGINT))::BIGINT AS f1_checksum
         |FROM documents ORDER BY media_id""".stripMargin,
+    // the decoder's stats rebuilt from the synthesis arithmetic:
+    // sample(i) = ((a + i·7919) mod 65521) − 32760, a = (len·131) mod
+    // 65521 — integer sums exact, rms = sqrt(sumsq/n) in both engines
+    "m3_audio_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 240 AS n,
+        |    8000 + (length(text) % 4) * 4000 AS rate,
+        |    (length(text) * 131) % 65521 AS a
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, rate,
+        |    list_transform(range(0, n), i -> ((a + i * 7919) % 65521) - 32760) AS ss
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+        |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INTEGER) AS peak_abs,
+        |  CAST(list_sum(ss) AS BIGINT) AS amp_sum,
+        |  sqrt(list_sum(list_transform(ss, x -> x * x))::DOUBLE / n) AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

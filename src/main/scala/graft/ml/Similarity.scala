@@ -449,6 +449,38 @@ object Similarity {
   }
 
   /**
+   * k-NN GRAPH construction — every corpus vector's top-k neighbors
+   * (the all-pairs variant of [[ivfTopKWith]], the substrate for
+   * graph-based curation: SemDeDup variants, dataset cartography,
+   * label propagation over embeddings).
+   *
+   * Scale shape: query-time search broadcasts its tiny query side, but
+   * here queries ARE the corpus — so both sides hash-partition on the
+   * IVF cell instead (`shuffle_hash` hint pins the shuffled join even
+   * at test SF where the optimizer would happily broadcast 500 rows).
+   * Shuffle volume is corpus × (1 + nprobe) rows keyed by cell;
+   * candidate pairs are Σ_cells |cell| × |probes into cell| — bounded
+   * by nprobe/nCells of all-pairs, tunable like every IVF op. The
+   * top-k per node is a rank window on query_id (WindowGroupLimit
+   * heap-bounds it to k per key before the final shuffle).
+   */
+  def knnGraph(corpus: DataFrame, k: Int, cents: Seq[Seq[Double]],
+               nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = corpus.select(col("id").as("query_id"), col("vec").as("qvec"),
+      explode(ivfProbesD(col("vec"), cents, nprobe)).as("cell"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      ivfAssignD(col("vec"), cents).as("cell"))
+    val scored = c.join(q.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * Semantic deduplication (the SemDeDup shape — Abbas et al. 2023):
    * coarse-cluster the corpus by nearest centroid, then WITHIN each
    * cluster drop every vector that has a higher-priority (smaller-id)

@@ -161,6 +161,80 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Metadata carried beside an audio payload. */
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", IntegerType, nullable = false)))
+
+  /** Feature row emitted by the REAL wav decoder. */
+  val AudioFeatureSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("amp_sum", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
+
+  /**
+   * Synthesize REAL RIFF/WAVE payloads (PCM16 mono little-endian) from a
+   * text table — the audio analog of [[packAsPng]]: n = 1+len%240
+   * samples at 8/12/16/20 kHz, sample(i) = ((a + i·7919) mod 65521) −
+   * 32760 with a = (len·131) mod 65521 (all within int16 by
+   * construction), so the DuckDB oracle rebuilds the waveform from
+   * `length(text)` and checks the DECODER's output exactly. Encoding
+   * runs in the partition-batched codec seam.
+   */
+  def packAsWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", AudioMetaSchema, nullable = false)))
+    val projected = df.select(col(idCol).cast(LongType),
+      encode(col(textCol), "UTF-8"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val len = r.getAs[Array[Byte]](1).length
+        val n = 1 + len % 240
+        val rate = 8000 + (len % 4) * 4000
+        val a = (len.toLong * 131L) % 65521L
+        val dataSize = n * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var i = 0
+        while (i < n) {
+          buf.putShort((((a + i.toLong * 7919L) % 65521L) - 32760L).toShort)
+          i += 1
+        }
+        Row(id, buf.array(), Row("audio/wav", rate, n))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Batched REAL wav decode: one [[WavDecoder]] per partition, RIFF
+   * payloads in, true rate/duration/amplitude stats out. */
+  def extractAudioFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", AudioFeatureSchema, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new WavDecoder // per-partition init (amortized)
+      rows.map(r => Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1))))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /**
    * Batched feature extraction over the payload column. Runs via
    * `mapPartitions` on the underlying RDD: one decoder instance per
@@ -215,10 +289,53 @@ final class ImageIoDecoder {
 }
 
 /**
- * STUB DECODER — deterministic fake standing in for a real audio/video
- * codec (no ffmpeg in this container; images use the REAL
- * [[ImageIoDecoder]] above). Features are pure functions of the payload
- * bytes so the DuckDB oracle can reproduce them.
+ * REAL wav decoder over `javax.sound.sampled` — pure JVM, in every Java
+ * runtime, no native codecs. Parses the RIFF/WAVE container through
+ * `AudioSystem` (format, rate, endianness all come from the DECODER, not
+ * the synthesis metadata) and folds amplitude statistics over the PCM16
+ * frames. The rms arithmetic is exact-integer sums → one double divide →
+ * `sqrt` (both correctly rounded IEEE ops), so an oracle rebuilding the
+ * waveform lands on identical bits.
+ */
+final class WavDecoder {
+  def decode(bytes: Array[Byte]): Row = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected PCM16 mono, got $fmt")
+      val rate = fmt.getSampleRate.toInt
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      require(n > 0, "empty audio payload")
+      val big = fmt.isBigEndian
+      var i = 0
+      var sum = 0L
+      var sumSq = 0L
+      var peak = 0
+      while (i < n) {
+        val b0 = data(2 * i)
+        val b1 = data(2 * i + 1)
+        val s = if (big) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
+        sum += s
+        sumSq += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        i += 1
+      }
+      Row(rate, n.toLong, n.toLong * 1000L / rate, peak, sum,
+        math.sqrt(sumSq.toDouble / n))
+    } finally ais.close()
+  }
+}
+
+/**
+ * STUB DECODER — deterministic fake standing in for a real VIDEO codec
+ * (no ffmpeg in this container; images use the REAL [[ImageIoDecoder]]
+ * and wav audio the REAL [[WavDecoder]] above). Features are pure
+ * functions of the payload bytes so the DuckDB oracle can reproduce
+ * them.
  */
 final class FakeDecoder {
   def decode(bytes: Array[Byte]): Row = {

@@ -41,4 +41,41 @@ class MultimodalSpec extends SparkSpec {
       d.decode("not a png".getBytes("UTF-8")))
     assert(e.getMessage.contains("undecodable"))
   }
+
+  test("packAsWav writes a genuine RIFF/WAVE container AudioSystem can parse") {
+    val docs = Seq((1L, "hello world"), (2L, "y" * 300)).toDF("doc_id", "text")
+    val rows = Multimodal.packAsWav(docs, "doc_id", "text").collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16)
+      ais.close()
+    }
+  }
+
+  test("decoded audio stats equal the synthesis arithmetic") {
+    val text = "abcdefghij" * 5 // len 50 -> n=51, rate=16000, a=6550
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val out = Multimodal.extractAudioFeatures(
+        Multimodal.packAsWav(docs, "doc_id", "text"))
+      .select("media_id", "features.*").collect().head
+    val (n, rate, a) = (1 + 50 % 240, 8000 + (50 % 4) * 4000, (50L * 131L) % 65521L)
+    val samples = (0 until n).map(i => ((a + i.toLong * 7919L) % 65521L - 32760L).toInt)
+    assert(out.getInt(1) === rate)
+    assert(out.getLong(2) === n.toLong)
+    assert(out.getLong(3) === n.toLong * 1000L / rate)
+    assert(out.getInt(4) === samples.map(math.abs).max)
+    assert(out.getLong(5) === samples.map(_.toLong).sum)
+    assert(out.getDouble(6) ===
+      math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / n))
+  }
+
+  test("a truncated wav payload fails loudly") {
+    val d = new graft.multimodal.WavDecoder
+    intercept[Exception](d.decode("RIFFgarbage".getBytes("US-ASCII")))
+  }
 }

@@ -234,6 +234,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2) == (3L, 3))
   }
 
+  test("knn graph: every node gets neighbors, twins find each other first") {
+    // two tight clusters around e1 and e3; within a cluster every member
+    // shares the same best IVF cell, so the graph must pair them up
+    val base = Array.fill(64)(0.0f)
+    def v(axis: Int, eps: Float, at: Int): Array[Float] = {
+      val a = base.clone(); a(axis) = 1.0f; a(at) = eps; a
+    }
+    val vecs = Seq(
+      (0L, v(1, 0.00f, 5)), (1L, v(1, 0.01f, 5)), (2L, v(1, 0.02f, 5)),
+      (3L, v(3, 0.00f, 7)), (4L, v(3, 0.01f, 7)), (5L, v(3, 0.02f, 7)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(4, 64).map(_.map(_.toDouble))
+    val out = Similarity.knnGraph(vecs, k = 2, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getInt(r.fieldIndex("rank"))) -> r.getLong(r.fieldIndex("neighbor_id")))
+      .toMap
+    val byQuery = out.keys.map(_._1).toSet
+    assert(byQuery == Set(0L, 1L, 2L, 3L, 4L, 5L), "every node has neighbors")
+    // top neighbor stays within the node's own cluster
+    for (q <- 0L to 2L) assert(Set(0L, 1L, 2L).contains(out((q, 1))) && out((q, 1)) != q)
+    for (q <- 3L to 5L) assert(Set(3L, 4L, 5L).contains(out((q, 1))) && out((q, 1)) != q)
+  }
+
   test("k-means IVF: training converges on clustered data, recall matches brute force") {
     // 4 well-separated clusters on the axes of a 4-dim space; every
     // point gets a distinct small off-axis offset so similarities are

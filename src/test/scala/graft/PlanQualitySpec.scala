@@ -197,6 +197,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("knn graph: cell-partitioned shuffle join (corpus never broadcasts), heap-bounded top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.ml.Similarity.ivfCentroids(16, 64).map(_.map(_.toDouble))
+    val p = plan(graft.ml.Similarity.knnGraph(emb, 3, cents))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      "corpus-to-corpus candidates must equi-shuffle on cell, not broadcast")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), "top-k per node must heap-bound before the window")
+  }
+
   test("temperature mix: one rank window on the domain key, quotas as plan literals") {
     val df = LlmQueries.queries("x17_temperature_mix")(spark, dir)
     val p = plan(df)
