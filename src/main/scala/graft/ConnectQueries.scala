@@ -470,7 +470,50 @@ object ConnectQueries {
       .orderBy("o_orderkey")
   }
 
+  /**
+   * K11 — Connect ERROR HANDLING: `errors.tolerance=all` with a
+   * dead-letter queue (`errors.deadletterqueue.topic.name` +
+   * context headers). Three deterministic corruption classes are
+   * planted into the wire stream — truncation (malformed JSON),
+   * a dropped `payload` member, and a payload of the wrong type —
+   * then [[JsonEnvelope.routeDlq]] splits the stream: clean rows
+   * decode and continue, failures re-topic to the DLQ with (source
+   * topic, error class, stage) context. The oracle re-derives every
+   * disposition from the planting arithmetic.
+   */
+  def dlqRouting(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.Tpar(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal")
+    val frame = Connect.toConnectFrame(base, Seq("c_custkey"),
+      "om.customer", "c_custkey")
+    val schema = frame.schema("value").dataType
+    val wired = frame.withColumn("value",
+      JsonEnvelope.encodeWithSchema(col("value"), schema))
+    val id = col("key.c_custkey")
+    val corrupted = wired.withColumn("value",
+      when(id % 7 === 3, // truncation: unparseable JSON
+        col("value").substr(lit(1), (length(col("value")) / 2).cast(IntegerType)))
+        .when(id % 11 === 5, // valid envelope, payload member dropped
+          regexp_replace(col("value"), ""","payload":.*\}""", "}"))
+        .when(id % 13 === 1, // payload present but not the declared struct
+          // anchored: keep the envelope's own closing brace intact
+          regexp_replace(col("value"), """"payload":\{.*\}\}$""", "\"payload\":42}"))
+        .otherwise(col("value")))
+    val (good, dlq) = JsonEnvelope.routeDlq(corrupted, schema, "dlq.om.customer")
+    val okAgg = good
+      .agg(count(lit(1)).as("n"), sum(col("key.c_custkey")).as("key_sum"))
+      .select(lit("ok").as("disposition"), lit("-").as("error_class"),
+        col("n"), col("key_sum"))
+    val dlqAgg = dlq
+      .groupBy(col("error_context.error_class").as("error_class"))
+      .agg(count(lit(1)).as("n"), sum(col("key.c_custkey")).as("key_sum"))
+      .select(lit("dlq").as("disposition"), col("error_class"),
+        col("n"), col("key_sum"))
+    okAgg.unionByName(dlqAgg).orderBy("disposition", "error_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_dlq_routing" -> (dlqRouting _),
     "s1_bulk_mode" -> (bulkMode _),
     "s3_jdbc_timestamp" -> (timestampMode _),
     "s5_table_multiplex" -> (tableMultiplex _),
@@ -493,6 +536,20 @@ object ConnectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // dispositions re-derived from the corruption-planting arithmetic
+    // (priority order matches the when-chain: %7, then %11, then %13)
+    "k11_dlq_routing" ->
+      """WITH cls AS (
+        |  SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey % 7 = 3 THEN 'malformed_envelope'
+        |         WHEN c_custkey % 11 = 5 THEN 'missing_payload'
+        |         WHEN c_custkey % 13 = 1 THEN 'payload_parse'
+        |         ELSE '-' END AS error_class
+        |  FROM customer)
+        |SELECT CASE WHEN error_class = '-' THEN 'ok' ELSE 'dlq' END AS disposition,
+        |  error_class, count(*) AS n, CAST(sum(id) AS BIGINT) AS key_sum
+        |FROM cls GROUP BY 1, 2
+        |ORDER BY disposition, error_class""".stripMargin,
     "s1_bulk_mode" ->
       """SELECT 1 AS poll, count(*) AS n_rows, CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
         |UNION ALL

@@ -351,8 +351,51 @@ object RelationalQueries {
       .orderBy("user_id", "view_ts", "buy_ts")
   }
 
+  /** W5: a RUNNING stream-STATIC enrichment join — the streaming side of
+   * every CDC/event pipeline that decorates a stream with dimension
+   * attributes: the events file-stream joins a static customer dim on
+   * user_id and writes enriched rows through a streaming parquet sink.
+   * Stream-static inner joins are STATELESS (each micro-batch joins
+   * against the batch plan — no state store, no watermark needed), and
+   * the small dim broadcasts, so at 100 TB/day the stream cost is one
+   * broadcast probe per row; a dimension too big to broadcast would
+   * shuffle each micro-batch, which is exactly the batch join's shape. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/w5_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val src = Paths.get(s"$dir/events.parquet")
+    val dst = in.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = scoped.readStream.schema(raw).parquet(in.toString)
+      .select("event_id", "user_id", "event_type")
+    val dim = broadcast(T(scoped, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val enriched = stream.join(dim, col("user_id") === col("c_custkey"))
+    val q = enriched.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("event_id"), col("user_id"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_stream_stream_join" -> (streamStreamJoin _),
+    "w5_stream_static_join" -> (streamStaticJoin _),
     "q3_window_rank" -> (windowRank _),
     "q4_rollup" -> (rollupAgg _),
     "q5_topk" -> (topK _),
@@ -504,6 +547,10 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "w5_stream_static_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
     "w4_stream_stream_join" ->
       """SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts
         |FROM events a JOIN events b

@@ -209,6 +209,78 @@ object JsonEnvelope {
     fromWire(from_json(payload, wireType(schema)), schema)
   }
 
+  /**
+   * Classified decode — the converter half of Connect's error-handling
+   * surface (`errors.tolerance=all` + dead-letter-queue routing; the
+   * spooldir source's error channel is the same idea at the file stage).
+   * Returns `struct(value, error_class)`: `error_class` is NULL for a
+   * clean decode (including tombstones — an absent value or an explicit
+   * `"payload":null` is DATA, not an error), otherwise one of
+   *  - `malformed_envelope` — the message isn't a schema'd envelope
+   *    (truncated/unparseable JSON, or no `schema` member),
+   *  - `missing_payload`   — valid envelope, `payload` member absent,
+   *  - `payload_parse`     — payload present but doesn't parse as the
+   *    declared wire type.
+   * All classification is codegen'd column logic over the same
+   * `get_json_object`/`from_json` calls the happy path already makes —
+   * no second parse of clean rows.
+   */
+  def decodeClassified(c: Column, schema: DataType): Column = {
+    val wt = wireType(schema) match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"classified decode expects a struct value schema, got $other")
+    }
+    // PERMISSIVE from_json never yields a null struct for a
+    // wrong-typed payload — it fills the declared corrupt-record
+    // column instead, which is the reliable parse-failure signal
+    val corruptCol = "_corrupt_record"
+    val parsedC = from_json(get_json_object(c, "$.payload"),
+      wt.add(corruptCol, StringType),
+      Map("columnNameOfCorruptRecord" -> corruptCol))
+    val schemaMember = get_json_object(c, "$.schema")
+    val payload = get_json_object(c, "$.payload")
+    val tombstonePayload = c.rlike(""""payload"\s*:\s*null""")
+    val wireStruct = when(parsedC.isNotNull, struct(
+      wt.fields.toIndexedSeq.map(f => parsedC.getField(f.name).as(f.name)): _*))
+    val parsed = fromWire(wireStruct, schema)
+    val errorClass =
+      when(c.isNull, lit(null).cast(StringType))
+        .when(schemaMember.isNull, lit("malformed_envelope"))
+        .when(payload.isNull && !tombstonePayload, lit("missing_payload"))
+        // explicit "payload":null is a tombstone (payload extracts as
+        // SQL NULL), so the parse check must only fire on a present one
+        .when(payload.isNotNull &&
+            (parsedC.isNull || parsedC.getField(corruptCol).isNotNull),
+          lit("payload_parse"))
+    struct(when(errorClass.isNull, parsed).as("value"),
+      errorClass.as("error_class"))
+  }
+
+  /**
+   * Split a wire frame into (good, dlq) — `errors.tolerance=all` with
+   * `errors.deadletterqueue.topic.name=dlqTopic`: clean rows continue
+   * with the decoded value; failed rows re-topic to the DLQ carrying
+   * the RAW message plus the context a Connect DLQ header block carries
+   * (source topic, error class, failing stage). One pass, two filters
+   * over the same classified projection — at 100 TB the DLQ side is the
+   * (tiny) error fraction, and nothing is parsed twice.
+   */
+  def routeDlq(df: DataFrame, schema: DataType,
+               dlqTopic: String): (DataFrame, DataFrame) = {
+    val tagged = df.withColumn("_c", decodeClassified(col("value"), schema))
+    val good = tagged.filter(col("_c.error_class").isNull)
+      .withColumn("value", col("_c.value")).drop("_c")
+    val dlq = tagged.filter(col("_c.error_class").isNotNull)
+      .select(col("key"), col("value").as("raw_value"),
+        lit(dlqTopic).as("topic"),
+        struct(col("topic").as("source_topic"),
+          col("_c.error_class").as("error_class"),
+          lit("VALUE_CONVERTER").as("stage")).as("error_context"),
+        col("seq"))
+    (good, dlq)
+  }
+
   /** Round-trip a connect frame's `value` through the envelope (identity
    * up to schema nullability) — the C1 source->topic->sink path. */
   def roundTrip(df: DataFrame): DataFrame = {

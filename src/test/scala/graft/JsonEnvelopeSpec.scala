@@ -94,4 +94,50 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(JsonEnvelope.connectSchemaJson(DecimalType(10, 2)) ==
       """{"type":"bytes","name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"2"},"optional":false}""")
   }
+
+  test("classified decode: every corruption class routes, tombstones never do") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val goodWire = """{"schema":{"type":"struct","fields":[]},"payload":{"id":7,"name":"x"}}"""
+    val cases = Seq(
+      (1L, goodWire, null),                                      // clean
+      (2L, null, null),                                          // absent value = tombstone
+      (3L, """{"schema":{},"payload":null}""", null),            // explicit null payload = tombstone
+      (4L, goodWire.take(30), "malformed_envelope"),             // truncated JSON
+      (5L, """{"notschema":1}""", "malformed_envelope"),         // no schema member
+      (6L, """{"schema":{}}""", "missing_payload"),              // payload absent
+      (7L, """{"schema":{},"payload":42}""", "payload_parse"))   // wrong payload type
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(c => Row(c._1, c._2))),
+      StructType(Seq(StructField("k", LongType), StructField("value", StringType))))
+    val out = df.withColumn("_c", JsonEnvelope.decodeClassified(col("value"), schema))
+      .select(col("k"), col("_c.error_class"), col("_c.value.id"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    cases.foreach { case (k, _, want) =>
+      assert(out(k)._1 == Option(want), s"case $k") }
+    assert(out(1L)._2.contains(7L))  // clean row decodes
+    assert(out(2L)._2.isEmpty && out(3L)._2.isEmpty) // tombstones: null value, no error
+  }
+
+  test("routeDlq splits good and failed rows, DLQ carries context headers") {
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val frame = Seq(
+      (1L, """{"schema":{},"payload":{"id":1}}"""),
+      (2L, "garbage"))
+      .toDF("k", "value")
+      .select(struct(col("k")).as("key"), col("value"),
+        lit("om.t").as("topic"), col("k").as("seq"))
+    val (good, dlq) = JsonEnvelope.routeDlq(frame, schema, "dlq.om.t")
+    assert(good.count() == 1 && good.head().getAs[Row]("value").getLong(0) == 1L)
+    val d = dlq.head()
+    assert(d.getAs[String]("topic") == "dlq.om.t")
+    assert(d.getAs[String]("raw_value") == "garbage")
+    val ctx = d.getAs[Row]("error_context")
+    assert(ctx.getAs[String]("source_topic") == "om.t")
+    assert(ctx.getAs[String]("error_class") == "malformed_envelope")
+    assert(ctx.getAs[String]("stage") == "VALUE_CONVERTER")
+  }
 }
