@@ -83,6 +83,40 @@ object ConnectQueries {
       .orderBy("n_nationkey")
   }
 
+  /** S10 SpoolDir JSON-lines (the `SpoolDirJsonSourceConnector` of the
+   * same public connector suite the reference's CSV lab uses): spool
+   * the nation table out as JSONL, plant one malformed line, ingest
+   * with a declared schema + PERMISSIVE corrupt-record column — good
+   * rows flow, the broken line routes to the error channel instead of
+   * halting the poll (`halt.on.error=false`). */
+  def spoolDirJson(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val spool = s"target/tmp/spool_json_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(spool))
+    Files.createDirectories(Paths.get(spool))
+    val lines = T(s, dir, "nation")
+      .select(to_json(struct(col("n_nationkey"), col("n_name"),
+        col("n_regionkey")))).collect().map(_.getString(0))
+    // two spool files + a malformed line mid-file (a torn write)
+    val (a, b) = lines.splitAt(lines.length / 2)
+    Files.write(Paths.get(spool, "batch_0.json"),
+      a.mkString("\n").getBytes("UTF-8"))
+    Files.write(Paths.get(spool, "batch_1.json"),
+      (b.mkString("\n") + "\n{\"n_nationkey\": 99, \"n_na").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("_corrupt_record", StringType)))
+    val read = SpoolDir.readBatch(s, SpoolDir.Config(inputPath = spool,
+      format = "json", pattern = "*.json", schema = Some(schema))).cache()
+    val good = read.filter(col("_corrupt_record").isNull)
+      .select(lit("row").as("kind"), col("n_nationkey"), col("n_name"))
+    val errs = read.filter(col("_corrupt_record").isNotNull)
+      .agg(count(lit(1)).as("n_nationkey"))
+      .select(lit("err").as("kind"), col("n_nationkey"), lit("-").as("n_name"))
+    good.unionByName(errs).orderBy("kind", "n_nationkey")
+  }
+
   /** C2 schemaless JSON round-trip, decoded via the schema-member sniff
    * (no `schemas.enable` hint). */
   def schemalessRoundTrip(s: SparkSession, dir: String): DataFrame = {
@@ -514,6 +548,7 @@ object ConnectQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k11_dlq_routing" -> (dlqRouting _),
+    "s10_spooldir_json" -> (spoolDirJson _),
     "s1_bulk_mode" -> (bulkMode _),
     "s3_jdbc_timestamp" -> (timestampMode _),
     "s5_table_multiplex" -> (tableMultiplex _),
@@ -550,6 +585,11 @@ object ConnectQueries {
         |  error_class, count(*) AS n, CAST(sum(id) AS BIGINT) AS key_sum
         |FROM cls GROUP BY 1, 2
         |ORDER BY disposition, error_class""".stripMargin,
+    "s10_spooldir_json" ->
+      """SELECT 'row' AS kind, n_nationkey, n_name FROM nation
+        |UNION ALL
+        |SELECT 'err', 1, '-'
+        |ORDER BY kind, n_nationkey""".stripMargin,
     "s1_bulk_mode" ->
       """SELECT 1 AS poll, count(*) AS n_rows, CAST(sum(r_regionkey) AS BIGINT) AS key_sum FROM region
         |UNION ALL

@@ -399,6 +399,20 @@ object LlmQueries {
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
 
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  /** E10: MMR-diversified top-k — retrieve top-10 by cosine, greedily
+   * rerank to 5 picks by maximal marginal relevance (λ = 0.7). The
+   * oracle unrolls the same greedy into k generated SQL layers, scoring
+   * with the identical double constants the Spark plan folds in. */
+  def mmrDiversifyQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val emb = embFrame(s, dir)
+      Similarity.mmrRerank(emb.filter(col("id") < 5), emb,
+        n = TopK, k = MmrK, lambda = MmrLambda)
+    }.orderBy("query_id", "step")
+
   /** D10: semantic dedup (SemDeDup) — coarse-cluster by IVF cell, drop
    * within-cell vectors with a smaller-id neighbor at cosine ≥ τ, keep
    * the survivors. τ sits at this synthetic corpus's similarity tail
@@ -742,6 +756,7 @@ object LlmQueries {
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
+    "e10_mmr_diversify" -> (mmrDiversifyQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -938,6 +953,59 @@ object LlmQueries {
        |FROM lab l JOIN (SELECT cluster_id, count(*) AS cluster_size
        |                 FROM lab GROUP BY cluster_id) c USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  /** e10: the greedy MMR rerank unrolled into k generated layers —
+   * layer i picks argmax(λ·rel − (1−λ)·max-penalty-vs-picks-1..i−1),
+   * with the penalty join and NOT EXISTS exclusion over the union of
+   * the earlier layers. λ and 1−λ render via [[dLit]] so both engines
+   * fold the identical doubles. */
+  private lazy val mmrOracleSql: String = {
+    val lam = dLit(MmrLambda)
+    val oml = dLit(1.0 - MmrLambda)
+    val layers = (2 to MmrK).map { i =>
+      val selU = (1 until i).map(j => s"SELECT query_id, pick FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS ($selU),
+         |p$i AS (
+         |  SELECT r.query_id, r.cand, r.rel, max(p.psim) AS pen
+         |  FROM rel r
+         |  JOIN pair p ON p.query_id = r.query_id AND p.a = r.cand
+         |  JOIN sel$i s ON s.query_id = p.query_id AND s.pick = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$i x
+         |                    WHERE x.query_id = r.query_id AND x.pick = r.cand)
+         |  GROUP BY r.query_id, r.cand, r.rel),
+         |s$i AS (
+         |  SELECT query_id, cand AS pick, score, $i AS step FROM (
+         |    SELECT query_id, cand, $lam * rel - $oml * pen AS score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $lam * rel - $oml * pen DESC, cand) AS rk
+         |    FROM p$i) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val finalU = (1 to MmrK).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+       |           FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS cand, embedding AS cv FROM embeddings),
+       |rel0 AS (
+       |  SELECT query_id, cand, ${cosineSql("qv", "cv")} AS rel
+       |  FROM q, c WHERE query_id <> cand),
+       |rel AS (SELECT query_id, cand, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand) AS rk FROM rel0) t WHERE rk <= $TopK),
+       |vv AS (SELECT vec_id AS cand, embedding AS v FROM embeddings),
+       |pair AS (
+       |  SELECT r1.query_id, r1.cand AS a, r2.cand AS b,
+       |    ${cosineSql("v1.v", "v2.v")} AS psim
+       |  FROM rel r1 JOIN vv v1 ON r1.cand = v1.cand
+       |  JOIN rel r2 ON r1.query_id = r2.query_id AND r1.cand <> r2.cand
+       |  JOIN vv v2 ON r2.cand = v2.cand),
+       |s1 AS (
+       |  SELECT query_id, cand AS pick, $lam * rel AS score, 1 AS step FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand) AS rk FROM rel) t WHERE rk = 1),
+       |$layers
+       |SELECT query_id, pick, score, step FROM ($finalU) u
+       |ORDER BY query_id, step""".stripMargin
+  }
 
   /** d12: the composed pipeline — candidates, exact-Jaccard verify,
    * closure over VERIFIED pairs, left join back to every document. */
@@ -1204,6 +1272,7 @@ object LlmQueries {
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
     "e9_knn_graph" -> ivfOracleSql(centsSql, qPred = "TRUE", topK = 3),
+    "e10_mmr_diversify" -> mmrOracleSql,
     // duplicated 15-token windows (>= 2 distinct docs) merge into
     // maximal spans per doc: islands over ascending window starts, gap
     // > 15 breaks (same-length intervals)

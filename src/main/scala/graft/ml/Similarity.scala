@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Hashing
+import graft.operators.CacheScope
 
 /**
  * Similarity search over embedding columns (`array<float>`):
@@ -478,6 +479,67 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * MMR-diversified top-k (Carbonell & Goldstein 1998): retrieve each
+   * query's top-`n` by cosine, then greedily rerank to `k` picks by
+   * maximal marginal relevance — score(d) = λ·sim(q,d) − (1−λ)·max_{s∈S}
+   * sim(d,s), ties to the smaller id. The diversified-retrieval stage of
+   * a curation/eval pipeline (don't hand a labeler k near-copies).
+   *
+   * Scale shape: retrieval is the distributed part ([[bruteForceTopK]]
+   * here; any ANN path drops in). The rerank is the textbook
+   * formulation — candidate sets are n per query BY DESIGN, so the
+   * greedy loop unrolls to k−1 dataframe iterations of (anti-join,
+   * max-penalty aggregate, rank window), each shuffling rows ∝ queries ×
+   * n, never corpus-sized, and never moving data through the driver.
+   * Candidate relevance and the n×n pairwise sims compute once into
+   * scoped caches.
+   */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
+                lambda: Double)(implicit scope: CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rel = scope.persist(
+      bruteForceTopK(queries, corpus, n)
+        .select(col("query_id"), col("neighbor_id").as("cand"),
+          col("sim").as("rel"))).toDF()
+    val vecs = corpus.select(col("id").as("cand"), col("vec"))
+    val withVec = rel.join(vecs, "cand")
+    val pair = scope.persist(
+      withVec.select(col("query_id"), col("cand").as("a"), col("vec").as("va"))
+        .join(withVec.select(col("query_id"), col("cand").as("b"),
+          col("vec").as("vb")), "query_id")
+        .filter(col("a") =!= col("b"))
+        .select(col("query_id"), col("a"), col("b"),
+          cosine(col("va"), col("vb")).as("psim"))).toDF()
+    val byScore = (score: Column) => Window.partitionBy("query_id")
+      .orderBy(score.desc, col("cand"))
+    var sel = rel
+      .withColumn("rk", row_number().over(byScore(lit(lambda) * col("rel"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("cand").as("pick"),
+        (lit(lambda) * col("rel")).as("score"), lit(1).as("step"))
+    for (i <- 2 to k) {
+      val selected = sel.select("query_id", "pick")
+      val remaining = rel.join(selected,
+        rel("query_id") === selected("query_id") &&
+          rel("cand") === selected("pick"), "left_anti")
+      val scored = remaining
+        .join(pair.withColumnRenamed("a", "cand"), Seq("query_id", "cand"))
+        .join(selected.withColumnRenamed("pick", "b"), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("cand"), col("rel"))
+        .agg(max(col("psim")).as("pen"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen"))
+      val next = scored
+        .withColumn("rk", row_number().over(byScore(col("score"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("cand").as("pick"), col("score"),
+          lit(i).as("step"))
+      sel = sel.unionByName(next)
+    }
+    sel
   }
 
   /**

@@ -1,28 +1,35 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
 import org.apache.spark.sql.types.StructType
 
 /**
- * S9 — SpoolDir CSV source (reference:
+ * S9 — SpoolDir source family (reference:
  * `connector_configs/spooldir_source.json:1-16`,
  * `실습수행/Spool Dir Source Connector 실습.md`): watch a directory for
- * CSV files, header row gives field names, schema inferred
- * (`schema.generation.enabled=true`) or supplied; finished files are
- * archived (`finished.path`), malformed rows routed to an error channel
- * (`error.path` / `halt.on.error`).
+ * files, schema inferred (`schema.generation.enabled=true`) or supplied;
+ * finished files are archived (`finished.path`), malformed rows routed
+ * to an error channel (`error.path` / `halt.on.error`).
  *
- * Spark mapping: `csv` reader with PERMISSIVE + corrupt-record column
- * (halt-on-error=false) or FAILFAST (=true); streaming variant uses
- * `cleanSource=archive` + `sourceArchiveDir` for finished.path and
- * `maxFilesPerTrigger` for the poll batch size. At scale the file
- * listing is Spark's incremental file index; data never funnels through
- * a single reader.
+ * The reference lab runs the CSV connector
+ * (`SpoolDirCsvSourceConnector`); the same public connector suite ships
+ * JSON-lines (`SpoolDirJsonSourceConnector`) and line-delimited
+ * variants, so [[Config.format]] covers `csv`, `json` (one JSON document
+ * per line) and `text` (raw lines).
+ *
+ * Spark mapping: the matching file reader with PERMISSIVE +
+ * corrupt-record column (halt-on-error=false) or FAILFAST (=true);
+ * streaming variant uses `cleanSource=archive` + `sourceArchiveDir` for
+ * finished.path and `maxFilesPerTrigger` for the poll batch size. At
+ * scale the file listing is Spark's incremental file index; data never
+ * funnels through a single reader.
  */
 object SpoolDir {
 
   final case class Config(
       inputPath: String,
+      format: String = "csv", // csv | json (JSON-lines) | text
       pattern: String = "*.csv",
       header: Boolean = true,
       schema: Option[StructType] = None, // None = infer (batch only)
@@ -30,17 +37,34 @@ object SpoolDir {
       haltOnError: Boolean = false,
       maxFilesPerTrigger: Int = 3) // tasks.max analog
 
+  private def load(r: DataFrameReader, conf: Config): DataFrame =
+    conf.format match {
+      case "csv" => r.option("header", conf.header).csv(conf.inputPath)
+      case "json" => r.json(conf.inputPath)
+      case "text" => r.text(conf.inputPath)
+      case other => throw new IllegalArgumentException(
+        s"unsupported spool format '$other' (csv | json | text)")
+    }
+
+  private def loadStream(r: DataStreamReader, conf: Config): DataFrame =
+    conf.format match {
+      case "csv" => r.option("header", conf.header).csv(conf.inputPath)
+      case "json" => r.json(conf.inputPath)
+      case "text" => r.text(conf.inputPath)
+      case other => throw new IllegalArgumentException(
+        s"unsupported spool format '$other' (csv | json | text)")
+    }
+
   /** One-shot batch read (the verification path). */
   def readBatch(spark: SparkSession, conf: Config): DataFrame = {
     var r = spark.read
-      .option("header", conf.header)
       .option("pathGlobFilter", conf.pattern)
       .option("mode", if (conf.haltOnError) "FAILFAST" else "PERMISSIVE")
     r = conf.schema match {
       case Some(s) => r.schema(s)
       case None => r.option("inferSchema", true)
     }
-    r.csv(conf.inputPath)
+    load(r, conf)
   }
 
   /** Streaming read — the reference's continuous spool. Schema is
@@ -51,13 +75,12 @@ object SpoolDir {
       "streaming spool requires an explicit schema"))
     var r = spark.readStream
       .schema(s)
-      .option("header", conf.header)
       .option("pathGlobFilter", conf.pattern)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .option("mode", if (conf.haltOnError) "FAILFAST" else "PERMISSIVE")
     conf.finishedPath.foreach { p =>
       r = r.option("cleanSource", "archive").option("sourceArchiveDir", p)
     }
-    r.csv(conf.inputPath)
+    loadStream(r, conf)
   }
 }

@@ -75,6 +75,33 @@ class CodecSpec extends SparkSpec {
     }
   }
 
+  test("spooldir JSON-lines: inference, and the corrupt-record error channel") {
+    val dir = Files.createTempDirectory("spooljson").toString
+    Files.writeString(Paths.get(dir, "a.json"),
+      """{"id": 1, "name": "x"}
+        |{"id": 2, "name": "y"}""".stripMargin)
+    // batch inference, no schema declared
+    val inferred = SpoolDir.readBatch(spark, SpoolDir.Config(
+      inputPath = dir, format = "json", pattern = "*.json"))
+    assert(inferred.schema("id").dataType == LongType)
+    assert(inferred.count() == 2)
+    // a torn line routes to the corrupt-record channel, rest flow
+    Files.writeString(Paths.get(dir, "b.json"), """{"id": 3, "na""")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("_corrupt_record", StringType)))
+    // corrupt-record-only projections over raw JSON require caching the
+    // parsed frame first (Spark guards against the double-parse trap)
+    val read = SpoolDir.readBatch(spark, SpoolDir.Config(inputPath = dir,
+      format = "json", pattern = "*.json", schema = Some(schema))).cache()
+    assert(read.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
+    // unknown formats fail loudly at config time
+    intercept[IllegalArgumentException] {
+      SpoolDir.readBatch(spark, SpoolDir.Config(inputPath = dir, format = "xml"))
+    }
+  }
+
   test("spooldir streaming archives finished files (finished.path)") {
     val base = Files.createTempDirectory("spoolstream")
     val in = base.resolve("in"); val fin = base.resolve("done")

@@ -257,6 +257,32 @@ class OperatorsSpec extends SparkSpec {
     for (q <- 3L to 5L) assert(Set(3L, 4L, 5L).contains(out((q, 1))) && out((q, 1)) != q)
   }
 
+  test("MMR rerank: near-duplicate candidates are deferred for diversity") {
+    // query along e0; candidates: two near-copies of the best match, one
+    // moderately relevant but orthogonal-to-them doc, one weak doc.
+    // Plain top-3 = {1,2,3}; MMR must interleave the diverse doc ahead
+    // of the second near-copy.
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(8)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val corpus = Seq(
+      (1L, v(0 -> 1.0f, 1 -> 0.10f)),          // near-copy A (best)
+      (2L, v(0 -> 1.0f, 1 -> 0.11f)),          // near-copy of A
+      (3L, v(0 -> 0.8f, 2 -> 0.60f)),          // relevant but diverse
+      (4L, v(3 -> 1.0f)))                      // weak
+      .toDF("id", "vec")
+    val queries = Seq((0L, v(0 -> 1.0f))).toDF("id", "vec")
+    val picks = CacheScope.withScope { implicit scope =>
+      Similarity.mmrRerank(queries, corpus, n = 4, k = 3, lambda = 0.5)
+        .orderBy("step").collect()
+        .map(r => r.getLong(r.fieldIndex("pick")))
+    }
+    assert(picks.length == 3)
+    assert(picks(0) == 1L)              // pure relevance first
+    assert(picks(1) == 3L)              // diversity beats the near-copy
+    assert(picks.toSet == Set(1L, 3L, 2L) || picks.toSet == Set(1L, 3L, 4L))
+  }
+
   test("k-means IVF: training converges on clustered data, recall matches brute force") {
     // 4 well-separated clusters on the axes of a 4-dim space; every
     // point gets a distinct small off-axis offset so similarities are
