@@ -399,6 +399,44 @@ object LlmQueries {
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
 
+  /** X18: the END-TO-END curation FUNNEL — the whole pipeline a
+   * pretraining-data run executes, with per-stage survivor counts (the
+   * report a data team actually reviews): all docs → language-ID keeps
+   * identified docs → classifier-head quality filter → exact dedup
+   * keeps one doc per identical text → near-dedup keeps cluster
+   * representatives. The near-dup verdict is the corpus-wide d12
+   * labeling intersected with the funnel survivors (production dedup
+   * verdicts are computed corpus-wide once, then each curation branch
+   * intersects). One scan computes every per-doc flag; each stage is a
+   * tiny aggregate over cumulative filters. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val verdict = nearDedupCorpus(s, dir).select(col("doc_id"), col("kept"))
+    CacheScope.materialized { implicit scope =>
+      val base = scope.persist(
+        Tpar(s, dir, "documents").select(col("doc_id"), col("text"))
+          .withColumn("n_tok", TextAnalysis.tokenCountWs(col("text")).cast(LongType))
+          .withColumn("lg", TextAnalysis.langIdFromTokens(
+            Dedup.tokens(lower(col("text")))))
+          .withColumn("_f", TextAnalysis.qualityFeatures(col("text")))
+          .withColumn("logit", TextAnalysis.classifierLogit(col("_f")))
+          .select("doc_id", "text", "n_tok", "lg", "logit")).toDF()
+      val s2 = base.filter(col("lg") =!= "und")
+      val s3 = s2.filter(col("logit") >= 0.0)
+      val winners = Dedup.exactDedup(s3, "doc_id", "text").select("doc_id")
+      val s4 = s3.join(winners, "doc_id")
+      val s5 = s4.join(broadcast(verdict.filter(col("kept")).select("doc_id")), "doc_id")
+      def stageAgg(df: DataFrame, i: Int, name: String): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+          .select(lit(i).as("stage"), lit(name).as("name"),
+            col("n_docs"), col("n_tokens"))
+      stageAgg(base, 1, "all")
+        .unionByName(stageAgg(s2, 2, "lang_id"))
+        .unionByName(stageAgg(s3, 3, "quality"))
+        .unionByName(stageAgg(s4, 4, "exact_dedup"))
+        .unionByName(stageAgg(s5, 5, "near_dedup"))
+    }.orderBy("stage")
+  }
+
   private val MmrK = 5
   private val MmrLambda = 0.7
 
@@ -757,6 +795,7 @@ object LlmQueries {
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
+    "x18_curation_funnel" -> (curationFunnel _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -1007,10 +1046,33 @@ object LlmQueries {
        |ORDER BY query_id, step""".stripMargin
   }
 
-  /** d12: the composed pipeline — candidates, exact-Jaccard verify,
-   * closure over VERIFIED pairs, left join back to every document. */
-  private lazy val nearDedupCorpusOracleSql =
-    s"""WITH RECURSIVE $minhashPipelineSql,
+  /** The x2/x15 feature CTE and the generated classifier head — shared
+   * by the x15 oracle and the x18 funnel's quality stage. The head is
+   * generated from the SAME weight constants the Spark plan folds in
+   * (left-associative, like Catalyst). */
+  private lazy val classifierZSql = TextAnalysis.QualityWeights.map { case (n, w) =>
+    val f = if (n == "n_words") s"$n::DOUBLE" else n
+    s"(${w}e0) * $f"
+  }.mkString(s"(${TextAnalysis.QualityBias}e0) + ", " + ", "")
+
+  private lazy val qualityFeaturesCte =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    len($toksSql)::BIGINT AS n_words,
+       |    list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
+       |      / len($toksSql)::DOUBLE AS mean_word_len,
+       |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+       |      / length(text)::DOUBLE AS punct_ratio,
+       |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
+       |      / len($toksSql)::DOUBLE AS stopword_ratio,
+       |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
+       |  FROM documents)""".stripMargin
+
+  /** The d12 CTE chain up to `lab` (doc_id → cluster minimum over the
+   * VERIFIED near-dup pairs) — shared by the d12 oracle and the x18
+   * funnel's near-dedup stage. */
+  private lazy val nearDedupLabCtes =
+    s"""$minhashPipelineSql,
        |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
        |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
        |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
@@ -1025,14 +1087,49 @@ object LlmQueries {
        |  UNION
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-       |        FROM reach GROUP BY u)
+       |        FROM reach GROUP BY u)""".stripMargin
+
+  /** d12: the composed pipeline — candidates, exact-Jaccard verify,
+   * closure over VERIFIED pairs, left join back to every document. */
+  private lazy val nearDedupCorpusOracleSql =
+    s"""WITH RECURSIVE $nearDedupLabCtes
        |SELECT d.doc_id,
        |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        |  (coalesce(l.cluster_id, d.doc_id) = d.doc_id) AS kept
        |FROM documents d LEFT JOIN lab l USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** x18: the funnel oracle — lang/quality flags from the shared CTEs,
+   * exact-dedup winners via GROUP BY text among stage-3 survivors,
+   * near-dedup survivors from the shared d12 `lab` closure, then one
+   * aggregate row per cumulative stage. */
+  private lazy val curationFunnelOracleSql =
+    s"""WITH RECURSIVE $nearDedupLabCtes,
+       |scored AS (SELECT doc_id, $langScoreSql FROM documents),
+       |lang AS (SELECT doc_id, $langGuessSql AS lg FROM scored),
+       |$qualityFeaturesCte,
+       |z AS (SELECT doc_id, $classifierZSql AS logit FROM f),
+       |base AS (
+       |  SELECT d.doc_id, d.text, len($toksSql)::BIGINT AS n_tok,
+       |    lang.lg, z.logit
+       |  FROM documents d JOIN lang USING (doc_id) JOIN z USING (doc_id)),
+       |k2 AS (SELECT * FROM base WHERE lg <> 'und'),
+       |k3 AS (SELECT * FROM k2 WHERE logit >= 0.0e0),
+       |win AS (SELECT min(doc_id) AS doc_id FROM k3 GROUP BY text),
+       |k4 AS (SELECT b.* FROM k3 b JOIN win USING (doc_id)),
+       |keep5 AS (SELECT d.doc_id FROM documents d LEFT JOIN lab l USING (doc_id)
+       |          WHERE coalesce(l.cluster_id, d.doc_id) = d.doc_id),
+       |k5 AS (SELECT b.* FROM k4 b JOIN keep5 USING (doc_id))
+       |SELECT 1 AS stage, 'all' AS name, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+       |UNION ALL SELECT 2, 'lang_id', count(*), CAST(sum(n_tok) AS BIGINT) FROM k2
+       |UNION ALL SELECT 3, 'quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM k3
+       |UNION ALL SELECT 4, 'exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM k4
+       |UNION ALL SELECT 5, 'near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM k5
+       |ORDER BY stage""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "x18_curation_funnel" -> curationFunnelOracleSql,
     "d12_neardedup_corpus" -> nearDedupCorpusOracleSql,
     // quota derivation mirrored exactly: sqrt (correctly rounded, unlike
     // pow), name-ordered fold for Z, floor((300*p)/z) — identical doubles
@@ -1374,28 +1471,13 @@ object LlmQueries {
     // same feature CTE as x2; the head is generated from the SAME
     // weight constants the Spark plan folds in (left-associative, like
     // Catalyst), and the fast-sigmoid is rational — bit-exact
-    "x15_quality_classifier" -> {
-      val z = TextAnalysis.QualityWeights.map { case (n, w) =>
-        val f = if (n == "n_words") s"$n::DOUBLE" else n
-        s"(${w}e0) * $f"
-      }.mkString(s"(${TextAnalysis.QualityBias}e0) + ", " + ", "")
-      s"""WITH f AS (
-         |  SELECT doc_id,
-         |    len($toksSql)::BIGINT AS n_words,
-         |    list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
-         |      / len($toksSql)::DOUBLE AS mean_word_len,
-         |    length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
-         |      / length(text)::DOUBLE AS punct_ratio,
-         |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
-         |      / len($toksSql)::DOUBLE AS stopword_ratio,
-         |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
-         |  FROM documents),
-         |z AS (SELECT doc_id, $z AS logit FROM f)
+    "x15_quality_classifier" ->
+      s"""WITH $qualityFeaturesCte,
+         |z AS (SELECT doc_id, $classifierZSql AS logit FROM f)
          |SELECT doc_id, logit,
          |  0.5e0 * (1.0e0 + logit / (1.0e0 + abs(logit))) AS prob,
          |  logit >= 0.0e0 AS keep
-         |FROM z ORDER BY doc_id""".stripMargin
-    },
+         |FROM z ORDER BY doc_id""".stripMargin,
     "x2_quality_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,
