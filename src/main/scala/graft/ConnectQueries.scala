@@ -533,17 +533,17 @@ object ConnectQueries {
           // anchored: keep the envelope's own closing brace intact
           regexp_replace(col("value"), """"payload":\{.*\}\}$""", "\"payload\":42}"))
         .otherwise(col("value")))
-    val (good, dlq) = JsonEnvelope.routeDlq(corrupted, schema, "dlq.om.customer")
-    val okAgg = good
+    // the report aggregates by class in ONE pass over one classified
+    // decode (routeDlq's two-filter split would run the wire decode
+    // once per branch here; the split API is spec-covered)
+    corrupted
+      .withColumn("_c", JsonEnvelope.decodeClassified(col("value"), schema))
+      .groupBy(coalesce(col("_c.error_class"), lit("-")).as("error_class"))
       .agg(count(lit(1)).as("n"), sum(col("key.c_custkey")).as("key_sum"))
-      .select(lit("ok").as("disposition"), lit("-").as("error_class"),
-        col("n"), col("key_sum"))
-    val dlqAgg = dlq
-      .groupBy(col("error_context.error_class").as("error_class"))
-      .agg(count(lit(1)).as("n"), sum(col("key.c_custkey")).as("key_sum"))
-      .select(lit("dlq").as("disposition"), col("error_class"),
-        col("n"), col("key_sum"))
-    okAgg.unionByName(dlqAgg).orderBy("disposition", "error_class")
+      .select(
+        when(col("error_class") === "-", "ok").otherwise("dlq").as("disposition"),
+        col("error_class"), col("n"), col("key_sum"))
+      .orderBy("disposition", "error_class")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -521,13 +521,12 @@ object Similarity {
       .select(col("query_id"), col("cand").as("pick"),
         (lit(lambda) * col("rel")).as("score"), lit(1).as("step"))
     for (i <- 2 to k) {
-      val selected = sel.select("query_id", "pick")
-      val remaining = rel.join(selected,
-        rel("query_id") === selected("query_id") &&
-          rel("cand") === selected("pick"), "left_anti")
+      val picksAsCand = sel.select(col("query_id"), col("pick").as("cand"))
+      val picksAsB = sel.select(col("query_id"), col("pick").as("b"))
+      val remaining = rel.join(picksAsCand, Seq("query_id", "cand"), "left_anti")
       val scored = remaining
         .join(pair.withColumnRenamed("a", "cand"), Seq("query_id", "cand"))
-        .join(selected.withColumnRenamed("pick", "b"), Seq("query_id", "b"))
+        .join(picksAsB, Seq("query_id", "b"))
         .groupBy(col("query_id"), col("cand"), col("rel"))
         .agg(max(col("psim")).as("pen"))
         .withColumn("score",
@@ -537,7 +536,10 @@ object Similarity {
         .filter(col("rk") === 1)
         .select(col("query_id"), col("cand").as("pick"), col("score"),
           lit(i).as("step"))
-      sel = sel.unionByName(next)
+      // truncate lineage each round (queries × i rows): without this the
+      // step-k plan nests every earlier step's joins and re-evaluates
+      // them — the same O(1)-lineage contract as the d6 label loop
+      sel = sel.unionByName(next).localCheckpoint()
     }
     sel
   }
