@@ -234,21 +234,29 @@ object LlmQueries {
    * O(documents-in-clusters) — tiny next to the corpus — so the final
    * verdict join broadcasts; everything upstream is the bucketed
    * candidate generation d2 scales by. */
-  def nearDedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tpar(s, dir, "documents")
-    CacheScope.materialized { implicit scope =>
-      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
-      val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
-        .filter(col("jaccard") >= 0.5).select("ida", "idb")
-      val labels = Dedup.duplicateClusters(verified)
-      docs.select("doc_id")
-        .join(broadcast(labels), col("doc_id") === col("node"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("cluster_id"),
-          (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
-    }.orderBy("doc_id")
-  }
+  /** The verdict is a pure function of the corpus, so it memoizes per
+   * data dir like the trained quantizers (the result is a materialized
+   * localCheckpoint, ~1 row/doc): d12 and the x18 funnel share one
+   * computation per session. */
+  private val dedupVerdicts =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  def nearDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    dedupVerdicts.getOrElseUpdate(dir, {
+      val docs = Tpar(s, dir, "documents")
+      CacheScope.materialized { implicit scope =>
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+        val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", k = 3)
+          .filter(col("jaccard") >= 0.5).select("ida", "idb")
+        val labels = Dedup.duplicateClusters(verified)
+        docs.select("doc_id")
+          .join(broadcast(labels), col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("label"), col("doc_id")).as("cluster_id"),
+            (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
+      }
+    }).orderBy("doc_id")
 
   /** X17: temperature-weighted source mixing — per-source quotas
    * ∝ sqrt(ns) of a 300-doc target (alpha = 0.5 flattens the natural

@@ -151,6 +151,24 @@ object SparkEntry {
         .orderBy("c_custkey")
     }
 
+    /** T8: Connect PREDICATES — `transforms.X.predicate` +
+     * `predicates.P.type=TopicNameMatches`: the mask SMT applies ONLY
+     * to records on the standard topic; gold-topic records pass
+     * untouched. (Negate + RecordIsTombstone are spec-covered in
+     * `SmtSpec`.) */
+    def smtPredicated(s: SparkSession, dir: String): DataFrame = {
+      val frame = Connect.toConnectFrame(
+        T(s, dir, "customer"), Seq("c_custkey"), "om.customer_std", "c_custkey")
+        .withColumn("topic", when(col("value.c_acctbal") > 5000, "om.customer_gold")
+          .otherwise("om.customer_std"))
+      Smt.whenPredicate(
+        Smt.Predicates.topicNameMatches("om\\.customer_std"),
+        Smt.maskField("c_acctbal"))(frame)
+        .select(col("topic"), col("value.c_custkey").as("c_custkey"),
+          col("value.c_acctbal").as("acctbal"))
+        .orderBy("c_custkey")
+    }
+
     // ---- sink merge (K1-K4) ---------------------------------------------
 
     /** K1+K2: upsert + tombstone-delete materialization of a keyed
@@ -280,6 +298,7 @@ object SparkEntry {
     "t4_smt_timestamp_converter" -> (Q.smtTimestampConverter _),
     "t5_cdc_unwrap" -> (Q.cdcUnwrap _),
     "t7_smt_stock_chain" -> (Q.smtStockChain _),
+    "t8_smt_predicated" -> (Q.smtPredicated _),
     "k1_k2_sink_upsert_tombstone" -> (Q.sinkUpsert _),
     "k1_sink_upsert_composite_key" -> (Q.sinkUpsertCompositeKey _),
     "k4_schema_evolution_add" -> (Q.schemaEvolutionAdd _),
@@ -329,6 +348,13 @@ object SparkEntry {
       """SELECT 'om.customer-20240315' AS topic, c_custkey, c_name AS name,
         |  CAST(NULL AS DOUBLE) AS acctbal_masked,
         |  CAST(c_nationkey AS VARCHAR) AS nationkey_str
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t8_smt_predicated" ->
+      """SELECT CASE WHEN c_acctbal > 5000 THEN 'om.customer_gold'
+        |            ELSE 'om.customer_std' END AS topic,
+        |  c_custkey,
+        |  CASE WHEN c_acctbal > 5000 THEN c_acctbal
+        |       ELSE CAST(NULL AS DOUBLE) END AS acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "k1_k2_sink_upsert_tombstone" ->
       """SELECT user_id, event_type AS last_type, value AS last_value

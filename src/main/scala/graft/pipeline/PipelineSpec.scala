@@ -58,8 +58,26 @@ final case class SourceSpec(
 
 final case class TransformSpec(kind: String, args: Map[String, String],
                                fields: Seq[String]) {
-  /** Resolve to the pure SMT function (T1-T6 + Filter/Insert). */
-  def toTransform: Smt.Transform = kind match {
+  /** Resolve to the pure SMT function (T1-T6 + Filter/Insert). The
+   * Connect predicate surface rides in args: `when` (predicate type),
+   * `whenPattern`, `whenNegate` — the `transforms.X.predicate=P` /
+   * `predicates.P.type=...` config shape collapsed into the transform
+   * entry. */
+  def toTransform: Smt.Transform = args.get("when") match {
+    case Some(p) =>
+      val pred = p match {
+        case "topicNameMatches" =>
+          Smt.Predicates.topicNameMatches(args("whenPattern"))
+        case "recordIsTombstone" => Smt.Predicates.recordIsTombstone
+        case other =>
+          throw new IllegalArgumentException(s"unknown predicate '$other'")
+      }
+      Smt.whenPredicate(pred, base,
+        args.get("whenNegate").exists(_.toBoolean))
+    case None => base
+  }
+
+  private def base: Smt.Transform = kind match {
     case "valueToKey" => Smt.valueToKey(fields)
     case "extractKeyField" => Smt.extractKeyField(args("field"))
     case "extractValueField" => Smt.extractValueField(args("field"))

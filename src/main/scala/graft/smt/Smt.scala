@@ -115,6 +115,35 @@ object Smt {
   def filterRecords(predicate: Column): Transform = df =>
     df.filter(col("value").isNull || predicate)
 
+  /** Connect PREDICATES (`predicates.P.type=...`) — record-level
+   * conditions that gate whether an SMT applies (see
+   * [[whenPredicate]]). Stock types the engine's record model can
+   * express; `HasHeaderKey` needs headers, which the frame doesn't
+   * carry (documented non-goal). */
+  object Predicates {
+    /** `TopicNameMatches`: FULL-match semantics like the Connect
+     * predicate (`Pattern.matcher(topic).matches()`), hence the
+     * anchoring. */
+    def topicNameMatches(pattern: String): Column =
+      col("topic").rlike(s"^(?:$pattern)$$")
+
+    /** `RecordIsTombstone`: value is NULL. */
+    def recordIsTombstone: Column = col("value").isNull
+  }
+
+  /** Conditional SMT application (`transforms.X.predicate=P` +
+   * `transforms.X.negate`): records matching the predicate go through
+   * the transform, the rest pass unchanged (NULL predicate = not
+   * matching, like Connect). The union keeps one narrow pass per
+   * branch; a transform that changes the record schema under a
+   * predicate fails loudly on the union — same as Connect, where
+   * conditionally-diverging schemas break the topic contract. */
+  def whenPredicate(pred: Column, t: Transform,
+                    negate: Boolean = false): Transform = df => {
+    val p = coalesce(if (negate) !pred else pred, lit(false))
+    t(df.filter(p)).unionByName(df.filter(!p))
+  }
+
   // ---- remaining stock Connect SMT family --------------------------------
   // (beyond the five the reference configures; same algebra, same
   // tombstone-safety, all narrow)

@@ -100,4 +100,51 @@ class SmtSpec extends SparkSpec {
       Smt.extractKeyField("name"))(frame())
     assert(out.select("key").as[String].collect().toSet == Set("alice", "bob"))
   }
+
+  test("predicates gate SMT application per record; negate inverts") {
+    val f = frame().withColumn("topic",
+      when(col("value.id") === 1, "om.a").otherwise("om.b"))
+    def names(df: org.apache.spark.sql.DataFrame): Map[Int, Option[String]] =
+      df.select(col("value.id"), col("value.name")).collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    val masked = names(Smt.whenPredicate(
+      Smt.Predicates.topicNameMatches("om\\.a"),
+      Smt.maskField("name"))(f))
+    assert(masked(1).isEmpty && masked(2).contains("bob"))
+    val negated = names(Smt.whenPredicate(
+      Smt.Predicates.topicNameMatches("om\\.a"),
+      Smt.maskField("name"), negate = true)(f))
+    assert(negated(1).contains("alice") && negated(2).isEmpty)
+    // TopicNameMatches is a FULL match, not a substring search
+    val partial = names(Smt.whenPredicate(
+      Smt.Predicates.topicNameMatches("om"),
+      Smt.maskField("name"))(f))
+    assert(partial(1).contains("alice") && partial(2).contains("bob"))
+  }
+
+  test("RecordIsTombstone predicate: only tombstones go through the transform") {
+    val f = frame().withColumn("value",
+      when(col("value.id") === 2, col("value"))) // id=1 becomes a tombstone
+    // route tombstones to a dead-topic, keep live rows where they are
+    val out = Smt.whenPredicate(Smt.Predicates.recordIsTombstone,
+      df => df.withColumn("topic", lit("om.tombstones")))(f)
+    val topics = out.select(col("key.id"), col("topic")).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(topics(1) == "om.tombstones" && topics(2) == "om.t")
+  }
+
+  test("spec-driven predicate config wires through TransformSpec") {
+    val f = frame().withColumn("topic",
+      when(col("value.id") === 1, "om.a").otherwise("om.b"))
+    val t = graft.pipeline.TransformSpec("maskField",
+      Map("field" -> "name", "when" -> "topicNameMatches",
+        "whenPattern" -> "om\\.a"), Seq.empty).toTransform
+    val out = t(f).select(col("value.id"), col("value.name")).collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(out(1).isEmpty && out(2).contains("bob"))
+    intercept[IllegalArgumentException] {
+      graft.pipeline.TransformSpec("maskField",
+        Map("field" -> "name", "when" -> "nope"), Seq.empty).toTransform
+    }
+  }
 }
