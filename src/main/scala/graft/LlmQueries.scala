@@ -556,6 +556,27 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** X19: the Gopher heuristic rule battery — per-rule measurements +
+   * the combined keep verdict per document. minStopWords tunes to 1
+   * here: the synthetic corpus carries almost no English function
+   * words, and at the paper's 2 the verdict would be vacuously false
+   * corpus-wide (the oracle checks the verdict either way; 1 makes it
+   * discriminate ~50/50 on this data). */
+  def gopherRulesQ(s: SparkSession, dir: String): DataFrame =
+    Tpar(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text"), minStopWords = 1).as("_g"))
+      .select(col("doc_id"),
+        col("_g.n_words").as("n_words"),
+        col("_g.mean_word_len").as("mean_word_len"),
+        col("_g.symbol_ratio").as("symbol_ratio"),
+        col("_g.bullet_ratio").as("bullet_ratio"),
+        col("_g.ellipsis_ratio").as("ellipsis_ratio"),
+        col("_g.alpha_word_ratio").as("alpha_word_ratio"),
+        col("_g.n_stopwords").as("n_stopwords"),
+        col("_g.keep").as("keep"))
+      .orderBy("doc_id")
+
   /** X3: token counts — whitespace and BPE-ish subword units. */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     Tpar(s, dir, "documents").select(col("doc_id"),
@@ -804,6 +825,7 @@ object LlmQueries {
     "e9_knn_graph" -> (knnGraphQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
     "x18_curation_funnel" -> (curationFunnel _),
+    "x19_gopher_rules" -> (gopherRulesQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -1486,6 +1508,39 @@ object LlmQueries {
          |  0.5e0 * (1.0e0 + logit / (1.0e0 + abs(logit))) AS prob,
          |  logit >= 0.0e0 AS keep
          |FROM z ORDER BY doc_id""".stripMargin,
+    // counts are integers, each ratio one double division — the keep
+    // verdict compares identical bits; stop-word hits generated from the
+    // same GopherStopWords constant the plan embeds
+    "x19_gopher_rules" -> {
+      val stops = TextAnalysis.GopherStopWords.map(w => s"'$w'")
+        .mkString("[", ",", "]")
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    len($toksSql)::BIGINT AS n_words,
+         |    list_sum(list_transform($toksSql, t -> length(t)))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS mean_word_len,
+         |    (len(regexp_extract_all(text, '#'))
+         |      + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS symbol_ratio,
+         |    len(list_filter(str_split(text, chr(10)),
+         |      l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE
+         |      / len(str_split(text, chr(10)))::DOUBLE AS bullet_ratio,
+         |    len(list_filter(str_split(text, chr(10)),
+         |      l -> regexp_matches(l, '(\\.\\.\\.|…)$$')))::DOUBLE
+         |      / len(str_split(text, chr(10)))::DOUBLE AS ellipsis_ratio,
+         |    len(list_filter($toksSql, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE
+         |      / len($toksSql)::DOUBLE AS alpha_word_ratio,
+         |    len(list_filter($stops,
+         |      w -> list_contains(list_transform($toksSql, t -> lower(t)), w)))::INTEGER
+         |      AS n_stopwords
+         |  FROM documents)
+         |SELECT *, (n_words >= 50 AND n_words <= 100000
+         |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |  AND symbol_ratio <= 0.1
+         |  AND bullet_ratio <= 0.1 AND ellipsis_ratio <= 0.3
+         |  AND alpha_word_ratio >= 0.8 AND n_stopwords >= 1) AS keep
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     "x2_quality_score" ->
       s"""WITH f AS (
          |  SELECT doc_id,

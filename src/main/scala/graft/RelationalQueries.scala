@@ -393,9 +393,55 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** W6: a RUNNING watermarked windowed aggregation in APPEND mode —
+   * the streaming half of w1's batch-checked plan: hourly event counts
+   * emit only when the watermark passes the window end, so the sink
+   * receives each window exactly once, finalized. After the data
+   * batches, the no-data micro-batch advances the watermark to
+   * max(event time) − 1h and flushes every closed window; the windows
+   * still open at stream end stay in state (exactly what a restart
+   * would resume) — the oracle applies the same cutoff. At 100 TB/day
+   * this is THE shape for continuous rollups: state is bounded by open
+   * windows × keys, and emission is append-only (no sink rewrites). */
+  def streamWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/w6_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val src = Paths.get(s"$dir/events.parquet")
+    val dst = in.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val agg = scoped.readStream.schema(raw).parquet(in.toString)
+      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("window_start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_stream_stream_join" -> (streamStreamJoin _),
     "w5_stream_static_join" -> (streamStaticJoin _),
+    "w6_stream_windowed_agg" -> (streamWindowedAgg _),
     "q3_window_rank" -> (windowRank _),
     "q4_rollup" -> (rollupAgg _),
     "q5_topk" -> (topK _),
@@ -547,6 +593,16 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    // append-mode emission: only windows the final watermark closed
+    // (watermark = max event time - 1h; a window emits when its END is
+    // at or below the watermark)
+    "w6_stream_windowed_agg" ->
+      """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n
+        |FROM events, wm
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "w5_stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -169,6 +169,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     }
 
+    /** T9: record HEADERS — `HeaderFrom` (copy + move), `InsertHeader`,
+     * `DropHeaders`: the segment copies into a header, the nation key
+     * MOVES (leaves the value struct), a static source header lands,
+     * and a scratch header is dropped by pattern. */
+    def smtHeaders(s: SparkSession, dir: String): DataFrame = {
+      val frame = Connect.toConnectFrame(
+        T(s, dir, "customer"), Seq("c_custkey"), "om.customer", "c_custkey")
+      Smt.chain(
+        Smt.insertHeader("tmp.trace", lit("scratch")),
+        Smt.headerFrom(Seq("c_mktsegment"), Seq("segment")),
+        Smt.headerFrom(Seq("c_nationkey"), Seq("nation"), move = true),
+        Smt.insertHeader("src", lit("graft")),
+        Smt.dropHeaders("tmp\\..*"))(frame)
+        .select(col("value.c_custkey").as("c_custkey"),
+          element_at(col("headers"), "segment").as("segment_hdr"),
+          element_at(col("headers"), "nation").as("nation_hdr"),
+          element_at(col("headers"), "src").as("src_hdr"),
+          size(col("headers")).as("n_headers"))
+        .orderBy("c_custkey")
+    }
+
     // ---- sink merge (K1-K4) ---------------------------------------------
 
     /** K1+K2: upsert + tombstone-delete materialization of a keyed
@@ -299,6 +320,7 @@ object SparkEntry {
     "t5_cdc_unwrap" -> (Q.cdcUnwrap _),
     "t7_smt_stock_chain" -> (Q.smtStockChain _),
     "t8_smt_predicated" -> (Q.smtPredicated _),
+    "t9_smt_headers" -> (Q.smtHeaders _),
     "k1_k2_sink_upsert_tombstone" -> (Q.sinkUpsert _),
     "k1_sink_upsert_composite_key" -> (Q.sinkUpsertCompositeKey _),
     "k4_schema_evolution_add" -> (Q.schemaEvolutionAdd _),
@@ -355,6 +377,11 @@ object SparkEntry {
         |  c_custkey,
         |  CASE WHEN c_acctbal > 5000 THEN c_acctbal
         |       ELSE CAST(NULL AS DOUBLE) END AS acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "t9_smt_headers" ->
+      """SELECT c_custkey, c_mktsegment AS segment_hdr,
+        |  CAST(c_nationkey AS VARCHAR) AS nation_hdr,
+        |  'graft' AS src_hdr, 3 AS n_headers
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "k1_k2_sink_upsert_tombstone" ->
       """SELECT user_id, event_type AS last_type, value AS last_value

@@ -69,6 +69,7 @@ final case class TransformSpec(kind: String, args: Map[String, String],
         case "topicNameMatches" =>
           Smt.Predicates.topicNameMatches(args("whenPattern"))
         case "recordIsTombstone" => Smt.Predicates.recordIsTombstone
+        case "hasHeaderKey" => Smt.Predicates.hasHeaderKey(args("whenKey"))
         case other =>
           throw new IllegalArgumentException(s"unknown predicate '$other'")
       }
@@ -109,6 +110,11 @@ final case class TransformSpec(kind: String, args: Map[String, String],
       Smt.timestampRouter(expr(s"value.${args("tsField")}"),
         args.getOrElse("format", "${topic}-${timestamp}"),
         args.getOrElse("tsFormat", "yyyyMMdd"))
+    case "insertHeader" => Smt.insertHeader(args("name"), expr(args("value")))
+    case "headerFrom" =>
+      Smt.headerFrom(fields, args("headers").split(",").map(_.trim).toSeq,
+        args.get("operation").contains("move"))
+    case "dropHeaders" => Smt.dropHeaders(args("pattern"))
     case other => throw new IllegalArgumentException(s"unknown SMT '$other'")
   }
 }

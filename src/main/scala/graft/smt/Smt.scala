@@ -115,12 +115,49 @@ object Smt {
   def filterRecords(predicate: Column): Transform = df =>
     df.filter(col("value").isNull || predicate)
 
+  // ---- record HEADERS ----------------------------------------------------
+  // Connect records carry an ordered header collection next to key and
+  // value; the frame models it as a map<string,string> column (`headers`)
+  // that materializes empty on first touch — absent column = no headers,
+  // and every header op is a narrow map expression.
+
+  private def ensureHeaders(df: DataFrame): DataFrame =
+    if (df.columns.contains("headers")) df
+    else df.withColumn("headers",
+      map().cast(MapType(StringType, StringType)))
+
+  /** `InsertHeader`: set a static (or derived) header; replace-on-key
+   * like a sink reading the LATEST header value of a key. */
+  def insertHeader(name: String, value: Column): Transform = df =>
+    ensureHeaders(df).withColumn("headers",
+      map_concat(map_filter(col("headers"), (k, _) => k =!= name),
+        map(lit(name), value.cast(StringType))))
+
+  /** `HeaderFrom`: copy (or move) value fields into headers. */
+  def headerFrom(fields: Seq[String], headers: Seq[String],
+                 move: Boolean = false): Transform = df => {
+    require(fields.length == headers.length, "fields/headers must align")
+    val copied = fields.zip(headers).foldLeft(ensureHeaders(df)) {
+      case (d, (f, h)) => insertHeader(h, col("value").getField(f))(d)
+    }
+    if (move) copied.withColumn("value", col("value").dropFields(fields: _*))
+    else copied
+  }
+
+  /** `DropHeaders`: remove headers whose key FULL-matches the pattern. */
+  def dropHeaders(pattern: String): Transform = df =>
+    ensureHeaders(df).withColumn("headers",
+      map_filter(col("headers"), (k, _) => !k.rlike(s"^(?:$pattern)$$")))
+
   /** Connect PREDICATES (`predicates.P.type=...`) — record-level
    * conditions that gate whether an SMT applies (see
-   * [[whenPredicate]]). Stock types the engine's record model can
-   * express; `HasHeaderKey` needs headers, which the frame doesn't
-   * carry (documented non-goal). */
+   * [[whenPredicate]]). */
   object Predicates {
+    /** `HasHeaderKey`: a header with this key exists (records without a
+     * headers column have none). */
+    def hasHeaderKey(name: String): Column =
+      coalesce(map_contains_key(col("headers"), name), lit(false))
+
     /** `TopicNameMatches`: FULL-match semantics like the Connect
      * predicate (`Pattern.matcher(topic).matches()`), hence the
      * anchoring. */

@@ -205,6 +205,58 @@ object TextAnalysis {
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= cap)
   }
 
+  /** The Gopher rule set's stop words (Rae et al. 2021, appendix A1.1). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (Rae et al. 2021, A1.1) — the published
+   * heuristic filter battery most pretraining pipelines start from:
+   * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+   * (# and ellipses), bullet-line and ellipsis-line ratios, the
+   * alphabetic-word ratio, and a minimum stop-word presence. Emits the
+   * per-rule measurements plus the combined `keep` verdict so a
+   * pipeline can both filter and report which rule fired.
+   *
+   * All counts are integers and every ratio is one double division, so
+   * the verdict is engine-exact. One struct per doc, all codegen'd
+   * built-ins — no UDFs, no extra scans.
+   *
+   * `minStopWords` defaults to the paper's 2; corpora that aren't
+   * English prose (this repo's synthetic tables have almost no English
+   * function words) tune it down rather than dropping everything.
+   */
+  def gopherRules(text: Column, minStopWords: Int = 2): Column = {
+    val toks = Dedup.tokens(text)
+    val nWords = size(toks).cast(LongType)
+    val nWordsD = size(toks).cast(DoubleType)
+    val meanWordLen =
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).cast(DoubleType) / nWordsD
+    val symbolRatio =
+      (regexp_count(text, lit("#")) + regexp_count(text, lit("\\.\\.\\.")))
+        .cast(DoubleType) / nWordsD
+    val lines = split(text, "\n")
+    val nLinesD = size(lines).cast(DoubleType)
+    val bulletRatio = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast(DoubleType) / nLinesD
+    val ellipsisRatio = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nLinesD
+    val alphaRatio = size(filter(toks,
+      t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nWordsD
+    val lowToks = transform(toks, t => lower(t))
+    val stopHits = size(filter(typedLit(GopherStopWords),
+      w => array_contains(lowToks, w)))
+    val keep = nWords >= 50L && nWords <= 100000L &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio <= 0.1 &&
+      bulletRatio <= 0.1 && ellipsisRatio <= 0.3 &&
+      alphaRatio >= 0.8 && stopHits >= minStopWords
+    struct(nWords.as("n_words"), meanWordLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_word_ratio"),
+      stopHits.as("n_stopwords"), keep.as("keep"))
+  }
+
   /**
    * Temperature-weighted mixing quotas: per-source document quotas
    * proportional to `ns^alpha / Σ ns^alpha` of a `target` total — the

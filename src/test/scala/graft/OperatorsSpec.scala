@@ -358,6 +358,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(2) != fps(3)) // order matters
   }
 
+  test("gopher rules: each rule fires on its own violation, good prose passes") {
+    val good = ("the quick brown fox jumps over dogs and cats daily with " * 6).trim
+    val cases = Seq(
+      (1L, good, true),
+      (2L, "the and of short", false),                         // < 50 words
+      (3L, good + " ###### " + ("# " * 12).trim, false),       // symbol ratio
+      (4L, good + "\n- bullet\n- bullet\n- bullet", false),    // bullet lines
+      (5L, good.split(" ").grouped(10).map(_.mkString(" ") + " word...")
+        .mkString("\n"), false),                               // ellipsis lines
+      (6L, ("the of " + "1234 9876 " * 30).trim, false))       // alpha ratio
+      .toDF("doc_id", "text", "want")
+    val out = cases.select(col("doc_id"), col("want"),
+      TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("doc_id"), col("want"), col("g.keep").as("keep"),
+        col("g.n_stopwords"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    out.foreach { case (id, (want, got)) => assert(got == want, s"doc $id") }
+    // the stop-word threshold parameterizes (paper default 2)
+    val relaxed = Seq((7L, ("the cat " * 30).trim)).toDF("doc_id", "text")
+    val k2 = relaxed.select(TextAnalysis.gopherRules(col("text"), 2)("keep"))
+      .head().getBoolean(0)
+    val k1 = relaxed.select(TextAnalysis.gopherRules(col("text"), 1)("keep"))
+      .head().getBoolean(0)
+    assert(!k2 && k1) // one distinct stop word: fails at 2, passes at 1
+  }
+
   test("temperatureQuotas flattens the mix and never over-draws a source") {
     // natural 400:100:4 — sqrt-flattened 20:10:2 proportions
     val q = TextAnalysis.temperatureQuotas(

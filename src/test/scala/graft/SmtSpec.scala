@@ -133,6 +133,32 @@ class SmtSpec extends SparkSpec {
     assert(topics(1) == "om.tombstones" && topics(2) == "om.t")
   }
 
+  test("headers: insert replaces on key, headerFrom move drops the field, hasHeaderKey gates") {
+    val f = frame()
+    val out = Smt.chain(
+      Smt.insertHeader("h", lit("v1")),
+      Smt.insertHeader("h", lit("v2")),               // replace, not append
+      Smt.headerFrom(Seq("name"), Seq("who"), move = true))(f)
+    val r = out.select(col("key.id"),
+      element_at(col("headers"), "h"), element_at(col("headers"), "who"))
+      .collect().map(x => x.getInt(0) -> ((x.getString(1), x.getString(2)))).toMap
+    assert(r(1) == ("v2", "alice") && r(2) == ("v2", "bob"))
+    assert(!out.schema("value").dataType.asInstanceOf[StructType]
+      .fieldNames.contains("name")) // moved out of the value
+    // hasHeaderKey gates per record: with the header present on every
+    // row (insertHeader creates the KEY even when the value expression
+    // is null) the mask hits all rows; after dropHeaders removes the
+    // key, the same predicate matches nothing
+    def insertOnly1(df: org.apache.spark.sql.DataFrame) =
+      Smt.insertHeader("only1", when(col("value.id") === 1, lit("y")))(df)
+    val gateAll = Smt.whenPredicate(Smt.Predicates.hasHeaderKey("only1"),
+      Smt.maskField("ts"))(insertOnly1(f))
+    assert(gateAll.filter(col("value.ts").isNull).count() == 2)
+    val gateNone = Smt.whenPredicate(Smt.Predicates.hasHeaderKey("only1"),
+      Smt.maskField("ts"))(Smt.dropHeaders("only1")(insertOnly1(f)))
+    assert(gateNone.filter(col("value.ts").isNull).count() == 0)
+  }
+
   test("spec-driven predicate config wires through TransformSpec") {
     val f = frame().withColumn("topic",
       when(col("value.id") === 1, "om.a").otherwise("om.b"))
