@@ -315,6 +315,38 @@ object ConnectQueries {
     LogTable.read(s, path, Seq("c_custkey")).orderBy("c_custkey")
   }
 
+  /**
+   * K12 — EXACTLY-ONCE sink replay: the same three-batch workload as
+   * k6, but every batch carries its micro-batch id and batches 1 and 2
+   * are DELIVERED TWICE (the crash-between-sink-commit-and-checkpoint
+   * path `foreachBatch` re-runs). The id markers make the replays
+   * no-ops — the log holds exactly three versions (asserted in
+   * `LogTableSpec`, with marker survival across compaction), and the
+   * merged state equals the once-delivered oracle.
+   */
+  def logTableReplay(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.LogTable
+    val path = s"target/tmp/logtable_replay_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(path)) // fresh run
+    val c = T(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    def frame(df: DataFrame, seqV: Int, tombstone: Boolean): DataFrame =
+      df.select(struct(col("c_custkey")).as("key"),
+        when(lit(!tombstone),
+          struct(col("c_custkey"), col("c_name"), col("c_acctbal"))).as("value"),
+        lit(seqV.toLong).as("seq"))
+    val b1 = frame(c.filter(col("c_custkey") % 3 === 0), 1, tombstone = false)
+    val b2 = frame(c.filter(col("c_custkey") % 6 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100), 2, tombstone = false)
+    val b3 = frame(c.filter(col("c_custkey") % 9 === 0), 3, tombstone = true)
+    LogTable.applyBatch(path, b1, Seq("c_custkey"), Some(1L))
+    LogTable.applyBatch(path, b1, Seq("c_custkey"), Some(1L)) // replayed
+    LogTable.applyBatch(path, b2, Seq("c_custkey"), Some(2L))
+    LogTable.compact(s, path, Seq("c_custkey"))
+    LogTable.applyBatch(path, b2, Seq("c_custkey"), Some(2L)) // replay AFTER compaction
+    LogTable.applyBatch(path, b3, Seq("c_custkey"), Some(3L))
+    LogTable.read(s, path, Seq("c_custkey")).orderBy("c_custkey")
+  }
+
   /** K8 — incremental aggregate maintenance (materialized-view-style):
    * per-arrival-batch PARTIAL states (count + DECIMAL sum per group)
    * merge by group-wise addition, never rescanning earlier batches —
@@ -565,6 +597,7 @@ object ConnectQueries {
     "k3_auto_create_ddl" -> (autoCreateDdl _),
     "k5_apply_batch_merge" -> (applyBatchMerge _),
     "k6_logtable_merge" -> (logTableMerge _),
+    "k12_logtable_replay" -> (logTableReplay _),
     "k7_cdc_ingest_dml" -> (cdcIngestDml _),
     "k7b_cdc_engine_stream" -> (cdcEngineStream _),
     "k8_incremental_agg" -> (incrementalAgg _)
@@ -658,6 +691,13 @@ object ConnectQueries {
         |  (5, 'rename under NONE', 'v3', 3))
         |AS t(step, action, outcome, n_versions) ORDER BY step""".stripMargin,
     "k6_logtable_merge" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    // re-delivered batches are no-ops, so the replayed log merges to the
+    // identical once-delivered state (same oracle as k6)
+    "k12_logtable_replay" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey % 6 = 0 THEN c_acctbal + 100 ELSE c_acctbal END AS c_acctbal
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 9 <> 0

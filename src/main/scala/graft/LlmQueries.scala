@@ -398,6 +398,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E11: binary sign-bit search — 64 dims pack into ONE long (256×
+   * smaller than float32), neighbors rank by ascending Hamming
+   * distance. The cheapest first-pass filter of the quantization ladder
+   * (e1 float → e5 int8 → e6 PQ → this). */
+  def hammingTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.hammingTopK(emb.filter(col("id") < 5), emb, TopK)
+      .select("query_id", "rank", "neighbor_id", "hamming")
+      .orderBy("query_id", "rank")
+  }
+
   /** E9: k-NN graph — every embedding's 3 nearest neighbors via the
    * cell-partitioned shuffle join (queries = corpus, so nothing
    * broadcasts; see [[Similarity.knnGraph]] for the scale contract). */
@@ -824,6 +836,7 @@ object LlmQueries {
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
+    "e11_hamming_topk" -> (hammingTopKQ _),
     "x18_curation_funnel" -> (curationFunnel _),
     "x19_gopher_rules" -> (gopherRulesQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
@@ -1399,6 +1412,24 @@ object LlmQueries {
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
     "e9_knn_graph" -> ivfOracleSql(centsSql, qPred = "TRUE", topK = 3),
+    // popcount(xor(signbits)) == count of sign disagreements — the
+    // oracle counts those directly from the raw floats (DuckDB's `<<`
+    // is overflow-checked at bit 63, so it can't build the packed long;
+    // the equality is definitional, not approximate)
+    "e11_hamming_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> CASE WHEN (qv[i] > 0.0) <> (cv[i] > 0.0) THEN 1 ELSE 0 END))::INTEGER
+         |      AS hamming
+         |  FROM q, c WHERE query_id <> neighbor_id)
+         |SELECT query_id, rank, neighbor_id, hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e10_mmr_diversify" -> mmrOracleSql,
     // duplicated 15-token windows (>= 2 distinct docs) merge into
     // maximal spans per doc: islands over ascending window starts, gap

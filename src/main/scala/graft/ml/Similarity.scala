@@ -110,6 +110,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Sign-bit binary embedding: bit i set iff vec[i] > 0, packed into ONE
+   * long for dim ≤ 64 — the extreme end of the compression ladder
+   * (float32 → int8 → PQ codes → 1 bit/dim, 256× smaller than float32
+   * here). Hamming distance over sign bits approximates angular
+   * distance; search is one XOR + popcount per candidate.
+   */
+  def signBits(vec: Column): Column =
+    aggregate(zip_with(vec,
+      sequence(lit(0), size(vec) - 1),
+      (x, i) => when(x > 0.0f,
+        call_function("shiftleft", lit(1L), i.cast(IntegerType)))
+        .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Binary (Hamming) top-k over [[signBits]] sketches: rank by ascending
+   * `popcount(xor(a, b))`, ties by neighbor id. Same broadcast-queries /
+   * streaming-corpus shape as [[bruteForceTopK]] — but the corpus scan
+   * is 8 bytes per vector and the distance is two machine instructions,
+   * the cheapest possible first-pass filter before exact rerank.
+   */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def pack(df: DataFrame, idAs: String, bitsAs: String) = df
+      .select(col("id").as(idAs), signBits(col("vec")).as(bitsAs))
+    val q = pack(queries, "query_id", "qbits")
+    val c = pack(corpus, "neighbor_id", "cbits")
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        bit_count(col("qbits").bitwiseXOR(col("cbits"))).as("hamming"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** Fixed pseudo-random PQ codebooks in data range: entry (j, c, d) =

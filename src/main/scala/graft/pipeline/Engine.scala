@@ -172,9 +172,12 @@ final class Engine(spark: SparkSession, root: String) {
         // delta-versioned keyed sink: O(batch) writes (TableSink rewrites
         // full state — its documented scale limit); read-side merge cost
         // bounded by compacting once the log grows past 8 versions
-        writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
+        writer("update").foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // batchId makes the append idempotent: a crash between sink
+          // and checkpoint commit re-delivers the batch, and the log
+          // must not hold it twice (exactly-once at the sink)
           graft.sinks.LogTable.applyBatch(sink.path,
-            TableSink.dropDeletes(sink, batch), sink.keys)
+            TableSink.dropDeletes(sink, batch), sink.keys, Some(batchId))
           if (graft.sinks.LogTable.versions(sink.path).size >= 8)
             graft.sinks.LogTable.compact(spark, sink.path, sink.keys)
         }.start()

@@ -51,16 +51,41 @@ object LogTable {
     }
   }
 
+  private val BatchMarkerRe = "_batchid-(\\d+)".r
+
   /** Append one batch (connect frame: key struct, value struct or NULL
-   * tombstone, seq) as the next delta version. */
-  def applyBatch(path: String, batch: DataFrame,
-                 keys: Seq[String]): Unit = {
+   * tombstone, seq) as the next delta version.
+   *
+   * EXACTLY-ONCE on replay: pass the micro-batch id and the append
+   * becomes idempotent — the id commits atomically with its version (a
+   * `_batchid-N` marker inside the version dir, invisible to parquet
+   * readers), and a re-delivered batch whose id is already committed is
+   * a no-op. This is the contract `foreachBatch` sinks need: after a
+   * crash between sink commit and checkpoint commit, streaming re-runs
+   * the last batch, and without the marker the log would hold its rows
+   * twice (harmless for last-write-wins reads, but write-amplifying and
+   * wrong for any additive consumer). */
+  def applyBatch(path: String, batch: DataFrame, keys: Seq[String],
+                 batchId: Option[Long] = None): Unit = {
     sweepTemp(path)
+    if (batchId.exists(committedBatchIds(path).contains)) return // replayed
     val keyed = flatten(batch)
     val delta = MergeSink.lastPerKey(keyed, keys, "seq")
     val n = versionDirs(path).lastOption.map(_._1 + 1).getOrElse(1)
-    commit(path, n, delta)
+    commit(path, n, delta, batchId)
   }
+
+  /** Batch ids whose versions are committed (markers survive compaction
+   * as a union marker on the compacted base). */
+  def committedBatchIds(path: String): Set[Long] =
+    versionDirs(path).flatMap { case (_, p) =>
+      val s = Files.list(p)
+      try s.iterator().asScala.flatMap(_.getFileName.toString match {
+        case BatchMarkerRe(id) => Some(id.toLong)
+        case _ => None
+      }).toList
+      finally s.close()
+    }.toSet
 
   /** Current table state: merge all versions, newest (version, seq)
    * wins per key, tombstoned keys dropped. One shuffle over the deltas
@@ -89,7 +114,10 @@ object LogTable {
     val merged = MergeSink.lastPerKey(
         all.withColumn("_ord", struct(col("_v"), col("seq"))), keys, "_ord")
       .drop("_v", "_ord") // seq rides along in the payload unchanged
-    commit(path, vs.last._1 + 1, merged)
+    // the folded versions' batch markers move onto the compacted base,
+    // so replay detection survives compaction
+    commit(path, vs.last._1 + 1, merged,
+      carryMarkers = committedBatchIds(path))
     vs.foreach { case (_, p) => Fs.deleteRecursive(p) }
   }
 
@@ -119,10 +147,16 @@ object LogTable {
         Seq(col("value").isNull.as("_tombstone"), col("seq")): _*)
   }
 
-  private def commit(path: String, n: Int, df: DataFrame): Unit = {
+  private def commit(path: String, n: Int, df: DataFrame,
+                     batchId: Option[Long] = None,
+                     carryMarkers: Set[Long] = Set.empty): Unit = {
     Files.createDirectories(Paths.get(path))
     val tmp = Paths.get(path, f".tmp-v$n%08d")
     df.write.mode("overwrite").parquet(tmp.toString)
+    // markers ride inside the dir so the atomic rename commits them
+    // with the data; the leading underscore hides them from parquet
+    (carryMarkers ++ batchId).foreach(id =>
+      Files.createFile(tmp.resolve(s"_batchid-$id")))
     Files.move(tmp, Paths.get(path, f"v$n%08d"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }

@@ -42,6 +42,24 @@ class LogTableSpec extends SparkSpec {
     assert(state(path) == before)
   }
 
+  test("batch-id markers make replay a no-op, and survive compaction") {
+    val path = Files.createTempDirectory("logtable").toString + "/t"
+    LogTable.applyBatch(path, frame(Seq(1 -> "a"), 1), Seq("id"), Some(10L))
+    LogTable.applyBatch(path, frame(Seq(1 -> "a"), 1), Seq("id"), Some(10L))
+    assert(LogTable.versions(path) == Seq(1)) // replay appended nothing
+    LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"), Some(11L))
+    assert(LogTable.committedBatchIds(path) == Set(10L, 11L))
+    LogTable.compact(spark, path, Seq("id"))
+    // markers moved onto the compacted base: replays still no-op
+    assert(LogTable.committedBatchIds(path) == Set(10L, 11L))
+    val before = LogTable.versions(path)
+    LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"), Some(11L))
+    assert(LogTable.versions(path) == before)
+    // un-id'd appends (batch-id unknown) still append — opt-in contract
+    LogTable.applyBatch(path, frame(Seq(3 -> "c"), 3), Seq("id"))
+    assert(state(path) == Set(1 -> "a", 2 -> "b", 3 -> "c"))
+  }
+
   test("compaction folds versions, keeps deletes deleted, is re-mergeable") {
     val path = Files.createTempDirectory("logtable").toString + "/t"
     LogTable.applyBatch(path, frame(Seq(1 -> "a", 2 -> "b"), 1), Seq("id"))

@@ -257,6 +257,23 @@ class OperatorsSpec extends SparkSpec {
     for (q <- 3L to 5L) assert(Set(3L, 4L, 5L).contains(out((q, 1))) && out((q, 1)) != q)
   }
 
+  test("signBits packs 64 dims into one long (bit 63 included); hamming ranks twins first") {
+    val v0 = Array.tabulate(64)(i => if (i == 0 || i == 63) 1.0f else -1.0f)
+    val bits = Seq((0L, v0)).toDF("id", "vec")
+      .select(Similarity.signBits(col("vec"))).head().getLong(0)
+    assert(bits == (1L | (1L << 63))) // negative long: top bit is data, not sign
+    val flipOne = v0.clone(); flipOne(7) = 1.0f
+    val far = v0.map(-_)
+    val vecs = Seq((0L, v0), (1L, v0), (2L, flipOne), (3L, far)).toDF("id", "vec")
+    val out = Similarity.hammingTopK(vecs.filter(col("id") === 0), vecs, 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(r.fieldIndex("neighbor_id")),
+        r.getInt(r.fieldIndex("hamming"))))
+    assert(out(0) == (1L, 0))   // identical: distance 0
+    assert(out(1) == (2L, 1))   // one flipped sign
+    assert(out(2) == (3L, 64))  // full negation: all 64 bits differ
+  }
+
   test("MMR rerank: near-duplicate candidates are deferred for diversity") {
     // query along e0; candidates: two near-copies of the best match, one
     // moderately relevant but orthogonal-to-them doc, one weak doc.
