@@ -410,6 +410,18 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E12: two-stage retrieval — binary Hamming shortlist (30) → exact
+   * cosine rerank (10): the production pattern where the cheap pass
+   * touches everything and the exact pass touches only the shortlist. */
+  def hammingRerankQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.hammingRerankTopK(emb.filter(col("id") < 5), emb,
+        shortlist = 30, k = TopK)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** E9: k-NN graph — every embedding's 3 nearest neighbors via the
    * cell-partitioned shuffle join (queries = corpus, so nothing
    * broadcasts; see [[Similarity.knnGraph]] for the scale contract). */
@@ -837,6 +849,7 @@ object LlmQueries {
     "e9_knn_graph" -> (knnGraphQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
     "e11_hamming_topk" -> (hammingTopKQ _),
+    "e12_hamming_rerank" -> (hammingRerankQ _),
     "x18_curation_funnel" -> (curationFunnel _),
     "x19_gopher_rules" -> (gopherRulesQ _),
     "e5_quantized_topk" -> (quantizedTopK _),
@@ -1431,6 +1444,28 @@ object LlmQueries {
          |    ORDER BY hamming, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e10_mmr_diversify" -> mmrOracleSql,
+    // same sign-disagreement shortlist as e11, then the e1 cosine over
+    // only the shortlisted pairs
+    "e12_hamming_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |ham AS (
+         |  SELECT query_id, neighbor_id,
+         |    list_sum(list_transform(range(1, ${Dim + 1}),
+         |      i -> CASE WHEN (qv[i] > 0.0) <> (cv[i] > 0.0) THEN 1 ELSE 0 END)) AS h
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY h, neighbor_id) AS rk FROM ham) t WHERE rk <= 30),
+         |scored AS (
+         |  SELECT s.query_id, s.neighbor_id, ${cosineSql("q.qv", "c.cv")} AS sim
+         |  FROM short s JOIN q USING (query_id)
+         |  JOIN c USING (neighbor_id))
+         |SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     // duplicated 15-token windows (>= 2 distinct docs) merge into
     // maximal spans per doc: islands over ascending window starts, gap
     // > 15 breaks (same-length intervals)

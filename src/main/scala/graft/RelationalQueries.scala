@@ -260,6 +260,24 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Q16: the DISTRIBUTION window family — ntile quartiles, cume_dist
+   * and percent_rank over a deterministic (balance, key) order per
+   * segment: completes the window-function coverage next to q3's
+   * ranking and q13's frames. One shuffle on the partition key; all
+   * three functions share the single sorted pass. The rank fractions
+   * are exact divisions of integers, so doubles compare bit-exact. */
+  def distributionWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    T(s, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cd"),
+        percent_rank().over(w).as("pr"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
   /** W1: tumbling event-time window (1 hour) — the `window()` operator;
    * with `withWatermark` this exact plan runs on a stream. */
   def tumblingWindow(s: SparkSession, dir: String): DataFrame =
@@ -456,6 +474,7 @@ object RelationalQueries {
     "q15_not_exists_anti" -> (notExistsAntiSql _),
     "q13_window_frames" -> (windowFrames _),
     "q14_cube" -> (cubeAgg _),
+    "q16_distribution_windows" -> (distributionWindows _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -593,6 +612,14 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q16_distribution_windows" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cd,
+        |  percent_rank() OVER w AS pr
+        |FROM customer WHERE c_custkey <= 200
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
     // append-mode emission: only windows the final watermark closed
     // (watermark = max event time - 1h; a window emits when its END is
     // at or below the watermark)

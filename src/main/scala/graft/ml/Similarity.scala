@@ -146,6 +146,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Two-stage retrieval — the production search pattern the ladder
+   * builds toward: a cheap binary Hamming pass shortlists `shortlist`
+   * candidates per query (8 B/vector scan), then ONLY those rejoin
+   * their full vectors for the exact-cosine rerank to `k`. At 100 TB
+   * the first stage touches every vector at 1/256 the bytes and the
+   * expensive stage touches `queries × shortlist` rows.
+   */
+  def hammingRerankTopK(queries: DataFrame, corpus: DataFrame,
+                        shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = hammingTopK(queries, corpus, shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qvec"))
+    val cv = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"))
+    val scored = short.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /** Fixed pseudo-random PQ codebooks in data range: entry (j, c, d) =
