@@ -191,7 +191,55 @@ object JdbcQueries {
       .orderBy("c_custkey")
   }
 
+  /**
+   * S11 — PARTITIONED parallel JDBC read, live: orders stage into
+   * embedded Derby, then read back through `spark.read.jdbc` with
+   * `partitionColumn/lowerBound/upperBound/numPartitions=4` — four
+   * concurrent connections each scanning one key range (the JDBC
+   * source's scale lever: at 100 TB a single-connection table scan IS
+   * the bottleneck, and range partitioning is how `tasks.max`
+   * parallelism maps onto a table read). The 4-way split is
+   * plan-asserted in `JdbcSinkSpec`; here the partitioned read must
+   * reproduce the exact table aggregate.
+   */
+  def jdbcPartitionedRead(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dbName("graft_s11", dir))
+    val table = "orders_live"
+    val cfg = Config(url, table, Derby, Seq("o_orderkey"))
+    JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, table))
+    val orders = T(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    orders.write.mode("append").jdbc(url, table, props)
+    val (lo, hi) = {
+      val r = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    partitionedJdbc(s, url, table, "o_orderkey", lo, hi, 4)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The partitioned reader itself (shared with the spec's
+   * partition-count assertion). */
+  private[graft] def partitionedJdbc(s: SparkSession, url: String,
+      table: String, partCol: String, lo: Long, hi: Long,
+      n: Int): DataFrame =
+    s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", partCol)
+      .option("lowerBound", lo)
+      .option("upperBound", hi)
+      .option("numPartitions", n)
+      .load()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_jdbc_partitioned_read" -> (jdbcPartitionedRead _),
     "k10_db_to_db_live" -> (dbToDbLive _),
     "k9_jdbc_statements" -> (jdbcStatementsLive _),
     "k9b_upsert_sql_dialects" -> (upsertSqlDialects _),
@@ -199,6 +247,13 @@ object JdbcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the partitioned read is a pure access-path change: four range
+    // scans must union to the exact table aggregate
+    "s11_jdbc_partitioned_read" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // backfill + delta polls cover every key exactly once; the SMT only
     // renames, so the target is a straight projection
     "k10_db_to_db_live" ->

@@ -187,4 +187,22 @@ class JdbcSinkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(live.toSeq === merged.toSeq)
   }
+
+  test("partitioned JDBC read splits into N range scans and loses no rows") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_s11_spec;create=true"
+    val cfg = JdbcSink.Config(url, "t_part", JdbcSink.Derby, Seq("id"))
+    JdbcSink.withConnection(cfg)(c =>
+      JdbcSink.dropTableIfExists(c, JdbcSink.Derby, "t_part"))
+    val rows = (1L to 1000L).map(i => (i, s"v$i")).toSeq.toDF("id", "v")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    rows.write.mode("append").jdbc(url, "t_part", props)
+    val back = JdbcQueries.partitionedJdbc(spark, url, "t_part", "id", 1L, 1000L, 4)
+    assert(back.rdd.getNumPartitions == 4,
+      "the scan must split into numPartitions range queries")
+    // ranges tile the key space: nothing lost, nothing duplicated
+    assert(back.count() == 1000)
+    assert(back.select(countDistinct("id")).head().getLong(0) == 1000)
+  }
 }
