@@ -469,6 +469,34 @@ object LlmQueries {
     }.orderBy("stage")
   }
 
+  /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by
+   * hash (reproducible, like x9), then find near-duplicate pairs that
+   * CROSS the boundary: the eval-integrity check a pipeline runs before
+   * shipping a held-out set (a val doc with a train near-copy measures
+   * memorization, not generalization). Candidates come from the same
+   * banded LSH join as d2 — filtered to cross-split pairs — and verify
+   * by exact Jaccard like d4; the corpus never pairs within a split. */
+  def splitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents")
+    CacheScope.materialized { implicit scope =>
+      val isVal = TextAnalysis.hashSampleKeep(col("text"), 0.2)
+      val tagged = docs.select(col("doc_id"), col("text"), isVal.as("in_val"))
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      val va = tagged.select(col("doc_id").as("ida"), col("in_val").as("va"))
+      val vb = tagged.select(col("doc_id").as("idb"), col("in_val").as("vb"))
+      val cross = cands.join(broadcast(va), "ida").join(broadcast(vb), "idb")
+        .filter(col("va") =!= col("vb")).select("ida", "idb")
+      Dedup.jaccardVerify(cross, docs, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+        .join(broadcast(va), "ida")
+        .select(
+          when(col("va"), col("idb")).otherwise(col("ida")).as("train_id"),
+          when(col("va"), col("ida")).otherwise(col("idb")).as("val_id"),
+          col("jaccard"))
+    }.orderBy("train_id", "val_id")
+  }
+
   private val MmrK = 5
   private val MmrLambda = 0.7
 
@@ -852,6 +880,7 @@ object LlmQueries {
     "e12_hamming_rerank" -> (hammingRerankQ _),
     "x18_curation_funnel" -> (curationFunnel _),
     "x19_gopher_rules" -> (gopherRulesQ _),
+    "x21_split_leakage" -> (splitLeakage _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -1208,6 +1237,29 @@ object LlmQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM sel JOIN q USING (source)
          |GROUP BY source, q.quota ORDER BY source""".stripMargin,
+    // same banded candidates + exact-Jaccard verify as d2/d4, restricted
+    // to pairs whose hash-split flags differ; x9's split arithmetic
+    "x21_split_leakage" ->
+      s"""WITH $minhashPipelineSql,
+         |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |flag AS (SELECT doc_id, ${h60("text")} % 1000 < 200 AS in_val
+         |         FROM documents),
+         |cross0 AS (
+         |  SELECT doc_a, doc_b, fa.in_val AS va
+         |  FROM cpairs JOIN flag fa ON doc_a = fa.doc_id
+         |  JOIN flag fb ON doc_b = fb.doc_id
+         |  WHERE fa.in_val <> fb.in_val),
+         |ver AS (
+         |  SELECT doc_a, doc_b, va,
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+         |  FROM cross0 JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id)
+         |SELECT CASE WHEN va THEN doc_b ELSE doc_a END AS train_id,
+         |  CASE WHEN va THEN doc_a ELSE doc_b END AS val_id, jaccard
+         |FROM ver WHERE jaccard >= 0.5
+         |ORDER BY train_id, val_id""".stripMargin,
     "d1_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
