@@ -696,6 +696,21 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M4: REAL image resize end-to-end — PNG decode → nearest-neighbor
+   * half-size → PNG re-encode → decode again for stats. Every number
+   * comes from the second DECODE of the re-encoded bytes; the sampled
+   * raster (out(x,y) = in(2x, 2y) over the a+x+y synthesis) keeps a
+   * closed form the oracle checks exactly. */
+  def imageResize(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsPng(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractImageFeatures(Multimodal.resizePng(packed, factor = 2))
+      .select(col("media_id"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.pixel_sum").as("pixel_sum"))
+      .orderBy("media_id")
+  }
+
   /** X7: PII detection + redaction. The synthetic corpus has no PII, so
    * the query plants a deterministic email/phone per doc, then counts
    * and scrubs — exercising the real mechanism end-to-end. */
@@ -902,7 +917,8 @@ object LlmQueries {
     "x12_domain_cap" -> (domainCap _),
     "x13_mix_report" -> (mixReport _),
     "m1_multimodal_features" -> (multimodalFeatures _),
-    "m3_audio_stats" -> (audioStats _)
+    "m3_audio_stats" -> (audioStats _),
+    "m4_image_resize" -> (imageResize _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -1808,6 +1824,20 @@ object LlmQueries {
         |  CAST(list_sum(ss) AS BIGINT) AS amp_sum,
         |  sqrt(list_sum(list_transform(ss, x -> x * x))::DOUBLE / n) AS rms
         |FROM s ORDER BY media_id""".stripMargin,
+    // nearest-neighbor half-size of the a+x+y raster: out(x,y) = a+2x+2y
+    // over ceil(W/2)×ceil(H/2) — closed form again after the re-decode
+    "m4_image_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 16 AS w,
+        |    1 + length(text) % 12 AS h, length(text) % 200 AS a
+        |  FROM documents),
+        |r AS (SELECT doc_id, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2, a FROM d)
+        |SELECT doc_id AS media_id,
+        |  CAST(w2 AS INTEGER) AS width,
+        |  CAST(h2 AS INTEGER) AS height,
+        |  CAST(w2*h2*a + 2*(h2*(w2*(w2-1)//2) + w2*(h2*(h2-1)//2)) AS BIGINT)
+        |    AS pixel_sum
+        |FROM r ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

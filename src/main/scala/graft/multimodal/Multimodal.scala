@@ -161,6 +161,52 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * REAL image resize: decode the PNG payload, nearest-neighbor
+   * downsample by an integer `factor` (out(x,y) = in(x·f, y·f), out
+   * dims = ceil(in/f)), re-encode as PNG. Runs in the partition-batched
+   * codec seam like decode; nearest-neighbor (not bilinear) keeps the
+   * pixel algebra closed-form so the ORACLE can check the resized
+   * raster exactly — and it is the resize a dataset thumbnailer uses
+   * when determinism across runs matters more than smoothness.
+   */
+  def resizePng(df: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MediaMetaSchema, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val in = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(in != null, "undecodable image payload")
+        val (w, h) = (in.getWidth, in.getHeight)
+        val (w2, h2) = ((w + factor - 1) / factor, (h + factor - 1) / factor)
+        val out = new java.awt.image.BufferedImage(
+          w2, h2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val (ri, ro) = (in.getRaster, out.getRaster)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            ro.setSample(x, y, 0, ri.getSample(x * factor, y * factor, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Row(id, bos.toByteArray, Row("image/png", w2, h2, 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Metadata carried beside an audio payload. */
   val AudioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),

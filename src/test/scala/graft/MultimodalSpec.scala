@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("undecodable"))
   }
 
+  test("resizePng samples the raster at stride f; factor 1 is identity") {
+    val text = "abcdefghij" * 5 // len 50 -> w=3, h=3, a=50
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val packed = Multimodal.packAsPng(docs, "doc_id", "text")
+    val half = Multimodal.extractImageFeatures(Multimodal.resizePng(packed, 2))
+      .select("features.*").head()
+    // w2=h2=2, out(x,y)=50+2x+2y -> 50,52,52,54
+    assert(half.getInt(0) == 2 && half.getInt(1) == 2)
+    assert(half.getLong(3) == 50L + 52 + 52 + 54)
+    val same = Multimodal.extractImageFeatures(Multimodal.resizePng(packed, 1))
+      .select("features.*").head()
+    val orig = Multimodal.extractImageFeatures(packed)
+      .select("features.*").head()
+    assert(same == orig)
+  }
+
   test("packAsWav writes a genuine RIFF/WAVE container AudioSystem can parse") {
     val docs = Seq((1L, "hello world"), (2L, "y" * 300)).toDF("doc_id", "text")
     val rows = Multimodal.packAsWav(docs, "doc_id", "text").collect()
