@@ -469,6 +469,44 @@ object LlmQueries {
     }.orderBy("stage")
   }
 
+  /** D13: INCREMENTAL admission dedup — the continual-ingestion gate: a
+   * new batch (ids ≥ 400, plus planted clones of existing docs) checks
+   * against the EXISTING corpus before admission. Exact pass = one
+   * digest equi-join (16-byte keys — at 100 TB this is the only shuffle
+   * that touches the whole history, and it carries digests, never
+   * text); near pass = d2's banded candidates restricted to
+   * cross-boundary pairs, d4's exact-Jaccard verify. Verdict per
+   * incoming doc: exact_dup / near_dup / admitted. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .unionByName(existing.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    CacheScope.materialized { implicit scope =>
+      val inc = incoming.select(col("doc_id"), unhex(md5(col("text"))).as("_dig"))
+      val exDig = existing.select(unhex(md5(col("text"))).as("_dig"))
+        .distinct().withColumn("_hit", lit(true))
+      val exact = inc.join(exDig, Seq("_dig"), "left")
+        .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("exact_dup"))
+      val corpus = existing.unionByName(incoming)
+      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+        .filter((col("ida") >= 400) =!= (col("idb") >= 400))
+      val nearIds = Dedup.jaccardVerify(cands, corpus, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(when(col("ida") >= 400, col("ida")).otherwise(col("idb"))
+          .as("doc_id"))
+        .distinct().withColumn("_near", lit(true))
+      incoming.select("doc_id")
+        .join(exact, "doc_id")
+        .join(broadcast(nearIds), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("exact_dup"),
+          coalesce(col("_near"), lit(false)).as("near_dup"))
+        .withColumn("admitted", !col("exact_dup") && !col("near_dup"))
+    }.orderBy("doc_id")
+  }
+
   /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by
    * hash (reproducible, like x9), then find near-duplicate pairs that
    * CROSS the boundary: the eval-integrity check a pipeline runs before
@@ -896,6 +934,7 @@ object LlmQueries {
     "x18_curation_funnel" -> (curationFunnel _),
     "x19_gopher_rules" -> (gopherRulesQ _),
     "x21_split_leakage" -> (splitLeakage _),
+    "d13_incremental_dedup" -> (incrementalDedup _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
@@ -923,12 +962,14 @@ object LlmQueries {
 
   // ---- oracle SQL --------------------------------------------------------
 
-  private val minhashPipelineSql =
+  /** The banded-LSH candidate CTE chain, parameterized by source table
+   * (d13 runs it over a staged union instead of `documents`). */
+  private def minhashPipelineSqlOver(tbl: String) =
     s"""sigs AS (
        |  SELECT doc_id AS _id, $sigSql AS sig
        |  FROM (SELECT doc_id, $shingleHashesSql AS hashes
        |        FROM (SELECT doc_id, $tokenHashesSql AS th
-       |              FROM documents WHERE len($toksSql) >= 3))),
+       |              FROM $tbl WHERE len($toksSql) >= 3))),
        |banded AS (
        |  ${(0 until Bands).map(b =>
             s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs")
@@ -937,6 +978,8 @@ object LlmQueries {
        |  SELECT a._id AS doc_a, b._id AS doc_b, a.sig AS siga, b.sig AS sigb
        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a._id < b._id)""".stripMargin
+
+  private lazy val minhashPipelineSql = minhashPipelineSqlOver("documents")
 
   private val langScoreSql = TextAnalysis.LangProfiles.map { case (lang, words) =>
     val wl = words.map(w => s"'$w'").mkString("[", ",", "]")
@@ -1253,6 +1296,32 @@ object LlmQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM sel JOIN q USING (source)
          |GROUP BY source, q.quota ORDER BY source""".stripMargin,
+    // the d2/d4 pipeline over the staged union corpus, candidates
+    // restricted to cross-boundary pairs; exact pass is a digest IN-set
+    "d13_incremental_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 50 = 0),
+         |${minhashPipelineSqlOver("corpus")},
+         |inc AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 400),
+         |exd AS (SELECT DISTINCT md5(text) AS dg FROM corpus WHERE doc_id < 400),
+         |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand
+         |           WHERE (doc_a >= 400) <> (doc_b >= 400)),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM corpus)),
+         |near AS (
+         |  SELECT DISTINCT CASE WHEN doc_a >= 400 THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM cpairs JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5)
+         |SELECT i.doc_id,
+         |  (md5(i.text) IN (SELECT dg FROM exd)) AS exact_dup,
+         |  (n.doc_id IS NOT NULL) AS near_dup,
+         |  (md5(i.text) NOT IN (SELECT dg FROM exd) AND n.doc_id IS NULL) AS admitted
+         |FROM inc i LEFT JOIN near n USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same banded candidates + exact-Jaccard verify as d2/d4, restricted
     // to pairs whose hash-split flags differ; x9's split arithmetic
     "x21_split_leakage" ->
