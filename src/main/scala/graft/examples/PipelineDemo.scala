@@ -37,7 +37,8 @@ object PipelineDemo {
          |    "keyFields": ["customer_id"], "seqColumn": "seq", "topic": "om.customers"},
          |  "transforms": [
          |    {"type": "insertField", "field": "name_upper", "value": "upper(value.name)"},
-         |    {"type": "maskField", "field": "balance"}
+         |    {"type": "maskField", "field": "balance",
+         |     "when": "topicNameMatches", "whenPattern": "om\\\\.customers"}
          |  ],
          |  "sink": {"type": "table", "path": "$state", "keys": ["customer_id"]},
          |  "triggerMs": 500

@@ -170,6 +170,14 @@ class PlanQualitySpec extends SparkSpec {
       confidence = 0.95, seed = 42)
     val f = o.filter(col("o_orderstatus") === "F").count()
     assert(cms.estimateCount("F") >= f) // CMS never under-counts
+    // approx_percentile within its accuracy contract vs the exact median
+    val exactMed = o.stat.approxQuantile("o_totalprice", Array(0.5), 0.0)(0)
+    val approxMed = o.select(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    val rank = o.filter(col("o_totalprice") <= approxMed).count().toDouble /
+      o.count()
+    assert(math.abs(rank - 0.5) < 0.01, s"approx median $approxMed vs $exactMed")
   }
 
   test("NOT EXISTS decorrelates to an anti join with the date filter pushed down") {
