@@ -456,8 +456,67 @@ object RelationalQueries {
       .orderBy("window_start", "event_type")
   }
 
+  /** W7: RUNNING bounded-state streaming dedup — `dropDuplicates
+   * WithinWatermark` over two real micro-batches: batch 1 delivers the
+   * first half of the events, batch 2 delivers the second half PLUS
+   * replays of every 10th batch-1 row (at-least-once delivery). The
+   * replays arrive within the watermark horizon, so state still holds
+   * their keys and they drop; the sink receives every event exactly
+   * once. State is bounded by the watermark delay — the property that
+   * makes exactly-once dedup affordable on an unbounded stream (the
+   * TTL-bounded custom-state variant is spec-covered in
+   * `StreamingSpec`). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = s"target/tmp/w7_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val ev = graft.Tables.T(scoped, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    val cut = ev.agg(max("event_id")).head().getLong(0) / 2
+    val waves = Seq(
+      ev.filter(col("event_id") <= cut),
+      ev.filter(col("event_id") > cut)
+        .unionByName(ev.filter(col("event_id") <= cut &&
+          col("event_id") % 10 === 0))) // replayed rows
+    val t0 = 1000000000000L
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val stage = s"$base/stage$i"
+      w.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType)))
+    val deduped = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_stream_stream_join" -> (streamStreamJoin _),
+    "w7_stream_dedup" -> (streamDedup _),
     "w5_stream_static_join" -> (streamStaticJoin _),
     "w6_stream_windowed_agg" -> (streamWindowedAgg _),
     "q3_window_rank" -> (windowRank _),
@@ -612,6 +671,10 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    // exactly-once after replayed delivery: every event id survives once
+    "w7_stream_dedup" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     "q16_distribution_windows" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  ntile(4) OVER w AS quartile,
