@@ -231,9 +231,11 @@ object LlmQueries {
    * → connected components over the VERIFIED pairs → keep one canonical
    * representative (min id) per cluster. Every document gets a verdict
    * row: its cluster id and whether it survives. The labels frame is
-   * O(documents-in-clusters) — tiny next to the corpus — so the final
-   * verdict join broadcasts; everything upstream is the bucketed
-   * candidate generation d2 scales by. */
+   * O(documents-in-clusters); no broadcast HINT on the verdict join —
+   * on a lightly-duplicated corpus AQE broadcasts it, but a
+   * CommonCrawl-grade corpus (30%+ near-dup) has corpus-scale labels
+   * and must shuffle-join on doc_id; forcing broadcast would OOM the
+   * driver exactly when dedup matters most. */
   /** The verdict is a pure function of the corpus, so it memoizes per
    * data dir like the trained quantizers (the result is a materialized
    * localCheckpoint, ~1 row/doc): d12 and the x18 funnel share one
@@ -251,7 +253,7 @@ object LlmQueries {
           .filter(col("jaccard") >= 0.5).select("ida", "idb")
         val labels = Dedup.duplicateClusters(verified)
         docs.select("doc_id")
-          .join(broadcast(labels), col("doc_id") === col("node"), "left")
+          .join(labels, col("doc_id") === col("node"), "left")
           .select(col("doc_id"),
             coalesce(col("label"), col("doc_id")).as("cluster_id"),
             (coalesce(col("label"), col("doc_id")) === col("doc_id")).as("kept"))
@@ -456,7 +458,9 @@ object LlmQueries {
       val s3 = s2.filter(col("logit") >= 0.0)
       val winners = Dedup.exactDedup(s3, "doc_id", "text").select("doc_id")
       val s4 = s3.join(winners, "doc_id")
-      val s5 = s4.join(broadcast(verdict.filter(col("kept")).select("doc_id")), "doc_id")
+      // no broadcast hint: the kept set is MOST of the corpus (d12's
+      // survivors) — it must shuffle-join at scale
+      val s5 = s4.join(verdict.filter(col("kept")).select("doc_id"), "doc_id")
       def stageAgg(df: DataFrame, i: Int, name: String): DataFrame =
         df.agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
           .select(lit(i).as("stage"), lit(name).as("name"),
@@ -521,13 +525,16 @@ object LlmQueries {
       val tagged = docs.select(col("doc_id"), col("text"), isVal.as("in_val"))
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
         k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      // the flag frame is corpus-sized (one bit per doc) — never
+      // broadcast it; the candidate side is the small one, and these
+      // equi-joins shuffle on the ids at scale
       val va = tagged.select(col("doc_id").as("ida"), col("in_val").as("va"))
       val vb = tagged.select(col("doc_id").as("idb"), col("in_val").as("vb"))
-      val cross = cands.join(broadcast(va), "ida").join(broadcast(vb), "idb")
+      val cross = cands.join(va, "ida").join(vb, "idb")
         .filter(col("va") =!= col("vb")).select("ida", "idb")
       Dedup.jaccardVerify(cross, docs, "doc_id", "text", k = 3)
         .filter(col("jaccard") >= 0.5)
-        .join(broadcast(va), "ida")
+        .join(va, "ida")
         .select(
           when(col("va"), col("idb")).otherwise(col("ida")).as("train_id"),
           when(col("va"), col("ida")).otherwise(col("idb")).as("val_id"),

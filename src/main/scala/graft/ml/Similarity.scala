@@ -116,14 +116,22 @@ object Similarity {
    * (float32 → int8 → PQ codes → 1 bit/dim, 256× smaller than float32
    * here). Hamming distance over sign bits approximates angular
    * distance; search is one XOR + popcount per candidate.
+   *
+   * dim ≤ 64 by contract (one long): a longer vector fails LOUDLY —
+   * Java's shift wraps mod 64, so without the guard bit 64 would
+   * silently alias bit 0 and distances would be quietly wrong. Wider
+   * embeddings pack into `array<long>` (dim/64 words) with the same
+   * xor+popcount per word.
    */
   def signBits(vec: Column): Column =
-    aggregate(zip_with(vec,
-      sequence(lit(0), size(vec) - 1),
-      (x, i) => when(x > 0.0f,
-        call_function("shiftleft", lit(1L), i.cast(IntegerType)))
-        .otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc + v)
+    when(size(vec) > 64, raise_error(
+      concat(lit("signBits supports dim <= 64, got "), size(vec).cast(StringType))))
+      .otherwise(aggregate(zip_with(vec,
+        sequence(lit(0), size(vec) - 1),
+        (x, i) => when(x > 0.0f,
+          call_function("shiftleft", lit(1L), i.cast(IntegerType)))
+          .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc + v))
 
   /**
    * Binary (Hamming) top-k over [[signBits]] sketches: rank by ascending

@@ -272,6 +272,11 @@ class OperatorsSpec extends SparkSpec {
     assert(out(0) == (1L, 0))   // identical: distance 0
     assert(out(1) == (2L, 1))   // one flipped sign
     assert(out(2) == (3L, 64))  // full negation: all 64 bits differ
+    // dim > 64 fails loudly (Java shifts wrap mod 64 — silent aliasing)
+    val wide = Seq((0L, Array.fill(65)(1.0f))).toDF("id", "vec")
+    intercept[Exception] {
+      wide.select(Similarity.signBits(col("vec"))).collect()
+    }
   }
 
   test("MMR rerank: near-duplicate candidates are deferred for diversity") {
