@@ -76,6 +76,22 @@ object RelationalQueries {
       .select("op", "n").orderBy("op")
   }
 
+  /** Q17: MULTISET set operations — INTERSECT ALL / EXCEPT ALL keep
+   * duplicate cardinality (q6's variants collapse to sets): the
+   * reconciliation tool when row COUNTS matter, e.g. detecting
+   * double-applied batches between a source and a sink. Catalyst plans
+   * both as one aggregation of per-side counts + a generate — no join
+   * explosion on duplicate-heavy keys. */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = T(s, dir, "orders").select((col("o_custkey") % 100).as("k"))
+    val b = T(s, dir, "customer").select((col("c_custkey") % 100).as("k"))
+    def n(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n")).withColumn("op", lit(name))
+    n("intersect_all", a.intersectAll(b))
+      .unionByName(n("except_all", a.exceptAll(b)))
+      .select("op", "n").orderBy("op")
+  }
+
   /** Q7: as-of join — each event matched to the customer's most recent
    * order at event time (union-tag implementation, one shuffle). */
   def asofJoin(s: SparkSession, dir: String): DataFrame = {
@@ -534,6 +550,7 @@ object RelationalQueries {
     "q13_window_frames" -> (windowFrames _),
     "q14_cube" -> (cubeAgg _),
     "q16_distribution_windows" -> (distributionWindows _),
+    "q17_set_ops_all" -> (setOpsAll _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -671,6 +688,15 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q17_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey % 100 AS k FROM orders),
+        |b AS (SELECT c_custkey % 100 AS k FROM customer)
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*)
+        |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |ORDER BY op""".stripMargin,
     // exactly-once after replayed delivery: every event id survives once
     "w7_stream_dedup" ->
       """SELECT event_id, user_id, event_type
