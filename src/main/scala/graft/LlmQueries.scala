@@ -481,13 +481,21 @@ object LlmQueries {
    * text); near pass = d2's banded candidates restricted to
    * cross-boundary pairs, d4's exact-Jaccard verify. Verdict per
    * incoming doc: exact_dup / near_dup / admitted. */
-  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      incrementalDedupBuild(s, dir)
+    }.orderBy("doc_id")
+
+  /** The un-materialized d13 plan — exposed so PlanQualitySpec can
+   * assert the admission joins are threshold-decided (no hints). */
+  private[graft] def incrementalDedupBuild(s: SparkSession, dir: String)(
+      implicit scope: CacheScope): DataFrame = {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val existing = docs.filter(col("doc_id") < 400)
     val incoming = docs.filter(col("doc_id") >= 400)
       .unionByName(existing.filter(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    CacheScope.materialized { implicit scope =>
+    locally {
       val inc = incoming.select(col("doc_id"), unhex(md5(col("text"))).as("_dig"))
       val exDig = existing.select(unhex(md5(col("text"))).as("_dig"))
         .distinct().withColumn("_hit", lit(true))
@@ -502,13 +510,15 @@ object LlmQueries {
         .select(when(col("ida") >= 400, col("ida")).otherwise(col("idb"))
           .as("doc_id"))
         .distinct().withColumn("_near", lit(true))
+      // nearIds is batch-proportional (largest exactly when the batch is
+      // duplicate-heavy) — leave the join threshold-decided, never hint
       incoming.select("doc_id")
         .join(exact, "doc_id")
-        .join(broadcast(nearIds), Seq("doc_id"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
         .select(col("doc_id"), col("exact_dup"),
           coalesce(col("_near"), lit(false)).as("near_dup"))
         .withColumn("admitted", !col("exact_dup") && !col("near_dup"))
-    }.orderBy("doc_id")
+    }
   }
 
   /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by

@@ -390,10 +390,12 @@ object RelationalQueries {
    * attributes: the events file-stream joins a static customer dim on
    * user_id and writes enriched rows through a streaming parquet sink.
    * Stream-static inner joins are STATELESS (each micro-batch joins
-   * against the batch plan — no state store, no watermark needed), and
-   * the small dim broadcasts, so at 100 TB/day the stream cost is one
-   * broadcast probe per row; a dimension too big to broadcast would
-   * shuffle each micro-batch, which is exactly the batch join's shape. */
+   * against the batch plan — no state store, no watermark needed). The
+   * dim join stays threshold-decided: customer is fact-proportional
+   * (grows with SF), so a forced broadcast would ship a multi-GB table
+   * per micro-batch at 100×; under the threshold Spark broadcasts it
+   * anyway, above it the join degrades to the batch join's
+   * per-micro-batch shuffle — exactly the degradation we want. */
   def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = s"target/tmp/w5_${new java.io.File(dir).getName}"
@@ -413,9 +415,9 @@ object RelationalQueries {
       StructField("value", DoubleType), StructField("props", StringType)))
     val stream = scoped.readStream.schema(raw).parquet(in.toString)
       .select("event_id", "user_id", "event_type")
-    val dim = broadcast(T(scoped, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment")))
-    val enriched = stream.join(dim, col("user_id") === col("c_custkey"))
+    val dim = T(scoped, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = streamStaticEnrich(stream, dim)
     val q = enriched.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .option("path", s"$base/out").format("parquet").start()
@@ -426,6 +428,12 @@ object RelationalQueries {
         col("c_mktsegment").as("segment"))
       .orderBy("event_id")
   }
+
+  /** The w5 enrichment join, hint-free by design: the customer dim is
+   * fact-proportional, so the broadcast-vs-shuffle choice belongs to the
+   * size threshold / AQE, per micro-batch. Exposed for PlanQualitySpec. */
+  private[graft] def streamStaticEnrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(dim, col("user_id") === col("c_custkey"))
 
   /** W6: a RUNNING watermarked windowed aggregation in APPEND mode —
    * the streaming half of w1's batch-checked plan: hourly event counts

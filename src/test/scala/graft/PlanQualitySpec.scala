@@ -216,6 +216,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k per node must heap-bound before the window")
   }
 
+  test("d13 incremental dedup: admission joins are threshold-decided, never hinted") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val df = LlmQueries.incrementalDedupBuild(spark, dir)
+      // no forced broadcast anywhere in the d13 plan: nearIds is
+      // batch-proportional (largest when the batch is duplicate-heavy)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        "d13 must carry no broadcast hints — the size threshold decides")
+      assert(plan(df).contains("BroadcastHashJoin"),
+        "at tiny SF the threshold should still pick broadcast on its own")
+      // with the threshold disabled the same plan must degrade to a
+      // shuffle join — proof the broadcast was threshold-decided
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = spark.conf.get(key)
+      try {
+        spark.conf.set(key, "-1")
+        assert(!plan(LlmQueries.incrementalDedupBuild(spark, dir))
+          .contains("BroadcastHashJoin"),
+          "threshold=-1 must force every d13 join to degrade to a shuffle")
+      } finally spark.conf.set(key, prev)
+    }
+  }
+
+  test("w5 stream-static enrich: dim join threshold-decided (degrades to shuffle)") {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = scoped.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+    val dim = scoped.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val df = RelationalQueries.streamStaticEnrich(events, dim)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "customer is fact-proportional — the enrich join must not be hinted")
+    assert(plan(df).contains("BroadcastHashJoin"),
+      "under the threshold the dim still auto-broadcasts")
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    assert(!plan(RelationalQueries.streamStaticEnrich(events, dim))
+      .contains("BroadcastHashJoin"),
+      "above the threshold the join must degrade to the shuffle shape")
+  }
+
   test("temperature mix: one rank window on the domain key, quotas as plan literals") {
     val df = LlmQueries.queries("x17_temperature_mix")(spark, dir)
     val p = plan(df)
