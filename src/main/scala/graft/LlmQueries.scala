@@ -630,38 +630,21 @@ object LlmQueries {
         (col("logit") >= 0.0).as("keep"))
       .orderBy("doc_id")
 
-  /** Char-bigram counts per data dir, memoized (exact integers — the
-   * oracle recomputes the identical histogram in SQL, so no dynamic
-   * oracle is needed). One aggregation over the corpus; char counts
-   * derive from the bigram counts on the driver (count(c·) = Σ count(c*)). */
-  private val bigramLm =
-    scala.collection.concurrent.TrieMap.empty[String, (Map[String, Long], Map[String, Long])]
-
-  private def trainBigramLm(s: SparkSession, dir: String): (Map[String, Long], Map[String, Long]) =
-    bigramLm.getOrElseUpdate(dir, {
-      val mb = Tpar(s, dir, "documents")
-        .filter(length(col("text")) >= 2)
-        .select(explode(transform(sequence(lit(1), length(col("text")) - 1),
-          i => substr(col("text"), i, lit(2)))).as("b"))
-        .groupBy("b").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val mc = mb.groupBy(_._1.substring(0, 1))
-        .map { case (c, xs) => c -> xs.values.sum }
-      (mb, mc)
-    })
-
   /** X16: LM-likelihood scoring (the perplexity-filter stage) — mean
    * Laplace-smoothed char-bigram probability per document under a model
    * trained on the corpus (a production run trains on a trusted
-   * reference corpus — same query, different training frame). */
-  def bigramLmQ(s: SparkSession, dir: String): DataFrame = {
-    val (mb, mc) = trainBigramLm(s, dir)
-    Tpar(s, dir, "documents")
-      .filter(length(col("text")) >= 2)
-      .select(col("doc_id"),
-        TextAnalysis.bigramLmScore(col("text"), mb, mc).as("lm_score"))
-      .orderBy("doc_id")
-  }
+   * reference corpus — same scoring join, different training frame).
+   * The model is a counts DATAFRAME joined into the scoring pass, never
+   * a driver-collected map: bounded by charset², which is plan-literal
+   * safe only for ASCII — a CJK corpus makes it 10⁷⁺ entries. The
+   * vocab-sized counts frame is scope-cached so training runs once, not
+   * once per downstream join. */
+  def bigramLmQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { scope =>
+      val docs = Tpar(s, dir, "documents").filter(length(col("text")) >= 2)
+      val mb = scope.persist(TextAnalysis.bigramCounts(docs, "text"))
+      TextAnalysis.bigramLmScore(docs, "doc_id", "text", mb)
+    }.orderBy("doc_id")
 
   /** X19: the Gopher heuristic rule battery — per-rule measurements +
    * the combined keep verdict per document. minStopWords tunes to 1

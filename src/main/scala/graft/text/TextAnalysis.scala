@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Hashing
@@ -122,22 +122,57 @@ object TextAnalysis {
    * `(count(c_i c_{i+1}) + 1) / (count(c_i ·) + V)`. Log-free on
    * purpose: the mean probability is a monotone proxy for (negative)
    * perplexity, and pure arithmetic stays bit-identical across engines
-   * where `log()`'s libm rounding does not. Counts arrive as plain maps
-   * (exact integers — train once, embed as literals); a production run
-   * trains them on a TRUSTED reference corpus instead of the corpus
-   * being scored, which changes the input frame, not this function.
-   * The sequential left fold matches the oracle's `list_reduce`.
+   * where `log()`'s libm rounding does not.
+   *
+   * The model LIVES AS A DATAFRAME, never as plan literals: a
+   * charset²-sized map (10⁷-10⁸ entries on a CJK/multilingual corpus)
+   * embedded via `typedLit` would blow up the driver, the plan, and
+   * every task binary. Here the counts stay distributed — scoring
+   * explodes each doc into (position, bigram) rows, joins the counts
+   * frames (threshold-decided: an ASCII model broadcasts, a CJK model
+   * shuffles on the bigram key), and folds the per-position
+   * probabilities back per doc IN POSITION ORDER, so the mean is the
+   * same sequential left fold as the oracle's `list_reduce`. A
+   * production run trains on a TRUSTED reference corpus instead of the
+   * corpus being scored — same scoring join, different training frame.
    */
-  def bigramLmScore(text: Column, bigramCounts: Map[String, Long],
-                    charCounts: Map[String, Long]): Column = {
-    val v = bigramCounts.size.toLong
-    val mb = typedLit(bigramCounts)
-    val mc = typedLit(charCounts)
-    aggregate(
-      transform(sequence(lit(1), length(text) - 1),
-        i => (coalesce(element_at(mb, substr(text, i, lit(2))), lit(0L)) + lit(1.0)) /
-          (coalesce(element_at(mc, substr(text, i, lit(1))), lit(0L)) + lit(v))),
-      lit(0.0), (acc, x) => acc + x) / (length(text) - 1)
+
+  /** Train: exact char-bigram counts `(b, bcnt)` over a corpus — one
+   * explode + count aggregation, map-side combined, never collected. */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(length(col(textCol)) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+        i => substr(col(textCol), i, lit(2)))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("bcnt"))
+
+  /** Score `docs(idCol)` against a trained counts frame: mean
+   * Laplace-smoothed bigram probability per doc. Char-context counts
+   * and vocabulary size derive from the bigram frame itself
+   * (`count(c·) = Σ count(c*)`, `V` = distinct bigrams — a 1-row
+   * frame, the only scalar in the plan). Docs shorter than 2 chars are
+   * excluded (no bigram positions). */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    bigramCounts: DataFrame): DataFrame = {
+    val mc = bigramCounts.groupBy(substring(col("b"), 1, 1).as("_c"))
+      .agg(sum(col("bcnt")).as("ccnt"))
+    val v = bigramCounts.agg(count(lit(1)).as("v"))
+    val pos = docs.filter(length(col(textCol)) >= 2)
+      .select(col(idCol), (length(col(textCol)) - 1).as("_n"),
+        posexplode(transform(sequence(lit(1), length(col(textCol)) - 1),
+          i => substr(col(textCol), i, lit(2)))).as(Seq("_pos", "_b")))
+      .withColumn("_c", substring(col("_b"), 1, 1))
+    pos
+      .join(bigramCounts.withColumnRenamed("b", "_b"), Seq("_b"), "left")
+      .join(mc, Seq("_c"), "left")
+      .crossJoin(broadcast(v)) // 1-row scalar — the audited pattern
+      .select(col(idCol), col("_n"), col("_pos"),
+        ((coalesce(col("bcnt"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ccnt"), lit(0L)) + col("v"))).as("_p"))
+      .groupBy(col(idCol), col("_n"))
+      .agg(collect_list(struct(col("_pos"), col("_p"))).as("_ps"))
+      .select(col(idCol),
+        (aggregate(array_sort(col("_ps")), lit(0.0),
+          (acc, x) => acc + x.getField("_p")) / col("_n")).as("lm_score"))
   }
 
   /** Composite quality score in [0,1]: reward mid-length docs, stopword

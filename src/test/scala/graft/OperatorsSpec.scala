@@ -334,19 +334,22 @@ class OperatorsSpec extends SparkSpec {
 
   test("bigramLmScore is the mean Laplace-smoothed bigram probability") {
     import graft.text.TextAnalysis
-    // corpus "abab": bigrams ab(x2), ba(x1); V=2; char starts a->2, b->1
-    val mb = Map("ab" -> 2L, "ba" -> 1L)
-    val mc = Map("a" -> 2L, "b" -> 1L)
-    val got = Seq("abab").toDF("text")
-      .select(TextAnalysis.bigramLmScore(col("text"), mb, mc).as("s"))
-      .head().getDouble(0)
+    // trained on "abab": bigrams ab(x2), ba(x1); V=2; derived char
+    // contexts a->2, b->1 (count(c·) = Σ count(c*))
+    val mb = TextAnalysis.bigramCounts(Seq("abab").toDF("text"), "text")
+    val got = TextAnalysis.bigramLmScore(
+      Seq((1L, "abab")).toDF("id", "text"), "id", "text", mb)
+      .head().getDouble(1)
     // positions: ab, ba, ab -> (3/4 + 2/3 + 3/4) / 3
     assert(math.abs(got - (0.75 + 2.0 / 3 + 0.75) / 3) < 1e-12)
-    // unseen bigrams back off to 1/(0+V)
-    val cold = Seq("zz").toDF("text")
-      .select(TextAnalysis.bigramLmScore(col("text"), mb, mc).as("s"))
-      .head().getDouble(0)
+    // unseen bigrams AND unseen contexts back off to 1/(0+V)
+    val cold = TextAnalysis.bigramLmScore(
+      Seq((1L, "zz")).toDF("id", "text"), "id", "text", mb)
+      .head().getDouble(1)
     assert(math.abs(cold - 1.0 / 2) < 1e-12)
+    // sub-bigram docs drop out (no positions to score)
+    assert(TextAnalysis.bigramLmScore(
+      Seq((1L, "x")).toDF("id", "text"), "id", "text", mb).count() == 0)
   }
 
   test("langId picks the profile with most marker hits; und when none") {

@@ -256,6 +256,28 @@ class PlanQualitySpec extends SparkSpec {
       "above the threshold the join must degrade to the shuffle shape")
   }
 
+  test("x16 bigram LM: model is a joined frame — no map literals, hint-free counts joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) >= 2)
+    val mb = graft.text.TextAnalysis.bigramCounts(docs, "text")
+    val df = graft.text.TextAnalysis.bigramLmScore(docs, "doc_id", "text", mb)
+    // the model must never be embedded as a plan literal (charset²-sized
+    // on a multilingual corpus): zero MapType literals anywhere
+    val mapLits = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+      })
+    }.flatten
+    assert(mapLits.isEmpty, "bigram model must join as a frame, not embed as typedLit")
+    // the counts joins stay threshold-decided; the only hint is the
+    // 1-row vocabulary scalar
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1, "only the 1-row V scalar may carry a hint")
+  }
+
   test("temperature mix: one rank window on the domain key, quotas as plan literals") {
     val df = LlmQueries.queries("x17_temperature_mix")(spark, dir)
     val p = plan(df)
