@@ -238,7 +238,59 @@ object JdbcQueries {
       .option("numPartitions", n)
       .load()
 
+  /**
+   * K13 — sink-stage `errors.tolerance=all` + dead letter queue, live:
+   * the target table carries a constraint the pipeline doesn't know
+   * about (`CHECK (amount >= 0)` — the lab's FAILED-task flow,
+   * `실습수행/Spool Dir Source Connector 실습.md:76-81`, moved from
+   * fail-the-task to route-and-continue). A changelog with planted
+   * negative amounts (keys ≡ 0 mod 97) applies through
+   * [[JdbcSink.applyChangelogWithDlq]]: good rows commit, each
+   * violating row dead-letters with the database's SQLState (Derby
+   * check violation = 23513). The result is the per-key reconciliation
+   * — committed XOR dead-lettered, nothing lost, nothing silently
+   * dropped.
+   */
+  def sinkDlqTolerance(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dbName("graft_k13", dir))
+    val table = "payments_guarded"
+    val cfg = Config(url, table, Derby, Seq("o_orderkey"),
+      autoCreate = false, errorsTolerance = "all")
+    JdbcSink.withConnection(cfg) { c =>
+      JdbcSink.dropTableIfExists(c, Derby, table)
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"""CREATE TABLE "$table" ("o_orderkey" BIGINT NOT NULL, """ +
+          """"amount" DOUBLE, PRIMARY KEY ("o_orderkey"), """ +
+          """CHECK ("amount" >= 0))""")
+      finally st.close()
+    }
+    val payments = T(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 1) // fixed fraction, SF-stable
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("amount"))
+    val dlq = JdbcSink.applyChangelogWithDlq(
+      payments.select(struct(col("o_orderkey")).as("key"),
+        struct(col("o_orderkey"), col("amount")).as("value"),
+        lit(1L).as("seq")), cfg)
+    val committed = s.read.format("jdbc")
+      .option("url", url).option("dbtable", Derby.q(table)).load()
+      .select(col("o_orderkey"), lit(true).as("in_table"))
+    val dead = dlq.select(col("key").cast("long").as("o_orderkey"),
+      col("sql_state"))
+    payments.select("o_orderkey")
+      .join(committed, Seq("o_orderkey"), "left")
+      .join(dead, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("in_table"), lit(false)).as("in_table"),
+        col("sql_state").isNotNull.as("in_dlq"),
+        col("sql_state"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k13_sink_dlq" -> (sinkDlqTolerance _),
     "s11_jdbc_partitioned_read" -> (jdbcPartitionedRead _),
     "k10_db_to_db_live" -> (dbToDbLive _),
     "k9_jdbc_statements" -> (jdbcStatementsLive _),
@@ -247,6 +299,16 @@ object JdbcQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // tolerance algebra: every key lands exactly one side — committed
+    // when the amount passes the CHECK, dead-lettered with Derby's
+    // check-violation SQLState (23513) when it doesn't
+    "k13_sink_dlq" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 97 <> 0) AS in_table,
+        |  (o_orderkey % 97 = 0) AS in_dlq,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN '23513' END AS sql_state
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     // the partitioned read is a pure access-path change: four range
     // scans must union to the exact table aggregate
     "s11_jdbc_partitioned_read" ->

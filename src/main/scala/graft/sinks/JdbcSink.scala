@@ -176,7 +176,7 @@ object JdbcSink {
 
   /** Sink configuration — field-for-field the reference's sink connector
    * knobs (`insert.mode`, `delete.enabled`, `auto.create`, `auto.evolve`,
-   * `batch.size`, `tasks.max`). */
+   * `batch.size`, `tasks.max`, `errors.tolerance`). */
   final case class Config(
       url: String,
       table: String,
@@ -187,7 +187,25 @@ object JdbcSink {
       autoEvolve: Boolean = true,
       deleteEnabled: Boolean = true,
       batchSize: Int = 500,
-      maxWriters: Int = 8)
+      maxWriters: Int = 8,
+      errorsTolerance: String = "none") // "none" (fail task) | "all" (DLQ)
+
+  /** One dead-lettered record from the sink put stage — the sink-side
+   * mirror of the converter-stage DLQ (k11), carrying the context
+   * Connect writes as `__connect.errors.*` headers: which table, which
+   * stage, which operation, the record key, and the database's verdict
+   * (`sql_state` is the portable, deterministic part; `error` the
+   * dialect's message). */
+  final case class DlqEntry(table: String, stage: String, op: String,
+                            key: String, sqlState: String, error: String)
+
+  val DlqSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("stage", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("sql_state", StringType, nullable = true),
+    StructField("error", StringType, nullable = true)))
 
   /**
    * Apply one connect-frame changelog micro-batch (`key` struct, `value`
@@ -196,46 +214,95 @@ object JdbcSink {
    * upsert survivors and delete tombstoned keys over per-partition
    * connections. This is the `foreachBatch` body a streaming pipeline
    * hands to a real database sink.
+   *
+   * With `errors.tolerance=all` a failing row is skipped instead of
+   * failing the task (Connect's behavior when no DLQ topic is set); use
+   * [[applyChangelogWithDlq]] to also capture the dead-lettered rows.
    */
-  def applyChangelog(changelog: DataFrame, cfg: Config): Unit = {
+  def applyChangelog(changelog: DataFrame, cfg: Config): Unit =
+    if (cfg.errorsTolerance == "all") { applyChangelogWithDlq(changelog, cfg); () }
+    else {
+      val (last, keyFields, valueType) = reduceForWrite(changelog, cfg)
+      val write = partitionWriter(cfg, keyFields, valueType, last.schema,
+        tolerate = false)
+      last.rdd.foreachPartition { it => write(it); () }
+    }
+
+  /**
+   * `errors.tolerance=all` + dead letter queue (K13): apply the
+   * changelog, tolerating per-row sink failures — a batch that trips a
+   * database error rolls back and replays row-by-row, so good rows
+   * commit and each failing row dead-letters with (table, stage, op,
+   * key, sql_state, error) context — the sink-stage mirror of the
+   * converter-stage DLQ. Returns the DLQ as a DataFrame; eager
+   * (`localCheckpoint`) so the statements run exactly once and the DLQ
+   * stays distributed, never collected to the driver.
+   */
+  def applyChangelogWithDlq(changelog: DataFrame, cfg: Config): DataFrame = {
+    val session = changelog.sparkSession
+    val (last, keyFields, valueType) = reduceForWrite(changelog, cfg)
+    val write = partitionWriter(cfg, keyFields, valueType, last.schema,
+      tolerate = true)
+    val rows = last.rdd.mapPartitions { it =>
+      write(it).iterator.map(e =>
+        Row(e.table, e.stage, e.op, e.key, e.sqlState, e.error))
+    }
+    session.createDataFrame(rows, DlqSchema).localCheckpoint()
+  }
+
+  /** Shared write prep: driver-side DDL, then ONE last-write-wins
+   * `max_by` shuffle whose hash partitioning makes writer partitions
+   * key-disjoint (coalesce — not repartition — caps the writer count
+   * without breaking disjointness). With deletes disabled, tombstones
+   * drop BEFORE the reduction so the last surviving non-tombstone still
+   * lands (the reference ignores, not swallows, deletes when
+   * delete.enabled=false). */
+  private def reduceForWrite(changelog: DataFrame, cfg: Config)
+      : (DataFrame, Seq[String], StructType) = {
     val keyFields = changelog.schema("key").dataType match {
       case s: StructType => s.fieldNames.toSeq
       case _ => Seq("key")
     }
     val valueType = changelog.schema("value").dataType.asInstanceOf[StructType]
-
-    // driver-side DDL (single connection): create or add-only evolve
-    withConnection(cfg) { conn =>
-      ensureTable(conn, cfg, valueType)
-    }
-
-    // one max_by shuffle; partitions come out key-disjoint. With deletes
-    // disabled, tombstones are dropped BEFORE the reduction so the last
-    // surviving non-tombstone still lands (the reference ignores, not
-    // swallows, deletes when delete.enabled=false).
+    withConnection(cfg)(conn => ensureTable(conn, cfg, valueType))
     val keyed0 = changelog.select(
       keyFields.map(f => col(s"key.$f").as(f)) ++
         Seq(col("value"), col("seq")): _*)
     val keyed = if (cfg.deleteEnabled) keyed0
       else keyed0.filter(col("value").isNotNull)
     val last = MergeSink.lastPerKey(keyed, keyFields, "seq")
-      .coalesce(cfg.maxWriters) // no shuffle, preserves disjointness
+      .coalesce(cfg.maxWriters)
+    (last, keyFields, valueType)
+  }
 
+  /** The per-partition statement executor: one connection, prepared
+   * statements reused across rows, `addBatch`/`executeBatch` every
+   * `batchSize` rows, commit per flush. `tolerate=false` propagates the
+   * first database error (failing the task — Connect's default);
+   * `tolerate=true` rolls the poisoned transaction back, replays the
+   * buffered rows one statement at a time, commits the survivors, and
+   * returns the failures as DLQ entries. */
+  private def partitionWriter(cfg: Config, keyFields: Seq[String],
+      valueType: StructType, lastSchema: StructType,
+      tolerate: Boolean): Iterator[Row] => Seq[DlqEntry] = {
     val upsert = cfg.dialect.upsert(cfg.table, valueType, cfg.pks)
     val deleteSql = cfg.dialect.deleteSql(cfg.table, cfg.pks)
     val deleteEnabled = cfg.deleteEnabled
     val batchSize = cfg.batchSize
     val url = cfg.url
     val props = cfg.props
+    val table = cfg.table
     val valueFields = valueType.fields.toSeq
     val pkPos = cfg.pks.map(k => valueType.fieldIndex(k))
     val nonKeyPos = valueType.fields.indices.filterNot(pkPos.contains)
-    val keyIdx = keyFields.map(f => last.schema.fieldIndex(f))
-    val valIdx = last.schema.fieldIndex("value")
-    val keyTypes = keyIdx.map(i => last.schema.fields(i).dataType)
+    val keyIdx = keyFields.map(f => lastSchema.fieldIndex(f))
+    val valIdx = lastSchema.fieldIndex("value")
+    val keyTypes = keyIdx.map(i => lastSchema.fields(i).dataType)
 
-    last.rdd.foreachPartition { it =>
-      if (it.hasNext) {
+    (it: Iterator[Row]) =>
+      if (!it.hasNext) Nil
+      else {
+        val dlq = scala.collection.mutable.ArrayBuffer.empty[DlqEntry]
         val conn = connect(url, props)
         try {
           conn.setAutoCommit(false)
@@ -245,24 +312,44 @@ object JdbcSink {
               (conn.prepareStatement(u), Some(conn.prepareStatement(i)))
           }
           val del = conn.prepareStatement(deleteSql)
-          // value structs buffered until flush: UpdateThenInsert needs the
-          // rows again for the insert leg of batch misses
-          val pending = scala.collection.mutable.ArrayBuffer.empty[Row]
-          var nDel = 0
+          def keyRepr(row: Row): String =
+            keyIdx.map(i => String.valueOf(row.get(i))).mkString("|")
           def bindValue(ps: PreparedStatement, v: Row, positions: Seq[Int]): Unit =
             positions.zipWithIndex.foreach { case (p, i) =>
               bind(ps, i + 1, valueFields(p).dataType,
                 if (v.isNullAt(p)) null else v.get(p))
             }
-          def flush(): Unit = {
+          def bindKey(ps: PreparedStatement, row: Row): Unit =
+            keyIdx.zipWithIndex.foreach { case (ri, i) =>
+              bind(ps, i + 1, keyTypes(i),
+                if (row.isNullAt(ri)) null else row.get(ri))
+            }
+          // (key text, row) buffered until flush: UpdateThenInsert needs
+          // the rows again for the insert leg of batch misses, and the
+          // tolerant path needs them for single-statement replay
+          val pending = scala.collection.mutable.ArrayBuffer.empty[(String, Row)]
+          val delPending = scala.collection.mutable.ArrayBuffer.empty[(String, Row)]
+
+          def upsertOne(v: Row): Unit = upsert match {
+            case Native(_) =>
+              bindValue(upA, v, valueFields.indices); upA.executeUpdate(); ()
+            case UpdateThenInsert(_, _) =>
+              bindValue(upA, v, nonKeyPos ++ pkPos)
+              if (upA.executeUpdate() == 0) {
+                bindValue(upB.get, v, valueFields.indices)
+                upB.get.executeUpdate(); ()
+              }
+          }
+
+          def batchAll(): Unit = {
             upsert match {
               case Native(_) =>
-                pending.foreach { v =>
+                pending.foreach { case (_, v) =>
                   bindValue(upA, v, valueFields.indices); upA.addBatch()
                 }
                 if (pending.nonEmpty) upA.executeBatch()
               case UpdateThenInsert(_, _) =>
-                pending.foreach { v =>
+                pending.foreach { case (_, v) =>
                   bindValue(upA, v, nonKeyPos ++ pkPos); upA.addBatch()
                 }
                 if (pending.nonEmpty) {
@@ -271,33 +358,53 @@ object JdbcSink {
                   var miss = false
                   counts.zipWithIndex.foreach { case (c, i) =>
                     if (c == 0) {
-                      bindValue(ins, pending(i), valueFields.indices)
+                      bindValue(ins, pending(i)._2, valueFields.indices)
                       ins.addBatch(); miss = true
                     }
                   }
                   if (miss) ins.executeBatch()
                 }
             }
-            pending.clear()
-            if (nDel > 0) { del.executeBatch(); nDel = 0 }
-            conn.commit()
+            delPending.foreach { case (_, row) => bindKey(del, row); del.addBatch() }
+            if (delPending.nonEmpty) del.executeBatch()
           }
+
+          def flush(): Unit = {
+            try { batchAll(); conn.commit() }
+            catch {
+              case _: SQLException if tolerate =>
+                conn.rollback()
+                upA.clearBatch(); upB.foreach(_.clearBatch()); del.clearBatch()
+                // per-row savepoints: a failed statement aborts the whole
+                // transaction on PostgreSQL, so each row must be its own
+                // rollback unit for the survivors to commit
+                def replay(k: String, op: String)(stmt: => Unit): Unit = {
+                  val sp = conn.setSavepoint()
+                  try stmt
+                  catch { case e: SQLException =>
+                    conn.rollback(sp)
+                    dlq += DlqEntry(table, "sink_put", op, k,
+                      Option(e.getSQLState).getOrElse(""), e.getMessage) }
+                }
+                pending.foreach { case (k, v) =>
+                  replay(k, "upsert")(upsertOne(v)) }
+                delPending.foreach { case (k, row) =>
+                  replay(k, "delete") { bindKey(del, row); del.executeUpdate(); () } }
+                conn.commit()
+            }
+            pending.clear(); delPending.clear()
+          }
+
           it.foreach { row =>
             val value = if (row.isNullAt(valIdx)) null else row.getStruct(valIdx)
-            if (value != null) {
-              pending += value
-            } else if (deleteEnabled) {
-              keyIdx.zipWithIndex.foreach { case (ri, i) =>
-                bind(del, i + 1, keyTypes(i), if (row.isNullAt(ri)) null else row.get(ri))
-              }
-              del.addBatch(); nDel += 1
-            }
-            if (pending.size >= batchSize || nDel >= batchSize) flush()
+            if (value != null) pending += keyRepr(row) -> value
+            else if (deleteEnabled) delPending += keyRepr(row) -> row
+            if (pending.size >= batchSize || delPending.size >= batchSize) flush()
           }
           flush()
         } finally conn.close()
+        dlq.toSeq
       }
-    }
   }
 
   /** Emit (but do not run) every statement kind the sink would use for

@@ -188,6 +188,56 @@ class JdbcSinkSpec extends SparkSpec {
     assert(live.toSeq === merged.toSeq)
   }
 
+  private def guardedCfg(db: String): Config = {
+    val cfg = freshCfg(db).copy(autoCreate = false)
+    JdbcSink.withConnection(cfg) { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        """CREATE TABLE "t" ("id" BIGINT NOT NULL, "name" VARCHAR(4000), """ +
+          """"bal" DOUBLE, PRIMARY KEY ("id"), CHECK ("bal" >= 0))""")
+      finally st.close()
+    }
+    cfg
+  }
+
+  test("errors.tolerance=all: violating rows dead-letter, survivors commit") {
+    val cfg = guardedCfg("spec_dlq").copy(errorsTolerance = "all")
+    val dlq = JdbcSink.applyChangelogWithDlq(changelog(Seq(
+      (1L, Some((1L, "a", 10.0)), 1L),
+      (2L, Some((2L, "bad", -5.0)), 2L), // trips the CHECK
+      (3L, Some((3L, "c", 30.0)), 3L),
+      (9L, None, 4L))), cfg) // delete of a missing key is a clean no-op
+    val entries = dlq.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(entries.toSeq === Seq(("t", "sink_put", "upsert", "2", "23513")))
+    val got = readBack(cfg).orderBy("id").collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 3L), "good rows must commit around the bad one")
+    // default tolerance still fails the task on the same changelog
+    val strict = guardedCfg("spec_dlq_strict")
+    intercept[Exception] {
+      JdbcSink.applyChangelog(changelog(Seq(
+        (2L, Some((2L, "bad", -5.0)), 1L))), strict)
+    }
+  }
+
+  test("partial-batch crash then full redelivery converges (commit-per-flush replay)") {
+    // commit-per-flush means a mid-partition crash leaves a committed
+    // PREFIX; the connector's contract is that redelivering the whole
+    // batch after the fix converges — upserts are idempotent per key
+    val cfg = guardedCfg("spec_crash").copy(batchSize = 2, maxWriters = 1)
+    val rows = (1L to 20L).map(i => (i, Some((i, s"n$i", i.toDouble)), i))
+    val poisoned = rows.map(r =>
+      if (r._1 == 15L) (15L, Some((15L, "n15", -1.0)), 15L) else r)
+    intercept[Exception] { JdbcSink.applyChangelog(changelog(poisoned), cfg) }
+    assert(readBack(cfg).count() < 20, "the poisoned flush must roll back")
+    // fix upstream, redeliver the FULL batch (exactly what a restarted
+    // task does) — the partial prefix upserts over itself
+    JdbcSink.applyChangelog(changelog(rows), cfg)
+    val got = readBack(cfg).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === (1L to 20L).map(i => (i, s"n$i", i.toDouble)))
+  }
+
   test("partitioned JDBC read splits into N range scans and loses no rows") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graft_s11_spec;create=true"
