@@ -453,13 +453,18 @@ object ConnectQueries {
   /**
    * K7b — the SAME mixed-DML workload as [[cdcIngestDml]], but driven
    * through the ENGINE's streaming lifecycle instead of a hand-built
-   * batch plan: the four waves (snapshot 'r', insert 'c', update 'u',
-   * delete 'd') land as four parquet files with ascending mtimes, a
-   * registered pipeline streams them one file per micro-batch through
-   * the ExtractNewRecordState SMT into the `logtable` delta sink (four
-   * O(batch) versions), compaction folds them, and the merged read-back
-   * must equal the identical last-write-wins oracle k7 uses. This is
-   * the L1-L8 + K6 surface measured at bench scale, not just in specs.
+   * batch plan: the four op waves (snapshot 'r', insert 'c', update
+   * 'u', delete 'd') land as two mtime-ordered micro-batches — the
+   * backfill batch (r+c, disjoint keys) and the change batch (u+d,
+   * where a key hit by both resolves delete-after-update by seq, the
+   * within-batch contract every Connect sink honors; batch BOUNDARIES
+   * are arbitrary in Kafka, op order is what seq preserves. The
+   * micro-batch-per-wave shape itself is k14's gate). A registered
+   * pipeline streams them through the ExtractNewRecordState SMT into
+   * the `logtable` delta sink (O(batch) versions), and the merged
+   * read-back must equal the identical last-write-wins oracle k7 uses.
+   * This is the L1-L8 + K6 surface measured at bench scale, not just
+   * in specs.
    */
   def cdcEngineStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
@@ -481,19 +486,161 @@ object ConnectQueries {
         lit(op).as("op"), lit(seqV).as("ts_ms"), lit(seqV).as("seq"))
     }
     val waves = Seq(
-      wave(orders.filter(col("o_orderkey") % 2 === 0), "r", 0L), // snapshot
-      wave(orders.filter(col("o_orderkey") % 2 === 1), "c", 1L),
+      // backfill batch: snapshot + inserts (disjoint keys, seq-ordered)
+      wave(orders.filter(col("o_orderkey") % 2 === 0), "r", 0L)
+        .unionByName(wave(orders.filter(col("o_orderkey") % 2 === 1), "c", 1L)),
+      // change batch: updates then deletes — a key in both (e.g. 9700)
+      // resolves delete-after-update by seq, exactly binlog order
       wave(orders.filter(col("o_orderkey") % 100 === 0)
-        .withColumn("o_totalprice", col("o_totalprice") + 10), "u", 2L),
-      wave(orders.filter(col("o_orderkey") % 97 === 0), "d", 3L))
-    // stage the four waves as four CONCURRENT Spark jobs (independent
+        .withColumn("o_totalprice", col("o_totalprice") + 10), "u", 2L)
+        .unionByName(wave(orders.filter(col("o_orderkey") % 97 === 0), "d", 3L)))
+    // stage the two batches as CONCURRENT Spark jobs (independent
     // writes; the scheduler interleaves their tasks across the cores a
     // single coalesce(1) write would leave idle)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // each wave stages as FOUR parquet parts (parallel write, parallel
+    // per-batch scan); same-mtime parts group into one micro-batch via
+    // maxFilesPerTrigger=4
     val staged = waves.zipWithIndex.map { case (w, i) => Future {
       val stage = s"$base/stage$i"
+      w.coalesce(4).write.mode("overwrite").parquet(stage)
+      val parts = {
+        val st = Files.list(Paths.get(stage))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
+        } finally st.close()
+      }
+      require(parts.nonEmpty, s"no parquet parts in $stage")
+      (i, parts)
+    }}
+    val t0 = 1000000000000L
+    Await.result(Future.sequence(staged), Duration.Inf).foreach { case (i, parts) =>
+      parts.zipWithIndex.foreach { case (part, j) =>
+        val dst = Paths.get(in, f"wave$i%02d-$j%d.parquet")
+        Files.move(part, dst)
+        // ascending mtimes PER WAVE: the file source processes
+        // oldest-first, so the change batch lands after the backfill
+        // (the offset order a Kafka topic would provide)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+      }
+    }
+
+    // micro-batches are bounded (≤ the wave size): run the stream on a
+    // session sized for them instead of the corpus-scale 32 partitions
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val spec = graft.pipeline.PipelineSpec(
+      name = "k7b",
+      source = graft.pipeline.SourceSpec(
+        kind = "parquet", path = in,
+        schemaDdl = Some(waves.head.schema.toDDL),
+        keyFields = Seq("o_orderkey"), seqColumn = Some("seq"),
+        topic = "om.orders", maxFilesPerTrigger = 4),
+      transforms = Seq(graft.pipeline.TransformSpec(
+        "extractNewRecordState", Map.empty, Seq.empty)),
+      sink = graft.pipeline.SinkSpec("logtable", state, Seq("o_orderkey")),
+      triggerMs = None)
+    val q = engine.register(spec)
+    q.processAllAvailable()
+    engine.delete("k7b")
+    // no explicit compact: the two O(batch) deltas merge in the read
+    // (idempotent-replay compaction is k12's own gate; the engine still
+    // auto-compacts past 8 versions)
+    graft.sinks.LogTable.read(s, state, Seq("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /**
+   * K14 — the reference's BIGGEST workload shape, reconciled end-to-end:
+   * `CONNECT_DML_TEST(0, 5000, 100, 100)` across all five lab tables
+   * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:444-502`,
+   * invoked at `:696`) through the Engine streaming lifecycle — 25,500
+   * mixed DML events (5,000 inserts per table, an update every 100th
+   * iteration, a delete of the previous key) multiplexed over ONE
+   * stream the way one Debezium worker carries five topics, keyed by
+   * (table, pk) into the logtable delta sink. The result is the lab's
+   * 5-way UNION ALL reconciliation (`- 02.md:699-711`) with key-sum and
+   * update-count discriminators on top of its row counts: each sink
+   * table must hold exactly 4,950 rows — inserts minus the 50 deletes —
+   * with the 50 updated rows carrying their updated values.
+   *
+   * Scale shape: one stream, two micro-batches — the DML wave (inserts
+   * + updates; batch boundaries are arbitrary in Connect, op ORDER is
+   * what matters, and within-batch seq resolves update-beats-insert)
+   * then the tombstone wave (cross-version: a later delta's marker
+   * beats every earlier value) — each an O(batch) delta append;
+   * tombstones ride the `__deleted` soft-delete marker
+   * (ExtractNewRecordState's rewrite mode). Nothing is per-table: five
+   * tables or five hundred multiplex identically.
+   */
+  def soakReconcile(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/k14_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"; val state = s"$base/state"
+    Files.createDirectories(Paths.get(in))
+
+    val iters = s.range(1, 5001).select(col("id").as("i"))
+    // per-table row images, exactly the proc's values (`- 02.md:462-476`)
+    def pay(table: String, updated: Boolean): org.apache.spark.sql.Column =
+      table match {
+        case "customers" => to_json(struct(
+          concat(lit("testuser_"), col("i")).as("email_address"),
+          concat(lit(if (updated) "updateduser_" else "testuser_"), col("i"))
+            .as("full_name")))
+        case "products" => to_json(struct(
+          concat(lit(if (updated) "updproduct_" else "testproduct_"), col("i"))
+            .as("product_name"),
+          concat(lit("testcat_"), col("i")).as("category"),
+          col("i").cast("double").as("price")))
+        case "order_items" => to_json(struct(
+          ((col("i") % 100) + 1).as("product_id"),
+          col("i").cast("double").as("unit_price"),
+          lit(if (updated) 2L else 1L).as("quantity")))
+        case _ => to_json(struct( // orders, orders_datetime_tab
+          lit("2024-01-01 00:00:00").as("order_ts"),
+          col("i").as("customer_id"),
+          lit(if (updated) "updated" else "delivered").as("order_status"),
+          lit(1L).as("store_id")))
+      }
+    val tables = Seq("customers", "products", "orders",
+      "orders_datetime_tab", "order_items")
+    def rows(table: String, op: String): DataFrame = {
+      val src = op match {
+        case "c" => iters
+        case "u" => iters.filter(col("i") % 100 === 0)
+        // the proc deletes key i-1 on every 100th iteration
+        case _ => iters.filter(col("i") % 100 === 0).select((col("i") - 1).as("i"))
+      }
+      val line = if (table == "order_items") (col("i") % 100) + 1 else lit(0L)
+      src.select(
+        lit(table).as("tbl"),
+        col("i").as("order_id"),
+        line.cast("long").as("line_item_id"),
+        (if (op == "d") lit(null).cast("string") else pay(table, op == "u"))
+          .as("payload"),
+        lit(op == "d").as("__deleted"),
+        lit(op match { case "c" => 1L; case "u" => 2L; case _ => 3L }).as("seq"))
+    }
+    def waveOf(op: String): DataFrame =
+      tables.map(rows(_, op)).reduce(_.unionByName(_))
+    // stage the waves as CONCURRENT jobs (independent writes — the k7b
+    // staging pattern), then pin ascending mtimes: oldest-first gives
+    // one wave per micro-batch
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val waves = Seq(
+      waveOf("c").unionByName(waveOf("u")), // one DML batch: u beats c by seq
+      waveOf("d")) // tombstones land as their own later micro-batch
+    val staged = waves.zipWithIndex.map { case (w, idx) => Future {
+      val stage = s"$base/stage$idx"
       w.coalesce(1).write.mode("overwrite").parquet(stage)
       val part = {
         val st = Files.list(Paths.get(stage))
@@ -502,38 +649,58 @@ object ConnectQueries {
           st.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
         } finally st.close()
       }.headOption.getOrElse(sys.error(s"no parquet part in $stage"))
-      (i, part)
+      (idx, part)
     }}
     val t0 = 1000000000000L
-    Await.result(Future.sequence(staged), Duration.Inf).foreach { case (i, part) =>
-      val dst = Paths.get(in, f"wave$i%02d.parquet")
+    Await.result(Future.sequence(staged), Duration.Inf).foreach { case (idx, part) =>
+      val dst = Paths.get(in, f"wave$idx%02d.parquet")
       Files.move(part, dst)
-      // ascending mtimes: the file source processes oldest-first, so
-      // each wave is its own micro-batch in op order (the offset order
-      // a Kafka topic would provide)
       Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+        java.nio.file.attribute.FileTime.fromMillis(t0 + idx * 60000L))
     }
 
-    val engine = new graft.pipeline.Engine(s, s"$base/engine")
+    // micro-batches are ≤25k rows: a 32-partition shuffle per batch is
+    // pure task overhead, so the STREAM runs on a scoped session sized
+    // for the batch (the per-micro-batch analog of sizing
+    // shuffle.partitions to the data; the corpus-scale reads below stay
+    // on the caller's session)
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val keys = Seq("tbl", "order_id", "line_item_id")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
     val spec = graft.pipeline.PipelineSpec(
-      name = "k7b",
+      name = "k14",
       source = graft.pipeline.SourceSpec(
         kind = "parquet", path = in,
-        schemaDdl = Some(waves.head.schema.toDDL),
-        keyFields = Seq("o_orderkey"), seqColumn = Some("seq"),
-        topic = "om.orders", maxFilesPerTrigger = 1),
-      transforms = Seq(graft.pipeline.TransformSpec(
-        "extractNewRecordState", Map.empty, Seq.empty)),
-      sink = graft.pipeline.SinkSpec("logtable", state, Seq("o_orderkey")),
+        schemaDdl = Some(waveOf("c").schema.toDDL),
+        keyFields = keys, seqColumn = Some("seq"),
+        topic = "oc.soak", maxFilesPerTrigger = 1),
+      transforms = Seq.empty,
+      sink = graft.pipeline.SinkSpec("logtable", state, keys),
       triggerMs = None)
     val q = engine.register(spec)
     q.processAllAvailable()
-    engine.delete("k7b")
-    graft.sinks.LogTable.compact(s, state, Seq("o_orderkey"))
-    graft.sinks.LogTable.read(s, state, Seq("o_orderkey"))
-      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-      .orderBy("o_orderkey")
+    engine.delete("k14")
+    // no compact: the two O(batch) deltas merge in one read below (the
+    // compaction path itself is k7b/k12's gate)
+
+    // the lab's reconciliation, sharpened: counts + key sums + the
+    // per-table updated-row marker (full_name/product_name/order_status/
+    // quantity — each table's update writes a different column)
+    val merged = graft.sinks.LogTable.read(scoped, state, keys)
+    val isUpd =
+      when(col("tbl") === "customers",
+        get_json_object(col("payload"), "$.full_name").like("updateduser%"))
+      .when(col("tbl") === "products",
+        get_json_object(col("payload"), "$.product_name").like("updproduct%"))
+      .when(col("tbl") === "order_items",
+        get_json_object(col("payload"), "$.quantity") === "2")
+      .otherwise(get_json_object(col("payload"), "$.order_status") === "updated")
+    merged.groupBy(col("tbl").as("table_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("order_id")).as("key_sum"),
+        sum(when(isUpd, 1L).otherwise(0L)).as("n_updated"))
+      .orderBy("table_name")
   }
 
   /**
@@ -600,10 +767,25 @@ object ConnectQueries {
     "k12_logtable_replay" -> (logTableReplay _),
     "k7_cdc_ingest_dml" -> (cdcIngestDml _),
     "k7b_cdc_engine_stream" -> (cdcEngineStream _),
-    "k8_incremental_agg" -> (incrementalAgg _)
+    "k8_incremental_agg" -> (incrementalAgg _),
+    "k14_soak_reconcile" -> (soakReconcile _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the soak's final state from the DML arithmetic: keys k with
+    // (k+1)%100==0 are deleted (the proc deletes i-1 on every 100th
+    // iteration), keys with k%100==0 carry updated values; identical
+    // algebra for all five multiplexed tables
+    "k14_soak_reconcile" ->
+      """SELECT t.table_name, x.n, x.key_sum, x.n_updated
+        |FROM (VALUES ('customers'),('order_items'),('orders'),
+        |             ('orders_datetime_tab'),('products')) AS t(table_name)
+        |CROSS JOIN (
+        |  SELECT count(*) AS n, CAST(sum(i) AS BIGINT) AS key_sum,
+        |    CAST(sum(CASE WHEN i % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+        |  FROM (SELECT range AS i FROM range(1, 5001))
+        |  WHERE i % 100 <> 99) AS x
+        |ORDER BY table_name""".stripMargin,
     // dispositions re-derived from the corruption-planting arithmetic
     // (priority order matches the when-chain: %7, then %11, then %13)
     "k11_dlq_routing" ->
