@@ -237,14 +237,16 @@ object LlmQueries {
    * and must shuffle-join on doc_id; forcing broadcast would OOM the
    * driver exactly when dedup matters most. */
   /** The verdict is a pure function of the corpus, so it memoizes per
-   * data dir like the trained quantizers (the result is a materialized
-   * localCheckpoint, ~1 row/doc): d12 and the x18 funnel share one
-   * computation per session. */
+   * (session, data dir) like the trained quantizers (the result is a
+   * materialized localCheckpoint, ~1 row/doc): d12 and the x18 funnel
+   * share one computation per session. Keyed by the session too — a
+   * DataFrame is bound to its SparkSession, so a dir-only key would hand
+   * a fresh session a handle into a stopped context. */
   private val dedupVerdicts =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   def nearDedupCorpus(s: SparkSession, dir: String): DataFrame =
-    dedupVerdicts.getOrElseUpdate(dir, {
+    dedupVerdicts.getOrElseUpdate((s, dir), {
       val docs = Tpar(s, dir, "documents")
       CacheScope.materialized { implicit scope =>
         val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
@@ -749,6 +751,31 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
+   * (the mjpegtools/ffmpeg uncompressed interchange container) into the
+   * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
+   * the partition-batched seam. Dimensions, frame rate, frame count and
+   * every luma stat come from the CONTAINER parse and plane reads; the
+   * keyframe sampler (every 2nd frame) runs over the real demux too.
+   * Y4M planes are raw, so the oracle rebuilds the stream's stats in
+   * closed form from `length(text)` — the same lossless-codec contract
+   * as m1 (PNG) and m3 (PCM). */
+  def videoStats(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsY4m(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.extractVideoFeatures(packed, sampleStride = 2)
+      .select(col("media_id"),
+        col("features.width").as("width"),
+        col("features.height").as("height"),
+        col("features.n_frames").as("n_frames"),
+        col("features.fps_num").as("fps_num"),
+        col("features.duration_ms").as("duration_ms"),
+        col("features.y_sum").as("y_sum"),
+        col("features.mean_luma").as("mean_luma"),
+        col("features.n_frames_sampled").as("n_frames_sampled"),
+        col("features.sampled_y_sum").as("sampled_y_sum"))
+      .orderBy("media_id")
+  }
+
   /** X7: PII detection + redaction. The synthetic corpus has no PII, so
    * the query plants a deterministic email/phone per doc, then counts
    * and scrubs — exercising the real mechanism end-to-end. */
@@ -957,7 +984,8 @@ object LlmQueries {
     "x13_mix_report" -> (mixReport _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
-    "m4_image_resize" -> (imageResize _)
+    "m4_image_resize" -> (imageResize _),
+    "m5_video_stats" -> (videoStats _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -1921,6 +1949,35 @@ object LlmQueries {
         |  CAST(w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT) AS pixel_sum,
         |  (w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2))::DOUBLE
         |    / (w*h)::DOUBLE AS mean_luma
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+    // the Y4M demuxer's stats rebuilt from the synthesis arithmetic:
+    // Y(x,y,t) = a+x+y+3t over W×H×nf (all < 256), per-frame base sum
+    // b = W·H·a + H·ΣX + W·ΣY, stream sum = nf·b + 3·W·H·Σt; the
+    // stride-2 sampler keeps frames t=0,2,… → ns = (nf+1)//2 with
+    // Σ(sampled t) = 2·(0+1+…+(ns−1)) = ns·(ns−1)
+    "m5_video_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, 2 * (1 + length(text) % 6) AS w,
+        |    2 * (1 + length(text) % 4) AS h,
+        |    1 + length(text) % 5 AS nf,
+        |    24 + length(text) % 2 AS fps,
+        |    length(text) % 180 AS a
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS base,
+        |    (nf + 1) // 2 AS ns
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(fps AS INTEGER) AS fps_num,
+        |  CAST(nf * 1000 // fps AS BIGINT) AS duration_ms,
+        |  CAST(nf*base + 3*w*h*(nf*(nf-1)//2) AS BIGINT) AS y_sum,
+        |  (nf*base + 3*w*h*(nf*(nf-1)//2))::DOUBLE
+        |    / (w*h*nf)::DOUBLE AS mean_luma,
+        |  CAST(ns AS INTEGER) AS n_frames_sampled,
+        |  CAST(ns*base + 3*w*h*ns*(ns-1) AS BIGINT) AS sampled_y_sum
+        |FROM b ORDER BY media_id""".stripMargin
   )
 }

@@ -240,7 +240,10 @@ object JsonEnvelope {
       Map("columnNameOfCorruptRecord" -> corruptCol))
     val schemaMember = get_json_object(c, "$.schema")
     val payload = get_json_object(c, "$.payload")
-    val tombstonePayload = c.rlike(""""payload"\s*:\s*null""")
+    // structural presence check: a tombstone HAS a top-level `payload`
+    // key extracting as SQL NULL; substring matching would false-positive
+    // on a nested `"payload": null` inside a schemaless value
+    val tombstonePayload = array_contains(json_object_keys(c), "payload")
     val wireStruct = when(parsedC.isNotNull, struct(
       wt.fields.toIndexedSeq.map(f => parsedC.getField(f.name).as(f.name)): _*))
     val parsed = fromWire(wireStruct, schema)

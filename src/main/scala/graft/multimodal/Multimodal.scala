@@ -281,6 +281,102 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Metadata carried beside a video payload. */
+  val VideoMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("fps_num", IntegerType, nullable = false)))
+
+  /** Feature row emitted by the REAL Y4M demuxer/decoder. */
+  val VideoFeatureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("fps_num", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("y_sum", LongType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false),
+    StructField("n_frames_sampled", IntegerType, nullable = false),
+    StructField("sampled_y_sum", LongType, nullable = false)))
+
+  /**
+   * Synthesize REAL YUV4MPEG2 (Y4M) payloads from a text table — the
+   * video analog of [[packAsPng]]/[[packAsWav]]. Y4M is the standard
+   * uncompressed-video interchange container (mjpegtools/ffmpeg): an
+   * ASCII `YUV4MPEG2 W.. H.. F..` stream header, then per frame a
+   * `FRAME\n` marker followed by raw planar YUV. Planes are RAW (no
+   * entropy coding), so like PNG/PCM the decode is lossless and the
+   * oracle rebuilds the decoder's stats in closed form from
+   * `length(text)`: W = 2(1+len%6), H = 2(1+len%4) (even dims for
+   * 4:2:0), nf = 1+len%5 frames at (24+len%2) fps, luma Y(x,y,t) =
+   * a+x+y+3t with a = len%180 (max 209 < 256 — no modular wrap),
+   * chroma planes constant 128.
+   */
+  def packAsY4m(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", VideoMetaSchema, nullable = false)))
+    val projected = df.select(col(idCol).cast(LongType),
+      encode(col(textCol), "UTF-8"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val len = r.getAs[Array[Byte]](1).length
+        val w = 2 * (1 + len % 6)
+        val h = 2 * (1 + len % 4)
+        val nf = 1 + len % 5
+        val fps = 24 + len % 2
+        val a = len % 180
+        val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+          .getBytes("US-ASCII")
+        val frameMark = "FRAME\n".getBytes("US-ASCII")
+        val cSize = (w / 2) * (h / 2)
+        val buf = java.nio.ByteBuffer.allocate(
+          header.length + nf * (frameMark.length + w * h + 2 * cSize))
+        buf.put(header)
+        var t = 0
+        while (t < nf) {
+          buf.put(frameMark)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { buf.put((a + x + y + 3 * t).toByte); x += 1 }
+            y += 1
+          }
+          var c = 0
+          while (c < 2 * cSize) { buf.put(128.toByte); c += 1 }
+          t += 1
+        }
+        Row(id, buf.array(), Row("video/y4m", w, h, nf, fps))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Batched REAL video decode: one [[Y4mDecoder]] per partition, Y4M
+   * payloads in, demuxed dimension/frame-count/luma stats out — every
+   * number comes from the container parse and plane reads, not the
+   * synthesis metadata. `sampleStride` additionally keeps every
+   * stride-th frame (a keyframe sampler over the REAL demux, replacing
+   * the fixed-size-framing stub). */
+  def extractVideoFeatures(df: DataFrame, sampleStride: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("features", VideoFeatureSchema, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new Y4mDecoder // per-partition init (amortized)
+      rows.map(r =>
+        Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), sampleStride)))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /**
    * Batched feature extraction over the payload column. Runs via
    * `mapPartitions` on the underlying RDD: one decoder instance per
@@ -377,11 +473,91 @@ final class WavDecoder {
 }
 
 /**
- * STUB DECODER — deterministic fake standing in for a real VIDEO codec
- * (no ffmpeg in this container; images use the REAL [[ImageIoDecoder]]
- * and wav audio the REAL [[WavDecoder]] above). Features are pure
- * functions of the payload bytes so the DuckDB oracle can reproduce
- * them.
+ * REAL video decoder for the YUV4MPEG2 container — pure JVM, no native
+ * codecs (Y4M planes are raw, the demux is the whole decode). Parses
+ * the ASCII stream header (`YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<cs>`,
+ * the mjpegtools wire format), walks the `FRAME` sections, and folds
+ * luma statistics over the Y planes — dimensions, frame rate, frame
+ * count and every pixel stat come from the CONTAINER, not caller
+ * metadata. Supports 4:2:0 (half-res chroma planes) and mono
+ * colorspaces; a malformed or truncated stream fails loudly.
+ */
+final class Y4mDecoder {
+  private def lineEnd(bytes: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < bytes.length && bytes(i) != '\n') i += 1
+    require(i < bytes.length, "truncated Y4M: no newline terminating header")
+    i
+  }
+
+  /** `sampleStride` keeps every stride-th frame (from frame 0) in the
+   * sampled stats — the keyframe-sampler contract over a real demux. */
+  def decode(bytes: Array[Byte], sampleStride: Int = 2): Row = {
+    require(sampleStride >= 1, s"stride must be >= 1, got $sampleStride")
+    val hEnd = lineEnd(bytes, 0)
+    val header = new String(bytes, 0, hEnd, "US-ASCII")
+    val tokens = header.split(' ')
+    require(tokens.nonEmpty && tokens(0) == "YUV4MPEG2",
+      s"not a Y4M stream: header starts '${header.take(16)}'")
+    var w = -1; var h = -1; var fpsNum = -1; var fpsDen = 1
+    var colorspace = "420jpeg" // the Y4M default when C is absent
+    tokens.iterator.drop(1).foreach { t =>
+      t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val Array(n, d) = t.substring(1).split(':')
+          fpsNum = n.toInt; fpsDen = d.toInt
+        case 'C' => colorspace = t.substring(1)
+        case _ => // I (interlacing), A (aspect), X (extensions) — ignored
+      }
+    }
+    require(w > 0 && h > 0 && fpsNum > 0,
+      s"Y4M header missing W/H/F: '$header'")
+    val chromaSize = colorspace match {
+      case cs if cs.startsWith("420") => (w / 2) * (h / 2) * 2
+      case "mono" => 0
+      case cs => throw new IllegalArgumentException(
+        s"unsupported Y4M colorspace C$cs")
+    }
+    val ySize = w * h
+    var pos = hEnd + 1
+    var nFrames = 0
+    var ySum = 0L
+    var sampledFrames = 0
+    var sampledYSum = 0L
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(bytes, pos)
+      val mark = new String(bytes, pos, fEnd - pos, "US-ASCII")
+      require(mark.startsWith("FRAME"), s"expected FRAME marker, got '$mark'")
+      pos = fEnd + 1
+      require(pos + ySize + chromaSize <= bytes.length,
+        s"truncated Y4M frame $nFrames: need ${ySize + chromaSize} bytes")
+      var frameSum = 0L
+      var i = 0
+      while (i < ySize) { frameSum += bytes(pos + i) & 0xff; i += 1 }
+      ySum += frameSum
+      if (nFrames % sampleStride == 0) {
+        sampledFrames += 1
+        sampledYSum += frameSum
+      }
+      nFrames += 1
+      pos += ySize + chromaSize
+    }
+    require(nFrames > 0, "empty Y4M stream: no frames")
+    Row(w, h, nFrames, fpsNum,
+      nFrames.toLong * 1000L * fpsDen / fpsNum,
+      ySum, ySum.toDouble / (ySize.toLong * nFrames),
+      sampledFrames, sampledYSum)
+  }
+}
+
+/**
+ * STUB DECODER — deterministic fake retained for the m2 fixed-size
+ * framing query (video now has the REAL [[Y4mDecoder]] above; images
+ * use [[ImageIoDecoder]] and wav audio [[WavDecoder]]). Features are
+ * pure functions of the payload bytes so the DuckDB oracle can
+ * reproduce them.
  */
 final class FakeDecoder {
   def decode(bytes: Array[Byte]): Row = {

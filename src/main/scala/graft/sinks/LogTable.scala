@@ -68,16 +68,20 @@ object LogTable {
   def applyBatch(path: String, batch: DataFrame, keys: Seq[String],
                  batchId: Option[Long] = None): Unit = {
     sweepTemp(path)
-    if (batchId.exists(committedBatchIds(path).contains)) return // replayed
+    if (batchId.exists(id => maxCommittedBatchId(path).exists(_ >= id)))
+      return // replayed
     val keyed = flatten(batch)
     val delta = MergeSink.lastPerKey(keyed, keys, "seq")
     val n = versionDirs(path).lastOption.map(_._1 + 1).getOrElse(1)
     commit(path, n, delta, batchId)
   }
 
-  /** Batch ids whose versions are committed (markers survive compaction
-   * as a union marker on the compacted base). */
-  def committedBatchIds(path: String): Set[Long] =
+  /** Highest committed batch id. foreachBatch ids are monotonic and only
+   * the LAST batch can be re-delivered after a crash, so the max alone
+   * decides replay — each commit carries at most one marker and
+   * compaction folds them to a single max marker on the base, keeping
+   * marker count O(versions) forever instead of O(total batches). */
+  def maxCommittedBatchId(path: String): Option[Long] =
     versionDirs(path).flatMap { case (_, p) =>
       val s = Files.list(p)
       try s.iterator().asScala.flatMap(_.getFileName.toString match {
@@ -85,7 +89,7 @@ object LogTable {
         case _ => None
       }).toList
       finally s.close()
-    }.toSet
+    }.maxOption
 
   /** Current table state: merge all versions, newest (version, seq)
    * wins per key, tombstoned keys dropped. One shuffle over the deltas
@@ -114,10 +118,10 @@ object LogTable {
     val merged = MergeSink.lastPerKey(
         all.withColumn("_ord", struct(col("_v"), col("seq"))), keys, "_ord")
       .drop("_v", "_ord") // seq rides along in the payload unchanged
-    // the folded versions' batch markers move onto the compacted base,
-    // so replay detection survives compaction
+    // the folded versions' max batch marker moves onto the compacted
+    // base, so replay detection survives compaction
     commit(path, vs.last._1 + 1, merged,
-      carryMarkers = committedBatchIds(path))
+      batchId = maxCommittedBatchId(path))
     vs.foreach { case (_, p) => Fs.deleteRecursive(p) }
   }
 
@@ -148,14 +152,13 @@ object LogTable {
   }
 
   private def commit(path: String, n: Int, df: DataFrame,
-                     batchId: Option[Long] = None,
-                     carryMarkers: Set[Long] = Set.empty): Unit = {
+                     batchId: Option[Long] = None): Unit = {
     Files.createDirectories(Paths.get(path))
     val tmp = Paths.get(path, f".tmp-v$n%08d")
     df.write.mode("overwrite").parquet(tmp.toString)
-    // markers ride inside the dir so the atomic rename commits them
-    // with the data; the leading underscore hides them from parquet
-    (carryMarkers ++ batchId).foreach(id =>
+    // the marker rides inside the dir so the atomic rename commits it
+    // with the data; the leading underscore hides it from parquet
+    batchId.foreach(id =>
       Files.createFile(tmp.resolve(s"_batchid-$id")))
     Files.move(tmp, Paths.get(path, f"v$n%08d"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -322,15 +322,21 @@ object TextAnalysis {
    * instead of one cap: keep the `quota(domain)` hash-smallest documents
    * of each domain (deterministic rank-by-hash order, id tiebreak). The
    * quota map is a plan literal (O(domains) entries, broadcast with the
-   * task binary); one shuffle on the domain key. */
+   * task binary); one shuffle on the domain key. A domain absent from
+   * the map fails LOUDLY (quota maps derived from a stale snapshot would
+   * otherwise silently drop every row of the new domain — `rk <= NULL`
+   * filters to nothing). */
   def quotaSample(df: org.apache.spark.sql.DataFrame, domainCol: String,
                   idCol: String, quotas: Map[String, Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Hashing.h60(
       concat(col(domainCol), lit("|"), col(idCol).cast(StringType)))
     val w = Window.partitionBy(domainCol).orderBy(h, col(idCol))
+    val quota = coalesce(element_at(typedLit(quotas), col(domainCol)),
+      raise_error(concat(lit("quotaSample: no quota for domain "),
+        col(domainCol))).cast(LongType))
     df.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= element_at(typedLit(quotas), col(domainCol)))
+      .filter(col("rk") <= quota)
   }
 
   /** Rolling polynomial fingerprint of the normalized document (lowercase,

@@ -48,12 +48,15 @@ class LogTableSpec extends SparkSpec {
     LogTable.applyBatch(path, frame(Seq(1 -> "a"), 1), Seq("id"), Some(10L))
     assert(LogTable.versions(path) == Seq(1)) // replay appended nothing
     LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"), Some(11L))
-    assert(LogTable.committedBatchIds(path) == Set(10L, 11L))
+    assert(LogTable.maxCommittedBatchId(path).contains(11L))
     LogTable.compact(spark, path, Seq("id"))
-    // markers moved onto the compacted base: replays still no-op
-    assert(LogTable.committedBatchIds(path) == Set(10L, 11L))
+    // the max marker moved onto the compacted base: replays still no-op
+    assert(LogTable.maxCommittedBatchId(path).contains(11L))
     val before = LogTable.versions(path)
     LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"), Some(11L))
+    assert(LogTable.versions(path) == before)
+    // a STALE id (monotonic contract: only the last batch replays) no-ops
+    LogTable.applyBatch(path, frame(Seq(9 -> "x"), 9), Seq("id"), Some(10L))
     assert(LogTable.versions(path) == before)
     // un-id'd appends (batch-id unknown) still append — opt-in contract
     LogTable.applyBatch(path, frame(Seq(3 -> "c"), 3), Seq("id"))

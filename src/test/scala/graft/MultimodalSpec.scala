@@ -94,4 +94,55 @@ class MultimodalSpec extends SparkSpec {
     val d = new graft.multimodal.WavDecoder
     intercept[Exception](d.decode("RIFFgarbage".getBytes("US-ASCII")))
   }
+
+  test("packAsY4m writes a genuine YUV4MPEG2 stream (header + FRAME sections)") {
+    val docs = Seq((1L, "hello world"), (2L, "z" * 300)).toDF("doc_id", "text")
+    val rows = Multimodal.packAsY4m(docs, "doc_id", "text").collect()
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      val header = new String(bytes.takeWhile(_ != '\n'), "US-ASCII")
+      assert(header.startsWith("YUV4MPEG2 W"))
+      assert(header.contains(" C420jpeg"))
+      assert(new String(bytes, "ISO-8859-1").contains("FRAME\n"))
+    }
+  }
+
+  test("demuxed video stats equal the synthesis arithmetic") {
+    val text = "abcdefghij" * 5 // len 50 -> w=6, h=6, nf=1, fps=24, a=50
+    val docs = Seq((7L, text), (8L, "q" * 13)).toDF("doc_id", "text")
+    val out = Multimodal.extractVideoFeatures(
+        Multimodal.packAsY4m(docs, "doc_id", "text"), sampleStride = 2)
+      .select("media_id", "features.*").orderBy("media_id").collect()
+    for ((r, len) <- out.zip(Seq(50, 13))) {
+      val (w, h, nf, fps, a) =
+        (2 * (1 + len % 6), 2 * (1 + len % 4), 1 + len % 5, 24 + len % 2, len % 180)
+      val base = w * h * a + h * (w * (w - 1) / 2) + w * (h * (h - 1) / 2)
+      val ySum = nf.toLong * base + 3L * w * h * (nf * (nf - 1) / 2)
+      val ns = (nf + 1) / 2
+      assert(r.getInt(1) === w); assert(r.getInt(2) === h)
+      assert(r.getInt(3) === nf); assert(r.getInt(4) === fps)
+      assert(r.getLong(5) === nf.toLong * 1000L / fps)
+      assert(r.getLong(6) === ySum)
+      assert(r.getDouble(7) === ySum.toDouble / (w.toLong * h * nf))
+      assert(r.getInt(8) === ns)
+      assert(r.getLong(9) === ns.toLong * base + 3L * w * h * ns * (ns - 1))
+    }
+  }
+
+  test("the Y4M demuxer parses mono streams and rejects malformed ones") {
+    val d = new graft.multimodal.Y4mDecoder
+    // hand-built 2x2 mono stream, 2 frames, luma 1,2,3,4 then 5,6,7,8
+    val header = "YUV4MPEG2 W2 H2 F30:1 Cmono\n".getBytes("US-ASCII")
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    val bytes = header ++ fm ++ Array[Byte](1, 2, 3, 4) ++
+      fm ++ Array[Byte](5, 6, 7, 8)
+    val r = d.decode(bytes, sampleStride = 1)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2 && r.getInt(2) == 2)
+    assert(r.getLong(5) == 36L) // 1+..+8
+    assert(r.getInt(7) == 2 && r.getLong(8) == 36L)
+    intercept[IllegalArgumentException](
+      d.decode("MPEG garbage\n".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException]( // truncated frame
+      d.decode(header ++ fm ++ Array[Byte](1, 2)))
+  }
 }
