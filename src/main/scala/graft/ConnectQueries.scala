@@ -261,6 +261,52 @@ object ConnectQueries {
     rows.toDF("step", "action", "outcome", "n_versions").orderBy("step")
   }
 
+  /** C5b — the registry REST protocol end-to-end: an in-process HTTP
+   * shim ([[graft.codec.RegistryServer]]) fronts the registry, and
+   * EVERYTHING the lab's curl scripts do runs over the wire
+   * (`실습수행/Schema Registry 기반의 Connector 구성 실습.md:140-174`):
+   * v1 registers via POST (its response id frames the payloads), v2
+   * adds an optional column, a required add probes incompatible then
+   * 409s, writer/reader schemas resolve back through GET — and the framed
+   * decode runs on the HTTP-fetched schemas, v1 rows filling v2's added
+   * field with its null default. */
+  def registryRestFramed(s: SparkSession, dir: String): DataFrame = {
+    val registry = new graft.codec.SchemaRegistry()
+    val server = new graft.codec.RegistryServer(registry)
+    val baseUrl = server.start()
+    try {
+      val client = new graft.codec.RegistryHttpClient(baseUrl)
+      val subject = "om.region-value"
+      val frame = Connect.toConnectFrame(
+        T(s, dir, "region"), Seq("r_regionkey"), "om.region", "r_regionkey")
+      val v1 = frame.schema("value").dataType.asInstanceOf[StructType]
+      val id1 = client.register(subject, v1) // POST /subjects/.../versions
+      val header = java.nio.ByteBuffer.allocate(5)
+        .put(0: Byte).putInt(id1).array()
+      val encoded = AvroCodec.encode(frame).withColumn("value",
+        when(col("value").isNotNull, concat(lit(header), col("value"))))
+      val v2 = StructType(v1.fields :+
+        StructField("r_note", StringType, nullable = true))
+      // a REQUIRED add breaks BACKWARD (old rows can't fill it) — the
+      // probe must say incompatible and the POST must 409
+      val badV3 = StructType(v2.fields :+
+        StructField("r_flag", StringType, nullable = false))
+      client.register(subject, v2)
+      val probedIncompatible = !client.compatible(subject, badV3)
+      val evolutionRejected = client.tryRegister(subject, badV3).isLeft
+      // resolve schemas back over the wire; decode runs on those
+      val writers = client.writerSchemas(subject)
+      val (latestVersion, _, reader) = client.latest(subject)
+      AvroCodec.decodeFramedWith(encoded, writers, reader)
+        .select(col("value.r_regionkey").as("r_regionkey"),
+          col("value.r_name").as("r_name"),
+          col("value.r_note").as("r_note"),
+          lit(latestVersion).as("latest_version"),
+          lit(probedIncompatible && evolutionRejected).as("required_add_rejected"))
+        .orderBy("r_regionkey")
+    } finally server.stop()
+  }
+
   /** S6b — the Debezium schema-history topic as data: replay a schema
    * chain (create → optional add → drop + retype) into its ordered DDL
    * event stream. Adds auto-apply; drops/retypes surface as `manual`
@@ -759,6 +805,7 @@ object ConnectQueries {
     "c3b_avro_temporal_decimal" -> (avroTemporalDecimal _),
     "c3c_avro_registry_framed" -> (avroRegistryFramed _),
     "c5_registry_versions" -> (registryVersions _),
+    "c5b_registry_rest" -> (registryRestFramed _),
     "s6b_schema_history_ddl" -> (schemaHistoryDdl _),
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
@@ -864,6 +911,13 @@ object ConnectQueries {
     "c3c_avro_registry_framed" ->
       """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_note
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // v1 payloads resolved through HTTP-fetched schemas: the added v2
+    // column fills with its null default; latest_version and the
+    // rejected required-add pin the protocol flow (2 versions, one 409)
+    "c5b_registry_rest" ->
+      """SELECT r_regionkey, r_name, CAST(NULL AS VARCHAR) AS r_note,
+        |  2 AS latest_version, TRUE AS required_add_rejected
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "c5_registry_versions" ->
       """SELECT * FROM (VALUES
         |  (1, 'register base', 'v1', 1),

@@ -146,12 +146,23 @@ object AvroCodec {
    */
   def decodeFramed(df: DataFrame, registry: SchemaRegistry, subject: String,
                    column: String = "value"): DataFrame = {
-    val spark = df.sparkSession
     val reader = registry.latest(subject).getOrElse(
       throw new NoSuchElementException(s"no versions for $subject")).schema
     // driver-side snapshot of id -> writer avro json (serializable)
     val writers: Map[Int, String] = registry.versions(subject)
       .map(r => r.id -> avroSchemaJson(r.schema)).toMap
+    decodeFramedWith(df, writers, reader, column)
+  }
+
+  /** [[decodeFramed]] with the schemas already RESOLVED — the entry
+   * point for registry clients that looked them up over the wire (the
+   * REST shim's [[RegistryHttpClient.writerSchemas]]): `writers` maps
+   * each embedded schema id to its Avro JSON, `reader` is the consumer
+   * schema the rows resolve into. */
+  def decodeFramedWith(df: DataFrame, writers: Map[Int, String],
+                       reader: StructType,
+                       column: String = "value"): DataFrame = {
+    val spark = df.sparkSession
     val readerJson = avroSchemaJson(reader)
     val inIdx = df.schema.fieldIndex(column)
     val outSchema = StructType(df.schema.fields.updated(inIdx,

@@ -72,6 +72,18 @@ final class SchemaRegistry(
   private val compatOverrides =
     scala.collection.mutable.HashMap.empty[String, Compat]
   private var nextId = 1
+  private var global = defaultCompat
+
+  /** The registry-global level (the REST `/config` resource — mutable,
+   * as `PUT /config` is how the labs relax it). */
+  def globalCompat: Compat = synchronized(global)
+
+  def setGlobalCompat(level: Compat): Unit = synchronized { global = level }
+
+  /** The per-subject override alone, if one is set (REST
+   * `/config/{subject}` 404s when the subject has no override). */
+  def compatOverride(subject: String): Option[Compat] =
+    synchronized(compatOverrides.get(subject))
 
   def subjects: Seq[String] = synchronized(bySubject.keys.toSeq)
 
@@ -83,9 +95,9 @@ final class SchemaRegistry(
   def schemaById(id: Int): Option[Registered] =
     synchronized(bySubject.valuesIterator.flatten.find(_.id == id))
 
-  /** Per-subject override, falling back to the global default. */
+  /** Per-subject override, falling back to the global level. */
   def compatLevel(subject: String): Compat =
-    synchronized(compatOverrides.getOrElse(subject, defaultCompat))
+    synchronized(compatOverrides.getOrElse(subject, global))
 
   def setCompat(subject: String, level: Compat): Unit =
     synchronized { compatOverrides(subject) = level }

@@ -138,4 +138,77 @@ class RegistrySpec extends AnyFunSuite {
     val again = reg.register("s", base).toOption.get
     assert(again.version == 1 && again.id == 2) // ids never reuse
   }
+
+  test("structFromAvroJson inverts avroSchemaJson across the type subset") {
+    import graft.codec.{AvroCodec, RegistryServer}
+    val all = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("l", LongType, nullable = true),
+      StructField("f", FloatType, nullable = false),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = false),
+      StructField("b", BooleanType, nullable = true),
+      StructField("raw", BinaryType, nullable = false),
+      StructField("dt", DateType, nullable = true),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("dec", DecimalType(10, 3), nullable = true)))
+    assert(RegistryServer.structFromAvroJson(
+      AvroCodec.avroSchemaJson(all)) == all)
+  }
+
+  test("the REST shim drives register -> evolve -> decode over HTTP") {
+    import graft.codec.{RegistryHttpClient, RegistryServer}
+    val reg = new SchemaRegistry()
+    val server = new RegistryServer(reg)
+    val url = server.start()
+    try {
+      val client = new RegistryHttpClient(url)
+      val subject = "t-value"
+      val id1 = client.register(subject, base) // v1 over the wire
+      assert(client.register(subject, base) == id1) // idempotent re-POST
+      val id2 = client.register(subject, addOptional) // v2
+      assert(id2 > id1)
+      assert(client.subjects() == Seq(subject))
+      assert(client.versionsOf(subject) == Seq(1, 2))
+      assert(client.schemaById(id1) == base)
+      // rename: probe says incompatible, POST 409s, NONE override unblocks
+      assert(!client.compatible(subject, renamed))
+      assert(client.tryRegister(subject, renamed).isLeft)
+      client.setCompat(subject, "NONE")
+      assert(client.tryRegister(subject, renamed).isRight)
+      assert(client.globalCompat() == "BACKWARD")
+      client.setGlobalCompat("FULL")
+      assert(client.globalCompat() == "FULL")
+      // latest + writer map resolved over HTTP feed the framed decode
+      val (v, _, reader) = client.latest(subject)
+      assert(v == 3 && reader == renamed)
+      val writers = client.writerSchemas(subject)
+      assert(writers.keySet == Set(id1, id2, writers.keySet.max))
+      assert(RegistryServer.structFromAvroJson(writers(id2)) == addOptional)
+      assert(client.deleteSubject(subject) == Seq(1, 2, 3))
+      assert(client.subjects().isEmpty)
+    } finally server.stop()
+  }
+
+  test("REST errors carry protocol codes: 40401/40402/40403 and 409") {
+    import graft.codec.{RegistryHttpClient, RegistryServer}
+    val reg = new SchemaRegistry()
+    val server = new RegistryServer(reg)
+    val url = server.start()
+    try {
+      val client = new RegistryHttpClient(url)
+      def status(path: String): Int = {
+        val http = java.net.http.HttpClient.newHttpClient()
+        http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url + path)).GET().build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+      }
+      assert(status("/subjects/none/versions") == 404)
+      assert(status("/schemas/ids/99") == 404)
+      assert(status("/config/none") == 404)
+      client.register("t-value", base)
+      assert(status("/subjects/t-value/versions/7") == 404)
+      assert(client.tryRegister("t-value", addRequired).isLeft) // 409 path
+    } finally server.stop()
+  }
 }
