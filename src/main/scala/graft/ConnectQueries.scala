@@ -603,6 +603,107 @@ object ConnectQueries {
   }
 
   /**
+   * L9 — the Connect worker REST protocol end-to-end: the ops surface
+   * the reference drives with httpie (`scripts/register_connector:1`,
+   * `scripts/show_connectors:1`, `scripts/delete_connector:1`) served
+   * by an in-process HTTP facade over the Engine, with DATA FLOWING
+   * BETWEEN the lifecycle steps. The connector registers via `POST
+   * /connectors` (body = the pipeline-spec JSON, the
+   * reference `connector_configs` JSON analog) and ingests the snapshot wave;
+   * `PUT …/pause` stops it (status PAUSED over `GET …/status`); the
+   * change wave (updates + tombstones) lands while paused; `PUT
+   * …/resume` picks it up from the checkpoint — the labs' pause/
+   * resume-with-backlog flow; `DELETE /connectors/{name}` then
+   * removes it and the connector list reads empty. Every probe column
+   * in the output came over the wire.
+   */
+  def connectRestLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l9_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"; val state = s"$base/state"
+    Files.createDirectories(Paths.get(in))
+
+    val nation = T(s, dir, "nation")
+    val w1 = nation
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(0L))
+    val w2 = nation.filter(col("n_nationkey") % 5 === 0)
+      .withColumn("n_name", lit("updated via REST"))
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
+      .unionByName(nation.filter(col("n_nationkey") % 7 === 3)
+        .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
+    def stage(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst, // oldest-first source order per wave
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    stage(w1, 0) // only the snapshot wave exists at register time
+
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val server = new graft.pipeline.ConnectServer(engine)
+    val url = server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: Option[String] = None) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url + path))
+        val r = http.send(body.fold(b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+            b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() < 400,
+          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
+        r.body()
+      }
+      def state_(): String = { // connector.state out of the status payload
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(call("GET", "/connectors/l9/status"))
+        n.get("connector").get("state").asText()
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper() // JSON escape
+      val specJson =
+        s"""{"name":"l9",
+           |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+           |  "schemaDdl":${q.writeValueAsString(w1.schema.toDDL)},
+           |  "keyFields":["n_nationkey"],"seqColumn":"seq",
+           |  "topic":"om.nation","maxFilesPerTrigger":"4"},
+           |"transforms":[],
+           |"sink":{"type":"logtable","path":${q.writeValueAsString(state)},
+           |  "keys":["n_nationkey"]}}""".stripMargin
+      call("POST", "/connectors", Some(specJson))
+      scoped.streams.active.foreach(_.processAllAvailable()) // snapshot wave
+      val stRunning = state_()
+      call("PUT", "/connectors/l9/pause")
+      val stPaused = state_()
+      stage(w2, 1) // backlog lands while paused
+      call("PUT", "/connectors/l9/resume")
+      scoped.streams.active.foreach(_.processAllAvailable()) // change wave
+      val stResumed = state_()
+      call("DELETE", "/connectors/l9")
+      val after = call("GET", "/connectors")
+      graft.sinks.LogTable.read(s, state, Seq("n_nationkey"))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          lit(stRunning).as("status_after_register"),
+          lit(stPaused).as("status_while_paused"),
+          lit(stResumed).as("status_after_resume"),
+          lit(after == "[]").as("deregistered"))
+        .orderBy("n_nationkey")
+    } finally server.stop()
+  }
+
+  /**
    * K14 — the reference's BIGGEST workload shape, reconciled end-to-end:
    * `CONNECT_DML_TEST(0, 5000, 100, 100)` across all five lab tables
    * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:444-502`,
@@ -815,10 +916,25 @@ object ConnectQueries {
     "k7_cdc_ingest_dml" -> (cdcIngestDml _),
     "k7b_cdc_engine_stream" -> (cdcEngineStream _),
     "k8_incremental_agg" -> (incrementalAgg _),
-    "k14_soak_reconcile" -> (soakReconcile _)
+    "k14_soak_reconcile" -> (soakReconcile _),
+    "l9_connect_rest" -> (connectRestLifecycle _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    // final state from the wave algebra (tombstones k%7=3 win by seq,
+    // updates k%5=0 on the survivors); the lifecycle probes are the
+    // protocol contract: RUNNING -> PAUSED -> RUNNING, then deregistered
+    "l9_connect_rest" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'updated via REST'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey,
+        |  'RUNNING' AS status_after_register,
+        |  'PAUSED' AS status_while_paused,
+        |  'RUNNING' AS status_after_resume,
+        |  TRUE AS deregistered
+        |FROM nation WHERE n_nationkey % 7 <> 3
+        |ORDER BY n_nationkey""".stripMargin,
     // the soak's final state from the DML arithmetic: keys k with
     // (k+1)%100==0 are deleted (the proc deletes i-1 on every 100th
     // iteration), keys with k%100==0 carry updated values; identical

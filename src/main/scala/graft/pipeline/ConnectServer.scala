@@ -1,0 +1,130 @@
+package graft.pipeline
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/**
+ * L9 — the Connect worker REST surface over the [[Engine]]: an
+ * in-process HTTP facade speaking the lifecycle protocol the
+ * reference's ops scripts drive with httpie/curl — `scripts/
+ * register_connector:1` (`POST /connectors`), `scripts/
+ * delete_connector:1` (`DELETE /connectors/{name}`), `scripts/
+ * show_connectors:1` (`GET /connectors`), plus the status / pause /
+ * resume / restart / offset-reset endpoints the labs hit inline
+ * (`실습수행/JDBC Source Connector 실습.md` REST sections). The
+ * request body is the engine's pipeline-spec JSON (the analog of the
+ * reference's `connector_configs` JSON files).
+ *
+ * Same JDK-httpserver pattern as [[graft.codec.RegistryServer]] — no
+ * extra dependencies; the facade owns NO state beyond the posted
+ * config bodies (returned verbatim by `GET /connectors/{name}`), so
+ * engine-API users and REST users see one registry of pipelines.
+ *
+ * Protocol fidelity notes: POST returns 201 with the connector
+ * payload; a duplicate name 409s (the single-writer rule); pause /
+ * resume return 202 (they are asynchronous in Connect); restart and
+ * DELETE return 204; status has the `{connector: {state}, tasks:
+ * [...]}` shape with a FAILED task carrying its `trace`; offsets
+ * reset (`DELETE /connectors/{name}/offsets`, Connect's KIP-875
+ * shape) 409s while the connector runs.
+ */
+final class ConnectServer(engine: Engine, port: Int = 0) {
+  import ConnectServer._
+
+  private val configs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private var server: HttpServer = _
+
+  /** Start listening; returns the base URL (ephemeral port by default). */
+  def start(): String = synchronized {
+    require(server == null, "already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex))
+    server.start()
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val segs = ex.getRequestURI.getPath.split('/').filter(_.nonEmpty).toList
+      (ex.getRequestMethod, segs) match {
+        case ("GET", List("connectors")) =>
+          json(ex, 200, engine.list().map(quote).mkString("[", ",", "]"))
+        case ("POST", List("connectors")) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val name = mapper.readTree(body).get("name").asText
+          engine.registerJson(body) // IllegalStateException -> 409 below
+          configs(name) = body
+          json(ex, 201, connectorPayload(name))
+        case ("GET", List("connectors", n)) =>
+          requireKnown(n)
+          json(ex, 200, connectorPayload(n))
+        case ("GET", List("connectors", n, "status")) =>
+          requireKnown(n)
+          val (_, s) = engine.status(n)
+          // Connect states; a failure carries its trace on the task
+          val (state, trace) = s.split(": ", 2) match {
+            case Array(st, tr) => (st, Some(tr))
+            case _ => (s, None)
+          }
+          json(ex, 200,
+            s"""{"name":${quote(n)},"connector":{"state":${quote(state)}},""" +
+              s""""tasks":[{"id":0,"state":${quote(state)}""" +
+              trace.map(t => s""","trace":${quote(t)}""").getOrElse("") + "}]}")
+        case ("PUT", List("connectors", n, "pause")) =>
+          requireKnown(n); engine.pause(n); empty(ex, 202)
+        case ("PUT", List("connectors", n, "resume")) =>
+          requireKnown(n); engine.resume(n); empty(ex, 202)
+        case ("POST", List("connectors", n, "restart")) =>
+          requireKnown(n); engine.pause(n); engine.resume(n); empty(ex, 204)
+        case ("DELETE", List("connectors", n)) =>
+          requireKnown(n)
+          engine.delete(n); configs.remove(n); empty(ex, 204)
+        case ("DELETE", List("connectors", n, "offsets")) =>
+          requireKnown(n)
+          engine.resetOffsets(n) // IllegalStateException (running) -> 409
+          json(ex, 200,
+            s"""{"message":"The offsets for this connector have been reset successfully."}""")
+        case (m, _) =>
+          err(ex, 404, s"no route for $m ${ex.getRequestURI}")
+      }
+    } catch {
+      case e: java.util.NoSuchElementException => err(ex, 404, e.getMessage)
+      case e: IllegalStateException => err(ex, 409, e.getMessage)
+      case e: Exception =>
+        err(ex, 400, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally ex.close()
+
+  private def requireKnown(name: String): Unit =
+    if (!engine.list().contains(name))
+      throw new java.util.NoSuchElementException(s"no pipeline '$name'")
+
+  private def connectorPayload(name: String): String =
+    s"""{"name":${quote(name)},"config":${configs.getOrElse(name, "{}")}}"""
+
+  private def json(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def empty(ex: HttpExchange, status: Int): Unit =
+    ex.sendResponseHeaders(status, -1)
+
+  private def err(ex: HttpExchange, status: Int, msg: String): Unit =
+    json(ex, status,
+      s"""{"error_code":$status,"message":${quote(String.valueOf(msg))}}""")
+}
+
+object ConnectServer {
+  private val mapper = new ObjectMapper()
+  private def quote(s: String): String = mapper.writeValueAsString(s)
+}

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{ConnectServer, Engine}
+
+/** The Connect worker REST surface: lifecycle over HTTP against a real
+  * streaming pipeline, plus the protocol's status codes — 201/409 on
+  * register, 202 pause/resume, 204 delete, 404 unknown, 409 on
+  * offset-reset-while-running. */
+class ConnectServerSpec extends SparkSpec {
+
+  private val mapper = new ObjectMapper()
+  private val http = java.net.http.HttpClient.newHttpClient()
+
+  private def call(url: String, method: String, path: String,
+                   body: Option[String] = None) = {
+    val b = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(url + path))
+    http.send(body.fold(b.method(method,
+        java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+        b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+      .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  private def writeCsv(dir: String, name: String, lines: String*): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, name),
+      ("id,v,seq,__deleted" +: lines).mkString("\n"))
+  }
+
+  private def specJson(name: String, in: String, out: String): String =
+    s"""{
+       |  "name": "$name",
+       |  "source": {"type": "csv", "path": "$in",
+       |    "schemaDdl": "id INT, v STRING, seq LONG, __deleted STRING",
+       |    "keyFields": ["id"], "seqColumn": "seq", "topic": "om.t"},
+       |  "transforms": [],
+       |  "sink": {"type": "table", "path": "$out", "keys": ["id"]}
+       |}""".stripMargin
+
+  test("REST lifecycle: register, status, pause with backlog, resume, delete") {
+    val base = Files.createTempDirectory("connectrest").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false", "2,b,11,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      val post = call(url, "POST", "/connectors", Some(specJson("p1", in, out)))
+      assert(post.statusCode() == 201)
+      assert(mapper.readTree(post.body()).get("name").asText() == "p1")
+      // the posted config comes back verbatim under "config"
+      val got = mapper.readTree(
+        call(url, "GET", "/connectors/p1").body()).get("config")
+      assert(got.get("source").get("type").asText() == "csv")
+      assert(call(url, "GET", "/connectors").body() == "[\"p1\"]")
+      // duplicate register violates the single-writer rule -> 409
+      assert(call(url, "POST", "/connectors",
+        Some(specJson("p1", in, out))).statusCode() == 409)
+
+      spark.streams.active.foreach(_.processAllAvailable())
+      val st = mapper.readTree(
+        call(url, "GET", "/connectors/p1/status").body())
+      assert(st.get("connector").get("state").asText() == "RUNNING")
+      assert(st.get("tasks").get(0).get("state").asText() == "RUNNING")
+
+      // offsets reset while running -> 409 (pause first, says Connect)
+      assert(call(url, "DELETE", "/connectors/p1/offsets").statusCode() == 409)
+
+      assert(call(url, "PUT", "/connectors/p1/pause").statusCode() == 202)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p1/status").body())
+        .get("connector").get("state").asText() == "PAUSED")
+      writeCsv(in, "f2.csv", "1,a2,20,false", "3,c,21,false")
+      assert(call(url, "PUT", "/connectors/p1/resume").statusCode() == 202)
+      spark.streams.active.foreach(_.processAllAvailable())
+      val s2 = spark.read.parquet(out).select("id", "v")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(s2 == Set((1, "a2"), (2, "b"), (3, "c")))
+
+      assert(call(url, "POST", "/connectors/p1/restart").statusCode() == 204)
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(call(url, "DELETE", "/connectors/p1").statusCode() == 204)
+      assert(call(url, "GET", "/connectors").body() == "[]")
+      assert(call(url, "GET", "/connectors/p1/status").statusCode() == 404)
+    } finally server.stop()
+  }
+
+  test("unknown connector and malformed register map to 404/400") {
+    val engine = new Engine(spark,
+      Files.createTempDirectory("connectrest").toString)
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      assert(call(url, "GET", "/connectors/none").statusCode() == 404)
+      assert(call(url, "PUT", "/connectors/none/pause").statusCode() == 404)
+      assert(call(url, "POST", "/connectors",
+        Some("""{"name":"x"}""")).statusCode() == 400)
+      assert(call(url, "GET", "/connectors").body() == "[]") // nothing leaked
+    } finally server.stop()
+  }
+}
