@@ -776,6 +776,31 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** X20: per-source vocabulary cardinality via the KMV bottom-k sketch
+   * ([[graft.functions.Sketches]]) — the distinct-count estimator a
+   * 100 TB curation run uses where exact COUNT(DISTINCT) would shuffle
+   * the full token set: the aggregation carries ≤ k longs per (source,
+   * map task), and per-batch sketches union losslessly. Deterministic
+   * md5 hashing makes even the ESTIMATE oracle-exact. */
+  def kmvVocabulary(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    // 3-shingles, not bare tokens: the synthetic corpus has a tiny
+    // shared vocabulary (~30 words), but its shingle space is
+    // combinatorial — thousands per source — so the ESTIMATE path is
+    // what the gate checks, not just the exact-below-k fallback
+    Tpar(s, dir, "documents")
+      .select(col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh"))
+      .select(col("source"), graft.functions.Hashing.h60(col("sh")).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.Sketches.kmvCol(col("h"), k).as("sk"))
+      .select(col("source"),
+        size(col("sk.mins")).as("m"),
+        element_at(col("sk.mins"), size(col("sk.mins"))).as("hk"),
+        graft.functions.Sketches.kmvEstimate(col("sk"), k).as("est_distinct"))
+      .orderBy("source")
+  }
+
   /** X7: PII detection + redaction. The synthetic corpus has no PII, so
    * the query plants a deterministic email/phone per doc, then counts
    * and scrubs — exercising the real mechanism end-to-end. */
@@ -982,6 +1007,7 @@ object LlmQueries {
     "x11_quality_band" -> (qualityBand _),
     "x12_domain_cap" -> (domainCap _),
     "x13_mix_report" -> (mixReport _),
+    "x20_kmv_distinct" -> (kmvVocabulary _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
@@ -1878,6 +1904,26 @@ object LlmQueries {
          |  substr(redacted, -40, 40) AS redacted_tail
          |FROM red ORDER BY doc_id""".stripMargin
     },
+    // bottom-64 of the same md5-derived hash domain; when the buffer
+    // filled, estimate = 63·2⁶⁰ / h₍₆₄₎ — one exact-product literal,
+    // one long→double cast, one divide: bit-identical across engines
+    "x20_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '\S+') AS tk FROM documents),
+        |sh AS (
+        |  SELECT source, unnest(list_transform(range(0, len(tk) - 2),
+        |    i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS t
+        |  FROM toks),
+        |h AS (SELECT DISTINCT source,
+        |        (('0x' || substr(md5(t), 1, 15))::BIGINT) AS h FROM sh),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM h),
+        |s AS (SELECT source, count(*) AS m, max(h) AS hk
+        |      FROM r WHERE rk <= 64 GROUP BY source)
+        |SELECT source, CAST(m AS INTEGER) AS m, hk,
+        |  CASE WHEN m < 64 THEN m::DOUBLE
+        |       ELSE 63.0 * 1152921504606846976.0 / hk::DOUBLE END AS est_distinct
+        |FROM s ORDER BY source""".stripMargin,
     "x8_tfidf_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
