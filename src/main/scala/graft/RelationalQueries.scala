@@ -385,6 +385,89 @@ object RelationalQueries {
       .orderBy("user_id", "view_ts", "buy_ts")
   }
 
+  /** W8: a RUNNING stream-stream LEFT OUTER interval join — w4's shape
+   * plus the semantics that make outer joins STATEFUL in a new way:
+   * an unmatched left row may only emit (with nulls) once the
+   * watermark proves no match can still arrive, i.e. strictly LATER
+   * than the matching inner rows. The harness drives that path for
+   * real: the events land as micro-batch 1, then a second batch
+   * carries one far-future sentinel per side (filtered from the
+   * output) whose only job is to advance BOTH sides' watermarks —
+   * the global watermark is their MIN, so one-sided progress would
+   * hold every outer row hostage — and the trailing no-data batch
+   * flushes the evicted non-matches as null-extended rows. At 100 TB
+   * the same plan's state is bounded by the watermark delay, and
+   * outer-emission latency ≈ the join window + delay — the price of
+   * proving a negative on a stream. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/w8_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val src = Paths.get(s"$dir/events.parquet")
+    val dst = in.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // one sentinel per SIDE at 2100-01-01 (nanos), mtime-ordered after
+    // the data file so it lands as its own micro-batch
+    val farFuture = 4102444800000000000L
+    scoped.createDataFrame(
+        java.util.List.of(
+          org.apache.spark.sql.Row(-1L, farFuture, -1L, "view", 0.0, "{}"),
+          org.apache.spark.sql.Row(-2L, farFuture, -2L, "purchase", 0.0, "{}")),
+        raw)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/sentinel")
+    val sentinelPart = {
+      val st = Files.list(Paths.get(s"$base/sentinel"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally st.close()
+    }
+    val sentinelDst = in.resolve("zz-sentinel.parquet")
+    Files.move(sentinelPart, sentinelDst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+    Files.setLastModifiedTime(sentinelDst,
+      java.nio.file.attribute.FileTime.fromMillis(1000060000L * 1000L))
+
+    def side(tpe: String, tsAs: String) = scoped.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+      .filter(col("event_type") === tpe)
+      .select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .withWatermark(tsAs, "1 hour")
+    val views = side("view", "view_ts")
+    val buys = side("purchase", "buy_ts").withColumnRenamed("user_id", "buyer_id")
+    val joined = views.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr("INTERVAL 4 HOURS"),
+      "left_outer")
+    val q = joined.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .filter(col("user_id") >= 0) // the watermark sentinels are not data
+      .select(col("user_id"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"),
+        col("buy_ts").cast(TimestampNTZType).as("buy_ts"),
+        col("buy_ts").isNotNull.as("matched"))
+      .orderBy("user_id", "view_ts", "buy_ts")
+  }
+
   /** W5: a RUNNING stream-STATIC enrichment join — the streaming side of
    * every CDC/event pipeline that decorates a stream with dimension
    * attributes: the events file-stream joins a static customer dim on
@@ -540,6 +623,7 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_stream_stream_join" -> (streamStreamJoin _),
+    "w8_stream_outer_join" -> (streamOuterJoin _),
     "w7_stream_dedup" -> (streamDedup _),
     "w5_stream_static_join" -> (streamStaticJoin _),
     "w6_stream_windowed_agg" -> (streamWindowedAgg _),
@@ -736,6 +820,16 @@ object RelationalQueries {
         |FROM events a JOIN events b
         |  ON a.user_id = b.user_id
         | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 4 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
+    // the static left join the watermark-driven outer emission must
+    // converge to once every in-window match is provably in or out
+    "w8_stream_outer_join" ->
+      """SELECT a.user_id, a.ts AS view_ts, b.ts AS buy_ts,
+        |  b.ts IS NOT NULL AS matched
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
         | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 4 HOUR
         |ORDER BY 1, 2, 3""".stripMargin,
     "w1_tumbling_window" ->
