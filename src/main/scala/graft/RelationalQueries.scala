@@ -180,6 +180,26 @@ object RelationalQueries {
       LIMIT 10""")
   }
 
+  /** Q18: LATERAL correlated subquery — the per-row "top-2 orders for
+   * THIS customer" loop a procedural engine would nest-and-re-execute.
+   * Catalyst DECORRELATES it: the lateral subquery with its correlated
+   * predicate + ORDER BY + LIMIT compiles to `WindowGroupLimit` (the
+   * rank-k pushdown that thins each partition BEFORE the shuffle, same
+   * physical shape as q5's top-k) followed by ONE equi-join — per-row
+   * re-execution never happens, which is the difference between
+   * O(customers × orders-scan) and two scans at 100 TB. */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "customer").createOrReplaceTempView("v_customer")
+    T(s, dir, "orders").createOrReplaceTempView("v_orders")
+    s.sql("""
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      FROM v_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM v_orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+  }
+
   /** Q11: TPC-H Q5 shape — the 6-table star join. The dimension chain
    * region→nation→supplier broadcasts as one small build side (no
    * shuffle for any dimension); only the fact-side lineitem⋈orders⋈
@@ -643,6 +663,7 @@ object RelationalQueries {
     "q14_cube" -> (cubeAgg _),
     "q16_distribution_windows" -> (distributionWindows _),
     "q17_set_ops_all" -> (setOpsAll _),
+    "q18_lateral_topn" -> (lateralTopN _),
     "w1_tumbling_window" -> (tumblingWindow _),
     "w2_sliding_window" -> (slidingWindow _),
     "w3_session_window" -> (sessionWindow _)
@@ -780,6 +801,15 @@ object RelationalQueries {
         |  w7 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, rn""".stripMargin,
+    // DuckDB runs the same LATERAL; both engines must produce the
+    // identical deterministic top-2 (price desc, orderkey tiebreak)
+    "q18_lateral_topn" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
     "q17_set_ops_all" ->
       """WITH a AS (SELECT o_custkey % 100 AS k FROM orders),
         |b AS (SELECT c_custkey % 100 AS k FROM customer)

@@ -284,4 +284,20 @@ class PlanQualitySpec extends SparkSpec {
     assert("Window ".r.findAllIn(p).size <= 1 && p.contains("row_number"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("LATERAL top-n decorrelates: WindowGroupLimit + one equi-join, no per-row loop") {
+    val p = plan(RelationalQueries.queries("q18_lateral_topn")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), "rank-k pushdown must fire")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the correlated subquery must not survive as a nested loop")
+  }
+
+  test("kmv sketch: partial aggregation before the exchange (bounded sketch partials)") {
+    val p = plan(LlmQueries.queries("x20_kmv_distinct")(spark, dir))
+    // ObjectHashAggregate runs the Aggregator in partial mode map-side;
+    // the exchange then carries <= k longs per (group, task)
+    assert(p.contains("ObjectHashAggregate"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "partial + final aggregate expected around the exchange")
+  }
 }
