@@ -1739,22 +1739,27 @@ object LlmQueries {
          |SELECT lang, count(*) AS n_in_band, min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM r, b WHERE q >= lo AND q <= hi
          |GROUP BY lang ORDER BY lang""".stripMargin,
-    // histogram() rebuilds the exact integer counts the Spark plan
-    // embeds as map literals; the per-position fold is sequential in
-    // both engines, so the mean probability compares bit-exact
+    // histogram() rebuilds the exact integer model counts; scoring
+    // folds cnt·p over per-doc DISTINCT bigrams in bigram-sorted order
+    // — the same sequence the Spark side's array_sort fold walks, so
+    // the mean probability compares bit-exact
     "x16_bigram_lm" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
-         |bg AS (SELECT substr(text, i, 2) AS b, substr(text, i, 1) AS c
+         |bg AS (SELECT doc_id, length(text) - 1 AS n,
+         |         substr(text, i, 2) AS b, substr(text, i, 1) AS c
          |       FROM d, LATERAL unnest(range(1, length(text))) AS u(i)),
          |stats AS (SELECT histogram(b) AS mb, histogram(c) AS mc,
-         |                 count(DISTINCT b) AS v FROM bg)
+         |                 count(DISTINCT b) AS v FROM bg),
+         |bgd AS (SELECT doc_id, n, b, c, count(*) AS cnt
+         |        FROM bg GROUP BY 1, 2, 3, 4),
+         |terms AS (SELECT doc_id, n, b,
+         |    cnt * ((coalesce((mb[b])[1]::BIGINT, 0) + 1.0)
+         |           / (coalesce((mc[c])[1]::BIGINT, 0) + v)) AS t
+         |  FROM bgd, stats)
          |SELECT doc_id,
-         |  list_reduce(list_prepend(0.0::DOUBLE,
-         |    list_transform(range(1, length(text)),
-         |      i -> (coalesce((mb[substr(text, i, 2)])[1]::BIGINT, 0) + 1.0)
-         |           / (coalesce((mc[substr(text, i, 1)])[1]::BIGINT, 0) + v))),
-         |    (acc, x) -> acc + x) / (length(text) - 1) AS lm_score
-         |FROM d, stats ORDER BY doc_id""".stripMargin,
+         |  list_reduce(list_prepend(0.0::DOUBLE, array_agg(t ORDER BY b)),
+         |    (acc, x) -> acc + x) / any_value(n) AS lm_score
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // same feature CTE as x2; the head is generated from the SAME
     // weight constants the Spark plan folds in (left-associative, like
     // Catalyst), and the fast-sigmoid is rational — bit-exact

@@ -128,13 +128,15 @@ object TextAnalysis {
    * charset²-sized map (10⁷-10⁸ entries on a CJK/multilingual corpus)
    * embedded via `typedLit` would blow up the driver, the plan, and
    * every task binary. Here the counts stay distributed — scoring
-   * explodes each doc into (position, bigram) rows, joins the counts
-   * frames (threshold-decided: an ASCII model broadcasts, a CJK model
-   * shuffles on the bigram key), and folds the per-position
-   * probabilities back per doc IN POSITION ORDER, so the mean is the
-   * same sequential left fold as the oracle's `list_reduce`. A
-   * production run trains on a TRUSTED reference corpus instead of the
-   * corpus being scored — same scoring join, different training frame.
+   * reduces each doc to its DISTINCT (bigram, occurrence-count) pairs
+   * first (an order-of-magnitude fewer rows than per-position
+   * exploding), joins the counts frames (threshold-decided: an ASCII
+   * model broadcasts, a CJK model shuffles on the bigram key), and
+   * folds `cnt · p(bigram)` back per doc in BIGRAM-sorted order, so
+   * the mean is the same sequential left fold as the oracle's
+   * `list_reduce` over an identically-ordered list. A production run
+   * trains on a TRUSTED reference corpus instead of the corpus being
+   * scored — same scoring join, different training frame.
    */
 
   /** Train: exact char-bigram counts `(b, bcnt)` over a corpus — one
@@ -156,23 +158,28 @@ object TextAnalysis {
     val mc = bigramCounts.groupBy(substring(col("b"), 1, 1).as("_c"))
       .agg(sum(col("bcnt")).as("ccnt"))
     val v = bigramCounts.agg(count(lit(1)).as("v"))
-    val pos = docs.filter(length(col(textCol)) >= 2)
+    // per-doc DISTINCT bigrams with occurrence counts: the join and the
+    // per-doc fold see ~charset-bounded rows per doc, not one per
+    // position (the partial count aggregation collapses map-side)
+    val perDoc = docs.filter(length(col(textCol)) >= 2)
       .select(col(idCol), (length(col(textCol)) - 1).as("_n"),
-        posexplode(transform(sequence(lit(1), length(col(textCol)) - 1),
-          i => substr(col(textCol), i, lit(2)))).as(Seq("_pos", "_b")))
+        explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+          i => substr(col(textCol), i, lit(2)))).as("_b"))
+      .groupBy(col(idCol), col("_n"), col("_b"))
+      .agg(count(lit(1)).as("_cnt"))
       .withColumn("_c", substring(col("_b"), 1, 1))
-    pos
+    perDoc
       .join(bigramCounts.withColumnRenamed("b", "_b"), Seq("_b"), "left")
       .join(mc, Seq("_c"), "left")
       .crossJoin(broadcast(v)) // 1-row scalar — the audited pattern
-      .select(col(idCol), col("_n"), col("_pos"),
-        ((coalesce(col("bcnt"), lit(0L)) + lit(1.0)) /
-          (coalesce(col("ccnt"), lit(0L)) + col("v"))).as("_p"))
+      .select(col(idCol), col("_n"), col("_b"),
+        (col("_cnt") * ((coalesce(col("bcnt"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("ccnt"), lit(0L)) + col("v")))).as("_t"))
       .groupBy(col(idCol), col("_n"))
-      .agg(collect_list(struct(col("_pos"), col("_p"))).as("_ps"))
+      .agg(collect_list(struct(col("_b"), col("_t"))).as("_ts"))
       .select(col(idCol),
-        (aggregate(array_sort(col("_ps")), lit(0.0),
-          (acc, x) => acc + x.getField("_p")) / col("_n")).as("lm_score"))
+        (aggregate(array_sort(col("_ts")), lit(0.0),
+          (acc, x) => acc + x.getField("_t")) / col("_n")).as("lm_score"))
   }
 
   /** Composite quality score in [0,1]: reward mid-length docs, stopword
