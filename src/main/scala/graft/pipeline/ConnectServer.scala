@@ -87,6 +87,11 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
         case ("DELETE", List("connectors", n)) =>
           requireKnown(n)
           engine.delete(n); configs.remove(n); empty(ex, 204)
+        case ("GET", List("connectors", n, "offsets")) =>
+          requireKnown(n) // KIP-875 read side: committed progress
+          val off = engine.latestBatchId(n)
+            .map(id => s"""{"latest_batch_id":$id}""").getOrElse("null")
+          json(ex, 200, s"""{"name":${quote(n)},"offsets":$off}""")
         case ("DELETE", List("connectors", n, "offsets")) =>
           requireKnown(n)
           engine.resetOffsets(n) // IllegalStateException (running) -> 409

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,6 +118,23 @@ final class Engine(spark: SparkSession, root: String) {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+  }
+
+  /** L3 read side: the pipeline's committed progress, as the latest
+   * micro-batch id in its checkpoint's offset log — what Connect's
+   * `GET /connectors/{name}/offsets` (KIP-875) surfaces as the
+   * connector's stored offsets. None until the first batch commits. */
+  def latestBatchId(name: String): Option[Long] = {
+    entry(name) // unknown pipeline -> NoSuchElementException (404)
+    val dir = Paths.get(checkpointDir(name), "offsets")
+    if (!Files.isDirectory(dir)) None
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .flatMap(p => p.getFileName.toString.toLongOption)
+        .maxOption
+      finally s.close()
+    }
   }
 
   private def entry(name: String): Entry =

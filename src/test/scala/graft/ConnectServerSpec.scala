@@ -68,6 +68,10 @@ class ConnectServerSpec extends SparkSpec {
       assert(st.get("connector").get("state").asText() == "RUNNING")
       assert(st.get("tasks").get(0).get("state").asText() == "RUNNING")
 
+      // KIP-875 read side: the committed offset log is visible over HTTP
+      val off = mapper.readTree(call(url, "GET", "/connectors/p1/offsets").body())
+      assert(off.get("offsets").get("latest_batch_id").asLong() >= 0L)
+
       // offsets reset while running -> 409 (pause first, says Connect)
       assert(call(url, "DELETE", "/connectors/p1/offsets").statusCode() == 409)
 

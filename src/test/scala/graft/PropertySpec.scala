@@ -323,4 +323,61 @@ class PropertySpec extends SparkSpec {
       got == want
     }, minSuccessful = 10)
   }
+
+  test("Y4M demux recovers synthesis stats for arbitrary dims/frames/stride") {
+    val gen = for {
+      w <- Gen.choose(1, 8).map(_ * 2) // even dims for 4:2:0
+      h <- Gen.choose(1, 6).map(_ * 2)
+      nf <- Gen.choose(1, 7)
+      a <- Gen.choose(0, 180)
+      stride <- Gen.choose(1, 3)
+      mono <- Gen.prob(0.3)
+    } yield (w, h, nf, a, stride, mono)
+    check("y4mDemux", Prop.forAll(gen) { case (w, h, nf, a, stride, mono) =>
+      val cs = if (mono) "mono" else "420jpeg"
+      val cSize = if (mono) 0 else (w / 2) * (h / 2) * 2
+      val header = s"YUV4MPEG2 W$w H$h F25:1 C$cs\n".getBytes("US-ASCII")
+      val fm = "FRAME\n".getBytes("US-ASCII")
+      val buf = java.nio.ByteBuffer.allocate(
+        header.length + nf * (fm.length + w * h + cSize))
+      buf.put(header)
+      (0 until nf).foreach { t =>
+        buf.put(fm)
+        for (y <- 0 until h; x <- 0 until w)
+          buf.put(((a + x + y + 3 * t) % 256).toByte)
+        (0 until cSize).foreach(_ => buf.put(128.toByte))
+      }
+      val r = new graft.multimodal.Y4mDecoder().decode(buf.array(), stride)
+      def frameSum(t: Int) = (for (y <- 0 until h; x <- 0 until w)
+        yield ((a + x + y + 3 * t) % 256).toLong).sum
+      val ySum = (0 until nf).map(frameSum).sum
+      val sampled = (0 until nf).filter(_ % stride == 0)
+      r.getInt(0) == w && r.getInt(1) == h && r.getInt(2) == nf &&
+        r.getLong(5) == ySum &&
+        r.getInt(7) == sampled.size &&
+        r.getLong(8) == sampled.map(frameSum).sum
+    }, minSuccessful = 20)
+  }
+
+  test("KMV estimate converges on random value sets; union order never matters") {
+    import graft.functions.{Hashing, Sketches}
+    val agg = Sketches.kmv(32)
+    val gen = for {
+      n <- Gen.choose(1, 3000)
+      seed <- Gen.choose(0, 1000000)
+      cut <- Gen.choose(0, n)
+    } yield (n, seed, cut)
+    check("kmv", Prop.forAll(gen) { case (n, seed, cut) =>
+      val hs = (0 until n).map(i => Hashing.h60(s"s$seed-v$i"))
+      val whole = hs.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = hs.splitAt(cut)
+      val split = agg.merge(
+        r.foldLeft(agg.zero)(agg.reduce), l.foldLeft(agg.zero)(agg.reduce))
+      val m = whole.mins.length
+      val est = if (m < 32) m.toDouble
+                else 31.0 * Sketches.Domain60 / whole.mins.last
+      split.mins.sameElements(whole.mins) &&
+        (n < 32 || math.abs(est - n) / n < 0.75) // ~4σ at k=32
+    }, minSuccessful = 30)
+  }
 }
