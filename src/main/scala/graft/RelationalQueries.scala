@@ -432,7 +432,11 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    // outer joins keep TWO state stores per shuffle partition and this
+    // query commits them across three micro-batches (data, sentinel,
+    // no-data flush) — per-store open/commit overhead dominates at this
+    // SF, so fewer partitions is faster until state volume says otherwise
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
