@@ -88,6 +88,29 @@ object PipelineDemo {
     println("--- framed avro decoded under the evolved v2 reader (tier = null):")
     graft.codec.AvroCodec.decodeFramed(framed, reg, "om.customers-value")
       .select("value.*").orderBy("customer_id").show(false)
+
+    // the same two services over their REST protocols — what the
+    // reference drives with httpie/curl (`scripts/register_connector`,
+    // the registry's curl labs) runs against in-process HTTP facades
+    val connectSrv = new graft.pipeline.ConnectServer(engine)
+    val registrySrv = new graft.codec.RegistryServer(reg)
+    val (cUrl, rUrl) = (connectSrv.start(), registrySrv.start())
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def get(url: String) = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      println(s"--- GET $cUrl/connectors -> " + get(s"$cUrl/connectors"))
+      println(s"--- GET $rUrl/subjects  -> " + get(s"$rUrl/subjects"))
+      println("--- GET /subjects/om.customers-value/versions/latest -> " +
+        get(s"$rUrl/subjects/om.customers-value/versions/latest").take(120) + "…")
+      val client = new graft.codec.RegistryHttpClient(rUrl)
+      println("--- framed decode via HTTP-resolved schemas (same rows):")
+      graft.codec.AvroCodec.decodeFramedWith(framed,
+          client.writerSchemas("om.customers-value"),
+          client.latest("om.customers-value")._3)
+        .select("value.*").orderBy("customer_id").show(false)
+    } finally { connectSrv.stop(); registrySrv.stop() }
     spark.stop()
   }
 }
