@@ -107,7 +107,11 @@ class JsonEnvelopeSpec extends SparkSpec {
       (4L, goodWire.take(30), "malformed_envelope"),             // truncated JSON
       (5L, """{"notschema":1}""", "malformed_envelope"),         // no schema member
       (6L, """{"schema":{}}""", "missing_payload"),              // payload absent
-      (7L, """{"schema":{},"payload":42}""", "payload_parse"))   // wrong payload type
+      (7L, """{"schema":{},"payload":42}""", "payload_parse"),   // wrong payload type
+      // a NESTED "payload": null (inside the schema member) must NOT
+      // read as a tombstone: detection is top-level key presence, not
+      // a substring match over the frame text
+      (8L, """{"schema":{"default":{"payload":null}}}""", "missing_payload"))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(cases.map(c => Row(c._1, c._2))),
       StructType(Seq(StructField("k", LongType), StructField("value", StringType))))

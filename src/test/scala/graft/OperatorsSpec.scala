@@ -441,6 +441,12 @@ class OperatorsSpec extends SparkSpec {
       Map("a" -> 9L, "b" -> 100L)).filter(col("source") === "a")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept5.subsetOf(kept9))
+    // a domain missing from the quota map fails LOUDLY (a stale-snapshot
+    // quota map would otherwise silently drop the whole new domain)
+    val e = intercept[Exception](
+      TextAnalysis.quotaSample(df, "source", "doc_id", Map("a" -> 5L)).count())
+    assert(e.getMessage != null && e.getMessage.contains("no quota for domain") ||
+      Option(e.getCause).exists(_.getMessage.contains("no quota for domain")))
   }
 
   test("near-dedup verdict keeps one representative per duplicate cluster") {
