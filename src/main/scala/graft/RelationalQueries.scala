@@ -492,6 +492,92 @@ object RelationalQueries {
       .orderBy("user_id", "view_ts", "buy_ts")
   }
 
+  /** W9: LATE DATA past the watermark is DROPPED — the streaming
+   * semantic the other w-gates only imply, driven explicitly: batch 1
+   * carries the on-time events plus one far-future sentinel whose only
+   * job is to advance the watermark beyond every data window; batch 2
+   * then delivers the "late" slice (event_id % 10 == 3) whose windows
+   * the watermark has already closed, so the stateful aggregation must
+   * discard every row of it. The oracle is w1's tumbling rollup over
+   * the on-time events ONLY — if even one late row were counted, the
+   * hashes diverge. The sentinels' own windows never finalize (the
+   * watermark never passes the max event), so they cannot leak into
+   * the append-mode output. At 100 TB this drop bound IS the state
+   * bound: without it, stragglers would keep every window open forever.
+   *
+   * Staging detail (measured on Spark 4.1): the watermark a batch uses
+   * to FILTER its input lags one batch behind the one it commits —
+   * batch N filters with the max event time through batch N−2. The
+   * late file therefore lands TWO batches after the first sentinel
+   * (with a second sentinel batch in between), so its rows meet an
+   * already-advanced filter watermark; with only one batch of gap the
+   * late rows would merge into still-live state and the gate would
+   * catch exactly that regression. */
+  def lateDataDrop(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/w9_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val events = {
+      val child = s.newSession()
+      child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      child.read.schema(raw).parquet(s"$dir/events.parquet")
+    }
+    def sentinel(tsNanos: Long) = scoped.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        -1L, tsNanos, -1L, "sentinel", 0.0, "{}")), raw)
+    val farFuture = 4102444800000000000L // 2100-01-01 in nanos
+    def stage(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      val dst = in.resolve(f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    stage(events.filter(col("event_id") % 10 =!= 3), 0)    // on time
+    stage(sentinel(farFuture), 1)                          // advances wm
+    stage(sentinel(farFuture + 7200L * 1000000000L), 2)    // propagates wm
+    stage(events.filter(col("event_id") % 10 === 3), 3)    // arrives LATE
+
+    val agg = scoped.readStream.schema(raw)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in.toString)
+      .select(col("event_type"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("append") // emit only watermark-finalized windows
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .filter(col("event_type") =!= "sentinel") // defense; never finalizes
+      .select(col("window.start").cast(TimestampNTZType).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** W5: a RUNNING stream-STATIC enrichment join — the streaming side of
    * every CDC/event pipeline that decorates a stream with dimension
    * attributes: the events file-stream joins a static customer dim on
@@ -648,6 +734,7 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w4_stream_stream_join" -> (streamStreamJoin _),
     "w8_stream_outer_join" -> (streamOuterJoin _),
+    "w9_late_data_drop" -> (lateDataDrop _),
     "w7_stream_dedup" -> (streamDedup _),
     "w5_stream_static_join" -> (streamStaticJoin _),
     "w6_stream_windowed_agg" -> (streamWindowedAgg _),
@@ -871,6 +958,14 @@ object RelationalQueries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the tumbling rollup over ON-TIME events only: every event_id%10==3
+    // row arrived after the watermark closed its window and must be gone
+    "w9_late_data_drop" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 10 <> 3
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "w2_sliding_window" ->
       """WITH e AS (
         |  SELECT date_trunc('hour', ts) AS w FROM events
