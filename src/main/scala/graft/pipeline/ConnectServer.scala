@@ -24,7 +24,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * engine-API users and REST users see one registry of pipelines.
  *
  * Protocol fidelity notes: POST returns 201 with the connector
- * payload; a duplicate name 409s (the single-writer rule); pause /
+ * payload; `PUT …/config` is Connect's create-or-update (200 on
+ * update, 201 on create) — the connector restarts on the new config
+ * but, because the name pins the checkpoint dir and delete retains
+ * it, resumes from its committed offsets, exactly Connect's
+ * config-changes-don't-reset-progress contract; a duplicate POST
+ * 409s (the single-writer rule); pause /
  * resume return 202 (they are asynchronous in Connect); restart and
  * DELETE return 204; status has the `{connector: {state}, tasks:
  * [...]}` shape with a FAILED task carrying its `trace`; offsets
@@ -66,6 +71,24 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
         case ("GET", List("connectors", n)) =>
           requireKnown(n)
           json(ex, 200, connectorPayload(n))
+        case ("GET", List("connectors", n, "config")) =>
+          requireKnown(n)
+          json(ex, 200, configs.getOrElse(n, "{}"))
+        case ("PUT", List("connectors", n, "config")) =>
+          // Connect's config UPDATE: the connector restarts with the new
+          // config but keeps its identity — and because delete retains
+          // the checkpoint and the name pins the checkpoint dir, the
+          // re-registered pipeline resumes from the committed offsets
+          // (Connect semantics: config changes don't reset progress)
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val spec = PipelineSpec.fromJson(body)
+          require(spec.name == n,
+            s"config name '${spec.name}' does not match connector '$n'")
+          val existed = engine.list().contains(n)
+          if (existed) engine.delete(n)
+          engine.register(spec)
+          configs(n) = body
+          json(ex, if (existed) 200 else 201, connectorPayload(n))
         case ("GET", List("connectors", n, "status")) =>
           requireKnown(n)
           val (_, s) = engine.status(n)

@@ -93,6 +93,38 @@ class ConnectServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("PUT config updates in place and keeps committed offsets") {
+    val base = Files.createTempDirectory("connectrest").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false", "2,b,11,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      assert(call(url, "PUT", "/connectors/p2/config",
+        Some(specJson("p2", in, out))).statusCode() == 201) // create
+      spark.streams.active.foreach(_.processAllAvailable())
+      // update: same connector, new config adds an SMT
+      val withSmt = specJson("p2", in, out).replace(""""transforms": []""",
+        """"transforms": [{"type": "insertField", "field": "vv",
+          |"value": "upper(value.v)"}]""".stripMargin)
+      assert(call(url, "PUT", "/connectors/p2/config",
+        Some(withSmt)).statusCode() == 200)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p2/config").body())
+        .get("transforms").size() == 1)
+      writeCsv(in, "f2.csv", "3,c,20,false")
+      spark.streams.active.foreach(_.processAllAvailable())
+      val rows = spark.read.parquet(out).select("id", "vv").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      // offsets continued: f1 rows were NOT re-ingested under the new
+      // SMT (vv stays null for them); only the new row carries it
+      assert(rows == Map(1 -> None, 2 -> None, 3 -> Some("C")))
+      // a config whose name disagrees with the path is rejected
+      assert(call(url, "PUT", "/connectors/p2/config",
+        Some(specJson("other", in, out))).statusCode() == 400)
+    } finally { server.stop(); engine.delete("p2") }
+  }
+
   test("unknown connector and malformed register map to 404/400") {
     val engine = new Engine(spark,
       Files.createTempDirectory("connectrest").toString)
