@@ -388,6 +388,33 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E13: ANN recall@k — the eval harness every approximate index
+   * needs before it replaces the exact scan: run the IVF search (e3)
+   * and the brute-force ground truth (e1) over the same queries and
+   * measure, per query, how many of the true top-k the index
+   * recovered. Recall is the recall/latency dial's OTHER axis — probe
+   * counts and cell counts get tuned against exactly this number, and
+   * at 100 TB the eval costs one ground-truth pass over a bounded
+   * query sample, not the corpus². Both retrievals are deterministic,
+   * so even the recall FRACTION is oracle-exact. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, TopK)
+      .select("query_id", "neighbor_id")
+    val approx = Similarity.ivfTopK(q, emb, TopK, NCells, NProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(col("hit")).as("_n"))
+      .select(col("query_id"),
+        lit(TopK).as("k"),
+        col("_n").cast(IntegerType).as("n_hit"),
+        (col("_n").cast(DoubleType) / lit(TopK.toDouble)).as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
   /** E3b: IVF with k-means-TRAINED centroids — the production path next
    * to e3's fixed-centroid verifiable stand-in. Two Lloyd iterations
    * from the deterministic init, then the identical quantizer.
@@ -973,6 +1000,7 @@ object LlmQueries {
     "e1_cosine_topk" -> (cosineTopK _),
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
+    "e13_ann_recall" -> (annRecall _),
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "d10_semdedup" -> (semDedupQ _),
@@ -1615,6 +1643,40 @@ object LlmQueries {
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
+    // both retrievals re-derived (e1's exact scan, e3's IVF probe) and
+    // joined: n_hit = |ivf ∩ exact| per query; the division is one
+    // int→double cast and one divide, bit-exact in both engines
+    "e13_ann_recall" ->
+      s"""WITH cents AS (SELECT $centsSql AS ct),
+         |eq AS (SELECT vec_id AS query_id, embedding AS qv
+         |       FROM embeddings WHERE vec_id < 5),
+         |ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |escore AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM eq, ec WHERE query_id <> neighbor_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM escore) t
+         |  WHERE rank <= $TopK),
+         |iq AS (SELECT vec_id AS query_id, embedding AS qv,
+         |        unnest(list_transform(list_slice(${rankedSql("qv")}, 1, $NProbe),
+         |          x -> -x.nj)) AS cell
+         |      FROM embeddings, cents WHERE vec_id < 5),
+         |ic AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        -(${rankedSql("cv")})[1].nj AS cell
+         |      FROM embeddings, cents),
+         |iscore AS (
+         |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM iq JOIN ic USING (cell) WHERE query_id <> neighbor_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM iscore) t
+         |  WHERE rank <= $TopK)
+         |SELECT e.query_id, $TopK AS k,
+         |  CAST(count(i.neighbor_id) AS INTEGER) AS n_hit,
+         |  count(i.neighbor_id)::DOUBLE / ${TopK}.0 AS recall_at_k
+         |FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+         |GROUP BY e.query_id ORDER BY query_id""".stripMargin,
     "e9_knn_graph" -> ivfOracleSql(centsSql, qPred = "TRUE", topK = 3),
     // popcount(xor(signbits)) == count of sign disagreements — the
     // oracle counts those directly from the raw floats (DuckDB's `<<`
