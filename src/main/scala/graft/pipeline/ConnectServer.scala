@@ -120,6 +120,16 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           engine.resetOffsets(n) // IllegalStateException (running) -> 409
           json(ex, 200,
             s"""{"message":"The offsets for this connector have been reset successfully."}""")
+        case ("GET", List("connector-plugins")) =>
+          // the installed-connector listing the labs inspect before
+          // registering; kinds mirror Engine.readSource / sink dispatch
+          val plugins =
+            Seq("csv" -> "source", "parquet" -> "source", "rate" -> "source",
+              "kafka" -> "source", "table" -> "sink", "logtable" -> "sink",
+              "jdbc" -> "sink", "append" -> "sink")
+          json(ex, 200, plugins.map { case (c, t) =>
+            s"""{"class":${quote(c)},"type":${quote(t)}}"""
+          }.mkString("[", ",", "]"))
         case (m, _) =>
           err(ex, 404, s"no route for $m ${ex.getRequestURI}")
       }

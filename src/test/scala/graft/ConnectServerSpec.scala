@@ -136,6 +136,9 @@ class ConnectServerSpec extends SparkSpec {
       assert(call(url, "POST", "/connectors",
         Some("""{"name":"x"}""")).statusCode() == 400)
       assert(call(url, "GET", "/connectors").body() == "[]") // nothing leaked
+      val plugins = mapper.readTree(call(url, "GET", "/connector-plugins").body())
+      assert(plugins.size() == 8 &&
+        plugins.get(0).get("type").asText() == "source")
     } finally server.stop()
   }
 }
