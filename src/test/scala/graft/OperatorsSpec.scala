@@ -332,6 +332,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ivfTopKMulti: assign=1 equals single-assignment, overlap dedups, recall never drops") {
+    // reuse the clustered fixture but query ACROSS cluster boundaries:
+    // mix two axes so the query's neighbors straddle two cells
+    val vecs = (0 until 60).map { i =>
+      val c = i % 4
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v((c + 1) % 4) = 0.3f + 0.001f * i // strong off-axis pull
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.trainIvfCentroids(df, nCells = 4, dim = 4, iters = 3)
+    val queries = df.filter(col("id") < 4)
+    def pairs(res: org.apache.spark.sql.DataFrame) =
+      res.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // assign=1 reduces exactly to the single-assignment operator
+    val single = pairs(Similarity.ivfTopKWith(queries, df, 5, cents, nprobe = 1))
+    val multi1 = pairs(Similarity.ivfTopKMulti(queries, df, 5, cents,
+      nprobe = 1, assign = 1))
+    assert(multi1.toSet == single.toSet)
+    // overlapping cells never produce duplicate (query, neighbor) pairs
+    val multi2 = pairs(Similarity.ivfTopKMulti(queries, df, 5, cents,
+      nprobe = 2, assign = 2))
+    assert(multi2.length == multi2.distinct.length)
+    // candidates only grow with assign, so recall vs brute force never drops
+    val truth = pairs(Similarity.bruteForceTopK(queries, df, 5)).toSet
+    val r1 = (multi1.toSet & truth).size
+    val r2 = (pairs(Similarity.ivfTopKMulti(queries, df, 5, cents,
+      nprobe = 1, assign = 2)).toSet & truth).size
+    assert(r2 >= r1)
+  }
+
   test("bigramLmScore is the mean Laplace-smoothed bigram probability") {
     import graft.text.TextAnalysis
     // trained on "abab": bigrams ab(x2), ba(x1); V=2; derived char
