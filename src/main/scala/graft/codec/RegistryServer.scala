@@ -127,14 +127,20 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
   }
 
   private def withCompat(ex: HttpExchange)(
-      f: SchemaRegistry.Compat => Unit): Unit = {
-    val body = mapper.readTree(new String(
-      ex.getRequestBody.readAllBytes(), UTF_8))
-    val node = body.get("compatibility")
-    if (node == null) err(ex, 422, 42203, "missing 'compatibility' member")
-    else try f(SchemaRegistry.Compat.parse(node.asText()))
-    catch { case e: IllegalArgumentException => err(ex, 422, 42203, e.getMessage) }
-  }
+      f: SchemaRegistry.Compat => Unit): Unit =
+    // the body PARSE sits inside the same try as the level parse: an
+    // unparseable JSON body is the protocol's 422, not a generic 500
+    try {
+      val body = mapper.readTree(new String(
+        ex.getRequestBody.readAllBytes(), UTF_8))
+      val node = body.get("compatibility")
+      if (node == null) err(ex, 422, 42203, "missing 'compatibility' member")
+      else f(SchemaRegistry.Compat.parse(node.asText()))
+    } catch {
+      case e: IllegalArgumentException => err(ex, 422, 42203, e.getMessage)
+      case e: com.fasterxml.jackson.core.JacksonException =>
+        err(ex, 422, 42203, s"unparseable request body: ${e.getOriginalMessage}")
+    }
 
   private def parseSchema(ex: HttpExchange): Either[String, StructType] = {
     val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -158,7 +164,11 @@ final class RegistryServer(registry: SchemaRegistry, port: Int = 0) {
   }
 
   private def err(ex: HttpExchange, status: Int, code: Int, msg: String): Unit =
-    json(ex, status, s"""{"error_code":$code,"message":${quote(msg)}}""")
+    // an exception thrown AFTER a response was sent must not call
+    // sendResponseHeaders twice — that masks the original error with
+    // an "already sent" IllegalStateException
+    if (ex.getResponseCode == -1)
+      json(ex, status, s"""{"error_code":$code,"message":${quote(msg)}}""")
 }
 
 object RegistryServer {

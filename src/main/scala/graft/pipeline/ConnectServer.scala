@@ -84,9 +84,25 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           val spec = PipelineSpec.fromJson(body)
           require(spec.name == n,
             s"config name '${spec.name}' does not match connector '$n'")
+          // validate BEFORE touching the running connector: Connect
+          // rejects a bad config update and keeps the existing one
+          // running — a spec that parses but would fail registration
+          // (unknown sink kind, keyed sink without seqColumn, …) must
+          // 400 while the old pipeline is still alive
+          engine.validate(spec)
           val existed = engine.list().contains(n)
+          val oldBody = configs.get(n)
           if (existed) engine.delete(n)
-          engine.register(spec)
+          try engine.register(spec)
+          catch { case e: Exception =>
+            // registration still failed past validation (e.g. a source
+            // path error at stream start): restore the previous
+            // connector so the failed update is a no-op, then surface
+            // the original error
+            try oldBody.foreach(engine.registerJson)
+            catch { case restore: Exception => e.addSuppressed(restore) }
+            throw e
+          }
           configs(n) = body
           json(ex, if (existed) 200 else 201, connectorPayload(n))
         case ("GET", List("connectors", n, "status")) =>
@@ -106,7 +122,10 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
         case ("PUT", List("connectors", n, "resume")) =>
           requireKnown(n); engine.resume(n); empty(ex, 202)
         case ("POST", List("connectors", n, "restart")) =>
-          requireKnown(n); engine.pause(n); engine.resume(n); empty(ex, 204)
+          // the dedicated engine path: no observable PAUSED window, and
+          // a paused connector's target state survives (Connect restart
+          // does not silently resume)
+          requireKnown(n); engine.restart(n); empty(ex, 204)
         case ("DELETE", List("connectors", n)) =>
           requireKnown(n)
           engine.delete(n); configs.remove(n); empty(ex, 204)
@@ -158,8 +177,12 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
     ex.sendResponseHeaders(status, -1)
 
   private def err(ex: HttpExchange, status: Int, msg: String): Unit =
-    json(ex, status,
-      s"""{"error_code":$status,"message":${quote(String.valueOf(msg))}}""")
+    // an exception thrown AFTER a response was sent must not call
+    // sendResponseHeaders twice — that masks the original error with
+    // an "already sent" IllegalStateException
+    if (ex.getResponseCode == -1)
+      json(ex, status,
+        s"""{"error_code":$status,"message":${quote(String.valueOf(msg))}}""")
 }
 
 object ConnectServer {

@@ -81,6 +81,24 @@ final class Engine(spark: SparkSession, root: String) {
     }
   }
 
+  /** L2: restart — Connect's `POST /connectors/{name}/restart`: bounce
+   * the connector WITHOUT passing through PAUSED, and preserve a paused
+   * target state (restarting a paused connector restarts its Connector
+   * object but the tasks stay stopped — it must NOT silently resume).
+   * The whole bounce holds the engine lock and swaps the registry entry
+   * once, so a concurrent `status` never observes an intermediate
+   * PAUSED window. */
+  def restart(name: String): Unit = synchronized {
+    val e = entry(name)
+    e.query.filter(_.isActive).foreach(_.stop())
+    e.state match {
+      case Running =>
+        pipelines(name) = e.copy(query = Some(start(e.spec)), state = Running)
+      case _ => // paused/failed target state survives the restart
+        pipelines(name) = e.copy(query = None)
+    }
+  }
+
   /** L2: status — name, state, and whether the query is active. A query
    * that died with an exception reports FAILED with the cause, like a
    * Connect task in the /status payload. */
@@ -121,12 +139,16 @@ final class Engine(spark: SparkSession, root: String) {
   }
 
   /** L3 read side: the pipeline's committed progress, as the latest
-   * micro-batch id in its checkpoint's offset log — what Connect's
+   * micro-batch id in its checkpoint's COMMIT log — what Connect's
    * `GET /connectors/{name}/offsets` (KIP-875) surfaces as the
-   * connector's stored offsets. None until the first batch commits. */
+   * connector's stored offsets. None until the first batch commits.
+   * Structured Streaming writes `offsets/N` at batch START and marks
+   * completion in `commits/N`, so only the commits dir reflects
+   * committed progress — after a crash mid-batch the offsets dir is
+   * one id ahead of what actually applied. */
   def latestBatchId(name: String): Option[Long] = {
     entry(name) // unknown pipeline -> NoSuchElementException (404)
-    val dir = Paths.get(checkpointDir(name), "offsets")
+    val dir = Paths.get(checkpointDir(name), "commits")
     if (!Files.isDirectory(dir)) None
     else {
       val s = Files.list(dir)
@@ -143,14 +165,21 @@ final class Engine(spark: SparkSession, root: String) {
 
   // ---- query assembly ----------------------------------------------------
 
-  private def start(spec: PipelineSpec): StreamingQuery = {
+  /** Pre-flight validation: every registration-time check [[start]]
+   * enforces, with nothing started and nothing mutated. The REST
+   * config-update path runs this BEFORE deleting the running pipeline —
+   * Connect rejects a bad config update and keeps the existing
+   * connector running, so a spec that would fail registration must be
+   * detected while the old pipeline is still alive. */
+  def validate(spec: PipelineSpec): Unit = {
+    val keyedSinks = Set("table", "logtable", "jdbc")
     // A keyed merge sink resolves intra-batch duplicate keys
     // last-write-wins by seq; the monotonically_increasing_id fallback
     // follows partition LAYOUT, not source order, so a table sink must
     // name a real ordering column (kafka carries its offset, rate its
     // monotonic `value`). Append sinks keep every row — a synthetic seq
     // is harmless there.
-    if (Set("table", "logtable", "jdbc")(spec.sink.kind) && spec.source.seqColumn.isEmpty &&
+    if (keyedSinks(spec.sink.kind) && spec.source.seqColumn.isEmpty &&
         spec.source.kind != "kafka" && spec.source.kind != "rate")
       throw new IllegalArgumentException(
         s"table sink requires source.seqColumn (the offset analog) for " +
@@ -161,7 +190,7 @@ final class Engine(spark: SparkSession, root: String) {
     // table with no PK cannot emit deletes until REPLICA IDENTITY FULL;
     // mirror that refusal at registration instead of failing downstream
     // with an unaddressable tombstone.
-    if (Set("table", "logtable", "jdbc")(spec.sink.kind) && spec.sink.deleteEnabled &&
+    if (keyedSinks(spec.sink.kind) && spec.sink.deleteEnabled &&
         spec.source.keyFields.isEmpty && !spec.source.replicaIdentityFull)
       throw new IllegalArgumentException(
         "cannot capture deletes from a key-less source: the database " +
@@ -169,6 +198,25 @@ final class Engine(spark: SparkSession, root: String) {
           "(ALTER TABLE ... REPLICA IDENTITY FULL) — set source." +
           "replicaIdentityFull to key tombstones by the full row image, " +
           "or disable sink deletes")
+    if (!Set("csv", "parquet", "rate", "kafka")(spec.source.kind))
+      throw new IllegalArgumentException(
+        s"unknown source '${spec.source.kind}'")
+    if (spec.source.kind == "kafka" && spec.source.schema.isEmpty)
+      throw new IllegalArgumentException(
+        "kafka source requires schemaDdl to decode the message value")
+    if (!(keyedSinks + "append")(spec.sink.kind))
+      throw new IllegalArgumentException(s"unknown sink '${spec.sink.kind}'")
+    if (spec.sink.kind == "jdbc") {
+      if (spec.sink.url.isEmpty)
+        throw new IllegalArgumentException("jdbc sink requires 'url'")
+      if (!Set("mysql", "postgres", "derby")(spec.sink.dialect.getOrElse("derby")))
+        throw new IllegalArgumentException(
+          s"unknown dialect '${spec.sink.dialect.get}'")
+    }
+  }
+
+  private def start(spec: PipelineSpec): StreamingQuery = {
+    validate(spec)
     val src = readSource(spec.source)
     val framed = toFrame(src, spec.source)
     val transformed = spec.transforms.map(_.toTransform)

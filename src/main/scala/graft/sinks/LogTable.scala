@@ -68,8 +68,20 @@ object LogTable {
   def applyBatch(path: String, batch: DataFrame, keys: Seq[String],
                  batchId: Option[Long] = None): Unit = {
     sweepTemp(path)
-    if (batchId.exists(id => maxCommittedBatchId(path).exists(_ >= id)))
-      return // replayed
+    val committedMax = batchId.flatMap(_ => maxCommittedBatchId(path))
+    if (batchId.exists(id => committedMax.contains(id)))
+      return // the LAST batch re-delivered after a crash — idempotent no-op
+    // foreachBatch ids are monotonic per checkpoint and only the last
+    // batch can legally replay: an id BELOW the committed max means a
+    // second query is writing this path, or a reset checkpoint
+    // restarted ids from 0 — silently discarding those batches would
+    // masquerade as replay handling, so fail loudly
+    for (id <- batchId; max <- committedMax; if id < max)
+      throw new IllegalStateException(
+        s"batch $id is behind committed batch $max under $path: only the " +
+          "last committed batch can replay — this sink path is being " +
+          "written by a query whose checkpoint was reset (or by a second " +
+          "query); point it at a fresh sink path or delete the log first")
     val keyed = flatten(batch)
     val delta = MergeSink.lastPerKey(keyed, keys, "seq")
     val n = versionDirs(path).lastOption.map(_._1 + 1).getOrElse(1)

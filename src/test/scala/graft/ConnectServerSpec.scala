@@ -125,6 +125,68 @@ class ConnectServerSpec extends SparkSpec {
     } finally { server.stop(); engine.delete("p2") }
   }
 
+  test("a bad config update 400s and keeps the existing connector running") {
+    val base = Files.createTempDirectory("connectrest").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      val good = specJson("p4", in, out)
+      assert(call(url, "POST", "/connectors", Some(good)).statusCode() == 201)
+      spark.streams.active.foreach(_.processAllAvailable())
+      // parses and name-matches, but fails validation: keyed sink with
+      // the seqColumn dropped — Connect rejects the update and keeps
+      // the existing connector, so the bad spec must not get to delete
+      // the running pipeline first
+      val bad = good.replace(""""seqColumn": "seq", """, "")
+      assert(call(url, "PUT", "/connectors/p4/config",
+        Some(bad)).statusCode() == 400)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p4/status").body())
+        .get("connector").get("state").asText() == "RUNNING")
+      // the stored config is still the good one, not the rejected body
+      assert(mapper.readTree(call(url, "GET", "/connectors/p4/config").body())
+        .get("source").has("seqColumn"))
+      // and an unknown-sink update is refused the same way
+      val badSink = good.replace(""""type": "table"""", """"type": "nope"""")
+      assert(call(url, "PUT", "/connectors/p4/config",
+        Some(badSink)).statusCode() == 400)
+      assert(engine.list() == Seq("p4"))
+    } finally { server.stop(); engine.delete("p4") }
+  }
+
+  test("restart bounces a running connector and preserves a paused target state") {
+    val base = Files.createTempDirectory("connectrest").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      assert(call(url, "POST", "/connectors",
+        Some(specJson("p5", in, out))).statusCode() == 201)
+      spark.streams.active.foreach(_.processAllAvailable())
+      // restart from RUNNING: stays RUNNING and keeps processing
+      assert(call(url, "POST", "/connectors/p5/restart").statusCode() == 204)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p5/status").body())
+        .get("connector").get("state").asText() == "RUNNING")
+      writeCsv(in, "f2.csv", "2,b,20,false")
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(spark.read.parquet(out).count() == 2)
+      // restart from PAUSED: Connect's restart does NOT silently
+      // resume — the paused target state survives the bounce
+      assert(call(url, "PUT", "/connectors/p5/pause").statusCode() == 202)
+      assert(call(url, "POST", "/connectors/p5/restart").statusCode() == 204)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p5/status").body())
+        .get("connector").get("state").asText() == "PAUSED")
+      // and resume still works afterwards
+      assert(call(url, "PUT", "/connectors/p5/resume").statusCode() == 202)
+      assert(mapper.readTree(call(url, "GET", "/connectors/p5/status").body())
+        .get("connector").get("state").asText() == "RUNNING")
+    } finally { server.stop(); engine.delete("p5") }
+  }
+
   test("unknown connector and malformed register map to 404/400") {
     val engine = new Engine(spark,
       Files.createTempDirectory("connectrest").toString)

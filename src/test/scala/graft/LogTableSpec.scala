@@ -55,8 +55,13 @@ class LogTableSpec extends SparkSpec {
     val before = LogTable.versions(path)
     LogTable.applyBatch(path, frame(Seq(2 -> "b"), 2), Seq("id"), Some(11L))
     assert(LogTable.versions(path) == before)
-    // a STALE id (monotonic contract: only the last batch replays) no-ops
-    LogTable.applyBatch(path, frame(Seq(9 -> "x"), 9), Seq("id"), Some(10L))
+    // a STALE id breaks the monotonic contract (only the LAST batch can
+    // replay) — a reset checkpoint or second writer must fail loudly,
+    // not have its batches silently discarded as "replays"
+    val stale = intercept[IllegalStateException] {
+      LogTable.applyBatch(path, frame(Seq(9 -> "x"), 9), Seq("id"), Some(10L))
+    }
+    assert(stale.getMessage.contains("behind committed batch"))
     assert(LogTable.versions(path) == before)
     // un-id'd appends (batch-id unknown) still append — opt-in contract
     LogTable.applyBatch(path, frame(Seq(3 -> "c"), 3), Seq("id"))

@@ -209,6 +209,16 @@ class RegistrySpec extends AnyFunSuite {
       client.register("t-value", base)
       assert(status("/subjects/t-value/versions/7") == 404)
       assert(client.tryRegister("t-value", addRequired).isLeft) // 409 path
+      // an unparseable PUT /config body is the protocol's 422, not a 500
+      val http = java.net.http.HttpClient.newHttpClient()
+      def put(path: String, body: String) =
+        http.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(url + path))
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(put("/config", "not json at all").statusCode() == 422)
+      assert(put("/config", """{"compatibility":"BOGUS"}""").statusCode() == 422)
+      assert(put("/config/t-value", "{broken").statusCode() == 422)
     } finally server.stop()
   }
 }
