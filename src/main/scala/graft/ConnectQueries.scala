@@ -704,6 +704,166 @@ object ConnectQueries {
   }
 
   /**
+   * L10 — the reference's flagship SCHEMA-EVOLUTION flow, end-to-end
+   * over BOTH wire protocols (`실습수행/Debezium MySQL CDC Source
+   * Connector 실습 - 03.md:113-137` — upstream ALTER, connector config
+   * update, sink ALTER; rename-needs-NONE `실습수행/Schema Registry
+   * 기반의 Connector 구성 실습.md:533-537`), composing the three
+   * surfaces the previous rounds built separately:
+   *
+   *  1. a connector registers over `POST /connectors` (L9) and ingests
+   *     the v1 wave into a LIVE Derby table the jdbc sink auto-creates
+   *     (K3);
+   *  2. the upstream add-column lands: the new schema probes the
+   *     registry REST compat endpoint FIRST (the lab's pre-flight),
+   *     registers as v2, and rolls out via `PUT /connectors/{n}/config`
+   *     (L9) — the restarted pipeline resumes from its committed
+   *     offsets, so the v1 wave is NOT re-ingested (its rows keep NULL
+   *     in every evolved column, including the SMT-computed one that
+   *     re-ingestion would have filled);
+   *  3. the evolved wave flows and the sink ALTERs the live table
+   *     (K4's auto.evolve, dialect-native DDL);
+   *  4. a breaking rename probes incompatible and 409s at the registry
+   *     until subject compat is relaxed to NONE over the wire — then
+   *     registers as v3.
+   *
+   * Every probe column in the output came over HTTP; the final rows are
+   * the live table read back over JDBC.
+   */
+  def restEvolution(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sinks.JdbcSink
+    val base = s"target/tmp/l10_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val dbUrl = s"jdbc:derby:memory:graft_l10_${new java.io.File(dir).getName
+      .replace('.', '_')};create=true"
+    val table = "nation_live"
+    JdbcSink.withConnection(JdbcSink.Config(dbUrl, table, JdbcSink.Derby,
+      Seq("n_nationkey")))(c =>
+      JdbcSink.dropTableIfExists(c, JdbcSink.Derby, table))
+
+    val nation = T(s, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val w1 = nation
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(0L))
+    // the evolved wave: updates carrying the NEW column
+    val w2 = nation.filter(col("n_nationkey") % 5 === 0)
+      .withColumn("n_name", lit("evolved via REST"))
+      .withColumn("n_priority", (col("n_nationkey") % 3).cast("int"))
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
+    def stage(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    stage(w1, 0) // only the v1 wave exists at register time
+
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val connect = new graft.pipeline.ConnectServer(engine)
+    val registry = new graft.codec.RegistryServer(new graft.codec.SchemaRegistry())
+    val connectUrl = connect.start()
+    val registryUrl = registry.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: Option[String] = None) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(connectUrl + path))
+        val r = http.send(body.fold(b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+            b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() < 400,
+          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
+        r.statusCode()
+      }
+      val client = new graft.codec.RegistryHttpClient(registryUrl)
+      val subject = "om.nation-value"
+      val j = new com.fasterxml.jackson.databind.ObjectMapper()
+      def spec(ddl: String, transforms: String) =
+        s"""{"name":"l10",
+           |"source":{"type":"parquet","path":${j.writeValueAsString(in)},
+           |  "schemaDdl":${j.writeValueAsString(ddl)},
+           |  "keyFields":["n_nationkey"],"seqColumn":"seq",
+           |  "topic":"om.nation","maxFilesPerTrigger":"4"},
+           |"transforms":[$transforms],
+           |"sink":{"type":"jdbc","url":${j.writeValueAsString(dbUrl)},
+           |  "table":${j.writeValueAsString(table)},"dialect":"derby",
+           |  "keys":["n_nationkey"]}}""".stripMargin
+
+      // 1 — the topic's v1 value schema registers over registry REST,
+      // then the connector registers over Connect REST and snapshots.
+      // The contract declares the lab table's semantic NOT NULLs (key
+      // and name) — renaming a NULLABLE field is drop + optional-add,
+      // which BACKWARD permits; the breaking rename below is breaking
+      // precisely because n_name is required
+      val v1s = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_nationkey",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("n_regionkey",
+          org.apache.spark.sql.types.IntegerType, nullable = true)))
+      client.register(subject, v1s)
+      call("POST", "/connectors", Some(spec(w1.schema.toDDL, "")))
+      scoped.streams.active.foreach(_.processAllAvailable())
+
+      // 2 — upstream add-column: pre-flight the registry (the lab order:
+      // compat probe BEFORE the rollout), register v2, roll the config
+      val v2s = org.apache.spark.sql.types.StructType(v1s.fields :+
+        org.apache.spark.sql.types.StructField("n_priority",
+          org.apache.spark.sql.types.IntegerType, nullable = true))
+      val addCompatible = client.compatible(subject, v2s)
+      client.register(subject, v2s)
+      // the config update adds the new column AND an ingest-time SMT:
+      // re-ingestion of the v1 wave would fill n_src for every row, so
+      // NULL n_src on v1 rows proves offsets survived the update
+      val updateCode = call("PUT", "/connectors/l10/config",
+        Some(spec(w2.schema.toDDL,
+          """{"type":"insertField","field":"n_src",
+            |"value":"upper(value.n_name)"}""".stripMargin)))
+      stage(w2, 1)
+      scoped.streams.active.foreach(_.processAllAvailable())
+      call("DELETE", "/connectors/l10")
+
+      // 3 — the breaking rename: incompatible under BACKWARD, 409s,
+      // then registers once subject compat relaxes to NONE over REST
+      val renamed = org.apache.spark.sql.types.StructType(v2s.fields.map(f =>
+        if (f.name == "n_name") f.copy(name = "n_label") else f))
+      val renameProbe = client.compatible(subject, renamed)
+      val renameRejected = client.tryRegister(subject, renamed).isLeft
+      client.setCompat(subject, "NONE")
+      val renameAccepted = client.tryRegister(subject, renamed).isRight
+      val nVersions = client.versionsOf(subject).size
+
+      s.read.format("jdbc")
+        .option("url", dbUrl).option("dbtable", JdbcSink.Derby.q(table))
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("n_priority"), col("n_src"),
+          lit(addCompatible).as("add_compatible"),
+          lit(updateCode == 200).as("config_updated_in_place"),
+          lit(!renameProbe && renameRejected).as("rename_rejected_before_none"),
+          lit(renameAccepted).as("rename_accepted_after_none"),
+          lit(nVersions).as("n_versions"))
+        .orderBy("n_nationkey")
+    } finally { connect.stop(); registry.stop() }
+  }
+
+  /**
    * K14 — the reference's BIGGEST workload shape, reconciled end-to-end:
    * `CONNECT_DML_TEST(0, 5000, 100, 100)` across all five lab tables
    * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:444-502`,
@@ -917,7 +1077,8 @@ object ConnectQueries {
     "k7b_cdc_engine_stream" -> (cdcEngineStream _),
     "k8_incremental_agg" -> (incrementalAgg _),
     "k14_soak_reconcile" -> (soakReconcile _),
-    "l9_connect_rest" -> (connectRestLifecycle _)
+    "l9_connect_rest" -> (connectRestLifecycle _),
+    "l10_rest_evolution" -> (restEvolution _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -935,6 +1096,26 @@ object ConnectQueries {
         |  TRUE AS deregistered
         |FROM nation WHERE n_nationkey % 7 <> 3
         |ORDER BY n_nationkey""".stripMargin,
+    // the evolution algebra: v2-wave keys (k%5=0) carry the updated
+    // name, the evolved column, and the SMT-computed n_src; v1 rows
+    // keep NULL in every evolved column BECAUSE offsets survived the
+    // config update (re-ingestion would have filled n_src everywhere);
+    // the probe columns pin the two wire protocols' contract
+    "l10_rest_evolution" ->
+      """SELECT n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'evolved via REST'
+        |       ELSE n_name END AS n_name,
+        |  n_regionkey,
+        |  CASE WHEN n_nationkey % 5 = 0
+        |       THEN CAST(n_nationkey % 3 AS INTEGER) END AS n_priority,
+        |  CASE WHEN n_nationkey % 5 = 0
+        |       THEN 'EVOLVED VIA REST' END AS n_src,
+        |  TRUE AS add_compatible,
+        |  TRUE AS config_updated_in_place,
+        |  TRUE AS rename_rejected_before_none,
+        |  TRUE AS rename_accepted_after_none,
+        |  3 AS n_versions
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     // the soak's final state from the DML arithmetic: keys k with
     // (k+1)%100==0 are deleted (the proc deletes i-1 on every 100th
     // iteration), keys with k%100==0 carry updated values; identical
