@@ -42,18 +42,25 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
   private val configs =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
-  /** Start listening; returns the base URL (ephemeral port by default). */
+  /** Start listening; returns the base URL (ephemeral port by default).
+   * Requests run on a cached thread pool — without an executor the JDK
+   * server handles every exchange on its single dispatcher thread, which
+   * would serialize clients behind a slow register (a real Connect
+   * worker serves its REST resources concurrently). */
   def start(): String = synchronized {
     require(server == null, "already started")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.createContext("/", (ex: HttpExchange) => handle(ex))
     server.start()
     s"http://127.0.0.1:${server.getAddress.getPort}"
   }
 
   def stop(): Unit = synchronized {
-    if (server != null) { server.stop(0); server = null }
+    if (server != null) { server.stop(0); pool.shutdown(); server = null }
   }
 
   private def handle(ex: HttpExchange): Unit =
@@ -65,8 +72,14 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
         case ("POST", List("connectors")) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
           val name = mapper.readTree(body).get("name").asText
-          engine.registerJson(body) // IllegalStateException -> 409 below
-          configs(name) = body
+          // the engine monitor makes register + config-store one atomic
+          // step: a concurrent DELETE of the same name interleaving
+          // between them would otherwise strip the new connector's
+          // config while leaving the pipeline registered
+          engine.synchronized {
+            engine.registerJson(body) // IllegalStateException -> 409 below
+            configs(name) = body
+          }
           json(ex, 201, connectorPayload(name))
         case ("GET", List("connectors", n)) =>
           requireKnown(n)
@@ -90,20 +103,23 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           // (unknown sink kind, keyed sink without seqColumn, …) must
           // 400 while the old pipeline is still alive
           engine.validate(spec)
-          val existed = engine.list().contains(n)
-          val oldBody = configs.get(n)
-          if (existed) engine.delete(n)
-          try engine.register(spec)
-          catch { case e: Exception =>
-            // registration still failed past validation (e.g. a source
-            // path error at stream start): restore the previous
-            // connector so the failed update is a no-op, then surface
-            // the original error
-            try oldBody.foreach(engine.registerJson)
-            catch { case restore: Exception => e.addSuppressed(restore) }
-            throw e
+          val existed = engine.synchronized {
+            val existed = engine.list().contains(n)
+            val oldBody = configs.get(n)
+            if (existed) engine.delete(n)
+            try engine.register(spec)
+            catch { case e: Exception =>
+              // registration still failed past validation (e.g. a source
+              // path error at stream start): restore the previous
+              // connector so the failed update is a no-op, then surface
+              // the original error
+              try oldBody.foreach(engine.registerJson)
+              catch { case restore: Exception => e.addSuppressed(restore) }
+              throw e
+            }
+            configs(n) = body
+            existed
           }
-          configs(n) = body
           json(ex, if (existed) 200 else 201, connectorPayload(n))
         case ("GET", List("connectors", n, "status")) =>
           requireKnown(n)
@@ -127,8 +143,14 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           // does not silently resume)
           requireKnown(n); engine.restart(n); empty(ex, 204)
         case ("DELETE", List("connectors", n)) =>
-          requireKnown(n)
-          engine.delete(n); configs.remove(n); empty(ex, 204)
+          // atomic check-then-delete: two racing DELETEs must split
+          // 204/404 (Connect's contract), not both observe the name
+          // alive and both report success
+          engine.synchronized {
+            requireKnown(n)
+            engine.delete(n); configs.remove(n)
+          }
+          empty(ex, 204)
         case ("GET", List("connectors", n, "offsets")) =>
           requireKnown(n) // KIP-875 read side: committed progress
           val off = engine.latestBatchId(n)

@@ -187,6 +187,71 @@ class ConnectServerSpec extends SparkSpec {
     } finally { server.stop(); engine.delete("p5") }
   }
 
+  test("concurrent lifecycle storm: distinct and colliding names stay consistent") {
+    // the reference runs a distributed worker (`scripts/connect_start.sh:1`);
+    // this engine is one in-process worker, so the concurrency surface is
+    // N REST clients hammering one registry: full lifecycles on distinct
+    // names must all succeed, racing registers/deletes on ONE name must
+    // split exactly 201/409 and 204/404, and the registry must end empty
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val base = Files.createTempDirectory("connectstorm").toString
+    val in = s"$base/in"
+    writeCsv(in, "f1.csv", "1,a,10,false", "2,b,11,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // phase 1 — distinct names: every step of every thread's lifecycle
+      // returns its exact protocol code (any lost pipeline would surface
+      // as a 404/409 somewhere in the sequence)
+      val lifecycles = Await.result(
+        Future.traverse((0 until n).toList) { i => Future {
+          val nm = s"storm$i"
+          Seq(
+            call(url, "POST", "/connectors",
+              Some(specJson(nm, in, s"$base/state$i"))).statusCode(),
+            call(url, "GET", s"/connectors/$nm/status").statusCode(),
+            call(url, "PUT", s"/connectors/$nm/pause").statusCode(),
+            call(url, "PUT", s"/connectors/$nm/resume").statusCode(),
+            call(url, "POST", s"/connectors/$nm/restart").statusCode(),
+            call(url, "DELETE", s"/connectors/$nm").statusCode())
+        }}, 180.seconds)
+      assert(lifecycles.forall(_ == Seq(201, 200, 202, 202, 204, 204)),
+        lifecycles.toString)
+
+      // phase 2 — colliding name: barrier-released racers, three rounds
+      for (_ <- 0 until 3) {
+        val post = new java.util.concurrent.CyclicBarrier(n)
+        val posts = Await.result(
+          Future.traverse((0 until n).toList) { _ => Future {
+            post.await()
+            call(url, "POST", "/connectors",
+              Some(specJson("shared", in, s"$base/shared"))).statusCode()
+          }}, 180.seconds)
+        assert(posts.count(_ == 201) == 1 && posts.count(_ == 409) == n - 1,
+          posts.toString)
+        val del = new java.util.concurrent.CyclicBarrier(n)
+        val dels = Await.result(
+          Future.traverse((0 until n).toList) { _ => Future {
+            del.await()
+            call(url, "DELETE", "/connectors/shared").statusCode()
+          }}, 180.seconds)
+        assert(dels.count(_ == 204) == 1 && dels.count(_ == 404) == n - 1,
+          dels.toString)
+      }
+
+      // aftermath: empty registry over both surfaces, no orphaned config
+      assert(call(url, "GET", "/connectors").body() == "[]")
+      assert(engine.list().isEmpty)
+      assert(call(url, "GET", "/connectors/shared/config").statusCode() == 404)
+    } finally { pool.shutdown(); server.stop() }
+  }
+
   test("unknown connector and malformed register map to 404/400") {
     val engine = new Engine(spark,
       Files.createTempDirectory("connectrest").toString)
