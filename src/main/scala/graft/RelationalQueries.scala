@@ -17,6 +17,18 @@ import graft.operators.AsOfJoin
  */
 object RelationalQueries {
 
+  /** Shuffle parallelism for the scoped streaming-harness sessions.
+   * Every stateful operator opens + commits one state store per shuffle
+   * partition per micro-batch, so at bench SF the per-store overhead
+   * dominates wall time and a handful of partitions is fastest. That is
+   * a HARNESS property, not an operator property — at production scale
+   * the right number comes from state volume / executor count — so the
+   * per-query value is only a default, overridable on the parent
+   * session via `spark.graft.stream.shufflePartitions`. */
+  private def streamShuffle(parent: SparkSession, default: Int): String =
+    parent.conf.getOption("spark.graft.stream.shufflePartitions")
+      .getOrElse(default.toString)
+
   /** Q3: ranking + analytic window functions — top-3 customers per
    * market segment by balance, with running segment totals. */
   def windowRank(s: SparkSession, dir: String): DataFrame = {
@@ -372,11 +384,9 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    // a stateful join materializes one state store PER shuffle partition
-    // PER side; at this SF the state fits a handful of stores, and the
-    // per-store open/commit overhead dominates wall time otherwise (a
-    // real deployment sizes this to state volume / executor count)
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    // stateful join: one state store PER shuffle partition PER side —
+    // see streamShuffle for why the default is small at bench SF
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -434,9 +444,8 @@ object RelationalQueries {
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     // outer joins keep TWO state stores per shuffle partition and this
     // query commits them across three micro-batches (data, sentinel,
-    // no-data flush) — per-store open/commit overhead dominates at this
-    // SF, so fewer partitions is faster until state volume says otherwise
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    // no-data flush) — see streamShuffle for the default/override split
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 4))
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -522,7 +531,7 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 4))
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -651,7 +660,7 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
     val raw = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -671,6 +680,81 @@ object RelationalQueries {
       .select(col("window_start").cast(TimestampNTZType).as("window_start"),
         col("event_type"), col("n"))
       .orderBy("window_start", "event_type")
+  }
+
+  /** W3b: a RUNNING session-window aggregation — the streaming half of
+   * w3's batch-checked plan, through the state store's SESSION-MERGE
+   * path (the one windowed shape whose state is not a fixed grid: a new
+   * event can extend, or bridge, existing sessions). The harness drives
+   * the merge for real: the events split CHRONOLOGICALLY into two
+   * micro-batches, so every session straddling the cut sits half-built
+   * in state when its second half arrives and must merge rather than
+   * re-aggregate. Append mode + watermark give the emission contract:
+   * a session emits exactly once, when the watermark passes its end
+   * (last event + gap); sessions still open at stream end stay in
+   * state — the oracle applies the same cutoff. The chronological split
+   * also proves the safety property that makes this exact on a real
+   * stream: a session that already emitted can never be extended,
+   * because any later event lies beyond the watermark that closed it,
+   * i.e. > gap past the session's last event — so streaming and batch
+   * islands agree by construction, not by luck. At 100 TB state is
+   * bounded by OPEN sessions × keys (watermark-evicted), and the merge
+   * is per-key local to the shuffle partition — no cross-key traffic. */
+  def streamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = s"target/tmp/w3b_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
+    val ev = graft.Tables.T(scoped, dir, "events")
+      .select("event_id", "ts", "user_id")
+    // chronological midpoint: wave 1 = older half, wave 2 = newer half —
+    // wave-2 rows can never be late (their ts exceeds every watermark
+    // wave 1 can have set), so nothing drops and sessions merge across
+    // the batch boundary
+    val cut = ev.select(unix_micros(col("ts").cast("timestamp")).as("t"))
+      .agg(((min("t") + max("t")) / 2).cast("long")).head().getLong(0)
+    val waves = Seq(
+      ev.filter(unix_micros(col("ts").cast("timestamp")) <= cut),
+      ev.filter(unix_micros(col("ts").cast("timestamp")) > cut))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      val stage = s"$base/stage$i"
+      w.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = {
+        val st = Files.list(Paths.get(stage))
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType)))
+    val sessions = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+    val q = sessions.writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out").format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$base/out")
+      .select(col("user_id"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
   }
 
   /** W7: RUNNING bounded-state streaming dedup — `dropDuplicates
@@ -693,7 +777,7 @@ object RelationalQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    scoped.conf.set("spark.sql.shuffle.partitions", "8")
+    scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
     val ev = graft.Tables.T(scoped, dir, "events")
       .select("event_id", "ts", "user_id", "event_type")
     val cut = ev.agg(max("event_id")).head().getLong(0) / 2
@@ -738,6 +822,7 @@ object RelationalQueries {
     "w7_stream_dedup" -> (streamDedup _),
     "w5_stream_static_join" -> (streamStaticJoin _),
     "w6_stream_windowed_agg" -> (streamWindowedAgg _),
+    "w3b_stream_session_window" -> (streamSessionWindow _),
     "q3_window_rank" -> (windowRank _),
     "q4_rollup" -> (rollupAgg _),
     "q5_topk" -> (topK _),
@@ -973,6 +1058,27 @@ object RelationalQueries {
         |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
         |SELECT w AS window_start, count(*) AS n
         |FROM e GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // w3's islands computation, restricted to the sessions the stream
+    // has FINALIZED: a session emits once the watermark (max ts − 1h)
+    // passes its end (last event + the 10-minute gap); later sessions
+    // are still open in state at stream end, exactly what a restart
+    // would resume from
+    "w3b_stream_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           < INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 10 MINUTE <=
+        |  (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY user_id, session_start""".stripMargin,
     "w3_session_window" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
