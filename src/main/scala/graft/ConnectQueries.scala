@@ -603,6 +603,104 @@ object ConnectQueries {
   }
 
   /**
+   * S7b — `snapshot.mode=initial` as a LIFECYCLE through the Engine,
+   * not a batch union (`실습수행/Debezium MySQL CDC Source Connector
+   * 실습 - 03.md:387-488`; the round-6 verdict's item 5): on FIRST
+   * start the connector backfills the current state of the upstream
+   * table through the sink, then hands off to the change stream on the
+   * SAME checkpoint; a worker restart mid-stream (a second Engine on
+   * the same root) must skip the snapshot AND resume the stream from
+   * committed offsets. The data itself proves both properties:
+   *
+   *  - keys only the snapshot carries end as 'snap' → the snapshot ran;
+   *  - wave-1 keys keep 'w1' after the restart → the snapshot did NOT
+   *    re-run (a re-snapshot would overwrite them back to 'snap');
+   *  - key 0 (updated by wave 1, DELETED by wave 2 after the restart)
+   *    stays deleted → wave 1 was not replayed (a replay would
+   *    resurrect it — batch apply is last-writer, not seq-gated across
+   *    batches).
+   *
+   * The snapshot-done marker lives IN the checkpoint dir, so L4's
+   * offset reset wipes it and the next start re-snapshots — exactly
+   * Debezium's behavior when connect-offsets are deleted.
+   */
+  def snapshotStreamHandoff(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val base = s"target/tmp/s7b_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+
+    val nation = T(scoped, dir, "nation").select("n_nationkey")
+    def rows(keys: DataFrame, v: String, seqBase: Long) =
+      keys.select(col("n_nationkey").cast("int").as("id"), lit(v).as("v"),
+        (lit(seqBase) + col("n_nationkey")).cast("long").as("seq"),
+        lit("false").as("__deleted"))
+    // the snapshot: the upstream table's CURRENT state (value 'snap')
+    rows(nation, "snap", 0L).withColumn("seq", lit(0L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/snapshot")
+
+    def stage(df: DataFrame, i: Int): Unit = {
+      val tmp = s"$base/stage$i"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        finally st.close()
+      }
+      val dst = Paths.get(in, f"wave$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    // wave 1 — changes that arrive while the first worker is alive
+    stage(rows(nation.filter(col("n_nationkey") % 3 === 0), "w1", 100L), 0)
+
+    val spec = graft.pipeline.PipelineSpec(
+      name = "s7b",
+      source = graft.pipeline.SourceSpec(
+        kind = "parquet", path = in,
+        schemaDdl = Some("id INT, v STRING, seq BIGINT, __deleted STRING"),
+        keyFields = Seq("id"), seqColumn = Some("seq"),
+        topic = "om.nation", maxFilesPerTrigger = 1,
+        snapshotMode = Some("initial"),
+        snapshotPath = Some(s"$base/snapshot")),
+      transforms = Seq.empty,
+      sink = graft.pipeline.SinkSpec("table", s"$base/state", Seq("id")),
+      triggerMs = None)
+
+    // first worker: snapshot phase, then streaming phase, then "crash"
+    val engine1 = new graft.pipeline.Engine(scoped, s"$base/engine")
+    engine1.register(spec)
+    scoped.streams.active.foreach(_.processAllAvailable())
+    engine1.pause("s7b")
+
+    // while the worker is down: wave 2 — updates + the DELETE of key 0
+    stage(rows(nation.filter(col("n_nationkey") % 3 === 1), "w2", 200L)
+      .unionByName(nation.filter(col("n_nationkey") === 0)
+        .select(col("n_nationkey").cast("int").as("id"),
+          lit(null).cast("string").as("v"), lit(299L).as("seq"),
+          lit("true").as("__deleted"))), 1)
+
+    // a NEW worker on the same checkpoint root: must skip the snapshot
+    // (marker present) and resume the stream from committed offsets
+    val engine2 = new graft.pipeline.Engine(scoped, s"$base/engine")
+    engine2.register(spec)
+    scoped.streams.active.foreach(_.processAllAvailable())
+    engine2.delete("s7b")
+
+    val marker = Files.exists(
+      Paths.get(s"$base/engine/checkpoints/s7b/graft_snapshot_done"))
+    s.read.parquet(s"$base/state")
+      .select(col("id"), col("v"), col("seq"),
+        lit(marker).as("snapshot_completed_marker"))
+      .orderBy("id")
+  }
+
+  /**
    * L9 — the Connect worker REST protocol end-to-end: the ops surface
    * the reference drives with httpie (`scripts/register_connector:1`,
    * `scripts/show_connectors:1`, `scripts/delete_connector:1`) served
@@ -1078,7 +1176,8 @@ object ConnectQueries {
     "k8_incremental_agg" -> (incrementalAgg _),
     "k14_soak_reconcile" -> (soakReconcile _),
     "l9_connect_rest" -> (connectRestLifecycle _),
-    "l10_rest_evolution" -> (restEvolution _)
+    "l10_rest_evolution" -> (restEvolution _),
+    "s7b_snapshot_stream_handoff" -> (snapshotStreamHandoff _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1116,6 +1215,21 @@ object ConnectQueries {
         |  TRUE AS rename_accepted_after_none,
         |  3 AS n_versions
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // the handoff algebra: wave 2 (k%3=1 → 'w2') lands after the
+    // restart; wave 1 (k%3=0 → 'w1') survives it un-reverted (no
+    // re-snapshot) and un-replayed (key 0's wave-2 delete sticks);
+    // everything else keeps the snapshot value
+    "s7b_snapshot_stream_handoff" ->
+      """SELECT CAST(n_nationkey AS INTEGER) AS id,
+        |  CASE WHEN n_nationkey % 3 = 1 THEN 'w2'
+        |       WHEN n_nationkey % 3 = 0 THEN 'w1'
+        |       ELSE 'snap' END AS v,
+        |  CAST(CASE WHEN n_nationkey % 3 = 1 THEN 200 + n_nationkey
+        |       WHEN n_nationkey % 3 = 0 THEN 100 + n_nationkey
+        |       ELSE 0 END AS BIGINT) AS seq,
+        |  TRUE AS snapshot_completed_marker
+        |FROM nation WHERE n_nationkey <> 0
+        |ORDER BY id""".stripMargin,
     // the soak's final state from the DML arithmetic: keys k with
     // (k+1)%100==0 are deleted (the proc deletes i-1 on every 100th
     // iteration), keys with k%100==0 carry updated values; identical

@@ -213,10 +213,76 @@ final class Engine(spark: SparkSession, root: String) {
         throw new IllegalArgumentException(
           s"unknown dialect '${spec.sink.dialect.get}'")
     }
+    spec.source.snapshotMode.foreach { m =>
+      if (!Set("initial", "schema_only")(m))
+        throw new IllegalArgumentException(s"unknown snapshot mode '$m'")
+      if (m == "initial") {
+        if (spec.source.snapshotPath.isEmpty)
+          throw new IllegalArgumentException(
+            "snapshotMode=initial requires source.snapshotPath (the " +
+              "current-state table to backfill)")
+        // the snapshot applies OUTSIDE the stream's batch-id sequence, so
+        // its crash-replay safety comes from the sink's keyed-merge
+        // idempotence — logtable's exactly-once is batch-id-based and
+        // would see a re-run snapshot as a contract violation
+        if (!Set("table", "jdbc")(spec.sink.kind))
+          throw new IllegalArgumentException(
+            s"snapshotMode=initial requires an idempotent keyed merge " +
+              s"sink (table/jdbc), not '${spec.sink.kind}'")
+      }
+    }
+  }
+
+  /** The jdbc sink's per-batch config (shared by the streaming writer
+   * and the snapshot backfill). */
+  private def jdbcCfg(spec: PipelineSpec): graft.sinks.JdbcSink.Config = {
+    val sink = spec.sink
+    graft.sinks.JdbcSink.Config(
+      url = sink.url.getOrElse(throw new IllegalArgumentException(
+        "jdbc sink requires 'url'")),
+      table = sink.table.getOrElse(spec.name),
+      dialect = sink.dialect.getOrElse("derby") match {
+        case "mysql" => graft.sinks.JdbcSink.MySql
+        case "postgres" => graft.sinks.JdbcSink.Postgres
+        case "derby" => graft.sinks.JdbcSink.Derby
+        case d => throw new IllegalArgumentException(s"unknown dialect '$d'")
+      },
+      pks = sink.keys,
+      deleteEnabled = sink.deleteEnabled,
+      autoEvolve = sink.autoEvolve)
+  }
+
+  /** S7 lifecycle, phase 1: on the FIRST start only, backfill the
+   * current state of the snapshot table through the same frame →
+   * transforms → sink path the stream uses, then drop a marker in the
+   * checkpoint dir. The marker lives WITH the offsets on purpose:
+   * a restart sees it and skips straight to the streaming phase, while
+   * an offset reset wipes it and the next start re-snapshots —
+   * Debezium's exact behavior when connect-offsets are deleted. The
+   * marker is written AFTER the sink apply, so a crash between them
+   * re-runs the snapshot (at-least-once), which the keyed merge sink
+   * absorbs idempotently. */
+  private def snapshotIfFirstStart(spec: PipelineSpec): Unit = {
+    if (!spec.source.snapshotMode.contains("initial")) return
+    val marker = Paths.get(checkpointDir(spec.name), "graft_snapshot_done")
+    if (Files.exists(marker)) return
+    val snap = spark.read.parquet(spec.source.snapshotPath.get)
+    val framed = toFrame(snap, spec.source)
+    val transformed = spec.transforms.map(_.toTransform)
+      .foldLeft(framed)((df, t) => t(df))
+    spec.sink.kind match {
+      case "table" => TableSink.applyBatch(spark, spec.sink, transformed)
+      case "jdbc" => graft.sinks.JdbcSink.applyChangelog(transformed, jdbcCfg(spec))
+      case other => // unreachable past validate()
+        throw new IllegalArgumentException(s"snapshot unsupported for '$other'")
+    }
+    Files.createDirectories(marker.getParent)
+    Files.writeString(marker, s"""{"snapshot":"initial","completed":true}""")
   }
 
   private def start(spec: PipelineSpec): StreamingQuery = {
     validate(spec)
+    snapshotIfFirstStart(spec)
     val src = readSource(spec.source)
     val framed = toFrame(src, spec.source)
     val transformed = spec.transforms.map(_.toTransform)
@@ -251,19 +317,7 @@ final class Engine(spark: SparkSession, root: String) {
         // the live database sink: per-batch statement execution through
         // JdbcSink (auto-create/evolve DDL, dialect-native upserts,
         // tombstone DELETEs) — the reference's JDBC sink connector shape
-        val cfg = graft.sinks.JdbcSink.Config(
-          url = sink.url.getOrElse(throw new IllegalArgumentException(
-            "jdbc sink requires 'url'")),
-          table = sink.table.getOrElse(spec.name),
-          dialect = sink.dialect.getOrElse("derby") match {
-            case "mysql" => graft.sinks.JdbcSink.MySql
-            case "postgres" => graft.sinks.JdbcSink.Postgres
-            case "derby" => graft.sinks.JdbcSink.Derby
-            case d => throw new IllegalArgumentException(s"unknown dialect '$d'")
-          },
-          pks = sink.keys,
-          deleteEnabled = sink.deleteEnabled,
-          autoEvolve = sink.autoEvolve)
+        val cfg = jdbcCfg(spec)
         writer("update").foreachBatch { (batch: DataFrame, _: Long) =>
           graft.sinks.JdbcSink.applyChangelog(batch, cfg)
         }.start()

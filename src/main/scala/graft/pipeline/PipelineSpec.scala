@@ -51,7 +51,17 @@ final case class SourceSpec(
     // REPLICA IDENTITY FULL is set; with it, the delete event's key is
     // the FULL row image. Declaring it here makes the engine enforce
     // the same contract (and key tombstones by the whole row).
-    replicaIdentityFull: Boolean = false) {
+    replicaIdentityFull: Boolean = false,
+    // S7 as a LIFECYCLE (`snapshot.mode`, `실습수행/Debezium MySQL CDC
+    // Source Connector 실습 - 03.md:387-488`): "initial" backfills the
+    // current state of `snapshotPath` through the sink ONCE — on first
+    // start only — before the change stream begins; a restart on the
+    // same checkpoint skips straight to streaming, and an offset reset
+    // (which wipes the checkpoint) re-snapshots, exactly Debezium's
+    // re-snapshot-after-offset-delete behavior. "schema_only" (and
+    // absent) = changes only.
+    snapshotMode: Option[String] = None,
+    snapshotPath: Option[String] = None) {
   def schema: Option[StructType] =
     schemaDdl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
 }
@@ -155,7 +165,9 @@ object PipelineSpec {
         seqColumn = str(src, "seqColumn"),
         topic = str(src, "topic").getOrElse(n.get("name").asText),
         maxFilesPerTrigger = str(src, "maxFilesPerTrigger").map(_.toInt).getOrElse(3),
-        replicaIdentityFull = str(src, "replicaIdentityFull").exists(_.toBoolean)),
+        replicaIdentityFull = str(src, "replicaIdentityFull").exists(_.toBoolean),
+        snapshotMode = str(src, "snapshotMode"),
+        snapshotPath = str(src, "snapshotPath")),
       transforms = Option(n.get("transforms")).map(_.elements().asScala.map { t =>
         TransformSpec(
           kind = t.get("type").asText,

@@ -275,6 +275,56 @@ class EngineSpec extends SparkSpec {
     assert(got == Set((1, "a"), (2, "c")))
   }
 
+  test("S7 lifecycle: initial snapshot runs once, restart skips, reset re-snapshots") {
+    import graft.pipeline.{SinkSpec, SourceSpec}
+    val base = Files.createTempDirectory("snaplife").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    Files.createDirectories(Paths.get(in))
+    // upstream current state: ids 1..3 = 'snap'
+    spark.range(1, 4).select(col("id").cast("int").as("id"),
+        lit("snap").as("v"), lit(0L).as("seq"), lit("false").as("__deleted"))
+      .coalesce(1).write.parquet(s"$base/snapshot")
+    val spec = PipelineSpec("snap",
+      SourceSpec(kind = "csv", path = in,
+        schemaDdl = Some("id INT, v STRING, seq BIGINT, __deleted STRING"),
+        keyFields = Seq("id"), seqColumn = Some("seq"), topic = "om.t",
+        snapshotMode = Some("initial"), snapshotPath = Some(s"$base/snapshot")),
+      Seq.empty, SinkSpec("table", out, Seq("id")), None)
+
+    val engine = new Engine(spark, s"$base/engine")
+    engine.register(spec).processAllAvailable()
+    // snapshot applied with no change files at all
+    assert(spark.read.parquet(out).select("v").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("snap"))
+
+    // change wave, then a restart on the same checkpoint: no re-snapshot
+    writeCsv(in, "f1.csv", "1,w1,10,false")
+    engine.delete("snap")
+    engine.register(spec).processAllAvailable()
+    val afterRestart = spark.read.parquet(out).select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(afterRestart == Map(1 -> "w1", 2 -> "snap", 3 -> "snap"))
+
+    // offset reset wipes marker + offsets: next start re-snapshots and
+    // re-ingests — id 1 ends at 'w1' again (snapshot first, then replay)
+    engine.pause("snap")
+    engine.resetOffsets("snap")
+    engine.resume("snap").processAllAvailable()
+    val afterReset = spark.read.parquet(out).select("id", "v").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(afterReset == Map(1 -> "w1", 2 -> "snap", 3 -> "snap"))
+    engine.delete("snap")
+
+    // validation: initial mode without a snapshot path, or with a
+    // non-merge sink, is refused at registration
+    intercept[IllegalArgumentException](engine.validate(spec.copy(
+      source = spec.source.copy(snapshotPath = None))))
+    intercept[IllegalArgumentException](engine.validate(spec.copy(
+      sink = SinkSpec("logtable", out, Seq("id")))))
+    intercept[IllegalArgumentException](engine.validate(spec.copy(
+      source = spec.source.copy(snapshotMode = Some("bogus")))))
+  }
+
   test("S8: publication autocreate modes resolve like the connector") {
     import graft.sources.PgCdc
     import graft.sources.PgCdc._
