@@ -278,6 +278,55 @@ class PlanQualitySpec extends SparkSpec {
     assert(hints.size <= 1, "only the 1-row V scalar may carry a hint")
   }
 
+  test("x16 at wide charset: 1e5+ distinct bigrams, no map literals, join degrades to shuffle") {
+    // the scale claim behind the round-6 rework, demonstrated: a
+    // CJK-style corpus whose bigram vocabulary could never ride the plan
+    // as a literal, scored through the exact same code path the ASCII
+    // documents take. 2000 docs × 200 chars over a 400-char alphabet →
+    // ~150k distinct bigrams (≥1e5 asserted, not assumed).
+    val scoped = spark.newSession()
+    val alphabet = (0x4E00 until 0x4E00 + 400).map(_.toChar).mkString
+    val wide = scoped.range(2000).select(col("id").as("doc_id"),
+      concat_ws("", transform(sequence(lit(0), lit(199)),
+        i => substr(lit(alphabet),
+          pmod(hash(col("id"), i), lit(400)) + 1, lit(1)))).as("text"))
+    val counts = graft.text.TextAnalysis.bigramCounts(wide, "text")
+    assert(counts.count() >= 100000L, "fixture must be genuinely wide-charset")
+
+    def mapLiterals(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.flatMap(_.collect {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+        })
+      }.flatten
+    val scored = graft.text.TextAnalysis.bigramLmScore(wide, "doc_id", "text", counts)
+    assert(mapLiterals(scored).isEmpty,
+      "a 1e5-bigram model must never be embedded in the plan")
+
+    // under the default threshold the aggregated counts frame still
+    // auto-broadcasts; past it (threshold off) the SAME query must
+    // degrade to shuffle joins on the bigram key — only the hinted
+    // 1-row vocabulary scalar may stay broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan(scored)).size >= 2,
+      "under the threshold the counts joins broadcast")
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.text.TextAnalysis.bigramLmScore(wide, "doc_id", "text", counts))
+      assert("BroadcastHashJoin".r.findAllIn(p).size <= 1,
+        "past the threshold only the 1-row V scalar may broadcast")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "the counts join must take the shuffle shape")
+      // and the degraded plan still computes: scores are probabilities
+      val sample = graft.text.TextAnalysis
+        .bigramLmScore(wide, "doc_id", "text", counts)
+        .filter(col("doc_id") < 5).collect()
+      assert(sample.length == 5 &&
+        sample.forall { r =>
+          val v = r.getAs[Double]("lm_score"); v > 0.0 && v <= 1.0 })
+    } finally scoped.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("temperature mix: one rank window on the domain key, quotas as plan literals") {
     val df = LlmQueries.queries("x17_temperature_mix")(spark, dir)
     val p = plan(df)
