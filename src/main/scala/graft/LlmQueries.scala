@@ -1153,8 +1153,8 @@ object LlmQueries {
        |        'nj': -c})))[1].nj) AS INTEGER)""".stripMargin
 
   /** Cells ranked desc by centroid score, ties to smaller id — mirrors
-   * Similarity.rankedCells (list_sort asc then reverse = sort_array
-   * desc on struct(s, nj)). */
+   * Similarity.rankCells / IvfRankCells (list_sort asc then reverse =
+   * rank desc on (score, -cellId)). */
   private def rankedSql(v: String) =
     s"""list_reverse(list_sort(list_transform(range(1, ${NCells + 1}),
        |  j -> {'s': ${dotSql("ct[j]", v)}, 'nj': -j})))""".stripMargin

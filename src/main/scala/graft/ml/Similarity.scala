@@ -203,8 +203,9 @@ object Similarity {
       slice(col("vec"), j * subDim + 1, subDim).as(s"_s$j"))): _*)
 
   /** PQ encode: per subspace, the 1-BASED index of the L2-nearest
-   * codeword (ties to the smaller index — the [[rankedCells]] struct
-   * sort). Output: (id, codes array<int>) — at 100 TB this is the whole
+   * codeword (ties to the smaller index — the same desc-score /
+   * smaller-id rank as [[rankCells]]). Output: (id, codes
+   * array<int>) — at 100 TB this is the whole
    * point: m bytes of code replace dim floats (32x here), so the corpus
    * fits memory tiers it otherwise never could, and search never touches
    * the original vectors. */
@@ -414,29 +415,31 @@ object Similarity {
     (0 until nCells).map(j => (0 until dim).map(d =>
       graft.functions.Hashing.h60(s"centroid_${j}_$d") % 2001 - 1000))
 
-  /** Cells ranked by centroid score, descending; ties to the smaller
-   * cell id. Element shape: struct(s: score, nj: -cellId). */
-  private def rankedCells(vec: Column, cents: Seq[Seq[Double]]): Column = {
-    val pairs = cents.zipWithIndex.map { case (c, j) =>
-      struct(dot(array(c.map(lit): _*), vec).as("s"),
-        lit(-j).as("nj"))
-    }
-    sort_array(array(pairs: _*), asc = false)
-  }
+  /** Cells ranked by centroid score descending, ties to the smaller
+   * cell id — ONE compact codegen expression whose generated code is
+   * independent of codebook size (see [[graft.functions.IvfRankCells]]
+   * for the measured cliff the old nCells×dim-literal formulation hit
+   * past ~dozens of cells). */
+  private def rankCells(vec: Column, cents: Seq[Seq[Double]],
+                        nprobe: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.IvfRankCells(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        cents, nprobe))
 
   /** IVF coarse assignment: the best-scoring cell. */
   def ivfAssign(vec: Column, cents: Seq[Seq[Long]]): Column =
     ivfAssignD(vec, cents.map(_.map(_.toDouble)))
 
   def ivfAssignD(vec: Column, cents: Seq[Seq[Double]]): Column =
-    -element_at(rankedCells(vec, cents), 1).getField("nj")
+    element_at(rankCells(vec, cents, 1), 1)
 
   /** The `nprobe` best cells for a query. */
   def ivfProbes(vec: Column, cents: Seq[Seq[Long]], nprobe: Int): Column =
     ivfProbesD(vec, cents.map(_.map(_.toDouble)), nprobe)
 
   def ivfProbesD(vec: Column, cents: Seq[Seq[Double]], nprobe: Int): Column =
-    transform(slice(rankedCells(vec, cents), 1, nprobe), x => -x.getField("nj"))
+    rankCells(vec, cents, nprobe)
 
   /**
    * SPHERICAL k-means over the corpus (Dhillon & Modha 2001),

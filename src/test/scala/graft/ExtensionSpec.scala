@@ -77,6 +77,53 @@ class ExtensionSpec extends SparkSpec {
     assert(empty.size == 16 && empty.forall(_ == null))
   }
 
+  test("IvfRankCells matches the sort_array literal formulation exactly") {
+    // the formulation IvfRankCells replaced (nCells x dim literal nodes):
+    // score per cell via VectorDot against a literal array, rank by
+    // sort_array desc on struct(score, -cellId)
+    def rankedLiteral(vec: org.apache.spark.sql.Column,
+                      cents: Seq[Seq[Double]], nprobe: Int) = {
+      val pairs = cents.zipWithIndex.map { case (c, j) =>
+        struct(Similarity.dot(array(c.map(lit): _*), vec).as("s"),
+          lit(-j).as("nj"))
+      }
+      transform(slice(sort_array(array(pairs: _*), asc = false), 1, nprobe),
+        x => -x.getField("nj"))
+    }
+    val cents = Similarity.ivfCentroids(16, 64).map(_.map(_.toDouble))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    for (nprobe <- Seq(1, 2, 5, 16)) {
+      val both = emb.select(col("vec_id"),
+        Similarity.ivfProbesD(col("embedding"), cents, nprobe).as("native"),
+        rankedLiteral(col("embedding"), cents, nprobe).as("ref"))
+      assert(both.filter(col("native") =!= col("ref")).count() == 0,
+        s"nprobe=$nprobe diverges from the literal formulation")
+    }
+    // tie-breaking to the smaller cell id: duplicate centroids score
+    // identically, so both copies rank adjacent with the smaller first
+    val tied = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 0.0))
+    val r = Seq(Tuple1(Array(2.0, 1.0))).toDF("v")
+      .select(Similarity.ivfProbesD(col("v"), tied, 3)).head().getSeq[Int](0)
+    assert(r == Seq(0, 2, 1))
+    // null semantics: null array / length mismatch / null element => NULL
+    val edge = Seq(Tuple1(Array(1.0, 2.0))).toDF("v").select(
+      Similarity.ivfProbesD(lit(null).cast("array<double>"), tied, 1).as("a"),
+      Similarity.ivfProbesD(array(lit(1.0)), tied, 1).as("b"),
+      Similarity.ivfProbesD(array(lit(1.0), lit(null).cast("double")), tied, 1).as("c"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
+  test("IvfRankCells participates in whole-stage codegen at wide codebooks") {
+    val cents = Similarity.ivfCentroids(80, 64).map(_.map(_.toDouble))
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.ivfAssignD(col("embedding"), cents).as("cell"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.filter(col("cell") >= 0).count() > 0)
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
