@@ -194,9 +194,9 @@ object Similarity {
   def pqCellNorms(books: Seq[Seq[Seq[Double]]]): Seq[Seq[Double]] =
     books.map(_.map(cb => 0.5 * cb.map(x => x * x).sum))
 
-  /** Project each row's vector to its m aliased subvectors — one slice
-   * per subspace, materialized ONCE so the 16 codeword dots per
-   * subspace reference an attribute instead of re-slicing. */
+  /** Project each row's vector to its m aliased subvectors — used by
+   * the Lloyd training loop, whose re-centering aggregates per
+   * (subspace, code) cell over the sliced subvectors. */
   private def withSubvectors(df: DataFrame, idAs: String, m: Int, subDim: Int,
                              extra: Seq[Column] = Nil): DataFrame =
     df.select((col("id").as(idAs) +: extra) ++ ((0 until m).map(j =>
@@ -208,62 +208,34 @@ object Similarity {
    * array<int>) — at 100 TB this is the whole
    * point: m bytes of code replace dim floats (32x here), so the corpus
    * fits memory tiers it otherwise never could, and search never touches
-   * the original vectors. */
-  /** The codes array over `_s0.._sm` subvector attributes. */
-  private def pqCodesColumn(books: Seq[Seq[Seq[Double]]],
-                            cns: Seq[Seq[Double]]): Column =
-    array(books.indices.map { j =>
-      val pairs = books(j).zipWithIndex.map { case (cb, ci) =>
-        struct((dot(array(cb.map(lit): _*), col(s"_s$j")) - lit(cns(j)(ci))).as("s"),
-          lit(-(ci + 1)).as("nj"))
-      }
-      (-element_at(sort_array(array(pairs: _*), asc = false), 1).getField("nj"))
-        .cast(IntegerType)
-    }: _*)
+   * the original vectors. ONE compact codegen expression
+   * ([[graft.functions.PqEncode]]) — the old m×codes×subDim-literal
+   * formulation fell off the same cliff as the IVF quantizer at
+   * production codebook sizes (68.6s vs sub-second for 10k rows at 256
+   * codewords; `bench/pq_ladder_r07.json`). */
+  private def pqEncodeCol(vec: Column, books: Seq[Seq[Seq[Double]]],
+                          cns: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), books, cns))
 
-  /** Compact (typedLit + higher-order-function) variant of
-   * [[pqCodesColumn]]: one nested array literal per subspace instead of
-   * m*codes*subDim scalar literals. Byte-identical assignment semantics
-   * (same left-to-right fold, same (score, -code) tie-break), but the
-   * expression tree is ~100x smaller, so Catalyst analysis/codegen is
-   * milliseconds instead of seconds. Per-row it is slower than the
-   * unrolled codegen loop — use it where rows are few and the plan is
-   * rebuilt repeatedly, i.e. the Lloyd training loop whose book
-   * literals change every iteration; search over the full corpus keeps
-   * the unrolled form. */
-  private def pqCodesColumnCompact(books: Seq[Seq[Seq[Double]]],
-                                   cns: Seq[Seq[Double]]): Column =
-    array(books.indices.map { j =>
-      val cb = typedLit(books(j))
-      val cn = typedLit(cns(j))
-      val scored = transform(sequence(lit(1), lit(books(j).size)),
-        c => struct(
-          (aggregate(zip_with(element_at(cb, c), col(s"_s$j"),
-              (a, b) => a * b.cast(DoubleType)),
-            lit(0.0), (acc, x) => acc + x) - element_at(cn, c)).as("s"),
-          (-c).as("nj")))
-      (-element_at(sort_array(scored, asc = false), 1).getField("nj"))
-        .cast(IntegerType)
-    }: _*)
-
-  /** The ADC lookup tables over `_s0.._sm` subvector attributes. */
-  private def pqAdctColumn(books: Seq[Seq[Seq[Double]]]): Column =
-    array(books.indices.map(j =>
-      array(books(j).map(cb =>
-        dot(array(cb.map(lit): _*), col(s"_s$j"))): _*)): _*)
+  private def pqAdcCol(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec), books))
 
   def pqEncode(corpus: DataFrame, idAs: String, books: Seq[Seq[Seq[Double]]],
                cns: Seq[Seq[Double]]): DataFrame =
-    withSubvectors(corpus, idAs, books.size, books.head.head.size)
-      .select(col(idAs), pqCodesColumn(books, cns).as("codes"))
+    corpus.select(col("id").as(idAs),
+      pqEncodeCol(col("vec"), books, cns).as("codes"))
 
   /** Per-query ADC lookup tables: adct[j][c] = dot(q_subj, books[j][c])
    * — m×codes doubles per query, computed once, broadcast with the
-   * query row. */
+   * query row ([[graft.functions.PqAdc]]). */
   def pqAdcTables(queries: DataFrame, idAs: String,
                   books: Seq[Seq[Seq[Double]]]): DataFrame =
-    withSubvectors(queries, idAs, books.size, books.head.head.size)
-      .select(col(idAs), pqAdctColumn(books).as("adct"))
+    queries.select(col("id").as(idAs),
+      pqAdcCol(col("vec"), books).as("adct"))
 
   /**
    * Per-subspace Lloyd training of PQ codebooks — the production path
@@ -306,8 +278,8 @@ object Similarity {
     var books = pqCodebooks(m, subDim, codes)
     for (_ <- 0 until iters) {
       val cns = pqCellNorms(books)
-      val exploded = withSubvectors(train, "id", m, subDim)
-        .withColumn("_codes", pqCodesColumnCompact(books, cns))
+      val exploded = withSubvectors(train, "id", m, subDim,
+          extra = Seq(pqEncodeCol(col("vec"), books, cns).as("_codes")))
         .select(explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), element_at(col("_codes"), j + 1).as("c"),
             col(s"_s$j").as("sub"))): _*)).as("e"))
@@ -368,17 +340,15 @@ object Similarity {
                 books: Seq[Seq[Seq[Double]]], cents: Seq[Seq[Long]],
                 nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (m, subDim) = (books.size, books.head.head.size)
+    val m = books.size
     val cns = pqCellNorms(books)
     val centsD = cents.map(_.map(_.toDouble))
-    val c = withSubvectors(corpus, "neighbor_id", m, subDim,
-        extra = Seq(ivfAssignD(col("vec"), centsD).as("cell")))
-      .select(col("neighbor_id"), col("cell"),
-        pqCodesColumn(books, cns).as("codes"))
-    val q = withSubvectors(queries, "query_id", m, subDim,
-        extra = Seq(ivfProbesD(col("vec"), centsD, nprobe).as("_probes")))
-      .select(col("query_id"), explode(col("_probes")).as("cell"),
-        pqAdctColumn(books).as("adct"))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      ivfAssignD(col("vec"), centsD).as("cell"),
+      pqEncodeCol(col("vec"), books, cns).as("codes"))
+    val q = queries.select(col("id").as("query_id"),
+      explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"),
+      pqAdcCol(col("vec"), books).as("adct"))
     val adc = (0 until m).map(j =>
       element_at(element_at(col("adct"), j + 1),
         element_at(col("codes"), j + 1))).reduce(_ + _)

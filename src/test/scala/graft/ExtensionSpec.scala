@@ -124,6 +124,58 @@ class ExtensionSpec extends SparkSpec {
     assert(df.filter(col("cell") >= 0).count() > 0)
   }
 
+  test("PqEncode and PqAdc match the sliced-literal formulations exactly") {
+    // the formulations they replaced: slice the vector into subvectors,
+    // score each codeword via VectorDot against a literal array
+    val m = 8; val subDim = 8
+    def sub(j: Int) = slice(col("embedding"), j * subDim + 1, subDim)
+    def codesLiteral(books: Seq[Seq[Seq[Double]]], cns: Seq[Seq[Double]]) =
+      array(books.indices.map { j =>
+        val pairs = books(j).zipWithIndex.map { case (cb, ci) =>
+          struct((Similarity.dot(array(cb.map(lit): _*), sub(j)) - lit(cns(j)(ci))).as("s"),
+            lit(-(ci + 1)).as("nj"))
+        }
+        (-element_at(sort_array(array(pairs: _*), asc = false), 1).getField("nj"))
+          .cast("int")
+      }: _*)
+    def adctLiteral(books: Seq[Seq[Seq[Double]]]) =
+      array(books.indices.map(j =>
+        array(books(j).map(cb =>
+          Similarity.dot(array(cb.map(lit): _*), sub(j))): _*)): _*)
+    val books = Similarity.pqCodebooks(m, subDim, 16)
+    val cns = Similarity.pqCellNorms(books)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val codes = Similarity.pqEncode(vecs, "id", books, cns)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(col("id"), col("codes").as("native"),
+        codesLiteral(books, cns).as("ref"))
+    assert(codes.filter(col("native") =!= col("ref")).count() == 0)
+    val adct = Similarity.pqAdcTables(vecs, "id", books)
+      .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(col("id"), col("adct").as("native"), adctLiteral(books).as("ref"))
+    assert(adct.filter(col("native") =!= col("ref")).count() == 0)
+    // null semantics: null array / length mismatch / null element => NULL
+    val tiny = Seq(Seq(Seq(1.0, 0.0)), Seq(Seq(0.0, 1.0))) // m=2, subDim=2, 1 code
+    val tcns = Similarity.pqCellNorms(tiny)
+    val bad = Seq(Tuple1(Array(1.0, 2.0, 3.0))).toDF("vec") // length 3 != 4
+      .withColumn("id", lit(1))
+    val r1 = Similarity.pqEncode(bad, "id", tiny, tcns).head()
+    val r2 = Similarity.pqAdcTables(bad, "id", tiny).head()
+    assert(r1.isNullAt(1) && r2.isNullAt(1))
+  }
+
+  test("PqEncode stays compact at the production 256-codeword codebook") {
+    val books = Similarity.pqCodebooks(8, 8, 256)
+    val cns = Similarity.pqCellNorms(books)
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val df = Similarity.pqEncode(vecs, "id", books, cns)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.filter(element_at(col("codes"), 1) >= 1).count() > 0)
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
