@@ -367,14 +367,15 @@ object Similarity {
     (0 until nPlanes).map(j => (0 until dim).map(d =>
       Hashing.h60(s"plane_${j}_$d") % 2001 - 1000))
 
-  /** LSH bucket id: sign bit of each hyperplane dot product. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Long]]): Column = {
-    val bits = planes.zipWithIndex.map { case (w, j) =>
-      val wLit = array(w.map(x => lit(x.toDouble)): _*)
-      when(dot(wLit, vec) > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** LSH bucket id: sign bit of each hyperplane dot product — one
+   * compact codegen expression ([[graft.functions.LshBucket64]]); the
+   * old per-bit `when(dot(lit-array, vec) > 0, ...)` chain hit the
+   * same plan-size cliff as the IVF/PQ kernels at 32 planes. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Long]]): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.LshBucket64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vec),
+        planes.map(_.map(_.toDouble))))
 
   /** Fixed pseudo-random IVF centroids: component (j, d) =
    * (h60("centroid_j_d") mod 2001) - 1000 — like [[hyperplanes]],

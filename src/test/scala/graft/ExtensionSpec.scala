@@ -176,6 +176,34 @@ class ExtensionSpec extends SparkSpec {
     assert(df.filter(element_at(col("codes"), 1) >= 1).count() > 0)
   }
 
+  test("LshBucket64 matches the when-chain literal formulation exactly") {
+    // the formulation it replaced: one when(dot(lit-array, vec) > 0,
+    // 1L<<j) branch per plane, summed
+    def bucketLiteral(vec: org.apache.spark.sql.Column, planes: Seq[Seq[Long]]) =
+      planes.zipWithIndex.map { case (w, j) =>
+        when(Similarity.dot(array(w.map(x => lit(x.toDouble)): _*), vec) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (np <- Seq(1, 8, 32, 64)) {
+      val planes = Similarity.hyperplanes(np, 64)
+      val both = emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes).as("native"),
+        bucketLiteral(col("embedding"), planes).as("ref"))
+      assert(both.filter(col("native") =!= col("ref")).count() == 0,
+        s"nPlanes=$np diverges from the when-chain formulation")
+    }
+    // null array / length mismatch / null element => NULL (documented
+    // divergence: the when-chain mapped these to bucket 0)
+    val p2 = Seq(Seq(1L, 0L), Seq(0L, 1L))
+    val edge = emb.limit(1).select(
+      Similarity.lshBucket(lit(null).cast("array<double>"), p2).as("a"),
+      Similarity.lshBucket(array(lit(1.0)), p2).as("b"),
+      Similarity.lshBucket(array(lit(1.0), lit(null).cast("double")), p2).as("c"))
+      .head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
