@@ -962,6 +962,150 @@ object ConnectQueries {
   }
 
   /**
+   * L11 — DISTRIBUTED mode: the `connect-distributed` deployment the
+   * reference actually starts (`scripts/connect_start.sh:1`,
+   * `connect_configs/connect-distributed.properties` — group.id,
+   * config/offset/status storage topics), run as an in-process worker
+   * group ([[graft.pipeline.Cluster]]) with the group protocol
+   * consumed as a contract (SURVEY §7.5, like the broker transport).
+   * The flow exercises every distributed-mode guarantee the single
+   * worker cannot:
+   *
+   *  1. three connectors register over worker w0's REST and spread
+   *     2/1 across {w0, w1} (sticky least-loaded assignment);
+   *  2. a connector owned by w0 answers status — with its
+   *     `worker_id` — through worker w1's REST (the forwarding
+   *     contract: any worker serves any request);
+   *  3. w1 LEAVES with data pending: its connector rebalances to
+   *     w0 and the change wave (updates + tombstones) lands exactly
+   *     once — offsets live in the shared substrate, so the move
+   *     resumes, not restarts;
+   *  4. w2 JOINS: the incremental-cooperative rebalance revokes only
+   *     w0's over-target excess (the largest name, c) while a/b keep
+   *     streaming, and the final wave lands on the new placement;
+   *  5. DELETEs through w2's REST empty every worker's view of the
+   *     one shared registry.
+   *
+   * Probe columns pin each phase's exact assignment; the rows prove
+   * all three waves applied exactly once per connector across two
+   * ownership changes.
+   */
+  def connectDistributed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l11_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val names = Seq("l11a", "l11b", "l11c")
+    names.foreach(n => Files.createDirectories(Paths.get(s"$base/in_$n")))
+
+    val nation = T(s, dir, "nation")
+    val w0 = nation
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(0L))
+    val w1 = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_name", lit("moved wave"))
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
+      .unionByName(nation.filter(col("n_nationkey") % 7 === 4)
+        .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
+    val w2 = nation.filter(col("n_nationkey") % 4 === 1)
+      .withColumn("n_name", lit("final wave"))
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(3L))
+    def stage(df: DataFrame, wave: Int): Unit = {
+      val tmp = s"$base/stage$wave"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      names.zipWithIndex.foreach { case (n, i) =>
+        val dst = Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")
+        if (i < names.size - 1) Files.copy(part, dst) else Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + wave * 60000L))
+      }
+    }
+    stage(w0, 0)
+
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val cluster = new graft.pipeline.Cluster(scoped, s"$base/group")
+    val rtA = cluster.addWorker("w0")
+    val rtB = cluster.addWorker("w1")
+    val sharedConfigs =
+      scala.collection.concurrent.TrieMap.empty[String, String]
+    val serverA = new graft.pipeline.ConnectServer(rtA,
+      sharedConfigs = Some(sharedConfigs))
+    val serverB = new graft.pipeline.ConnectServer(rtB,
+      sharedConfigs = Some(sharedConfigs))
+    val urlA = serverA.start(); val urlB = serverB.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(url: String, method: String, path: String,
+               body: Option[String] = None) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url + path))
+        val r = http.send(body.fold(b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+            b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() < 400,
+          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
+        r.body()
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      names.foreach { n => // all four register through worker w0's REST
+        call(urlA, "POST", "/connectors", Some(
+          s"""{"name":"$n",
+             |"source":{"type":"parquet","path":${q.writeValueAsString(s"$base/in_$n")},
+             |  "schemaDdl":${q.writeValueAsString(w0.schema.toDDL)},
+             |  "keyFields":["n_nationkey"],"seqColumn":"seq",
+             |  "topic":"om.$n","maxFilesPerTrigger":"4"},
+             |"transforms":[],
+             |"sink":{"type":"logtable","path":${q.writeValueAsString(s"$base/state_$n")},
+             |  "keys":["n_nationkey"]}}""".stripMargin))
+      }
+      def assigns(): String =
+        cluster.assignments().map { case (n, w) => s"$n=$w" }.mkString(",")
+      val assignInitial = assigns()
+      scoped.streams.active.foreach(_.processAllAvailable())
+      // the forwarding contract: a w0-owned connector through w1's REST
+      val crossStatus = {
+        val node = q.readTree(call(urlB, "GET", "/connectors/l11a/status"))
+        s"${node.get("connector").get("state").asText}@" +
+          node.get("connector").get("worker_id").asText
+      }
+      serverB.stop() // the worker leaves, its REST surface with it
+      cluster.removeWorker("w1") // b orphans onto w0
+      val assignAfterLeave = assigns()
+      stage(w1, 1) // the change wave lands on the post-leave placement
+      scoped.streams.active.foreach(_.processAllAvailable())
+      val rtC = cluster.addWorker("w2") // revokes only w0's excess: c moves
+      val assignAfterJoin = assigns()
+      stage(w2, 2)
+      scoped.streams.active.foreach(_.processAllAvailable())
+      val serverC = new graft.pipeline.ConnectServer(rtC,
+        sharedConfigs = Some(sharedConfigs))
+      val urlC = serverC.start()
+      try {
+        names.foreach(n => call(urlC, "DELETE", s"/connectors/$n"))
+      } finally serverC.stop()
+      val emptied = call(urlA, "GET", "/connectors") == "[]"
+      names.map { n =>
+        graft.sinks.LogTable.read(s, s"$base/state_$n", Seq("n_nationkey"))
+          .select(lit(n).as("connector"), col("n_nationkey"), col("n_name"))
+      }.reduce(_.unionByName(_))
+        .withColumn("assign_initial", lit(assignInitial))
+        .withColumn("assign_after_leave", lit(assignAfterLeave))
+        .withColumn("assign_after_join", lit(assignAfterJoin))
+        .withColumn("cross_worker_status", lit(crossStatus))
+        .withColumn("deregistered", lit(emptied))
+        .orderBy("connector", "n_nationkey")
+    } finally { serverA.stop(); serverB.stop() }
+  }
+
+  /**
    * K14 — the reference's BIGGEST workload shape, reconciled end-to-end:
    * `CONNECT_DML_TEST(0, 5000, 100, 100)` across all five lab tables
    * (`실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md:444-502`,
@@ -1177,6 +1321,7 @@ object ConnectQueries {
     "k14_soak_reconcile" -> (soakReconcile _),
     "l9_connect_rest" -> (connectRestLifecycle _),
     "l10_rest_evolution" -> (restEvolution _),
+    "l11_connect_distributed" -> (connectDistributed _),
     "s7b_snapshot_stream_handoff" -> (snapshotStreamHandoff _)
   )
 
@@ -1195,6 +1340,25 @@ object ConnectQueries {
         |  TRUE AS deregistered
         |FROM nation WHERE n_nationkey % 7 <> 3
         |ORDER BY n_nationkey""".stripMargin,
+    // the distributed wave algebra per connector (wave 2's %4=1 update
+    // outranks wave 1's %3=0 by seq; %7=4 tombstones win over %3=0 —
+    // no %7=4 key is %4=1, so none resurrects), crossed with the four
+    // connectors; the probe columns pin the deterministic assignment
+    // at each membership phase and the cross-worker status route
+    "l11_connect_distributed" ->
+      """SELECT c.connector, n.n_nationkey,
+        |  CASE WHEN n.n_nationkey % 4 = 1 THEN 'final wave'
+        |       WHEN n.n_nationkey % 3 = 0 THEN 'moved wave'
+        |       ELSE n.n_name END AS n_name,
+        |  'l11a=w0,l11b=w1,l11c=w0' AS assign_initial,
+        |  'l11a=w0,l11b=w0,l11c=w0' AS assign_after_leave,
+        |  'l11a=w0,l11b=w0,l11c=w2' AS assign_after_join,
+        |  'RUNNING@w0' AS cross_worker_status,
+        |  TRUE AS deregistered
+        |FROM (VALUES ('l11a'),('l11b'),('l11c')) AS c(connector)
+        |CROSS JOIN nation n
+        |WHERE n.n_nationkey % 7 <> 4
+        |ORDER BY c.connector, n.n_nationkey""".stripMargin,
     // the evolution algebra: v2-wave keys (k%5=0) carry the updated
     // name, the evolved column, and the SMT-computed n_src; v1 rows
     // keep NULL in every evolved column BECAUSE offsets survived the

@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Distributed-mode Connect worker group — the `connect-distributed`
+ * semantics the reference starts (`scripts/connect_start.sh:1`,
+ * `connect_configs/connect-distributed.properties`): N workers share
+ * one config/offset/status substrate, every connector runs on exactly
+ * one worker, any worker's REST surface serves any request, and
+ * membership changes rebalance ownership without losing progress.
+ *
+ * What maps where (the group protocol itself rides Kafka's consumer
+ * coordinator in the reference deployment and is consumed here as an
+ * in-process contract, like the broker transport — SURVEY §7.5):
+ *
+ *  - config topic            → `specs`/`targets` (shared maps; specs
+ *                              survive worker loss because no worker
+ *                              owns them)
+ *  - offset/status topics    → one shared checkpoint `root`: a moved
+ *                              pipeline resumes from the SAME
+ *                              checkpoint dir on its new worker, so
+ *                              offsets survive rebalances by
+ *                              construction (the connect-offsets
+ *                              contract)
+ *  - worker                  → an [[Engine]] per member over the
+ *                              shared root; ownership = which engine
+ *                              has the pipeline registered (the
+ *                              single-writer rule, now cluster-wide)
+ *  - REST forwarding         → [[runtime]]: every worker's view routes
+ *                              to the owner through the cluster
+ *
+ * Rebalancing is INCREMENTAL-COOPERATIVE (the KIP-415 shape, not the
+ * classic eager stop-the-world): assignment is sticky — a connector
+ * moves only when its worker left or a join requires shedding load to
+ * rebalance — and only the moved connectors bounce; everything else
+ * keeps streaming through the rebalance. Deterministic rules so tests
+ * and oracles can predict placements: new/orphaned connectors go to
+ * the least-loaded member (ties: smallest worker id); a join revokes
+ * exactly the over-target excess from the most-loaded members,
+ * largest connector names first. A paused connector moves with its
+ * target state and stays paused on the new worker.
+ */
+final class Cluster(spark: SparkSession, root: String) {
+
+  private val specs = TrieMap.empty[String, PipelineSpec]
+  private val targets = TrieMap.empty[String, Boolean] // running? (false = paused)
+  private val members = mutable.SortedMap.empty[String, Engine]
+  private val owners = TrieMap.empty[String, String]
+
+  def addWorker(id: String): ConnectRuntime = synchronized {
+    require(!members.contains(id), s"worker '$id' already in the group")
+    members(id) = new Engine(spark, root)
+    rebalance()
+    runtime(id)
+  }
+
+  /** A worker leaves (gracefully or by death — either way its queries
+   * stop and its connectors are orphaned for reassignment; committed
+   * offsets are in the shared root, so recovery is the checkpoint's). */
+  def removeWorker(id: String): Unit = synchronized {
+    val engine = members.remove(id).getOrElse(
+      throw new NoSuchElementException(s"no worker '$id'"))
+    owners.filter(_._2 == id).keys.toSeq.sorted.foreach { n =>
+      engine.delete(n) // stops the query; checkpoint (offsets) retained
+      owners.remove(n)
+    }
+    rebalance()
+  }
+
+  def workerIds: Seq[String] = synchronized(members.keys.toSeq)
+
+  /** name → owning worker, sorted by name (the group's assignment). */
+  def assignments(): Seq[(String, String)] =
+    synchronized(owners.toSeq.sortBy(_._1))
+
+  // ---- group-internal mechanics ------------------------------------------
+
+  private def load(id: String): Int = owners.count(_._2 == id)
+
+  private def leastLoaded: String =
+    members.keys.minBy(id => (load(id), id))
+
+  private def place(name: String): Unit = {
+    val owner = leastLoaded
+    members(owner).adopt(specs(name), running = targets(name))
+    owners(name) = owner
+  }
+
+  /** Incremental-cooperative rebalance: assign orphans to the least
+   * loaded; if membership grew, revoke exactly the over-target excess
+   * (most-loaded donors, largest names first) and re-place it. Never
+   * touches a connector whose placement already fits the balance. */
+  private def rebalance(): Unit = {
+    if (members.isEmpty) return
+    val total = specs.size
+    val k = members.size
+    val base = total / k
+    val extras = total % k // the first `extras` members by id carry +1
+    val targetLoad = members.keys.toSeq.zipWithIndex
+      .map { case (id, i) => id -> (base + (if (i < extras) 1 else 0)) }
+      .toMap
+    members.foreach { case (id, engine) =>
+      val owned = owners.filter(_._2 == id).keys.toSeq.sorted
+      // revoke the largest names beyond this member's target load
+      owned.drop(targetLoad(id)).foreach { n =>
+        engine.delete(n)
+        owners.remove(n)
+      }
+    }
+    specs.keys.toSeq.sorted.filterNot(owners.contains).foreach(place)
+  }
+
+  private def owner(name: String): Engine =
+    members(owners.getOrElse(name,
+      throw new NoSuchElementException(s"no pipeline '$name'")))
+
+  /**
+   * A worker's view of the group — the [[ConnectRuntime]] its REST
+   * surface serves. Views are functionally identical on every worker
+   * (a request for a connector owned elsewhere routes through the
+   * cluster to the owner — the forwarding contract); the id only
+   * labels the serving worker.
+   */
+  def runtime(id: String): ConnectRuntime = new ConnectRuntime {
+    private val cluster = Cluster.this
+    override def monitor: AnyRef = cluster
+
+    def registerJson(json: String): Any = register(PipelineSpec.fromJson(json))
+
+    def register(spec: PipelineSpec): Any = cluster.synchronized {
+      if (members.isEmpty)
+        throw new IllegalStateException("no workers in the group")
+      if (specs.contains(spec.name))
+        throw new IllegalStateException(
+          s"pipeline '${spec.name}' already registered (single-writer rule; delete it first)")
+      validate(spec)
+      specs(spec.name) = spec
+      targets(spec.name) = true
+      place(spec.name)
+    }
+
+    def validate(spec: PipelineSpec): Unit =
+      members.head._2.validate(spec) // stateless pre-flight; any engine
+
+    def list(): Seq[String] = specs.keys.toSeq.sorted
+
+    def delete(name: String): Unit = cluster.synchronized {
+      owner(name).delete(name)
+      owners.remove(name); specs.remove(name); targets.remove(name)
+    }
+
+    def pause(name: String): Unit = cluster.synchronized {
+      owner(name).pause(name); targets(name) = false
+    }
+
+    def resume(name: String): Any = cluster.synchronized {
+      val q = owner(name).resume(name); targets(name) = true; q
+    }
+
+    def restart(name: String): Unit = cluster.synchronized {
+      owner(name).restart(name)
+    }
+
+    def status(name: String): (String, String) = owner(name).status(name)
+
+    def resetOffsets(name: String): Unit = cluster.synchronized {
+      owner(name).resetOffsets(name)
+    }
+
+    def latestBatchId(name: String): Option[Long] = owner(name).latestBatchId(name)
+
+    override def workerId(name: String): Option[String] = owners.get(name)
+  }
+}

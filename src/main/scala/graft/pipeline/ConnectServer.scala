@@ -36,11 +36,14 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
  * reset (`DELETE /connectors/{name}/offsets`, Connect's KIP-875
  * shape) 409s while the connector runs.
  */
-final class ConnectServer(engine: Engine, port: Int = 0) {
+final class ConnectServer(engine: ConnectRuntime, port: Int = 0,
+                          sharedConfigs: Option[scala.collection.concurrent.TrieMap[String, String]] = None) {
   import ConnectServer._
 
-  private val configs =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+  // distributed mode passes ONE shared map to every worker's server (the
+  // config-topic analog: a config POSTed on any worker reads back on all)
+  private val configs = sharedConfigs.getOrElse(
+    scala.collection.concurrent.TrieMap.empty[String, String])
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
 
@@ -76,7 +79,7 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           // step: a concurrent DELETE of the same name interleaving
           // between them would otherwise strip the new connector's
           // config while leaving the pipeline registered
-          engine.synchronized {
+          engine.monitor.synchronized {
             engine.registerJson(body) // IllegalStateException -> 409 below
             configs(name) = body
           }
@@ -103,7 +106,7 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           // (unknown sink kind, keyed sink without seqColumn, …) must
           // 400 while the old pipeline is still alive
           engine.validate(spec)
-          val existed = engine.synchronized {
+          val existed = engine.monitor.synchronized {
             val existed = engine.list().contains(n)
             val oldBody = configs.get(n)
             if (existed) engine.delete(n)
@@ -129,9 +132,13 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
             case Array(st, tr) => (st, Some(tr))
             case _ => (s, None)
           }
+          // distributed mode labels state with the owning worker, like
+          // Connect's worker_id in the status payload
+          val wid = engine.workerId(n)
+            .map(w => s""","worker_id":${quote(w)}""").getOrElse("")
           json(ex, 200,
-            s"""{"name":${quote(n)},"connector":{"state":${quote(state)}},""" +
-              s""""tasks":[{"id":0,"state":${quote(state)}""" +
+            s"""{"name":${quote(n)},"connector":{"state":${quote(state)}$wid},""" +
+              s""""tasks":[{"id":0,"state":${quote(state)}$wid""" +
               trace.map(t => s""","trace":${quote(t)}""").getOrElse("") + "}]}")
         case ("PUT", List("connectors", n, "pause")) =>
           requireKnown(n); engine.pause(n); empty(ex, 202)
@@ -146,7 +153,7 @@ final class ConnectServer(engine: Engine, port: Int = 0) {
           // atomic check-then-delete: two racing DELETEs must split
           // 204/404 (Connect's contract), not both observe the name
           // alive and both report success
-          engine.synchronized {
+          engine.monitor.synchronized {
             requireKnown(n)
             engine.delete(n); configs.remove(n)
           }

@@ -31,7 +31,7 @@ import graft.sinks.MergeSink
  * checkpoint, made effectively-exactly-once by the keyed idempotent
  * merge sink (re-applying a batch is a no-op).
  */
-final class Engine(spark: SparkSession, root: String) {
+final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
 
   sealed trait State
   case object Running extends State
@@ -61,6 +61,21 @@ final class Engine(spark: SparkSession, root: String) {
 
   def registerJson(json: String): StreamingQuery =
     register(PipelineSpec.fromJson(json))
+
+  /** Distributed-mode adoption: take ownership of a pipeline moved here
+   * by a rebalance. `running = false` registers it with its PAUSED
+   * target state intact and NO query started — Connect's rebalance
+   * preserves target states, so a paused connector must not run a
+   * single batch on its new worker. */
+  def adopt(spec: PipelineSpec, running: Boolean): Unit = synchronized {
+    if (pipelines.contains(spec.name))
+      throw new IllegalStateException(
+        s"pipeline '${spec.name}' already registered (single-writer rule; delete it first)")
+    if (running) {
+      val q = start(spec)
+      pipelines(spec.name) = Entry(spec, Some(q), Running)
+    } else pipelines(spec.name) = Entry(spec, None, Paused)
+  }
 
   /** L2: stop the query; offsets stay in the checkpoint. */
   def pause(name: String): Unit = synchronized {

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Cluster, PipelineSpec}
+
+/** Distributed-mode worker group: sticky incremental rebalancing,
+  * ownership routing, target-state preservation across moves, and
+  * offset survival when a connector changes workers. */
+class ClusterSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = s"target/tmp/clusterspec_$name"
+    graft.util.Fs.deleteRecursive(Paths.get(p))
+    Files.createDirectories(Paths.get(p))
+    p
+  }
+
+  private def spec(name: String, in: String, state: String): PipelineSpec = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    PipelineSpec.fromJson(
+      s"""{"name":"$name",
+         |"source":{"type":"parquet","path":${m.writeValueAsString(in)},
+         |  "schemaDdl":"id BIGINT, v STRING, seq BIGINT",
+         |  "keyFields":["id"],"seqColumn":"seq","topic":"t.$name"},
+         |"transforms":[],
+         |"sink":{"type":"logtable","path":${m.writeValueAsString(state)},
+         |  "keys":["id"]}}""".stripMargin)
+  }
+
+  private def stage(in: String, wave: Int, rows: Seq[(Long, String, Long)]): Unit = {
+    import spark.implicits._
+    val tmpDir = s"$in/.stage"
+    rows.toDF("id", "v", "seq").coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir)
+    val st = Files.list(Paths.get(tmpDir))
+    val part =
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      } finally st.close()
+    Files.move(part, Paths.get(in, f"wave$wave%02d.parquet"))
+  }
+
+  test("sticky least-loaded assignment, incremental join/leave rebalance") {
+    val base = tmp("assign")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rt = cluster.addWorker("w0")
+    cluster.addWorker("w1")
+    val names = Seq("a", "b", "c", "d")
+    names.foreach { n =>
+      Files.createDirectories(Paths.get(s"$base/in_$n"))
+      stage(s"$base/in_$n", 0, Seq((1L, n, 0L)))
+      rt.register(spec(n, s"$base/in_$n", s"$base/state_$n"))
+    }
+    // least-loaded with smallest-id ties: a->w0, b->w1, c->w0, d->w1
+    assert(cluster.assignments() ==
+      Seq("a" -> "w0", "b" -> "w1", "c" -> "w0", "d" -> "w1"))
+    assert(rt.workerId("b").contains("w1"))
+
+    // leave: w1's connectors (b, d) orphan and land on w0; a and c
+    // never move (stickiness)
+    cluster.removeWorker("w1")
+    assert(cluster.assignments().forall(_._2 == "w0"))
+
+    // join: exactly the over-target excess leaves w0 — the two largest
+    // names (c, d) move to w2; a and b stay put
+    cluster.addWorker("w2")
+    assert(cluster.assignments() ==
+      Seq("a" -> "w0", "b" -> "w0", "c" -> "w2", "d" -> "w2"))
+    names.foreach(n => assert(rt.status(n)._2 == "RUNNING", n))
+    names.foreach(n => rt.delete(n))
+    assert(rt.list().isEmpty && cluster.assignments().isEmpty)
+  }
+
+  test("paused target state survives a rebalance move") {
+    val base = tmp("paused")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rt = cluster.addWorker("w0")
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "x", 0L)))
+    rt.register(spec("p", s"$base/in", s"$base/state"))
+    spark.streams.active.foreach(_.processAllAvailable())
+    rt.pause("p")
+    assert(rt.status("p")._2 == "PAUSED")
+    // the move: a join big enough to revoke p from w0 cannot happen
+    // with one connector, so force it with a leave+join cycle
+    cluster.addWorker("w1")
+    cluster.removeWorker("w0")
+    assert(rt.workerId("p").contains("w1"))
+    // moved WITHOUT running a batch: still paused on the new worker
+    assert(rt.status("p")._2 == "PAUSED")
+    rt.resume("p")
+    assert(rt.status("p")._2 == "RUNNING")
+    rt.delete("p")
+  }
+
+  test("offsets survive the move: no re-ingestion, new data still lands") {
+    val base = tmp("offsets")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rt = cluster.addWorker("w0")
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "v0", 0L), (2L, "v0", 0L)))
+    rt.register(spec("m", s"$base/in", s"$base/state"))
+    spark.streams.active.foreach(_.processAllAvailable())
+    val committed = rt.latestBatchId("m")
+    assert(committed.nonEmpty)
+
+    cluster.addWorker("w1")
+    cluster.removeWorker("w0") // m moves to w1, resuming from the checkpoint
+    assert(rt.workerId("m").contains("w1"))
+    stage(s"$base/in", 1, Seq((2L, "v1", 1L), (3L, "v1", 1L)))
+    spark.streams.active.foreach(_.processAllAvailable())
+    // batch ids CONTINUE (the checkpoint moved with the pipeline) …
+    assert(rt.latestBatchId("m").exists(id => committed.exists(_ < id)))
+    // … and the merged state is exactly one application of both waves
+    val rows = graft.sinks.LogTable.read(spark, s"$base/state", Seq("id"))
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "v0"), (2L, "v1"), (3L, "v1")))
+    rt.delete("m")
+  }
+
+  test("group contracts: duplicate names 409, empty group rejects, unknown 404") {
+    val base = tmp("contracts")
+    val cluster = new Cluster(spark, s"$base/root")
+    intercept[NoSuchElementException](cluster.removeWorker("ghost"))
+    val rt = cluster.addWorker("w0")
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "x", 0L)))
+    rt.register(spec("dup", s"$base/in", s"$base/state"))
+    intercept[IllegalStateException](
+      rt.register(spec("dup", s"$base/in", s"$base/state2")))
+    intercept[NoSuchElementException](rt.status("nope"))
+    rt.delete("dup")
+    cluster.removeWorker("w0")
+    intercept[IllegalStateException](
+      rt.register(spec("late", s"$base/in", s"$base/state3")))
+  }
+}
