@@ -165,14 +165,23 @@ final class Cluster(spark: SparkSession, root: String) {
       owner(name).restart(name)
     }
 
-    def status(name: String): (String, String) = owner(name).status(name)
+    // reads route under the cluster monitor too: mid-rebalance a moving
+    // connector is momentarily owner-less (revoked, not yet re-placed),
+    // and an unsynchronized read would 404 a connector that IS
+    // registered — found by the ClusterSpec storm
+    def status(name: String): (String, String) = cluster.synchronized {
+      owner(name).status(name)
+    }
 
     def resetOffsets(name: String): Unit = cluster.synchronized {
       owner(name).resetOffsets(name)
     }
 
-    def latestBatchId(name: String): Option[Long] = owner(name).latestBatchId(name)
+    def latestBatchId(name: String): Option[Long] = cluster.synchronized {
+      owner(name).latestBatchId(name)
+    }
 
-    override def workerId(name: String): Option[String] = owners.get(name)
+    override def workerId(name: String): Option[String] =
+      cluster.synchronized(owners.get(name))
   }
 }

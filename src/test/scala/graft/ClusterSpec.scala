@@ -122,6 +122,87 @@ class ClusterSpec extends SparkSpec {
     rt.delete("m")
   }
 
+  test("storm: REST lifecycles on two workers race membership churn") {
+    // distributed-mode concurrency surface: N clients running full
+    // lifecycles through DIFFERENT workers' REST servers while the
+    // group membership churns underneath (a third worker joining and
+    // leaving, each change a rebalance). Every lifecycle step must
+    // return its exact protocol code regardless of where its connector
+    // happens to be placed at that instant, and the registry must end
+    // empty on every surface. Lock-order sanity (cluster -> engine,
+    // never the reverse) is what this exercises: a rebalance holds the
+    // cluster monitor while bouncing engines, racing REST compound
+    // routes that take the same monitor.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val base = tmp("storm")
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    stage(in, 0, Seq((1L, "a", 0L), (2L, "b", 0L)))
+    val cluster = new Cluster(spark, s"$base/root")
+    val rtA = cluster.addWorker("w0")
+    val rtB = cluster.addWorker("w1")
+    val shared = scala.collection.concurrent.TrieMap.empty[String, String]
+    val serverA = new graft.pipeline.ConnectServer(rtA, sharedConfigs = Some(shared))
+    val serverB = new graft.pipeline.ConnectServer(rtB, sharedConfigs = Some(shared))
+    val urls = Seq(serverA.start(), serverB.start())
+    val http = java.net.http.HttpClient.newHttpClient()
+    def call(url: String, method: String, path: String,
+             body: Option[String] = None): Int = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(url + path))
+      http.send(body.fold(b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+          b.method(method, java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        .statusCode()
+    }
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    def specJson(name: String): String =
+      s"""{"name":"$name",
+         |"source":{"type":"parquet","path":${m.writeValueAsString(in)},
+         |  "schemaDdl":"id BIGINT, v STRING, seq BIGINT",
+         |  "keyFields":["id"],"seqColumn":"seq","topic":"t.$name"},
+         |"transforms":[],
+         |"sink":{"type":"logtable","path":${m.writeValueAsString(s"$base/st_$name")},
+         |  "keys":["id"]}}""".stripMargin
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n + 1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val churning = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val churn = Future {
+        var i = 0
+        while (churning.get()) {
+          cluster.addWorker(s"churn$i")
+          Thread.sleep(20)
+          cluster.removeWorker(s"churn$i")
+          i += 1
+        }
+        i
+      }
+      val lifecycles = Await.result(
+        Future.traverse((0 until n).toList) { i => Future {
+          val nm = s"cs$i"; val url = urls(i % urls.size)
+          Seq(
+            call(url, "POST", "/connectors", Some(specJson(nm))),
+            call(url, "GET", s"/connectors/$nm/status"),
+            call(url, "PUT", s"/connectors/$nm/pause"),
+            call(url, "PUT", s"/connectors/$nm/resume"),
+            call(url, "POST", s"/connectors/$nm/restart"),
+            call(url, "DELETE", s"/connectors/$nm"))
+        }}, 180.seconds)
+      churning.set(false)
+      val churns = Await.result(churn, 180.seconds)
+      assert(churns > 0, "membership never churned during the storm")
+      assert(lifecycles.forall(_ == Seq(201, 200, 202, 202, 204, 204)),
+        lifecycles.toString)
+      assert(rtA.list().isEmpty && cluster.assignments().isEmpty)
+      assert(call(urls(1), "GET", "/connectors/cs0/config") == 404)
+    } finally { pool.shutdown(); serverA.stop(); serverB.stop() }
+  }
+
   test("group contracts: duplicate names 409, empty group rejects, unknown 404") {
     val base = tmp("contracts")
     val cluster = new Cluster(spark, s"$base/root")
