@@ -504,6 +504,17 @@ object LlmQueries {
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
 
+  /** E9b: the k-NN graph over the PRODUCTION quantizer — spherical
+   * k-means centroids instead of the fixed grid (the e3/e3b
+   * relationship, completing the trained variant for the one IVF
+   * operator that lacked it). Training is deterministic, so the
+   * oracle renders the same centroid doubles and the graph is
+   * hash-exact like e3b. */
+  def knnGraphTrainedQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embFrame(s, dir), k = 3, trainedCents(s, dir), NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+
   /** X18: the END-TO-END curation FUNNEL — the whole pipeline a
    * pretraining-data run executes, with per-stage survivor counts (the
    * report a data team actually reviews): all docs → language-ID keeps
@@ -1051,6 +1062,7 @@ object LlmQueries {
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
+    "e9b_knn_graph_trained" -> (knnGraphTrainedQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
     "e11_hamming_topk" -> (hammingTopKQ _),
     "e12_hamming_rerank" -> (hammingRerankQ _),
@@ -1289,6 +1301,9 @@ object LlmQueries {
   val dynamicOracleSql: Map[String, (SparkSession, String) => String] = Map(
     "e3b_ivf_kmeans_topk" ->
       ((s, dir) => ivfOracleSql(doubleLit2(trainedCents(s, dir)))),
+    "e9b_knn_graph_trained" ->
+      ((s, dir) => ivfOracleSql(doubleLit2(trainedCents(s, dir)),
+        qPred = "TRUE", topK = 3)),
     "e13b_ann_recall_trained" ->
       ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
         RecallProbes, RecallAssigns)),
