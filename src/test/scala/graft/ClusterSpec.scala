@@ -203,6 +203,57 @@ class ClusterSpec extends SparkSpec {
     } finally { pool.shutdown(); serverA.stop(); serverB.stop() }
   }
 
+  test("REST config update works cluster-wide and keeps committed offsets") {
+    // PUT /connectors/{n}/config through one worker's REST while the
+    // connector runs on ANOTHER worker: the compound
+    // validate/delete/register sequence routes through the cluster, the
+    // re-registered pipeline may land on any member, and — the Connect
+    // contract — its committed offsets survive because the name pins
+    // the checkpoint dir in the shared substrate
+    val base = tmp("put")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rtA = cluster.addWorker("w0")
+    cluster.addWorker("w1")
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "v0", 0L)))
+    val shared = scala.collection.concurrent.TrieMap.empty[String, String]
+    val serverB = new graft.pipeline.ConnectServer(cluster.runtime("w1"),
+      sharedConfigs = Some(shared))
+    val url = serverB.start()
+    try {
+      rtA.register(spec("put0", s"$base/in", s"$base/state")) // lands on w0
+      assert(rtA.workerId("put0").contains("w0"))
+      spark.streams.active.foreach(_.processAllAvailable())
+      val committed = rtA.latestBatchId("put0").get
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val body = // same spec, touched option: a real config change
+        s"""{"name":"put0",
+           |"source":{"type":"parquet","path":${m.writeValueAsString(s"$base/in")},
+           |  "schemaDdl":"id BIGINT, v STRING, seq BIGINT",
+           |  "keyFields":["id"],"seqColumn":"seq","topic":"t.put0",
+           |  "maxFilesPerTrigger":"2"},
+           |"transforms":[],
+           |"sink":{"type":"logtable","path":${m.writeValueAsString(s"$base/state")},
+           |  "keys":["id"]}}""".stripMargin
+      val http = java.net.http.HttpClient.newHttpClient()
+      val r = http.send(java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(s"$url/connectors/put0/config"))
+          .method("PUT", java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200, s"${r.statusCode()}: ${r.body()}")
+      stage(s"$base/in", 1, Seq((2L, "v1", 1L)))
+      spark.streams.active.foreach(_.processAllAvailable())
+      // offsets survived the update: batch ids continue past the
+      // pre-update commit, and wave 0 was not re-ingested (1 row per key)
+      assert(rtA.latestBatchId("put0").exists(_ > committed))
+      val rows = graft.sinks.LogTable.read(spark, s"$base/state", Seq("id"))
+        .select("id", "v").orderBy("id")
+        .collect().map(r2 => (r2.getLong(0), r2.getString(1))).toSeq
+      assert(rows == Seq((1L, "v0"), (2L, "v1")))
+      rtA.delete("put0")
+    } finally serverB.stop()
+  }
+
   test("group contracts: duplicate names 409, empty group rejects, unknown 404") {
     val base = tmp("contracts")
     val cluster = new Cluster(spark, s"$base/root")
