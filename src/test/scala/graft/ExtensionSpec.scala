@@ -204,6 +204,39 @@ class ExtensionSpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("CharNGrams matches the transform+substr formulation exactly") {
+    import graft.functions.CharNGrams
+    import org.apache.spark.sql.graft.ColumnBridge
+    def native(t: org.apache.spark.sql.Column, n: Int) =
+      ColumnBridge.column(CharNGrams(ColumnBridge.expression(t), n))
+    def ref(t: org.apache.spark.sql.Column, n: Int) =
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => substr(t, i, lit(n)))
+    // the real corpus plus multibyte/edge strings (substring counts
+    // CODEPOINTS; the byte-walk must agree on 2- and 3-byte UTF-8)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text"))
+      .unionAll(Seq("héllo wörld", "한국어 텍스트", "ab", "a", "",
+        "ñ", "日本語123abc").toDF("text"))
+    for (n <- Seq(2, 3)) {
+      val both = docs.filter(length(col("text")) >= n)
+        .select(native(col("text"), n).as("native"), ref(col("text"), n).as("ref"))
+      assert(both.filter(col("native") =!= col("ref")).count() == 0,
+        s"n=$n diverges from the transform formulation")
+    }
+    // len < n => empty array; NULL => NULL
+    val edge = Seq(("a", "x")).toDF("short", "t").select(
+      size(native(col("short"), 2)).as("a"),
+      native(lit(null).cast("string"), 2).as("b"))
+      .head()
+    assert(edge.getInt(0) == 0 && edge.isNullAt(1))
+    // and it stays in whole-stage codegen over a real scan
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(native(col("text"), 2).as("g"))
+      .queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("VectorDot participates in whole-stage codegen") {
     // a real scan (local literal relations constant-fold away)
     val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
