@@ -26,5 +26,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_simhash60"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash60(children.head)))
+    // graft_char_ngrams(text, n): n must be a literal — it shapes the
+    // kernel, not a per-row input (the model-parameter expressions
+    // IvfRankCells/PqEncode/LshBucket64 stay Column-API-only for the
+    // same reason: their codebooks are not SQL-expressible values)
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNGrams].getName,
+        "graft_char_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_char_ngrams requires a literal n-gram size, got $other")
+        }
+        graft.functions.CharNGrams(children.head, n)
+      }))
   }
 }

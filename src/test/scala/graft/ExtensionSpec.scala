@@ -204,6 +204,15 @@ class ExtensionSpec extends SparkSpec {
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("graft_char_ngrams is registered as a SQL function") {
+    val r = spark.sql("SELECT graft_char_ngrams('héllo', 2)")
+      .head().getSeq[String](0)
+    assert(r == Seq("hé", "él", "ll", "lo"))
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_char_ngrams('abc', length('xx'))").collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("CharNGrams matches the transform+substr formulation exactly") {
     import graft.functions.CharNGrams
     import org.apache.spark.sql.graft.ColumnBridge
