@@ -324,6 +324,20 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E7b: IVF-PQ with BOTH stages trained — spherical-k-means coarse
+   * centroids (e3b's) over Lloyd-trained codebooks (e6b's), completing
+   * the trained-variant matrix for the composed production
+   * architecture. Deterministic training renders both literal sets
+   * into the oracle, so the result is hash-exact like e3b/e6b/e9b. */
+  def ivfPqTrainedTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tpar(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfPqTopKWith(emb.filter(col("id") < 5), emb, TopK,
+      trainedBooks(s, dir), trainedCents(s, dir), NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** E6b: PQ ADC top-k with k-means-TRAINED codebooks — the production
    * path next to e6's fixed-book verifiable stand-in (exactly the
    * e3/e3b relationship). Two per-subspace Lloyd iterations from the
@@ -1074,6 +1088,7 @@ object LlmQueries {
     "e6_pq_topk" -> (pqTopK _),
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
     "e7_ivfpq_topk" -> (ivfPqTopK _),
+    "e7b_ivfpq_trained_topk" -> (ivfPqTrainedTopK _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -1304,6 +1319,11 @@ object LlmQueries {
     "e9b_knn_graph_trained" ->
       ((s, dir) => ivfOracleSql(doubleLit2(trainedCents(s, dir)),
         qPred = "TRUE", topK = 3)),
+    "e7b_ivfpq_trained_topk" -> ((s, dir) => {
+      val books = trainedBooks(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCents(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)))
+    }),
     "e13b_ann_recall_trained" ->
       ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
         RecallProbes, RecallAssigns)),
@@ -1311,6 +1331,37 @@ object LlmQueries {
       val books = trainedBooks(s, dir)
       pqOracleSql(doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)))
     }))
+
+  /** e7/e7b share one oracle shape: coarse-centroid and codebook
+   * literals differ (fixed grid vs trained doubles). */
+  private def ivfPqOracleSql(centsLit: String, booksLit: String,
+                             normsLit: String): String =
+    s"""WITH cents AS (SELECT $centsLit AS ct),
+       |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
+       |sub AS (SELECT vec_id, embedding,
+       |  ${(0 until PqM).map(j =>
+              s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
+              .mkString(",\n  ")}
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS neighbor_id,
+       |  -(${rankedSql("embedding")})[1].nj AS cell,
+       |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
+       |  FROM sub, cents, cb),
+       |q AS (SELECT vec_id AS query_id,
+       |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
+       |    x -> -x.nj)) AS cell,
+       |  [${(0 until PqM).map(j =>
+              s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
+              .mkString(",\n   ")}] AS adct
+       |  FROM sub, cents, cb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
+       |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+       |SELECT query_id, rank, neighbor_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
 
   private def bucketSql(vec: String) =
     (0 until NPlanes).map { j =>
@@ -1690,33 +1741,8 @@ object LlmQueries {
          |FROM pos p JOIN n USING (label)
          |GROUP BY p.label, n.n_vecs, p.i
          |ORDER BY label, d""".stripMargin,
-    "e7_ivfpq_topk" ->
-      s"""WITH cents AS (SELECT $centsSql AS ct),
-         |cb AS (SELECT $pqBooksSql AS cbs, $pqNormsSql AS cn),
-         |sub AS (SELECT vec_id, embedding,
-         |  ${(0 until PqM).map(j =>
-              s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
-              .mkString(",\n  ")}
-         |  FROM embeddings),
-         |c AS (SELECT vec_id AS neighbor_id,
-         |  -(${rankedSql("embedding")})[1].nj AS cell,
-         |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
-         |  FROM sub, cents, cb),
-         |q AS (SELECT vec_id AS query_id,
-         |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
-         |    x -> -x.nj)) AS cell,
-         |  [${(0 until PqM).map(j =>
-              s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
-              .mkString(",\n   ")}] AS adct
-         |  FROM sub, cents, cb WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT query_id, neighbor_id,
-         |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
-         |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
-         |SELECT query_id, rank, neighbor_id, adc FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
+    "e7_ivfpq_topk" -> ivfPqOracleSql(centsSql, pqBooksSql, pqNormsSql),
+
     "e6_pq_topk" -> pqOracleSql(pqBooksSql, pqNormsSql),
     // quantization mirrored exactly: floor(x/amax*127) (floor, not
     // round — half-way rules differ across engines); the dot is pure

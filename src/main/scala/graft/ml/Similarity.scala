@@ -338,11 +338,17 @@ object Similarity {
    */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                 books: Seq[Seq[Seq[Double]]], cents: Seq[Seq[Long]],
-                nprobe: Int): DataFrame = {
+                nprobe: Int): DataFrame =
+    ivfPqTopKWith(queries, corpus, k, books, cents.map(_.map(_.toDouble)), nprobe)
+
+  /** [[ivfPqTopK]] over double-precision (e.g. TRAINED) coarse
+   * centroids — the [[ivfTopKWith]] relationship. */
+  def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                    books: Seq[Seq[Seq[Double]]], centsD: Seq[Seq[Double]],
+                    nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.size
     val cns = pqCellNorms(books)
-    val centsD = cents.map(_.map(_.toDouble))
     val c = corpus.select(col("id").as("neighbor_id"),
       ivfAssignD(col("vec"), centsD).as("cell"),
       pqEncodeCol(col("vec"), books, cns).as("codes"))
