@@ -1055,7 +1055,7 @@ object ConnectQueries {
         r.body()
       }
       val q = new com.fasterxml.jackson.databind.ObjectMapper()
-      names.foreach { n => // all four register through worker w0's REST
+      names.foreach { n => // all three register through worker w0's REST
         call(urlA, "POST", "/connectors", Some(
           s"""{"name":"$n",
              |"source":{"type":"parquet","path":${q.writeValueAsString(s"$base/in_$n")},

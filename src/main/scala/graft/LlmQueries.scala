@@ -472,8 +472,8 @@ object LlmQueries {
   }
 
   /** E3b: IVF with k-means-TRAINED centroids — the production path next
-   * to e3's fixed-centroid verifiable stand-in. Two Lloyd iterations
-   * from the deterministic init, then the identical quantizer.
+   * to e3's fixed-centroid verifiable stand-in. Five spherical k-means
+   * iterations from the deterministic init, then the identical quantizer.
    * HASH-EXACT like e6b: DECIMAL training sums make the centroids
    * deterministic, and [[dynamicOracleSql]] renders them into the same
    * oracle SQL shape e3 uses. Centroids memoize per dir. */

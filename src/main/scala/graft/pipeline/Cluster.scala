@@ -143,8 +143,14 @@ final class Cluster(spark: SparkSession, root: String) {
       place(spec.name)
     }
 
-    def validate(spec: PipelineSpec): Unit =
+    def validate(spec: PipelineSpec): Unit = cluster.synchronized {
+      // under the cluster monitor: `members` is a plain SortedMap mutated
+      // by add/removeWorker, and an empty group must surface the same
+      // 409 'no workers' that register() produces (not a bare head-crash)
+      if (members.isEmpty)
+        throw new IllegalStateException("no workers in the group")
       members.head._2.validate(spec) // stateless pre-flight; any engine
+    }
 
     def list(): Seq[String] = specs.keys.toSeq.sorted
 

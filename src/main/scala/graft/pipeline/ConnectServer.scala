@@ -74,7 +74,11 @@ final class ConnectServer(engine: ConnectRuntime, port: Int = 0,
           json(ex, 200, engine.list().map(quote).mkString("[", ",", "]"))
         case ("POST", List("connectors")) =>
           val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val name = mapper.readTree(body).get("name").asText
+          val nameNode = mapper.readTree(body).get("name")
+          if (nameNode == null || nameNode.isNull)
+            throw new IllegalArgumentException(
+              "missing 'name' member in connector config")
+          val name = nameNode.asText
           // the engine monitor makes register + config-store one atomic
           // step: a concurrent DELETE of the same name interleaving
           // between them would otherwise strip the new connector's

@@ -45,6 +45,8 @@ import graft.util.Fs
  */
 object LogTable {
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** How a version becomes visible. See the class doc for the two
    * protocols; pick [[ManifestCommit]] when the table lives on a store
    * without atomic directory rename. */
@@ -92,14 +94,14 @@ object LogTable {
       listDir(manifestDir(path)).flatMap { m =>
         m.getFileName.toString match {
           case ManifestRe(n) =>
-            val body = Files.readString(m)
-            def grab(k: String): Option[String] =
-              (s"\"$k\"\\s*:\\s*\"?([^\",}]+)\"?").r
-                .findFirstMatchIn(body).map(_.group(1))
-            Some(Version(n.toInt,
-              Paths.get(path, grab("dir").getOrElse(
-                throw new IllegalStateException(s"manifest $m names no data dir"))),
-              grab("batchId").map(_.toLong)))
+            // a real JSON parse, not a regex: a future field whose value
+            // holds quotes/braces must not silently shift dir or batchId
+            val body = mapper.readTree(Files.readString(m))
+            val dir = Option(body.get("dir")).filterNot(_.isNull)
+              .map(_.asText).getOrElse(
+                throw new IllegalStateException(s"manifest $m names no data dir"))
+            Some(Version(n.toInt, Paths.get(path, dir),
+              Option(body.get("batchId")).filterNot(_.isNull).map(_.asLong)))
           case _ => None
         }
       }.sortBy(_.n)

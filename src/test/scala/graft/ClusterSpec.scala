@@ -269,5 +269,10 @@ class ClusterSpec extends SparkSpec {
     cluster.removeWorker("w0")
     intercept[IllegalStateException](
       rt.register(spec("late", s"$base/in", s"$base/state3")))
+    // validate on an empty group surfaces the same 'no workers' 409 shape
+    // as register, not a head-of-empty-map crash
+    val e = intercept[IllegalStateException](
+      rt.validate(spec("late", s"$base/in", s"$base/state3")))
+    assert(e.getMessage.contains("no workers"))
   }
 }

@@ -262,6 +262,10 @@ class ConnectServerSpec extends SparkSpec {
       assert(call(url, "PUT", "/connectors/none/pause").statusCode() == 404)
       assert(call(url, "POST", "/connectors",
         Some("""{"name":"x"}""")).statusCode() == 400)
+      // a body with no 'name' member gets a descriptive 400, not an NPE
+      val noName = call(url, "POST", "/connectors", Some("""{"source":{}}"""))
+      assert(noName.statusCode() == 400 && noName.body().contains("name"),
+        noName.body())
       assert(call(url, "GET", "/connectors").body() == "[]") // nothing leaked
       val plugins = mapper.readTree(call(url, "GET", "/connector-plugins").body())
       assert(plugins.size() == 8 &&
