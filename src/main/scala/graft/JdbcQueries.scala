@@ -192,6 +192,111 @@ object JdbcQueries {
   }
 
   /**
+   * S8 — Debezium PostgreSQL CDC, the PG-only constraints composed live
+   * (`실습수행/Debezium PostgreSQL CDC Source Connector 실습.md:339-426`):
+   *
+   *  - REPLICA IDENTITY (`:339-353`): the captured table declares NO
+   *    primary key, so the database refuses to publish deletes until
+   *    `ALTER TABLE ... REPLICA IDENTITY FULL`; with FULL, every change
+   *    event keys by the FULL ROW IMAGE ([[graft.sources.PgCdc
+   *    .eventKeyFields]]). Because the row image IS the key, an UPDATE
+   *    changes its own key and travels as delete(old image) +
+   *    insert(new image) — and each full-row tombstone merges against
+   *    the target exactly once (the sink's last-per-key reduce).
+   *  - `publication.autocreate.mode=filtered` (`:366-426`): the
+   *    database publishes three region shards of the customer table;
+   *    the connector's `table.include.list` names two, and
+   *    [[graft.sources.PgCdc.resolvePublication]] resolves the
+   *    publication to exactly those — the third shard's changes never
+   *    reach the wire (observable: none of its rows may appear in the
+   *    target).
+   *
+   * The surviving events then run the full wire path: Debezium
+   * envelope → schema'd-JSON encode → decode → RegexRouter (three
+   * shard topics → one) → ExtractNewRecordState → composite-key merge
+   * into live Derby where the PRIMARY KEY is the whole row — two
+   * micro-batches (snapshot backfill, then update/delete changes), the
+   * target read back as the result.
+   *
+   * Scale shape: identical to k7 — encode/decode/unwrap are narrow
+   * codegen'd per-row work; the sink's single `max_by` shuffle is the
+   * only exchange. Full-row keying widens the key struct; it never adds
+   * a shuffle.
+   */
+  def pgCdcLive(s: SparkSession, dir: String): DataFrame = {
+    import graft.codec.JsonEnvelope
+    import graft.smt.Smt
+    import graft.sources.PgCdc
+
+    val url = derbyUrl(dbName("graft_s8", dir))
+    val table = "customer_pg"
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment")
+    // the PG-side gate first: no PK + no replica identity -> DELETE is
+    // refused at the database; FULL unlocks it and keys by the full row
+    require(PgCdc.validateDeletes(table, Nil, replicaIdentityFull = false).isLeft,
+      "a PK-less published table must refuse deletes before REPLICA IDENTITY FULL")
+    val keyFields = PgCdc.eventKeyFields(Nil, cols, replicaIdentityFull = true)
+    val cfg = Config(url, table, Derby, keyFields)
+    JdbcSink.withConnection(cfg)(c => JdbcSink.dropTableIfExists(c, Derby, table))
+
+    val shards = Seq("customer_us", "customer_eu", "customer_asia")
+    val include = Seq("public.customer_us", "public.customer_eu")
+    val published = PgCdc.resolvePublication(PgCdc.Filtered, include,
+        shards.map("public." + _), existing = None)
+      .fold(m => throw new IllegalStateException(m), identity)
+    val topics = published.map("pg." + _)
+
+    val base = T(s, dir, "customer").select(cols.map(col): _*)
+    def env(df: DataFrame, op: String, seqV: Long, topic: String): DataFrame = {
+      val row = struct(cols.map(col): _*)
+      val e = struct(
+        when(lit(op == "d"), row).as("before"), // the FULL before image
+        when(lit(op != "d"), row).as("after"),
+        struct(lit("postgres").as("name"), col("c_custkey").as("pos")).as("source"),
+        lit(op).as("op"), lit(seqV).as("ts_ms"))
+      df.select(row.as("key"), e.as("value"),
+        lit(topic).as("topic"), lit(seqV).as("seq"))
+    }
+    def shardEvents(i: Int): (DataFrame, DataFrame) = {
+      val t = base.filter(col("c_custkey") % 3 === i)
+      val topic = s"pg.public.${shards(i)}"
+      // snapshot backfill: 'r' reads, then 'c' inserts for the odd keys
+      val backfill = env(t.filter(col("c_custkey") % 2 === 0), "r", 0L, topic)
+        .unionByName(env(t.filter(col("c_custkey") % 2 === 1), "c", 1L, topic))
+      // UPDATE on the PK-less table = delete(old image) + insert(new
+      // image); the later delete wave uses the CURRENT (post-update)
+      // image — WAL order, exactly what the slot would emit
+      val current = t.withColumn("c_mktsegment",
+        when(col("c_custkey") % 100 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")))
+      val changes = env(t.filter(col("c_custkey") % 100 === 0), "d", 2L, topic)
+        .unionByName(env(current.filter(col("c_custkey") % 100 === 0), "c", 3L, topic))
+        .unionByName(env(current.filter(col("c_custkey") % 97 === 0), "d", 4L, topic))
+      (backfill, changes)
+    }
+    val waves = shards.indices.map(shardEvents)
+    def deliver(batch: DataFrame): Unit = {
+      // the publication decides what the database emits at all
+      val emitted = batch.filter(col("topic").isin(topics: _*))
+      val envSchema = emitted.schema("value").dataType
+      val wire = emitted.withColumn("_json",
+        JsonEnvelope.encodeWithSchema(col("value"), envSchema))
+      val decoded = wire.withColumn("value",
+          JsonEnvelope.decode(col("_json"), envSchema, Some(true)))
+        .drop("_json")
+      val routed = Smt.regexRouter("pg\\.public\\.customer_.*", "pg.customer")(decoded)
+      val unwrapped = Smt.extractNewRecordState(dropTombstones = false)(routed)
+      JdbcSink.applyChangelog(unwrapped.select("key", "value", "seq"), cfg)
+    }
+    deliver(waves.map(_._1).reduce(_.unionByName(_)))
+    deliver(waves.map(_._2).reduce(_.unionByName(_)))
+
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", Derby.q(table)).load()
+      .orderBy("c_custkey")
+  }
+
+  /**
    * S11 — PARTITIONED parallel JDBC read, live: orders stage into
    * embedded Derby, then read back through `spark.read.jdbc` with
    * `partitionColumn/lowerBound/upperBound/numPartitions=4` — four
@@ -293,6 +398,7 @@ object JdbcQueries {
     "k13_sink_dlq" -> (sinkDlqTolerance _),
     "s11_jdbc_partitioned_read" -> (jdbcPartitionedRead _),
     "k10_db_to_db_live" -> (dbToDbLive _),
+    "s8_pg_cdc" -> (pgCdcLive _),
     "k9_jdbc_statements" -> (jdbcStatementsLive _),
     "k9b_upsert_sql_dialects" -> (upsertSqlDialects _),
     "s2b_jdbc_live_source" -> (jdbcLiveSource _)
@@ -321,6 +427,16 @@ object JdbcQueries {
     "k10_db_to_db_live" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment AS segment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // publication algebra: only the two included shards (% 3 < 2) reach
+    // the wire; % 100 keys carry the update's new image; % 97 keys are
+    // deleted by their full current row image
+    "s8_pg_cdc" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 100 = 0 THEN 'MOVED'
+        |       ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 3 < 2 AND c_custkey % 97 <> 0
+        |ORDER BY c_custkey""".stripMargin,
     // wave algebra: %3==0 keys keep wave-1 values (no phone); %3==1,2 get
     // wave 2's +100 and phone; %5==0 keys deleted
     "k9_jdbc_statements" ->
