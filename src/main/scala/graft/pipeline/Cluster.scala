@@ -1,5 +1,8 @@
 package graft.pipeline
 
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
