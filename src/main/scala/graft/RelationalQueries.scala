@@ -371,31 +371,23 @@ object RelationalQueries {
     import java.nio.file.{Files, Paths}
     val base = s"target/tmp/w4_${new java.io.File(dir).getName}"
     graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
-    // the file source wants a DIRECTORY; hardlink the single events file
-    // into one (copy if the fs refuses links)
+    // the file source wants a DIRECTORY; stage the normalized events
+    // frame into one (encoding-proof, and never touches the testdata
+    // inode — see Tables.stageFile)
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    val src = Paths.get(s"$dir/events.parquet")
-    val dst = in.resolve("events.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) }
-    // events.parquet carries TIMESTAMP(NANOS): scope the legacy
-    // nanos-as-long flag to a child session, like Tables.readEvents
+    graft.Tables.stageFile(graft.Tables.readEvents(s, dir),
+      in.resolve("events.parquet"), 1000000000000L)
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     // stateful join: one state store PER shuffle partition PER side —
     // see streamShuffle for why the default is small at bench SF
     scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def side(tpe: String, tsAs: String) = scoped.readStream.schema(raw)
+    def side(tpe: String, tsAs: String) = scoped.readStream
+      .schema(graft.Tables.eventsStreamSchema)
       .parquet(in.toString)
       .filter(col("event_type") === tpe)
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .select(col("user_id"), col("ts").cast(TimestampType).as(tsAs))
       .withWatermark(tsAs, "1 hour")
     val views = side("view", "view_ts")
     val buys = side("purchase", "buy_ts").withColumnRenamed("user_id", "buyer_id")
@@ -435,50 +427,31 @@ object RelationalQueries {
     graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    val src = Paths.get(s"$dir/events.parquet")
-    val dst = in.resolve("events.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) }
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     // outer joins keep TWO state stores per shuffle partition and this
     // query commits them across three micro-batches (data, sentinel,
     // no-data flush) — see streamShuffle for the default/override split
     scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 4))
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // one sentinel per SIDE at 2100-01-01 (nanos), mtime-ordered after
-    // the data file so it lands as its own micro-batch
-    val farFuture = 4102444800000000000L
-    scoped.createDataFrame(
+    // one sentinel per SIDE at 2100-01-01, mtime-ordered after the data
+    // file so it lands as its own micro-batch
+    val farFuture = java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+    graft.Tables.stageFile(graft.Tables.readEvents(s, dir),
+      in.resolve("events.parquet"), 1000000000000L)
+    graft.Tables.stageFile(
+      scoped.createDataFrame(
         java.util.List.of(
           org.apache.spark.sql.Row(-1L, farFuture, -1L, "view", 0.0, "{}"),
           org.apache.spark.sql.Row(-2L, farFuture, -2L, "purchase", 0.0, "{}")),
-        raw)
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/sentinel")
-    val sentinelPart = {
-      val st = Files.list(Paths.get(s"$base/sentinel"))
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-      } finally st.close()
-    }
-    val sentinelDst = in.resolve("zz-sentinel.parquet")
-    Files.move(sentinelPart, sentinelDst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
-    Files.setLastModifiedTime(sentinelDst,
-      java.nio.file.attribute.FileTime.fromMillis(1000060000L * 1000L))
+        graft.Tables.eventsStreamSchema),
+      in.resolve("zz-sentinel.parquet"), 1000060000L * 1000L)
 
-    def side(tpe: String, tsAs: String) = scoped.readStream.schema(raw)
+    def side(tpe: String, tsAs: String) = scoped.readStream
+      .schema(graft.Tables.eventsStreamSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
       .filter(col("event_type") === tpe)
-      .select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as(tsAs))
+      .select(col("user_id"), col("ts").cast(TimestampType).as(tsAs))
       .withWatermark(tsAs, "1 hour")
     val views = side("view", "view_ts")
     val buys = side("purchase", "buy_ts").withColumnRenamed("user_id", "buyer_id")
@@ -529,47 +502,27 @@ object RelationalQueries {
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 4))
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val events = {
-      val child = s.newSession()
-      child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      child.read.schema(raw).parquet(s"$dir/events.parquet")
-    }
-    def sentinel(tsNanos: Long) = scoped.createDataFrame(
+    val events = graft.Tables.readEvents(s, dir)
+    def sentinel(ts: java.time.LocalDateTime) = scoped.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
-        -1L, tsNanos, -1L, "sentinel", 0.0, "{}")), raw)
-    val farFuture = 4102444800000000000L // 2100-01-01 in nanos
-    def stage(df: DataFrame, i: Int): Unit = {
-      val tmp = s"$base/stage$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        } finally st.close()
-      }
-      val dst = in.resolve(f"wave$i%02d.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+        -1L, ts, -1L, "sentinel", 0.0, "{}")),
+      graft.Tables.eventsStreamSchema)
+    val farFuture = java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, in.resolve(f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
     stage(events.filter(col("event_id") % 10 =!= 3), 0)    // on time
     stage(sentinel(farFuture), 1)                          // advances wm
-    stage(sentinel(farFuture + 7200L * 1000000000L), 2)    // propagates wm
+    stage(sentinel(farFuture.plusHours(2)), 2)             // propagates wm
     stage(events.filter(col("event_id") % 10 === 3), 3)    // arrives LATE
 
-    val agg = scoped.readStream.schema(raw)
+    val agg = scoped.readStream.schema(graft.Tables.eventsStreamSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(in.toString)
       .select(col("event_type"), col("value"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        col("ts").cast(TimestampType).as("ts"))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -604,18 +557,12 @@ object RelationalQueries {
     graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    val src = Paths.get(s"$dir/events.parquet")
-    val dst = in.resolve("events.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) }
+    graft.Tables.stageFile(graft.Tables.readEvents(s, dir),
+      in.resolve("events.parquet"), 1000000000000L)
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = scoped.readStream.schema(raw).parquet(in.toString)
+    val stream = scoped.readStream
+      .schema(graft.Tables.eventsStreamSchema).parquet(in.toString)
       .select("event_id", "user_id", "event_type")
     val dim = T(scoped, dir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
@@ -653,20 +600,14 @@ object RelationalQueries {
     graft.util.Fs.deleteRecursive(Paths.get(base)) // idempotent re-runs
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    val src = Paths.get(s"$dir/events.parquet")
-    val dst = in.resolve("events.parquet")
-    try Files.createLink(dst, src)
-    catch { case _: Exception => Files.copy(src, dst) }
+    graft.Tables.stageFile(graft.Tables.readEvents(s, dir),
+      in.resolve("events.parquet"), 1000000000000L)
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
-    val raw = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val agg = scoped.readStream.schema(raw).parquet(in.toString)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val agg = scoped.readStream
+      .schema(graft.Tables.eventsStreamSchema).parquet(in.toString)
+      .select(col("ts").cast(TimestampType).as("ts"), col("event_type"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -775,7 +716,6 @@ object RelationalQueries {
     val in = s"$base/in"
     Files.createDirectories(Paths.get(in))
     val scoped = s.newSession()
-    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     scoped.conf.set("spark.sql.session.timeZone", "UTC")
     scoped.conf.set("spark.sql.shuffle.partitions", streamShuffle(s, 8))
     val ev = graft.Tables.T(scoped, dir, "events")

@@ -21,20 +21,60 @@ object Tables {
   def Tpar(s: SparkSession, dir: String, name: String): DataFrame =
     T(s, dir, name).repartition(s.sparkContext.defaultParallelism)
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-   * rejects; read nanos as long and truncate to micros (exactly DuckDB's
-   * ns->us conversion), surfacing the column as TIMESTAMP_NTZ like every
-   * other no-zone parquet timestamp in the testdata. The legacy flag is
-   * scoped to a child session (shared SparkContext, isolated conf) so the
-   * caller's session never observes the side effect. */
+  /** events.parquet's `ts` physical encoding has varied across testdata
+   * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+   * unless the legacy nanos-as-long flag maps it to BIGINT nanos) and
+   * plain TIMESTAMP(MICROS). Read under the flag and branch on what the
+   * footer actually declared: a LongType column is nanos (truncate to
+   * micros — exactly DuckDB's ns->us conversion), anything temporal is
+   * already micros. Either way the column surfaces as TIMESTAMP_NTZ like
+   * every other no-zone parquet timestamp in the testdata. The legacy
+   * flag is scoped to a child session (shared SparkContext, isolated
+   * conf) so the caller's session never observes the side effect. */
   def readEvents(s: SparkSession, dir: String): DataFrame =
     eventsCache.getOrElseUpdate((s.sparkContext, dir), {
       val scoped = s.newSession()
       scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       scoped.conf.set("spark.sql.session.timeZone", "UTC")
-      scoped.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      val raw = scoped.read.parquet(s"$dir/events.parquet")
+      val tsMicros = raw.schema("ts").dataType match {
+        case LongType => timestamp_micros(expr("ts div 1000"))
+        case _        => col("ts")
+      }
+      raw.withColumn("ts", tsMicros.cast(TimestampNTZType))
     })
+
+  /** The normalized-events schema as the file-stream gates need it:
+   * what [[stageEventsFile]] writes, so `readStream.schema(...)` and the
+   * staged files always agree regardless of the generator's encoding. */
+  val eventsStreamSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stage a frame with [[eventsStreamSchema]] as ONE parquet file at
+   * `dst`, stamped with `mtimeMillis` (the file source replays files in
+   * mtime order — deterministic micro-batch sequencing needs explicit
+   * stamps). Always a rewrite, never a hard link of the source file: a
+   * link shares the testdata inode, so stamping its mtime would mutate
+   * the read-only testdata in place — and a rewrite is what decouples
+   * the gates from the generator's physical encoding in the first
+   * place. */
+  def stageFile(df: DataFrame, dst: java.nio.file.Path, mtimeMillis: Long): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val tmp = dst.resolveSibling(dst.getFileName.toString + ".stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val st = Files.list(tmp)
+      try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally st.close()
+    }
+    Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    graft.util.Fs.deleteRecursive(tmp)
+  }
 
   /** The converted events frame, memoized per (context, dir): building
    * it costs a child-session spin-up plus a parquet file-listing +

@@ -1,8 +1,5 @@
 package graft.pipeline
 
-import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Paths}
-
 import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 

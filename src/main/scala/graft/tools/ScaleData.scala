@@ -80,14 +80,10 @@ object ScaleData {
       .withColumn("l_partkey", shift("l_partkey", i))
       .withColumn("l_suppkey", shift("l_suppkey", i)))
 
-    // events.parquet ships as TIMESTAMP(NANOS); read nanos-as-long and
-    // write plain BIGINT nanos — both consumer paths (raw-long scoped
-    // sessions and Tables.readEvents) read that identically
-    val ev = {
-      val scoped = spark.newSession()
-      scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      scoped.read.parquet(s"$src/events.parquet")
-    }
+    // events.ts encoding varies by testdata generation; Tables.readEvents
+    // normalizes to TIMESTAMP_NTZ micros, which is also what the current
+    // generator writes — scaled dirs read back like the originals
+    val ev = graft.Tables.readEvents(spark, src)
     replicate("events", i => ev
       .withColumn("event_id", shift("event_id", i))
       .withColumn("user_id", shift("user_id", i)))

@@ -240,6 +240,10 @@ class PlanQualitySpec extends SparkSpec {
 
   test("w5 stream-static enrich: dim join threshold-decided (degrades to shuffle)") {
     val scoped = spark.newSession()
+    // the nanos flag is a no-op on a micros-encoded file, so this read is
+    // encoding-proof without Tables.readEvents (whose memoized frame is
+    // bound to ITS child session — this test must flip broadcast conf on
+    // the frame's OWN session for the threshold assertions to bite)
     scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = scoped.read.parquet(s"$dir/events.parquet")
       .select("event_id", "user_id", "event_type")
