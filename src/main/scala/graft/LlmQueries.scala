@@ -62,6 +62,22 @@ object LlmQueries {
     trainedIvf.getOrElseUpdate(dir,
       Similarity.trainIvfCentroids(embFrame(s, dir), NCells, Dim, iters = 5))
 
+  private val trainedIvfScaled =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  /** The PRODUCTION cell count: nCells ∝ √n keeps the Σ|cell|² pair
+   * frame of the cell-bucketed self-joins (e9, d10) linear-ish in n —
+   * the dial `bench/knn_ladder_r07.json` measured (80 cells at sf0.5 =
+   * 1.23 s, sublinear). Floor at [[NCells]] so tiny dirs still train a
+   * meaningful quantizer. Deterministic per dir: n is a count, training
+   * is DECIMAL-exact, so the dynamic oracle renders identical literals. */
+  private[graft] def trainedCentsScaled(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    trainedIvfScaled.getOrElseUpdate(dir, {
+      val n = embFrame(s, dir).count()
+      val nCells = math.max(NCells, math.round(math.sqrt(n.toDouble)).toInt)
+      Similarity.trainIvfCentroids(embFrame(s, dir), nCells, Dim, iters = 5)
+    })
+
   private[graft] def trainedBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
     trainedPq.getOrElseUpdate(dir,
       Similarity.trainPqCodebooks(embFrame(s, dir), PqM, PqSubDim, PqCodes,
@@ -526,6 +542,18 @@ object LlmQueries {
    * hash-exact like e3b. */
   def knnGraphTrainedQ(s: SparkSession, dir: String): DataFrame =
     Similarity.knnGraph(embFrame(s, dir), k = 3, trainedCents(s, dir), NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+
+  /** E9c: the k-NN graph at the PRODUCTION dial — trained centroids
+   * with nCells ∝ √n ([[trainedCentsScaled]]), converging the gate
+   * fixture with the configuration the scale ladder actually measured:
+   * e9/e9b pin nCells=16 (quadratic-by-construction pair frames, fine
+   * at fixture n), this row is the one whose shape survives 100×. Same
+   * dynamic-oracle pattern as e3b: deterministic training → literal
+   * centroids in the DuckDB SQL → hash-exact. */
+  def knnGraphScaledQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraph(embFrame(s, dir), k = 3, trainedCentsScaled(s, dir), NProbe)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
 
@@ -1077,6 +1105,7 @@ object LlmQueries {
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
     "e9b_knn_graph_trained" -> (knnGraphTrainedQ _),
+    "e9c_knn_graph_scaled" -> (knnGraphScaledQ _),
     "e10_mmr_diversify" -> (mmrDiversifyQ _),
     "e11_hamming_topk" -> (hammingTopKQ _),
     "e12_hamming_rerank" -> (hammingRerankQ _),
@@ -1182,24 +1211,25 @@ object LlmQueries {
   /** Cells ranked desc by centroid score, ties to smaller id — mirrors
    * Similarity.rankCells / IvfRankCells (list_sort asc then reverse =
    * rank desc on (score, -cellId)). */
-  private def rankedSql(v: String) =
-    s"""list_reverse(list_sort(list_transform(range(1, ${NCells + 1}),
+  private def rankedSql(v: String, nCells: Int = NCells) =
+    s"""list_reverse(list_sort(list_transform(range(1, ${nCells + 1}),
        |  j -> {'s': ${dotSql("ct[j]", v)}, 'nj': -j})))""".stripMargin
 
-  /** e3/e3b/e9 share one oracle shape: the centroid literal, the query
-   * predicate (5 probes vs the whole corpus for the k-NN graph) and k
-   * differ. `Double.toString` output round-trips exactly through
-   * DuckDB's parser, so trained doubles compare bit-exact like the
-   * fixed longs. */
+  /** e3/e3b/e9/e9c share one oracle shape: the centroid literal (and
+   * its count — e9c's scales with √n), the query predicate (5 probes vs
+   * the whole corpus for the k-NN graph) and k differ.
+   * `Double.toString` output round-trips exactly through DuckDB's
+   * parser, so trained doubles compare bit-exact like the fixed
+   * longs. */
   private def ivfOracleSql(centsLit: String, qPred: String = "vec_id < 5",
-                           topK: Int = TopK): String =
+                           topK: Int = TopK, nCells: Int = NCells): String =
     s"""WITH cents AS (SELECT $centsLit AS ct),
        |q AS (SELECT vec_id AS query_id, embedding AS qv,
-       |        unnest(list_transform(list_slice(${rankedSql("qv")}, 1, $NProbe),
+       |        unnest(list_transform(list_slice(${rankedSql("qv", nCells)}, 1, $NProbe),
        |          x -> -x.nj)) AS cell
        |      FROM embeddings, cents WHERE $qPred),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
-       |        -(${rankedSql("cv")})[1].nj AS cell
+       |        -(${rankedSql("cv", nCells)})[1].nj AS cell
        |      FROM embeddings, cents),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
@@ -1319,6 +1349,12 @@ object LlmQueries {
     "e9b_knn_graph_trained" ->
       ((s, dir) => ivfOracleSql(doubleLit2(trainedCents(s, dir)),
         qPred = "TRUE", topK = 3)),
+    "e9c_knn_graph_scaled" ->
+      ((s, dir) => {
+        val cents = trainedCentsScaled(s, dir)
+        ivfOracleSql(doubleLit2(cents), qPred = "TRUE", topK = 3,
+          nCells = cents.size)
+      }),
     "e7b_ivfpq_trained_topk" -> ((s, dir) => {
       val books = trainedBooks(s, dir)
       ivfPqOracleSql(doubleLit2(trainedCents(s, dir)), doubleLit3(books),

@@ -59,12 +59,101 @@ object SchemaRegistry {
    * id an Avro message would carry); `version` is per-subject. */
   final case class Registered(subject: String, version: Int, id: Int,
                               schema: StructType)
+
+  /** A registry whose every mutation journals to a [[graft.sinks.LogTable]]
+   * at `path` and whose construction replays it — the `_schemas`-topic
+   * durability of the reference's registry (`실습수행/Schema Registry 기반의
+   * Connector 구성 실습.md:146-174`: subjects persist in Kafka and survive
+   * a server restart). Journal batch ids are the op sequence, so
+   * LogTable's behind-max guard fences a second live registry on the
+   * same path (the registry's single-writer rule) for free. */
+  def durable(spark: org.apache.spark.sql.SparkSession, path: String,
+              defaultCompat: Compat = Compat.Backward): SchemaRegistry =
+    new SchemaRegistry(defaultCompat, Some(new Journal(spark, path)))
+
+  /** The durable registry's event log. One LogTable row per event, keyed
+   * by a record discriminator (`schema:<subject>:<version>`,
+   * `compat:<subject>`, `config`, `idseq`); subject deletion tombstones
+   * its records, exactly the null-message convention of the `_schemas`
+   * topic. Control-plane sized: one tiny Spark batch per mutation. */
+  private[codec] final class Journal(
+      spark: org.apache.spark.sql.SparkSession, path: String) {
+    import org.apache.spark.sql.Row
+    import graft.sinks.LogTable
+
+    private val valueType = StructType(Seq(
+      StructField("subject", StringType), StructField("version", IntegerType),
+      StructField("id", IntegerType), StructField("schema_json", StringType),
+      StructField("compat", StringType), StructField("next_id", IntegerType)))
+    private val frameType = StructType(Seq(
+      StructField("key", StructType(Seq(StructField("rec", StringType)))),
+      StructField("value", valueType, nullable = true),
+      StructField("seq", LongType)))
+
+    private var opSeq: Long = LogTable.maxCommittedBatchId(path).getOrElse(-1L)
+
+    private def commit(events: Seq[(String, Row)]): Unit = synchronized {
+      opSeq += 1
+      val rows: java.util.List[Row] =
+        java.util.List.of(events.map { case (rec, v) =>
+          Row(Row(rec), v, opSeq) }: _*)
+      LogTable.applyBatch(path, spark.createDataFrame(rows, frameType),
+        Seq("rec"), Some(opSeq))
+      if (LogTable.versions(path).size >= 8)
+        LogTable.compact(spark, path, Seq("rec"))
+    }
+
+    def appendSchema(r: Registered, nextId: Int): Unit = commit(Seq(
+      s"schema:${r.subject}:${r.version}" ->
+        Row(r.subject, r.version, r.id, r.schema.json, null, null),
+      "idseq" -> Row(null, null, null, null, null, nextId)))
+
+    def appendGlobal(level: Compat): Unit =
+      commit(Seq("config" -> Row(null, null, null, null, level.name, null)))
+
+    def appendOverride(subject: String, level: Compat): Unit =
+      commit(Seq(s"compat:$subject" ->
+        Row(subject, null, null, null, level.name, null)))
+
+    def appendDelete(subject: String, versions: Seq[Int]): Unit = commit(
+      versions.map(v => s"schema:$subject:$v" -> (null: Row)) :+
+        (s"compat:$subject" -> (null: Row)))
+
+    /** Everything a restarted registry resumes with. */
+    def replay(): (Seq[Registered], Map[String, Compat], Option[Compat], Int) = {
+      if (LogTable.versions(path).isEmpty)
+        return (Seq.empty, Map.empty, scala.None, 1)
+      val rows = LogTable.read(spark, path, Seq("rec")).collect()
+      var nextId = 1
+      var global: Option[Compat] = scala.None
+      val overrides = Map.newBuilder[String, Compat]
+      val schemas = Seq.newBuilder[Registered]
+      rows.foreach { r =>
+        val rec = r.getAs[String]("rec")
+        if (rec == "idseq") nextId = r.getAs[Int]("next_id")
+        else if (rec == "config")
+          global = Some(Compat.parse(r.getAs[String]("compat")))
+        else if (rec.startsWith("compat:"))
+          overrides += r.getAs[String]("subject") ->
+            Compat.parse(r.getAs[String]("compat"))
+        else if (rec.startsWith("schema:"))
+          schemas += Registered(r.getAs[String]("subject"),
+            r.getAs[Int]("version"), r.getAs[Int]("id"),
+            org.apache.spark.sql.types.DataType
+              .fromJson(r.getAs[String]("schema_json")).asInstanceOf[StructType])
+      }
+      (schemas.result(), overrides.result(), global, nextId)
+    }
+  }
 }
 
 /** @param defaultCompat the registry-global compatibility level
- *                       (Confluent ships BACKWARD). */
+ *                       (Confluent ships BACKWARD).
+ * @param journal when set, every mutation persists and construction
+ *                replays — build through [[SchemaRegistry.durable]]. */
 final class SchemaRegistry(
-    defaultCompat: SchemaRegistry.Compat = SchemaRegistry.Compat.Backward) {
+    defaultCompat: SchemaRegistry.Compat = SchemaRegistry.Compat.Backward,
+    journal: Option[SchemaRegistry.Journal] = None) {
   import SchemaRegistry._
 
   private val bySubject =
@@ -74,11 +163,28 @@ final class SchemaRegistry(
   private var nextId = 1
   private var global = defaultCompat
 
+  // a journaled registry resumes exactly where the log left it: every
+  // surviving subject/version/id, the compat levels, and the never-
+  // reused id counter (deletes tombstone schema records but idseq only
+  // grows — the real registry's id monotonicity)
+  journal.foreach { j =>
+    val (schemas, overrides, g, nid) = j.replay()
+    schemas.sortBy(r => (r.id)).foreach { r =>
+      bySubject(r.subject) = bySubject.getOrElse(r.subject, Vector.empty) :+ r
+    }
+    compatOverrides ++= overrides
+    g.foreach(global = _)
+    nextId = nid
+  }
+
   /** The registry-global level (the REST `/config` resource — mutable,
    * as `PUT /config` is how the labs relax it). */
   def globalCompat: Compat = synchronized(global)
 
-  def setGlobalCompat(level: Compat): Unit = synchronized { global = level }
+  def setGlobalCompat(level: Compat): Unit = synchronized {
+    global = level
+    journal.foreach(_.appendGlobal(level))
+  }
 
   /** The per-subject override alone, if one is set (REST
    * `/config/{subject}` 404s when the subject has no override). */
@@ -99,8 +205,10 @@ final class SchemaRegistry(
   def compatLevel(subject: String): Compat =
     synchronized(compatOverrides.getOrElse(subject, global))
 
-  def setCompat(subject: String, level: Compat): Unit =
-    synchronized { compatOverrides(subject) = level }
+  def setCompat(subject: String, level: Compat): Unit = synchronized {
+    compatOverrides(subject) = level
+    journal.foreach(_.appendOverride(subject, level))
+  }
 
   /** Would `schema` register cleanly right now? (The REST
    * `/compatibility/subjects/.../versions/latest` probe.) */
@@ -136,6 +244,7 @@ final class SchemaRegistry(
             val r = Registered(subject, vs.size + 1, nextId, schema)
             nextId += 1
             bySubject(subject) = vs :+ r
+            journal.foreach(_.appendSchema(r, nextId))
             Right(r)
           }
       }
@@ -144,6 +253,9 @@ final class SchemaRegistry(
   /** Delete a subject (the lab's cleanup path). Versions are gone; the
    * global id counter never reuses ids. */
   def deleteSubject(subject: String): Unit = synchronized {
-    bySubject.remove(subject); compatOverrides.remove(subject)
+    val gone = bySubject.remove(subject)
+    compatOverrides.remove(subject)
+    gone.filter(_.nonEmpty).foreach(vs =>
+      journal.foreach(_.appendDelete(subject, vs.map(_.version))))
   }
 }

@@ -581,13 +581,15 @@ object Similarity {
    * a curation/eval pipeline (don't hand a labeler k near-copies).
    *
    * Scale shape: retrieval is the distributed part ([[bruteForceTopK]]
-   * here; any ANN path drops in). The rerank is the textbook
-   * formulation — candidate sets are n per query BY DESIGN, so the
-   * greedy loop unrolls to k−1 dataframe iterations of (anti-join,
-   * max-penalty aggregate, rank window), each shuffling rows ∝ queries ×
-   * n, never corpus-sized, and never moving data through the driver.
-   * Candidate relevance and the n×n pairwise sims compute once into
-   * scoped caches.
+   * here; any ANN path drops in). The rerank keeps a RUNNING max-penalty
+   * per candidate instead of materializing the n×n pairwise-sim frame:
+   * max over picks is associative, so each round only has to score the
+   * surviving candidates against the ONE pick the previous round added
+   * (a 1-row-per-query join), fold it into the carried `pen` column,
+   * and rank. Per-round traffic is queries × n rows, total cosine work
+   * is queries × n × k — never queries × n² cached state, never
+   * corpus-sized, and never through the driver. Only candidate
+   * relevance persists (scoped).
    */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
                 lambda: Double)(implicit scope: CacheScope): DataFrame = {
@@ -597,41 +599,36 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id").as("cand"),
           col("sim").as("rel"))).toDF()
     val vecs = corpus.select(col("id").as("cand"), col("vec"))
-    val withVec = rel.join(vecs, "cand")
-    val pair = scope.persist(
-      withVec.select(col("query_id"), col("cand").as("a"), col("vec").as("va"))
-        .join(withVec.select(col("query_id"), col("cand").as("b"),
-          col("vec").as("vb")), "query_id")
-        .filter(col("a") =!= col("b"))
-        .select(col("query_id"), col("a"), col("b"),
-          cosine(col("va"), col("vb")).as("psim"))).toDF()
     val byScore = (score: Column) => Window.partitionBy("query_id")
       .orderBy(score.desc, col("cand"))
-    var sel = rel
-      .withColumn("rk", row_number().over(byScore(lit(lambda) * col("rel"))))
-      .filter(col("rk") === 1)
-      .select(col("query_id"), col("cand").as("pick"),
-        (lit(lambda) * col("rel")).as("score"), lit(1).as("step"))
-    for (i <- 2 to k) {
-      val picksAsCand = sel.select(col("query_id"), col("pick").as("cand"))
-      val picksAsB = sel.select(col("query_id"), col("pick").as("b"))
-      val remaining = rel.join(picksAsCand, Seq("query_id", "cand"), "left_anti")
-      val scored = remaining
-        .join(pair.withColumnRenamed("a", "cand"), Seq("query_id", "cand"))
-        .join(picksAsB, Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("cand"), col("rel"))
-        .agg(max(col("psim")).as("pen"))
-        .withColumn("score",
-          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("pen"))
-      val next = scored
-        .withColumn("rk", row_number().over(byScore(col("score"))))
+    // pen = max cosine against the picks so far; null until the first
+    // pick lands, and greatest() ignores nulls on the fold — so the
+    // step-1 score reduces to λ·rel exactly
+    val score = lit(lambda) * col("rel") -
+      when(col("pen").isNull, lit(0.0)).otherwise(lit(1.0 - lambda) * col("pen"))
+    var cands = rel.join(vecs, "cand")
+      .withColumn("pen", lit(null).cast("double"))
+    var sel: DataFrame = null
+    for (i <- 1 to k) {
+      val next = cands
+        .withColumn("rk", row_number().over(byScore(score)))
         .filter(col("rk") === 1)
-        .select(col("query_id"), col("cand").as("pick"), col("score"),
-          lit(i).as("step"))
-      // truncate lineage each round (queries × i rows): without this the
-      // step-k plan nests every earlier step's joins and re-evaluates
-      // them — the same O(1)-lineage contract as the d6 label loop
-      sel = sel.unionByName(next).localCheckpoint()
+        .select(col("query_id"), col("cand").as("pick"),
+          score.as("score"), lit(i).as("step"), col("vec").as("pvec"))
+      sel =
+        if (sel == null) next.drop("pvec")
+        // truncate lineage each round (queries × i rows): without this
+        // the step-k plan nests every earlier step's joins and
+        // re-evaluates them — the same O(1)-lineage contract as d6
+        else sel.unionByName(next.drop("pvec")).localCheckpoint()
+      // marginal update: drop the pick, fold its similarity into pen —
+      // the previous picks' contribution already lives in the column
+      if (i < k) cands = cands
+        .join(next.select(col("query_id"), col("pick"), col("pvec")), "query_id")
+        .filter(col("cand") =!= col("pick"))
+        .select(col("query_id"), col("cand"), col("rel"), col("vec"),
+          greatest(col("pen"), cosine(col("vec"), col("pvec"))).as("pen"))
+        .localCheckpoint()
     }
     sel
   }

@@ -50,12 +50,58 @@ final class Cluster(spark: SparkSession, root: String) {
   private val targets = TrieMap.empty[String, Boolean] // running? (false = paused)
   private val members = mutable.SortedMap.empty[String, Engine]
   private val owners = TrieMap.empty[String, String]
+  private val leases = TrieMap.empty[String, Long] // last heartbeat per member
 
-  def addWorker(id: String): ConnectRuntime = synchronized {
+  /** `now` seeds the member's lease (the session.timeout.ms clock is
+   * injected, never read from the wall — tests and replays stay
+   * deterministic). A worker that never heartbeats again is evicted by
+   * the first sweep past `now + timeout`. */
+  def addWorker(id: String, now: Long = 0L): ConnectRuntime = synchronized {
     require(!members.contains(id), s"worker '$id' already in the group")
     members(id) = new Engine(spark, root)
+    leases(id) = now
     rebalance()
     runtime(id)
+  }
+
+  /** The member's periodic liveness beacon (heartbeat.interval.ms). */
+  def heartbeat(id: String, now: Long): Unit = synchronized {
+    require(members.contains(id), s"no worker '$id'")
+    leases(id) = now
+  }
+
+  /** Coordinator liveness sweep — the session.timeout.ms eviction a
+   * real Connect group runs when a member misses heartbeats: every
+   * worker whose lease is older than `timeoutMs` is declared dead and
+   * its connectors re-place on the survivors, WITHOUT anyone calling
+   * [[removeWorker]]. The corpse's queries are fenced best-effort (in a
+   * real group the process is already gone — in-process the stop is the
+   * stand-in); committed offsets live in the shared checkpoint root, so
+   * the moved connector resumes exactly after its last committed batch
+   * and the keyed sinks absorb the one legal replay. Returns the
+   * evicted worker ids. */
+  def sweepExpired(now: Long, timeoutMs: Long): Seq[String] = synchronized {
+    val dead = members.keys
+      .filter(id => now - leases.getOrElse(id, Long.MinValue) > timeoutMs)
+      .toSeq.sorted
+    dead.foreach { id =>
+      val engine = members.remove(id).get
+      leases.remove(id)
+      owners.filter(_._2 == id).keys.toSeq.sorted.foreach { n =>
+        try engine.delete(n)
+        catch { case _: Exception => () } // a dead engine can't object
+        owners.remove(n)
+      }
+    }
+    if (dead.nonEmpty) rebalance()
+    dead
+  }
+
+  /** TEST SEAM — simulate worker `id`'s process dying (its queries stop
+   * dead, nothing is deregistered, the group is NOT told). Pair with
+   * [[sweepExpired]] to drive the missed-heartbeat eviction path. */
+  def crashWorker(id: String): Unit = synchronized {
+    members(id).crash()
   }
 
   /** A worker leaves (gracefully or by death — either way its queries
@@ -64,6 +110,7 @@ final class Cluster(spark: SparkSession, root: String) {
   def removeWorker(id: String): Unit = synchronized {
     val engine = members.remove(id).getOrElse(
       throw new NoSuchElementException(s"no worker '$id'"))
+    leases.remove(id)
     owners.filter(_._2 == id).keys.toSeq.sorted.foreach { n =>
       engine.delete(n) // stops the query; checkpoint (offsets) retained
       owners.remove(n)

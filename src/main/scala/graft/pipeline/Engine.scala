@@ -140,6 +140,17 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     pipelines.remove(name).foreach(_.query.filter(_.isActive).foreach(_.stop()))
   }
 
+  /** Crash stand-in — the in-process analog of this worker's PROCESS
+   * dying: every query stops dead (as the OS would stop it; an
+   * in-flight micro-batch never commits), and NO lifecycle bookkeeping
+   * runs — no Paused transition, no checkpoint mutation, no
+   * deregistration. Durable state (checkpoints, sink data) is exactly
+   * what a real corpse leaves behind; the group only learns of the
+   * death through the liveness sweep ([[Cluster.sweepExpired]]). */
+  def crash(): Unit = synchronized {
+    pipelines.values.foreach(_.query.filter(_.isActive).foreach(_.stop()))
+  }
+
   /** L4: targeted offset reset — delete the pipeline's checkpoint so the
    * next resume re-ingests from scratch (the produce-null-to-
    * connect-offsets analog). Only legal while paused. */

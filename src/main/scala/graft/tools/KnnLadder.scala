@@ -24,7 +24,8 @@ object KnnLadder {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val cells = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(16, 36, 80)
+    val cellArgs = args.filterNot(_.startsWith("--"))
+    val cells = if (cellArgs.nonEmpty) cellArgs.map(_.toInt).toSeq else Seq(16, 36, 80)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,6 +37,19 @@ object KnnLadder {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val n = emb.count()
+    // --scaled: time the e9c gate path itself (trained centroids,
+    // nCells ∝ √n) instead of the fixed-grid nCells sweep — min-of-2
+    // reports steady state (training memoizes on the first run)
+    if (args.contains("--scaled")) {
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        graft.LlmQueries.knnGraphScaledQ(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"probe":"knn_ladder_scaled","sf":"$dir","rows":$n,"sec":${secs.min}%.3f}""")
+      spark.stop()
+      return
+    }
     cells.foreach { nc =>
       val cents = Similarity.ivfCentroids(nc, 64).map(_.map(_.toDouble))
       // min-of-2 runs, same convention as Bench

@@ -275,4 +275,41 @@ class ClusterSpec extends SparkSpec {
       rt.validate(spec("late", s"$base/in", s"$base/state3")))
     assert(e.getMessage.contains("no workers"))
   }
+
+  test("missed heartbeats evict a CRASHED worker; its connector resumes elsewhere exactly-once") {
+    val base = tmp("liveness")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rt0 = cluster.addWorker("w0", now = 0L)
+    val rt1 = cluster.addWorker("w1", now = 0L)
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "v0", 0L), (2L, "v0", 0L)))
+    rt0.register(spec("hb", s"$base/in", s"$base/state"))
+    assert(rt0.workerId("hb").contains("w0")) // least-loaded, smallest id
+    spark.streams.active.foreach(_.processAllAvailable())
+    val committed = rt0.latestBatchId("hb")
+    assert(committed.nonEmpty)
+
+    // w0's PROCESS dies — nobody calls removeWorker; only w1 keeps beating
+    cluster.crashWorker("w0")
+    cluster.heartbeat("w1", now = 30000L)
+    // inside the session timeout w0 is late, not dead: nothing moves
+    assert(cluster.sweepExpired(now = 5000L, timeoutMs = 10000L).isEmpty)
+    assert(rt1.workerId("hb").contains("w0"))
+    // past it, the sweep declares w0 dead and re-places hb on the survivor
+    assert(cluster.sweepExpired(now = 30000L, timeoutMs = 10000L) == Seq("w0"))
+    assert(cluster.workerIds == Seq("w1"))
+    assert(rt1.workerId("hb").contains("w1"))
+    assert(rt1.status("hb")._2 == "RUNNING")
+
+    stage(s"$base/in", 1, Seq((2L, "v1", 1L), (3L, "v1", 1L)))
+    spark.streams.active.foreach(_.processAllAvailable())
+    // batch ids CONTINUE from the corpse's committed checkpoint …
+    assert(rt1.latestBatchId("hb").exists(id => committed.exists(_ < id)))
+    // … and the merged state is exactly one application of both waves
+    val rows = graft.sinks.LogTable.read(spark, s"$base/state", Seq("id"))
+      .select("id", "v").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "v0"), (2L, "v1"), (3L, "v1")))
+    rt1.delete("hb")
+  }
 }

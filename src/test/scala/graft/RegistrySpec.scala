@@ -139,6 +139,61 @@ class RegistrySpec extends AnyFunSuite {
     assert(again.version == 1 && again.id == 2) // ids never reuse
   }
 
+  test("durable registry: register -> restart -> framed decode still resolves ids") {
+    import org.apache.spark.sql.functions._
+    import graft.codec.AvroCodec
+    import graft.model.Connect
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val path = "target/tmp/registryspec_durable"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(path))
+
+    val reg = SchemaRegistry.durable(spark, path)
+    val subject = "s-value"
+    // two framed batches under evolving schemas + compat mutations, all
+    // journaled through the LogTable at `path`
+    def frame(rows: Seq[(Int, String)], extra: Boolean) = {
+      val df = if (extra)
+        rows.toDF("id", "v").withColumn("w", concat(col("v"), lit("!")))
+      else rows.toDF("id", "v")
+      Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    }
+    val b1 = AvroCodec.encodeFramed(frame(Seq(1 -> "a", 2 -> "b"), extra = false),
+      reg, subject)
+    val b2 = AvroCodec.encodeFramed(frame(Seq(3 -> "c"), extra = true),
+      reg, subject)
+    reg.setGlobalCompat(Compat.Full)
+    reg.setCompat(subject, Compat.None)
+    val encoded = b1.unionByName(b2).collect() // pin bytes before restart
+
+    // "restart": a NEW registry instance over the same journal path
+    val reg2 = SchemaRegistry.durable(spark, path)
+    assert(reg2.subjects == reg.subjects)
+    assert(reg2.versions(subject) == reg.versions(subject)) // ids included
+    assert(reg2.globalCompat == Compat.Full)
+    assert(reg2.compatOverride(subject).contains(Compat.None))
+    // the framed decode resolves writer ids against the REPLAYED registry
+    val out = AvroCodec.decodeFramed(
+        spark.createDataFrame(java.util.List.of(encoded: _*), b1.schema),
+        reg2, subject)
+      .select(col("value.id"), col("value.v"), col("value.w"))
+      .collect().map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(out == Set((1, "a", None), (2, "b", None), (3, "c", Some("c!"))))
+
+    // ids never reuse across delete + restart (idseq outlives tombstones)
+    val maxId = reg2.versions(subject).map(_.id).max
+    reg2.deleteSubject(subject)
+    val reg3 = SchemaRegistry.durable(spark, path)
+    assert(reg3.subjects.isEmpty)
+    assert(reg3.register("fresh-value", base).toOption.get.id > maxId)
+    reg3.setGlobalCompat(Compat.Backward)
+
+    // the journal fences a stale SECOND registry on the same path: its
+    // next op lands behind the committed max (reg3 has moved the log two
+    // ops on) and LogTable's behind-max guard refuses to fork history
+    intercept[IllegalStateException](reg2.setGlobalCompat(Compat.Forward))
+  }
+
   test("structFromAvroJson inverts avroSchemaJson across the type subset") {
     import graft.codec.{AvroCodec, RegistryServer}
     val all = StructType(Seq(
