@@ -307,6 +307,43 @@ object ConnectQueries {
     } finally server.stop()
   }
 
+  /** C5c — registry DURABILITY end-to-end: the `_schemas`-topic
+   * survival contract (`실습수행/Schema Registry 기반의 Connector 구성
+   * 실습.md:146-174` — subjects persist in Kafka, a restarted registry
+   * still resolves every id). A [[graft.codec.SchemaRegistry.durable]]
+   * registry journals v1 (framing the payloads) and an evolved v2 to
+   * its LogTable, then a FRESH instance replays the journal and the
+   * framed decode resolves the v1 writer id against the REPLAYED state,
+   * filling v2's added column with its null default. `n_versions` and
+   * `latest_id_stable` pin that versions, ids, and order all survived
+   * the restart. */
+  def registryDurableFramed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val base = s"target/tmp/c5c_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val path = s"$base/journal"
+    val subject = "om.nation-value"
+    val frame = Connect.toConnectFrame(
+      T(s, dir, "nation"), Seq("n_nationkey"), "om.nation", "n_nationkey")
+    val reg1 = graft.codec.SchemaRegistry.durable(s, path)
+    val encoded = AvroCodec.encodeFramed(frame, reg1, subject) // registers v1
+    val v1 = frame.schema("value").dataType.asInstanceOf[StructType]
+    reg1.register(subject,
+      StructType(v1.fields :+ StructField("n_note", StringType, nullable = true)))
+    // RESTART: a fresh instance over the same journal path — reg1 is
+    // abandoned, nothing in-memory carries over
+    val reg2 = graft.codec.SchemaRegistry.durable(s, path)
+    AvroCodec.decodeFramed(encoded, reg2, subject)
+      .select(col("value.n_nationkey").as("n_nationkey"),
+        col("value.n_name").as("n_name"),
+        col("value.n_regionkey").as("n_regionkey"),
+        col("value.n_note").as("n_note"),
+        lit(reg2.versions(subject).size).as("n_versions"),
+        lit(reg2.latest(subject).map(_.id) ==
+          reg1.latest(subject).map(_.id)).as("latest_id_stable"))
+      .orderBy("n_nationkey")
+  }
+
   /** S6b — the Debezium schema-history topic as data: replay a schema
    * chain (create → optional add → drop + retype) into its ordered DDL
    * event stream. Adds auto-apply; drops/retypes surface as `manual`
@@ -1309,6 +1346,7 @@ object ConnectQueries {
     "c3c_avro_registry_framed" -> (avroRegistryFramed _),
     "c5_registry_versions" -> (registryVersions _),
     "c5b_registry_rest" -> (registryRestFramed _),
+    "c5c_registry_durable" -> (registryDurableFramed _),
     "s6b_schema_history_ddl" -> (schemaHistoryDdl _),
     "c4_schema_compat" -> (schemaCompat _),
     "k3_auto_create_ddl" -> (autoCreateDdl _),
@@ -1485,6 +1523,14 @@ object ConnectQueries {
     "c3b_avro_temporal_decimal" -> temporalDecimalOracle,
     "c3c_avro_registry_framed" ->
       """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_note
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // v1 payloads decoded against a registry REBUILT from its journal:
+    // the evolved column fills with the null default, and the version/id
+    // probes pin that the replayed state equals the pre-restart one
+    "c5c_registry_durable" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CAST(NULL AS VARCHAR) AS n_note,
+        |  2 AS n_versions, TRUE AS latest_id_stable
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     // v1 payloads resolved through HTTP-fetched schemas: the added v2
     // column fills with its null default; latest_version and the
