@@ -1027,6 +1027,111 @@ object ConnectQueries {
    * all three waves applied exactly once per connector across two
    * ownership changes.
    */
+  /** L12 — worker-FAILURE failover through the group's liveness seam
+   * (round 9): the missed-heartbeat eviction a real Connect group runs
+   * via session.timeout.ms, composed end-to-end:
+   *
+   *  1. two connectors register through w0 and spread 1/1 across
+   *     {w0, w1}; the first wave lands;
+   *  2. w0's PROCESS dies ([[graft.pipeline.Cluster.crashWorker]] —
+   *     queries stop dead, nothing deregisters) while w1 keeps
+   *     heartbeating;
+   *  3. a sweep INSIDE the session timeout evicts nobody (late ≠ dead);
+   *  4. a sweep past it declares w0 dead and re-places its connector on
+   *     w1 with no `removeWorker` call anywhere;
+   *  5. the change wave (renames + tombstones) lands on the survivor —
+   *     the moved connector RESUMES from the corpse's committed
+   *     checkpoint (batch ids continue; probed), so both waves apply
+   *     exactly once.
+   *
+   * Probe columns pin the assignment before/after eviction, the evicted
+   * id, the early-sweep no-op, and checkpoint continuity. */
+  def workerFailover(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l12_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val names = Seq("l12a", "l12b")
+    names.foreach(n => Files.createDirectories(Paths.get(s"$base/in_$n")))
+
+    val nation = T(s, dir, "nation")
+    val w0 = nation
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(0L))
+    val w1 = nation.filter(col("n_nationkey") % 3 === 0)
+      .withColumn("n_name", lit("moved wave"))
+      .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
+      .unionByName(nation.filter(col("n_nationkey") % 7 === 4)
+        .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
+    def stage(df: DataFrame, wave: Int): Unit = {
+      val tmp = s"$base/stage$wave"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = {
+        val st = Files.list(Paths.get(tmp))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+        } finally st.close()
+      }
+      names.zipWithIndex.foreach { case (n, i) =>
+        val dst = Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")
+        if (i < names.size - 1) Files.copy(part, dst) else Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + wave * 60000L))
+      }
+    }
+    stage(w0, 0)
+
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val cluster = new graft.pipeline.Cluster(scoped, s"$base/group")
+    val rt0 = cluster.addWorker("w0", now = 0L)
+    val rt1 = cluster.addWorker("w1", now = 0L)
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    names.foreach { n =>
+      rt0.registerJson(
+        s"""{"name":"$n",
+           |"source":{"type":"parquet","path":${q.writeValueAsString(s"$base/in_$n")},
+           |  "schemaDdl":${q.writeValueAsString(w0.schema.toDDL)},
+           |  "keyFields":["n_nationkey"],"seqColumn":"seq",
+           |  "topic":"om.$n","maxFilesPerTrigger":"4"},
+           |"transforms":[],
+           |"sink":{"type":"logtable","path":${q.writeValueAsString(s"$base/state_$n")},
+           |  "keys":["n_nationkey"]}}""".stripMargin)
+    }
+    def assigns(): String =
+      cluster.assignments().map { case (n, w) => s"$n=$w" }.mkString(",")
+    val assignInitial = assigns()
+    scoped.streams.active.foreach(_.processAllAvailable())
+    val committedBefore = rt1.latestBatchId("l12a")
+
+    // w0's process dies — no deregistration; only w1 keeps beating
+    cluster.crashWorker("w0")
+    cluster.heartbeat("w1", now = 30000L)
+    val sweepEarlyNoop =
+      cluster.sweepExpired(now = 5000L, timeoutMs = 10000L).isEmpty
+    val evicted =
+      cluster.sweepExpired(now = 30000L, timeoutMs = 10000L).mkString(",")
+    val assignAfterEvict = assigns()
+
+    stage(w1, 1) // the change wave lands on the post-eviction placement
+    scoped.streams.active.foreach(_.processAllAvailable())
+    val committedAfter = rt1.latestBatchId("l12a")
+    val resumed = committedBefore.nonEmpty &&
+      committedAfter.exists(a => committedBefore.exists(_ < a))
+    try {
+      names.map { n =>
+        graft.sinks.LogTable.read(s, s"$base/state_$n", Seq("n_nationkey"))
+          .select(lit(n).as("connector"), col("n_nationkey"), col("n_name"))
+      }.reduce(_.unionByName(_))
+        .withColumn("assign_initial", lit(assignInitial))
+        .withColumn("sweep_early_noop", lit(sweepEarlyNoop))
+        .withColumn("evicted", lit(evicted))
+        .withColumn("assign_after_evict", lit(assignAfterEvict))
+        .withColumn("resumed_from_checkpoint", lit(resumed))
+        .orderBy("connector", "n_nationkey")
+    } finally names.foreach(n => rt1.delete(n))
+  }
+
   def connectDistributed(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = s"target/tmp/l11_${new java.io.File(dir).getName}"
@@ -1360,6 +1465,7 @@ object ConnectQueries {
     "l9_connect_rest" -> (connectRestLifecycle _),
     "l10_rest_evolution" -> (restEvolution _),
     "l11_connect_distributed" -> (connectDistributed _),
+    "l12_worker_failover" -> (workerFailover _),
     "s7b_snapshot_stream_handoff" -> (snapshotStreamHandoff _)
   )
 
@@ -1383,6 +1489,23 @@ object ConnectQueries {
     // no %7=4 key is %4=1, so none resurrects), crossed with the four
     // connectors; the probe columns pin the deterministic assignment
     // at each membership phase and the cross-worker status route
+    // the failover algebra: wave-1 renames (k%3=0) and tombstones
+    // (k%7=4) applied exactly once on the survivor; probes pin the
+    // deterministic eviction flow (late-not-dead no-op, then w0 out,
+    // both connectors on w1, checkpoint continuity)
+    "l12_worker_failover" ->
+      """SELECT c.connector, n.n_nationkey,
+        |  CASE WHEN n.n_nationkey % 3 = 0 THEN 'moved wave'
+        |       ELSE n.n_name END AS n_name,
+        |  'l12a=w0,l12b=w1' AS assign_initial,
+        |  TRUE AS sweep_early_noop,
+        |  'w0' AS evicted,
+        |  'l12a=w1,l12b=w1' AS assign_after_evict,
+        |  TRUE AS resumed_from_checkpoint
+        |FROM (VALUES ('l12a'),('l12b')) AS c(connector)
+        |CROSS JOIN nation n
+        |WHERE n.n_nationkey % 7 <> 4
+        |ORDER BY c.connector, n.n_nationkey""".stripMargin,
     "l11_connect_distributed" ->
       """SELECT c.connector, n.n_nationkey,
         |  CASE WHEN n.n_nationkey % 4 = 1 THEN 'final wave'
