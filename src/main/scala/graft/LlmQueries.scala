@@ -700,6 +700,16 @@ object LlmQueries {
     Similarity.semDedup(embFrame(s, dir), Cents, SemDedupTau)
       .orderBy("id")
 
+  /** D10b: SemDeDup at the PRODUCTION dial — trained centroids with
+   * nCells ∝ √n ([[trainedCentsScaled]]), the paper's own setup, so the
+   * Σ|cell|² pair frame of the within-cell self-join stays linear-ish
+   * as the corpus grows (the same e9→e9c convergence: gate fixture =
+   * production configuration). Dynamic oracle like e9c. */
+  def semDedupScaledQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupD(embFrame(s, dir), trainedCentsScaled(s, dir),
+        SemDedupTau)
+      .orderBy("id")
+
   private val SemDedupTau = 0.40
 
   /** E4: embedding-cosine near-dup — top pairs among LSH cohabitants. */
@@ -1100,6 +1110,7 @@ object LlmQueries {
     "e3b_ivf_kmeans_topk" -> (ivfKmeansTopK _),
     "e4_embedding_neardup" -> (embeddingNearDup _),
     "d10_semdedup" -> (semDedupQ _),
+    "d10b_semdedup_scaled" -> (semDedupScaledQ _),
     "d11_dup_spans" -> (duplicateSpans _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
@@ -1354,6 +1365,19 @@ object LlmQueries {
         val cents = trainedCentsScaled(s, dir)
         ivfOracleSql(doubleLit2(cents), qPred = "TRUE", topK = 3,
           nCells = cents.size)
+      }),
+    // d10's oracle shape with the trained √n-cell centroids rendered in
+    "d10b_semdedup_scaled" ->
+      ((s, dir) => {
+        val cents = trainedCentsScaled(s, dir)
+        s"""WITH cents AS (SELECT ${doubleLit2(cents)} AS ct),
+           |b AS (SELECT vec_id AS id, embedding AS v,
+           |        CAST(-(${rankedSql("v", cents.size)})[1].nj - 1 AS INTEGER) AS cell
+           |      FROM embeddings, cents),
+           |d AS (SELECT DISTINCT y.id FROM b x JOIN b y USING (cell)
+           |      WHERE x.id < y.id AND ${cosineSql("x.v", "y.v")} >= 0.40e0)
+           |SELECT id, cell FROM b WHERE id NOT IN (SELECT id FROM d)
+           |ORDER BY id""".stripMargin
       }),
     "e7b_ivfpq_trained_topk" -> ((s, dir) => {
       val books = trainedBooks(s, dir)

@@ -645,9 +645,19 @@ object Similarity {
    * paper's setup, with [[trainIvfCentroids]] supplying real
    * centroids). The anti-join back is one shuffle on id.
    */
-  def semDedup(corpus: DataFrame, cents: Seq[Seq[Long]], tau: Double): DataFrame = {
-    val b = corpus.select(col("id"), col("vec"),
-      ivfAssign(col("vec"), cents).as("cell"))
+  def semDedup(corpus: DataFrame, cents: Seq[Seq[Long]], tau: Double): DataFrame =
+    semDedupBy(corpus, ivfAssign(col("vec"), cents), tau)
+
+  /** [[semDedup]] over TRAINED (double) centroids — the paper's actual
+   * configuration: k-means cells sized to the corpus (nCells ∝ √n keeps
+   * Σ|cell|² linear-ish), quantized by the same runtime-data expression
+   * the IVF search paths use. */
+  def semDedupD(corpus: DataFrame, cents: Seq[Seq[Double]], tau: Double): DataFrame =
+    semDedupBy(corpus, ivfAssignD(col("vec"), cents), tau)
+
+  private def semDedupBy(corpus: DataFrame, cellOf: org.apache.spark.sql.Column,
+                         tau: Double): DataFrame = {
+    val b = corpus.select(col("id"), col("vec"), cellOf.as("cell"))
     val l = b.select(col("cell"), col("id").as("ida"), col("vec").as("veca"))
     val r = b.select(col("cell"), col("id").as("idb"), col("vec").as("vecb"))
     val dropped = l.join(r, Seq("cell"))
