@@ -67,11 +67,13 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("semDedup candidates come from a cell equi-join, never a cartesian") {
-    val df = LlmQueries.queries("d10_semdedup")(spark, dir)
-    val p = plan(df)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "within-cell pairing must be an equi-join on cell")
-    assert(p.contains("LeftAnti"), "survivors via anti-join, not a window")
+    for (q <- Seq("d10_semdedup", "d10b_semdedup_scaled")) {
+      val df = LlmQueries.queries(q)(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: within-cell pairing must be an equi-join on cell")
+      assert(p.contains("LeftAnti"), s"$q: survivors via anti-join, not a window")
+    }
   }
 
   test("date-partitioned layout prunes partitions at scan time") {
