@@ -680,19 +680,11 @@ object ConnectQueries {
     rows(nation, "snap", 0L).withColumn("seq", lit(0L))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/snapshot")
 
-    def stage(df: DataFrame, i: Int): Unit = {
-      val tmp = s"$base/stage$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        finally st.close()
-      }
-      val dst = Paths.get(in, f"wave$i%02d.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    // Tables.stageFile: dot-temp + mtime-before-publish + atomic move,
+    // so waves staged while the stream RUNS can never be read torn
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
     // wave 1 — changes that arrive while the first worker is alive
     stage(rows(nation.filter(col("n_nationkey") % 3 === 0), "w1", 100L), 0)
 
@@ -767,21 +759,10 @@ object ConnectQueries {
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
       .unionByName(nation.filter(col("n_nationkey") % 7 === 3)
         .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
-    def stage(df: DataFrame, i: Int): Unit = {
-      val tmp = s"$base/stage$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        } finally st.close()
-      }
-      val dst = Paths.get(in, f"wave$i%02d.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst, // oldest-first source order per wave
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    // oldest-first source order per wave; race-free vs the live stream
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
     stage(w1, 0) // only the snapshot wave exists at register time
 
     val scoped = s.newSession()
@@ -888,21 +869,9 @@ object ConnectQueries {
       .withColumn("n_name", lit("evolved via REST"))
       .withColumn("n_priority", (col("n_nationkey") % 3).cast("int"))
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
-    def stage(df: DataFrame, i: Int): Unit = {
-      val tmp = s"$base/stage$i"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        } finally st.close()
-      }
-      val dst = Paths.get(in, f"wave$i%02d.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
-    }
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
     stage(w1, 0) // only the v1 wave exists at register time
 
     val scoped = s.newSession()
@@ -1061,24 +1030,12 @@ object ConnectQueries {
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
       .unionByName(nation.filter(col("n_nationkey") % 7 === 4)
         .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
-    def stage(df: DataFrame, wave: Int): Unit = {
-      val tmp = s"$base/stage$wave"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        } finally st.close()
-      }
-      names.zipWithIndex.foreach { case (n, i) =>
-        val dst = Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")
-        if (i < names.size - 1) Files.copy(part, dst) else Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1000000000000L + wave * 60000L))
-      }
-    }
+    // one staged wave fans to every connector's input dir, race-free
+    // vs the live streams (Tables.stageFile publishes atomically)
+    def stage(df: DataFrame, wave: Int): Unit =
+      graft.Tables.stageFile(df,
+        names.map(n => Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")),
+        1000000000000L + wave * 60000L)
     stage(w0, 0)
 
     val scoped = s.newSession()
@@ -1150,24 +1107,12 @@ object ConnectQueries {
     val w2 = nation.filter(col("n_nationkey") % 4 === 1)
       .withColumn("n_name", lit("final wave"))
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(3L))
-    def stage(df: DataFrame, wave: Int): Unit = {
-      val tmp = s"$base/stage$wave"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = {
-        val st = Files.list(Paths.get(tmp))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
-        } finally st.close()
-      }
-      names.zipWithIndex.foreach { case (n, i) =>
-        val dst = Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")
-        if (i < names.size - 1) Files.copy(part, dst) else Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(
-            1000000000000L + wave * 60000L))
-      }
-    }
+    // one staged wave fans to every connector's input dir, race-free
+    // vs the live streams (Tables.stageFile publishes atomically)
+    def stage(df: DataFrame, wave: Int): Unit =
+      graft.Tables.stageFile(df,
+        names.map(n => Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")),
+        1000000000000L + wave * 60000L)
     stage(w0, 0)
 
     val scoped = s.newSession()

@@ -52,27 +52,44 @@ object Tables {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Stage a frame with [[eventsStreamSchema]] as ONE parquet file at
-   * `dst`, stamped with `mtimeMillis` (the file source replays files in
-   * mtime order — deterministic micro-batch sequencing needs explicit
-   * stamps). Always a rewrite, never a hard link of the source file: a
-   * link shares the testdata inode, so stamping its mtime would mutate
-   * the read-only testdata in place — and a rewrite is what decouples
-   * the gates from the generator's physical encoding in the first
-   * place. */
-  def stageFile(df: DataFrame, dst: java.nio.file.Path, mtimeMillis: Long): Unit = {
-    import java.nio.file.Files
+  /** Stage a frame as ONE parquet file at `dst`, stamped with
+   * `mtimeMillis` (the file source replays files in mtime order —
+   * deterministic micro-batch sequencing needs explicit stamps).
+   * Always a rewrite, never a hard link of the source file: a link
+   * shares the testdata inode, so stamping its mtime would mutate the
+   * read-only testdata in place — and a rewrite is what decouples the
+   * gates from the generator's physical encoding in the first place. */
+  def stageFile(df: DataFrame, dst: java.nio.file.Path, mtimeMillis: Long): Unit =
+    stageFile(df, Seq(dst), mtimeMillis)
+
+  /** [[stageFile]] fanned to several destinations (one staged wave
+   * feeding N connectors' input dirs). SAFE AGAINST A RUNNING STREAM:
+   * everything intermediate is dot-prefixed (the file source's index
+   * skips any path component starting with `.` or `_`), the mtime is
+   * stamped while the file is still invisible, and ONE atomic same-dir
+   * move publishes it — a live `FileStreamSource` can never list a torn
+   * file or observe a wave before its mtime is final. */
+  def stageFile(df: DataFrame, dsts: Seq[java.nio.file.Path],
+                mtimeMillis: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val tmp = dst.resolveSibling(dst.getFileName.toString + ".stage")
+    val head = dsts.head
+    val tmp = head.resolveSibling("." + head.getFileName.toString + ".stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = {
       val st = Files.list(tmp)
       try st.iterator().asScala.find(_.toString.endsWith(".parquet")).get
       finally st.close()
     }
-    Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    dsts.zipWithIndex.foreach { case (dst, i) =>
+      val hidden = dst.resolveSibling("." + dst.getFileName.toString + ".tmp")
+      if (i < dsts.size - 1)
+        Files.copy(part, hidden, StandardCopyOption.REPLACE_EXISTING)
+      else Files.move(part, hidden, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(hidden,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+      Files.move(hidden, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
     graft.util.Fs.deleteRecursive(tmp)
   }
 

@@ -254,8 +254,12 @@ final class SchemaRegistry(
    * global id counter never reuses ids. */
   def deleteSubject(subject: String): Unit = synchronized {
     val gone = bySubject.remove(subject)
-    compatOverrides.remove(subject)
-    gone.filter(_.nonEmpty).foreach(vs =>
-      journal.foreach(_.appendDelete(subject, vs.map(_.version))))
+    val hadOverride = compatOverrides.remove(subject).isDefined
+    // journal whenever ANYTHING was forgotten: a compat override set on
+    // a never-registered subject (PUT /config/{subject} pre-registration
+    // is legal) must not resurrect on replay
+    if (gone.exists(_.nonEmpty) || hadOverride)
+      journal.foreach(_.appendDelete(subject,
+        gone.map(_.map(_.version)).getOrElse(Seq.empty)))
   }
 }

@@ -610,11 +610,15 @@ object Similarity {
       .withColumn("pen", lit(null).cast("double"))
     var sel: DataFrame = null
     for (i <- 1 to k) {
+      // checkpointed ONCE: both consumers below (the pick accumulator
+      // and the cands update) would otherwise each re-run the rank
+      // window over the full candidate frame
       val next = cands
         .withColumn("rk", row_number().over(byScore(score)))
         .filter(col("rk") === 1)
         .select(col("query_id"), col("cand").as("pick"),
           score.as("score"), lit(i).as("step"), col("vec").as("pvec"))
+        .localCheckpoint()
       sel =
         if (sel == null) next.drop("pvec")
         // truncate lineage each round (queries × i rows): without this

@@ -188,9 +188,17 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg3.register("fresh-value", base).toOption.get.id > maxId)
     reg3.setGlobalCompat(Compat.Backward)
 
+    // deleting a subject that only ever had a compat override (PUT
+    // /config/{subject} pre-registration is legal) must tombstone the
+    // override too — it cannot resurrect on replay
+    reg3.setCompat("ghost-value", Compat.Full)
+    reg3.deleteSubject("ghost-value")
+    val reg4 = SchemaRegistry.durable(spark, path)
+    assert(reg4.compatOverride("ghost-value").isEmpty)
+
     // the journal fences a stale SECOND registry on the same path: its
-    // next op lands behind the committed max (reg3 has moved the log two
-    // ops on) and LogTable's behind-max guard refuses to fork history
+    // next op lands behind the committed max (reg3/reg4 have moved the
+    // log on) and LogTable's behind-max guard refuses to fork history
     intercept[IllegalStateException](reg2.setGlobalCompat(Compat.Forward))
   }
 

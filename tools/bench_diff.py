@@ -44,9 +44,15 @@ def main():
     # hold them to the 80% floor instead of the regression threshold so
     # only genuine bends fail the check, while non-streaming queries
     # fail loudly at the tight threshold.
+    # explicit list, not a w-prefix: w1/w2/w3 are BATCH window
+    # aggregations and must keep the tight threshold
     def is_streaming(name):
-        return name.startswith("w") or name in (
+        return name in (
+            "w3b_stream_session_window", "w4_stream_stream_join",
+            "w5_stream_static_join", "w6_stream_windowed_agg",
+            "w7_stream_dedup", "w8_stream_outer_join", "w9_late_data_drop",
             "l9_connect_rest", "l10_rest_evolution", "l11_connect_distributed",
+            "l12_worker_failover",
             "k7b_cdc_engine_stream", "k10_db_to_db_live", "k12_logtable_replay",
             "k13_sink_dlq", "k14_soak_reconcile", "s2b_jdbc_live_source",
             "s7b_snapshot_stream_handoff", "s8_pg_cdc")
