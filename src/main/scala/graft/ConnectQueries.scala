@@ -1118,8 +1118,8 @@ object ConnectQueries {
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val cluster = new graft.pipeline.Cluster(scoped, s"$base/group")
-    val rtA = cluster.addWorker("w0")
-    val rtB = cluster.addWorker("w1")
+    val rtA = cluster.addWorker("w0", now = 0L)
+    val rtB = cluster.addWorker("w1", now = 0L)
     val sharedConfigs =
       scala.collection.concurrent.TrieMap.empty[String, String]
     val serverA = new graft.pipeline.ConnectServer(rtA,
@@ -1168,7 +1168,7 @@ object ConnectQueries {
       val assignAfterLeave = assigns()
       stage(w1, 1) // the change wave lands on the post-leave placement
       scoped.streams.active.foreach(_.processAllAvailable())
-      val rtC = cluster.addWorker("w2") // revokes only w0's excess: c moves
+      val rtC = cluster.addWorker("w2", now = 0L) // revokes only w0's excess: c moves
       val assignAfterJoin = assigns()
       stage(w2, 2)
       scoped.streams.active.foreach(_.processAllAvailable())

@@ -54,9 +54,11 @@ final class Cluster(spark: SparkSession, root: String) {
 
   /** `now` seeds the member's lease (the session.timeout.ms clock is
    * injected, never read from the wall — tests and replays stay
-   * deterministic). A worker that never heartbeats again is evicted by
-   * the first sweep past `now + timeout`. */
-  def addWorker(id: String, now: Long = 0L): ConnectRuntime = synchronized {
+   * deterministic, and the parameter is REQUIRED so a wall-clock caller
+   * cannot accidentally seed a lease at epoch 0 and have the next sweep
+   * evict the brand-new worker). A worker that never heartbeats again
+   * is evicted by the first sweep past `now + timeout`. */
+  def addWorker(id: String, now: Long): ConnectRuntime = synchronized {
     require(!members.contains(id), s"worker '$id' already in the group")
     members(id) = new Engine(spark, root)
     leases(id) = now
@@ -158,7 +160,12 @@ final class Cluster(spark: SparkSession, root: String) {
         owners.remove(n)
       }
     }
-    specs.keys.toSeq.sorted.filterNot(owners.contains).foreach(place)
+    // one connector failing to START must not abort the rebalance and
+    // strand every later orphan: it stays ownerless (status UNASSIGNED)
+    // and the next membership change retries it
+    specs.keys.toSeq.sorted.filterNot(owners.contains).foreach { n =>
+      try place(n) catch { case _: Exception => () }
+    }
   }
 
   private def owner(name: String): Engine =
@@ -187,7 +194,16 @@ final class Cluster(spark: SparkSession, root: String) {
       validate(spec)
       specs(spec.name) = spec
       targets(spec.name) = true
-      place(spec.name)
+      // rollback on a failed START (e.g. an environment-bound source):
+      // a spec that never ran must not wedge the registry — Engine's
+      // register has the same start-before-commit ordering
+      try place(spec.name)
+      catch {
+        case e: Throwable =>
+          specs.remove(spec.name); targets.remove(spec.name)
+          owners.remove(spec.name)
+          throw e
+      }
     }
 
     def validate(spec: PipelineSpec): Unit = cluster.synchronized {
@@ -201,17 +217,35 @@ final class Cluster(spark: SparkSession, root: String) {
 
     def list(): Seq[String] = specs.keys.toSeq.sorted
 
+    def specOf(name: String): Option[PipelineSpec] =
+      cluster.synchronized(specs.get(name))
+
+    // an OWNERLESS pipeline (registered, but the last worker left or
+    // its start failed during a rebalance) is still registered state:
+    // delete must forget it, status reports UNASSIGNED, and target-
+    // state changes record for the next placement — only ops that need
+    // a live query (restart, offsets) still 404 on it
+    private def requireKnown(name: String): Unit =
+      if (!specs.contains(name))
+        throw new NoSuchElementException(s"no pipeline '$name'")
+
     def delete(name: String): Unit = cluster.synchronized {
-      owner(name).delete(name)
+      requireKnown(name)
+      owners.get(name).foreach(w => members.get(w).foreach(_.delete(name)))
       owners.remove(name); specs.remove(name); targets.remove(name)
     }
 
     def pause(name: String): Unit = cluster.synchronized {
-      owner(name).pause(name); targets(name) = false
+      requireKnown(name)
+      owners.get(name).foreach(w => members(w).pause(name))
+      targets(name) = false
     }
 
     def resume(name: String): Any = cluster.synchronized {
-      val q = owner(name).resume(name); targets(name) = true; q
+      requireKnown(name)
+      val q = owners.get(name).map(w => members(w).resume(name)).orNull
+      targets(name) = true
+      q
     }
 
     def restart(name: String): Unit = cluster.synchronized {
@@ -223,7 +257,11 @@ final class Cluster(spark: SparkSession, root: String) {
     // and an unsynchronized read would 404 a connector that IS
     // registered — found by the ClusterSpec storm
     def status(name: String): (String, String) = cluster.synchronized {
-      owner(name).status(name)
+      requireKnown(name)
+      owners.get(name) match {
+        case Some(w) => members(w).status(name)
+        case scala.None => (name, "UNASSIGNED")
+      }
     }
 
     def resetOffsets(name: String): Unit = cluster.synchronized {

@@ -29,4 +29,9 @@ trait ConnectRuntime {
   /** Distributed mode: which worker runs this pipeline (Connect's
    * `worker_id` in the status payload). None for a standalone engine. */
   def workerId(name: String): Option[String] = None
+  /** The registered spec, for config-update rollback: a failed update
+   * restores THIS, so updates work on connectors registered through any
+   * channel (engine API or REST), not just ones whose JSON body the
+   * REST surface happens to hold. */
+  def specOf(name: String): Option[PipelineSpec]
 }

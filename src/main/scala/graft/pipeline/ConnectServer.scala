@@ -112,16 +112,26 @@ final class ConnectServer(engine: ConnectRuntime, port: Int = 0,
           engine.validate(spec)
           val existed = engine.monitor.synchronized {
             val existed = engine.list().contains(n)
-            val oldBody = configs.get(n)
+            // rollback source: the REGISTERED spec, not the REST body —
+            // a connector registered through the engine API (no body in
+            // `configs`) must survive a failed update too
+            val oldSpec = engine.specOf(n)
+            // Connect config updates preserve the target state: a
+            // paused connector gets the new config but stays paused
+            val wasPaused = existed && engine.status(n)._2 == "PAUSED"
             if (existed) engine.delete(n)
-            try engine.register(spec)
-            catch { case e: Exception =>
+            try {
+              engine.register(spec)
+              if (wasPaused) engine.pause(n)
+            } catch { case e: Exception =>
               // registration still failed past validation (e.g. a source
               // path error at stream start): restore the previous
               // connector so the failed update is a no-op, then surface
               // the original error
-              try oldBody.foreach(engine.registerJson)
-              catch { case restore: Exception => e.addSuppressed(restore) }
+              try oldSpec.foreach { s =>
+                engine.register(s)
+                if (wasPaused) engine.pause(n)
+              } catch { case restore: Exception => e.addSuppressed(restore) }
               throw e
             }
             configs(n) = body
@@ -187,7 +197,13 @@ final class ConnectServer(engine: ConnectRuntime, port: Int = 0,
       }
     } catch {
       case e: java.util.NoSuchElementException => err(ex, 404, e.getMessage)
-      case e: IllegalStateException => err(ex, 409, e.getMessage)
+      case e: IllegalStateException =>
+        // an environment error (missing connector jars) is not a
+        // lifecycle conflict — 500 keeps clients from retrying a
+        // delete+re-POST loop against a 409 that can never clear
+        if (Option(e.getMessage).exists(_.contains("unavailable in this environment")))
+          err(ex, 500, e.getMessage)
+        else err(ex, 409, e.getMessage)
       case e: Exception =>
         err(ex, 400, s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally ex.close()

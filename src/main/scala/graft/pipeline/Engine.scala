@@ -1,7 +1,6 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -36,7 +35,6 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
   sealed trait State
   case object Running extends State
   case object Paused extends State
-  final case class Failed(err: String) extends State
 
   private final case class Entry(spec: PipelineSpec,
                                  query: Option[StreamingQuery],
@@ -122,10 +120,11 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     val s = e.query match {
       case Some(q) if q.isActive => "RUNNING"
       case Some(q) if q.exception.isDefined =>
-        s"FAILED: ${q.exception.get.message.linesIterator.next()}"
+        // nextOption: an empty exception message must not turn a status
+        // read into a NoSuchElementException (which REST maps to 404)
+        s"FAILED: ${q.exception.get.message.linesIterator.nextOption.getOrElse("")}"
       case _ => e.state match {
         case Paused => "PAUSED"
-        case Failed(err) => s"FAILED: $err"
         case _ => "STOPPED"
       }
     }
@@ -133,6 +132,8 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
   }
 
   def list(): Seq[String] = pipelines.keys.toSeq.sorted
+
+  def specOf(name: String): Option[PipelineSpec] = pipelines.get(name).map(_.spec)
 
   /** L1 DELETE: stop and forget (checkpoint retained, like Connect's
    * config removal leaving connect-offsets behind). */
@@ -158,10 +159,7 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     val e = entry(name)
     if (e.query.exists(_.isActive))
       throw new IllegalStateException(s"pause '$name' before resetting offsets")
-    val p = Paths.get(checkpointDir(name))
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    graft.util.Fs.deleteRecursive(Paths.get(checkpointDir(name)))
   }
 
   /** L3 read side: the pipeline's committed progress, as the latest
@@ -224,12 +222,25 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
           "(ALTER TABLE ... REPLICA IDENTITY FULL) — set source." +
           "replicaIdentityFull to key tombstones by the full row image, " +
           "or disable sink deletes")
+    // a keyed sink with NO key columns would generate malformed SQL
+    // ("ON CONFLICT () DO ..."), or collapse the table to one row via
+    // an empty-struct merge key — reject at registration
+    if (keyedSinks(spec.sink.kind) && spec.sink.keys.isEmpty)
+      throw new IllegalArgumentException(
+        s"${spec.sink.kind} sink requires non-empty sink.keys (the merge key)")
     if (!Set("csv", "parquet", "rate", "kafka")(spec.source.kind))
       throw new IllegalArgumentException(
         s"unknown source '${spec.source.kind}'")
     if (spec.source.kind == "kafka" && spec.source.schema.isEmpty)
       throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value")
+    // the kafka frame lifts its key from the decoded value; with no
+    // keyFields every record would share the empty-struct key and a
+    // keyed sink silently collapses to one row
+    if (spec.source.kind == "kafka" && spec.source.keyFields.isEmpty &&
+        keyedSinks(spec.sink.kind))
+      throw new IllegalArgumentException(
+        "kafka source feeding a keyed sink requires source.keyFields")
     if (!(keyedSinks + "append")(spec.sink.kind))
       throw new IllegalArgumentException(s"unknown sink '${spec.sink.kind}'")
     if (spec.sink.kind == "jdbc") {
@@ -293,7 +304,13 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     val marker = Paths.get(checkpointDir(spec.name), "graft_snapshot_done")
     if (Files.exists(marker)) return
     val snap = spark.read.parquet(spec.source.snapshotPath.get)
-    val framed = toFrame(snap, spec.source)
+    // the snapshot is a plain current-state table, NOT a kafka frame —
+    // lift it through the row branch of toFrame regardless of the
+    // stream's transport (a kafka-sourced connector's snapshot has no
+    // key/value/topic/offset columns to decode)
+    val framed = toFrame(snap,
+      if (spec.source.kind == "kafka") spec.source.copy(kind = "parquet")
+      else spec.source)
     val transformed = spec.transforms.map(_.toTransform)
       .foldLeft(framed)((df, t) => t(df))
     spec.sink.kind match {

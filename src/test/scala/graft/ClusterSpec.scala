@@ -46,8 +46,8 @@ class ClusterSpec extends SparkSpec {
   test("sticky least-loaded assignment, incremental join/leave rebalance") {
     val base = tmp("assign")
     val cluster = new Cluster(spark, s"$base/root")
-    val rt = cluster.addWorker("w0")
-    cluster.addWorker("w1")
+    val rt = cluster.addWorker("w0", now = 0L)
+    cluster.addWorker("w1", now = 0L)
     val names = Seq("a", "b", "c", "d")
     names.foreach { n =>
       Files.createDirectories(Paths.get(s"$base/in_$n"))
@@ -66,7 +66,7 @@ class ClusterSpec extends SparkSpec {
 
     // join: exactly the over-target excess leaves w0 — the two largest
     // names (c, d) move to w2; a and b stay put
-    cluster.addWorker("w2")
+    cluster.addWorker("w2", now = 0L)
     assert(cluster.assignments() ==
       Seq("a" -> "w0", "b" -> "w0", "c" -> "w2", "d" -> "w2"))
     names.foreach(n => assert(rt.status(n)._2 == "RUNNING", n))
@@ -77,7 +77,7 @@ class ClusterSpec extends SparkSpec {
   test("paused target state survives a rebalance move") {
     val base = tmp("paused")
     val cluster = new Cluster(spark, s"$base/root")
-    val rt = cluster.addWorker("w0")
+    val rt = cluster.addWorker("w0", now = 0L)
     Files.createDirectories(Paths.get(s"$base/in"))
     stage(s"$base/in", 0, Seq((1L, "x", 0L)))
     rt.register(spec("p", s"$base/in", s"$base/state"))
@@ -86,7 +86,7 @@ class ClusterSpec extends SparkSpec {
     assert(rt.status("p")._2 == "PAUSED")
     // the move: a join big enough to revoke p from w0 cannot happen
     // with one connector, so force it with a leave+join cycle
-    cluster.addWorker("w1")
+    cluster.addWorker("w1", now = 0L)
     cluster.removeWorker("w0")
     assert(rt.workerId("p").contains("w1"))
     // moved WITHOUT running a batch: still paused on the new worker
@@ -99,7 +99,7 @@ class ClusterSpec extends SparkSpec {
   test("offsets survive the move: no re-ingestion, new data still lands") {
     val base = tmp("offsets")
     val cluster = new Cluster(spark, s"$base/root")
-    val rt = cluster.addWorker("w0")
+    val rt = cluster.addWorker("w0", now = 0L)
     Files.createDirectories(Paths.get(s"$base/in"))
     stage(s"$base/in", 0, Seq((1L, "v0", 0L), (2L, "v0", 0L)))
     rt.register(spec("m", s"$base/in", s"$base/state"))
@@ -107,7 +107,7 @@ class ClusterSpec extends SparkSpec {
     val committed = rt.latestBatchId("m")
     assert(committed.nonEmpty)
 
-    cluster.addWorker("w1")
+    cluster.addWorker("w1", now = 0L)
     cluster.removeWorker("w0") // m moves to w1, resuming from the checkpoint
     assert(rt.workerId("m").contains("w1"))
     stage(s"$base/in", 1, Seq((2L, "v1", 1L), (3L, "v1", 1L)))
@@ -140,8 +140,8 @@ class ClusterSpec extends SparkSpec {
     Files.createDirectories(Paths.get(in))
     stage(in, 0, Seq((1L, "a", 0L), (2L, "b", 0L)))
     val cluster = new Cluster(spark, s"$base/root")
-    val rtA = cluster.addWorker("w0")
-    val rtB = cluster.addWorker("w1")
+    val rtA = cluster.addWorker("w0", now = 0L)
+    val rtB = cluster.addWorker("w1", now = 0L)
     val shared = scala.collection.concurrent.TrieMap.empty[String, String]
     val serverA = new graft.pipeline.ConnectServer(rtA, sharedConfigs = Some(shared))
     val serverB = new graft.pipeline.ConnectServer(rtB, sharedConfigs = Some(shared))
@@ -175,7 +175,7 @@ class ClusterSpec extends SparkSpec {
       val churn = Future {
         var i = 0
         while (churning.get()) {
-          cluster.addWorker(s"churn$i")
+          cluster.addWorker(s"churn$i", now = 0L)
           Thread.sleep(20)
           cluster.removeWorker(s"churn$i")
           i += 1
@@ -212,8 +212,8 @@ class ClusterSpec extends SparkSpec {
     // the checkpoint dir in the shared substrate
     val base = tmp("put")
     val cluster = new Cluster(spark, s"$base/root")
-    val rtA = cluster.addWorker("w0")
-    cluster.addWorker("w1")
+    val rtA = cluster.addWorker("w0", now = 0L)
+    cluster.addWorker("w1", now = 0L)
     Files.createDirectories(Paths.get(s"$base/in"))
     stage(s"$base/in", 0, Seq((1L, "v0", 0L)))
     val shared = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -258,7 +258,7 @@ class ClusterSpec extends SparkSpec {
     val base = tmp("contracts")
     val cluster = new Cluster(spark, s"$base/root")
     intercept[NoSuchElementException](cluster.removeWorker("ghost"))
-    val rt = cluster.addWorker("w0")
+    val rt = cluster.addWorker("w0", now = 0L)
     Files.createDirectories(Paths.get(s"$base/in"))
     stage(s"$base/in", 0, Seq((1L, "x", 0L)))
     rt.register(spec("dup", s"$base/in", s"$base/state"))
@@ -274,6 +274,41 @@ class ClusterSpec extends SparkSpec {
     val e = intercept[IllegalStateException](
       rt.validate(spec("late", s"$base/in", s"$base/state3")))
     assert(e.getMessage.contains("no workers"))
+  }
+
+  test("a failed START rolls back registration; ownerless pipelines stay manageable") {
+    val base = tmp("wedge")
+    val cluster = new Cluster(spark, s"$base/root")
+    val rt = cluster.addWorker("w0", now = 0L)
+    // passes validate but fails at stream START in this container: the
+    // kafka connector jars are absent, so readSource throws inside
+    // place() — the registration must roll back, not wedge the name
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val kafkaSpec =
+      s"""{"name":"w",
+         |"source":{"type":"kafka","path":"localhost:9092",
+         |  "schemaDdl":"id BIGINT, v STRING","keyFields":["id"],"topic":"t"},
+         |"transforms":[],
+         |"sink":{"type":"append","path":${m.writeValueAsString(s"$base/out")}}}""".stripMargin
+    intercept[IllegalStateException](rt.registerJson(kafkaSpec))
+    assert(rt.list().isEmpty, "failed start must roll the registration back")
+    // the name re-registers cleanly with a runnable config
+    Files.createDirectories(Paths.get(s"$base/in"))
+    stage(s"$base/in", 0, Seq((1L, "x", 0L)))
+    rt.register(spec("w", s"$base/in", s"$base/state"))
+    assert(rt.status("w")._2 == "RUNNING")
+    // the LAST worker leaves: the pipeline stays registered and
+    // manageable — UNASSIGNED status, target-state changes recorded,
+    // re-placement on the next join honors them, delete works
+    cluster.removeWorker("w0")
+    assert(rt.list() == Seq("w"))
+    assert(rt.status("w")._2 == "UNASSIGNED")
+    rt.pause("w")
+    cluster.addWorker("w1", now = 0L)
+    assert(rt.workerId("w").contains("w1"))
+    assert(rt.status("w")._2 == "PAUSED")
+    rt.delete("w")
+    assert(rt.list().isEmpty)
   }
 
   test("missed heartbeats evict a CRASHED worker; its connector resumes elsewhere exactly-once") {

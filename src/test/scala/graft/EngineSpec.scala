@@ -211,6 +211,31 @@ class EngineSpec extends SparkSpec {
     assert(out == Set((1, false, 0L), (2, true, 1L), (3, true, 2L), (4, true, 3L)))
   }
 
+  test("keyed sinks refuse empty keys; kafka into a keyed sink refuses empty keyFields") {
+    val base = Files.createTempDirectory("emptykeys").toString
+    val engine = new Engine(spark, s"$base/engine")
+    // empty sink.keys would generate "ON CONFLICT () DO ..." or collapse
+    // a merge to one row under an empty-struct key — reject up front
+    val noKeys =
+      s"""{"name":"nk",
+         |"source":{"type":"csv","path":"$base/in",
+         |  "schemaDdl":"id INT, v STRING","keyFields":["id"],
+         |  "seqColumn":"id","topic":"t"},
+         |"sink":{"type":"table","path":"$base/state","keys":[]}}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](engine.registerJson(noKeys))
+    assert(e1.getMessage.contains("non-empty sink.keys"))
+    // a kafka frame lifts its key from keyFields; empty ones give every
+    // record the same empty-struct key — silent single-row collapse
+    val noKeyFields =
+      s"""{"name":"nkf",
+         |"source":{"type":"kafka","path":"localhost:9092",
+         |  "schemaDdl":"id INT, v STRING","keyFields":[],"topic":"t"},
+         |"sink":{"type":"logtable","path":"$base/log","keys":["id"],
+         |  "deleteEnabled":"false"}}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](engine.registerJson(noKeyFields))
+    assert(e2.getMessage.contains("keyFields"))
+  }
+
   test("table sink demands an explicit seqColumn (layout-independent merges)") {
     val base = Files.createTempDirectory("noseq").toString
     val spec =
