@@ -108,7 +108,7 @@ object ConnectQueries {
       StructField("n_regionkey", LongType),
       StructField("_corrupt_record", StringType)))
     val read = SpoolDir.readBatch(s, SpoolDir.Config(inputPath = spool,
-      format = "json", pattern = "*.json", schema = Some(schema))).cache()
+      format = "json", pattern = Some("*.json"), schema = Some(schema))).cache()
     val good = read.filter(col("_corrupt_record").isNull)
       .select(lit("row").as("kind"), col("n_nationkey"), col("n_name"))
     val errs = read.filter(col("_corrupt_record").isNotNull)

@@ -126,7 +126,13 @@ object JsonEnvelope {
   /** Convert a column to its wire representation (nulls propagate). */
   def toWire(c: Column, dt: DataType): Column = dt match {
     case TimestampType => unix_millis(c)
-    case TimestampNTZType => unix_millis(c.cast(TimestampType)) // session TZ = UTC
+    // TZ-independent: the cast turns NTZ wall-clock W into the instant
+    // W@session-zone (raw = W − offset); from_utc_timestamp adds the
+    // offset back, so unix_millis always yields W's UTC epoch millis —
+    // in ANY session zone (identity under UTC), instead of silently
+    // shifting by the session offset
+    case TimestampNTZType =>
+      unix_millis(from_utc_timestamp(c.cast(TimestampType), current_timezone()))
     case DateType => datediff(c, EpochDay)
     case d: DecimalType =>
       requireCodecableDecimal(d)
@@ -146,7 +152,12 @@ object JsonEnvelope {
   /** Convert a wire-typed column back to its Spark type. */
   def fromWire(c: Column, dt: DataType): Column = dt match {
     case TimestampType => timestamp_millis(c)
-    case TimestampNTZType => timestamp_millis(c).cast(TimestampNTZType)
+    // inverse of toWire's re-basing: subtract the session offset so the
+    // NTZ cast reads back exactly the wire's UTC wall-clock, regardless
+    // of the session zone
+    case TimestampNTZType =>
+      to_utc_timestamp(timestamp_millis(c), current_timezone())
+        .cast(TimestampNTZType)
     case DateType => date_add(EpochDay, c)
     case d: DecimalType =>
       requireCodecableDecimal(d)
@@ -265,9 +276,13 @@ object JsonEnvelope {
    * `errors.deadletterqueue.topic.name=dlqTopic`: clean rows continue
    * with the decoded value; failed rows re-topic to the DLQ carrying
    * the RAW message plus the context a Connect DLQ header block carries
-   * (source topic, error class, failing stage). One pass, two filters
-   * over the same classified projection — at 100 TB the DLQ side is the
-   * (tiny) error fraction, and nothing is parsed twice.
+   * (source topic, error class, failing stage). The two returned frames
+   * share one classified projection PLAN, but they are separate plans:
+   * a caller materializing both sides independently scans (and
+   * classifies) the source twice — persist the input, or write both
+   * sides in one `foreachBatch`, when that matters (inside the engine's
+   * micro-batches the batch is already pinned, so there the split truly
+   * is one pass).
    */
   def routeDlq(df: DataFrame, schema: DataType,
                dlqTopic: String): (DataFrame, DataFrame) = {

@@ -30,10 +30,26 @@ object Smt {
    * T1 `ValueToKey`: copy named value field(s) into the key as a struct.
    * Composite keys supported (reference:
    * `connector_configs/mysql_jdbc_om_source_mkey.json:14-16`).
+   *
+   * Tombstone safety needs care here: `struct()` is never NULL, so
+   * building the key from a NULL value would collapse every tombstone
+   * onto one all-null key and deletes would route wrong. A tombstone
+   * KEEPS the key it arrived with when its shape already matches the
+   * requested one (the usual upstream: the frame's key was lifted from
+   * the same fields); otherwise its key becomes NULL — explicitly, not
+   * silently corrupted.
    */
-  def valueToKey(fields: Seq[String]): Transform = df =>
+  def valueToKey(fields: Seq[String]): Transform = df => {
+    val vt = df.schema("value").dataType.asInstanceOf[StructType]
+    val newType = StructType(fields.map(f => vt(f)))
+    val built = struct(fields.map(f => col(s"value.$f").as(f)).toIndexedSeq: _*)
+    val onTombstone =
+      if (DataType.equalsStructurally(df.schema("key").dataType, newType,
+          ignoreNullability = true)) col("key")
+      else lit(null).cast(newType)
     df.withColumn("key",
-      struct(fields.map(f => col(s"value.$f").as(f)).toIndexedSeq: _*))
+      when(col("value").isNotNull, built).otherwise(onTombstone))
+  }
 
   /**
    * T2 `ExtractField$Key`: replace a struct key by one of its fields,
@@ -81,12 +97,24 @@ object Smt {
   def timestampConverter(field: String, target: TsTarget,
                          sourceFormat: Option[String] = None): Transform = df => {
     val in = col(s"value.$field")
-    val converted: Column = target match {
-      case TsTarget.Timestamp =>
+    val inType = df.schema("value").dataType
+      .asInstanceOf[StructType](field).dataType
+    // normalize ANY input representation to a timestamp first, the way
+    // Connect's TimestampConverter does: strings parse with the declared
+    // source format FOR EVERY TARGET (a bare cast would silently NULL a
+    // non-default format), integers are epoch MILLIS (a bare long cast
+    // would read seconds), temporal types cast directly
+    val asTs: Column = inType match {
+      case StringType =>
         sourceFormat.map(f => to_timestamp(in, f)).getOrElse(to_timestamp(in))
-      case TsTarget.Str(fmt) => date_format(in, fmt)
-      case TsTarget.Unix => unix_millis(in.cast(TimestampType))
-      case TsTarget.Date => in.cast(DateType)
+      case LongType | IntegerType => timestamp_millis(in.cast("long"))
+      case _ => in.cast(TimestampType)
+    }
+    val converted: Column = target match {
+      case TsTarget.Timestamp => asTs
+      case TsTarget.Str(fmt) => date_format(asTs, fmt)
+      case TsTarget.Unix => unix_millis(asTs)
+      case TsTarget.Date => asTs.cast(DateType)
     }
     df.withColumn("value", col("value").withField(field, converted))
   }
@@ -176,7 +204,12 @@ object Smt {
    * predicate fails loudly on the union — same as Connect, where
    * conditionally-diverging schemas break the topic contract. */
   def whenPredicate(pred: Column, t: Transform,
-                    negate: Boolean = false): Transform = df => {
+                    negate: Boolean = false): Transform = df0 => {
+    // a headers-referencing predicate (HasHeaderKey) on a frame that
+    // never grew the column must read as "no headers", not crash with
+    // an unresolved column — headers materialize empty on first touch
+    // (the module's header contract), and a predicate IS a touch
+    val df = ensureHeaders(df0)
     val p = coalesce(if (negate) !pred else pred, lit(false))
     t(df.filter(p)).unionByName(df.filter(!p))
   }

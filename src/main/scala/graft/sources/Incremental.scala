@@ -120,7 +120,15 @@ object Incremental {
            w: Watermark): (DataFrame, Watermark) = {
     val batch = reader(mode.predicate(w))
     requireUtcForTimestampModes(batch, mode)
-    (batch, mode.advance(batch, w))
+    // ONE snapshot serves both the watermark agg and the caller's
+    // delivery: un-pinned, the two would execute the source query
+    // twice, and against a LIVE table the delivery scan could include
+    // rows beyond the watermark just computed — re-captured on the next
+    // poll, duplicate work the keyed sinks then have to absorb.
+    // localCheckpoint materializes eagerly and cuts the source lineage,
+    // so the poll reads the database exactly once.
+    val pinned = batch.localCheckpoint()
+    (pinned, mode.advance(pinned, w))
   }
 
   /** The timestamp watermark travels as a rendered UTC wall-clock string,

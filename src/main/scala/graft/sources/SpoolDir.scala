@@ -30,12 +30,17 @@ object SpoolDir {
   final case class Config(
       inputPath: String,
       format: String = "csv", // csv | json (JSON-lines) | text
-      pattern: String = "*.csv",
+      // None derives "*.<format>" — a fixed "*.csv" default next to
+      // format="json" would silently match zero files and read an
+      // empty frame that looks like an empty spool
+      pattern: Option[String] = None,
       header: Boolean = true,
       schema: Option[StructType] = None, // None = infer (batch only)
       finishedPath: Option[String] = None,
       haltOnError: Boolean = false,
-      maxFilesPerTrigger: Int = 3) // tasks.max analog
+      maxFilesPerTrigger: Int = 3) { // tasks.max analog
+    def globPattern: String = pattern.getOrElse(s"*.$format")
+  }
 
   private def load(r: DataFrameReader, conf: Config): DataFrame =
     conf.format match {
@@ -58,7 +63,7 @@ object SpoolDir {
   /** One-shot batch read (the verification path). */
   def readBatch(spark: SparkSession, conf: Config): DataFrame = {
     var r = spark.read
-      .option("pathGlobFilter", conf.pattern)
+      .option("pathGlobFilter", conf.globPattern)
       .option("mode", if (conf.haltOnError) "FAILFAST" else "PERMISSIVE")
     r = conf.schema match {
       case Some(s) => r.schema(s)
@@ -75,7 +80,7 @@ object SpoolDir {
       "streaming spool requires an explicit schema"))
     var r = spark.readStream
       .schema(s)
-      .option("pathGlobFilter", conf.pattern)
+      .option("pathGlobFilter", conf.globPattern)
       .option("maxFilesPerTrigger", conf.maxFilesPerTrigger)
       .option("mode", if (conf.haltOnError) "FAILFAST" else "PERMISSIVE")
     conf.finishedPath.foreach { p =>

@@ -26,28 +26,24 @@ object StatefulOps {
    * all micro-batches. `ttlMs` > 0 expires key state after that many ms
    * of processing time (bounded-state mode for unbounded key domains).
    *
-   * State-format note: the group key uses the length-prefixed encoding
-   * below. Checkpoints written by an earlier encoding (plain separator
-   * join) do not resolve against it — restart such a query from a fresh
-   * checkpoint.
+   * State-format note: the group key is the row's `to_json` rendering of
+   * the key columns (nulls kept) — type-aware, so STRUCT keys cannot
+   * alias across nested separators and BINARY keys compare by content
+   * (base64), not object identity; a `String.valueOf` encoding gets
+   * both wrong. Checkpoints written by an earlier encoding do not
+   * resolve against it — restart such a query from a fresh checkpoint.
    */
   def dedupByKey(df: DataFrame, keyCols: Seq[String],
                  ttlMs: Long = 0L): DataFrame = {
     val schema = df.schema
-    val keyIdx = keyCols.map(schema.fieldIndex)
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    // Unambiguous composite-key encoding: nulls get a sentinel no value
-    // can produce (values are length-prefixed, so they always start with
-    // a digit), and the length prefix makes separator collisions
-    // impossible -- ("a|b","c") and ("a","b|c") encode differently.
-    df.groupByKey { r =>
-        keyIdx.map { i =>
-          if (r.isNullAt(i)) ""
-          else { val s = String.valueOf(r.get(i)); s"${s.length}:$s" }
-        }.mkString("|")
-      }(Encoders.STRING)
+    val keyed = df.withColumn("__gk",
+      to_json(struct(keyCols.map(col): _*),
+        Map("ignoreNullFields" -> "false")))
+    val gkIdx = keyed.schema.fieldIndex("__gk")
+    keyed.groupByKey(_.getString(gkIdx))(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), timeout) {
         (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
@@ -56,7 +52,7 @@ object StatefulOps {
           else {
             state.update(true)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            rows.take(1)
+            rows.take(1).map(r => Row.fromSeq(r.toSeq.init)) // strip __gk
           }
       }(Encoders.scalaBoolean, Encoders.row(schema))
   }
@@ -86,6 +82,11 @@ object StatefulOps {
                       ttlMs: Long = 0L): DataFrame = {
     import graft.text.Dedup
     import graft.functions.Hashing
+    // bands > numPerms would give zero-row bands (every bucket key
+    // empty → the whole stream flags as one giant dup cluster), and a
+    // non-divisor silently ignores trailing permutations — reject both
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"bands ($bands) must divide numPerms ($numPerms)")
     val perms = Hashing.minhashPerms(numPerms)
     val rows = numPerms / bands
     val banded = docs

@@ -82,7 +82,7 @@ class CodecSpec extends SparkSpec {
         |{"id": 2, "name": "y"}""".stripMargin)
     // batch inference, no schema declared
     val inferred = SpoolDir.readBatch(spark, SpoolDir.Config(
-      inputPath = dir, format = "json", pattern = "*.json"))
+      inputPath = dir, format = "json", pattern = Some("*.json")))
     assert(inferred.schema("id").dataType == LongType)
     assert(inferred.count() == 2)
     // a torn line routes to the corrupt-record channel, rest flow
@@ -93,7 +93,7 @@ class CodecSpec extends SparkSpec {
     // corrupt-record-only projections over raw JSON require caching the
     // parsed frame first (Spark guards against the double-parse trap)
     val read = SpoolDir.readBatch(spark, SpoolDir.Config(inputPath = dir,
-      format = "json", pattern = "*.json", schema = Some(schema))).cache()
+      format = "json", pattern = Some("*.json"), schema = Some(schema))).cache()
     assert(read.filter(col("_corrupt_record").isNull).count() == 2)
     assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
     // unknown formats fail loudly at config time

@@ -68,6 +68,26 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(rts.exceptAll(df).count() == 0 && df.exceptAll(rts).count() == 0)
   }
 
+  test("NTZ wire values are session-TZ-independent (UTC epoch of the wall-clock)") {
+    // a non-UTC session must produce the SAME wire int64 as UTC: the
+    // Connect contract is "epoch millis of the wall-clock read as UTC",
+    // not "epoch millis shifted by whatever zone the encoder ran in"
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.session.timeZone", "Asia/Seoul")
+    import scoped.implicits._
+    val df = Seq((1, "2020-03-15 12:34:56.789")).toDF("id", "ts")
+      .select(col("id"), col("ts").cast(TimestampNTZType).as("ntz"))
+    val f = Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    val schema = f.schema("value").dataType
+    val wire = f.select(JsonEnvelope.encodeWithSchema(col("value"), schema))
+      .head().getString(0)
+    assert(wire.contains(""""ntz":1584275696789"""),
+      s"Seoul-session NTZ wire value shifted: $wire")
+    // and the decode inverts it in the same non-UTC session
+    val rt = JsonEnvelope.roundTrip(f).select("value.*")
+    assert(rt.exceptAll(df).count() == 0 && df.exceptAll(rt).count() == 0)
+  }
+
   test("maps with temporal keys round-trip (wire keys are JSON strings)") {
     val df = Seq(1).toDF("id")
       .select(col("id"),

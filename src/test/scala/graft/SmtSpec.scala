@@ -20,6 +20,19 @@ class SmtSpec extends SparkSpec {
     assert(k.toSet == Set((1, "alice"), (2, "bob")))
   }
 
+  test("T1 valueToKey keeps a tombstone's own key (struct() is never NULL)") {
+    // a delete must not collapse onto an all-null key: when the frame's
+    // key shape matches the requested one, the tombstone keeps it
+    val withTomb = frame().withColumn("value",
+      when(col("key.id") === 2, lit(null)).otherwise(col("value")))
+    val out = Smt.valueToKey(Seq("id"))(withTomb)
+    val tomb = out.filter(col("value").isNull).select("key.id").head()
+    assert(!tomb.isNullAt(0) && tomb.getInt(0) == 2)
+    // live rows still get the value-lifted key
+    assert(out.filter(col("value").isNotNull).select("key.id")
+      .as[Int].collect().toSet == Set(1))
+  }
+
   test("T2 extractKeyField flattens the key to a scalar") {
     val out = Smt.extractKeyField("id")(frame())
     assert(out.schema("key").dataType == IntegerType)
