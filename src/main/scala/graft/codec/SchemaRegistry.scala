@@ -49,10 +49,17 @@ object SchemaRegistry {
 
   /** Can a `reader`-schema consumer decode data written as `writer`?
    * Fields only the reader has need a default (nullable); fields only
-   * the writer has are ignored; retypes always break. */
+   * the writer has are ignored; retypes always break; and a shared
+   * field the writer may NULL but the reader declares non-nullable
+   * breaks too (the Avro union [null,T] → T narrowing — a v1 null has
+   * nowhere to go in the v2 reader). */
   private def canRead(reader: StructType, writer: StructType): Boolean = {
     val d = SchemaEvolution.diff(writer, reader)
-    d.added.forall(_.nullable) && d.retyped.isEmpty
+    val tightened = reader.fields.exists { rf =>
+      writer.fields.find(_.name == rf.name)
+        .exists(wf => wf.nullable && !rf.nullable)
+    }
+    d.added.forall(_.nullable) && d.retyped.isEmpty && !tightened
   }
 
   /** One registered schema version. `id` is registry-global (the wire

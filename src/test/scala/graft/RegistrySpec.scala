@@ -51,6 +51,21 @@ class RegistrySpec extends AnyFunSuite {
     assert(reg2.register("s", addRequired).isLeft)
   }
 
+  test("nullable->non-nullable tightening is rejected (a writer null breaks the reader)") {
+    val reg = new SchemaRegistry() // BACKWARD
+    val withOptional = StructType(base.fields :+
+      StructField("phone", StringType, nullable = true))
+    reg.register("s", withOptional)
+    val tightened = StructType(base.fields :+
+      StructField("phone", StringType, nullable = false))
+    assert(reg.register("s", tightened).isLeft,
+      "v1 rows may carry phone=null; a non-nullable v2 reader cannot hold them")
+    // the reverse direction (non-nullable -> nullable) stays legal
+    val reg2 = new SchemaRegistry()
+    reg2.register("s", tightened)
+    assert(reg2.register("s", withOptional).isRight)
+  }
+
   test("FORWARD rejects dropping a required field, accepts adds") {
     val reg = new SchemaRegistry(Compat.Forward)
     reg.register("s", base)
