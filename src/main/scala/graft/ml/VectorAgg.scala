@@ -28,6 +28,8 @@ object VectorAgg {
     new Aggregator[Seq[Float], AvgBuffer, Seq[Double]] {
       override def zero: AvgBuffer = AvgBuffer(Array.empty, 0L)
       override def reduce(b: AvgBuffer, v: Seq[Float]): AvgBuffer = {
+        require(v != null, // loud-failure policy: name the bad input,
+          "vectorAvg: NULL vector input — filter nulls before aggregating")
         val s = if (b.sums.isEmpty) new Array[Double](v.length) else b.sums
         requireSameLength(s.length, v.length)
         var i = 0
@@ -67,6 +69,8 @@ object VectorAgg {
     new Aggregator[Seq[Int], SumBuffer, Seq[Long]] {
       override def zero: SumBuffer = SumBuffer(Array.empty)
       override def reduce(b: SumBuffer, v: Seq[Int]): SumBuffer = {
+        require(v != null, // loud-failure policy: name the bad input
+          "vectorSumLong: NULL vector input — filter nulls before aggregating")
         val s = if (b.sums.isEmpty) new Array[Long](v.length) else b.sums
         requireSameLength(s.length, v.length)
         var i = 0

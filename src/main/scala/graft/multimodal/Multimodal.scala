@@ -81,8 +81,12 @@ object Multimodal {
     df
       .withColumn("_n", nFrames)
       .withColumn("frames",
-        transform(sequence(lit(0), greatest(col("_n") - 1, lit(0)), lit(stride)),
-          i => substring(col("payload"), i * frameBytes + lit(1), lit(frameBytes))))
+        // guard the empty payload: greatest(_n−1, 0) would turn ZERO
+        // frames into sequence(0,0) = one phantom zero-length frame
+        when(col("_n") > 0,
+          transform(sequence(lit(0), col("_n") - 1, lit(stride)),
+            i => substring(col("payload"), i * frameBytes + lit(1), lit(frameBytes))))
+          .otherwise(array().cast(ArrayType(BinaryType))))
       .withColumn("n_frames_sampled", size(col("frames")))
       .drop("_n")
   }

@@ -61,8 +61,13 @@ object Dedup {
   def shingleHashSeq(hs: Column, k: Int): Column =
     when(size(hs) >= k,
       transform(sequence(lit(0), size(hs) - k), i =>
-        pmod((0 until k).map(j => element_at(hs, i + lit(j + 1)))
-          .reduce((acc, h) => acc * 31 + h), lit(Hashing.P))))
+        // pmod INSIDE the fold: un-reduced, the polynomial reaches
+        // ~P·31^(k−1) and wraps Long at k≥8 — silently diverging from
+        // the true mod-P value (and from DuckDB, which errors instead).
+        // Interleaved reduction keeps every intermediate < 2^36 and is
+        // value-identical for the small k where no overflow occurred.
+        (0 until k).map(j => element_at(hs, i + lit(j + 1)))
+          .reduce((acc, h) => pmod(acc * 31 + h, lit(Hashing.P)))))
       .otherwise(array().cast(ArrayType(LongType)))
 
   /** Winnowing (Schleimer/Wilkerson/Aiken): slide a window of `w` over
@@ -90,8 +95,10 @@ object Dedup {
     when(size(hs) >= k,
       array_distinct(
         transform(sequence(lit(0), size(hs) - k), i =>
-          pmod((0 until k).map(j => element_at(hs, i + lit(j + 1)))
-            .reduce((acc, h) => acc * 31 + h), lit(Hashing.P)))))
+          // interleaved pmod — see shingleHashSeq: overflow-safe for any
+          // k, value-identical where the un-reduced fold didn't overflow
+          (0 until k).map(j => element_at(hs, i + lit(j + 1)))
+            .reduce((acc, h) => pmod(acc * 31 + h, lit(Hashing.P))))))
       .otherwise(array().cast(ArrayType(LongType)))
 
   /** MinHash signature: for each permutation j, min over shingle hashes
@@ -129,6 +136,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numPerms: Int = 16,
                         bands: Int = 4)(implicit scope: CacheScope): DataFrame = {
+    // bands > numPerms gives zero-row bands (every bucket key empty →
+    // the banded join degenerates to the full cross product this
+    // operator exists to avoid); a non-divisor silently drops trailing
+    // signature positions
+    require(bands >= 1 && bands <= numPerms && numPerms % bands == 0,
+      s"bands ($bands) must divide numPerms ($numPerms)")
     val perms = Hashing.minhashPerms(numPerms)
     val rows = numPerms / bands
     // alias boundary: materialize the shingle hashes ONCE per row before
@@ -198,6 +211,14 @@ object Dedup {
    * SimHash near-dup pairs: bucket by 4 bands of 15 bits (a pair within
    * hamming radius 3 of the 60-bit space shares at least one band by
    * pigeonhole), verify with exact hamming <= maxHamming.
+   *
+   * RECALL CONTRACT: the pigeonhole guarantee covers radius ≤ 3 only.
+   * With maxHamming > 3, pairs at distance 4..maxHamming are reported
+   * IF they happen to share a band, silently absent otherwise — the
+   * standard banded-LSH recall trade (the oracle mirrors the same
+   * banding, so verification is exact over the candidates either way).
+   * Callers needing guaranteed recall at larger radii must raise the
+   * band count, not just maxHamming.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 16)(implicit scope: CacheScope): DataFrame = {
@@ -407,6 +428,11 @@ object Dedup {
    */
   def duplicateClustersStar(pairs: DataFrame, maxIters: Int = 50)
                            (implicit scope: CacheScope): DataFrame = {
+    // every distinct id in ANY pair — the output contract; a node whose
+    // only appearance is a self-pair has no edge after the filter below
+    // and must still emit as its own singleton (duplicateClusters does)
+    val allNodes = pairs.select(col("ida").as("node"))
+      .union(pairs.select(col("idb").as("node"))).distinct()
     // Canonical (u > v) orientation; self-pairs dropped.
     var edges = pairs
       .select(greatest(col("ida"), col("idb")).as("u"),
@@ -422,7 +448,7 @@ object Dedup {
 
     var prev = fingerprint(edges)
     if (prev._1 == 0L)
-      return edges.select(col("u").as("node"), col("u").as("label"))
+      return allNodes.select(col("node"), col("node").as("label"))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -458,9 +484,13 @@ object Dedup {
     val chains = edges.select(col("v").as("u")).distinct()
       .join(edges.select(col("u")), "u").limit(1).count()
     require(chains == 0L, "star fixed point violated: two-level chain remains")
-    edges.select(col("u").as("node"), col("v").as("label"))
+    val labeled = edges.select(col("u").as("node"), col("v").as("label"))
       .union(edges.select(col("v").as("node"), col("v").as("label")))
       .distinct()
+    // self-pair-only nodes rejoin as singletons (label = themselves)
+    labeled.unionByName(
+      allNodes.join(labeled.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("label")))
   }
 
   /**
