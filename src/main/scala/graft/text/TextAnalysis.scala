@@ -360,12 +360,18 @@ object TextAnalysis {
    * character. Order-sensitive (unlike bag-of-words hashes). */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    // index-based fold (not split-on-empty, whose semantics differ across
-    // engines): h = (h*31 + codepoint(norm[i])) mod P. Empty-text guard:
-    // sequence(1, 0) would DESCEND, not produce an empty range.
-    when(length(norm) > 0,
-      aggregate(sequence(lit(1), length(norm)), lit(0L),
-        (acc, i) => pmod(acc * 31 + ascii(norm.substr(i, lit(1))), lit(Hashing.P))))
-      .otherwise(lit(0L))
+    // fold over CharNGrams(norm, 1): ONE linear codepoint pass. The old
+    // index fold's substr(i, 1) re-seeks codepoint i from byte 0 —
+    // O(len²) per document, the same interpreted-substr pathology the
+    // bigram kernel already eliminated (see charBigrams). ascii() of a
+    // 1-gram is codepoint(norm[i]), so the hash is bit-identical to the
+    // index formulation and to the DuckDB oracle. CharNGrams on an
+    // empty string returns an empty array — the fold's zero (0L) is the
+    // empty-text value, no guard needed.
+    val chars = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.CharNGrams(
+        org.apache.spark.sql.graft.ColumnBridge.expression(norm), 1))
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(acc * 31 + ascii(ch), lit(Hashing.P)))
   }
 }
