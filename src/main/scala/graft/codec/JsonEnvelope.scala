@@ -123,16 +123,38 @@ object JsonEnvelope {
     when(negative, unsigned - modulus).otherwise(unsigned)
   }
 
+  /** Epoch millis of an NTZ wall-clock read AS UTC — pure field
+   * arithmetic, zero zone-offset lookups. The cast+from_utc_timestamp
+   * formulation resolved the session offset at two different instants
+   * (the wall-clock and the shifted instant), which mis-encodes
+   * wall-clocks near a DST transition by the DST delta; date/hour/
+   * minute/second of an NTZ value are zone-free by definition. */
+  private def ntzToEpochMillis(c: Column): Column = {
+    val days = datediff(c.cast(DateType), EpochDay).cast(LongType)
+    // date_part SECOND carries the fractional part (micros precision);
+    // ×1000 then long-cast truncates to the wire's millis
+    val msOfDay = hour(c).cast(LongType) * 3600000L +
+      minute(c).cast(LongType) * 60000L +
+      (date_part(lit("SECOND"), c) * 1000).cast(LongType)
+    days * 86400000L + msOfDay
+  }
+
+  /** Inverse of [[ntzToEpochMillis]]: epoch millis → the NTZ wall-clock
+   * those millis show in UTC. pmod keeps the intra-day part non-negative
+   * for pre-1970 instants; interval arithmetic on NTZ is zone-free. */
+  private def epochMillisToNtz(c: Column): Column = {
+    val msOfDay = pmod(c, lit(86400000L))
+    val days = ((c - msOfDay).cast(DecimalType(24, 0)) / 86400000L)
+      .cast(IntegerType)
+    val base = date_add(EpochDay, days).cast(TimestampNTZType)
+    base + make_dt_interval(lit(0), lit(0), lit(0),
+      msOfDay.cast(DecimalType(14, 3)) / 1000)
+  }
+
   /** Convert a column to its wire representation (nulls propagate). */
   def toWire(c: Column, dt: DataType): Column = dt match {
     case TimestampType => unix_millis(c)
-    // TZ-independent: the cast turns NTZ wall-clock W into the instant
-    // W@session-zone (raw = W − offset); from_utc_timestamp adds the
-    // offset back, so unix_millis always yields W's UTC epoch millis —
-    // in ANY session zone (identity under UTC), instead of silently
-    // shifting by the session offset
-    case TimestampNTZType =>
-      unix_millis(from_utc_timestamp(c.cast(TimestampType), current_timezone()))
+    case TimestampNTZType => ntzToEpochMillis(c)
     case DateType => datediff(c, EpochDay)
     case d: DecimalType =>
       requireCodecableDecimal(d)
@@ -152,12 +174,7 @@ object JsonEnvelope {
   /** Convert a wire-typed column back to its Spark type. */
   def fromWire(c: Column, dt: DataType): Column = dt match {
     case TimestampType => timestamp_millis(c)
-    // inverse of toWire's re-basing: subtract the session offset so the
-    // NTZ cast reads back exactly the wire's UTC wall-clock, regardless
-    // of the session zone
-    case TimestampNTZType =>
-      to_utc_timestamp(timestamp_millis(c), current_timezone())
-        .cast(TimestampNTZType)
+    case TimestampNTZType => epochMillisToNtz(c)
     case DateType => date_add(EpochDay, c)
     case d: DecimalType =>
       requireCodecableDecimal(d)

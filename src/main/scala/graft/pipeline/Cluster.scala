@@ -206,6 +206,25 @@ final class Cluster(spark: SparkSession, root: String) {
       }
     }
 
+    def adopt(spec: PipelineSpec, running: Boolean): Unit =
+      cluster.synchronized {
+        if (members.isEmpty)
+          throw new IllegalStateException("no workers in the group")
+        if (specs.contains(spec.name))
+          throw new IllegalStateException(
+            s"pipeline '${spec.name}' already registered (single-writer rule; delete it first)")
+        validate(spec)
+        specs(spec.name) = spec
+        targets(spec.name) = running // place() adopts with this target
+        try place(spec.name)
+        catch {
+          case e: Throwable =>
+            specs.remove(spec.name); targets.remove(spec.name)
+            owners.remove(spec.name)
+            throw e
+        }
+      }
+
     def validate(spec: PipelineSpec): Unit = cluster.synchronized {
       // under the cluster monitor: `members` is a plain SortedMap mutated
       // by add/removeWorker, and an empty group must surface the same

@@ -17,6 +17,12 @@ trait ConnectRuntime {
   def monitor: AnyRef = this
   def registerJson(json: String): Any
   def register(spec: PipelineSpec): Any
+  /** Register with an explicit initial target state; `running = false`
+   * installs the spec PAUSED with no query started — the config-update
+   * path for paused connectors (register-then-pause would let a
+   * micro-batch commit in the window, violating Connect's contract that
+   * a paused connector runs no batch through a config change). */
+  def adopt(spec: PipelineSpec, running: Boolean): Unit
   def validate(spec: PipelineSpec): Unit
   def list(): Seq[String]
   def delete(name: String): Unit

@@ -120,17 +120,22 @@ final class ConnectServer(engine: ConnectRuntime, port: Int = 0,
             // paused connector gets the new config but stays paused
             val wasPaused = existed && engine.status(n)._2 == "PAUSED"
             if (existed) engine.delete(n)
+            // a paused connector must not run a single batch through a
+            // config update: adopt(running=false) registers the new spec
+            // with the PAUSED target state and NO query started —
+            // register-then-pause would leave a window where a
+            // micro-batch could commit
             try {
-              engine.register(spec)
-              if (wasPaused) engine.pause(n)
+              if (wasPaused) engine.adopt(spec, running = false)
+              else engine.register(spec)
             } catch { case e: Exception =>
               // registration still failed past validation (e.g. a source
               // path error at stream start): restore the previous
               // connector so the failed update is a no-op, then surface
               // the original error
               try oldSpec.foreach { s =>
-                engine.register(s)
-                if (wasPaused) engine.pause(n)
+                if (wasPaused) engine.adopt(s, running = false)
+                else engine.register(s)
               } catch { case restore: Exception => e.addSuppressed(restore) }
               throw e
             }

@@ -43,9 +43,19 @@ object Smt {
     val vt = df.schema("value").dataType.asInstanceOf[StructType]
     val newType = StructType(fields.map(f => vt(f)))
     val built = struct(fields.map(f => col(s"value.$f").as(f)).toIndexedSeq: _*)
+    // keep-the-key needs field NAMES to match too, not just shape:
+    // equalsStructurally alone would pick col("key") for a same-typed
+    // differently-named struct and the when/otherwise would then fail
+    // analysis (CaseWhen compares names via sameType)
+    val keyType = df.schema("key").dataType
+    val sameShape = DataType.equalsStructurally(keyType, newType,
+      ignoreNullability = true)
+    val sameNames = keyType match {
+      case st: StructType => st.fieldNames.sameElements(newType.fieldNames)
+      case _ => false
+    }
     val onTombstone =
-      if (DataType.equalsStructurally(df.schema("key").dataType, newType,
-          ignoreNullability = true)) col("key")
+      if (sameShape && sameNames) col("key")
       else lit(null).cast(newType)
     df.withColumn("key",
       when(col("value").isNotNull, built).otherwise(onTombstone))

@@ -39,10 +39,15 @@ object StatefulOps {
     val timeout =
       if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
       else GroupStateTimeout.NoTimeout()
-    val keyed = df.withColumn("__gk",
+    // collision-proof synthetic name: if the input already had a __gk
+    // column, withColumn would replace it IN PLACE and the positional
+    // strip below would drop the caller's real trailing column instead
+    val gkName = Iterator.iterate("__gk")(_ + "_")
+      .dropWhile(schema.fieldNames.contains).next()
+    val keyed = df.withColumn(gkName,
       to_json(struct(keyCols.map(col): _*),
         Map("ignoreNullFields" -> "false")))
-    val gkIdx = keyed.schema.fieldIndex("__gk")
+    val gkIdx = keyed.schema.fieldIndex(gkName)
     keyed.groupByKey(_.getString(gkIdx))(Encoders.STRING)
       .flatMapGroupsWithState[Boolean, Row](
         OutputMode.Append(), timeout) {
@@ -52,7 +57,8 @@ object StatefulOps {
           else {
             state.update(true)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
-            rows.take(1).map(r => Row.fromSeq(r.toSeq.init)) // strip __gk
+            // strip the synthetic key — appended last (name is unique)
+            rows.take(1).map(r => Row.fromSeq(r.toSeq.init))
           }
       }(Encoders.scalaBoolean, Encoders.row(schema))
   }

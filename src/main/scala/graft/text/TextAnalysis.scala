@@ -357,7 +357,12 @@ object TextAnalysis {
 
   /** Rolling polynomial fingerprint of the normalized document (lowercase,
    * collapsed whitespace): fold h = (h*31 + codepoint) mod P over every
-   * character. Order-sensitive (unlike bag-of-words hashes). */
+   * character. Order-sensitive (unlike bag-of-words hashes).
+   *
+   * NULL propagates: a NULL text fingerprints as NULL (SQL semantics —
+   * `aggregate` over a NULL array is NULL), distinct from the empty
+   * string's 0L. Callers that want the legacy 0L-for-NULL contract wrap
+   * with `coalesce(fingerprint(c), lit(0L))`. */
   def fingerprint(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     // fold over CharNGrams(norm, 1): ONE linear codepoint pass. The old

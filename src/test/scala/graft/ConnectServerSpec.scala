@@ -187,6 +187,44 @@ class ConnectServerSpec extends SparkSpec {
     } finally { server.stop(); engine.delete("p5") }
   }
 
+  test("config update of a PAUSED connector runs no batch until resume") {
+    // Connect's contract: a paused connector stays paused through a
+    // config change and processes NOTHING in between — a register-then-
+    // pause implementation leaks a window where a micro-batch commits
+    val base = Files.createTempDirectory("connectrest").toString
+    val in = s"$base/in"; val out = s"$base/state"
+    writeCsv(in, "f1.csv", "1,a,10,false")
+    val engine = new Engine(spark, s"$base/engine")
+    val server = new ConnectServer(engine)
+    val url = server.start()
+    try {
+      assert(call(url, "POST", "/connectors",
+        Some(specJson("p6", in, out))).statusCode() == 201)
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(call(url, "PUT", "/connectors/p6/pause").statusCode() == 202)
+      // backlog lands while paused
+      writeCsv(in, "f2.csv", "2,b,20,false")
+      // config update: still paused, and the backlog row must NOT have
+      // been ingested by the update itself
+      val withSmt = specJson("p6", in, out).replace(""""transforms": []""",
+        """"transforms": [{"type": "insertField", "field": "vv",
+          |"value": "upper(value.v)"}]""".stripMargin)
+      assert(call(url, "PUT", "/connectors/p6/config",
+        Some(withSmt)).statusCode() == 200)
+      spark.streams.active.foreach(_.processAllAvailable())
+      assert(mapper.readTree(call(url, "GET", "/connectors/p6/status").body())
+        .get("connector").get("state").asText() == "PAUSED")
+      assert(spark.read.parquet(out).count() == 1,
+        "a micro-batch committed during the paused config update")
+      // resume: the backlog flows under the NEW config
+      assert(call(url, "PUT", "/connectors/p6/resume").statusCode() == 202)
+      spark.streams.active.foreach(_.processAllAvailable())
+      val rows = spark.read.parquet(out).select("id", "vv").collect()
+        .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+      assert(rows == Map(1 -> None, 2 -> Some("B")))
+    } finally { server.stop(); engine.delete("p6") }
+  }
+
   test("concurrent lifecycle storm: distinct and colliding names stay consistent") {
     // the reference runs a distributed worker (`scripts/connect_start.sh:1`);
     // this engine is one in-process worker, so the concurrency surface is

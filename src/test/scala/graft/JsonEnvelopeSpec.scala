@@ -88,6 +88,36 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(rt.exceptAll(df).count() == 0 && df.exceptAll(rt).count() == 0)
   }
 
+  test("NTZ wire values survive DST transitions in the session zone") {
+    // the old cast+from_utc_timestamp formulation resolved the session
+    // offset at two different instants; near a DST transition that
+    // mis-encodes by the DST delta. 02:30 on 2021-03-14 does not even
+    // EXIST as a New York local time — an NTZ wall-clock is zone-free
+    // and must still encode as its as-UTC epoch, exactly
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.session.timeZone", "America/New_York")
+    import scoped.implicits._
+    val df = Seq(
+      (1, "2021-03-14 02:30:00.000"), // inside the spring-forward gap
+      (2, "2021-11-07 01:30:00.000"), // the fall-back ambiguous hour
+      (3, "2021-03-14 03:00:00.000")) // just past the gap
+      .toDF("id", "ts")
+      .select(col("id"), col("ts").cast(TimestampNTZType).as("ntz"))
+    val f = Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    val schema = f.schema("value").dataType
+    val wires = f.orderBy("key.id")
+      .select(JsonEnvelope.encodeWithSchema(col("value"), schema))
+      .collect().map(_.getString(0))
+    assert(wires(0).contains(""""ntz":1615689000000"""), // 02:30Z epoch
+      s"spring-forward gap wall-clock mis-encoded: ${wires(0)}")
+    assert(wires(1).contains(""""ntz":1636248600000"""),
+      s"fall-back wall-clock mis-encoded: ${wires(1)}")
+    assert(wires(2).contains(""""ntz":1615690800000"""),
+      s"post-gap wall-clock mis-encoded: ${wires(2)}")
+    val rt = JsonEnvelope.roundTrip(f).select("value.*")
+    assert(rt.exceptAll(df).count() == 0 && df.exceptAll(rt).count() == 0)
+  }
+
   test("maps with temporal keys round-trip (wire keys are JSON strings)") {
     val df = Seq(1).toDF("id")
       .select(col("id"),

@@ -33,6 +33,21 @@ class SmtSpec extends SparkSpec {
       .as[Int].collect().toSet == Set(1))
   }
 
+  test("T1 valueToKey: same-shaped key with different field NAMES nulls the tombstone key") {
+    // key is struct(id:int); requesting struct(num:int) matches shape
+    // but not names — keeping the old key would fail analysis (CaseWhen
+    // compares field names), so the tombstone's key must become NULL
+    val withNum = frame()
+      .withColumn("value", when(col("key.id") === 2, lit(null))
+        .otherwise(struct(col("value.id"), col("value.name"),
+          (col("value.id") * 10).as("num"))))
+    val out = Smt.valueToKey(Seq("num"))(withNum)
+    val tomb = out.filter(col("value").isNull).select("key").head()
+    assert(tomb.isNullAt(0), "name-mismatched tombstone key must be NULL")
+    assert(out.filter(col("value").isNotNull).select("key.num")
+      .as[Int].collect().toSet == Set(10))
+  }
+
   test("T2 extractKeyField flattens the key to a scalar") {
     val out = Smt.extractKeyField("id")(frame())
     assert(out.schema("key").dataType == IntegerType)

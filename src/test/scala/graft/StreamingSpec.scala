@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByKey survives an input column literally named __gk") {
+    // the synthetic group key must not collide with a caller column:
+    // a same-named withColumn would replace it IN PLACE and the
+    // positional strip would then drop the caller's trailing column
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Int, String, String)]
+    val deduped = StatefulOps.dedupByKey(
+      in.toDF().toDF("id", "__gk", "v"), Seq("id"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_gk_out").outputMode("append").start()
+    try {
+      in.addData((1, "user-gk-1", "a"), (1, "user-gk-dup", "b"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_gk_out").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(rows.toSeq == Seq((1, "user-gk-1", "a")),
+        s"caller's __gk column corrupted: ${rows.toSeq}")
+      assert(spark.table("dedup_gk_out").columns.toSeq ==
+        Seq("id", "__gk", "v"))
+    } finally q.stop()
+  }
+
   test("streaming LSH near-dup: exact/near dups flagged across batches") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, String)]
