@@ -83,6 +83,28 @@ object LlmQueries {
       Similarity.trainPqCodebooks(embFrame(s, dir), PqM, PqSubDim, PqCodes,
         iters = 2, sampleMod = 4))
 
+  // e14's frozen constants: trained on the EXISTING slice only (vec_id <
+  // AdmitBoundary) — the incremental-admission contract is that incoming
+  // vectors fold into an index whose quantizers were trained BEFORE they
+  // arrived (FAISS semantics: train once, add forever)
+  private val AdmitBoundary = 400L
+  private val trainedIvfBase =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private val trainedPqBase =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+
+  private def embExisting(s: SparkSession, dir: String): DataFrame =
+    embFrame(s, dir).filter(col("id") < AdmitBoundary)
+
+  private[graft] def trainedCentsBase(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    trainedIvfBase.getOrElseUpdate(dir,
+      Similarity.trainIvfCentroids(embExisting(s, dir), NCells, Dim, iters = 5))
+
+  private[graft] def trainedBooksBase(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    trainedPqBase.getOrElseUpdate(dir,
+      Similarity.trainPqCodebooks(embExisting(s, dir), PqM, PqSubDim, PqCodes,
+        iters = 2, sampleMod = 4))
+
   // ---- DuckDB SQL fragments ----------------------------------------------
 
   private val P = Hashing.P
@@ -645,6 +667,38 @@ object LlmQueries {
     }
   }
 
+  /** E14: INCREMENTAL ANN INDEX MAINTENANCE — the continual-ingestion
+   * path every production vector index needs (d13's admission story
+   * applied to the north-star index): the IVF/PQ quantizers train ONCE
+   * on the existing corpus (vec_id < 400) and freeze; the existing
+   * index materializes; an incoming batch (vec_id ≥ 400) is admitted by
+   * assigning each new vector to its trained cell and PQ-encoding it
+   * against the frozen codebooks — an O(batch) narrow map, never an
+   * O(corpus) rebuild. Search (queries from BOTH sides of the boundary)
+   * runs over the merged `(id, cell, codes)` table with no access to
+   * the original vectors. The DuckDB oracle computes the REBUILT form —
+   * one index pass over the whole corpus with the same frozen literals
+   * — so the hash gate IS the proof that search-after-admission ≡
+   * search-over-rebuilt. */
+  def incrementalIndex(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      // the existing index is a materialized table (what production
+      // would read back from storage) — admission appends to it without
+      // re-deriving a single existing entry
+      val index0 = scope.persist(Similarity.ivfPqIndex(
+        emb.filter(col("id") < AdmitBoundary), books, cents)).toDF()
+      val merged = Similarity.ivfPqAdmit(index0,
+        emb.filter(col("id") >= AdmitBoundary), books, cents)
+      val queries = emb.filter(col("id") < 5 ||
+        (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 3))
+      Similarity.ivfPqSearchIndex(queries, merged, TopK, books, cents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by
    * hash (reproducible, like x9), then find near-duplicate pairs that
    * CROSS the boundary: the eval-integrity check a pipeline runs before
@@ -1129,6 +1183,7 @@ object LlmQueries {
     "e6b_pq_trained_topk" -> (pqTrainedTopK _),
     "e7_ivfpq_topk" -> (ivfPqTopK _),
     "e7b_ivfpq_trained_topk" -> (ivfPqTrainedTopK _),
+    "e14_incremental_index" -> (incrementalIndex _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -1384,6 +1439,14 @@ object LlmQueries {
       ivfPqOracleSql(doubleLit2(trainedCents(s, dir)), doubleLit3(books),
         doubleLit2(Similarity.pqCellNorms(books)))
     }),
+    // the REBUILT form of e14: one whole-corpus index pass with the
+    // SAME base-slice-trained literals the incremental plan froze
+    "e14_incremental_index" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
+    }),
     "e13b_ann_recall_trained" ->
       ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
         RecallProbes, RecallAssigns)),
@@ -1392,10 +1455,14 @@ object LlmQueries {
       pqOracleSql(doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)))
     }))
 
-  /** e7/e7b share one oracle shape: coarse-centroid and codebook
-   * literals differ (fixed grid vs trained doubles). */
+  /** e7/e7b/e14 share one oracle shape: coarse-centroid and codebook
+   * literals differ (fixed grid vs trained doubles), and e14 widens the
+   * query predicate across its admission boundary. The index CTE always
+   * covers ALL embeddings in one pass — for e14 that is the REBUILT
+   * index the incremental Spark plan must equal. */
   private def ivfPqOracleSql(centsLit: String, booksLit: String,
-                             normsLit: String): String =
+                             normsLit: String,
+                             qPred: String = "vec_id < 5"): String =
     s"""WITH cents AS (SELECT $centsLit AS ct),
        |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
        |sub AS (SELECT vec_id, embedding,
@@ -1413,7 +1480,7 @@ object LlmQueries {
        |  [${(0 until PqM).map(j =>
               s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
               .mkString(",\n   ")}] AS adct
-       |  FROM sub, cents, cb WHERE vec_id < 5),
+       |  FROM sub, cents, cb WHERE $qPred),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc

@@ -342,16 +342,58 @@ object Similarity {
     ivfPqTopKWith(queries, corpus, k, books, cents.map(_.map(_.toDouble)), nprobe)
 
   /** [[ivfPqTopK]] over double-precision (e.g. TRAINED) coarse
-   * centroids — the [[ivfTopKWith]] relationship. */
+   * centroids — the [[ivfTopKWith]] relationship. Composes the index
+   * TABLE form: build, then search. */
   def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
                     books: Seq[Seq[Seq[Double]]], centsD: Seq[Seq[Double]],
-                    nprobe: Int): DataFrame = {
+                    nprobe: Int): DataFrame =
+    ivfPqSearchIndex(queries, ivfPqIndex(corpus, books, centsD), k,
+      books, centsD, nprobe)
+
+  /**
+   * The IVF-PQ index TABLE: `(id, cell, codes)` — what a production
+   * deployment persists (bucketed by `cell`) and serves from. Building
+   * is row-local (assign + encode against the frozen constants, no
+   * shuffle, no cross-row state), which is exactly what makes
+   * [[ivfPqAdmit]] correct: an entry depends only on its own vector.
+   */
+  def ivfPqIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+                 centsD: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col("id"),
+      ivfAssignD(col("vec"), centsD).as("cell"),
+      pqEncodeCol(col("vec"), books, pqCellNorms(books)).as("codes"))
+
+  /**
+   * INCREMENTAL index maintenance — fold a newly admitted batch into an
+   * EXISTING index against the FROZEN trained constants: assign each new
+   * vector to its trained cell, PQ-encode it against the trained
+   * codebooks, append. No retrain, no rebuild, no touch of existing
+   * entries — because index entries are row-local functions of (vector,
+   * constants), `admit(build(existing), incoming) ≡ build(existing ∪
+   * incoming)` exactly, and search over the merged table equals search
+   * over a from-scratch rebuild (the e14 gate pins this equivalence
+   * against a rebuilt-form oracle). At 100 TB the batch is a narrow map
+   * over the new rows only — the continual-ingestion cost is O(batch),
+   * never O(corpus), the same admission shape as d13's dedup gate.
+   */
+  def ivfPqAdmit(index: DataFrame, incoming: DataFrame,
+                 books: Seq[Seq[Seq[Double]]],
+                 centsD: Seq[Seq[Double]]): DataFrame =
+    index.unionByName(ivfPqIndex(incoming, books, centsD))
+
+  /**
+   * Search a PREBUILT `(id, cell, codes)` index table — the serving
+   * path: never touches original vectors (the index is self-contained),
+   * probes `nprobe` trained cells per query, ADC-scores only those
+   * cells' codes. Queries stay exact floats; their ADC lookup tables
+   * broadcast.
+   */
+  def ivfPqSearchIndex(queries: DataFrame, index: DataFrame, k: Int,
+                       books: Seq[Seq[Seq[Double]]],
+                       centsD: Seq[Seq[Double]], nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = books.size
-    val cns = pqCellNorms(books)
-    val c = corpus.select(col("id").as("neighbor_id"),
-      ivfAssignD(col("vec"), centsD).as("cell"),
-      pqEncodeCol(col("vec"), books, cns).as("codes"))
+    val c = index.withColumnRenamed("id", "neighbor_id")
     val q = queries.select(col("id").as("query_id"),
       explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"),
       pqAdcCol(col("vec"), books).as("adct"))

@@ -365,6 +365,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= r1)
   }
 
+  test("incremental IVF-PQ admission equals a from-scratch rebuild") {
+    // quantizers train on the EXISTING slice only; the incoming batch
+    // folds in against those frozen constants. Because index entries
+    // are row-local, admit(build(existing), incoming) must be
+    // row-identical to build(existing ∪ incoming) — and search over
+    // either table must agree exactly
+    val vecs = (0 until 80).map { i =>
+      val c = i % 4
+      val v = Array.fill(8)(0.0f)
+      v(c) = 1.0f
+      v((c + 4) % 8) = 0.001f * (i + 1)
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val existing = df.filter(col("id") < 60)
+    val incoming = df.filter(col("id") >= 60)
+    val cents = Similarity.trainIvfCentroids(existing, nCells = 4, dim = 8,
+      iters = 3)
+    val books = Similarity.trainPqCodebooks(existing, m = 2, subDim = 4,
+      codes = 4, iters = 2)
+    val merged = Similarity.ivfPqAdmit(
+      Similarity.ivfPqIndex(existing, books, cents), incoming, books, cents)
+    val rebuilt = Similarity.ivfPqIndex(df, books, cents)
+    def rows(ix: org.apache.spark.sql.DataFrame) = ix
+      .select(col("id"), col("cell"), col("codes").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(rows(merged) == rows(rebuilt))
+    assert(rows(merged).exists(_._1 >= 60),
+      "admitted entries missing from the merged index")
+    // search over the merged index matches search over the rebuild,
+    // rank for rank, for queries from BOTH sides of the boundary (at
+    // this coarse 4-code resolution same-cluster vectors share codes,
+    // so ADC ties resolve to the smaller id — admitted NEIGHBOR ranks
+    // are exercised by the e14 oracle gate at full 16-code books)
+    val queries = df.filter(col("id") < 2 || col("id") === 60)
+    def res(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearchIndex(queries, ix, 5, books, cents, nprobe = 2)
+        .select("query_id", "rank", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val afterAdmit = res(merged)
+    assert(afterAdmit == res(rebuilt))
+    assert(afterAdmit.exists(_._1 == 60),
+      "an admitted vector could not be searched")
+  }
+
   test("bigramLmScore is the mean Laplace-smoothed bigram probability") {
     import graft.text.TextAnalysis
     // trained on "abab": bigrams ab(x2), ba(x1); V=2; derived char
