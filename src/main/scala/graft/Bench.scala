@@ -56,17 +56,40 @@ object Bench {
                catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Calibration CANARY: a fixed-size synthetic scan+agg+sort using no
+    // repo operators and no input data — its wall time is a pure
+    // function of machine speed/load, so round-over-round bench
+    // comparisons can divide ambient drift out of per-query deltas
+    // (driver totals moved +16% across r8->r9 with zero implicated
+    // code). Timed at three points across the run (before, between and
+    // after the timed passes), min recorded — same policy as queries.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 1000 AS k", "hash(id) AS h",
+          "hash(id * 2654435761) AS h2")
+        .groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("h"),
+          org.apache.spark.sql.functions.sum("h2"),
+          org.apache.spark.sql.functions.count("*"))
+        .orderBy("k").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // pay its own codegen before the measured reps
+    val canary0 = canaryOnce()
     val pass1 = names.map(n => n -> once(n)).toMap
+    val canary1 = canaryOnce()
     val results = names.map { n =>
       val a = pass1(n)
       val b = once(n)
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    val canary = math.min(canary0, math.min(canary1, canaryOnce()))
     val total = results.map(_._2).filter(_ >= 0).sum
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"queries":$qs,"sf":"$sfDir"}"""
     }
     // The harness that captures this keeps only the last ~2000 chars of
     // output; the metric line must fit entirely inside that window.
@@ -82,7 +105,7 @@ object Bench {
       val om = sorted.drop(k)
       val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"queries":$qs,""" +
         s""""queries_omitted":${om.size},"omitted_sec":${fmt(3, om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
     }
     val out = Seq(line(3), line(2)).find(_.length <= budget).getOrElse {
@@ -95,7 +118,7 @@ object Bench {
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}""".getBytes)
+        s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"queries":$full,"sf":"$sfDir"}""".getBytes)
     } catch { case _: Throwable => () }
     println(out)
     spark.stop()

@@ -30,13 +30,21 @@ def main():
         thr = float(sys.argv[sys.argv.index("--threshold") + 1])
     old, new = load(args[0]), load(args[1])
     oq, nq = old["queries"], new["queries"]
+    # Canary calibration: both runs carry a fixed-size synthetic
+    # workload whose wall time tracks machine speed/load only. Dividing
+    # the new numbers by the canary ratio removes ambient drift, so the
+    # deltas (and the regression gate) judge the CODE, not the machine.
+    drift = None
+    if old.get("canary", 0) and new.get("canary", 0):
+        drift = new["canary"] / old["canary"]
     rows = []
     for k in sorted(set(oq) | set(nq)):
         a, b = oq.get(k), nq.get(k)
         if a is None or b is None or a <= 0 or b <= 0:
             rows.append((k, a, b, None))
         else:
-            rows.append((k, a, b, 100.0 * (b - a) / a))
+            bn = b / drift if drift else b
+            rows.append((k, a, bn, 100.0 * (bn - a) / a))
 
     # Streaming lifecycles (w-gates, engine/cluster lifecycles) swing
     # 30-80% run-to-run from micro-batch commit scheduling (SURVEY
@@ -61,6 +69,10 @@ def main():
             return False
         return d > (max(thr, 80.0) if is_streaming(k) else thr)
     bad = [(k, a, b, d) for k, a, b, d in rows if flagged(k, a, b, d)]
+    if drift is not None:
+        print(f"canary: {old['canary']:.3f}s -> {new['canary']:.3f}s "
+              f"(machine drift {100.0 * (drift - 1):+.1f}%; "
+              f"'new' column and deltas are drift-normalized)")
     print(f"{'query':38s} {'old':>7s} {'new':>7s} {'delta':>8s}")
     for k, a, b, d in sorted(rows, key=lambda r: -(r[3] or 0)):
         da = "new" if a is None else "gone" if b is None else f"{d:+7.1f}%"
@@ -68,8 +80,9 @@ def main():
               f"{b if b is not None else float('nan'):7.2f} {da:>8s}")
     t_old = sum(v for v in oq.values() if v > 0)
     t_new = sum(v for v in nq.values() if v > 0)
-    print(f"\ntotal: {t_old:.1f}s -> {t_new:.1f}s "
-          f"({100.0 * (t_new - t_old) / t_old:+.1f}%)   "
+    norm = f" (normalized: {t_new / drift:.1f}s)" if drift else ""
+    print(f"\ntotal: {t_old:.1f}s -> {t_new:.1f}s{norm} "
+          f"({100.0 * (t_new - t_old) / t_old:+.1f}% raw)   "
           f"queries: {len(oq)} -> {len(nq)}")
     if bad:
         print(f"\nREGRESSIONS past {thr:.0f}% and 0.5s:")
