@@ -178,6 +178,44 @@ object ConnectQueries {
     unpackTemporalDecimal(
       AvroCodec.roundTrip(temporalDecimalFrame(s, dir)))
 
+  /** Typed base frame for the WIDE-decimal wire legs: precision-38
+   * values whose unscaled magnitude is far beyond int64 (the reference
+   * labs exercise (10,2)/(10,3) and retype to (10,3) — `실습수행/Debezium
+   * MySQL CDC Source Connector 실습 - 03.md:290-301`; production DDL goes
+   * to (38,x)). Values build from STRING concatenation so Spark and the
+   * DuckDB oracle construct bit-identical decimals without relying on
+   * either engine's decimal-arithmetic precision rules. */
+  private def wideDecimalFrame(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(struct(
+        col("o_orderkey").cast(IntegerType).as("o_key"),
+        concat(col("o_orderkey").cast(StringType),
+          lit("00000000000000000000.1234"))
+          .cast(DecimalType(38, 4)).as("o_wide"),
+        concat(lit("-"), col("o_orderkey").cast(StringType),
+          lit("98765432109876543210.4321"))
+          .cast(DecimalType(38, 4)).as("o_neg"))
+        .as("value"))
+
+  /** Compare as STRING, not DOUBLE: decimal128→float64 conversion is not
+   * correctly rounded the same way in both engines at 30+ digits, while
+   * the fixed-scale string rendering is exact and identical. */
+  private def unpackWideDecimal(df: DataFrame): DataFrame =
+    df.select(col("value.o_key").as("o_key"),
+        col("value.o_wide").cast(StringType).as("o_wide"),
+        col("value.o_neg").cast(StringType).as("o_neg"))
+      .orderBy("o_key")
+
+  /** C1c: schema'd-JSON round-trip of precision-38 decimals through the
+   * unscaled-bytes leg ([[graft.functions.DecimalUnscaledBytes]]). */
+  def jsonWideDecimal(s: SparkSession, dir: String): DataFrame =
+    unpackWideDecimal(JsonEnvelope.roundTrip(wideDecimalFrame(s, dir)))
+
+  /** C3d: Avro round-trip of the same precision-38 legs (decimal bytes
+   * logical type is arbitrary-precision by construction). */
+  def avroWideDecimal(s: SparkSession, dir: String): DataFrame =
+    unpackWideDecimal(AvroCodec.roundTrip(wideDecimalFrame(s, dir)))
+
   /** C3 Avro round-trip (explicit schema — no registry offline). */
   def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
     val frame = Connect.toConnectFrame(
@@ -1393,6 +1431,8 @@ object ConnectQueries {
     "c3_avro_roundtrip" -> (avroRoundTrip _),
     "c1b_json_temporal_decimal" -> (jsonTemporalDecimal _),
     "c3b_avro_temporal_decimal" -> (avroTemporalDecimal _),
+    "c1c_json_wide_decimal" -> (jsonWideDecimal _),
+    "c3d_avro_wide_decimal" -> (avroWideDecimal _),
     "c3c_avro_registry_framed" -> (avroRegistryFramed _),
     "c5_registry_versions" -> (registryVersions _),
     "c5b_registry_rest" -> (registryRestFramed _),
@@ -1589,6 +1629,8 @@ object ConnectQueries {
         |WHERE rn = 1 AND NOT del ORDER BY c_custkey""".stripMargin,
     "c1b_json_temporal_decimal" -> temporalDecimalOracle,
     "c3b_avro_temporal_decimal" -> temporalDecimalOracle,
+    "c1c_json_wide_decimal" -> wideDecimalOracle,
+    "c3d_avro_wide_decimal" -> wideDecimalOracle,
     "c3c_avro_registry_framed" ->
       """SELECT n_nationkey, n_name, n_regionkey, CAST(NULL AS VARCHAR) AS n_note
         |FROM nation ORDER BY n_nationkey""".stripMargin,
@@ -1661,6 +1703,16 @@ object ConnectQueries {
   /** Round-trips are identity, so the oracle recomputes the typed base
    * frame directly (same derivations as [[temporalDecimalFrame]]).
    * (A `def`: the oracleSql val above initializes first.) */
+  /** Same string-built decimals as [[wideDecimalFrame]]; round-trips are
+   * identity, so the oracle recomputes the base frame directly. */
+  private def wideDecimalOracle =
+    """SELECT CAST(o_orderkey AS INTEGER) AS o_key,
+      |  CAST(CAST(CONCAT(CAST(o_orderkey AS VARCHAR),
+      |    '00000000000000000000.1234') AS DECIMAL(38,4)) AS VARCHAR) AS o_wide,
+      |  CAST(CAST(CONCAT('-', CAST(o_orderkey AS VARCHAR),
+      |    '98765432109876543210.4321') AS DECIMAL(38,4)) AS VARCHAR) AS o_neg
+      |FROM orders WHERE o_orderkey < 2000 ORDER BY o_key""".stripMargin
+
   private def temporalDecimalOracle =
     """SELECT CAST(o_orderkey AS INTEGER) AS o_key,
       |  CAST(o_orderdate AS DATE) AS o_date,

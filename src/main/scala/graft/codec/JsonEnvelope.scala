@@ -40,7 +40,6 @@ object JsonEnvelope {
       case StringType => s"""{"type":"string",$opt}"""
       case BinaryType => s"""{"type":"bytes",$opt}"""
       case d: DecimalType =>
-        requireCodecableDecimal(d)
         s"""{"type":"bytes","name":"org.apache.kafka.connect.data.Decimal","parameters":{"scale":"${d.scale}"},$opt}"""
       case DateType =>
         s"""{"type":"int32","name":"org.apache.kafka.connect.data.Date",$opt}"""
@@ -70,20 +69,19 @@ object JsonEnvelope {
 
   private val EpochDay = to_date(lit("1970-01-01"))
 
-  /** The unscaled value must fit an int64 (the arithmetic codec path is
-   * codegen'd long math); wider decimals fail LOUDLY at plan time
-   * instead of silently nulling/wrapping at runtime. */
-  private def requireCodecableDecimal(d: DecimalType): Unit =
-    require(d.precision <= 18,
-      s"Connect JSON decimal codec supports precision <= 18 " +
-        s"(unscaled value must fit int64); got $d")
+  /** Decimals with precision ≤ 18 run the built-in long-arithmetic leg
+   * (unscaled fits int64); wider ones (to Spark's max 38) run the
+   * [[graft.functions.DecimalUnscaledBytes]] codegen pair. Both produce
+   * the same wire bytes — `BigInteger.toByteArray` of the unscaled
+   * value — so the split is an implementation detail, not a format. */
+  private def fitsLong(d: DecimalType): Boolean = d.precision <= 18
 
   /** The Spark type a value has ON THE WIRE (inside the JSON payload).
    * Map keys are strings on the wire — JSON object keys always are. */
   def wireType(dt: DataType): DataType = dt match {
     case TimestampType | TimestampNTZType => LongType
     case DateType => IntegerType
-    case d: DecimalType => requireCodecableDecimal(d); BinaryType
+    case _: DecimalType => BinaryType
     case s: StructType =>
       StructType(s.fields.map(f => f.copy(dataType = wireType(f.dataType))))
     case a: ArrayType => a.copy(elementType = wireType(a.elementType))
@@ -156,9 +154,12 @@ object JsonEnvelope {
     case TimestampType => unix_millis(c)
     case TimestampNTZType => ntzToEpochMillis(c)
     case DateType => datediff(c, EpochDay)
-    case d: DecimalType =>
-      requireCodecableDecimal(d)
+    case d: DecimalType if fitsLong(d) =>
       longToMinimalBytes((c * lit(BigDecimal(10).pow(d.scale))).cast(LongType))
+    case d: DecimalType =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.DecimalUnscaledBytes(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), d.scale))
     case s: StructType =>
       when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
         toWire(c.getField(f.name), f.dataType).as(f.name)): _*))
@@ -176,10 +177,14 @@ object JsonEnvelope {
     case TimestampType => timestamp_millis(c)
     case TimestampNTZType => epochMillisToNtz(c)
     case DateType => date_add(EpochDay, c)
-    case d: DecimalType =>
-      requireCodecableDecimal(d)
+    case d: DecimalType if fitsLong(d) =>
       (minimalBytesToDecimal(c) / lit(BigDecimal(10).pow(d.scale)))
         .cast(d)
+    case d: DecimalType =>
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.UnscaledBytesDecimal(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c),
+          d.precision, d.scale))
     case s: StructType =>
       when(c.isNotNull, struct(s.fields.toIndexedSeq.map(f =>
         fromWire(c.getField(f.name), f.dataType).as(f.name)): _*))

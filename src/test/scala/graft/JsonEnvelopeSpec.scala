@@ -130,11 +130,49 @@ class JsonEnvelopeSpec extends SparkSpec {
     assert(got.getInt(1) == 7)
   }
 
-  test("decimals wider than 18 digits are rejected loudly, not corrupted") {
-    intercept[IllegalArgumentException](
-      JsonEnvelope.wireType(DecimalType(38, 2)))
-    intercept[IllegalArgumentException](
-      JsonEnvelope.connectSchemaJson(DecimalType(20, 0)))
+  test("precision-38 decimals round-trip through the unscaled-bytes leg") {
+    // unscaled values far beyond int64, both signs, plus a value whose
+    // top unscaled bit is set (the two's-complement 00-pad case)
+    val vals = Seq(
+      "12345678901234567890123456789012.345678",
+      "-99999999999999999999999999999999.999999",
+      "0.000001", "-0.000001", "0.000000",
+      "92233720368547758079223372036854.775807")
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("id", "s")
+      .select(col("id"), col("s").cast(DecimalType(38, 6)).as("wide"))
+    val f = Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    val rt = JsonEnvelope.roundTrip(f).select("value.*")
+    assert(rt.exceptAll(df).count() == 0 && df.exceptAll(rt).count() == 0)
+    // the wire bytes are BigInteger.toByteArray of the unscaled value
+    // (base64 in the JSON) — same encoding the <=18 long leg produces
+    val schema = f.schema("value").dataType
+    val wire = f.filter(col("key.id") === 2)
+      .select(JsonEnvelope.encodeWithSchema(col("value"), schema))
+      .head().getString(0)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      new java.math.BigInteger("1").toByteArray)
+    assert(wire.contains(s""""wide":"$b64""""), s"unexpected wire: $wire")
+  }
+
+  test("narrow and wide decimal legs agree on the wire bytes") {
+    // the same numeric value encoded at precision 18 (long leg) and 38
+    // (BigInteger leg) must produce IDENTICAL base64 — the precision
+    // split is an implementation detail, never a wire-format change
+    val df = Seq((1, "-1234567890.12"), (2, "98765.43"), (3, "0.07"))
+      .toDF("id", "s")
+      .select(col("id"),
+        col("s").cast(DecimalType(18, 2)).as("narrow"),
+        col("s").cast(DecimalType(38, 2)).as("wide"))
+    val f = Connect.toConnectFrame(df, Seq("id"), "t", "id")
+    val schema = f.schema("value").dataType
+    val wires = f.select(JsonEnvelope.encodeWithSchema(col("value"), schema))
+      .collect().map(_.getString(0))
+    wires.foreach { w =>
+      val n = """"narrow":"([^"]*)"""".r.findFirstMatchIn(w).get.group(1)
+      val wd = """"wide":"([^"]*)"""".r.findFirstMatchIn(w).get.group(1)
+      assert(n == wd, s"narrow/wide wire bytes diverge: $w")
+    }
   }
 
   test("connect schema JSON matches the reference wire shape") {
