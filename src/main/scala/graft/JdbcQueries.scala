@@ -394,8 +394,88 @@ object JdbcQueries {
       .orderBy("o_orderkey")
   }
 
+  /**
+   * K15 — `errors.retry.timeout`, live: Connect's error-handling triple
+   * is tolerance + DLQ + BOUNDED RETRY, and this gates the third leg
+   * against a real database. The target table is seeded and another
+   * connection HOLDS A ROW LOCK on one key the batch updates (the
+   * database set to a 1-second lock wait), so the writer's flush fails
+   * with Derby's lock-timeout SQLState 40XL1 — class 40, TRANSIENT. A
+   * timer releases the lock ~2.5s in; the retry loop (30s deadline,
+   * exponential backoff) must converge with that row COMMITTED and
+   * ZERO dead letters for it. The same batch plants negative amounts
+   * against a CHECK constraint (keys ≡ 0 mod 97) — SQLState 23513,
+   * class 23, TERMINAL: no retry budget burns on them and each
+   * dead-letters EXACTLY ONCE (`dlq_n` column). Result is the per-key
+   * reconciliation: committed XOR dead-lettered, retry invisible in
+   * the final state except as convergence.
+   */
+  def sinkRetryBounded(s: SparkSession, dir: String): DataFrame = {
+    val url = derbyUrl(dbName("graft_k15", dir))
+    val table = "payments_retry"
+    val cfg = Config(url, table, Derby, Seq("o_orderkey"),
+      autoCreate = false, errorsTolerance = "all",
+      retryTimeoutMs = 30000L, retryDelayMaxMs = 500L, maxWriters = 1)
+    val payments = T(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 1)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 97 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")).as("amount"))
+    // the row the blocker will lock: smallest clean key in the batch
+    val lockKey = payments.filter(col("o_orderkey") % 97 =!= 0)
+      .agg(min("o_orderkey")).head().getLong(0)
+    JdbcSink.withConnection(cfg) { c =>
+      JdbcSink.dropTableIfExists(c, Derby, table)
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(
+          s"""CREATE TABLE "$table" ("o_orderkey" BIGINT NOT NULL, """ +
+            """"amount" DOUBLE, PRIMARY KEY ("o_orderkey"), """ +
+            """CHECK ("amount" >= 0))""")
+        // fail fast on the held lock instead of waiting out Derby's 60s
+        st.executeUpdate(s"INSERT INTO \"$table\" VALUES ($lockKey, 0.5)")
+        st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+          "'derby.locks.waitTimeout', '1')")
+      } finally st.close()
+    }
+    // hold the row lock NOW (before the write starts), release on a timer
+    val blocker = java.sql.DriverManager.getConnection(url)
+    blocker.setAutoCommit(false)
+    val bst = blocker.createStatement()
+    bst.executeUpdate(
+      s"UPDATE \"$table\" SET \"amount\" = 0.25 WHERE \"o_orderkey\" = $lockKey")
+    val releaser = new Thread(() => {
+      Thread.sleep(2500)
+      try { blocker.commit(); bst.close(); blocker.close() }
+      catch { case _: Throwable => () }
+    }, "graft-k15-lock-releaser")
+    releaser.setDaemon(true)
+    releaser.start()
+    try {
+      val dlq = JdbcSink.applyChangelogWithDlq(
+        payments.select(struct(col("o_orderkey")).as("key"),
+          struct(col("o_orderkey"), col("amount")).as("value"),
+          lit(1L).as("seq")), cfg)
+      val committed = s.read.format("jdbc")
+        .option("url", url).option("dbtable", Derby.q(table)).load()
+        .select(col("o_orderkey"), lit(true).as("in_table"))
+      val dead = dlq.groupBy(col("key").cast("long").as("o_orderkey"))
+        .agg(count(lit(1)).cast("int").as("dlq_n"),
+          max("sql_state").as("sql_state"))
+      payments.select("o_orderkey")
+        .join(committed, Seq("o_orderkey"), "left")
+        .join(dead, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("in_table"), lit(false)).as("in_table"),
+          col("sql_state").isNotNull.as("in_dlq"),
+          col("dlq_n"), col("sql_state"))
+        .orderBy("o_orderkey")
+    } finally releaser.join(15000)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k13_sink_dlq" -> (sinkDlqTolerance _),
+    "k15_sink_retry" -> (sinkRetryBounded _),
     "s11_jdbc_partitioned_read" -> (jdbcPartitionedRead _),
     "k10_db_to_db_live" -> (dbToDbLive _),
     "s8_pg_cdc" -> (pgCdcLive _),
@@ -412,6 +492,20 @@ object JdbcQueries {
       """SELECT o_orderkey,
         |  (o_orderkey % 97 <> 0) AS in_table,
         |  (o_orderkey % 97 = 0) AS in_dlq,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN '23513' END AS sql_state
+        |FROM orders WHERE o_orderkey % 10 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    // retry algebra: transient lock contention converges (every clean
+    // key committed, zero dead letters for it); terminal constraint
+    // violations dead-letter EXACTLY once, never retried into
+    // duplicates — the final state is identical to k13's tolerance
+    // verdict, which is precisely the point: bounded retry must be
+    // invisible except as convergence
+    "k15_sink_retry" ->
+      """SELECT o_orderkey,
+        |  (o_orderkey % 97 <> 0) AS in_table,
+        |  (o_orderkey % 97 = 0) AS in_dlq,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN 1 END AS dlq_n,
         |  CASE WHEN o_orderkey % 97 = 0 THEN '23513' END AS sql_state
         |FROM orders WHERE o_orderkey % 10 = 1
         |ORDER BY o_orderkey""".stripMargin,

@@ -286,7 +286,8 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
       },
       pks = sink.keys,
       deleteEnabled = sink.deleteEnabled,
-      autoEvolve = sink.autoEvolve)
+      autoEvolve = sink.autoEvolve,
+      retryTimeoutMs = sink.retryTimeoutMs)
   }
 
   /** S7 lifecycle, phase 1: on the FIRST start only, backfill the

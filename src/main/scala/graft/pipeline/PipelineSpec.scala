@@ -139,7 +139,11 @@ final case class SinkSpec(
     // dialect knobs (`connector_configs/mysql_jdbc_sink_customers.json`)
     url: Option[String] = None,
     table: Option[String] = None,
-    dialect: Option[String] = None)
+    dialect: Option[String] = None,
+    // Connect's errors.retry.timeout: transient sink failures retry
+    // with backoff for this many ms before the tolerance stage; 0 (the
+    // Connect default) disables retry
+    retryTimeoutMs: Long = 0L)
 
 object PipelineSpec {
 
@@ -184,7 +188,8 @@ object PipelineSpec {
         autoEvolve = str(sink, "autoEvolve").forall(_.toBoolean),
         url = str(sink, "url"),
         table = str(sink, "table"),
-        dialect = str(sink, "dialect")),
+        dialect = str(sink, "dialect"),
+        retryTimeoutMs = str(sink, "retryTimeoutMs").map(_.toLong).getOrElse(0L)),
       triggerMs = str(n, "triggerMs").map(_.toLong))
   }
 }

@@ -174,9 +174,50 @@ object JdbcSink {
       throw new IllegalArgumentException(s"no JDBC mapping for ${other.sql}")
   }
 
+  /** Clock + backoff seam for the bounded retry loop — injectable so
+   * specs drive virtual time and assert the backoff schedule instead of
+   * sleeping through it. */
+  trait RetryPolicy extends Serializable {
+    def nowMs(): Long
+    def sleepMs(ms: Long): Unit
+  }
+
+  /** Wall clock + real sleep (production). */
+  object SystemRetry extends RetryPolicy {
+    def nowMs(): Long = System.currentTimeMillis()
+    def sleepMs(ms: Long): Unit = if (ms > 0) Thread.sleep(ms)
+  }
+
+  /** Transient vs terminal classification, by JDBC exception hierarchy
+   * and SQLState CLASS (the first two chars — portable across
+   * dialects): connection failures (08), serialization/deadlock
+   * rollbacks (40), insufficient resources (53), operator intervention
+   * (57) are worth retrying; data errors (22) and constraint violations
+   * (23) never heal on their own and go straight to the tolerance
+   * stage. Mirrors Connect's RetriableException split. */
+  def isTransient(e: SQLException): Boolean = {
+    // walk the chain: a BatchUpdateException wraps the real verdict in
+    // getNextException (Derby reports the batch itself as XJ208)
+    var cur = e
+    var hops = 0
+    while (cur != null && hops < 10) {
+      val hit = cur.isInstanceOf[java.sql.SQLTransientException] ||
+        cur.isInstanceOf[java.sql.SQLRecoverableException] ||
+        Option(cur.getSQLState).exists(s =>
+          s.length >= 2 && TransientStateClasses(s.substring(0, 2)))
+      if (hit) return true
+      cur = cur.getNextException
+      hops += 1
+    }
+    false
+  }
+
+  private val TransientStateClasses = Set("08", "40", "53", "57")
+
   /** Sink configuration — field-for-field the reference's sink connector
    * knobs (`insert.mode`, `delete.enabled`, `auto.create`, `auto.evolve`,
-   * `batch.size`, `tasks.max`, `errors.tolerance`). */
+   * `batch.size`, `tasks.max`, `errors.tolerance`, `errors.retry.timeout`,
+   * `errors.retry.delay.max.ms`). */
   final case class Config(
       url: String,
       table: String,
@@ -188,7 +229,16 @@ object JdbcSink {
       deleteEnabled: Boolean = true,
       batchSize: Int = 500,
       maxWriters: Int = 8,
-      errorsTolerance: String = "none") // "none" (fail task) | "all" (DLQ)
+      errorsTolerance: String = "none", // "none" (fail task) | "all" (DLQ)
+      // Connect's bounded-retry pair: TRANSIENT failures retry with
+      // exponential backoff until retryTimeoutMs elapses (0 = no retry,
+      // Connect's default), THEN the error reaches the tolerance stage
+      // (fail the task, or DLQ the rows). Terminal failures skip
+      // straight to tolerance — retrying a constraint violation only
+      // burns the deadline.
+      retryTimeoutMs: Long = 0L,
+      retryDelayMaxMs: Long = 60000L,
+      retry: RetryPolicy = SystemRetry)
 
   /** One dead-lettered record from the sink put stage — the sink-side
    * mirror of the converter-stage DLQ (k11), carrying the context
@@ -292,6 +342,9 @@ object JdbcSink {
     val url = cfg.url
     val props = cfg.props
     val table = cfg.table
+    val retry = cfg.retry
+    val retryTimeoutMs = cfg.retryTimeoutMs
+    val retryDelayMaxMs = cfg.retryDelayMaxMs
     val valueFields = valueType.fields.toSeq
     val pkPos = cfg.pks.map(k => valueType.fieldIndex(k))
     val nonKeyPos = valueType.fields.indices.filterNot(pkPos.contains)
@@ -369,28 +422,79 @@ object JdbcSink {
             if (delPending.nonEmpty) del.executeBatch()
           }
 
+          // Connect's put() loop: a TRANSIENT failure rolls back and
+          // retries with exponential backoff until the retry deadline —
+          // anchored at the FIRST failure of this flush and SHARED by
+          // the whole-batch loop and the per-row replay (one
+          // errors.retry.timeout budget per put, not one per stage). A
+          // terminal failure, or an exhausted deadline, falls through
+          // to the tolerance stage (row-by-row replay to the DLQ, or
+          // task failure). Backoffs are capped both by retryDelayMaxMs
+          // and by the time remaining, so the loop never sleeps past
+          // its own deadline.
           def flush(): Unit = {
-            try { batchAll(); conn.commit() }
-            catch {
-              case _: SQLException if tolerate =>
-                conn.rollback()
-                upA.clearBatch(); upB.foreach(_.clearBatch()); del.clearBatch()
-                // per-row savepoints: a failed statement aborts the whole
-                // transaction on PostgreSQL, so each row must be its own
-                // rollback unit for the survivors to commit
-                def replay(k: String, op: String)(stmt: => Unit): Unit = {
-                  val sp = conn.setSavepoint()
-                  try stmt
+            var deadline = -1L
+            // true (after backing off) if the budget allows a retry of
+            // this transient failure; false -> route to tolerance
+            def retryAfterBackoff(e: SQLException, attempt: Int): Boolean = {
+              val now = retry.nowMs()
+              if (deadline < 0) deadline = now + retryTimeoutMs
+              if (isTransient(e) && now < deadline) {
+                val backoff = math.min(retryDelayMaxMs,
+                  300L << math.min(attempt, 20))
+                retry.sleepMs(math.min(backoff, deadline - now))
+                true
+              } else false
+            }
+
+            // commit PER ROW in the salvage path: each row is its own
+            // transaction, so a failure — whether a statement-level
+            // error or one that kills the whole transaction (PostgreSQL
+            // aborts it; Derby's lock timeout does too, invalidating
+            // any savepoint) — loses only the failing row's work.
+            // Slower than one commit per flush, but this path only runs
+            // after a batch already failed. Each row also draws on the
+            // shared retry budget: a batch can reach replay because of
+            // a TERMINAL row while a different row's failure is
+            // transient (lock contention) — that row keeps retrying
+            // within the remaining deadline instead of dead-lettering
+            // because a neighbor poisoned the batch.
+            def replayRowByRow(): Unit = {
+              def replay(k: String, op: String)(stmt: => Unit): Unit = {
+                var attempt = 0
+                var done = false
+                while (!done) {
+                  try { stmt; conn.commit(); done = true }
                   catch { case e: SQLException =>
-                    conn.rollback(sp)
-                    dlq += DlqEntry(table, "sink_put", op, k,
-                      Option(e.getSQLState).getOrElse(""), e.getMessage) }
+                    try conn.rollback()
+                    catch { case _: SQLException => () } // already dead
+                    if (retryAfterBackoff(e, attempt)) attempt += 1
+                    else {
+                      dlq += DlqEntry(table, "sink_put", op, k,
+                        Option(e.getSQLState).getOrElse(""), e.getMessage)
+                      done = true
+                    }
+                  }
                 }
-                pending.foreach { case (k, v) =>
-                  replay(k, "upsert")(upsertOne(v)) }
-                delPending.foreach { case (k, row) =>
-                  replay(k, "delete") { bindKey(del, row); del.executeUpdate(); () } }
-                conn.commit()
+              }
+              pending.foreach { case (k, v) =>
+                replay(k, "upsert")(upsertOne(v)) }
+              delPending.foreach { case (k, row) =>
+                replay(k, "delete") { bindKey(del, row); del.executeUpdate(); () } }
+            }
+
+            var attempt = 0
+            var done = false
+            while (!done) {
+              try { batchAll(); conn.commit(); done = true }
+              catch {
+                case e: SQLException =>
+                  conn.rollback()
+                  upA.clearBatch(); upB.foreach(_.clearBatch()); del.clearBatch()
+                  if (retryAfterBackoff(e, attempt)) attempt += 1
+                  else if (tolerate) { replayRowByRow(); done = true }
+                  else throw e
+              }
             }
             pending.clear(); delPending.clear()
           }

@@ -238,6 +238,91 @@ class JdbcSinkSpec extends SparkSpec {
     assert(got.toSeq === (1L to 20L).map(i => (i, s"n$i", i.toDouble)))
   }
 
+  // ---- bounded retry (errors.retry.timeout) ------------------------------
+
+  private def lockTimeoutFast(cfg: Config): Unit =
+    JdbcSink.withConnection(cfg) { c =>
+      val st = c.createStatement()
+      try st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.locks.waitTimeout', '1')")
+      finally st.close()
+    }
+
+  /** Hold a row lock on `t`.id=1 from a side connection; returns the
+   * release thunk (commit + close, idempotent). */
+  private def holdRowLock(cfg: Config): () => Unit = {
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    conn.setAutoCommit(false)
+    val st = conn.createStatement()
+    st.executeUpdate("""UPDATE "t" SET "bal" = 0.5 WHERE "id" = 1""")
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => if (released.compareAndSet(false, true)) {
+      try { conn.commit(); st.close(); conn.close() }
+      catch { case _: Throwable => () }
+    }
+  }
+
+  test("transient lock contention retries with backoff and converges, zero DLQ") {
+    val cfg0 = freshCfg("spec_retry_ok")
+    JdbcSink.applyChangelog(changelog(Seq((1L, Some((1L, "seed", 1.0)), 1L))), cfg0)
+    lockTimeoutFast(cfg0)
+    val release = holdRowLock(cfg0)
+    try {
+      val probe = RetryProbeState.fresh("retry_ok")
+      // first backoff releases the lock — deterministic sequencing, no
+      // wall-clock coupling beyond Derby's 1s lock wait itself
+      RetryProbeState.onSleep("retry_ok", release)
+      val cfg = cfg0.copy(errorsTolerance = "all", maxWriters = 1,
+        retryTimeoutMs = 600000L, retry = probe)
+      val dlq = JdbcSink.applyChangelogWithDlq(changelog(Seq(
+        (1L, Some((1L, "updated", 2.0)), 2L),
+        (2L, Some((2L, "new", 3.0)), 3L))), cfg)
+      assert(dlq.count() == 0, "transient contention must converge, not DLQ")
+      val got = readBack(cfg).orderBy("id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq === Seq((1L, "updated"), (2L, "new")))
+      val sleeps = RetryProbeState.sleeps("retry_ok")
+      assert(sleeps.nonEmpty, "the retry loop never engaged")
+      assert(sleeps.head == 300L, s"first backoff must be 300ms, got $sleeps")
+    } finally release()
+  }
+
+  test("terminal failures burn no retry budget and DLQ exactly once") {
+    val cfg = guardedCfg("spec_retry_term").copy(errorsTolerance = "all",
+      maxWriters = 1, retryTimeoutMs = 600000L,
+      retry = RetryProbeState.fresh("retry_term"))
+    val dlq = JdbcSink.applyChangelogWithDlq(changelog(Seq(
+      (1L, Some((1L, "good", 5.0)), 1L),
+      (2L, Some((2L, "bad", -5.0)), 2L))), cfg)
+    val entries = dlq.collect().map(r => (r.getString(3), r.getString(4)))
+    assert(entries.toSeq === Seq(("2", "23513")),
+      "a terminal failure must dead-letter exactly once")
+    assert(RetryProbeState.sleeps("retry_term").isEmpty,
+      "terminal failures must not consume the retry budget")
+    assert(readBack(cfg).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+  }
+
+  test("an exhausted retry deadline dead-letters the transient row, bounded") {
+    val cfg0 = freshCfg("spec_retry_dead")
+    JdbcSink.applyChangelog(changelog(Seq((1L, Some((1L, "seed", 1.0)), 1L))), cfg0)
+    lockTimeoutFast(cfg0)
+    val release = holdRowLock(cfg0) // never released during the write
+    try {
+      val probe = RetryProbeState.fresh("retry_dead")
+      val cfg = cfg0.copy(errorsTolerance = "all", maxWriters = 1,
+        retryTimeoutMs = 500L, retry = probe) // virtual-clock deadline
+      val dlq = JdbcSink.applyChangelogWithDlq(changelog(Seq(
+        (1L, Some((1L, "blocked", 2.0)), 2L))), cfg)
+      val entries = dlq.collect().map(r => (r.getString(3), r.getString(4)))
+      assert(entries.toSeq === Seq(("1", "40XL1")),
+        "deadline exhaustion must dead-letter the row exactly once")
+      // the backoff schedule respected the deadline: 300, then the 200
+      // remaining — never a sleep past the budget
+      assert(RetryProbeState.sleeps("retry_dead") === Seq(300L, 200L))
+    } finally release()
+  }
+
   test("partitioned JDBC read splits into N range scans and loses no rows") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graft_s11_spec;create=true"
@@ -254,5 +339,43 @@ class JdbcSinkSpec extends SparkSpec {
     // ranges tile the key space: nothing lost, nothing duplicated
     assert(back.count() == 1000)
     assert(back.select(countDistinct("id")).head().getLong(0) == 1000)
+  }
+}
+
+/** JVM-global virtual-clock retry policy for the bounded-retry specs:
+  * local-mode "executors" share the JVM, so the serialized Probe copies
+  * (the closure ships only the id string) all read one static registry —
+  * the specs observe sleeps and drive release hooks without wall-clock
+  * coupling. */
+object RetryProbeState {
+  import java.util.concurrent.{ConcurrentHashMap, CopyOnWriteArrayList}
+  import java.util.concurrent.atomic.AtomicLong
+
+  private val clocks = new ConcurrentHashMap[String, AtomicLong]()
+  private val sleepLog =
+    new ConcurrentHashMap[String, CopyOnWriteArrayList[java.lang.Long]]()
+  private val hooks = new ConcurrentHashMap[String, () => Unit]()
+
+  final case class Probe(id: String) extends JdbcSink.RetryPolicy {
+    def nowMs(): Long = clocks.get(id).get()
+    def sleepMs(ms: Long): Unit = {
+      sleepLog.get(id).add(ms)
+      clocks.get(id).addAndGet(ms)
+      Option(hooks.get(id)).foreach(_.apply())
+    }
+  }
+
+  def fresh(id: String): Probe = {
+    clocks.put(id, new AtomicLong(0L))
+    sleepLog.put(id, new CopyOnWriteArrayList[java.lang.Long]())
+    hooks.remove(id)
+    Probe(id)
+  }
+
+  def onSleep(id: String, f: () => Unit): Unit = hooks.put(id, f)
+
+  def sleeps(id: String): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    sleepLog.get(id).asScala.toSeq.map(_.longValue)
   }
 }
