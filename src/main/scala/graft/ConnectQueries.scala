@@ -768,6 +768,76 @@ object ConnectQueries {
   }
 
   /**
+   * L5/L8 — partition and batch-cadence controls gated DIRECTLY (they
+   * were previously exercised only compositely by every streaming
+   * lifecycle). L5 is the topic-partition analog: the sink frame
+   * range-repartitions into exactly 4 writers and the parquet file
+   * layout IS the partitioning — the probe counts files written and
+   * pins that no key straddles two files (co-partitioning, the property
+   * a downstream bucketed reader relies on). L8 is the poll/batch lever
+   * (`maxFilesPerTrigger`, the reference's poll.interval.ms /
+   * batch.max.rows knob family): 6 staged waves under
+   * `maxFilesPerTrigger=2` must commit in EXACTLY 3 micro-batches —
+   * read back from the engine's committed offset log, so the cadence
+   * probe is the same number KIP-875 reads over REST.
+   */
+  def partitionControls(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l5_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = s"$base/in"; val state = s"$base/state"
+    val out = s"$base/partitioned"
+    Files.createDirectories(Paths.get(in))
+    val nation = T(s, dir, "nation")
+
+    // L5: partitions-on-write
+    nation.repartitionByRange(4, col("n_nationkey"))
+      .write.mode("overwrite").parquet(out)
+    val reread = s.read.parquet(out)
+      .select(col("n_nationkey"), input_file_name().as("_f"))
+    val nFiles = reread.select("_f").distinct().count()
+    val maxFilesPerKey = reread.groupBy("n_nationkey")
+      .agg(countDistinct("_f").as("nf")).agg(max("nf")).head().getLong(0)
+
+    // L8: 6 waves, maxFilesPerTrigger=2 -> 3 committed micro-batches
+    val waves = nation
+      .select(col("n_nationkey").cast("int").as("id"),
+        col("n_name").as("v"), col("n_nationkey").cast("long").as("seq"),
+        lit("false").as("__deleted"))
+    (0 until 6).foreach { i =>
+      graft.Tables.stageFile(waves.filter(col("id") % 6 === i),
+        Paths.get(in, f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val spec = graft.pipeline.PipelineSpec.fromJson({
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      s"""{"name":"l5",
+         |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+         |  "schemaDdl":${q.writeValueAsString(waves.schema.toDDL)},
+         |  "keyFields":["id"],"seqColumn":"seq",
+         |  "topic":"om.nation","maxFilesPerTrigger":"2"},
+         |"transforms":[],
+         |"sink":{"type":"table","path":${q.writeValueAsString(state)},
+         |  "keys":["id"]}}""".stripMargin
+    })
+    engine.register(spec)
+    scoped.streams.active.foreach(_.processAllAvailable())
+    val batches = engine.latestBatchId("l5").map(_ + 1).getOrElse(-1L)
+    val delivered = s.read.parquet(state).count()
+    engine.delete("l5")
+
+    import s.implicits._
+    Seq(
+      ("write_partition_files", nFiles),
+      ("max_files_per_key", maxFilesPerKey),
+      ("mft2_batches", batches),
+      ("rows_delivered", delivered))
+      .toDF("probe", "value").orderBy("probe")
+  }
+
+  /**
    * L9 — the Connect worker REST protocol end-to-end: the ops surface
    * the reference drives with httpie (`scripts/register_connector:1`,
    * `scripts/show_connectors:1`, `scripts/delete_connector:1`) served
@@ -1447,6 +1517,7 @@ object ConnectQueries {
     "k7b_cdc_engine_stream" -> (cdcEngineStream _),
     "k8_incremental_agg" -> (incrementalAgg _),
     "k14_soak_reconcile" -> (soakReconcile _),
+    "l5_partition_controls" -> (partitionControls _),
     "l9_connect_rest" -> (connectRestLifecycle _),
     "l10_rest_evolution" -> (restEvolution _),
     "l11_connect_distributed" -> (connectDistributed _),
@@ -1455,6 +1526,17 @@ object ConnectQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the partition/cadence contract: 4 range writers -> 4 files with
+    // no key split across two; 6 waves / maxFilesPerTrigger=2 -> 3
+    // committed micro-batches; every staged row delivered
+    "l5_partition_controls" ->
+      """SELECT probe, value FROM (
+        |  SELECT 'write_partition_files' AS probe, CAST(4 AS BIGINT) AS value
+        |  UNION ALL SELECT 'max_files_per_key', 1
+        |  UNION ALL SELECT 'mft2_batches', 3
+        |  UNION ALL SELECT 'rows_delivered',
+        |    (SELECT count(*) FROM nation)) t
+        |ORDER BY probe""".stripMargin,
     // final state from the wave algebra (tombstones k%7=3 win by seq,
     // updates k%5=0 on the survivors); the lifecycle probes are the
     // protocol contract: RUNNING -> PAUSED -> RUNNING, then deregistered
