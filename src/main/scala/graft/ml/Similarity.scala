@@ -632,6 +632,16 @@ object Similarity {
    * is queries × n × k — never queries × n² cached state, never
    * corpus-sized, and never through the driver. Only candidate
    * relevance persists (scoped).
+   *
+   * k ceiling: greedy MMR is INHERENTLY sequential in k — each round is
+   * one driver-coordinated job (a single window pass, checkpointed), so
+   * wall time is ~k × per-round job latency regardless of cluster size.
+   * Measured at n=60 on local[32]: 1.2 s at k=5, 3.8 s at k=25, 6.3 s
+   * at k=50 — linear in k
+   * (`OperatorsSpec` pins completion + exact-k semantics). Practical
+   * ceiling is k in the low hundreds; past that, batch diversification
+   * (pick several per round, accepting approximate MMR) is the right
+   * operator — greedy-exact is the contract here.
    */
   def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
                 lambda: Double)(implicit scope: CacheScope): DataFrame = {
@@ -650,33 +660,38 @@ object Similarity {
       when(col("pen").isNull, lit(0.0)).otherwise(lit(1.0 - lambda) * col("pen"))
     var cands = rel.join(vecs, "cand")
       .withColumn("pen", lit(null).cast("double"))
-    var sel: DataFrame = null
+    // ONE window pass and ONE checkpoint per round, and NO per-round
+    // join: ranking by the current MMR score and carrying the TOP row's
+    // vector to every survivor (running `first` over the same ordered
+    // window) share a single materialization; pick extraction and the
+    // penalty fold are then filters over the checkpointed frame. The
+    // earlier join-per-round formulation was quadratic in a hidden
+    // place: localCheckpoint rewrites stats from the ORIGINAL plan, a
+    // join's sizeInBytes estimate is the BigInt PRODUCT of its
+    // children's, and a self-referential join per round doubles the
+    // BigInt's DIGIT COUNT every round — at k=50 the driver disappeared
+    // into BigInteger.multiply inside stats estimation. Filters and
+    // projections only scale the estimate, so digits now grow linearly
+    // and the deep-k path stays driver-light (k barriers total).
+    val picks = Seq.newBuilder[DataFrame]
     for (i <- 1 to k) {
-      // checkpointed ONCE: both consumers below (the pick accumulator
-      // and the cands update) would otherwise each re-run the rank
-      // window over the full candidate frame
-      val next = cands
-        .withColumn("rk", row_number().over(byScore(score)))
-        .filter(col("rk") === 1)
-        .select(col("query_id"), col("cand").as("pick"),
-          score.as("score"), lit(i).as("step"), col("vec").as("pvec"))
+      val w = byScore(score)
+      val ranked = cands
+        .withColumn("rk", row_number().over(w))
+        .withColumn("pvec", first(col("vec")).over(w))
         .localCheckpoint()
-      sel =
-        if (sel == null) next.drop("pvec")
-        // truncate lineage each round (queries × i rows): without this
-        // the step-k plan nests every earlier step's joins and
-        // re-evaluates them — the same O(1)-lineage contract as d6
-        else sel.unionByName(next.drop("pvec")).localCheckpoint()
+      // the pick frames union flat at the end: each references only the
+      // round's checkpointed frame, nothing nests, nothing re-evaluates
+      picks += ranked.filter(col("rk") === 1)
+        .select(col("query_id"), col("cand").as("pick"),
+          score.as("score"), lit(i).as("step"))
       // marginal update: drop the pick, fold its similarity into pen —
       // the previous picks' contribution already lives in the column
-      if (i < k) cands = cands
-        .join(next.select(col("query_id"), col("pick"), col("pvec")), "query_id")
-        .filter(col("cand") =!= col("pick"))
+      if (i < k) cands = ranked.filter(col("rk") > 1)
         .select(col("query_id"), col("cand"), col("rel"), col("vec"),
           greatest(col("pen"), cosine(col("vec"), col("pvec"))).as("pen"))
-        .localCheckpoint()
     }
-    sel
+    picks.result().reduce(_.unionByName(_))
   }
 
   /**

@@ -305,6 +305,28 @@ class OperatorsSpec extends SparkSpec {
     assert(picks.toSet == Set(1L, 3L, 2L) || picks.toSet == Set(1L, 3L, 4L))
   }
 
+  test("MMR rerank at k=50: deep pick sequences stay exact and bounded") {
+    // the k-ceiling probe: 50 sequential rounds must complete with flat
+    // per-round plans (no lineage nesting), return exactly k distinct
+    // picks in step order, and respect MMR's step-1 contract (pure
+    // relevance). Distinct off-axis jitter keeps every score tie-free.
+    val corpus = (1 until 61).map { i =>
+      val a = Array.fill(8)(0.0f)
+      a(i % 8) = 1.0f
+      a((i + 1) % 8) = 0.001f * i
+      (i.toLong, a)
+    }.toDF("id", "vec")
+    val queries = Seq((0L, Array.fill(8)(0.5f))).toDF("id", "vec")
+    val picks = CacheScope.withScope { implicit scope =>
+      Similarity.mmrRerank(queries, corpus, n = 60, k = 50, lambda = 0.7)
+        .orderBy("step").collect()
+    }
+    assert(picks.length == 50)
+    assert(picks.map(_.getLong(picks.head.fieldIndex("pick"))).distinct.length == 50,
+      "picks must never repeat")
+    assert(picks.map(_.getInt(picks.head.fieldIndex("step"))).toSeq == (1 to 50))
+  }
+
   test("k-means IVF: training converges on clustered data, recall matches brute force") {
     // 4 well-separated clusters on the axes of a 4-dim space; every
     // point gets a distinct small off-axis offset so similarities are
