@@ -100,6 +100,19 @@ object SchemaRegistry {
     private var opSeq: Long = LogTable.maxCommittedBatchId(path).getOrElse(-1L)
 
     private def commit(events: Seq[(String, Row)]): Unit = synchronized {
+      // fencing: the journal is a SYNCHRONOUS single-writer log — unlike
+      // a streaming sink, its own last op is never legitimately
+      // re-delivered, so any committed id beyond this instance's counter
+      // means a second live registry moved the path on. LogTable's
+      // behind-max guard alone would throw for ids strictly behind but
+      // silently no-op the equal-id case as crash replay — which here
+      // would SWALLOW a stale writer's mutation while its caller
+      // believes it persisted.
+      for (max <- LogTable.maxCommittedBatchId(path) if max > opSeq)
+        throw new IllegalStateException(
+          s"registry journal at $path advanced to op $max by another " +
+            s"writer (this instance is at $opSeq): refusing to fork " +
+            "history — re-open the registry to adopt the latest state")
       opSeq += 1
       val rows: java.util.List[Row] =
         java.util.List.of(events.map { case (rec, v) =>

@@ -217,6 +217,52 @@ class RegistrySpec extends AnyFunSuite {
     intercept[IllegalStateException](reg2.setGlobalCompat(Compat.Forward))
   }
 
+  test("journal compaction: 100+ mutations replay exactly after restart; fencing holds") {
+    // the durable registry compacts its LogTable every 8 journal
+    // versions; a long mutation history must cross that threshold many
+    // times and still replay to the exact same state — compaction can
+    // never lose a schema, an override, a tombstone, or the id sequence
+    import graft.sinks.LogTable
+    val spark = SparkSpec.session
+    val path = "target/tmp/registryspec_compact"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(path))
+
+    def schemaWith(n: Int): StructType = StructType(
+      StructField("id", IntegerType, nullable = false) +:
+        (1 to n).map(i => StructField(s"f$i", StringType, nullable = true)))
+
+    val reg = SchemaRegistry.durable(spark, path)
+    reg.setGlobalCompat(Compat.None)
+    val subjects = (0 until 4).map(i => s"c$i-value")
+    subjects.foreach(s => reg.setCompat(s, Compat.None))
+    // 96 registers (4 subjects x 24 widening versions) + 5 compat ops
+    // + 1 delete = 102 journal commits
+    for (n <- 1 to 24; s <- subjects)
+      assert(reg.register(s, schemaWith(n)).isRight, s"register $s v$n failed")
+    reg.deleteSubject(subjects(3))
+    assert(LogTable.versions(path).size < 8 + 2,
+      "the journal never compacted across 100+ mutations")
+
+    // restart: the replayed state equals the live one, id-for-id
+    val reg2 = SchemaRegistry.durable(spark, path)
+    assert(reg2.subjects.toSet == subjects.take(3).toSet)
+    subjects.take(3).foreach { s =>
+      val (live, replayed) = (reg.versions(s), reg2.versions(s))
+      assert(replayed == live, s"replay diverged for $s")
+      assert(replayed.map(_.version) == (1 to 24))
+      assert(replayed.last.schema == schemaWith(24))
+    }
+    assert(reg2.globalCompat == Compat.None)
+    assert(reg2.compatOverride(subjects(0)).contains(Compat.None))
+    assert(reg2.compatOverride(subjects(3)).isEmpty, "tombstones must survive compaction")
+    // ids never reuse after delete + compaction + restart
+    val maxId = subjects.take(3).flatMap(reg2.versions(_)).map(_.id).max
+    assert(reg2.register("fresh2-value", schemaWith(1)).toOption.get.id > maxId)
+    // stale-writer fencing still holds through a compacted journal: the
+    // first handle is now behind the committed max and must not fork
+    intercept[IllegalStateException](reg.setGlobalCompat(Compat.Forward))
+  }
+
   test("structFromAvroJson inverts avroSchemaJson across the type subset") {
     import graft.codec.{AvroCodec, RegistryServer}
     val all = StructType(Seq(
