@@ -218,6 +218,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), "top-k per node must heap-bound before the window")
   }
 
+  test("e14 index admission is a narrow map: no shuffle, no join, no window") {
+    // the whole point of incremental maintenance: folding a batch into
+    // an existing index must cost O(batch) — assign + encode are
+    // row-local against frozen constants, so the admitted side's plan
+    // may contain NOTHING that repartitions or compares rows
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = graft.ml.Similarity.ivfCentroids(16, 64).map(_.map(_.toDouble))
+    val books = graft.ml.Similarity.pqCodebooks(8, 8, 16)
+    val admitted = graft.ml.Similarity.ivfPqIndex(
+      emb.filter(col("id") >= 400), books, cents)
+    val p = plan(admitted)
+    Seq("Exchange", "Join", "Window", "Sort").foreach(op =>
+      assert(!p.contains(op), s"index admission must not plan a $op:\n$p"))
+  }
+
   test("d13 incremental dedup: admission joins are threshold-decided, never hinted") {
     graft.operators.CacheScope.withScope { implicit scope =>
       val df = LlmQueries.incrementalDedupBuild(spark, dir)
