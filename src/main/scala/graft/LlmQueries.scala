@@ -440,6 +440,29 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E15: FILTERED ANN search — top-k among only the vectors matching a
+   * metadata predicate (the FAISS-IDSelector / vector-DB
+   * "filtered search" production shape: retrieval over the PERMITTED
+   * slice, e.g. license-clean documents or one tenant's corpus). The
+   * predicate applies to the CORPUS side before the index probe — a
+   * pre-filter, so at 100 TB the selectivity reaches the parquet scan
+   * (PushedFilters / partition pruning) and vector math touches only
+   * surviving rows; queries themselves need not satisfy the filter.
+   * Pre-filtering keeps IVF recall semantics per cell; the known
+   * caveat — a filter strongly correlated with cell assignment starves
+   * probed cells — is the nprobe dial's problem, measured by the e13
+   * harness. */
+  def filteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+    Similarity.ivfTopK(
+      emb.filter(col("id") < 5).select("id", "vec"),
+      emb.filter(col("label") % 4 === 1).select("id", "vec"),
+      TopK, NCells, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** E13: ANN recall@k — the eval harness every approximate index
    * needs before it replaces the exact scan: run the IVF search (e3)
    * and the brute-force ground truth (e1) over the same queries and
@@ -1184,6 +1207,7 @@ object LlmQueries {
     "e7_ivfpq_topk" -> (ivfPqTopK _),
     "e7b_ivfpq_trained_topk" -> (ivfPqTrainedTopK _),
     "e14_incremental_index" -> (incrementalIndex _),
+    "e15_filtered_topk" -> (filteredTopK _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -1288,7 +1312,8 @@ object LlmQueries {
    * parser, so trained doubles compare bit-exact like the fixed
    * longs. */
   private def ivfOracleSql(centsLit: String, qPred: String = "vec_id < 5",
-                           topK: Int = TopK, nCells: Int = NCells): String =
+                           topK: Int = TopK, nCells: Int = NCells,
+                           cPred: String = "TRUE"): String =
     s"""WITH cents AS (SELECT $centsLit AS ct),
        |q AS (SELECT vec_id AS query_id, embedding AS qv,
        |        unnest(list_transform(list_slice(${rankedSql("qv", nCells)}, 1, $NProbe),
@@ -1296,7 +1321,7 @@ object LlmQueries {
        |      FROM embeddings, cents WHERE $qPred),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv,
        |        -(${rankedSql("cv", nCells)})[1].nj AS cell
-       |      FROM embeddings, cents),
+       |      FROM embeddings, cents WHERE $cPred),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${cosineSql("qv", "cv")} AS sim
        |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
@@ -1912,6 +1937,9 @@ object LlmQueries {
          |    ORDER BY sim DESC, neighbor_id) AS rank FROM scored) t
          |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin,
     "e3_ivf_topk" -> ivfOracleSql(centsSql),
+    // e15: the same IVF shape with the corpus pre-filtered to the
+    // permitted metadata slice; queries stay unfiltered
+    "e15_filtered_topk" -> ivfOracleSql(centsSql, cPred = "label % 4 = 1"),
     // both retrievals re-derived (e1's exact scan, e3's IVF probe) and
     // joined: n_hit = |ivf ∩ exact| per query; the division is one
     // int→double cast and one divide, bit-exact in both engines
