@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables.T
+import graft.Tables.{T, Tpar}
 import graft.operators.AsOfJoin
 
 /**
@@ -142,7 +142,10 @@ object RelationalQueries {
    * k2) to exercise both APIs side by side — coverage, not the plan
    * you'd write in production (one `from_json` serves both). */
   def jsonFunctions(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "events")
+    // Tpar: the double JSON parse is compute-heavy and narrow; the
+    // single-row-group testdata would pin it to one task (measured
+    // 21.7× at the 10× ladder rung purely from the unsplittable scan)
+    Tpar(s, dir, "events")
       .select(
         get_json_object(col("props"), "$.k").cast("int").as("k"),
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))

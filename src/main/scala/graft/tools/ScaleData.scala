@@ -92,14 +92,22 @@ object ScaleData {
       val d = base("documents").withColumn("doc_id", shift("doc_id", i))
       if (i == 0) d
       else {
-        // rotate by a replica-dependent prime offset: shingles change,
-        // char distribution (and so the x-battery's work) does not
-        val r = i * 97
-        d.withColumn("text",
-          when(length(col("text")) > r,
-            concat(expr(s"substring(text, ${r + 1})"),
-              expr(s"substring(text, 1, $r)")))
-            .otherwise(col("text")))
+        // per-replica Caesar shift of the letters: EVERY word changes,
+        // so no token shingle survives across replicas and near-dup
+        // density grows LINEARLY with k. The earlier rotated-prefix
+        // variant kept ~all shingles intact — each doc's k replicas
+        // were mutual true near-dups (jaccard ≈ 1), inflating
+        // candidate pairs by ~k²/2 per doc, so dedup-family ladder
+        // slopes measured the fixture artifact, not the operator
+        // (measured at k=10: 300 → 247k candidate pairs). Word
+        // lengths, whitespace and punctuation are preserved, so the
+        // x-battery's per-row work is unchanged; within a replica the
+        // corpus's own near-dup structure is intact.
+        val az = "abcdefghijklmnopqrstuvwxyz"
+        val s = i % 26
+        val rot = az.drop(s) + az.take(s)
+        d.withColumn("text", translate(col("text"),
+          az + az.toUpperCase, rot + rot.toUpperCase))
       }
     })
 

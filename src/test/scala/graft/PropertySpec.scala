@@ -39,6 +39,27 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
   }
 
+  test("decimal wire kernel round-trips any precision-38 value with minimal bytes") {
+    import graft.functions.DecimalWire
+    import org.apache.spark.sql.types.Decimal
+    val gen = for {
+      nd <- Gen.choose(1, 38)
+      ds <- Gen.listOfN(nd, Gen.choose(0, 9))
+      neg <- Gen.oneOf(true, false)
+      scale <- Gen.choose(0, 6)
+    } yield (BigInt(ds.mkString) * (if (neg) -1 else 1), scale)
+    check("decimalWire", Prop.forAll(gen) { case (unscaled, scale) =>
+      val jbd = new java.math.BigDecimal(unscaled.bigInteger, scale)
+      val d = Decimal(jbd, 38, scale)
+      val bytes = DecimalWire.unscaledBytes(d, scale)
+      val back = DecimalWire.fromUnscaledBytes(bytes, 38, scale)
+      // identity round-trip AND the exact Connect wire encoding:
+      // BigInteger.toByteArray (minimal big-endian two's complement)
+      back.toJavaBigDecimal.compareTo(jbd) == 0 &&
+        java.util.Arrays.equals(bytes, unscaled.bigInteger.toByteArray)
+    }, minSuccessful = 200)
+  }
+
   test("merge = last-write-wins reference semantics on random changelogs") {
     check("lastWriteWins", Prop.forAll(changelogGen) { log =>
       val expected = log.groupBy(_._1).flatMap { case (k, entries) =>
