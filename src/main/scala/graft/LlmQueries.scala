@@ -722,6 +722,54 @@ object LlmQueries {
     }.orderBy("query_id", "rank")
   }
 
+  /** E16: STREAMING index admission — e14's admission step run INSIDE
+   * the streaming lifecycle: the existing index materializes once
+   * (batch), then incoming vectors arrive as three file-source
+   * micro-batches (`maxFilesPerTrigger=1`) and each batch encodes
+   * against the FROZEN trained constants and appends to a delta
+   * directory through the checkpointed file-sink commit protocol
+   * (exactly-once on replay). Search reads base + delta back from
+   * storage — the serving path sees only `(id, cell, codes)` files,
+   * never the original vectors, and a base alongside streamed deltas
+   * is exactly the layout a production index maintains. The oracle is
+   * the REBUILT whole-corpus form with the same frozen literals, so
+   * the gate proves the streamed admission lost, duplicated, and
+   * re-derived nothing. */
+  def streamIndexAdmission(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e16_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val baseDir = s"$base/index_base"
+    val deltaDir = s"$base/index_delta"
+    Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents)
+      .write.mode("overwrite").parquet(baseDir)
+    val incoming = emb.filter(col("id") >= AdmitBoundary)
+    (0 until 3).foreach { i =>
+      graft.Tables.stageFile(incoming.filter(pmod(col("id"), lit(3)) === i),
+        in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", deltaDir).format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    val index = s.read.parquet(baseDir).unionByName(s.read.parquet(deltaDir))
+    val queries = emb.filter(col("id") < 3 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    Similarity.ivfPqSearchIndex(queries, index, TopK, books, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by
    * hash (reproducible, like x9), then find near-duplicate pairs that
    * CROSS the boundary: the eval-integrity check a pipeline runs before
@@ -1208,6 +1256,7 @@ object LlmQueries {
     "e7b_ivfpq_trained_topk" -> (ivfPqTrainedTopK _),
     "e14_incremental_index" -> (incrementalIndex _),
     "e15_filtered_topk" -> (filteredTopK _),
+    "e16_stream_index_admission" -> (streamIndexAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -1471,6 +1520,14 @@ object LlmQueries {
       ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
+    }),
+    // e16 = e14's semantics with the admission streamed: same rebuilt
+    // oracle shape, distinct query slice
+    "e16_stream_index_admission" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))")
     }),
     "e13b_ann_recall_trained" ->
       ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
