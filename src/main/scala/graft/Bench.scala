@@ -56,13 +56,15 @@ object Bench {
                catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Calibration CANARY: a fixed-size synthetic scan+agg+sort using no
-    // repo operators and no input data — its wall time is a pure
+    // Calibration CANARY: a fixed-size synthetic scan+shuffle+agg using
+    // no repo operators and no input data — its wall time is a pure
     // function of machine speed/load, so round-over-round bench
     // comparisons can divide ambient drift out of per-query deltas
     // (driver totals moved +16% across r8->r9 with zero implicated
     // code). Timed at three points across the run (before, between and
     // after the timed passes), min recorded — same policy as queries.
+    // (No sort leg: a sort under count() is optimizer-eliminated, and
+    // 1000 aggregated rows would not measure anything anyway.)
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 20000000L, 1, 32)
@@ -72,7 +74,7 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("h"),
           org.apache.spark.sql.functions.sum("h2"),
           org.apache.spark.sql.functions.count("*"))
-        .orderBy("k").count()
+        .count()
       (System.nanoTime() - t0) / 1e9
     }
     canaryOnce() // pay its own codegen before the measured reps

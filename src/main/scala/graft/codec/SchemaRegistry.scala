@@ -117,8 +117,12 @@ object SchemaRegistry {
       val rows: java.util.List[Row] =
         java.util.List.of(events.map { case (rec, v) =>
           Row(Row(rec), v, opSeq) }: _*)
+      // replayable=false: if a concurrent second registry races past
+      // the max>opSeq fence above and commits this id first, the
+      // equal-id case throws instead of silently no-oping as crash
+      // replay — a lost-mutation outcome can never report success
       LogTable.applyBatch(path, spark.createDataFrame(rows, frameType),
-        Seq("rec"), Some(opSeq))
+        Seq("rec"), Some(opSeq), replayable = false)
       if (LogTable.versions(path).size >= 8)
         LogTable.compact(spark, path, Seq("rec"))
     }

@@ -185,26 +185,9 @@ final class Cluster(spark: SparkSession, root: String) {
 
     def registerJson(json: String): Any = register(PipelineSpec.fromJson(json))
 
-    def register(spec: PipelineSpec): Any = cluster.synchronized {
-      if (members.isEmpty)
-        throw new IllegalStateException("no workers in the group")
-      if (specs.contains(spec.name))
-        throw new IllegalStateException(
-          s"pipeline '${spec.name}' already registered (single-writer rule; delete it first)")
-      validate(spec)
-      specs(spec.name) = spec
-      targets(spec.name) = true
-      // rollback on a failed START (e.g. an environment-bound source):
-      // a spec that never ran must not wedge the registry — Engine's
-      // register has the same start-before-commit ordering
-      try place(spec.name)
-      catch {
-        case e: Throwable =>
-          specs.remove(spec.name); targets.remove(spec.name)
-          owners.remove(spec.name)
-          throw e
-      }
-    }
+    // register IS adopt with a RUNNING target: one registration/
+    // rollback protocol, not two copies to keep in sync
+    def register(spec: PipelineSpec): Any = adopt(spec, running = true)
 
     def adopt(spec: PipelineSpec, running: Boolean): Unit =
       cluster.synchronized {
@@ -216,6 +199,9 @@ final class Cluster(spark: SparkSession, root: String) {
         validate(spec)
         specs(spec.name) = spec
         targets(spec.name) = running // place() adopts with this target
+        // rollback on a failed START (e.g. an environment-bound
+        // source): a spec that never ran must not wedge the registry —
+        // Engine's register has the same start-before-commit ordering
         try place(spec.name)
         catch {
           case e: Throwable =>

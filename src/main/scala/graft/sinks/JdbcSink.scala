@@ -489,7 +489,12 @@ object JdbcSink {
               try { batchAll(); conn.commit(); done = true }
               catch {
                 case e: SQLException =>
-                  conn.rollback()
+                  // a dead connection (class 08) throws from rollback
+                  // too — that secondary failure must not escape the
+                  // tolerance/retry routing and mask the original
+                  // error (the per-row replay guards the same case)
+                  try conn.rollback()
+                  catch { case _: SQLException => () }
                   upA.clearBatch(); upB.foreach(_.clearBatch()); del.clearBatch()
                   if (retryAfterBackoff(e, attempt)) attempt += 1
                   else if (tolerate) { replayRowByRow(); done = true }

@@ -121,15 +121,26 @@ object LogTable {
    * write-amplifying and wrong for any additive consumer). */
   def applyBatch(path: String, batch: DataFrame, keys: Seq[String],
                  batchId: Option[Long] = None,
-                 mode: CommitMode = RenameCommit): Unit = {
+                 mode: CommitMode = RenameCommit,
+                 replayable: Boolean = true): Unit = {
     val vs = versionList(path)
     // an existing table's layout wins over the caller's requested mode —
     // mixing protocols within one table would split the version history
     val effective = if (vs.nonEmpty) modeOf(path) else mode
     sweepOrphans(path, vs, effective)
     val committedMax = batchId.flatMap(_ => vs.flatMap(_.batchId).maxOption)
-    if (batchId.exists(id => committedMax.contains(id)))
+    if (batchId.exists(id => committedMax.contains(id))) {
+      // `replayable=false` is for SYNCHRONOUS single-writer logs (the
+      // registry journal): their own last op is never re-delivered, so
+      // an equal id means a concurrent second writer raced past the
+      // caller's fence — swallowing it would report success for a
+      // mutation that never persisted
+      if (!replayable) throw new IllegalStateException(
+        s"batch ${batchId.get} already committed under $path and this " +
+          "log is declared non-replayable: a second writer committed " +
+          "the id first — refusing to silently drop the mutation")
       return // the LAST batch re-delivered after a crash — idempotent no-op
+    }
     // foreachBatch ids are monotonic per checkpoint and only the last
     // batch can legally replay: an id BELOW the committed max means a
     // second query is writing this path, or a reset checkpoint

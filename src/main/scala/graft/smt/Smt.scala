@@ -43,19 +43,24 @@ object Smt {
     val vt = df.schema("value").dataType.asInstanceOf[StructType]
     val newType = StructType(fields.map(f => vt(f)))
     val built = struct(fields.map(f => col(s"value.$f").as(f)).toIndexedSeq: _*)
-    // keep-the-key needs field NAMES to match too, not just shape:
-    // equalsStructurally alone would pick col("key") for a same-typed
-    // differently-named struct and the when/otherwise would then fail
-    // analysis (CaseWhen compares names via sameType)
-    val keyType = df.schema("key").dataType
-    val sameShape = DataType.equalsStructurally(keyType, newType,
-      ignoreNullability = true)
-    val sameNames = keyType match {
-      case st: StructType => st.fieldNames.sameElements(newType.fieldNames)
-      case _ => false
+    // keep-the-key needs field NAMES to match too — at EVERY nesting
+    // level, because that is the predicate CaseWhen's analysis applies:
+    // a same-shaped struct with a different (possibly nested) field
+    // name would fail analysis if we kept col("key")
+    def sameTypeNamed(a: DataType, b: DataType): Boolean = (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name && sameTypeNamed(f.dataType, g.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) =>
+        sameTypeNamed(x.elementType, y.elementType)
+      case (x: MapType, y: MapType) =>
+        sameTypeNamed(x.keyType, y.keyType) &&
+          sameTypeNamed(x.valueType, y.valueType)
+      case (x, y) => x == y
     }
     val onTombstone =
-      if (sameShape && sameNames) col("key")
+      if (sameTypeNamed(df.schema("key").dataType, newType)) col("key")
       else lit(null).cast(newType)
     df.withColumn("key",
       when(col("value").isNotNull, built).otherwise(onTombstone))

@@ -29,6 +29,11 @@ object ScaleData {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/scaledata/sf0.5")
     val k = args.lift(2).map(_.toInt).getOrElse(5)
+    // the per-replica Caesar shift has 26 distinct values; replica 26
+    // would reuse shift 0 and be letter-identical to the base corpus,
+    // quietly reintroducing the cross-replica near-dup artifact
+    require(k <= 26, s"replication factor $k > 26 would reuse Caesar " +
+      "shifts and reintroduce cross-replica near-dups in documents")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
