@@ -88,6 +88,10 @@ object LlmQueries {
   // vectors fold into an index whose quantizers were trained BEFORE they
   // arrived (FAISS semantics: train once, add forever)
   private val AdmitBoundary = 400L
+
+  // e17's deterministic tombstone slice: ids with id % DeleteMod == 3
+  // stand in for a takedown list (SQL-expressible, ~14% of the corpus)
+  private val DeleteMod = 7L
   private val trainedIvfBase =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
   private val trainedPqBase =
@@ -770,6 +774,88 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** W10: STREAMING ANN serving — the query side of the streaming
+   * story (e16 streams index ADMISSION; this streams the SEARCHES).
+   * Query vectors arrive as file-source micro-batches and each batch
+   * runs the batch search against the PREBUILT persisted index via
+   * `foreachBatch` — the production serving idiom for "stream of
+   * requests against a static artifact": per trigger, the micro-batch
+   * of queries broadcasts (requests are small by construction) and
+   * probes the index exactly like the batch path, so there is no
+   * state store and no watermark — serving is stateless. Each batch
+   * writes its results to its OWN `batch=<id>` directory with
+   * overwrite, so a replayed trigger after a crash rewrites the same
+   * files — idempotent, effectively exactly-once. Per-query results
+   * are independent of micro-batch assignment, so the oracle is the
+   * plain rebuilt search over the union of all streamed queries. */
+  def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/w10_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    val indexDir = s"$base/index"
+    val outDir = s"$base/out"
+    Similarity.ivfPqIndex(emb, books, cents)
+      .write.mode("overwrite").parquet(indexDir)
+    val queries = emb.filter(col("id") < 6)
+    (0 until 3).foreach { i =>
+      graft.Tables.stageFile(queries.filter(pmod(col("id"), lit(3)) === i),
+        in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.ivfPqSearchIndex(batch,
+            batch.sparkSession.read.parquet(indexDir),
+            TopK, books, cents, NProbe)
+          .select("query_id", "rank", "neighbor_id", "adc")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir).drop("batch")
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
+  /** E17: index DELETION — serve after tombstoning. A production index
+   * outlives its corpus membership: takedowns and dedup verdicts
+   * (d12's world) remove documents, and search must stop returning
+   * them WITHOUT a rebuild. The tombstone set here is a deterministic
+   * slice (`id % 7 = 3` — the SQL-expressible stand-in for a takedown
+   * list); [[Similarity.ivfPqDelete]] anti-joins it against the
+   * prebuilt `(id, cell, codes)` table and serving proceeds over the
+   * survivors. The oracle is the REBUILT index over only the surviving
+   * corpus with the same frozen trained literals, so the hash gate
+   * proves logical deletion ≡ rebuild-without-deleted — no ghost
+   * neighbors, no collateral loss. Compaction (the physical form of
+   * the same filter) is pinned equivalent in `IndexLifecycleSpec`. */
+  def indexDelete(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      // the index is a materialized table (read back from storage in
+      // production); deletion must not re-derive any entry from vectors
+      val index = scope.persist(
+        Similarity.ivfPqIndex(emb, books, cents)).toDF()
+      val tombs = emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3))
+        .select("id")
+      val live = Similarity.ivfPqDelete(index, tombs)
+      val queries = emb.filter(col("id") < 5)
+      Similarity.ivfPqSearchIndex(queries, live, TopK, books, cents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** X21: SPLIT-LEAKAGE AUDIT — assign every document to train/val by
    * hash (reproducible, like x9), then find near-duplicate pairs that
    * CROSS the boundary: the eval-integrity check a pipeline runs before
@@ -1257,6 +1343,8 @@ object LlmQueries {
     "e14_incremental_index" -> (incrementalIndex _),
     "e15_filtered_topk" -> (filteredTopK _),
     "e16_stream_index_admission" -> (streamIndexAdmission _),
+    "e17_index_delete" -> (indexDelete _),
+    "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -1521,6 +1609,23 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
     }),
+    // w10 = the batch search over the union of the streamed queries —
+    // per-query results are micro-batch-assignment-independent
+    "w10_stream_ann_serve" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = "vec_id < 6")
+    }),
+    // the REBUILT form of e17: index over only the SURVIVING corpus
+    // (tombstoned slice excluded), same frozen base-trained literals —
+    // hash-equality proves logical deletion lost and leaked nothing
+    "e17_index_delete" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        cPred = s"NOT (vec_id % $DeleteMod = 3)")
+    }),
     // e16 = e14's semantics with the admission streamed: same rebuilt
     // oracle shape, distinct query slice
     "e16_stream_index_admission" -> ((s, dir) => {
@@ -1544,7 +1649,8 @@ object LlmQueries {
    * index the incremental Spark plan must equal. */
   private def ivfPqOracleSql(centsLit: String, booksLit: String,
                              normsLit: String,
-                             qPred: String = "vec_id < 5"): String =
+                             qPred: String = "vec_id < 5",
+                             cPred: String = "TRUE"): String =
     s"""WITH cents AS (SELECT $centsLit AS ct),
        |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
        |sub AS (SELECT vec_id, embedding,
@@ -1555,7 +1661,7 @@ object LlmQueries {
        |c AS (SELECT vec_id AS neighbor_id,
        |  -(${rankedSql("embedding")})[1].nj AS cell,
        |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
-       |  FROM sub, cents, cb),
+       |  FROM sub, cents, cb WHERE $cPred),
        |q AS (SELECT vec_id AS query_id,
        |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
        |    x -> -x.nj)) AS cell,

@@ -382,6 +382,25 @@ object Similarity {
     index.unionByName(ivfPqIndex(incoming, books, centsD))
 
   /**
+   * Tombstone DELETION over a prebuilt index — the remaining index
+   * lifecycle verb next to [[ivfPqAdmit]]: takedowns, license
+   * revocations and dedup verdicts remove documents from a corpus
+   * that the index must stop serving. Logical deletion is an anti-join
+   * on id — at 100 TB the tombstone side carries only 8-byte ids, so
+   * a takedown-sized list broadcasts and a bulk purge degrades to one
+   * id-keyed shuffle of the index, never a rebuild; either way no
+   * entry is re-derived (entries are row-local, the [[ivfPqAdmit]]
+   * argument in reverse). COMPACTION is this same frame written back
+   * over the index table (bucketed by cell, as at ingest): the
+   * recurring per-search anti-join cost becomes a one-time rewrite.
+   * `IndexLifecycleSpec` pins logical ≡ compacted ≡ rebuilt-without-
+   * deleted; the e17 gate hash-checks serve-after-delete against the
+   * rebuilt-form oracle.
+   */
+  def ivfPqDelete(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.join(tombstones.select("id"), Seq("id"), "left_anti")
+
+  /**
    * Search a PREBUILT `(id, cell, codes)` index table — the serving
    * path: never touches original vectors (the index is self-contained),
    * probes `nprobe` trained cells per query, ADC-scores only those

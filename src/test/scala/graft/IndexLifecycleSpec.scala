@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Similarity
+
+/** The index lifecycle's deletion/compaction half (e17): logical
+  * tombstone deletion, physical compaction, and serve-time bucket
+  * pruning over the persisted index table. The build/admit half is
+  * gated by e14/e16; here we pin the three facts the gate's oracle
+  * can't see — compaction equivalence, physical removal, and the
+  * scan-level I/O claim (a probe reads only its buckets). */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0 until 240).map { i =>
+    val a = Array.fill(8)(0.0f)
+    a(i % 8) = 1.0f; a((i + 3) % 8) = 0.01f * (i % 37)
+    (i.toLong, a)
+  }.toDF("id", "vec")
+
+  private val cents = Similarity.ivfCentroids(4, 8).map(_.map(_.toDouble))
+  private val books = Similarity.pqCodebooks(2, 4, 4)
+
+  test("logical delete == compacted == rebuilt-without-deleted; tombstones physically gone") {
+    val vecs = corpus
+    val tombs = vecs.filter(col("id") % 5 === 2).select("id")
+    val index = Similarity.ivfPqIndex(vecs, books, cents)
+    val live = Similarity.ivfPqDelete(index, tombs)
+
+    // compaction: the same frame written back over storage, read back
+    val dir = "target/tmp/idx_lifecycle_compact"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(dir))
+    live.write.mode("overwrite").parquet(dir)
+    val compacted = spark.read.parquet(dir)
+
+    // rebuilt form: index derived from only the surviving corpus
+    val rebuilt = Similarity.ivfPqIndex(
+      vecs.join(tombs, Seq("id"), "left_anti"), books, cents)
+
+    def serve(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearchIndex(vecs.filter(col("id") < 4), idx, 5,
+        books, cents, 2)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank").collect().toSeq
+
+    val logical = serve(live)
+    assert(logical == serve(compacted), "compacted serve drifted from logical")
+    assert(logical == serve(rebuilt), "logical delete drifted from rebuild")
+
+    // physical removal: no tombstoned id survives in the compacted files
+    assert(compacted.join(tombs, "id").count() == 0)
+    // and nothing else was lost
+    assert(compacted.count() == vecs.count() - tombs.count())
+  }
+
+  test("probe over the bucketed index table prunes to its buckets at the scan") {
+    Similarity.ivfPqIndex(corpus, books, cents)
+      .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
+    // without a join/agg in the plan the auto-bucketed-scan rule falls
+    // back to a plain file scan, which silently forfeits bucket pruning
+    // — a serving deployment keeps bucketed reads on for probe queries
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      // a query's nprobe cells arrive as an IN-list on the bucket
+      // column — the scan must select only those buckets' files, the
+      // file-level form of "search I/O = nprobe/nCells of the index"
+      val probed = spark.table("b_idx_prune")
+        .filter(col("cell").isin(1, 3))
+      val scan = probed.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      sel.findFirstMatchIn(scan) match {
+        case Some(m) =>
+          assert(m.group(1).toInt < m.group(2).toInt,
+            s"probe filter did not prune buckets:\n$scan")
+        case None => fail(s"no bucket pruning in plan:\n$scan")
+      }
+      assert(probed.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS b_idx_prune")
+    }
+  }
+}
