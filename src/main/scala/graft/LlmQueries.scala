@@ -826,6 +826,70 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E18's split state, memoized per dir (training + the occupancy scan
+   * run once; the query fn and the dynamic oracle read the SAME
+   * constants). Deterministic end-to-end: occupancy counts are exact,
+   * the fullest cell ties to the smaller id, and the 2-means sub-split
+   * is [[Similarity.trainIvfCentroids]]'s DECIMAL-exact Lloyd
+   * restricted to the cell's members. */
+  private val splitMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Double]], Int, Seq[Seq[Double]], Seq[Seq[Double]])]
+  private def splitState(s: SparkSession, dir: String):
+      (Seq[Seq[Double]], Int, Seq[Seq[Double]], Seq[Seq[Double]]) =
+    splitMemo.getOrElseUpdate(dir, {
+      val oldCents = trainedCents(s, dir)
+      val emb = embFrame(s, dir)
+      val counts = emb
+        .select(Similarity.ivfAssignD(col("vec"), oldCents).as("cell"))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // fullest cell, ties to the smaller id — the probe-cost hot spot
+      val c = (0 until oldCents.size)
+        .maxBy(j => (counts.getOrElse(j, 0L), -j.toLong))
+      val subs = Similarity.trainIvfCentroids(
+        emb.filter(Similarity.ivfAssignD(col("vec"), oldCents) === c),
+        nCells = 2, dim = Dim, iters = 3)
+      val newCents = oldCents.updated(c, subs(0)) :+ subs(1)
+      (oldCents, c, subs, newCents)
+    })
+
+  /** E18: IVF cell SPLIT — incremental rebalance of an overflowing
+   * cell, the maintenance verb continual admission (e14/e16) makes
+   * necessary: probe cost is Σ|probed cells|, so the fullest cell
+   * bounds search I/O, and production indexes split it rather than
+   * retrain the world (FAISS rebalancing / segment-split semantics).
+   * The split is SURGICAL and O(|cell|): a 2-means trains on only the
+   * cell's members, only those members fetch their vectors and choose
+   * between the two sub-centroids (ties to the first — the same
+   * smaller-id rule as the quantizer), every other entry is untouched,
+   * and PQ codes never change (codebooks encode raw vectors, not
+   * residuals). Queries probe the post-split centroid table. The
+   * deliberate production trade pinned by the oracle: non-members do
+   * NOT re-rank against the new sub-centroids (no global reshuffle) —
+   * the oracle computes exactly this surgical assignment, so the hash
+   * gate proves the split moved precisely the split cell's members and
+   * nothing else. */
+  def cellSplit(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooks(s, dir)
+    val (oldCents, c, subs, newCents) = splitState(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      val index = scope.persist(
+        Similarity.ivfPqIndex(emb, books, oldCents)).toDF()
+      val moved = index.filter(col("cell") === c)
+        .join(emb, "id")
+        .select(col("id"),
+          when(Similarity.ivfAssignD(col("vec"), subs) === 0, lit(c))
+            .otherwise(lit(oldCents.size)).as("cell"),
+          col("codes"))
+      val updated = index.filter(col("cell") =!= c).unionByName(moved)
+      val queries = emb.filter(col("id") < 5)
+      Similarity.ivfPqSearchIndex(queries, updated, TopK, books,
+        newCents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** E17: index DELETION — serve after tombstoning. A production index
    * outlives its corpus membership: takedowns and dedup verdicts
    * (d12's world) remove documents, and search must stop returning
@@ -1344,6 +1408,7 @@ object LlmQueries {
     "e15_filtered_topk" -> (filteredTopK _),
     "e16_stream_index_admission" -> (streamIndexAdmission _),
     "e17_index_delete" -> (indexDelete _),
+    "e18_cell_split" -> (cellSplit _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -1438,9 +1503,9 @@ object LlmQueries {
   /** Cells ranked desc by centroid score, ties to smaller id — mirrors
    * Similarity.rankCells / IvfRankCells (list_sort asc then reverse =
    * rank desc on (score, -cellId)). */
-  private def rankedSql(v: String, nCells: Int = NCells) =
+  private def rankedSql(v: String, nCells: Int = NCells, ct: String = "ct") =
     s"""list_reverse(list_sort(list_transform(range(1, ${nCells + 1}),
-       |  j -> {'s': ${dotSql("ct[j]", v)}, 'nj': -j})))""".stripMargin
+       |  j -> {'s': ${dotSql(s"$ct[j]", v)}, 'nj': -j})))""".stripMargin
 
   /** e3/e3b/e9/e9c share one oracle shape: the centroid literal (and
    * its count — e9c's scales with √n), the query predicate (5 probes vs
@@ -1609,6 +1674,31 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
     }),
+    // e18's surgical form: corpus-side cell = old assignment except the
+    // split cell's members, which choose between the two sub-centroids
+    // (ties to the first); queries probe the post-split table (ct2).
+    // Cell ids here are the oracle's own 1-based convention — only the
+    // partition STRUCTURE must match the Spark plan, and it does:
+    // oracle cell c+1 ↔ spark cell c (sub0), oracle n+1 ↔ spark n (sub1)
+    "e18_cell_split" -> ((s, dir) => {
+      val books = trainedBooks(s, dir)
+      val (oldCents, c, subs, newCents) = splitState(s, dir)
+      val n = oldCents.size
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      ivfPqOracleSql(doubleLit2(oldCents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        extraCtes =
+          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+             |cents3 AS (SELECT ${doubleLit2(subs)} AS ct3),
+             |""".stripMargin,
+        fromExtra = ", cents2, cents3",
+        cCell =
+          s"""CASE WHEN $oldCell = ${c + 1}
+             |    THEN CASE WHEN -(${rankedSql("embedding", 2, "ct3")})[1].nj = 1
+             |         THEN ${c + 1} ELSE ${n + 1} END
+             |    ELSE $oldCell END""".stripMargin,
+        qRanked = rankedSql("embedding", n + 1, "ct2"))
+    }),
     // w10 = the batch search over the union of the streamed queries —
     // per-query results are micro-batch-assignment-independent
     "w10_stream_ann_serve" -> ((s, dir) => {
@@ -1650,25 +1740,34 @@ object LlmQueries {
   private def ivfPqOracleSql(centsLit: String, booksLit: String,
                              normsLit: String,
                              qPred: String = "vec_id < 5",
-                             cPred: String = "TRUE"): String =
+                             cPred: String = "TRUE",
+                             extraCtes: String = "",
+                             fromExtra: String = "",
+                             cCell: String = null,
+                             qRanked: String = null): String = {
+    // e18 overrides the corpus-side cell expression (surgical split
+    // assignment) and the query-side probe ranking (post-split
+    // centroid table); every other oracle keeps the defaults
+    val cc = Option(cCell).getOrElse(s"-(${rankedSql("embedding")})[1].nj")
+    val qr = Option(qRanked).getOrElse(rankedSql("embedding"))
     s"""WITH cents AS (SELECT $centsLit AS ct),
-       |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
+       |${extraCtes}cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
        |sub AS (SELECT vec_id, embedding,
        |  ${(0 until PqM).map(j =>
               s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
               .mkString(",\n  ")}
        |  FROM embeddings),
        |c AS (SELECT vec_id AS neighbor_id,
-       |  -(${rankedSql("embedding")})[1].nj AS cell,
+       |  ($cc) AS cell,
        |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
-       |  FROM sub, cents, cb WHERE $cPred),
+       |  FROM sub, cents$fromExtra, cb WHERE $cPred),
        |q AS (SELECT vec_id AS query_id,
-       |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
+       |  unnest(list_transform(list_slice($qr, 1, $NProbe),
        |    x -> -x.nj)) AS cell,
        |  [${(0 until PqM).map(j =>
               s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"s$j")})")
               .mkString(",\n   ")}] AS adct
-       |  FROM sub, cents, cb WHERE $qPred),
+       |  FROM sub, cents$fromExtra, cb WHERE $qPred),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
@@ -1677,6 +1776,7 @@ object LlmQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
        |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
 
   private def bucketSql(vec: String) =
     (0 until NPlanes).map { j =>

@@ -53,6 +53,40 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(compacted.count() == vecs.count() - tombs.count())
   }
 
+  test("cell split is surgical: only the split cell's members move, everything else is untouched") {
+    val vecs = corpus
+    val index = Similarity.ivfPqIndex(vecs, books, cents)
+    val occupancy = index.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = (0 until cents.size).maxBy(j => (occupancy.getOrElse(j, 0L), -j.toLong))
+    val subs = Similarity.trainIvfCentroids(
+      vecs.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
+      nCells = 2, dim = 8, iters = 3)
+    val moved = index.filter(col("cell") === c).join(vecs, "id")
+      .select(col("id"),
+        when(Similarity.ivfAssignD(col("vec"), subs) === 0, lit(c))
+          .otherwise(lit(cents.size)).as("cell"),
+        col("codes"))
+    val updated = index.filter(col("cell") =!= c).unionByName(moved)
+
+    assert(updated.count() == index.count(), "split lost or duplicated entries")
+    // non-members keep their exact rows
+    val drifted = updated.as("u").join(index.as("i"), "id")
+      .filter(col("i.cell") =!= c)
+      .filter(col("u.cell") =!= col("i.cell") || col("u.codes") =!= col("i.codes"))
+    assert(drifted.count() == 0, "a non-member entry changed")
+    // members land only in the two sub-cells, and both semantics agree
+    val landed = updated.join(index.filter(col("cell") === c).select("id"), "id")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(landed.subsetOf(Set(c, cents.size)))
+    // the hot spot shrank: members distribute across BOTH sub-cells
+    val subSizes = updated.filter(col("cell").isin(c, cents.size))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    assert(subSizes.sum == occupancy(c))
+    assert(subSizes.length == 2 && subSizes.max < occupancy(c),
+      s"2-means split degenerated: ${subSizes.toSeq} vs ${occupancy(c)}")
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
