@@ -1158,6 +1158,29 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M6: IMAGE perceptual-hash dedup — multimodal near-dup detection
+   * composed from the REAL decode path: PNG payloads decode in the
+   * partition-batched seam, average-hash (8×8 nearest sample,
+   * threshold against the sampled mean, [[Multimodal.imagePHash]]),
+   * then the d1-style verdict over the HASH instead of the bytes:
+   * images sharing an aHash group together regardless of global
+   * brightness (the mean threshold cancels the offset — exactly the
+   * re-brightened copies byte-level dedup can never see; the synthetic
+   * corpus plants them, since `a = len % 200` varies while the
+   * gradient structure repeats per (w,h)). At 100 TB the decode+hash
+   * is one narrow corpus pass and the verdict shuffles 8-byte hashes,
+   * never pixels — the image analog of d1's digest contract. */
+  def imagePHashDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Multimodal.packAsPng(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.imagePHash(packed)
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("hash_hi", "hash_lo")))
+      .select(col("media_id"), col("hash_hi"), col("hash_lo"),
+        col("n_same"))
+      .orderBy("media_id")
+  }
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -1430,7 +1453,8 @@ object LlmQueries {
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
-    "m5_video_stats" -> (videoStats _)
+    "m5_video_stats" -> (videoStats _),
+    "m6_image_phash_dedup" -> (imagePHashDedup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -2608,6 +2632,36 @@ object LlmQueries {
         |  CAST(w2*h2*a + 2*(h2*(w2*(w2-1)//2) + w2*(h2*(h2-1)//2)) AS BIGINT)
         |    AS pixel_sum
         |FROM r ORDER BY media_id""".stripMargin,
+    // aHash in closed form: sampled(i,j) = a + (i*w)//8 + (j*h)//8,
+    // bit = 64*sampled >= Σsampled (the integer form of p >= mean; the
+    // brightness offset a cancels), bits packed row-major into two
+    // 32-bit halves — mirrors Multimodal.imagePHash exactly
+    "m6_image_phash_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 16 AS w,
+        |    1 + length(text) % 12 AS h, length(text) % 200 AS a
+        |  FROM documents),
+        |g AS (SELECT doc_id, a,
+        |  list_transform(range(0, 8), i -> (i * w) // 8) AS xs,
+        |  list_transform(range(0, 8), j -> (j * h) // 8) AS ys
+        |  FROM d),
+        |s AS (SELECT doc_id, a, xs, ys,
+        |  64 * a + 8 * list_sum(xs) + 8 * list_sum(ys) AS total FROM g),
+        |hh AS (SELECT doc_id,
+        |  CAST(list_sum(flatten(list_transform(range(4, 8), j ->
+        |    list_transform(range(0, 8), i ->
+        |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
+        |        THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0::BIGINT END))))
+        |    AS BIGINT) AS hash_hi,
+        |  CAST(list_sum(flatten(list_transform(range(0, 4), j ->
+        |    list_transform(range(0, 8), i ->
+        |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
+        |        THEN (1::BIGINT << (j * 8 + i)) ELSE 0::BIGINT END))))
+        |    AS BIGINT) AS hash_lo
+        |  FROM s)
+        |SELECT doc_id AS media_id, hash_hi, hash_lo,
+        |  count(*) OVER (PARTITION BY hash_hi, hash_lo) AS n_same
+        |FROM hh ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

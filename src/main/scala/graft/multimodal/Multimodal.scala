@@ -211,6 +211,67 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Perceptual AVERAGE-HASH over decoded image payloads — the image
+   * half of near-duplicate detection (aHash: Krawetz's classic): decode,
+   * nearest-neighbor sample onto a `grid`×`grid` raster (src index =
+   * (i·dim)/grid, up- and down-sampling alike), threshold each sampled
+   * pixel against the sampled MEAN, pack the bits row-major. The
+   * threshold subtracts the mean, so a global brightness shift cancels
+   * — aHash groups exactly the re-brightened copies that byte-level
+   * dedup (d1) can never see. All arithmetic is integer
+   * (`64·p >= Σsampled` avoids the division), so the DuckDB oracle
+   * rebuilds the hash in closed form from the synthesis algebra. The
+   * 64-bit hash ships as two 32-bit halves (`hash_hi` bits 32..63,
+   * `hash_lo` bits 0..31) because a signed BIGINT cannot carry bit 63
+   * portably across engines. Runs in the same per-partition decoder
+   * seam as [[extractImageFeatures]].
+   */
+  def imagePHash(df: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"grid^2 must fit the 64-bit hash, got $grid")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hash_hi", LongType, nullable = false),
+      StructField("hash_lo", LongType, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, "undecodable image payload")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val sampled = Array.ofDim[Int](grid * grid)
+        var j = 0
+        while (j < grid) {
+          var i = 0
+          while (i < grid) {
+            sampled(j * grid + i) =
+              raster.getSample(i * w / grid, j * h / grid, 0)
+            i += 1
+          }
+          j += 1
+        }
+        val total = sampled.foldLeft(0L)(_ + _)
+        val n = grid.toLong * grid
+        var hi = 0L; var lo = 0L
+        var pos = 0
+        while (pos < grid * grid) {
+          if (n * sampled(pos) >= total) { // p >= mean, integer-exact
+            if (pos < 32) lo |= 1L << pos
+            else hi |= 1L << (pos - 32)
+          }
+          pos += 1
+        }
+        Row(r.getLong(0), hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Metadata carried beside an audio payload. */
   val AudioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),

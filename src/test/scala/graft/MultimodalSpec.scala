@@ -35,6 +35,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getDouble(5) === sum.toDouble / (w * h))
   }
 
+  test("aHash is brightness-invariant and structure-sensitive") {
+    // same (w,h) gradient, different brightness offset a: len 50 and
+    // len 434 both give w=3,h=3 (50%16=2, 434%16=2; 50%12=2, 434%12=2)
+    // but a=50 vs a=34 — byte-unequal PNGs, equal aHash
+    val same = Seq((1L, "x" * 50), (2L, "y" * 434)).toDF("doc_id", "text")
+    val hs = Multimodal.imagePHash(
+        Multimodal.packAsPng(same, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    assert(hs(0).getLong(1) == hs(1).getLong(1) &&
+           hs(0).getLong(2) == hs(1).getLong(2),
+      "brightness-shifted copies must hash equal")
+    // different raster shape → different sampled structure → hash differs
+    val diff = Seq((3L, "x" * 50), (4L, "y" * 51)).toDF("doc_id", "text")
+    val hd = Multimodal.imagePHash(
+        Multimodal.packAsPng(diff, "doc_id", "text"))
+      .orderBy("media_id").collect()
+    assert(hd(0).getLong(1) != hd(1).getLong(1) ||
+           hd(0).getLong(2) != hd(1).getLong(2),
+      "different gradients should not collide on this fixture")
+  }
+
   test("a corrupt payload fails loudly, not with silent zeros") {
     val d = new ImageIoDecoder
     val e = intercept[IllegalArgumentException](
