@@ -739,28 +739,39 @@ object LlmQueries {
    * the REBUILT whole-corpus form with the same frozen literals, so
    * the gate proves the streamed admission lost, duplicated, and
    * re-derived nothing. */
-  def streamIndexAdmission(s: SparkSession, dir: String): DataFrame = {
+  /** Shared harness for the streaming index gates (e16 admission, w10
+   * serving): wipe `base`, stage `waves` pmod-partitioned slices of
+   * `df` as minute-spaced files under `base/in`, and return the scoped
+   * file-source stream over them (`maxFilesPerTrigger=1`, fresh
+   * session, small shuffle) — one staging protocol, so a fix to the
+   * mtime stamping or wave partitioning lands in both gates. */
+  private def stageWaveStream(s: SparkSession, base: String, df: DataFrame,
+                              waves: Int = 3): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val books = trainedBooksBase(s, dir)
-    val cents = trainedCentsBase(s, dir)
-    val emb = embFrame(s, dir)
-    val base = s"target/tmp/e16_${new java.io.File(dir).getName}"
     graft.util.Fs.deleteRecursive(Paths.get(base))
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    val baseDir = s"$base/index_base"
-    val deltaDir = s"$base/index_delta"
-    Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents)
-      .write.mode("overwrite").parquet(baseDir)
-    val incoming = emb.filter(col("id") >= AdmitBoundary)
-    (0 until 3).foreach { i =>
-      graft.Tables.stageFile(incoming.filter(pmod(col("id"), lit(3)) === i),
+    (0 until waves).foreach { i =>
+      graft.Tables.stageFile(df.filter(pmod(col("id"), lit(waves)) === i),
         in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
     }
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = scoped.readStream.schema(incoming.schema)
+    scoped.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
+  }
+
+  def streamIndexAdmission(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e16_${new java.io.File(dir).getName}"
+    val incoming = emb.filter(col("id") >= AdmitBoundary)
+    val stream = stageWaveStream(s, base, incoming)
+    val baseDir = s"$base/index_base"
+    val deltaDir = s"$base/index_delta"
+    Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents)
+      .write.mode("overwrite").parquet(baseDir)
     val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .option("path", deltaDir).format("parquet").start()
@@ -789,27 +800,16 @@ object LlmQueries {
    * are independent of micro-batch assignment, so the oracle is the
    * plain rebuilt search over the union of all streamed queries. */
   def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
     val books = trainedBooksBase(s, dir)
     val cents = trainedCentsBase(s, dir)
     val emb = embFrame(s, dir)
     val base = s"target/tmp/w10_${new java.io.File(dir).getName}"
-    graft.util.Fs.deleteRecursive(Paths.get(base))
-    val in = Paths.get(base, "in")
-    Files.createDirectories(in)
+    val queries = emb.filter(col("id") < 6)
+    val stream = stageWaveStream(s, base, queries)
     val indexDir = s"$base/index"
     val outDir = s"$base/out"
     Similarity.ivfPqIndex(emb, books, cents)
       .write.mode("overwrite").parquet(indexDir)
-    val queries = emb.filter(col("id") < 6)
-    (0 until 3).foreach { i =>
-      graft.Tables.stageFile(queries.filter(pmod(col("id"), lit(3)) === i),
-        in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
-    }
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = scoped.readStream.schema(queries.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in.toString)
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -876,13 +876,8 @@ object LlmQueries {
     CacheScope.materialized { implicit scope =>
       val index = scope.persist(
         Similarity.ivfPqIndex(emb, books, oldCents)).toDF()
-      val moved = index.filter(col("cell") === c)
-        .join(emb, "id")
-        .select(col("id"),
-          when(Similarity.ivfAssignD(col("vec"), subs) === 0, lit(c))
-            .otherwise(lit(oldCents.size)).as("cell"),
-          col("codes"))
-      val updated = index.filter(col("cell") =!= c).unionByName(moved)
+      val updated = Similarity.ivfPqSplit(index, emb, c, subs,
+        newCell = oldCents.size)
       val queries = emb.filter(col("id") < 5)
       Similarity.ivfPqSearchIndex(queries, updated, TopK, books,
         newCents, NProbe)

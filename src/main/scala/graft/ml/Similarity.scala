@@ -401,6 +401,39 @@ object Similarity {
     index.join(tombstones.select("id"), Seq("id"), "left_anti")
 
   /**
+   * SURGICAL cell split — the rebalance verb continual admission makes
+   * necessary: probe cost is Σ|probed cells|, so the fullest cell
+   * bounds search I/O, and a production index splits it rather than
+   * retrain the world. O(|cell|) by construction: only the split
+   * cell's members join their vectors back and choose between the two
+   * sub-centroids (`subs`, trained by [[trainIvfCentroids]] on just
+   * those members; ties to sub 0 — the same smaller-id rule as the
+   * quantizer); sub 0 keeps the old cell id, sub 1 takes `newCell`;
+   * PQ codes never change (codebooks encode raw vectors, not
+   * residuals); every other entry is untouched. The deliberate
+   * production trade: non-members do NOT re-rank against the new
+   * sub-centroids — no global reshuffle. The e18 gate's oracle
+   * computes exactly this surgical assignment.
+   *
+   * Scale note: the member-vector fetch is an id equi-join; a cell too
+   * big to broadcast would otherwise shuffle the vector table, so at
+   * 100 TB store the raw vectors cell-partitioned like the index
+   * itself — the fetch is then a pruned scan of one cell's files
+   * (the same `SelectedBucketsCount` contract the serve path uses).
+   */
+  def ivfPqSplit(index: DataFrame, vecs: DataFrame, cell: Int,
+                 subs: Seq[Seq[Double]], newCell: Int): DataFrame = {
+    require(subs.size == 2, s"split is binary, got ${subs.size} subs")
+    val moved = index.filter(col("cell") === cell)
+      .join(vecs.select("id", "vec"), "id")
+      .select(col("id"),
+        when(ivfAssignD(col("vec"), subs) === 0, lit(cell))
+          .otherwise(lit(newCell)).as("cell"),
+        col("codes"))
+    index.filter(col("cell") =!= cell).unionByName(moved)
+  }
+
+  /**
    * Search a PREBUILT `(id, cell, codes)` index table — the serving
    * path: never touches original vectors (the index is self-contained),
    * probes `nprobe` trained cells per query, ADC-scores only those

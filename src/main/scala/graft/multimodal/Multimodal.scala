@@ -219,13 +219,16 @@ object Multimodal {
    * pixel against the sampled MEAN, pack the bits row-major. The
    * threshold subtracts the mean, so a global brightness shift cancels
    * — aHash groups exactly the re-brightened copies that byte-level
-   * dedup (d1) can never see. All arithmetic is integer
-   * (`64·p >= Σsampled` avoids the division), so the DuckDB oracle
-   * rebuilds the hash in closed form from the synthesis algebra. The
-   * 64-bit hash ships as two 32-bit halves (`hash_hi` bits 32..63,
-   * `hash_lo` bits 0..31) because a signed BIGINT cannot carry bit 63
-   * portably across engines. Runs in the same per-partition decoder
-   * seam as [[extractImageFeatures]].
+   * dedup (d1) can never see. A multi-band (RGB) raster folds to
+   * unweighted band sums before thresholding — brightness-proportional
+   * like the classic grayscale-first aHash, and exactly the single
+   * band when the image is grayscale (the repo's fixtures). All
+   * arithmetic is integer (`64·p >= Σsampled` avoids the division), so
+   * the DuckDB oracle rebuilds the hash in closed form from the
+   * synthesis algebra. The 64-bit hash ships as two 32-bit halves
+   * (`hash_hi` bits 32..63, `hash_lo` bits 0..31) because a signed
+   * BIGINT cannot carry bit 63 portably across engines. Runs in the
+   * same per-partition decoder seam as [[extractImageFeatures]].
    */
   def imagePHash(df: DataFrame, grid: Int = 8): DataFrame = {
     require(grid >= 1 && grid * grid <= 64,
@@ -244,13 +247,16 @@ object Multimodal {
         require(img != null, "undecodable image payload")
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
+        val bands = raster.getNumBands
         val sampled = Array.ofDim[Int](grid * grid)
         var j = 0
         while (j < grid) {
           var i = 0
           while (i < grid) {
-            sampled(j * grid + i) =
-              raster.getSample(i * w / grid, j * h / grid, 0)
+            val (sx, sy) = (i * w / grid, j * h / grid)
+            var p = 0; var b = 0
+            while (b < bands) { p += raster.getSample(sx, sy, b); b += 1 }
+            sampled(j * grid + i) = p
             i += 1
           }
           j += 1

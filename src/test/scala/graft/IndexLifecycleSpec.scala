@@ -62,12 +62,8 @@ class IndexLifecycleSpec extends SparkSpec {
     val subs = Similarity.trainIvfCentroids(
       vecs.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
       nCells = 2, dim = 8, iters = 3)
-    val moved = index.filter(col("cell") === c).join(vecs, "id")
-      .select(col("id"),
-        when(Similarity.ivfAssignD(col("vec"), subs) === 0, lit(c))
-          .otherwise(lit(cents.size)).as("cell"),
-        col("codes"))
-    val updated = index.filter(col("cell") =!= c).unionByName(moved)
+    val updated = Similarity.ivfPqSplit(index, vecs, c, subs,
+      newCell = cents.size)
 
     assert(updated.count() == index.count(), "split lost or duplicated entries")
     // non-members keep their exact rows
