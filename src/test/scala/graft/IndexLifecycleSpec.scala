@@ -53,6 +53,19 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(compacted.count() == vecs.count() - tombs.count())
   }
 
+  test("takedown-sized tombstone delete plans as a broadcast anti-join") {
+    // the 100 TB claim: the tombstone side is 8-byte ids, so a
+    // takedown-sized list broadcasts — the index side never shuffles
+    val index = Similarity.ivfPqIndex(corpus, books, cents)
+    val tombs = corpus.filter(col("id") < 5).select("id")
+    val plan = Similarity.ivfPqDelete(index, tombs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"small tombstone set should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"delete must not sort-merge on a broadcastable tombstone list:\n$plan")
+  }
+
   test("cell split is surgical: only the split cell's members move, everything else is untouched") {
     val vecs = corpus
     val index = Similarity.ivfPqIndex(vecs, books, cents)
