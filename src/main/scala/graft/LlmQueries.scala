@@ -826,6 +826,37 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private val trainedResPq =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+  /** e19's residual codebooks: trained on `vec − centroid(cell)` with
+   * the full-corpus trained coarse centroids; memoized per dir like
+   * every trained constant. */
+  private def trainedResidualBooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    trainedResPq.getOrElseUpdate(dir,
+      Similarity.trainResidualBooks(embFrame(s, dir), PqM, PqSubDim, PqCodes,
+        trainedCents(s, dir), iters = 2, sampleMod = 4))
+
+  /** E19: RESIDUAL IVF-PQ search — the FAISS-fidelity composition
+   * ([[Similarity.ivfPqResidualIndex]]): both stages trained (spherical
+   * k-means coarse cells, Lloyd codebooks over the RESIDUALS), codes
+   * quantize `vec − centroid(cell)` so the byte budget spends itself on
+   * within-cell detail, and search scores the MIPS decomposition
+   * `dot(q,c) + dot(q,r̂)` — the coarse term exact per probed cell, one
+   * raw-query ADC table shared across probes. HASH-EXACT end to end
+   * like e7b: training is
+   * DECIMAL-deterministic and the float→double residual widening is
+   * exact, so the oracle rebuilds the identical residuals, codes and
+   * scores from the rendered literals. */
+  def residualTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCents(s, dir)
+    val books = trainedResidualBooks(s, dir)
+    val emb = embFrame(s, dir)
+    Similarity.ivfPqResidualTopK(emb.filter(col("id") < 5), emb,
+        TopK, books, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** E18's split state, memoized per dir (training + the occupancy scan
    * run once; the query fn and the dynamic oracle read the SAME
    * constants). Deterministic end-to-end: occupancy counts are exact,
@@ -1427,6 +1458,7 @@ object LlmQueries {
     "e16_stream_index_admission" -> (streamIndexAdmission _),
     "e17_index_delete" -> (indexDelete _),
     "e18_cell_split" -> (cellSplit _),
+    "e19_ivfpq_residual_topk" -> (residualTopK _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -1693,6 +1725,14 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
     }),
+    // e19 = the residual shape: both sides re-residualize against ct
+    // before slicing; codes/ADC reuse the shared PQ fragments over the
+    // residual slices
+    "e19_ivfpq_residual_topk" -> ((s, dir) => {
+      val books = trainedResidualBooks(s, dir)
+      residualOracleSql(doubleLit2(trainedCents(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)))
+    }),
     // e18's surgical form: corpus-side cell = old assignment except the
     // split cell's members, which choose between the two sub-centroids
     // (ties to the first); queries probe the post-split table (ct2).
@@ -1790,6 +1830,56 @@ object LlmQueries {
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    (${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
+       |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
+       |SELECT query_id, rank, neighbor_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
+       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** e19's oracle: codes quantize the corpus RESIDUAL
+   * `rv[i] = embedding[i]::DOUBLE − ct[cell][i]` (slices named `s$j`
+   * so [[pqCodeSql]] applies unchanged); search scores the
+   * inner-product decomposition — an exact `dot(q, ct[cell])`
+   * (sequential fold, the same shape as [[dotSql]]) plus the raw
+   * query's ADC over the residual codebooks. */
+  private def residualOracleSql(centsLit: String, booksLit: String,
+                                normsLit: String,
+                                qPred: String = "vec_id < 5"): String = {
+    val rvSql = s"""list_transform(range(1, ${Dim + 1}),
+                   |    i -> embedding[i]::DOUBLE - ct[cell][i])""".stripMargin
+    def slices(src: String) = (0 until PqM).map(j =>
+      s"list_slice($src, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
+      .mkString(",\n  ")
+    s"""WITH cents AS (SELECT $centsLit AS ct),
+       |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
+       |cbase AS (SELECT vec_id, embedding,
+       |  -(${rankedSql("embedding")})[1].nj AS cell
+       |  FROM embeddings, cents),
+       |cres AS (SELECT vec_id, cell, $rvSql AS rv FROM cbase, cents),
+       |csub AS (SELECT vec_id, cell,
+       |  ${slices("rv")}
+       |  FROM cres),
+       |c AS (SELECT vec_id AS neighbor_id, cell,
+       |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
+       |  FROM csub, cb),
+       |qbase AS (SELECT vec_id AS query_id, embedding,
+       |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
+       |    x -> -x.nj)) AS cell
+       |  FROM embeddings, cents WHERE $qPred),
+       |q AS (SELECT query_id, cell,
+       |  ${dotSql("embedding", "ct[cell]")} AS cent_dot,
+       |  [${(0 until PqM).map(j =>
+              s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"sq$j")})")
+              .mkString(",\n   ")}] AS adct
+       |  FROM (SELECT query_id, cell, embedding,
+       |    ${(0 until PqM).map(j =>
+              s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS sq$j")
+              .mkString(",\n    ")}
+       |    FROM qbase) qs, cents, cb),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    (cent_dot + ${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc
        |  FROM q JOIN c USING (cell) WHERE query_id <> neighbor_id)
        |SELECT query_id, rank, neighbor_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id

@@ -460,6 +460,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Residual of a vector against one cell's centroid — float lanes
+   * widen to double (exact) before the IEEE subtraction, so the DuckDB
+   * mirror `embedding[i]::DOUBLE - ct[cell][i]` lands on identical
+   * bits. `cell` is the 0-based quantizer output. */
+  private def residualCol(vec: Column, cell: Column,
+                          centsD: Seq[Seq[Double]]): Column =
+    zip_with(vec.cast("array<double>"),
+      element_at(typedLit(centsD.map(_.toSeq)), cell + lit(1)),
+      (a, b) => a - b)
+
+  /**
+   * RESIDUAL IVF-PQ index — the FAISS-fidelity variant of
+   * [[ivfPqIndex]]: codes quantize the residual `vec − centroid(cell)`
+   * instead of the raw vector. Residuals concentrate near the origin
+   * (the coarse quantizer removed the between-cell variance), so the
+   * same code budget spends its resolution on the within-cell detail —
+   * the accuracy argument for residual encoding. Search scores by the
+   * inner-product decomposition `dot(q,c) + dot(q,r̂)` — an exact
+   * centroid term per probed cell plus ONE raw-query ADC table over
+   * the residual codebooks ([[ivfPqResidualTopK]]). Index build stays
+   * a row-local narrow map (assign, subtract, encode), so the whole
+   * lifecycle contract (admit/delete/split) carries over unchanged.
+   */
+  def ivfPqResidualIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+                         centsD: Seq[Seq[Double]]): DataFrame =
+    corpus
+      .select(col("id"), col("vec"),
+        ivfAssignD(col("vec"), centsD).as("cell"))
+      .select(col("id"), col("cell"),
+        pqEncodeCol(residualCol(col("vec"), col("cell"), centsD),
+          books, pqCellNorms(books)).as("codes"))
+
+  /** Train PQ codebooks on the RESIDUALS (each vector minus its
+   * assigned cell's centroid) — the codebooks [[ivfPqResidualIndex]]
+   * encodes against. Same deterministic per-subspace Lloyd as
+   * [[trainPqCodebooks]]. */
+  def trainResidualBooks(corpus: DataFrame, m: Int, subDim: Int, codes: Int,
+                         centsD: Seq[Seq[Double]], iters: Int,
+                         sampleMod: Int): Seq[Seq[Seq[Double]]] =
+    trainPqCodebooks(corpus.select(col("id"),
+      residualCol(col("vec"), ivfAssignD(col("vec"), centsD), centsD)
+        .as("vec")),
+      m, subDim, codes, iters, sampleMod)
+
+  /** Residual IVF-PQ search via the inner-product decomposition
+   * `dot(q, x) ≈ dot(q, c_cell) + dot(q, r̂)`: the centroid term is
+   * EXACT (one Dim-length fold per probed cell), and the residual term
+   * is one ADC table of the RAW query against the residual codebooks —
+   * computed once per query and shared across its probes, the same
+   * single-table cost as raw IVF-PQ. The corpus side remains
+   * `(id, cell, codes)` only; the coarse quantizer's contribution to
+   * the score is carried exactly instead of being re-approximated by
+   * the codes, which is where the accuracy gain over raw-vector PQ
+   * comes from (measured: see `bench/residual_recall_r10.json`). */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                        books: Seq[Seq[Seq[Double]]],
+                        centsD: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = books.size
+    val c = ivfPqResidualIndex(corpus, books, centsD)
+      .withColumnRenamed("id", "neighbor_id")
+    // dot(q, ct[cell]) as the same sequential fold the oracle uses
+    val centTerm = aggregate(
+      zip_with(col("vec").cast("array<double>"),
+        element_at(typedLit(centsD.map(_.toSeq)), col("cell") + lit(1)),
+        (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val q = queries
+      .select(col("id").as("query_id"), col("vec"),
+        pqAdcCol(col("vec"), books).as("adct"),
+        explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"))
+      .select(col("query_id"), col("cell"), col("adct"),
+        centTerm.as("cent_dot"))
+    // fold LEFT from cent_dot — ((cent+t1)+t2)+… — the same association
+    // the oracle's rendered sum uses, so the doubles agree to the bit
+    val adc = (col("cent_dot") +: (0 until m).map(j =>
+      element_at(element_at(col("adct"), j + 1),
+        element_at(col("codes"), j + 1)))).reduce(_ + _)
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (j, d) =
    * (h60("plane_j_d") mod 2001) - 1000, literal-embedded in the plan and
    * reproducible in SQL. */
