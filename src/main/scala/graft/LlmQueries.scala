@@ -857,6 +857,30 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  // e20's candidate width: ADC retrieves 3k candidates, exact cosine
+  // reranks them down to k
+  private val RerankN = 3 * TopK
+
+  /** E20: two-stage ADC retrieve + EXACT rerank
+   * ([[Similarity.ivfPqRerankTopK]]) — the FAISS `refine` stage, the
+   * standard production serving pipeline: stage 1 scans only the m
+   * codes per vector (e7b's trained IVF-PQ) for 3k candidates, stage 2
+   * fetches exact vectors for ONLY those candidates (queries×3k rows,
+   * broadcast-sized) and re-ranks by true cosine. Recall's ceiling
+   * moves from the code quality to stage-1 candidate recall. The
+   * oracle nests the full e7b shape as the candidate subquery and
+   * reranks with the same cosine the e1 gate pins, so the final
+   * ordering is hash-exact. */
+  def rerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCents(s, dir)
+    val books = trainedBooks(s, dir)
+    val emb = embFrame(s, dir)
+    Similarity.ivfPqRerankTopK(emb.filter(col("id") < 5), emb,
+        TopK, RerankN, books, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** E18's split state, memoized per dir (training + the occupancy scan
    * run once; the query fn and the dynamic oracle read the SAME
    * constants). Deterministic end-to-end: occupancy counts are exact,
@@ -1459,6 +1483,7 @@ object LlmQueries {
     "e17_index_delete" -> (indexDelete _),
     "e18_cell_split" -> (cellSplit _),
     "e19_ivfpq_residual_topk" -> (residualTopK _),
+    "e20_ivfpq_exact_rerank" -> (rerankTopK _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -1725,6 +1750,25 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 5 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 3}))")
     }),
+    // e20 nests the full e7b candidate query (topK widened to 3k) and
+    // reranks by the e1-pinned exact cosine
+    "e20_ivfpq_exact_rerank" -> ((s, dir) => {
+      val books = trainedBooks(s, dir)
+      val inner = ivfPqOracleSql(doubleLit2(trainedCents(s, dir)),
+        doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)),
+        topK = RerankN)
+      s"""SELECT query_id, rank, neighbor_id, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      ${cosineSql("q.embedding", "x.embedding")} AS sim
+         |    FROM ($inner) c
+         |    JOIN embeddings q ON q.vec_id = c.query_id
+         |    JOIN embeddings x ON x.vec_id = c.neighbor_id) s0) t
+         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+    }),
     // e19 = the residual shape: both sides re-residualize against ct
     // before slicing; codes/ADC reuse the shared PQ fragments over the
     // residual slices
@@ -1803,7 +1847,8 @@ object LlmQueries {
                              extraCtes: String = "",
                              fromExtra: String = "",
                              cCell: String = null,
-                             qRanked: String = null): String = {
+                             qRanked: String = null,
+                             topK: Int = TopK): String = {
     // e18 overrides the corpus-side cell expression (surgical split
     // assignment) and the query-side probe ranking (post-split
     // centroid table); every other oracle keeps the defaults
@@ -1834,7 +1879,7 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
-       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
   /** e19's oracle: codes quantize the corpus RESIDUAL

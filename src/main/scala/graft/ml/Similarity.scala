@@ -460,6 +460,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * Two-stage retrieval: IVF-PQ ADC retrieves `n` candidates per query
+   * from the codes alone, then the candidates — and ONLY the
+   * candidates — fetch their exact vectors by id and re-rank by true
+   * cosine (the FAISS `refine` / vector-DB rerank stage, the standard
+   * production serving pipeline). At 100 TB: stage 1 scans m bytes per
+   * vector; stage 2 is a queries×n-row candidate frame (broadcast-
+   * sized by construction) joined against the vector table — with the
+   * vectors id-bucketed, a pruned fetch, never a second corpus scan.
+   * Rerank recovers the ranking resolution ADC loses inside a cell:
+   * the recall ceiling becomes stage 1's candidate recall rather than
+   * the code quality.
+   */
+  def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int, n: Int,
+                      books: Seq[Seq[Seq[Double]]], centsD: Seq[Seq[Double]],
+                      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = ivfPqTopKWith(queries, corpus, n, books, centsD, nprobe)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val nv = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"))
+    val scored = cand.join(qv, "query_id").join(nv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("nv")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Residual of a vector against one cell's centroid — float lanes
    * widen to double (exact) before the IEEE subtraction, so the DuckDB
    * mirror `embedding[i]::DOUBLE - ct[cell][i]` lands on identical

@@ -129,6 +129,18 @@ object ResidualRecallProbe {
       }
       diag2(estAll(rawIdx, rawQ, withCent = false), "raw")
       diag2(estAll(resIdx, resQ, withCent = true), "residual")
+
+      // the refine stage (e20): same ADC stage 1, exact-cosine rerank
+      // of 3k candidates — how much ranking resolution does it recover?
+      val exact = Similarity.bruteForceTopK(q, emb, k)
+        .select("query_id", "neighbor_id")
+      for (np <- Seq(2, 4, 8)) {
+        val rr = Similarity.ivfPqRerankTopK(q, emb, k, 3 * k, rawBooks, cents, np)
+        val rec = rr.select("query_id", "neighbor_id")
+          .join(exact, Seq("query_id", "neighbor_id")).count()
+          .toDouble / exact.count()
+        println(f"PROBE corpus=clustered rerank nprobe=$np%d recall=$rec%.4f")
+      }
     }
     spark.stop()
   }

@@ -96,6 +96,27 @@ class IndexLifecycleSpec extends SparkSpec {
       s"2-means split degenerated: ${subSizes.toSeq} vs ${occupancy(c)}")
   }
 
+  test("residual index keeps the lifecycle contract: admit == rebuild, delete composes") {
+    // ivfPqResidualIndex entries are row-local functions of (vector,
+    // frozen constants) exactly like the raw index, so ivfPqAdmit's
+    // union-equivalence and ivfPqDelete's anti-join carry over verbatim
+    val vecs = corpus
+    val resBooks = Similarity.trainResidualBooks(vecs, 2, 4, 4, cents,
+      iters = 2, sampleMod = 4)
+    val a = vecs.filter(col("id") < 150)
+    val b = vecs.filter(col("id") >= 150)
+    val admitted = Similarity.ivfPqResidualIndex(a, resBooks, cents)
+      .unionByName(Similarity.ivfPqResidualIndex(b, resBooks, cents))
+    val rebuilt = Similarity.ivfPqResidualIndex(vecs, resBooks, cents)
+    assert(admitted.exceptAll(rebuilt).count() == 0 &&
+           rebuilt.exceptAll(admitted).count() == 0,
+      "residual admit drifted from rebuild")
+    val tombs = vecs.filter(col("id") % 5 === 2).select("id")
+    val live = Similarity.ivfPqDelete(rebuilt, tombs)
+    assert(live.count() == vecs.count() - tombs.count())
+    assert(live.join(tombs, "id").count() == 0)
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
