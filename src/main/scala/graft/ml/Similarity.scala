@@ -409,8 +409,10 @@ object Similarity {
    * sub-centroids (`subs`, trained by [[trainIvfCentroids]] on just
    * those members; ties to sub 0 — the same smaller-id rule as the
    * quantizer); sub 0 keeps the old cell id, sub 1 takes `newCell`;
-   * PQ codes never change (codebooks encode raw vectors, not
-   * residuals); every other entry is untouched. The deliberate
+   * PQ codes never change — valid for RAW-codebook indexes only
+   * (codes encode the vector itself; a RESIDUAL index's codes encode
+   * `vec − ct[cell]` and must re-encode on move — see
+   * [[ivfPqResidualIndex]]); every other entry is untouched. The deliberate
    * production trade: non-members do NOT re-rank against the new
    * sub-centroids — no global reshuffle. The e18 gate's oracle
    * computes exactly this surgical assignment.
@@ -442,16 +444,27 @@ object Similarity {
    */
   def ivfPqSearchIndex(queries: DataFrame, index: DataFrame, k: Int,
                        books: Seq[Seq[Seq[Double]]],
-                       centsD: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+                       centsD: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    adcRank(index,
+      queries.select(col("id").as("query_id"),
+        explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"),
+        pqAdcCol(col("vec"), books).as("adct")),
+      k, books.size, seed = None)
+
+  /** The shared ADC serving core: broadcast the per-query probe frame
+   * `q(query_id, cell, adct[, seed cols])` against the `(id, cell,
+   * codes)` index, sum the table lookups (folding LEFT from `seed`
+   * when present — the association the rendered oracles use), rank
+   * per query. One body for the raw ([[ivfPqSearchIndex]]) and
+   * residual ([[ivfPqResidualTopK]]) paths. */
+  private def adcRank(index: DataFrame, q: DataFrame, k: Int, m: Int,
+                      seed: Option[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val m = books.size
     val c = index.withColumnRenamed("id", "neighbor_id")
-    val q = queries.select(col("id").as("query_id"),
-      explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"),
-      pqAdcCol(col("vec"), books).as("adct"))
-    val adc = (0 until m).map(j =>
+    val terms = (0 until m).map(j =>
       element_at(element_at(col("adct"), j + 1),
-        element_at(col("codes"), j + 1))).reduce(_ + _)
+        element_at(col("codes"), j + 1)))
+    val adc = (seed.toSeq ++ terms).reduce(_ + _)
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
@@ -481,7 +494,12 @@ object Similarity {
       .select("query_id", "neighbor_id")
     val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val nv = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"))
-    val scored = cand.join(qv, "query_id").join(nv, "neighbor_id")
+    // cand is queries×n rows by construction but sits behind a window
+    // aggregation, so the static size estimate blocks auto-broadcast —
+    // hint it explicitly: the corpus-side vector fetch must stay a
+    // broadcast probe, never a corpus shuffle
+    val scored = nv.join(broadcast(cand.join(broadcast(qv), "query_id")),
+        "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("nv")).as("sim"))
     val w = Window.partitionBy("query_id")
@@ -509,8 +527,14 @@ object Similarity {
    * inner-product decomposition `dot(q,c) + dot(q,r̂)` — an exact
    * centroid term per probed cell plus ONE raw-query ADC table over
    * the residual codebooks ([[ivfPqResidualTopK]]). Index build stays
-   * a row-local narrow map (assign, subtract, encode), so the whole
-   * lifecycle contract (admit/delete/split) carries over unchanged.
+   * a row-local narrow map (assign, subtract, encode), so admission
+   * ([[ivfPqAdmit]]) and deletion ([[ivfPqDelete]]) carry over
+   * unchanged (`IndexLifecycleSpec` pins both). [[ivfPqSplit]] does
+   * NOT: residual codes encode `vec − ct[cell]`, so moving a member
+   * to a new cell invalidates its codes — a residual split must
+   * re-encode the moved members against their new centroid (fetch
+   * vectors, subtract, [[pqEncode]] — still O(|cell|), just not
+   * cell-column-only).
    */
   def ivfPqResidualIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                          centsD: Seq[Seq[Double]]): DataFrame =
@@ -546,10 +570,6 @@ object Similarity {
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                         books: Seq[Seq[Seq[Double]]],
                         centsD: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = books.size
-    val c = ivfPqResidualIndex(corpus, books, centsD)
-      .withColumnRenamed("id", "neighbor_id")
     // dot(q, ct[cell]) as the same sequential fold the oracle uses
     val centTerm = aggregate(
       zip_with(col("vec").cast("array<double>"),
@@ -562,17 +582,8 @@ object Similarity {
         explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"))
       .select(col("query_id"), col("cell"), col("adct"),
         centTerm.as("cent_dot"))
-    // fold LEFT from cent_dot — ((cent+t1)+t2)+… — the same association
-    // the oracle's rendered sum uses, so the doubles agree to the bit
-    val adc = (col("cent_dot") +: (0 until m).map(j =>
-      element_at(element_at(col("adct"), j + 1),
-        element_at(col("codes"), j + 1)))).reduce(_ + _)
-    val scored = c.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    adcRank(ivfPqResidualIndex(corpus, books, centsD), q, k, books.size,
+      seed = Some(col("cent_dot")))
   }
 
   /** Deterministic pseudo-random hyperplanes: component (j, d) =
