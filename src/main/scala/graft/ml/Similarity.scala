@@ -411,8 +411,8 @@ object Similarity {
    * quantizer); sub 0 keeps the old cell id, sub 1 takes `newCell`;
    * PQ codes never change — valid for RAW-codebook indexes only
    * (codes encode the vector itself; a RESIDUAL index's codes encode
-   * `vec − ct[cell]` and must re-encode on move — see
-   * [[ivfPqResidualIndex]]); every other entry is untouched. The deliberate
+   * `vec − ct[cell]` and must re-encode on move — use
+   * [[ivfPqResidualSplit]]); every other entry is untouched. The deliberate
    * production trade: non-members do NOT re-rank against the new
    * sub-centroids — no global reshuffle. The e18 gate's oracle
    * computes exactly this surgical assignment.
@@ -507,6 +507,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /**
+   * [[ivfPqSplit]] for a RESIDUAL index: moving a member invalidates
+   * its codes (they encode `vec − ct[oldCell]`), so the split
+   * re-encodes each moved member against its NEW sub-centroid in the
+   * same pass that reassigns it — still O(|cell|), one extra
+   * [[pqEncodeCol]] per moved row; every other entry is untouched.
+   * `IndexLifecycleSpec` pins the surgical result row-identical to an
+   * independent rebuild of the members under the two sub-centroids.
+   */
+  def ivfPqResidualSplit(index: DataFrame, vecs: DataFrame, cell: Int,
+                         subs: Seq[Seq[Double]], newCell: Int,
+                         books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(subs.size == 2, s"split is binary, got ${subs.size} subs")
+    val sidx = ivfAssignD(col("vec"), subs)
+    val moved = index.filter(col("cell") === cell)
+      .join(vecs.select("id", "vec"), "id")
+      .select(col("id"),
+        when(sidx === 0, lit(cell)).otherwise(lit(newCell)).as("cell"),
+        pqEncodeCol(residualCol(col("vec"), sidx, subs),
+          books, pqCellNorms(books)).as("codes"))
+    index.filter(col("cell") =!= cell).unionByName(moved)
+  }
+
   /** Residual of a vector against one cell's centroid — float lanes
    * widen to double (exact) before the IEEE subtraction, so the DuckDB
    * mirror `embedding[i]::DOUBLE - ct[cell][i]` lands on identical
@@ -531,10 +554,9 @@ object Similarity {
    * ([[ivfPqAdmit]]) and deletion ([[ivfPqDelete]]) carry over
    * unchanged (`IndexLifecycleSpec` pins both). [[ivfPqSplit]] does
    * NOT: residual codes encode `vec − ct[cell]`, so moving a member
-   * to a new cell invalidates its codes — a residual split must
-   * re-encode the moved members against their new centroid (fetch
-   * vectors, subtract, [[pqEncode]] — still O(|cell|), just not
-   * cell-column-only).
+   * to a new cell invalidates its codes — use [[ivfPqResidualSplit]],
+   * which re-encodes each moved member against its new sub-centroid
+   * in the same O(|cell|) pass.
    */
   def ivfPqResidualIndex(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                          centsD: Seq[Seq[Double]]): DataFrame =

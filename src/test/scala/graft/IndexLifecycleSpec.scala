@@ -117,6 +117,41 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(live.join(tombs, "id").count() == 0)
   }
 
+  test("residual split re-encodes moved members; equals an independent rebuild under the subs") {
+    val vecs = corpus
+    val resBooks = Similarity.trainResidualBooks(vecs, 2, 4, 4, cents,
+      iters = 2, sampleMod = 4)
+    val occupancy = Similarity.ivfPqResidualIndex(vecs, resBooks, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = (0 until cents.size).maxBy(j => (occupancy.getOrElse(j, 0L), -j.toLong))
+    val subs = Similarity.trainIvfCentroids(
+      vecs.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
+      nCells = 2, dim = 8, iters = 3)
+    val resIndex = Similarity.ivfPqResidualIndex(vecs, resBooks, cents)
+    val split = Similarity.ivfPqResidualSplit(resIndex, vecs, c, subs,
+      newCell = cents.size, books = resBooks)
+
+    assert(split.count() == resIndex.count())
+    // non-members keep their exact rows (cell AND codes)
+    val drifted = split.as("u").join(resIndex.as("i"), "id")
+      .filter(col("i.cell") =!= c)
+      .filter(col("u.cell") =!= col("i.cell") || col("u.codes") =!= col("i.codes"))
+    assert(drifted.count() == 0, "a non-member entry changed")
+    // the surgical path equals the build-from-scratch path: a fresh
+    // residual index of ONLY the members under the 2-entry sub table,
+    // with its 0/1 cells mapped onto (c, nCells)
+    val memberVecs = vecs.join(
+      resIndex.filter(col("cell") === c).select("id"), "id")
+    val rebuilt = Similarity.ivfPqResidualIndex(memberVecs, resBooks, subs)
+      .withColumn("cell",
+        when(col("cell") === 0, lit(c)).otherwise(lit(cents.size)))
+    val movedRows = split.join(memberVecs.select("id"), "id")
+    assert(movedRows.exceptAll(rebuilt).count() == 0 &&
+           rebuilt.exceptAll(movedRows).count() == 0,
+      "surgical residual split drifted from the independent rebuild")
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
