@@ -152,6 +152,21 @@ class IndexLifecycleSpec extends SparkSpec {
       "surgical residual split drifted from the independent rebuild")
   }
 
+  test("rerank stage fetches candidate vectors via broadcast, never a corpus shuffle") {
+    // e20's scale claim: stage 2's exact-vector fetch must plan the
+    // candidate frame (queries×n, behind a window agg that defeats the
+    // static size estimate) as the BROADCAST side of the corpus join
+    val vecs = corpus
+    val books = Similarity.pqCodebooks(2, 4, 4)
+    val plan = Similarity.ivfPqRerankTopK(
+        vecs.filter(col("id") < 3), vecs, 5, 15, books, cents, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate fetch should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank must not shuffle the corpus vector table:\n$plan")
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")

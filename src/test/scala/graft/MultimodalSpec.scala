@@ -56,6 +56,39 @@ class MultimodalSpec extends SparkSpec {
       "different gradients should not collide on this fixture")
   }
 
+  test("aHash brightness invariance holds for arbitrary rasters, not just the fixture") {
+    // property over random images: adding a constant to EVERY pixel
+    // (no clipping) never changes the hash — the mean threshold
+    // subtracts it back out; implemented against raw BufferedImages so
+    // the property covers shapes the packAsPng fixture never produces
+    val rnd = new scala.util.Random(7)
+    def png(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val cases = (0 until 20).map { i =>
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val base = Array.fill(w * h)(rnd.nextInt(180)) // headroom for +delta
+      val delta = 1 + rnd.nextInt(70)
+      (2L * i, png(w, h, (x, y) => base(y * w + x)),
+       2L * i + 1, png(w, h, (x, y) => base(y * w + x) + delta))
+    }
+    val df = cases.flatMap { case (ia, pa, ib, pb) =>
+      Seq((ia, pa), (ib, pb))
+    }.toDF("media_id", "payload")
+    val hs = Multimodal.imagePHash(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.foreach { case (ia, _, ib, _) =>
+      assert(hs(ia) == hs(ib),
+        s"brightness shift changed the hash for pair ($ia, $ib)")
+    }
+  }
+
   test("a corrupt payload fails loudly, not with silent zeros") {
     val d = new ImageIoDecoder
     val e = intercept[IllegalArgumentException](
