@@ -1105,6 +1105,32 @@ object LlmQueries {
       TextAnalysis.bigramLmScore(docs, "doc_id", "text", mb)
     }.orderBy("doc_id")
 
+  // x22's filter threshold on the mean Laplace bigram probability —
+  // sits at the corpus's score median so the verdict discriminates
+  private val X22Threshold = 0.24
+
+  /** X22: REFERENCE-trained perplexity filter — the CCNet/Gopher
+   * quality-filter shape that x16's scaladoc promises: the bigram LM
+   * trains on a TRUSTED REFERENCE SPLIT (here the x9-style
+   * deterministic hash split at 30% stands in for "Wikipedia"), then
+   * scores only the REMAINING corpus, and documents below the
+   * threshold drop. Same scoring join as x16 — different training
+   * frame — plus the keep verdict; train/score separation is the
+   * point: a model trained on the whole corpus scores its own noise as
+   * normal, a reference-trained one measures distance FROM the
+   * reference. At 100 TB the reference counts frame is charset²-
+   * bounded and the scoring pass is x16's one-scan join. */
+  def referenceLmFilter(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { scope =>
+      val docs = Tpar(s, dir, "documents").filter(length(col("text")) >= 2)
+      val isRef = TextAnalysis.hashSampleKeep(col("text"), 0.3)
+      val mb = scope.persist(
+        TextAnalysis.bigramCounts(docs.filter(isRef), "text"))
+      TextAnalysis.bigramLmScore(docs.filter(!isRef), "doc_id", "text", mb)
+        .select(col("doc_id"), col("lm_score"),
+          (col("lm_score") >= X22Threshold).as("keep"))
+    }.orderBy("doc_id")
+
   /** X19: the Gopher heuristic rule battery — per-rule measurements +
    * the combined keep verdict per document. minStopWords tunes to 1
    * here: the synthetic corpus carries almost no English function
@@ -1490,6 +1516,7 @@ object LlmQueries {
     "x2_quality_score" -> (qualityScore _),
     "x15_quality_classifier" -> (qualityClassifier _),
     "x16_bigram_lm" -> (bigramLmQ _),
+    "x22_reference_lm_filter" -> (referenceLmFilter _),
     "x3_token_count" -> (tokenCount _),
     "x4_fingerprint" -> (fingerprint _),
     "x5_repetition" -> (repetition _),
@@ -2536,6 +2563,34 @@ object LlmQueries {
          |  list_reduce(list_prepend(0.0::DOUBLE, array_agg(t ORDER BY b)),
          |    (acc, x) -> acc + x) / any_value(n) AS lm_score
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // x16's scoring shape with the TRAINING frame restricted to the
+    // hash-designated reference split and scoring to its complement;
+    // the threshold literal renders from the same constant the plan
+    // folds, so the keep verdict compares identical bits
+    "x22_reference_lm_filter" ->
+      s"""WITH refd AS (SELECT text FROM documents
+         |  WHERE length(text) >= 2 AND ${h60("text")} % 1000 < 300),
+         |tgt AS (SELECT doc_id, text FROM documents
+         |  WHERE length(text) >= 2 AND NOT (${h60("text")} % 1000 < 300)),
+         |bgr AS (SELECT substr(text, i, 2) AS b, substr(text, i, 1) AS c
+         |        FROM refd, LATERAL unnest(range(1, length(text))) AS u(i)),
+         |stats AS (SELECT histogram(b) AS mb, histogram(c) AS mc,
+         |                 count(DISTINCT b) AS v FROM bgr),
+         |bg AS (SELECT doc_id, length(text) - 1 AS n,
+         |         substr(text, i, 2) AS b, substr(text, i, 1) AS c
+         |       FROM tgt, LATERAL unnest(range(1, length(text))) AS u(i)),
+         |bgd AS (SELECT doc_id, n, b, c, count(*) AS cnt
+         |        FROM bg GROUP BY 1, 2, 3, 4),
+         |terms AS (SELECT doc_id, n, b,
+         |    cnt * ((coalesce((mb[b])[1]::BIGINT, 0) + 1.0)
+         |           / (coalesce((mc[c])[1]::BIGINT, 0) + v)) AS t
+         |  FROM bgd, stats),
+         |sc AS (SELECT doc_id,
+         |  list_reduce(list_prepend(0.0::DOUBLE, array_agg(t ORDER BY b)),
+         |    (acc, x) -> acc + x) / any_value(n) AS lm_score
+         |FROM terms GROUP BY doc_id)
+         |SELECT doc_id, lm_score, lm_score >= ${dLit(X22Threshold)} AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // same feature CTE as x2; the head is generated from the SAME
     // weight constants the Spark plan folds in (left-associative, like
     // Catalyst), and the fast-sigmoid is rational — bit-exact
