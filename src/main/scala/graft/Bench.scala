@@ -65,16 +65,24 @@ object Bench {
     // after the timed passes), min recorded — same policy as queries.
     // (No sort leg: a sort under count() is optimizer-eliminated, and
     // 1000 aggregated rows would not measure anything anyway.)
+    // The per-key aggregates are CONSUMED through a one-row global fold
+    // (collected) — under a bare count() Catalyst's column pruning
+    // eliminated the sum(h)/sum(h2) aggregates and the hash projections
+    // feeding them, so the canary measured only scan+shuffle of the
+    // group key. Heavier than the pre-r11 canary: compare r11+ values
+    // against BENCH_r11's baseline, not r10's 0.312
+    // (bench/watchitems_r11.md).
     def canaryOnce(): Double = {
+      import org.apache.spark.sql.functions.{count, lit, sum}
       val t0 = System.nanoTime()
       spark.range(0, 20000000L, 1, 32)
         .selectExpr("id % 1000 AS k", "hash(id) AS h",
           "hash(id * 2654435761) AS h2")
         .groupBy("k")
-        .agg(org.apache.spark.sql.functions.sum("h"),
-          org.apache.spark.sql.functions.sum("h2"),
-          org.apache.spark.sql.functions.count("*"))
-        .count()
+        .agg(sum("h").as("sh"), sum("h2").as("sh2"),
+          count(lit(1)).as("c"))
+        .agg(sum("sh"), sum("sh2"), sum("c"))
+        .collect()
       (System.nanoTime() - t0) / 1e9
     }
     canaryOnce() // pay its own codegen before the measured reps

@@ -881,6 +881,28 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E22: IndexIVFPQR — the composition FAISS ships as its production
+   * fidelity ladder's endpoint, built from the two halves e19 and e20
+   * gate separately: stage 1 retrieves 3k candidates from the RESIDUAL
+   * index via the MIPS decomposition (`dot(q,c) + dot(q,r̂)` — the
+   * within-cell byte budget spent on detail), stage 2 fetches exact
+   * vectors for ONLY those candidates and re-ranks by true cosine.
+   * Residual codes lift CANDIDATE recall where the coarse quantizer
+   * explains variance (`bench/residual_recall_r10.json`); the refine
+   * stage converts that candidate recall into final-ranking recall —
+   * which is why the two compose rather than compete. Hash-exact like
+   * both parents: the oracle nests the full e19 shape (widened to 3k)
+   * under the e20 rerank wrapper. */
+  def residualRerankTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCents(s, dir)
+    val books = trainedResidualBooks(s, dir)
+    val emb = embFrame(s, dir)
+    Similarity.ivfPqResidualRerankTopK(emb.filter(col("id") < 5), emb,
+        TopK, RerankN, books, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   /** E18's split state, memoized per dir (training + the occupancy scan
    * run once; the query fn and the dynamic oracle read the SAME
    * constants). Deterministic end-to-end: occupancy counts are exact,
@@ -1510,6 +1532,7 @@ object LlmQueries {
     "e18_cell_split" -> (cellSplit _),
     "e19_ivfpq_residual_topk" -> (residualTopK _),
     "e20_ivfpq_exact_rerank" -> (rerankTopK _),
+    "e22_ivfpqr_topk" -> (residualRerankTopK _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -1781,20 +1804,17 @@ object LlmQueries {
     // reranks by the e1-pinned exact cosine
     "e20_ivfpq_exact_rerank" -> ((s, dir) => {
       val books = trainedBooks(s, dir)
-      val inner = ivfPqOracleSql(doubleLit2(trainedCents(s, dir)),
+      rerankWrapSql(ivfPqOracleSql(doubleLit2(trainedCents(s, dir)),
         doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)),
-        topK = RerankN)
-      s"""SELECT query_id, rank, neighbor_id, sim FROM (
-         |  SELECT query_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sim DESC, neighbor_id) AS rank
-         |  FROM (
-         |    SELECT c.query_id, c.neighbor_id,
-         |      ${cosineSql("q.embedding", "x.embedding")} AS sim
-         |    FROM ($inner) c
-         |    JOIN embeddings q ON q.vec_id = c.query_id
-         |    JOIN embeddings x ON x.vec_id = c.neighbor_id) s0) t
-         |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+        topK = RerankN))
+    }),
+    // e22 = IndexIVFPQR: e19's fully-residualized candidate query
+    // (widened to 3k) nested under the same exact-rerank wrapper
+    "e22_ivfpqr_topk" -> ((s, dir) => {
+      val books = trainedResidualBooks(s, dir)
+      rerankWrapSql(residualOracleSql(doubleLit2(trainedCents(s, dir)),
+        doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)),
+        topK = RerankN))
     }),
     // e19 = the residual shape: both sides re-residualize against ct
     // before slicing; codes/ADC reuse the shared PQ fragments over the
@@ -1917,7 +1937,8 @@ object LlmQueries {
    * query's ADC over the residual codebooks. */
   private def residualOracleSql(centsLit: String, booksLit: String,
                                 normsLit: String,
-                                qPred: String = "vec_id < 5"): String = {
+                                qPred: String = "vec_id < 5",
+                                topK: Int = TopK): String = {
     val rvSql = s"""list_transform(range(1, ${Dim + 1}),
                    |    i -> embedding[i]::DOUBLE - ct[cell][i])""".stripMargin
     def slices(src: String) = (0 until PqM).map(j =>
@@ -1956,8 +1977,24 @@ object LlmQueries {
        |SELECT query_id, rank, neighbor_id, adc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adc DESC, neighbor_id) AS rank FROM scored) t
-       |WHERE rank <= $TopK ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** The exact-rerank wrapper (e20's outer shape, shared by every
+   * two-stage oracle): nest ANY stage-1 candidate query and rerank its
+   * `(query_id, neighbor_id)` pairs by the e1-pinned exact cosine. */
+  private def rerankWrapSql(inner: String, topK: Int = TopK): String =
+    s"""SELECT query_id, rank, neighbor_id, sim FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM (
+       |    SELECT c.query_id, c.neighbor_id,
+       |      ${cosineSql("q.embedding", "x.embedding")} AS sim
+       |    FROM ($inner) c
+       |    JOIN embeddings q ON q.vec_id = c.query_id
+       |    JOIN embeddings x ON x.vec_id = c.neighbor_id) s0) t
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
   private def bucketSql(vec: String) =
     (0 until NPlanes).map { j =>

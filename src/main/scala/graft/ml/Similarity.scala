@@ -488,16 +488,27 @@ object Similarity {
    */
   def ivfPqRerankTopK(queries: DataFrame, corpus: DataFrame, k: Int, n: Int,
                       books: Seq[Seq[Seq[Double]]], centsD: Seq[Seq[Double]],
-                      nprobe: Int): DataFrame = {
+                      nprobe: Int): DataFrame =
+    exactRerank(
+      ivfPqTopKWith(queries, corpus, n, books, centsD, nprobe),
+      queries, corpus, k)
+
+  /** The shared EXACT-rerank stage (FAISS `refine`): candidates
+   * `(query_id, neighbor_id)` — and ONLY the candidates — fetch their
+   * exact vectors by id and re-rank by true cosine. One body for every
+   * stage-1 retriever (raw ADC [[ivfPqRerankTopK]], residual ADC
+   * [[ivfPqResidualRerankTopK]], a prebuilt index table
+   * [[ivfPqRerankSearchIndex]]). The candidate frame is queries×n rows
+   * by construction but sits behind a window aggregation, so the static
+   * size estimate blocks auto-broadcast — hint it explicitly: the
+   * corpus-side vector fetch must stay a broadcast probe, never a
+   * corpus shuffle. */
+  private def exactRerank(cands: DataFrame, queries: DataFrame,
+                          corpus: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cand = ivfPqTopKWith(queries, corpus, n, books, centsD, nprobe)
-      .select("query_id", "neighbor_id")
+    val cand = cands.select("query_id", "neighbor_id")
     val qv = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val nv = corpus.select(col("id").as("neighbor_id"), col("vec").as("nv"))
-    // cand is queries×n rows by construction but sits behind a window
-    // aggregation, so the static size estimate blocks auto-broadcast —
-    // hint it explicitly: the corpus-side vector fetch must stay a
-    // broadcast probe, never a corpus shuffle
     val scored = nv.join(broadcast(cand.join(broadcast(qv), "query_id")),
         "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
@@ -506,6 +517,36 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** [[ivfPqRerankTopK]] served from a PREBUILT `(id, cell, codes)`
+   * index table — the lifecycle-journey serving verb: stage 1 probes
+   * the index (which may have lived through admission, splits, deletes
+   * and compaction — it is the ONLY source of candidates, so a
+   * tombstoned entry can never resurface), stage 2 fetches exact
+   * vectors for the candidates alone from the raw vector table. */
+  def ivfPqRerankSearchIndex(queries: DataFrame, index: DataFrame,
+                             vecs: DataFrame, k: Int, n: Int,
+                             books: Seq[Seq[Seq[Double]]],
+                             centsD: Seq[Seq[Double]],
+                             nprobe: Int): DataFrame =
+    exactRerank(
+      ivfPqSearchIndex(queries, index, n, books, centsD, nprobe),
+      queries, vecs, k)
+
+  /** IndexIVFPQR — FAISS's production fidelity ladder endpoint:
+   * RESIDUAL codes ([[ivfPqResidualTopK]]'s MIPS-decomposed stage 1)
+   * WITH exact refine ([[exactRerank]]'s stage 2). Residual encoding
+   * buys candidate recall where the coarse quantizer explains variance;
+   * the rerank moves the final-ranking ceiling from code quality to
+   * that candidate recall — composing the two is what IVFPQR ships. */
+  def ivfPqResidualRerankTopK(queries: DataFrame, corpus: DataFrame,
+                              k: Int, n: Int,
+                              books: Seq[Seq[Seq[Double]]],
+                              centsD: Seq[Seq[Double]],
+                              nprobe: Int): DataFrame =
+    exactRerank(
+      ivfPqResidualTopK(queries, corpus, n, books, centsD, nprobe),
+      queries, corpus, k)
 
   /**
    * [[ivfPqSplit]] for a RESIDUAL index: moving a member invalidates
@@ -846,6 +887,12 @@ object Similarity {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, n: Int, k: Int,
                 lambda: Double)(implicit scope: CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // validate up front: k <= 0 would otherwise surface as an opaque
+    // reduce-on-empty error after the retrieval stage already ran
+    require(k >= 1, s"mmrRerank needs at least one pick, got k=$k")
+    require(n >= k, s"mmrRerank candidate width n=$n must cover k=$k picks")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrRerank lambda must be in [0,1], got $lambda")
     val rel = scope.persist(
       bruteForceTopK(queries, corpus, n)
         .select(col("query_id"), col("neighbor_id").as("cand"),

@@ -196,18 +196,32 @@ object JdbcSink {
    * (23) never heal on their own and go straight to the tolerance
    * stage. Mirrors Connect's RetriableException split. */
   def isTransient(e: SQLException): Boolean = {
-    // walk the chain: a BatchUpdateException wraps the real verdict in
-    // getNextException (Derby reports the batch itself as XJ208)
-    var cur = e
-    var hops = 0
-    while (cur != null && hops < 10) {
-      val hit = cur.isInstanceOf[java.sql.SQLTransientException] ||
-        cur.isInstanceOf[java.sql.SQLRecoverableException] ||
-        Option(cur.getSQLState).exists(s =>
-          s.length >= 2 && TransientStateClasses(s.substring(0, 2)))
-      if (hit) return true
-      cur = cur.getNextException
-      hops += 1
+    // walk BOTH chains: a BatchUpdateException wraps the real verdict in
+    // getNextException (Derby reports the batch itself as XJ208), while
+    // drivers that wrap via initCause put it under getCause — a
+    // transient failure reachable only through the cause chain must not
+    // be classified terminal. Bounded and cycle-safe (identity set):
+    // some drivers link e.getCause == e.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    val queue = scala.collection.mutable.Queue[Throwable](e)
+    while (queue.nonEmpty && seen.size < 16) {
+      queue.dequeue() match {
+        case null => ()
+        case cur if !seen.add(cur) => ()
+        case cur =>
+          cur match {
+            case s: SQLException =>
+              val hit = s.isInstanceOf[java.sql.SQLTransientException] ||
+                s.isInstanceOf[java.sql.SQLRecoverableException] ||
+                Option(s.getSQLState).exists(st =>
+                  st.length >= 2 && TransientStateClasses(st.substring(0, 2)))
+              if (hit) return true
+              queue += s.getNextException
+            case _ => ()
+          }
+          queue += cur.getCause
+      }
     }
     false
   }
