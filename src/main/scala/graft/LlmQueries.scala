@@ -1279,6 +1279,71 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M7: image NEAR-duplicate pairs — banded Hamming over the
+   * perceptual hash ([[Multimodal.phashNearDupPairs]]), closing the gap
+   * m6 leaves: m6 groups on EXACT aHash equality, but a real re-encode
+   * or noise pass flips a few bits, so production image dedup
+   * thresholds Hamming distance. The fixture plants exactly that:
+   * every 17th document's textured image re-renders under a shifted id
+   * (+10⁶, same texture seed) with three sampled pixels bumped — a
+   * deterministic stand-in for a noisy re-encode whose hash lands a
+   * few bits from its original (the m6-style closed-form oracle
+   * rebuilds both hashes, so even the planted distances are
+   * hash-exact). Textured images (not m6's gradients) keep the banded
+   * buckets diverse; the hot-bucket cap handles whatever degenerate
+   * classes remain. The whole pipeline is the real decode path: PNG
+   * encode → imageio decode → aHash → banded 16-byte-row join. */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsPngTextured(docs, "doc_id", "text")
+    val clones = Multimodal.packAsPngTextured(
+      docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", bumpDelta = M7Bump)
+    CacheScope.materialized { implicit scope =>
+      Multimodal.phashNearDupPairs(
+        Multimodal.imagePHash(orig.unionByName(clones)),
+        maxHamming = M7MaxHamming, maxBucket = M7MaxBucket)
+    }.orderBy("ida", "idb")
+  }
+
+  private val M7MaxHamming = 8
+  private val M7MaxBucket = 64
+  private val M7Bump = 60
+
+  /** M8: the DOCUMENT-level multimodal dedup verdict — the
+   * LLM-pipeline reality m1–m7 build toward: a (text, image) document
+   * pair carries TWO dedup verdicts that can disagree (same photo
+   * re-captioned; same boilerplate caption on different photos), and
+   * the keep decision must be made per DOCUMENT. Composes the
+   * corpus-wide text verdict (d12's near-dedup labeling, shared via
+   * the same memo x18 uses — computed once per session) with the image
+   * verdict (m6's aHash groups, keep = smallest media_id of the hash
+   * group) into one row per document: both modality flags plus the
+   * conservative conjunction (`keep` = canonical representative on
+   * BOTH sides — the policy that never ships a duplicate in either
+   * modality; the flags stay exposed because other policies — drop
+   * only the image, keep text-unique docs — are downstream choices).
+   * The disagreement matrix is real on this corpus: text clusters form
+   * on content, image groups on the (w,h) gradient classes, and the
+   * gate's hash compare pins every cell of it. */
+  def docMediaVerdict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = nearDedupCorpus(s, dir)
+      .select(col("doc_id"), col("kept").as("text_kept"))
+    val docs = Tpar(s, dir, "documents")
+    val img = Multimodal.imagePHash(
+      Multimodal.packAsPng(docs, "doc_id", "text"))
+    val w = Window.partitionBy("hash_hi", "hash_lo")
+    val imgKept = img
+      .withColumn("image_kept", col("media_id") === min("media_id").over(w))
+      .select(col("media_id").as("doc_id"), col("image_kept"))
+    text.join(imgKept, "doc_id")
+      .select(col("doc_id"), col("text_kept"), col("image_kept"),
+        (col("text_kept") && col("image_kept")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -1556,7 +1621,9 @@ object LlmQueries {
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
     "m5_video_stats" -> (videoStats _),
-    "m6_image_phash_dedup" -> (imagePHashDedup _)
+    "m6_image_phash_dedup" -> (imagePHashDedup _),
+    "m7_image_near_dedup" -> (imageNearDup _),
+    "m8_doc_media_verdict" -> (docMediaVerdict _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -2114,6 +2181,33 @@ object LlmQueries {
        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
        |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |        FROM reach GROUP BY u)""".stripMargin
+
+  /** The m6 closed-form aHash CTE chain over the gradient pack, ending
+   * in `hh(doc_id, hash_hi, hash_lo)` — shared by the m6 oracle and the
+   * m8 document-level verdict. */
+  private lazy val gradientPhashCtes =
+    """d AS (
+      |  SELECT doc_id, 1 + length(text) % 16 AS w,
+      |    1 + length(text) % 12 AS h, length(text) % 200 AS a
+      |  FROM documents),
+      |g AS (SELECT doc_id, a,
+      |  list_transform(range(0, 8), i -> (i * w) // 8) AS xs,
+      |  list_transform(range(0, 8), j -> (j * h) // 8) AS ys
+      |  FROM d),
+      |s AS (SELECT doc_id, a, xs, ys,
+      |  64 * a + 8 * list_sum(xs) + 8 * list_sum(ys) AS total FROM g),
+      |hh AS (SELECT doc_id,
+      |  CAST(list_sum(flatten(list_transform(range(4, 8), j ->
+      |    list_transform(range(0, 8), i ->
+      |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
+      |        THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0::BIGINT END))))
+      |    AS BIGINT) AS hash_hi,
+      |  CAST(list_sum(flatten(list_transform(range(0, 4), j ->
+      |    list_transform(range(0, 8), i ->
+      |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
+      |        THEN (1::BIGINT << (j * 8 + i)) ELSE 0::BIGINT END))))
+      |    AS BIGINT) AS hash_lo
+      |  FROM s)""".stripMargin
 
   /** d12: the composed pipeline — candidates, exact-Jaccard verify,
    * closure over VERIFIED pairs, left join back to every document. */
@@ -2857,33 +2951,82 @@ object LlmQueries {
     // aHash in closed form: sampled(i,j) = a + (i*w)//8 + (j*h)//8,
     // bit = 64*sampled >= Σsampled (the integer form of p >= mean; the
     // brightness offset a cancels), bits packed row-major into two
-    // 32-bit halves — mirrors Multimodal.imagePHash exactly
+    // 32-bit halves — mirrors Multimodal.imagePHash exactly (CTE chain
+    // shared with the m8 document-level verdict)
     "m6_image_phash_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + length(text) % 16 AS w,
-        |    1 + length(text) % 12 AS h, length(text) % 200 AS a
-        |  FROM documents),
-        |g AS (SELECT doc_id, a,
-        |  list_transform(range(0, 8), i -> (i * w) // 8) AS xs,
-        |  list_transform(range(0, 8), j -> (j * h) // 8) AS ys
-        |  FROM d),
-        |s AS (SELECT doc_id, a, xs, ys,
-        |  64 * a + 8 * list_sum(xs) + 8 * list_sum(ys) AS total FROM g),
-        |hh AS (SELECT doc_id,
-        |  CAST(list_sum(flatten(list_transform(range(4, 8), j ->
-        |    list_transform(range(0, 8), i ->
-        |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
-        |        THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0::BIGINT END))))
-        |    AS BIGINT) AS hash_hi,
-        |  CAST(list_sum(flatten(list_transform(range(0, 4), j ->
-        |    list_transform(range(0, 8), i ->
-        |      CASE WHEN 64 * (a + xs[i + 1] + ys[j + 1]) >= total
-        |        THEN (1::BIGINT << (j * 8 + i)) ELSE 0::BIGINT END))))
-        |    AS BIGINT) AS hash_lo
-        |  FROM s)
-        |SELECT doc_id AS media_id, hash_hi, hash_lo,
-        |  count(*) OVER (PARTITION BY hash_hi, hash_lo) AS n_same
-        |FROM hh ORDER BY media_id""".stripMargin,
+      s"""WITH $gradientPhashCtes
+         |SELECT doc_id AS media_id, hash_hi, hash_lo,
+         |  count(*) OVER (PARTITION BY hash_hi, hash_lo) AS n_same
+         |FROM hh ORDER BY media_id""".stripMargin,
+    // m7: the textured corpus (originals + bumped shifted-id clones of
+    // every 17th doc) rebuilt in closed form — texture, bump clamp,
+    // aHash bits, band keys, hot-bucket cap, banded join, exact
+    // popcount verify: each stage mirrors the Spark plan exactly
+    "m7_image_near_dedup" ->
+      s"""WITH par AS (
+         |  SELECT doc_id AS mid, length(text) AS len, 0 AS bump FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, length(text), $M7Bump FROM documents
+         |  WHERE doc_id % 17 = 0),
+         |tb AS (
+         |  SELECT mid, bump,
+         |    (len + 31 * (mid % 1000000)) % 200 AS a,
+         |    3 + 2 * ((len + (mid % 1000000)) % 13) AS p1,
+         |    5 + 2 * ((len + 3 * (mid % 1000000)) % 11) AS p2
+         |  FROM par),
+         |tg AS (SELECT mid,
+         |  flatten(list_transform(range(0, 8), j ->
+         |    list_transform(range(0, 8), i ->
+         |      CASE WHEN (i = 1 AND j = 1) OR (i = 3 AND j = 3)
+         |             OR (i = 5 AND j = 7)
+         |        THEN least((a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
+         |               + bump, 250)
+         |        ELSE (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
+         |      END))) AS sv
+         |  FROM tb),
+         |tt AS (SELECT mid, sv, list_sum(sv) AS total FROM tg),
+         |thh AS (SELECT mid,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_lo
+         |  FROM tt),
+         |tband AS (
+         |  SELECT mid, hash_hi, hash_lo, 0 AS band, hash_lo & 65535 AS bkey
+         |  FROM thh
+         |  UNION ALL SELECT mid, hash_hi, hash_lo, 1, (hash_lo >> 16) & 65535 FROM thh
+         |  UNION ALL SELECT mid, hash_hi, hash_lo, 2, hash_hi & 65535 FROM thh
+         |  UNION ALL SELECT mid, hash_hi, hash_lo, 3, (hash_hi >> 16) & 65535 FROM thh),
+         |tok AS (SELECT band, bkey FROM tband
+         |        GROUP BY 1, 2 HAVING count(*) <= $M7MaxBucket),
+         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+         |tp AS (
+         |  SELECT a.mid AS ida, b.mid AS idb,
+         |    min(bit_count(xor(a.hash_hi, b.hash_hi))
+         |      + bit_count(xor(a.hash_lo, b.hash_lo)))::INTEGER AS hamming
+         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+         |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M7MaxHamming
+         |ORDER BY ida, idb""".stripMargin,
+    // m8: the d12 text closure and the m6 image-hash chain composed
+    // into the per-document keep decision
+    "m8_doc_media_verdict" ->
+      s"""WITH RECURSIVE $nearDedupLabCtes,
+         |$gradientPhashCtes,
+         |img AS (SELECT doc_id,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY hash_hi, hash_lo))
+         |    AS image_kept
+         |  FROM hh),
+         |txt AS (SELECT d2.doc_id,
+         |  (coalesce(l.cluster_id, d2.doc_id) = d2.doc_id) AS text_kept
+         |  FROM documents d2 LEFT JOIN lab l USING (doc_id))
+         |SELECT t.doc_id, t.text_kept, i.image_kept,
+         |  (t.text_kept AND i.image_kept) AS keep
+         |FROM txt t JOIN img i USING (doc_id) ORDER BY doc_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

@@ -278,6 +278,118 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Synthesize TEXTURED PNG payloads — the m7 fixture next to
+   * [[packAsPng]]'s gradients: fixed 16×12 dims (every 8×8 aHash cell
+   * samples a DISTINCT pixel) and pixel(x,y) = (a + x·p1 + y·p2) mod
+   * 251 with per-image (a, p1, p2) derived from (len, media_id mod
+   * 10⁶) — the multipliers exceed 251/15, so nearly every image wraps
+   * and the thresholded bit patterns are DIVERSE (the plain gradients
+   * all threshold to near-identical ramps, which would degenerate the
+   * banded join's buckets). `media_id mod 10⁶` seeds the texture so a
+   * shifted-id clone (+10⁶) renders the SAME image; `bumpDelta > 0`
+   * then bumps three exactly-once-sampled pixels — (2,1), (6,4),
+   * (10,10) — by `min(p+delta, 250)`: a planted near-copy whose aHash
+   * sits a few bits from its original (≤ 3 direct flips plus whatever
+   * borderline cells the shifted mean takes — all integer-exact, so
+   * the oracle rebuilds the planted distance in closed form).
+   */
+  def packAsPngTextured(df: DataFrame, idCol: String, textCol: String,
+                        bumpDelta: Int = 0): DataFrame = {
+    require(bumpDelta >= 0 && bumpDelta <= 250, s"bad bumpDelta $bumpDelta")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", MediaMetaSchema, nullable = false)))
+    val projected = df.select(col(idCol).cast(LongType),
+      encode(col(textCol), "UTF-8"))
+    val bumped = Set((2, 1), (6, 4), (10, 10))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val len = r.getAs[Array[Byte]](1).length.toLong
+        val sid = id % 1000000L
+        val (w, h) = (16, 12)
+        val a = ((len + 31L * sid) % 200L).toInt
+        val p1 = (3L + 2L * ((len + sid) % 13L)).toInt
+        val p2 = (5L + 2L * ((len + 3L * sid) % 11L)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (a + x * p1 + y * p2) % 251
+            val p = if (bumpDelta > 0 && bumped((x, y)))
+              math.min(base + bumpDelta, 250) else base
+            raster.setSample(x, y, 0, p)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray, Row("image/png", w, h, 1))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * BANDED-Hamming near-duplicate pairs over [[imagePHash]] hashes —
+   * the image analog of the SimHash banded join (`Dedup.simhashPairs`):
+   * real re-encodes, crops and noise flip a FEW aHash bits, so
+   * production image dedup thresholds Hamming distance instead of
+   * requiring hash equality (m6's d1-style verdict). The 64-bit hash
+   * splits into 4 bands of 16 bits; a pair within radius 3 shares at
+   * least one band by pigeonhole (the same ≤ 3-guaranteed /
+   * larger-radii-best-effort recall contract as simhashPairs), and
+   * candidates verify by exact `popcount(xor)` over both halves —
+   * never an all-pairs scan. `maxBucket` drops hotter-than-`maxBucket`
+   * bands from candidate generation (decontaminate's maxDf move):
+   * near-flat images collapse to a handful of degenerate hashes at
+   * corpus scale, and one hot bucket would otherwise quadratically
+   * dominate the join — dropping it is both the skew mitigation and
+   * standard practice (a band shared by thousands of images carries no
+   * near-dup evidence). At 100 TB the join shuffles 16-byte hash rows
+   * keyed by (band, bkey), never pixels.
+   */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 8,
+                        maxBucket: Int = 64)(
+      implicit scope: graft.operators.CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hs = scope.persist(hashes
+      .select(col("media_id").as("_id"), col("hash_hi"), col("hash_lo")))
+    val banded = hs.select(col("_id"), col("hash_hi"), col("hash_lo"),
+      explode(array(
+        struct(lit(0).as("band"),
+          col("hash_lo").bitwiseAND(lit(65535L)).as("bkey")),
+        struct(lit(1).as("band"),
+          shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)).as("bkey")),
+        struct(lit(2).as("band"),
+          col("hash_hi").bitwiseAND(lit(65535L)).as("bkey")),
+        struct(lit(3).as("band"),
+          shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L)).as("bkey"))))
+        .as("_b"))
+      .select(col("_id"), col("hash_hi"), col("hash_lo"),
+        col("_b.band"), col("_b.bkey"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "bkey")))
+      .filter(col("_n") <= maxBucket)
+    val a = banded.select(col("band"), col("bkey"), col("_id").as("ida"),
+      col("hash_hi").as("hia"), col("hash_lo").as("loa"))
+    val b = banded.select(col("band"), col("bkey"), col("_id").as("idb"),
+      col("hash_hi").as("hib"), col("hash_lo").as("lob"))
+    a.join(b, Seq("band", "bkey")).filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob")))).as("hamming"))
+      .groupBy("ida", "idb").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Metadata carried beside an audio payload. */
   val AudioMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
