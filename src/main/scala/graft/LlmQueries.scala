@@ -768,16 +768,22 @@ object LlmQueries {
     val base = s"target/tmp/e16_${new java.io.File(dir).getName}"
     val incoming = emb.filter(col("id") >= AdmitBoundary)
     val stream = stageWaveStream(s, base, incoming)
-    val baseDir = s"$base/index_base"
-    val deltaDir = s"$base/index_delta"
-    Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents)
-      .write.mode("overwrite").parquet(baseDir)
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
     val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
       .option("checkpointLocation", s"$base/ckpt")
-      .option("path", deltaDir).format("parquet").start()
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
     q.processAllAvailable()
     q.stop()
-    val index = s.read.parquet(baseDir).unionByName(s.read.parquet(deltaDir))
+    // past-threshold maintenance: three committed per-wave deltas exceed
+    // maxDeltaFiles=2, so the round trips the fold — the serving view
+    // (and the oracle hash) must not move by a row (IndexStoreSpec
+    // asserts the file-level effects this gate's oracle can't see)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    val index = graft.ml.IndexStore.read(s, idxDir)
     val queries = emb.filter(col("id") < 3 ||
       (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
     Similarity.ivfPqSearchIndex(queries, index, TopK, books, cents, NProbe)

@@ -1,0 +1,148 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Storage layout + maintenance for a served ANN index: a VERSIONED BASE
+ * (one parquet dir per compaction epoch) beside a streaming DELTA dir
+ * appended through Structured Streaming's file-sink commit protocol.
+ * This is the piece that turns e16's "append one delta per micro-batch
+ * forever" into a production layout — at 100 TB unbounded deltas are
+ * the classic small-files problem (every search pays a file-listing +
+ * footer read per delta), so past a threshold the deltas FOLD into a
+ * new base version, exactly the LogTable auto-compaction move applied
+ * to the index table.
+ *
+ * Isolation contract (what a reader may see, and when):
+ *  - The delta dir is only ever read THROUGH its `_spark_metadata` sink
+ *    log, so an in-flight or crashed micro-batch's data files are
+ *    invisible until their batch commits — readers get committed-prefix
+ *    snapshots for free from the sink protocol (`IndexStoreSpec` plants
+ *    a torn file and pins this).
+ *  - A base version is live only once BOTH its parquet `_SUCCESS` and
+ *    its `_folded` marker (the list of delta files folded into it)
+ *    exist; `read` subtracts the live version's folded files from the
+ *    committed delta, so during a compaction a reader sees either
+ *    (old base + delta) or (new base + delta − folded) — never a row
+ *    twice, never a torn fold.
+ *  - Compaction runs in the maintenance role with the WRITER quiesced
+ *    (the same single-writer constraint as every lifecycle verb — L6);
+ *    old-version/folded-file deletion is immediate here, where a
+ *    production deployment would keep a vacuum grace period for
+ *    readers still holding the old file list.
+ */
+object IndexStore {
+
+  private def basePath(dir: String): Path = Paths.get(dir, "base")
+
+  /** The streaming-sink target: point `writeStream.option("path", ...)`
+   * here with a checkpoint — the sink's `_spark_metadata` IS the
+   * commit log `read` trusts. */
+  def deltaDir(dir: String): String =
+    Paths.get(dir, "delta").toString
+
+  /** Live base versions (ascending): parquet committed (_SUCCESS) AND
+   * fold marker present. */
+  private def versions(dir: String): Seq[(Int, Path)] =
+    if (!Files.isDirectory(basePath(dir))) Nil
+    else Files.list(basePath(dir)).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("v="))
+      .map(p => p.getFileName.toString.stripPrefix("v=").toInt -> p)
+      .filter { case (_, p) =>
+        Files.exists(p.resolve("_SUCCESS")) && Files.exists(p.resolve("_folded"))
+      }
+      .sortBy(_._1)
+
+  private def writeVersion(df: DataFrame, dir: String, v: Int,
+                           folded: Seq[String]): Path = {
+    val target = basePath(dir).resolve(s"v=$v")
+    df.write.mode("overwrite").parquet(target.toString)
+    // the marker lands AFTER the parquet commit — the version becomes
+    // visible to `versions` only with its fold list in place
+    Files.write(target.resolve("_folded"),
+      folded.mkString("\n").getBytes("UTF-8"))
+    target
+  }
+
+  /** Write the initial base (v=0, nothing folded). The target `dir`
+   * must be fresh. */
+  def writeBase(df: DataFrame, dir: String): Unit = {
+    require(versions(dir).isEmpty, s"base already exists under $dir")
+    writeVersion(df, dir, 0, Nil)
+  }
+
+  /** Committed delta data files (absolute URIs), per the sink log —
+   * empty when the delta dir has no sink metadata yet. The base
+   * version's schema is supplied explicitly: schema INFERENCE would
+   * open the footers of every log-listed file, and files folded by a
+   * previous compaction are deleted (only the log remembers them) —
+   * with a schema the call is a pure log listing. */
+  private def committedDeltaFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val d = Paths.get(deltaDir(dir))
+    if (!Files.isDirectory(d.resolve("_spark_metadata"))) Nil
+    else {
+      val sch = spark.read.parquet(versions(dir).last._2.toString).schema
+      spark.read.schema(sch).parquet(deltaDir(dir)).inputFiles.toSeq.sorted
+    }
+  }
+
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  private def foldedNames(v: Path): Set[String] = {
+    val f = v.resolve("_folded")
+    if (!Files.exists(f)) Set.empty
+    else new String(Files.readAllBytes(f), "UTF-8")
+      .split("\n").toSeq.filter(_.nonEmpty).toSet
+  }
+
+  /** Committed delta files NOT yet folded into the live base — the
+   * count `compact` thresholds on. */
+  def unfoldedDeltaFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val folded = versions(dir).lastOption
+      .map { case (_, p) => foldedNames(p) }.getOrElse(Set.empty)
+    committedDeltaFiles(spark, dir).filterNot(f => folded(fileName(f)))
+  }
+
+  /** The serving view: live base version ∪ committed-but-unfolded
+   * delta files. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no live base version under $dir")
+    val base = spark.read.parquet(vs.last._2.toString)
+    unfoldedDeltaFiles(spark, dir) match {
+      case Seq() => base
+      case files => base.unionByName(spark.read.parquet(files: _*))
+    }
+  }
+
+  /**
+   * Fold the committed deltas into a new base version when more than
+   * `maxDeltaFiles` are pending; no-op (false) otherwise. Requires the
+   * streaming WRITER quiesced (see the isolation contract above);
+   * readers stay consistent throughout because the new version only
+   * goes live with its fold list, and the folded files/old version are
+   * deleted only after that point.
+   */
+  def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int): Boolean = {
+    val pending = unfoldedDeltaFiles(spark, dir)
+    if (pending.size <= maxDeltaFiles) false
+    else {
+      val (pv, pdir) = versions(dir).last
+      val merged = spark.read.parquet(pdir.toString)
+        .unionByName(spark.read.parquet(pending: _*))
+      // the fold list is CUMULATIVE (prior folds' names carry forward):
+      // the sink log never forgets a committed file, so a version that
+      // listed only its own fold would let files folded two epochs ago
+      // — physically deleted — resurface as "pending"
+      writeVersion(merged, dir, pv + 1,
+        (foldedNames(pdir) ++ pending.map(fileName)).toSeq.sorted)
+      pending.foreach(f =>
+        Files.deleteIfExists(Paths.get(new java.net.URI(f))))
+      graft.util.Fs.deleteRecursive(pdir)
+      true
+    }
+  }
+}

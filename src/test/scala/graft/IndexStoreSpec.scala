@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{IndexStore, Similarity}
+import java.nio.file.{Files, Paths}
+
+/** The streamed-index storage layer (e16's layout): versioned base +
+  * file-sink delta, threshold-triggered compaction, and the isolation
+  * contract a concurrent reader relies on. The e16 gate's oracle proves
+  * the serving VIEW is row-stable across the fold; these tests pin the
+  * file-level effects and the torn-batch invisibility the oracle can't
+  * see. Isolation is tested DETERMINISTICALLY at its mechanism — the
+  * sink's `_spark_metadata` commit log — rather than with a racing
+  * thread: a reader at ANY instant sees exactly the committed prefix
+  * (test: serve after each wave) and never an uncommitted data file
+  * (test: planted torn file), which together are what "serve while
+  * admitting never reads a torn batch" means at commit granularity.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    val a = Array.fill(8)(0.0f)
+    a(i % 8) = 1.0f; a((i + 3) % 8) = 0.01f * (i % 37)
+    (i.toLong, a)
+  }.toDF("id", "vec")
+
+  private val cents = Similarity.ivfCentroids(4, 8).map(_.map(_.toDouble))
+  private val books = Similarity.pqCodebooks(2, 4, 4)
+
+  /** Stage `waves` slices of `df` as minute-spaced files and stream
+    * them into the delta dir, one file per trigger; returns after the
+    * stream drains and stops. */
+  private def admitWaves(dir: String, df: org.apache.spark.sql.DataFrame,
+                         waves: Int, upTo: Int): Unit = {
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    (0 until waves).foreach { i =>
+      Tables.stageFile(df.filter(pmod(col("id"), lit(3)) === i),
+        in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    }
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = Similarity.ivfPqIndex(stream.filter(col("id") < upTo), books, cents)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("path", IndexStore.deltaDir(s"$dir/index"))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("compaction folds committed deltas into a new live version; view row-stable; files bounded") {
+    val dir = "target/tmp/idxstore_fold"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+
+    // three per-wave commits pending
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).size == 3)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    assert(before.size == 240)
+
+    // below threshold: no-op
+    assert(!IndexStore.compact(spark, idx, maxDeltaFiles = 3))
+    // past threshold: folds, view unchanged, delta drained, v=1 live
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2))
+    assert(IndexStore.read(spark, idx).collect().toSet == before,
+      "the fold moved the serving view")
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+    assert(Files.exists(Paths.get(idx, "base", "v=1", "_SUCCESS")))
+    assert(!Files.exists(Paths.get(idx, "base", "v=0")),
+      "old version not vacuumed")
+    // idempotent: nothing left to fold
+    assert(!IndexStore.compact(spark, idx, maxDeltaFiles = 0) ||
+      IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+  }
+
+  test("a torn (uncommitted) delta file is invisible to readers") {
+    val dir = "target/tmp/idxstore_torn"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    val committed = IndexStore.read(spark, idx).count()
+
+    // simulate an in-flight writer's crash: a data file present in the
+    // delta dir but absent from the sink's _spark_metadata commit log
+    val torn = "target/tmp/idxstore_torn_payload"
+    graft.util.Fs.deleteRecursive(Paths.get(torn))
+    Similarity.ivfPqIndex(
+        vecs.filter(col("id") < 10).withColumn("id", col("id") + 9000L),
+        books, cents)
+      .coalesce(1).write.parquet(torn)
+    val part = Files.list(Paths.get(torn)).iterator()
+    val src = Iterator.continually(part).takeWhile(_.hasNext).map(_.next())
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(src,
+      Paths.get(IndexStore.deltaDir(idx), "part-torn-batch.parquet"))
+
+    assert(IndexStore.read(spark, idx).count() == committed,
+      "reader saw a data file the sink log never committed")
+    // and compaction doesn't fold it either
+    IndexStore.compact(spark, idx, maxDeltaFiles = 0)
+    assert(IndexStore.read(spark, idx).count() == committed)
+  }
+
+  test("serve-while-admitting: each serve sees exactly the committed prefix of waves") {
+    val dir = "target/tmp/idxstore_prefix"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    val queries = vecs.filter(col("id") < 4)
+
+    // waves arrive ONE at a time (stream restarts from its checkpoint —
+    // the admission path's crash-resume story rides along); after each
+    // commit a serve over the store must equal the batch-built index of
+    // exactly the admitted-so-far corpus: committed-prefix snapshots
+    val incoming = vecs.filter(col("id") >= 120)
+    (0 until 3).foreach { w =>
+      val in = Paths.get(dir, "in")
+      Files.createDirectories(in)
+      Tables.stageFile(incoming.filter(pmod(col("id"), lit(3)) === w),
+        in.resolve(f"wave$w%02d.parquet"), 1000000000000L + w * 60000L)
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = scoped.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .option("path", IndexStore.deltaDir(idx))
+        .format("parquet").start()
+      q.processAllAvailable()
+      q.stop()
+
+      val admitted = vecs.filter(col("id") < 120 ||
+        (col("id") >= 120 && pmod(col("id"), lit(3)) <= w))
+      def serve(i: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqSearchIndex(queries, i, 5, books, cents, 2)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank").collect().toSeq
+      assert(serve(IndexStore.read(spark, idx)) ==
+             serve(Similarity.ivfPqIndex(admitted, books, cents)),
+        s"serve after wave $w drifted from the committed-prefix index")
+    }
+  }
+}
