@@ -832,6 +832,87 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E21's split state — e18's [[splitState]] under the BASE-trained
+   * quantizer (the lifecycle journey freezes e14's constants): fullest
+   * cell of the POST-admission corpus (ties to the smaller id), 2-means
+   * subs trained on only that cell's members, post-split centroid
+   * table. Memoized per dir like every trained constant; the corpus
+   * here is pre-delete — the journey splits before it tombstones, and
+   * the sub-centroids legitimately saw the soon-deleted members. */
+  private val e21Memo = scala.collection.concurrent.TrieMap
+    .empty[String, (Int, Seq[Seq[Double]], Seq[Seq[Double]])]
+  private def e21SplitState(s: SparkSession, dir: String):
+      (Int, Seq[Seq[Double]], Seq[Seq[Double]]) =
+    e21Memo.getOrElseUpdate(dir, {
+      val cents = trainedCentsBase(s, dir)
+      val emb = embFrame(s, dir)
+      val counts = emb
+        .select(Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val c = (0 until cents.size)
+        .maxBy(j => (counts.getOrElse(j, 0L), -j.toLong))
+      val subs = Similarity.trainIvfCentroids(
+        emb.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
+        nCells = 2, dim = Dim, iters = 3)
+      (c, subs, cents.updated(c, subs(0)) :+ subs(1))
+    })
+
+  /** E21: the FULL index lifecycle composed into ONE journey — every
+   * verb e14–e20 gate in isolation, run in production order against a
+   * single stored index: BUILD the base over the existing slice
+   * (frozen base-trained quantizers) → STREAMED ADMISSION of the
+   * incoming vectors as three checkpointed micro-batches → DELTA
+   * COMPACTION past the file threshold ([[graft.ml.IndexStore]]) →
+   * SURGICAL CELL SPLIT of the now-fullest cell → TOMBSTONE DELETE
+   * (`id % 7 = 3`) → physical COMPACTION of the survivors → SERVE WITH
+   * EXACT RERANK from the compacted table. The oracle is the REBUILT
+   * index over the net surviving corpus under the same frozen
+   * constants (surgical split assignment, post-split probe table, 3k
+   * ADC candidates, exact-cosine refine), so one hash equality proves
+   * the verbs COMPOSE: ordering effects, split-then-delete
+   * interaction, admission-through-compaction plumbing, and
+   * serve-after-everything all collapse into `journey ≡ rebuild` —
+   * which is the invariant that lets a 100 TB deployment run each verb
+   * as an O(batch)/O(|cell|) increment instead of ever rebuilding. */
+  def indexLifecycleE2E(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val (c, subs, newCents) = e21SplitState(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e21_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    val admitted = graft.ml.IndexStore.read(s, idxDir)
+    val split = Similarity.ivfPqSplit(admitted, emb, c, subs,
+      newCell = cents.size)
+    val tombs = emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3))
+      .select("id")
+    val live = Similarity.ivfPqDelete(split, tombs)
+    // physical compaction of the post-delete index: the serving table
+    // is read back from storage — candidates can only come from here,
+    // so a tombstone can never resurface at serve time
+    val servedDir = s"$base/compacted"
+    live.write.mode("overwrite").parquet(servedDir)
+    val queries = emb.filter(col("id") < 4 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    Similarity.ivfPqRerankSearchIndex(queries, s.read.parquet(servedDir),
+        emb, TopK, RerankN, books, newCents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .orderBy("query_id", "rank")
+  }
+
   private val trainedResPq =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
   /** e19's residual codebooks: trained on `vec − centroid(cell)` with
@@ -1603,6 +1684,7 @@ object LlmQueries {
     "e18_cell_split" -> (cellSplit _),
     "e19_ivfpq_residual_topk" -> (residualTopK _),
     "e20_ivfpq_exact_rerank" -> (rerankTopK _),
+    "e21_index_lifecycle_e2e" -> (indexLifecycleE2E _),
     "e22_ivfpqr_topk" -> (residualRerankTopK _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
@@ -1879,6 +1961,35 @@ object LlmQueries {
       val books = trainedBooks(s, dir)
       rerankWrapSql(ivfPqOracleSql(doubleLit2(trainedCents(s, dir)),
         doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)),
+        topK = RerankN))
+    }),
+    // e21 = the journey's rebuilt form: one whole-corpus index pass
+    // under the frozen base constants with the SURGICAL split
+    // assignment (e18's override), the tombstone slice excluded
+    // (e17's cPred), queries probing the post-split table, 3k ADC
+    // candidates reranked by exact cosine (e20's wrapper) — hash
+    // equality against this is the proof the lifecycle verbs compose
+    "e21_index_lifecycle_e2e" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      val oldCents = trainedCentsBase(s, dir)
+      val (c, subs, newCents) = e21SplitState(s, dir)
+      val n = oldCents.size
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      rerankWrapSql(ivfPqOracleSql(doubleLit2(oldCents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 4 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
+        cPred = s"NOT (vec_id % $DeleteMod = 3)",
+        extraCtes =
+          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+             |cents3 AS (SELECT ${doubleLit2(subs)} AS ct3),
+             |""".stripMargin,
+        fromExtra = ", cents2, cents3",
+        cCell =
+          s"""CASE WHEN $oldCell = ${c + 1}
+             |    THEN CASE WHEN -(${rankedSql("embedding", 2, "ct3")})[1].nj = 1
+             |         THEN ${c + 1} ELSE ${n + 1} END
+             |    ELSE $oldCell END""".stripMargin,
+        qRanked = rankedSql("embedding", n + 1, "ct2"),
         topK = RerankN))
     }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
