@@ -89,6 +89,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("textured pack: id-seeded (shifted clone hashes equal), bump plants a small Hamming offset") {
+    val docs = (0 until 12).map(i => (i.toLong, "doc " + ("x" * (20 + 7 * i))))
+      .toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame, bump: Int) =
+      Multimodal.imagePHash(
+        Multimodal.packAsPngTextured(df, "doc_id", "text", bumpDelta = bump))
+        .collect().map(r => (r.getLong(0) % 1000000L, (r.getLong(1), r.getLong(2))))
+        .toMap
+    val orig = hashes(docs, 0)
+    val shifted = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    // same texture seed: an UN-bumped shifted-id clone hashes identical
+    assert(hashes(shifted, 0) == orig, "clone seed drifted from original")
+    // bumped clone: within the banded radius of its original, and the
+    // fixture genuinely flips bits for at least some docs
+    val bumped = hashes(shifted, 60)
+    val dists = orig.keys.toSeq.sorted.map { id =>
+      val (h1, l1) = orig(id); val (h2, l2) = bumped(id)
+      java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    }
+    assert(dists.forall(_ <= 8), s"planted distance escaped the radius: $dists")
+    assert(dists.max >= 1, "bump never flipped a bit on this fixture")
+    // and distinct textures sit far apart (the diversity the banded
+    // buckets rely on): median cross-distance well above the radius
+    val cross = for (Seq(a, b) <- orig.keys.toSeq.sorted.combinations(2).toSeq)
+      yield {
+        val (h1, l1) = orig(a); val (h2, l2) = orig(b)
+        java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+      }
+    assert(cross.sorted.apply(cross.size / 2) > 8,
+      s"textures not diverse enough: ${cross.sorted}")
+  }
+
+  test("phashNearDupPairs: planted pairs found by a banded equi-join; hot-bucket cap bounds candidates") {
+    val docs = (0 until 20).map(i => (i.toLong, "t " + ("y" * (15 + 11 * i))))
+      .toDF("doc_id", "text")
+    val orig = Multimodal.packAsPngTextured(docs, "doc_id", "text")
+    val clones = Multimodal.packAsPngTextured(
+      docs.filter(col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", bumpDelta = 60)
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val hashes = Multimodal.imagePHash(orig.unionByName(clones))
+      val pairs = Multimodal.phashNearDupPairs(hashes, maxHamming = 8,
+        maxBucket = 64)
+      // every planted (orig, clone) pair surfaces within the radius
+      val planted = pairs.filter(col("idb") === col("ida") + 1000000L)
+        .collect()
+      assert(planted.length == 5,
+        s"expected all 5 planted pairs, got ${planted.toSeq}")
+      assert(planted.forall(_.getAs[Int]("hamming") <= 8))
+      // the candidate stage is a (band, bkey) equi-join, never a
+      // cartesian sweep
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"banded join degenerated:\n$plan")
+      // the hot-bucket cap is load-bearing: cap 0 drops every bucket
+      val capped = Multimodal.phashNearDupPairs(hashes, maxHamming = 8,
+        maxBucket = 0)
+      assert(capped.count() == 0)
+      pairs
+    }
+  }
+
   test("a corrupt payload fails loudly, not with silent zeros") {
     val d = new ImageIoDecoder
     val e = intercept[IllegalArgumentException](

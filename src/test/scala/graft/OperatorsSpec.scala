@@ -327,6 +327,21 @@ class OperatorsSpec extends SparkSpec {
     assert(picks.map(_.getInt(picks.head.fieldIndex("step"))).toSeq == (1 to 50))
   }
 
+  test("MMR rerank rejects invalid dials loudly, before any retrieval runs") {
+    val corpus = (1 until 8).map { i =>
+      val a = Array.fill(8)(0.0f); a(i % 8) = 1.0f; (i.toLong, a)
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") === 1L)
+    CacheScope.withScope { implicit scope =>
+      intercept[IllegalArgumentException] {
+        Similarity.mmrRerank(queries, corpus, n = 5, k = 0, lambda = 0.5) }
+      intercept[IllegalArgumentException] {
+        Similarity.mmrRerank(queries, corpus, n = 2, k = 3, lambda = 0.5) }
+      intercept[IllegalArgumentException] {
+        Similarity.mmrRerank(queries, corpus, n = 5, k = 2, lambda = 1.5) }
+    }
+  }
+
   test("k-means IVF: training converges on clustered data, recall matches brute force") {
     // 4 well-separated clusters on the axes of a 4-dim space; every
     // point gets a distinct small off-axis offset so similarities are
