@@ -944,6 +944,57 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  private val trainedResPqBase =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+  /** e23's residual codebooks, frozen like every lifecycle constant:
+   * trained on the EXISTING slice's residuals against the base-trained
+   * coarse centroids. */
+  private def trainedResidualBooksBase(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    trainedResPqBase.getOrElseUpdate(dir,
+      Similarity.trainResidualBooks(embExisting(s, dir), PqM, PqSubDim, PqCodes,
+        trainedCentsBase(s, dir), iters = 2, sampleMod = 4))
+
+  /** E23: the lifecycle journey for the RESIDUAL index family — e21's
+   * composition where the codes carry meaning only BESIDE their
+   * centroid (`vec − ct[cell]`), which is exactly what makes the
+   * residual lifecycle the harder one: admission re-residualizes
+   * against the frozen table ([[Similarity.ivfPqResidualIndex]], the
+   * row-local argument carries over), but the SPLIT must RE-ENCODE
+   * every moved member against its new sub-centroid in the same
+   * O(|cell|) pass ([[Similarity.ivfPqResidualSplit]]) — stale codes
+   * beside a new centroid would silently corrupt every score in the
+   * split cells. Build → admit → surgical residual split → tombstone
+   * delete → serve via the MIPS decomposition over the POST-SPLIT
+   * centroid table. The oracle rebuilds the surviving corpus's
+   * residual index with the surgical cell assignment and residuals
+   * against the post-split table, so the hash gate pins both the
+   * composition AND the re-encode-on-move contract (an oracle built
+   * from stale codes would mismatch every moved row). Batch admission
+   * here (e21 already gates the streamed/compacted storage path —
+   * this gate isolates the residual-specific semantics). */
+  def residualLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedResidualBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val (c, subs, newCents) = e21SplitState(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      val index0 = scope.persist(Similarity.ivfPqResidualIndex(
+        emb.filter(col("id") < AdmitBoundary), books, cents)).toDF()
+      val merged = index0.unionByName(Similarity.ivfPqResidualIndex(
+        emb.filter(col("id") >= AdmitBoundary), books, cents))
+      val split = Similarity.ivfPqResidualSplit(merged, emb, c, subs,
+        newCell = cents.size, books = books)
+      val tombs = emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3))
+        .select("id")
+      val live = Similarity.ivfPqDelete(split, tombs)
+      val queries = emb.filter(col("id") < 4 ||
+        (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+      Similarity.ivfPqResidualSearchIndex(queries, live, TopK, books,
+        newCents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   // e20's candidate width: ADC retrieves 3k candidates, exact cosine
   // reranks them down to k
   private val RerankN = 3 * TopK
@@ -1686,6 +1737,7 @@ object LlmQueries {
     "e20_ivfpq_exact_rerank" -> (rerankTopK _),
     "e21_index_lifecycle_e2e" -> (indexLifecycleE2E _),
     "e22_ivfpqr_topk" -> (residualRerankTopK _),
+    "e23_residual_lifecycle" -> (residualLifecycle _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -1992,6 +2044,33 @@ object LlmQueries {
         qRanked = rankedSql("embedding", n + 1, "ct2"),
         topK = RerankN))
     }),
+    // e23 = the residual journey's rebuilt form: surviving corpus,
+    // surgical cell assignment (e18's CASE over the base table + subs),
+    // residuals and serving both against the POST-SPLIT table ct2 —
+    // an oracle built from stale (pre-split) codes would mismatch
+    // every moved row, so the hash pins the re-encode-on-move contract
+    "e23_residual_lifecycle" -> ((s, dir) => {
+      val books = trainedResidualBooksBase(s, dir)
+      val oldCents = trainedCentsBase(s, dir)
+      val (c, subs, newCents) = e21SplitState(s, dir)
+      val n = oldCents.size
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      residualOracleSql(doubleLit2(oldCents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 4 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
+        extraCtes =
+          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+             |cents3 AS (SELECT ${doubleLit2(subs)} AS ct3),
+             |""".stripMargin,
+        fromExtra = ", cents2, cents3",
+        cCell =
+          s"""CASE WHEN $oldCell = ${c + 1}
+             |    THEN CASE WHEN -(${rankedSql("embedding", 2, "ct3")})[1].nj = 1
+             |         THEN ${c + 1} ELSE ${n + 1} END
+             |    ELSE $oldCell END""".stripMargin,
+        cPred = s"NOT (vec_id % $DeleteMod = 3)",
+        serveCt = "ct2", serveN = n + 1)
+    }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
     "e22_ivfpqr_topk" -> ((s, dir) => {
@@ -2116,24 +2195,35 @@ object LlmQueries {
   /** e19's oracle: codes quantize the corpus RESIDUAL
    * `rv[i] = embedding[i]::DOUBLE − ct[cell][i]` (slices named `s$j`
    * so [[pqCodeSql]] applies unchanged); search scores the
-   * inner-product decomposition — an exact `dot(q, ct[cell])`
+   * inner-product decomposition — an exact `dot(q, serveCt[cell])`
    * (sequential fold, the same shape as [[dotSql]]) plus the raw
-   * query's ADC over the residual codebooks. */
+   * query's ADC over the residual codebooks. e23 overrides the
+   * corpus-side cell (surgical split CASE), the residual/serving
+   * centroid table (`serveCt` — the post-split table the codes are
+   * encoded against), the corpus predicate (tombstones) and the probe
+   * width; every other oracle keeps the defaults (`serveCt` = `ct`). */
   private def residualOracleSql(centsLit: String, booksLit: String,
                                 normsLit: String,
                                 qPred: String = "vec_id < 5",
-                                topK: Int = TopK): String = {
+                                topK: Int = TopK,
+                                extraCtes: String = "",
+                                fromExtra: String = "",
+                                cCell: String = null,
+                                cPred: String = "TRUE",
+                                serveCt: String = "ct",
+                                serveN: Int = NCells): String = {
+    val cc = Option(cCell).getOrElse(s"-(${rankedSql("embedding")})[1].nj")
     val rvSql = s"""list_transform(range(1, ${Dim + 1}),
-                   |    i -> embedding[i]::DOUBLE - ct[cell][i])""".stripMargin
+                   |    i -> embedding[i]::DOUBLE - $serveCt[cell][i])""".stripMargin
     def slices(src: String) = (0 until PqM).map(j =>
       s"list_slice($src, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS s$j")
       .mkString(",\n  ")
     s"""WITH cents AS (SELECT $centsLit AS ct),
-       |cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
+       |${extraCtes}cb AS (SELECT $booksLit AS cbs, $normsLit AS cn),
        |cbase AS (SELECT vec_id, embedding,
-       |  -(${rankedSql("embedding")})[1].nj AS cell
-       |  FROM embeddings, cents),
-       |cres AS (SELECT vec_id, cell, $rvSql AS rv FROM cbase, cents),
+       |  ($cc) AS cell
+       |  FROM embeddings, cents$fromExtra WHERE $cPred),
+       |cres AS (SELECT vec_id, cell, $rvSql AS rv FROM cbase, cents$fromExtra),
        |csub AS (SELECT vec_id, cell,
        |  ${slices("rv")}
        |  FROM cres),
@@ -2141,11 +2231,11 @@ object LlmQueries {
        |  [${(0 until PqM).map(pqCodeSql).mkString(",\n   ")}] AS codes
        |  FROM csub, cb),
        |qbase AS (SELECT vec_id AS query_id, embedding,
-       |  unnest(list_transform(list_slice(${rankedSql("embedding")}, 1, $NProbe),
+       |  unnest(list_transform(list_slice(${rankedSql("embedding", serveN, serveCt)}, 1, $NProbe),
        |    x -> -x.nj)) AS cell
-       |  FROM embeddings, cents WHERE $qPred),
+       |  FROM embeddings, cents$fromExtra WHERE $qPred),
        |q AS (SELECT query_id, cell,
-       |  ${dotSql("embedding", "ct[cell]")} AS cent_dot,
+       |  ${dotSql("embedding", s"$serveCt[cell]")} AS cent_dot,
        |  [${(0 until PqM).map(j =>
               s"list_transform(range(1, ${PqCodes + 1}), c -> ${pqDotSql(s"cbs[${j + 1}][c]", s"sq$j")})")
               .mkString(",\n   ")}] AS adct
@@ -2153,7 +2243,7 @@ object LlmQueries {
        |    ${(0 until PqM).map(j =>
               s"list_slice(embedding, ${j * PqSubDim + 1}, ${j * PqSubDim + PqSubDim}) AS sq$j")
               .mkString(",\n    ")}
-       |    FROM qbase) qs, cents, cb),
+       |    FROM qbase) qs, cents$fromExtra, cb),
        |scored AS (
        |  SELECT query_id, neighbor_id,
        |    (cent_dot + ${(0 until PqM).map(j => s"adct[${j + 1}][codes[${j + 1}]]").mkString(" + ")}) AS adc

@@ -632,7 +632,22 @@ object Similarity {
    * comes from (measured: see `bench/residual_recall_r10.json`). */
   def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                         books: Seq[Seq[Seq[Double]]],
-                        centsD: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+                        centsD: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    ivfPqResidualSearchIndex(queries,
+      ivfPqResidualIndex(corpus, books, centsD), k, books, centsD, nprobe)
+
+  /** Residual search over a PREBUILT `(id, cell, codes)` residual index
+   * — the serving half of [[ivfPqResidualTopK]], split out so a
+   * residual index that has lived through admission, splits
+   * ([[ivfPqResidualSplit]]), deletion and compaction serves exactly
+   * like a fresh one. `centsD` must be the table the index's codes are
+   * CURRENTLY encoded against (post-split: the updated table whose
+   * split slots hold the sub-centroids — a residual code is only
+   * meaningful beside its own centroid). */
+  def ivfPqResidualSearchIndex(queries: DataFrame, index: DataFrame, k: Int,
+                               books: Seq[Seq[Seq[Double]]],
+                               centsD: Seq[Seq[Double]],
+                               nprobe: Int): DataFrame = {
     // dot(q, ct[cell]) as the same sequential fold the oracle uses
     val centTerm = aggregate(
       zip_with(col("vec").cast("array<double>"),
@@ -645,8 +660,7 @@ object Similarity {
         explode(ivfProbesD(col("vec"), centsD, nprobe)).as("cell"))
       .select(col("query_id"), col("cell"), col("adct"),
         centTerm.as("cent_dot"))
-    adcRank(ivfPqResidualIndex(corpus, books, centsD), q, k, books.size,
-      seed = Some(col("cent_dot")))
+    adcRank(index, q, k, books.size, seed = Some(col("cent_dot")))
   }
 
   /** Deterministic pseudo-random hyperplanes: component (j, d) =

@@ -167,6 +167,27 @@ class IndexLifecycleSpec extends SparkSpec {
       s"rerank must not shuffle the corpus vector table:\n$plan")
   }
 
+  test("rerank from a prebuilt index table keeps the broadcast shape and cannot resurface deleted ids") {
+    // e21's serving verb: candidates come ONLY from the (possibly
+    // deleted-from) index table, and the exact-vector fetch stays a
+    // broadcast probe of the candidate frame
+    val vecs = corpus
+    val index = Similarity.ivfPqDelete(
+      Similarity.ivfPqIndex(vecs, books, cents),
+      vecs.filter(col("id") % 5 === 2).select("id"))
+    val served = Similarity.ivfPqRerankSearchIndex(
+      vecs.filter(col("id") < 3), index, vecs, 5, 15, books, cents, 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate fetch should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank must not shuffle the corpus vector table:\n$plan")
+    // no tombstoned id can come back, even though the rerank joins the
+    // FULL vector table for exact vectors
+    assert(served.filter(col("neighbor_id") % 5 === 2).count() == 0,
+      "a deleted id resurfaced through the rerank stage")
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
