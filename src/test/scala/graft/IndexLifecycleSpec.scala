@@ -188,6 +188,67 @@ class IndexLifecycleSpec extends SparkSpec {
       "a deleted id resurfaced through the rerank stage")
   }
 
+  test("the composed journey equals its rebuild at unit scale, raw and residual") {
+    // the e21/e23 invariant guarded cheaply: admit-then-split-then-
+    // delete over a stored index is row-identical to split-then-delete
+    // over a from-scratch rebuild — for the raw family (codes never
+    // move) and the residual family (moved members re-encode)
+    val vecs = corpus
+    val occupancy = Similarity.ivfPqIndex(vecs, books, cents)
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = (0 until cents.size).maxBy(j => (occupancy.getOrElse(j, 0L), -j.toLong))
+    val subs = Similarity.trainIvfCentroids(
+      vecs.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
+      nCells = 2, dim = 8, iters = 3)
+    val tombs = vecs.filter(col("id") % 5 === 2).select("id")
+
+    def assertSame(a: org.apache.spark.sql.DataFrame,
+                   b: org.apache.spark.sql.DataFrame, what: String): Unit =
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$what journey drifted from rebuild")
+
+    val rawJourney = Similarity.ivfPqDelete(
+      Similarity.ivfPqSplit(
+        Similarity.ivfPqAdmit(
+          Similarity.ivfPqIndex(vecs.filter(col("id") < 150), books, cents),
+          vecs.filter(col("id") >= 150), books, cents),
+        vecs, c, subs, newCell = cents.size),
+      tombs)
+    val rawRebuild = Similarity.ivfPqDelete(
+      Similarity.ivfPqSplit(
+        Similarity.ivfPqIndex(vecs, books, cents),
+        vecs, c, subs, newCell = cents.size),
+      tombs)
+    assertSame(rawJourney, rawRebuild, "raw")
+
+    val resBooks = Similarity.trainResidualBooks(vecs, 2, 4, 4, cents,
+      iters = 2, sampleMod = 4)
+    def resIdx(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualIndex(df, resBooks, cents)
+    val resJourney = Similarity.ivfPqDelete(
+      Similarity.ivfPqResidualSplit(
+        resIdx(vecs.filter(col("id") < 150))
+          .unionByName(resIdx(vecs.filter(col("id") >= 150))),
+        vecs, c, subs, newCell = cents.size, books = resBooks),
+      tombs)
+    val resRebuild = Similarity.ivfPqDelete(
+      Similarity.ivfPqResidualSplit(resIdx(vecs),
+        vecs, c, subs, newCell = cents.size, books = resBooks),
+      tombs)
+    assertSame(resJourney, resRebuild, "residual")
+
+    // and serving the residual journey from the post-split table ranks
+    // identically to serving the rebuild
+    val newCents = cents.updated(c, subs(0)) :+ subs(1)
+    def serveRes(i: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqResidualSearchIndex(vecs.filter(col("id") < 4), i, 5,
+        resBooks, newCents, 2)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(serveRes(resJourney) == serveRes(resRebuild))
+  }
+
   test("probe over the bucketed index table prunes to its buckets at the scan") {
     Similarity.ivfPqIndex(corpus, books, cents)
       .write.mode("overwrite").bucketBy(8, "cell").saveAsTable("b_idx_prune")
