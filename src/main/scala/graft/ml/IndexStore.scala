@@ -81,9 +81,12 @@ object IndexStore {
    * with a schema the call is a pure log listing. */
   private def committedDeltaFiles(spark: SparkSession, dir: String): Seq[String] = {
     val d = Paths.get(deltaDir(dir))
-    if (!Files.isDirectory(d.resolve("_spark_metadata"))) Nil
+    val vs = versions(dir)
+    // no live base yet (a writer racing ahead of writeBase): nothing is
+    // servable, so report no deltas rather than throw on the schema read
+    if (vs.isEmpty || !Files.isDirectory(d.resolve("_spark_metadata"))) Nil
     else {
-      val sch = spark.read.parquet(versions(dir).last._2.toString).schema
+      val sch = spark.read.parquet(vs.last._2.toString).schema
       spark.read.schema(sch).parquet(deltaDir(dir)).inputFiles.toSeq.sorted
     }
   }
