@@ -1507,6 +1507,49 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** X23: FEATURE-HASHED text embeddings
+   * ([[TextAnalysis.hashedEmbedding]] — the Weinberger et al. 2009
+   * hashing trick): the text → vector-space bridge, so the similarity
+   * family can run on raw text with no external encoder. The gate
+   * projects integer-exact scalars of each document's vector (token
+   * count, nonzero components, component sum, position-weighted
+   * checksum — arrays themselves aren't harness-sortable, x6's move);
+   * the signed counts are integers far below 2²⁴, so every float is
+   * exact and the oracle rebuilds the vector bit-for-bit. */
+  def hashedEmbeddingQ(s: SparkSession, dir: String): DataFrame =
+    Tpar(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(lower(col("text"))).as("_t"))
+      .select(col("doc_id"), size(col("_t")).as("n_tokens"),
+        TextAnalysis.hashedEmbedding(col("_t"), Dim).as("_v"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("_v"), x => x =!= 0.0f)).as("nnz"),
+        aggregate(col("_v"), lit(0.0),
+          (a, x) => a + x.cast(DoubleType)).as("v_sum"),
+        aggregate(zip_with(col("_v"), sequence(lit(1), lit(Dim)),
+            (x, i) => x.cast(DoubleType) * i.cast(DoubleType)),
+          lit(0.0), (a, x) => a + x).as("v_checksum"))
+      .orderBy("doc_id")
+
+  /** D14: text near-dup via HASHED-EMBEDDING cosine — the composition
+   * x23 exists for: documents embed through the hashing trick and the
+   * EXISTING embedding near-dup operator ([[Similarity.nearDupPairs]]:
+   * LSH bucketing, within-bucket cosine, global top pairs) runs on raw
+   * text unchanged. Near-dup text pairs share token multisets, so
+   * their signed-count vectors land at cosine ≈ 1 (identical token
+   * bags hit exactly 1.0) — a third near-dup signal next to MinHash
+   * (d2, set overlap) and SimHash (d3, weighted bits), this one
+   * inheriting every dial of the vector family. Cosine over the
+   * integer-exact counts is engine-exact, so the gate hash-compares
+   * like e4. */
+  def textEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tpar(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
+    Similarity.nearDupPairs(emb, NPlanes, topPairs = 20)
+      .orderBy(col("sim").desc, col("ida"), col("idb"))
+  }
+
   /** X20: per-source vocabulary cardinality via the KMV bottom-k sketch
    * ([[graft.functions.Sketches]]) — the distinct-count estimator a
    * 100 TB curation run uses where exact COUNT(DISTINCT) would shuffle
@@ -1757,6 +1800,8 @@ object LlmQueries {
     "x12_domain_cap" -> (domainCap _),
     "x13_mix_report" -> (mixReport _),
     "x20_kmv_distinct" -> (kmvVocabulary _),
+    "x23_hashed_embedding" -> (hashedEmbeddingQ _),
+    "d14_text_embedding_neardup" -> (textEmbeddingNearDup _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
@@ -2270,6 +2315,23 @@ object LlmQueries {
        |    JOIN embeddings x ON x.vec_id = c.neighbor_id) s0) t
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
 
+  /** x23/d14's hashed-embedding CTE chain: per-doc token hashes, then
+   * the dim-wide signed-count vector (bucket = h mod dim, sign = hash
+   * bit 30 — mirrors [[TextAnalysis.hashedEmbedding]] exactly; the
+   * counts are small integers, so DOUBLE arithmetic is exact). */
+  private lazy val hashedEmbCtes =
+    s"""hsx AS (SELECT doc_id,
+       |  list_transform(regexp_extract_all(lower(text), '\\S+'),
+       |    t -> ${h60("t")}) AS hs
+       |  FROM documents),
+       |hv AS (SELECT doc_id, len(hs) AS n_tokens,
+       |  list_transform(range(0, $Dim), i ->
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(hs, h ->
+       |      CASE WHEN h % $Dim = i
+       |        THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1.0 ELSE -1.0 END)
+       |        ELSE 0.0 END)), (a, x) -> a + x)) AS v
+       |  FROM hsx)""".stripMargin
+
   private def bucketSql(vec: String) =
     (0 until NPlanes).map { j =>
       s"CASE WHEN (${dotSql(s"pl[${j + 1}]", vec)}) > 0 THEN ${1L << j} ELSE 0 END"
@@ -2646,6 +2708,25 @@ object LlmQueries {
          |FROM b JOIN t USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 3
          |ORDER BY bench_id, train_id""".stripMargin,
+    "x23_hashed_embedding" ->
+      s"""WITH $hashedEmbCtes
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  CAST(len(list_filter(v, x -> x <> 0.0)) AS INTEGER) AS nnz,
+         |  list_reduce(list_prepend(0.0::DOUBLE, v), (a, x) -> a + x) AS v_sum,
+         |  list_reduce(list_prepend(0.0::DOUBLE,
+         |    list_transform(range(1, ${Dim + 1}), i -> v[i] * i)),
+         |    (a, x) -> a + x) AS v_checksum
+         |FROM hv ORDER BY doc_id""".stripMargin,
+    // d14 = e4's LSH near-dup shape over the constructed hashed
+    // vectors instead of the embeddings table
+    "d14_text_embedding_neardup" ->
+      s"""WITH planes AS (SELECT $planesSql AS pl),
+         |$hashedEmbCtes,
+         |b AS (SELECT doc_id AS id, v, ${bucketSql("v")} AS bucket
+         |      FROM hv, planes)
+         |SELECT a.id AS ida, b2.id AS idb, ${cosineSql("a.v", "b2.v")} AS sim
+         |FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id
+         |ORDER BY sim DESC, ida, idb LIMIT 20""".stripMargin,
     "e1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
          |           FROM embeddings WHERE vec_id < 5),

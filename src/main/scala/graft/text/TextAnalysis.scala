@@ -29,6 +29,42 @@ object TextAnalysis {
   def langId(text: Column): Column =
     langIdFromTokens(Dedup.tokens(lower(text)))
 
+  /**
+   * FEATURE-HASHED text embedding (the hashing trick — Weinberger et
+   * al. 2009, the fastText/Vowpal-Wabbit input layer): every token
+   * hashes to a bucket in [0, dim) and contributes ±1 (the sign comes
+   * from the hash's next bit — the trick that makes the estimator
+   * unbiased), giving each document a dim-wide signed term-count
+   * vector. This is the TEXT → VECTOR-SPACE bridge that lets every
+   * similarity operator in the library (cosine top-k, LSH near-dup,
+   * SemDeDup, MMR, k-NN graph) run directly on raw text with no
+   * external embedding model — the degenerate-but-real baseline a
+   * production pipeline starts from before a learned encoder exists.
+   *
+   * Returned UN-normalized as `array<float>`: the signed counts are
+   * integers far below 2²⁴, so the float representation is EXACT (and
+   * the DuckDB oracle rebuilds it bit-for-bit), while cosine — the
+   * metric every downstream op uses — normalizes inherently. Row-local
+   * (one aggregate over the token array, no explode, no shuffle):
+   * at 100 TB the embedding pass fuses into whatever narrow scan
+   * follows it. O(tokens × dim) arithmetic per document — fine at
+   * dim 64; a 10⁵-dim production configuration would switch to the
+   * explode → (doc, bucket) aggregation shape instead.
+   */
+  def hashedEmbedding(toks: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= (1 << 30), s"bad embedding dim $dim")
+    val hs = transform(toks, t => Hashing.h60(t))
+    aggregate(hs, array_repeat(lit(0.0f), dim), (acc, h) => {
+      val b = pmod(h, lit(dim.toLong)).cast(IntegerType)
+      // sign from hash bit 30 — above any sane dim's bucket bits, and
+      // integer-exact (a 60-bit value divided as double would not be)
+      val sgn = when(pmod(shiftright(h, 30), lit(2L)) === 0, lit(1.0f))
+        .otherwise(lit(-1.0f))
+      zip_with(acc, sequence(lit(0), lit(dim - 1)),
+        (x, i) => x + when(i === b, sgn).otherwise(lit(0.0f)))
+    })
+  }
+
   /** Language ID from pre-lowercased tokens. Pass an attribute (aliased
    * column): the token array is referenced once per profile. */
   def langIdFromTokens(toks: Column): Column = {
