@@ -1541,14 +1541,47 @@ object LlmQueries {
    * inheriting every dial of the vector family. Cosine over the
    * integer-exact counts is engine-exact, so the gate hash-compares
    * like e4. */
-  def textEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tpar(s, dir, "documents")
-      .select(col("doc_id").as("id"),
-        TextAnalysis.hashedEmbedding(
-          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
-    Similarity.nearDupPairs(emb, NPlanes, topPairs = 20)
-      .orderBy(col("sim").desc, col("ida"), col("idb"))
-  }
+  def textEmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      // persist: both sides of the LSH self-join read the embedded
+      // frame — without it every side re-tokenizes and re-embeds
+      val emb = scope.persist(Tpar(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.hashedEmbedding(
+            Dedup.tokens(lower(col("text"))), Dim).as("vec"))).toDF()
+      Similarity.nearDupPairs(emb, NPlanes, topPairs = 20)
+    }.orderBy(col("sim").desc, col("ida"), col("idb"))
+
+  /** d14b's plane count, memoized per dir: enough hyperplanes that the
+   * expected LSH bucket holds ~16 documents, so the Σ|bucket|² pair
+   * frame stays linear-ish as the corpus grows — the nPlanes dial is
+   * to the LSH family what nCells ∝ √n is to the IVF family (d10b/
+   * e9c). Deterministic (a count), so the dynamic oracle renders the
+   * same plane literals. */
+  private val d14PlanesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def d14Planes(s: SparkSession, dir: String): Int =
+    d14PlanesMemo.getOrElseUpdate(dir, {
+      val n = Tpar(s, dir, "documents").count()
+      math.max(NPlanes,
+        math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt)
+    })
+
+  /** D14b: d14 at the PRODUCTION dial — the plane count grows with the
+   * corpus (expected bucket ≈ 16 docs), exactly the e9→e9c/d10→d10b
+   * convergence for the LSH family: the gate fixture IS the
+   * configuration whose shape survives 100×. Fewer cohabitants per
+   * bucket trades recall for bounded pair counts — the standard LSH
+   * dial, measured by the same harness family as every other recall
+   * trade here. */
+  def textEmbeddingNearDupScaled(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val emb = scope.persist(Tpar(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.hashedEmbedding(
+            Dedup.tokens(lower(col("text"))), Dim).as("vec"))).toDF()
+      Similarity.nearDupPairs(emb, d14Planes(s, dir), topPairs = 20)
+    }.orderBy(col("sim").desc, col("ida"), col("idb"))
 
   /** X20: per-source vocabulary cardinality via the KMV bottom-k sketch
    * ([[graft.functions.Sketches]]) — the distinct-count estimator a
@@ -1802,6 +1835,7 @@ object LlmQueries {
     "x20_kmv_distinct" -> (kmvVocabulary _),
     "x23_hashed_embedding" -> (hashedEmbeddingQ _),
     "d14_text_embedding_neardup" -> (textEmbeddingNearDup _),
+    "d14b_text_neardup_scaled" -> (textEmbeddingNearDupScaled _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
@@ -2182,6 +2216,20 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))")
     }),
+    // d14b: the d14 oracle shape with the corpus-scaled plane count's
+    // literals rendered in (deterministic — a count picks nPlanes)
+    "d14b_text_neardup_scaled" -> ((s, dir) => {
+      val nP = d14Planes(s, dir)
+      val pls = Similarity.hyperplanes(nP, Dim)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",\n     ", "]")
+      s"""WITH planes AS (SELECT $pls AS pl),
+         |$hashedEmbCtes,
+         |b AS (SELECT doc_id AS id, v, ${bucketSqlN("v", nP)} AS bucket
+         |      FROM hv, planes)
+         |SELECT a.id AS ida, b2.id AS idb, ${cosineSql("a.v", "b2.v")} AS sim
+         |FROM b a JOIN b b2 USING (bucket) WHERE a.id < b2.id
+         |ORDER BY sim DESC, ida, idb LIMIT 20""".stripMargin
+    }),
     "e13b_ann_recall_trained" ->
       ((s, dir) => recallCurveOracleSql(doubleLit2(trainedCents(s, dir)),
         RecallProbes, RecallAssigns)),
@@ -2332,8 +2380,10 @@ object LlmQueries {
        |        ELSE 0.0 END)), (a, x) -> a + x)) AS v
        |  FROM hsx)""".stripMargin
 
-  private def bucketSql(vec: String) =
-    (0 until NPlanes).map { j =>
+  private def bucketSql(vec: String) = bucketSqlN(vec, NPlanes)
+
+  private def bucketSqlN(vec: String, nPlanes: Int) =
+    (0 until nPlanes).map { j =>
       s"CASE WHEN (${dotSql(s"pl[${j + 1}]", vec)}) > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 

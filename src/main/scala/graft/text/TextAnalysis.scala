@@ -45,24 +45,19 @@ object TextAnalysis {
    * integers far below 2²⁴, so the float representation is EXACT (and
    * the DuckDB oracle rebuilds it bit-for-bit), while cosine — the
    * metric every downstream op uses — normalizes inherently. Row-local
-   * (one aggregate over the token array, no explode, no shuffle):
-   * at 100 TB the embedding pass fuses into whatever narrow scan
-   * follows it. O(tokens × dim) arithmetic per document — fine at
-   * dim 64; a 10⁵-dim production configuration would switch to the
-   * explode → (doc, bucket) aggregation shape instead.
+   * (one codegen kernel over the token-hash array, no explode, no
+   * shuffle — [[graft.functions.HashedEmbed]]; the sign comes from
+   * hash bit 30, integer-exact where a double division of a 60-bit
+   * hash would not be): at 100 TB the embedding pass fuses into
+   * whatever narrow scan follows it, O(tokens + dim) per document with
+   * one array allocation per row.
    */
   def hashedEmbedding(toks: Column, dim: Int): Column = {
     require(dim >= 1 && dim <= (1 << 30), s"bad embedding dim $dim")
-    val hs = transform(toks, t => Hashing.h60(t))
-    aggregate(hs, array_repeat(lit(0.0f), dim), (acc, h) => {
-      val b = pmod(h, lit(dim.toLong)).cast(IntegerType)
-      // sign from hash bit 30 — above any sane dim's bucket bits, and
-      // integer-exact (a 60-bit value divided as double would not be)
-      val sgn = when(pmod(shiftright(h, 30), lit(2L)) === 0, lit(1.0f))
-        .otherwise(lit(-1.0f))
-      zip_with(acc, sequence(lit(0), lit(dim - 1)),
-        (x, i) => x + when(i === b, sgn).otherwise(lit(0.0f)))
-    })
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HashedEmbed(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          transform(toks, t => Hashing.h60(t))), dim))
   }
 
   /** Language ID from pre-lowercased tokens. Pass an attribute (aliased

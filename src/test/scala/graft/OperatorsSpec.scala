@@ -342,6 +342,36 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("hashedEmbedding: signed counts, empty-doc zero vector, loud nulls") {
+    import graft.text.TextAnalysis
+    val docs = Seq(
+      (1L, "alpha beta alpha"),   // repeated token accumulates
+      (2L, "alpha beta alpha"),   // identical text -> identical vector
+      (3L, ""),                   // no tokens -> zero vector
+      (4L, "gamma")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.hashedEmbedding(
+          graft.text.Dedup.tokens(lower(col("text"))), 16).as("v"))
+      .orderBy("doc_id").collect()
+    val v1 = out(0).getSeq[Float](1)
+    assert(v1 == out(1).getSeq[Float](1), "same text must embed identically")
+    assert(v1.map(math.abs).sum == 3.0f, "three tokens, |contributions| = 3")
+    assert(out(2).getSeq[Float](1).forall(_ == 0.0f), "empty doc = zero vector")
+    assert(out(3).getSeq[Float](1).map(math.abs).sum == 1.0f)
+    // cosine of identical token bags is exactly 1 (the d14 planted signal)
+    val sim = docs.filter(col("doc_id") <= 2)
+      .select(TextAnalysis.hashedEmbedding(
+        graft.text.Dedup.tokens(lower(col("text"))), 16).as("vec"))
+      .limit(2).collect().map(_.getSeq[Float](0))
+    assert(sim(0) == sim(1))
+    // a NULL token array is loud, not a garbage vector
+    val withNull = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(TextAnalysis.hashedEmbedding(
+        graft.text.Dedup.tokens(lower(col("text"))), 16).as("v"))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
   test("k-means IVF: training converges on clustered data, recall matches brute force") {
     // 4 well-separated clusters on the axes of a 4-dim space; every
     // point gets a distinct small off-axis offset so similarities are
