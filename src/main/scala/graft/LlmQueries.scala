@@ -1583,6 +1583,25 @@ object LlmQueries {
       Similarity.nearDupPairs(emb, d14Planes(s, dir), topPairs = 20)
     }.orderBy(col("sim").desc, col("ida"), col("idb"))
 
+  /** D15: TEXT semantic dedup — the d10 SemDeDup shape over hashed
+   * text embeddings: coarse-cluster the text vectors by IVF cell, drop
+   * within-cell documents with a smaller-id neighbor at cosine ≥ τ.
+   * The third family composition over the x23 bridge (d14 = LSH
+   * near-dup pairs, this = the cluster-then-prune dedup verdict):
+   * token-overlapping documents land at cosine near 1 and prune
+   * exactly like embedding near-dups. τ = 0.9 — text vectors are
+   * signed COUNTS, so high cosine means genuinely shared token
+   * distributions, and the corpus's planted near-dups sit above it
+   * while topically-distinct docs do not. */
+  def textSemDedup(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val emb = scope.persist(Tpar(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.hashedEmbedding(
+            Dedup.tokens(lower(col("text"))), Dim).as("vec"))).toDF()
+      Similarity.semDedup(emb, Cents, tau = 0.9)
+    }.orderBy("id")
+
   /** X20: per-source vocabulary cardinality via the KMV bottom-k sketch
    * ([[graft.functions.Sketches]]) — the distinct-count estimator a
    * 100 TB curation run uses where exact COUNT(DISTINCT) would shuffle
@@ -1836,6 +1855,7 @@ object LlmQueries {
     "x23_hashed_embedding" -> (hashedEmbeddingQ _),
     "d14_text_embedding_neardup" -> (textEmbeddingNearDup _),
     "d14b_text_neardup_scaled" -> (textEmbeddingNearDupScaled _),
+    "d15_text_semdedup" -> (textSemDedup _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
@@ -2767,6 +2787,17 @@ object LlmQueries {
          |    list_transform(range(1, ${Dim + 1}), i -> v[i] * i)),
          |    (a, x) -> a + x) AS v_checksum
          |FROM hv ORDER BY doc_id""".stripMargin,
+    // d15 = d10's SemDeDup shape over the constructed hashed vectors
+    "d15_text_semdedup" ->
+      s"""WITH cents AS (SELECT $centsSql AS ct),
+         |$hashedEmbCtes,
+         |b AS (SELECT doc_id AS id, v,
+         |        CAST(-(${rankedSql("v")})[1].nj - 1 AS INTEGER) AS cell
+         |      FROM hv, cents),
+         |dd AS (SELECT DISTINCT y.id FROM b x JOIN b y USING (cell)
+         |      WHERE x.id < y.id AND ${cosineSql("x.v", "y.v")} >= 0.9e0)
+         |SELECT id, cell FROM b WHERE id NOT IN (SELECT id FROM dd)
+         |ORDER BY id""".stripMargin,
     // d14 = e4's LSH near-dup shape over the constructed hashed
     // vectors instead of the embeddings table
     "d14_text_embedding_neardup" ->
