@@ -1593,13 +1593,41 @@ object LlmQueries {
    * signed COUNTS, so high cosine means genuinely shared token
    * distributions, and the corpus's planted near-dups sit above it
    * while topically-distinct docs do not. */
+  /** The hashed-text-vector frame the d14/d15 family shares. */
+  private def textEmb(s: SparkSession, dir: String): DataFrame =
+    Tpar(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
+
   def textSemDedup(s: SparkSession, dir: String): DataFrame =
     CacheScope.materialized { implicit scope =>
-      val emb = scope.persist(Tpar(s, dir, "documents")
-        .select(col("doc_id").as("id"),
-          TextAnalysis.hashedEmbedding(
-            Dedup.tokens(lower(col("text"))), Dim).as("vec"))).toDF()
+      val emb = scope.persist(textEmb(s, dir)).toDF()
       Similarity.semDedup(emb, Cents, tau = 0.9)
+    }.orderBy("id")
+
+  /** d15b's centroids: spherical k-means over the TEXT vectors with
+   * nCells ∝ √n — the d10b production dial applied to the text
+   * family, so the within-cell pair frame stays linear-ish as the
+   * corpus grows. Deterministic, memoized per dir, rendered into the
+   * dynamic oracle. */
+  private val d15CentsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private def d15Cents(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    d15CentsMemo.getOrElseUpdate(dir, {
+      val emb = textEmb(s, dir)
+      val n = emb.count()
+      val nCells = math.max(NCells, math.round(math.sqrt(n.toDouble)).toInt)
+      Similarity.trainIvfCentroids(emb, nCells, Dim, iters = 5)
+    })
+
+  /** D15b: d15 at the PRODUCTION dial — trained √n-cell centroids over
+   * the text vectors themselves (the e9c/d10b/d14b convergence: the
+   * gate fixture IS the configuration whose shape survives 100×). */
+  def textSemDedupScaled(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val emb = scope.persist(textEmb(s, dir)).toDF()
+      Similarity.semDedupD(emb, d15Cents(s, dir), tau = 0.9)
     }.orderBy("id")
 
   /** X20: per-source vocabulary cardinality via the KMV bottom-k sketch
@@ -1856,6 +1884,7 @@ object LlmQueries {
     "d14_text_embedding_neardup" -> (textEmbeddingNearDup _),
     "d14b_text_neardup_scaled" -> (textEmbeddingNearDupScaled _),
     "d15_text_semdedup" -> (textSemDedup _),
+    "d15b_text_semdedup_scaled" -> (textSemDedupScaled _),
     "m1_multimodal_features" -> (multimodalFeatures _),
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
@@ -2235,6 +2264,20 @@ object LlmQueries {
       ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))")
+    }),
+    // d15b: d15's oracle shape with the trained √n-cell centroid
+    // literals over the text vectors rendered in
+    "d15b_text_semdedup_scaled" -> ((s, dir) => {
+      val cents = d15Cents(s, dir)
+      s"""WITH cents AS (SELECT ${doubleLit2(cents)} AS ct),
+         |$hashedEmbCtes,
+         |b AS (SELECT doc_id AS id, v,
+         |        CAST(-(${rankedSql("v", cents.size)})[1].nj - 1 AS INTEGER) AS cell
+         |      FROM hv, cents),
+         |dd AS (SELECT DISTINCT y.id FROM b x JOIN b y USING (cell)
+         |      WHERE x.id < y.id AND ${cosineSql("x.v", "y.v")} >= 0.9e0)
+         |SELECT id, cell FROM b WHERE id NOT IN (SELECT id FROM dd)
+         |ORDER BY id""".stripMargin
     }),
     // d14b: the d14 oracle shape with the corpus-scaled plane count's
     // literals rendered in (deterministic — a count picks nPlanes)
