@@ -1482,6 +1482,24 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** M9: AUDIO fingerprint dedup — the audio leg of the perceptual
+   * trilogy ([[Multimodal.audioFingerprint]]): real RIFF/WAVE payloads
+   * decode in the `AudioSystem` seam, windowed integer energies fold to
+   * the gain-invariant sign-delta fingerprint, and the d1-style
+   * verdict groups on the fingerprint instead of the bytes — the
+   * re-mastered copies byte dedup can never see. The oracle rebuilds
+   * the energies from the PCM synthesis arithmetic (integer-exact end
+   * to end). */
+  def audioFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Multimodal.packAsWav(Tpar(s, dir, "documents"), "doc_id", "text")
+    Multimodal.audioFingerprint(packed)
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("fp_hi", "fp_lo")))
+      .select(col("media_id"), col("fp_hi"), col("fp_lo"), col("n_same"))
+      .orderBy("media_id")
+  }
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -1891,7 +1909,8 @@ object LlmQueries {
     "m5_video_stats" -> (videoStats _),
     "m6_image_phash_dedup" -> (imagePHashDedup _),
     "m7_image_near_dedup" -> (imageNearDup _),
-    "m8_doc_media_verdict" -> (docMediaVerdict _)
+    "m8_doc_media_verdict" -> (docMediaVerdict _),
+    "m9_audio_fp_dedup" -> (audioFingerprintDedup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3439,6 +3458,35 @@ object LlmQueries {
          |SELECT t.doc_id, t.text_kept, i.image_kept,
          |  (t.text_kept AND i.image_kept) AS keep
          |FROM txt t JOIN img i USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // m9: window energies over the closed-form PCM samples
+    // (sample(j) = ((a + j*7919) mod 65521) − 32760, a = (len·131) mod
+    // 65521; window w spans [w·n//65, (w+1)·n//65)), then bit p =
+    // e[p+1] > e[p], packed into two 32-bit halves like m6
+    "m9_audio_fp_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 240 AS n,
+        |    (length(text) * 131) % 65521 AS a
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  list_transform(range(0, 65), w ->
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+        |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
+        |      (x, y) -> x + y)) AS es
+        |  FROM d),
+        |hh AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(32, 64), p ->
+        |    CASE WHEN es[p + 2] > es[p + 1]
+        |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+        |    AS fp_hi,
+        |  CAST(list_sum(list_transform(range(0, 32), p ->
+        |    CASE WHEN es[p + 2] > es[p + 1]
+        |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+        |    AS fp_lo
+        |  FROM e)
+        |SELECT doc_id AS media_id, fp_hi, fp_lo,
+        |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
+        |FROM hh ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

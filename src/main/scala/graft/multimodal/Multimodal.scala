@@ -464,6 +464,79 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Audio FINGERPRINT over decoded PCM — the audio leg of the
+   * perceptual-dedup trilogy (m6/m7 images, this for sound): the
+   * sample stream splits into `windows` equal spans, each span folds
+   * to its integer energy Σ|s| (exact — no float drift), and bit p of
+   * the fingerprint is set iff energy(p+1) > energy(p). Comparing
+   * ADJACENT window energies instead of hashing samples is the classic
+   * robust-audio-hash move (Haitsma–Kalker shape, energy-delta
+   * variant): a global GAIN change scales every window equally, so all
+   * comparisons — and the fingerprint — are invariant, exactly the
+   * re-mastered/re-encoded copies byte dedup can never see (the audio
+   * analog of aHash's brightness cancel; spec-asserted). Runs in the
+   * same per-partition `AudioSystem` seam as [[extractAudioFeatures]];
+   * the verdict then shuffles 8-byte fingerprints, never samples.
+   * Windows beyond the sample count have energy 0 (short clips
+   * zero-pad the tail bits deterministically). Ships as two 32-bit
+   * halves like [[imagePHash]].
+   */
+  def audioFingerprint(df: DataFrame, windows: Int = 65): DataFrame = {
+    require(windows >= 2 && windows <= 65,
+      s"windows-1 bits must fit 64, got $windows")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp_hi", LongType, nullable = false),
+      StructField("fp_lo", LongType, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val e =
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"expected PCM16 mono, got $fmt")
+            val big = fmt.isBigEndian
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            val energies = new Array[Long](windows)
+            var w = 0
+            while (w < windows) {
+              val from = w * n / windows
+              val until = (w + 1) * n / windows
+              var acc = 0L
+              var i = from
+              while (i < until) {
+                val b0 = data(2 * i)
+                val b1 = data(2 * i + 1)
+                val s = if (big) (b0 << 8) | (b1 & 0xff)
+                        else (b1 << 8) | (b0 & 0xff)
+                acc += math.abs(s)
+                i += 1
+              }
+              energies(w) = acc
+              w += 1
+            }
+            energies
+          } finally ais.close()
+        var hi = 0L; var lo = 0L
+        var p = 0
+        while (p < windows - 1) {
+          if (e(p + 1) > e(p)) {
+            if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+          }
+          p += 1
+        }
+        Row(r.getLong(0), hi, lo)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Metadata carried beside a video payload. */
   val VideoMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),

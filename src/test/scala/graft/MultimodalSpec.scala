@@ -153,6 +153,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: gain-invariant, structure-sensitive, real WAV roundtrip") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // EVEN samples: halving is an exact positive gain, so every window
+    // energy halves exactly and all strict comparisons are preserved
+    val base = Array.tabulate[Short](400)(i => ((((i * 37) % 10000) - 5000) * 2).toShort)
+    val half = base.map(s => (s / 2).toShort)
+    val reversed = base.reverse
+    val df = Seq((1L, wav(base)), (2L, wav(half)), (3L, wav(reversed)))
+      .toDF("media_id", "payload")
+    val fp = Multimodal.audioFingerprint(df).orderBy("media_id").collect()
+    assert(fp(0).getLong(1) == fp(1).getLong(1) &&
+           fp(0).getLong(2) == fp(1).getLong(2),
+      "a re-mastered (gain-scaled) copy must fingerprint identically")
+    assert(fp(0).getLong(1) != fp(2).getLong(1) ||
+           fp(0).getLong(2) != fp(2).getLong(2),
+      "a time-reversed signal should not collide on this fixture")
+  }
+
   test("a corrupt payload fails loudly, not with silent zeros") {
     val d = new ImageIoDecoder
     val e = intercept[IllegalArgumentException](
