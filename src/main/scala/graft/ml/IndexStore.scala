@@ -1,7 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /**
@@ -47,22 +47,33 @@ object IndexStore {
    * fold marker present. */
   private def versions(dir: String): Seq[(Int, Path)] =
     if (!Files.isDirectory(basePath(dir))) Nil
-    else Files.list(basePath(dir)).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.startsWith("v="))
-      .map(p => p.getFileName.toString.stripPrefix("v=").toInt -> p)
-      .filter { case (_, p) =>
-        Files.exists(p.resolve("_SUCCESS")) && Files.exists(p.resolve("_folded"))
-      }
-      .sortBy(_._1)
+    else {
+      val listing = Files.list(basePath(dir))
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries
+        .filter(_.getFileName.toString.startsWith("v="))
+        .map(p => p.getFileName.toString.stripPrefix("v=").toInt -> p)
+        .filter { case (_, p) =>
+          Files.exists(p.resolve("_SUCCESS")) && Files.exists(p.resolve("_folded"))
+        }
+        .sortBy(_._1)
+    }
 
   private def writeVersion(df: DataFrame, dir: String, v: Int,
                            folded: Seq[String]): Path = {
     val target = basePath(dir).resolve(s"v=$v")
     df.write.mode("overwrite").parquet(target.toString)
-    // the marker lands AFTER the parquet commit — the version becomes
-    // visible to `versions` only with its fold list in place
-    Files.write(target.resolve("_folded"),
-      folded.mkString("\n").getBytes("UTF-8"))
+    // the marker lands AFTER the parquet commit, and ATOMICALLY: a bare
+    // write could crash mid-way and leave a TRUNCATED fold list beside a
+    // committed _SUCCESS — a live version whose missing names count as
+    // "unfolded" and get served twice (once from the delta file, once
+    // merged into the base). Staging to a tmp name and renaming means
+    // the version becomes visible to `versions` only with its COMPLETE
+    // fold list in place; a crash leaves `_folded.tmp`, which no reader
+    // looks at, and the retried compaction overwrites the whole dir.
+    val tmp = target.resolve("_folded.tmp")
+    Files.write(tmp, folded.mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, target.resolve("_folded"), StandardCopyOption.ATOMIC_MOVE)
     target
   }
 
@@ -79,14 +90,17 @@ object IndexStore {
    * open the footers of every log-listed file, and files folded by a
    * previous compaction are deleted (only the log remembers them) —
    * with a schema the call is a pure log listing. */
-  private def committedDeltaFiles(spark: SparkSession, dir: String): Seq[String] = {
+  /** Committed delta data files (absolute URIs) per the sink log, with
+   * the schema taken from the SNAPSHOTTED live version `live` — both so
+   * schema inference doesn't open deleted files' footers (only the log
+   * remembers folded files) and so a compaction committing between
+   * listings can't mix an old base with a new version's fold set. */
+  private def committedDeltaFiles(spark: SparkSession, dir: String,
+                                  live: Path): Seq[String] = {
     val d = Paths.get(deltaDir(dir))
-    val vs = versions(dir)
-    // no live base yet (a writer racing ahead of writeBase): nothing is
-    // servable, so report no deltas rather than throw on the schema read
-    if (vs.isEmpty || !Files.isDirectory(d.resolve("_spark_metadata"))) Nil
+    if (!Files.isDirectory(d.resolve("_spark_metadata"))) Nil
     else {
-      val sch = spark.read.parquet(vs.last._2.toString).schema
+      val sch = spark.read.parquet(live.toString).schema
       spark.read.schema(sch).parquet(deltaDir(dir)).inputFiles.toSeq.sorted
     }
   }
@@ -101,21 +115,35 @@ object IndexStore {
       .split("\n").toSeq.filter(_.nonEmpty).toSet
   }
 
-  /** Committed delta files NOT yet folded into the live base — the
-   * count `compact` thresholds on. */
-  def unfoldedDeltaFiles(spark: SparkSession, dir: String): Seq[String] = {
-    val folded = versions(dir).lastOption
-      .map { case (_, p) => foldedNames(p) }.getOrElse(Set.empty)
-    committedDeltaFiles(spark, dir).filterNot(f => folded(fileName(f)))
+  /** Delta files not folded into the GIVEN live version. All callers
+   * snapshot `versions` exactly once and pass the chosen version here —
+   * re-listing per sub-question would let a concurrent compaction serve
+   * old base + new fold set (dropping the folded rows). */
+  private def unfoldedFrom(spark: SparkSession, dir: String,
+                           live: Path): Seq[String] = {
+    val folded = foldedNames(live)
+    committedDeltaFiles(spark, dir, live).filterNot(f => folded(fileName(f)))
   }
 
+  /** Committed delta files NOT yet folded into the live base — the
+   * count `compact` thresholds on. */
+  def unfoldedDeltaFiles(spark: SparkSession, dir: String): Seq[String] =
+    versions(dir).lastOption match {
+      // no live base yet (a writer racing ahead of writeBase): nothing
+      // is servable, so report no deltas rather than throw on the read
+      case None => Nil
+      case Some((_, p)) => unfoldedFrom(spark, dir, p)
+    }
+
   /** The serving view: live base version ∪ committed-but-unfolded
-   * delta files. */
+   * delta files. The version list is listed ONCE; the same version
+   * supplies the base read, the fold set, and the delta schema. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
-    val base = spark.read.parquet(vs.last._2.toString)
-    unfoldedDeltaFiles(spark, dir) match {
+    val live = vs.last._2
+    val base = spark.read.parquet(live.toString)
+    unfoldedFrom(spark, dir, live) match {
       case Seq() => base
       case files => base.unionByName(spark.read.parquet(files: _*))
     }
@@ -130,10 +158,12 @@ object IndexStore {
    * deleted only after that point.
    */
   def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int): Boolean = {
-    val pending = unfoldedDeltaFiles(spark, dir)
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no live base version under $dir")
+    val (pv, pdir) = vs.last
+    val pending = unfoldedFrom(spark, dir, pdir)
     if (pending.size <= maxDeltaFiles) false
     else {
-      val (pv, pdir) = versions(dir).last
       val merged = spark.read.parquet(pdir.toString)
         .unionByName(spark.read.parquet(pending: _*))
       // the fold list is CUMULATIVE (prior folds' names carry forward):

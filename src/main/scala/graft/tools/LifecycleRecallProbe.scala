@@ -104,7 +104,7 @@ object LifecycleRecallProbe {
       |"corpus": $nCorpus,
       |"skew": {"hot_cell": $hot, "pre_admission_occ": ${occBase(hot)},
       |  "post_admission_max_occ": ${occ0.values.max},
-      |  "post_admission_mean_occ": ${occ0.values.sum / occ0.size},
+      |  "post_admission_mean_nonempty_occ": ${f"${occ0.values.sum.toDouble / occ0.size}%.1f"},
       |  "after_3_splits_max_occ": ${occ3.values.max}},
       |"pre_split": $pre,
       |"after_1_split": $post1,

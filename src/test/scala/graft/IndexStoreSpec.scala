@@ -76,9 +76,54 @@ class IndexStoreSpec extends SparkSpec {
     assert(Files.exists(Paths.get(idx, "base", "v=1", "_SUCCESS")))
     assert(!Files.exists(Paths.get(idx, "base", "v=0")),
       "old version not vacuumed")
-    // idempotent: nothing left to fold
-    assert(!IndexStore.compact(spark, idx, maxDeltaFiles = 0) ||
-      IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+    // idempotent: nothing left to fold, and a zero-threshold re-compact
+    // is a no-op (both pinned unconditionally — an || here would let the
+    // no-op branch mask a fold that drained nothing)
+    assert(!IndexStore.compact(spark, idx, maxDeltaFiles = 0))
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+  }
+
+  test("a crash mid-fold-commit (torn _folded marker) never makes a truncated fold list live") {
+    val dir = "target/tmp/idxstore_tornfold"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    assert(before.size == 240)
+
+    // simulate a compaction that crashed between the parquet commit and
+    // the fold-marker rename: v=1 holds the fully merged data (with
+    // _SUCCESS) but only a PARTIAL fold list, parked at the staging
+    // name the atomic commit uses. Under the old bare-write scheme this
+    // partial list would be LIVE — the two missing delta files would be
+    // served from the delta dir AND from their merged copies in v=1.
+    val pending = IndexStore.unfoldedDeltaFiles(spark, idx)
+    assert(pending.size == 3)
+    val crashed = Paths.get(idx, "base", "v=1")
+    spark.read.parquet(Paths.get(idx, "base", "v=0").toString)
+      .unionByName(spark.read.parquet(pending: _*))
+      .write.mode("overwrite").parquet(crashed.toString)
+    Files.write(crashed.resolve("_folded.tmp"),
+      pending.take(1).map(u => u.substring(u.lastIndexOf('/') + 1))
+        .mkString("\n").getBytes("UTF-8"))
+
+    // the half-committed version is invisible: the reader still serves
+    // v=0 + the full committed delta — no duplicates, no lost rows
+    assert(IndexStore.read(spark, idx).collect().toSet == before,
+      "a torn fold marker changed the serving view")
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).size == 3)
+
+    // recovery is the ordinary retry: compact() re-runs against the
+    // still-live v=0, overwrites the crashed v=1 wholesale, and commits
+    // its marker atomically
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 0))
+    assert(IndexStore.read(spark, idx).collect().toSet == before)
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+    assert(Files.exists(Paths.get(idx, "base", "v=1", "_folded")))
+    assert(!Files.exists(Paths.get(idx, "base", "v=1", "_folded.tmp")))
   }
 
   test("a torn (uncommitted) delta file is invisible to readers") {
