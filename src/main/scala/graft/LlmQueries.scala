@@ -1500,6 +1500,42 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M10: audio NEAR-duplicate pairs — banded Hamming over the m9
+   * fingerprint ([[Multimodal.audioNearDupPairs]]), closing for audio
+   * the gap m7 closed for images: m9 groups on fingerprint EQUALITY,
+   * but a real re-encode or light distortion perturbs a few window
+   * energies and flips the adjacent delta bits, so production audio
+   * dedup thresholds Hamming distance. The fixture plants exactly
+   * that: every 13th document's waveform re-synthesizes under a
+   * shifted id (+10⁶, same text so same base waveform) with three
+   * fingerprint windows perturbed in the PCM itself — a deterministic
+   * stand-in for localized distortion whose fingerprint lands a few
+   * bits from its original (the closed-form oracle rebuilds both
+   * fingerprints sample-exactly, so even the planted distances are
+   * hash-exact; clips too short to populate the perturbed windows
+   * degrade to exact copies at distance 0, which still pair). The
+   * whole pipeline is the real decode path: RIFF encode → AudioSystem
+   * decode → windowed energies → banded 16-byte-row join. */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsWav(docs, "doc_id", "text")
+    val clones = Multimodal.packAsWav(
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text",
+      perturbWindows = M10Windows, perturbDelta = M10Delta)
+    CacheScope.materialized { implicit scope =>
+      Multimodal.audioNearDupPairs(
+        Multimodal.audioFingerprint(orig.unionByName(clones)),
+        maxHamming = M10MaxHamming, maxBucket = M10MaxBucket)
+    }.orderBy("ida", "idb")
+  }
+
+  private val M10Windows = Seq(2, 9, 33)
+  private val M10Delta = 17000L
+  private val M10MaxHamming = 8
+  private val M10MaxBucket = 64
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -1910,7 +1946,8 @@ object LlmQueries {
     "m6_image_phash_dedup" -> (imagePHashDedup _),
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
-    "m9_audio_fp_dedup" -> (audioFingerprintDedup _)
+    "m9_audio_fp_dedup" -> (audioFingerprintDedup _),
+    "m10_audio_near_dedup" -> (audioNearDup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3487,6 +3524,55 @@ object LlmQueries {
         |SELECT doc_id AS media_id, fp_hi, fp_lo,
         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
         |FROM hh ORDER BY media_id""".stripMargin,
+    // m10: the m9 energy/fingerprint chain over the planted corpus
+    // (originals + perturbed shifted-id clones of every 13th doc — the
+    // perturbation adds M10Delta inside the mod for samples in windows
+    // 2/9/33, boundaries exactly as the decoder slices them), then the
+    // m7 band/hot-bucket/popcount join over (fp_hi, fp_lo)
+    "m10_audio_near_dedup" ->
+      s"""WITH par AS (
+         |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, length(text), 1 FROM documents
+         |  WHERE doc_id % 13 = 0),
+         |d AS (SELECT mid, 1 + len % 240 AS n,
+         |  (len * 131) % 65521 AS a, pert FROM par),
+         |e AS (SELECT mid,
+         |  list_transform(range(0, 65), w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+         |        j -> abs(((a + j * 7919 +
+         |            CASE WHEN pert = 1 AND w IN (${M10Windows.mkString(", ")})
+         |              THEN $M10Delta ELSE 0 END) % 65521) - 32760)::BIGINT)),
+         |      (x, y) -> x + y)) AS es
+         |  FROM d),
+         |hh AS (SELECT mid,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_lo
+         |  FROM e),
+         |tband AS (
+         |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
+         |  FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
+         |tok AS (SELECT band, bkey FROM tband
+         |        GROUP BY 1, 2 HAVING count(*) <= $M10MaxBucket),
+         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+         |tp AS (
+         |  SELECT a.mid AS ida, b.mid AS idb,
+         |    min(bit_count(xor(a.fp_hi, b.fp_hi))
+         |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
+         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+         |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M10MaxHamming
+         |ORDER BY ida, idb""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

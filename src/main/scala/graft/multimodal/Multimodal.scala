@@ -359,29 +359,58 @@ object Multimodal {
    */
   def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 8,
                         maxBucket: Int = 64)(
+      implicit scope: graft.operators.CacheScope): DataFrame =
+    bandedHammingPairs(hashes, "media_id", "hash_hi", "hash_lo",
+      maxHamming, maxBucket)
+
+  /** Banded-Hamming near-duplicate pairs over [[audioFingerprint]]
+   * codes — the audio leg of the same contract: a real re-encode or
+   * light distortion perturbs a FEW window energies, flipping the two
+   * delta bits adjacent to each touched window, so production audio
+   * dedup thresholds Hamming distance over the fingerprint instead of
+   * requiring equality (m9's d1-style verdict). Identical machinery to
+   * the image path — the fingerprint is 64 bits like the aHash, so the
+   * 4×16 pigeonhole bands, exact popcount verify and hot-bucket cap
+   * (near-silent / ultra-short clips collapse to a handful of
+   * degenerate fingerprints at corpus scale) apply verbatim. */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 8,
+                        maxBucket: Int = 64)(
+      implicit scope: graft.operators.CacheScope): DataFrame =
+    bandedHammingPairs(fps, "media_id", "fp_hi", "fp_lo",
+      maxHamming, maxBucket)
+
+  /** The shared banded-Hamming core: 64-bit codes split as (hi, lo)
+   * 32-bit halves in `hiCol`/`loCol`, banded into 4×16-bit keys
+   * (pigeonhole: radius ≤ 3 guaranteed, larger radii best-effort),
+   * hot buckets dropped, candidates verified by exact popcount. At
+   * 100 TB the join shuffles 16-byte code rows keyed by (band, bkey),
+   * never payloads. */
+  private def bandedHammingPairs(codes: DataFrame, idCol: String,
+                                 hiCol: String, loCol: String,
+                                 maxHamming: Int, maxBucket: Int)(
       implicit scope: graft.operators.CacheScope): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hs = scope.persist(hashes
-      .select(col("media_id").as("_id"), col("hash_hi"), col("hash_lo")))
-    val banded = hs.select(col("_id"), col("hash_hi"), col("hash_lo"),
+    val hs = scope.persist(codes
+      .select(col(idCol).as("_id"), col(hiCol).as("_hi"), col(loCol).as("_lo")))
+    val banded = hs.select(col("_id"), col("_hi"), col("_lo"),
       explode(array(
         struct(lit(0).as("band"),
-          col("hash_lo").bitwiseAND(lit(65535L)).as("bkey")),
+          col("_lo").bitwiseAND(lit(65535L)).as("bkey")),
         struct(lit(1).as("band"),
-          shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L)).as("bkey")),
+          shiftright(col("_lo"), 16).bitwiseAND(lit(65535L)).as("bkey")),
         struct(lit(2).as("band"),
-          col("hash_hi").bitwiseAND(lit(65535L)).as("bkey")),
+          col("_hi").bitwiseAND(lit(65535L)).as("bkey")),
         struct(lit(3).as("band"),
-          shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L)).as("bkey"))))
+          shiftright(col("_hi"), 16).bitwiseAND(lit(65535L)).as("bkey"))))
         .as("_b"))
-      .select(col("_id"), col("hash_hi"), col("hash_lo"),
+      .select(col("_id"), col("_hi"), col("_lo"),
         col("_b.band"), col("_b.bkey"))
       .withColumn("_n", count(lit(1)).over(Window.partitionBy("band", "bkey")))
       .filter(col("_n") <= maxBucket)
     val a = banded.select(col("band"), col("bkey"), col("_id").as("ida"),
-      col("hash_hi").as("hia"), col("hash_lo").as("loa"))
+      col("_hi").as("hia"), col("_lo").as("loa"))
     val b = banded.select(col("band"), col("bkey"), col("_id").as("idb"),
-      col("hash_hi").as("hib"), col("hash_lo").as("lob"))
+      col("_hi").as("hib"), col("_lo").as("lob"))
     a.join(b, Seq("band", "bkey")).filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         (bit_count(col("hia").bitwiseXOR(col("hib"))) +
@@ -414,7 +443,9 @@ object Multimodal {
    * `length(text)` and checks the DECODER's output exactly. Encoding
    * runs in the partition-batched codec seam.
    */
-  def packAsWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def packAsWav(df: DataFrame, idCol: String, textCol: String,
+                perturbWindows: Seq[Int] = Nil,
+                perturbDelta: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -429,6 +460,19 @@ object Multimodal {
         val n = 1 + len % 240
         val rate = 8000 + (len % 4) * 4000
         val a = (len.toLong * 131L) % 65521L
+        // a "noisy re-encode" stand-in for near-dup planting: samples
+        // inside the fingerprint windows listed in `perturbWindows`
+        // (boundaries EXACTLY as audioFingerprint slices them, so the
+        // closed-form oracle replays the same membership) synthesize
+        // with an extra additive inside the mod — a localized
+        // distortion that moves a few window energies and leaves the
+        // rest of the waveform byte-identical
+        val bump = new Array[Long](n)
+        perturbWindows.foreach { w =>
+          var j = w * n / 65
+          val until = (w + 1) * n / 65
+          while (j < until) { bump(j) = perturbDelta; j += 1 }
+        }
         val dataSize = n * 2
         val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -440,7 +484,7 @@ object Multimodal {
           .put("data".getBytes("US-ASCII")).putInt(dataSize)
         var i = 0
         while (i < n) {
-          buf.putShort((((a + i.toLong * 7919L) % 65521L) - 32760L).toShort)
+          buf.putShort((((a + i.toLong * 7919L + bump(i)) % 65521L) - 32760L).toShort)
           i += 1
         }
         Row(id, buf.array(), Row("audio/wav", rate, n))
