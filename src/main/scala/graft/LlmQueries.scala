@@ -1536,6 +1536,36 @@ object LlmQueries {
   private val M10MaxHamming = 8
   private val M10MaxBucket = 64
 
+  /** M11: VIDEO perceptual-fingerprint dedup — the third leg of the
+   * trilogy (m6/m7 images, m9/m10 audio): real Y4M payloads demux in
+   * the [[Multimodal.videoFingerprint]] seam, the concatenated luma
+   * stream folds to windowed sums, and bit p compares adjacent window
+   * MEANS by cross-multiplication — exactly invariant under a global
+   * brightness lift, the levels-change re-encode byte dedup (and m5's
+   * raw luma stats) can never see. The fixture plants exactly that:
+   * every 11th document's clip re-renders under a shifted id (+10⁶)
+   * with every luma sample lifted by a constant, and the d1-style
+   * verdict groups it with its original (fingerprints are EQUAL by
+   * the invariance, pinned sample-exactly by the closed-form oracle);
+   * distinct content stays apart except where the synthesis collides
+   * whole length classes — the same honest caveat as m9. */
+  def videoFingerprintDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text")
+    val clones = Multimodal.packAsY4m(
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", brightnessShift = M11Shift)
+    Multimodal.videoFingerprint(orig.unionByName(clones))
+      .withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy("fp_hi", "fp_lo")))
+      .select(col("media_id"), col("fp_hi"), col("fp_lo"), col("n_same"))
+      .orderBy("media_id")
+  }
+
+  private val M11Shift = 40
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -1947,7 +1977,8 @@ object LlmQueries {
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
     "m9_audio_fp_dedup" -> (audioFingerprintDedup _),
-    "m10_audio_near_dedup" -> (audioNearDup _)
+    "m10_audio_near_dedup" -> (audioNearDup _),
+    "m11_video_fp_dedup" -> (videoFingerprintDedup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3573,6 +3604,45 @@ object LlmQueries {
          |  WHERE a.mid < b.mid GROUP BY 1, 2)
          |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M10MaxHamming
          |ORDER BY ida, idb""".stripMargin,
+    // m11: the luma stream in closed form (sample k of W×H×nf: frame
+    // k//(W·H), row/col from the remainder, value a+sh+x+y+3t), 65
+    // windowed sums + span sizes, bit p = cross-multiplied mean
+    // compare e[p+1]·s[p] > e[p]·s[p+1] — the brightness lift sh
+    // cancels exactly, so planted clones land in their originals'
+    // groups
+    "m11_video_fp_dedup" ->
+      s"""WITH par AS (
+         |  SELECT doc_id AS mid, length(text) AS len, 0 AS sh FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, length(text), $M11Shift FROM documents
+         |  WHERE doc_id % 11 = 0),
+         |d AS (SELECT mid, 2 * (1 + len % 6) AS wd, 2 * (1 + len % 4) AS ht,
+         |  1 + len % 5 AS nf, len % 180 AS a, sh FROM par),
+         |dn AS (SELECT mid, wd, ht, nf, a, sh,
+         |  wd * ht * nf AS n, wd * ht AS fsz FROM d),
+         |e AS (SELECT mid,
+         |  list_transform(range(0, 65), w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+         |        k -> (a + sh + ((k % fsz) % wd) + ((k % fsz) // wd)
+         |              + 3 * (k // fsz))::BIGINT)),
+         |      (x, y) -> x + y)) AS es,
+         |  list_transform(range(0, 65), w ->
+         |    (((w + 1) * n) // 65 - (w * n) // 65)::BIGINT) AS ss
+         |  FROM dn),
+         |hh AS (SELECT mid,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_lo
+         |  FROM e)
+         |SELECT mid AS media_id, fp_hi, fp_lo,
+         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
+         |FROM hh ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

@@ -614,7 +614,14 @@ object Multimodal {
    * a+x+y+3t with a = len%180 (max 209 < 256 — no modular wrap),
    * chroma planes constant 128.
    */
-  def packAsY4m(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def packAsY4m(df: DataFrame, idCol: String, textCol: String,
+                brightnessShift: Int = 0): DataFrame = {
+    // a "re-mastered" stand-in for near-dup planting: every luma sample
+    // lifts by a constant (a global brightness/levels change — the
+    // classic re-encode artifact); 209 is the unshifted luma max, so
+    // shifts ≤ 46 never clip and the closed-form oracle stays exact
+    require(brightnessShift >= 0 && brightnessShift <= 46,
+      s"brightnessShift must be in [0, 46], got $brightnessShift")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -630,7 +637,7 @@ object Multimodal {
         val h = 2 * (1 + len % 4)
         val nf = 1 + len % 5
         val fps = 24 + len % 2
-        val a = len % 180
+        val a = len % 180 + brightnessShift
         val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
           .getBytes("US-ASCII")
         val frameMark = "FRAME\n".getBytes("US-ASCII")
@@ -673,6 +680,28 @@ object Multimodal {
       val decoder = new Y4mDecoder // per-partition init (amortized)
       rows.map(r =>
         Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), sampleStride)))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Video FINGERPRINT over the real Y4M demux — [[Y4mDecoder.fingerprint]]
+   * in the per-partition codec seam, two 32-bit halves out like
+   * [[imagePHash]]/[[audioFingerprint]]: the downstream verdict (m11)
+   * and any banded near-dup join shuffle 8-byte fingerprints, never
+   * frames. */
+  def videoFingerprint(df: DataFrame, windows: Int = 65): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp_hi", LongType, nullable = false),
+      StructField("fp_lo", LongType, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new Y4mDecoder // per-partition init (amortized)
+      rows.map { r =>
+        val (hi, lo) = decoder.fingerprint(r.getAs[Array[Byte]](1), windows)
+        Row(r.getLong(0), hi, lo)
+      }
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -790,10 +819,11 @@ final class Y4mDecoder {
     i
   }
 
-  /** `sampleStride` keeps every stride-th frame (from frame 0) in the
-   * sampled stats — the keyframe-sampler contract over a real demux. */
-  def decode(bytes: Array[Byte], sampleStride: Int = 2): Row = {
-    require(sampleStride >= 1, s"stride must be >= 1, got $sampleStride")
+  private final case class StreamHeader(w: Int, h: Int, fpsNum: Int,
+                                        fpsDen: Int, chromaSize: Int,
+                                        headerEnd: Int)
+
+  private def parseHeader(bytes: Array[Byte]): StreamHeader = {
     val hEnd = lineEnd(bytes, 0)
     val header = new String(bytes, 0, hEnd, "US-ASCII")
     val tokens = header.split(' ')
@@ -820,8 +850,39 @@ final class Y4mDecoder {
       case cs => throw new IllegalArgumentException(
         s"unsupported Y4M colorspace C$cs")
     }
+    StreamHeader(w, h, fpsNum, fpsDen, chromaSize, hEnd)
+  }
+
+  /** Offsets of each frame's luma plane in the stream (demuxed by
+   * walking the real FRAME markers, never trusted from metadata). */
+  private def lumaOffsets(bytes: Array[Byte], sh: StreamHeader): Array[Int] = {
+    val ySize = sh.w * sh.h
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = sh.headerEnd + 1
+    while (pos < bytes.length) {
+      val fEnd = lineEnd(bytes, pos)
+      val mark = new String(bytes, pos, fEnd - pos, "US-ASCII")
+      require(mark.startsWith("FRAME"), s"expected FRAME marker, got '$mark'")
+      pos = fEnd + 1
+      require(pos + ySize + sh.chromaSize <= bytes.length,
+        s"truncated Y4M frame ${offs.size}: need ${ySize + sh.chromaSize} bytes")
+      offs += pos
+      pos += ySize + sh.chromaSize
+    }
+    require(offs.nonEmpty, "empty Y4M stream: no frames")
+    offs.toArray
+  }
+
+  /** `sampleStride` keeps every stride-th frame (from frame 0) in the
+   * sampled stats — the keyframe-sampler contract over a real demux. */
+  def decode(bytes: Array[Byte], sampleStride: Int = 2): Row = {
+    require(sampleStride >= 1, s"stride must be >= 1, got $sampleStride")
+    val sh = parseHeader(bytes)
+    val w = sh.w; val h = sh.h
+    val fpsNum = sh.fpsNum; val fpsDen = sh.fpsDen
+    val chromaSize = sh.chromaSize
     val ySize = w * h
-    var pos = hEnd + 1
+    var pos = sh.headerEnd + 1
     var nFrames = 0
     var ySum = 0L
     var sampledFrames = 0
@@ -849,6 +910,58 @@ final class Y4mDecoder {
       nFrames.toLong * 1000L * fpsDen / fpsNum,
       ySum, ySum.toDouble / (ySize.toLong * nFrames),
       sampledFrames, sampledYSum)
+  }
+
+  /**
+   * Brightness-shift-invariant perceptual FINGERPRINT over the demuxed
+   * luma stream — the video leg of the m9 energy-delta move: the
+   * concatenated luma samples of every frame (scan order, so the
+   * windows sweep space AND time) split into `windows` spans, each
+   * folds to its integer luma sum, and bit p compares adjacent window
+   * MEANS by cross-multiplication: e(p+1)·s(p) > e(p)·s(p+1). The
+   * cross-multiplied form (not the raw sums) is what makes a global
+   * brightness shift cancel EXACTLY even when span sizes differ by
+   * one: shifting every sample by c moves both sides by c·s(p)·s(p+1)
+   * (audio's |s| gain-scaling cancels under plain sums because scaling
+   * is multiplicative; a luma LIFT is additive, so means are the
+   * invariant quantity). Spans beyond the sample count are empty and
+   * compare false deterministically. Overflow headroom: the products
+   * are ≤ 255·n·(n/windows), fine through multi-billion-sample clips.
+   */
+  def fingerprint(bytes: Array[Byte], windows: Int = 65): (Long, Long) = {
+    require(windows >= 2 && windows <= 65,
+      s"windows-1 bits must fit 64, got $windows")
+    val sh = parseHeader(bytes)
+    val offs = lumaOffsets(bytes, sh)
+    val ySize = sh.w * sh.h
+    val n = offs.length.toLong * ySize
+    val e = new Array[Long](windows)
+    val s = new Array[Long](windows)
+    var w = 0
+    while (w < windows) {
+      val from = w * n / windows
+      val until = (w + 1) * n / windows
+      s(w) = until - from
+      var acc = 0L
+      var k = from
+      while (k < until) {
+        val frame = (k / ySize).toInt
+        val off = (k % ySize).toInt
+        acc += bytes(offs(frame) + off) & 0xff
+        k += 1
+      }
+      e(w) = acc
+      w += 1
+    }
+    var hi = 0L; var lo = 0L
+    var p = 0
+    while (p < windows - 1) {
+      if (e(p + 1) * s(p) > e(p) * s(p + 1)) {
+        if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+      }
+      p += 1
+    }
+    (hi, lo)
   }
 }
 

@@ -184,6 +184,54 @@ class MultimodalSpec extends SparkSpec {
       "a time-reversed signal should not collide on this fixture")
   }
 
+  test("audio near-dup: a window-perturbed re-encode pairs with its original, banded not cartesian") {
+    val docs = Seq(
+      (1L, "alpha " * 30), (2L, "bravo! " * 25), (3L, "charlie " * 21),
+      (4L, "delta-four " * 16)).toDF("doc_id", "text")
+    val orig = Multimodal.packAsWav(docs, "doc_id", "text")
+    val clones = Multimodal.packAsWav(
+      docs.withColumn("doc_id", col("doc_id") + 100L),
+      "doc_id", "text", perturbWindows = Seq(2, 9, 33), perturbDelta = 17000L)
+    val fps = Multimodal.audioFingerprint(orig.unionByName(clones))
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val pairs = Multimodal.audioNearDupPairs(fps, maxHamming = 8)
+      val planted = pairs.filter(col("idb") - col("ida") === 100L).collect()
+      assert(planted.length == 4,
+        s"expected all 4 planted near-copies to pair, got ${planted.toSeq}")
+      assert(planted.forall(_.getAs[Int]("hamming") <= 8))
+      assert(planted.exists(_.getAs[Int]("hamming") > 0),
+        "perturbation did not move any fingerprint — the NEAR in near-dup is untested")
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"banded join degenerated:\n$plan")
+      pairs
+    }
+  }
+
+  test("video fingerprint: brightness-lift-invariant, structure-sensitive, real Y4M demux") {
+    val doc = Seq((1L, "x" * 57)).toDF("doc_id", "text")
+    val other = Seq((3L, "y" * 140)).toDF("doc_id", "text")
+    val fpBase = Multimodal.videoFingerprint(
+      Multimodal.packAsY4m(doc, "doc_id", "text")).head()
+    val fpLift = Multimodal.videoFingerprint(
+      Multimodal.packAsY4m(doc.withColumn("doc_id", lit(2L)),
+        "doc_id", "text", brightnessShift = 40)).head()
+    val fpOther = Multimodal.videoFingerprint(
+      Multimodal.packAsY4m(other, "doc_id", "text")).head()
+    assert(fpBase.getLong(1) == fpLift.getLong(1) &&
+           fpBase.getLong(2) == fpLift.getLong(2),
+      "a brightness-lifted (re-levelled) copy must fingerprint identically " +
+        "— the cross-multiplied mean compare is the invariance carrier")
+    assert(fpBase.getLong(1) != fpOther.getLong(1) ||
+           fpBase.getLong(2) != fpOther.getLong(2),
+      "distinct content should not collide on this fixture")
+    // the temporal sweep is live: a clip differing only in its LAST
+    // frame's luma ramp still separates (windows cover all frames)
+    assert(fpBase.getLong(1) != 0L || fpBase.getLong(2) != 0L,
+      "degenerate all-zero fingerprint")
+  }
+
   test("a corrupt payload fails loudly, not with silent zeros") {
     val d = new ImageIoDecoder
     val e = intercept[IllegalArgumentException](
