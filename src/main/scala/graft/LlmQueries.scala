@@ -1482,6 +1482,44 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** M8B: the TRI-modal document verdict — m8 widened to the full
+   * (text, image, audio) document shape the trilogy builds toward:
+   * three independent modality verdicts (d12's text near-dedup
+   * closure, m6's aHash groups, m9's audio-fingerprint groups — keep =
+   * smallest media_id of the group on each media side) composed into
+   * one row per document with the conservative triple conjunction.
+   * The disagreement matrix now has 8 cells; five are populated on
+   * this corpus (text clusters on content, image groups on (w,h)
+   * gradient classes, audio groups on the PCM length classes — three
+   * DIFFERENT partitions of the same documents), and the gate's hash
+   * compare pins every row of it. The flags stay exposed: which modalities must
+   * agree before a drop is a downstream policy, not the engine's
+   * call. */
+  def docMediaVerdictTri(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val text = nearDedupCorpus(s, dir)
+      .select(col("doc_id"), col("kept").as("text_kept"))
+    val docs = Tpar(s, dir, "documents")
+    val img = Multimodal.imagePHash(
+      Multimodal.packAsPng(docs, "doc_id", "text"))
+    val wImg = Window.partitionBy("hash_hi", "hash_lo")
+    val imgKept = img
+      .withColumn("image_kept", col("media_id") === min("media_id").over(wImg))
+      .select(col("media_id").as("doc_id"), col("image_kept"))
+    val aud = Multimodal.audioFingerprint(
+      Multimodal.packAsWav(docs, "doc_id", "text"))
+    val wAud = Window.partitionBy("fp_hi", "fp_lo")
+    val audKept = aud
+      .withColumn("audio_kept", col("media_id") === min("media_id").over(wAud))
+      .select(col("media_id").as("doc_id"), col("audio_kept"))
+    text.join(imgKept, "doc_id").join(audKept, "doc_id")
+      .select(col("doc_id"), col("text_kept"), col("image_kept"),
+        col("audio_kept"),
+        (col("text_kept") && col("image_kept") && col("audio_kept"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** M9: AUDIO fingerprint dedup — the audio leg of the perceptual
    * trilogy ([[Multimodal.audioFingerprint]]): real RIFF/WAVE payloads
    * decode in the `AudioSystem` seam, windowed integer energies fold to
@@ -1977,6 +2015,7 @@ object LlmQueries {
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
     "m9_audio_fp_dedup" -> (audioFingerprintDedup _),
+    "m8b_trimodal_verdict" -> (docMediaVerdictTri _),
     "m10_audio_near_dedup" -> (audioNearDup _),
     "m11_video_fp_dedup" -> (videoFingerprintDedup _)
   )
@@ -2677,6 +2716,33 @@ object LlmQueries {
       |        THEN (1::BIGINT << (j * 8 + i)) ELSE 0::BIGINT END))))
       |    AS BIGINT) AS hash_lo
       |  FROM s)""".stripMargin
+
+  /** The m9 closed-form audio-fingerprint CTE chain over the PCM
+   * synthesis, ending in `ahh(doc_id, fp_hi, fp_lo)` — shared by the
+   * m9 oracle and the m8b tri-modal verdict (names prefixed `a` so the
+   * chain composes beside `gradientPhashCtes`' d/hh). */
+  private lazy val audioFpCtes =
+    """ad AS (
+      |  SELECT doc_id, 1 + length(text) % 240 AS n,
+      |    (length(text) * 131) % 65521 AS a
+      |  FROM documents),
+      |ae AS (SELECT doc_id,
+      |  list_transform(range(0, 65), w ->
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+      |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
+      |      (x, y) -> x + y)) AS es
+      |  FROM ad),
+      |ahh AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(32, 64), p ->
+      |    CASE WHEN es[p + 2] > es[p + 1]
+      |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+      |    AS fp_hi,
+      |  CAST(list_sum(list_transform(range(0, 32), p ->
+      |    CASE WHEN es[p + 2] > es[p + 1]
+      |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+      |    AS fp_lo
+      |  FROM ae)""".stripMargin
 
   /** d12: the composed pipeline — candidates, exact-Jaccard verify,
    * closure over VERIFIED pairs, left join back to every document. */
@@ -3526,35 +3592,37 @@ object LlmQueries {
          |SELECT t.doc_id, t.text_kept, i.image_kept,
          |  (t.text_kept AND i.image_kept) AS keep
          |FROM txt t JOIN img i USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // m8b: the d12 text closure, the m6 image-hash chain and the m9
+    // audio-fingerprint chain composed into the per-document triple
+    // verdict
+    "m8b_trimodal_verdict" ->
+      s"""WITH RECURSIVE $nearDedupLabCtes,
+         |$gradientPhashCtes,
+         |$audioFpCtes,
+         |img AS (SELECT doc_id,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY hash_hi, hash_lo))
+         |    AS image_kept
+         |  FROM hh),
+         |aud AS (SELECT doc_id,
+         |  (doc_id = min(doc_id) OVER (PARTITION BY fp_hi, fp_lo))
+         |    AS audio_kept
+         |  FROM ahh),
+         |txt AS (SELECT d2.doc_id,
+         |  (coalesce(l.cluster_id, d2.doc_id) = d2.doc_id) AS text_kept
+         |  FROM documents d2 LEFT JOIN lab l USING (doc_id))
+         |SELECT t.doc_id, t.text_kept, i.image_kept, au.audio_kept,
+         |  (t.text_kept AND i.image_kept AND au.audio_kept) AS keep
+         |FROM txt t JOIN img i USING (doc_id) JOIN aud au USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // m9: window energies over the closed-form PCM samples
     // (sample(j) = ((a + j*7919) mod 65521) − 32760, a = (len·131) mod
     // 65521; window w spans [w·n//65, (w+1)·n//65)), then bit p =
     // e[p+1] > e[p], packed into two 32-bit halves like m6
     "m9_audio_fp_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, 1 + length(text) % 240 AS n,
-        |    (length(text) * 131) % 65521 AS a
-        |  FROM documents),
-        |e AS (SELECT doc_id,
-        |  list_transform(range(0, 65), w ->
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
-        |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
-        |      (x, y) -> x + y)) AS es
-        |  FROM d),
-        |hh AS (SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(32, 64), p ->
-        |    CASE WHEN es[p + 2] > es[p + 1]
-        |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
-        |    AS fp_hi,
-        |  CAST(list_sum(list_transform(range(0, 32), p ->
-        |    CASE WHEN es[p + 2] > es[p + 1]
-        |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
-        |    AS fp_lo
-        |  FROM e)
-        |SELECT doc_id AS media_id, fp_hi, fp_lo,
-        |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
-        |FROM hh ORDER BY media_id""".stripMargin,
+      s"""WITH $audioFpCtes
+         |SELECT doc_id AS media_id, fp_hi, fp_lo,
+         |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
+         |FROM ahh ORDER BY media_id""".stripMargin,
     // m10: the m9 energy/fingerprint chain over the planted corpus
     // (originals + perturbed shifted-id clones of every 13th doc — the
     // perturbation adds M10Delta inside the mod for samples in windows
