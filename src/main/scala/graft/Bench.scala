@@ -33,9 +33,32 @@ object Bench {
     // wire-path query swings 2.3s..11.8s purely with JIT maturity, so
     // without the second pass the numbers measure compiler scheduling,
     // not the queries.
+    // Gates whose cost lives in columns a bare count() lets Catalyst
+    // prune — aggregate expressions under groupBy/rollup/cube/window
+    // (count needs only the keys) and expensive narrow projections
+    // (x23's embedding kernel read ~0.2 s at ANY SF). These consume
+    // through a checksum over every output column — nothing prunable,
+    // one row back to the driver. Set audited empirically
+    // (tools/PruneAudit, sf0.1 consume/count ratio >= 1.4, archived in
+    // bench/prune_audit_r12.csv); their numbers re-baseline at r12
+    // (bench/watchitems_r12.md) — compare r12+ values against
+    // BENCH_r12, not earlier rounds.
+    val consumeAll: Set[String] = Set(
+      "q1_agg", "q2_join_broadcast", "q4_rollup", "q7_asof_join",
+      "q13_window_frames", "q14_cube", "d9_chunk_dedup", "d10_semdedup",
+      "e13b_ann_recall_trained", "m6_image_phash_dedup",
+      "m11_video_fp_dedup", "x2_quality_score", "x5_repetition",
+      "x13_mix_report", "x15_quality_classifier", "x19_gopher_rules",
+      "x23_hashed_embedding")
+    def consume(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      if (consumeAll(name))
+        df.select(org.apache.spark.sql.functions.expr(
+          s"bit_xor(xxhash64(struct(${df.columns.map(c => s"`$c`").mkString(",")})))"))
+          .collect()
+      else df.count()
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wd =>
       names.foreach { n =>
-        try SparkEntry.queries(n)(spark, wd).count()
+        try consume(n, SparkEntry.queries(n)(spark, wd))
         catch { case _: Throwable => () }
       }
     }
@@ -52,7 +75,7 @@ object Bench {
     // suite's generated code is as compiled as it will ever be).
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      val ok = try { consume(name, SparkEntry.queries(name)(spark, sfDir)); true }
                catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }

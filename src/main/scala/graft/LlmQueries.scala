@@ -995,6 +995,55 @@ object LlmQueries {
     }.orderBy("query_id", "rank")
   }
 
+  /** E24: the residual family through the STREAMED STORAGE path —
+   * e21's IndexStore plumbing (versioned base, sink-log delta,
+   * threshold-tripped fold) carrying e23's residual semantics, which
+   * is the composition neither gate covers alone: e21 streams RAW
+   * codes (storage-agnostic payload), e23 admits residual codes but
+   * in one batch union. Here the residual rows — codes meaningful
+   * only BESIDE their centroid — are what streams through the sink
+   * log, survives a delta fold, re-encodes through the surgical split
+   * and serves from the physically compacted table. Same frozen
+   * constants and same rebuilt-form oracle as e23: the storage moves
+   * (streamed admission, fold, compaction) must not move the answer
+   * by a row, and the split-after-fold leg pins that re-encode-on-move
+   * survives a fold in between. */
+  def residualStreamLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedResidualBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val (c, subs, newCents) = e21SplitState(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e24_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqResidualIndex(
+        emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    val q = Similarity.ivfPqResidualIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    val admitted = graft.ml.IndexStore.read(s, idxDir)
+    val split = Similarity.ivfPqResidualSplit(admitted, emb, c, subs,
+      newCell = cents.size, books = books)
+    val tombs = emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3))
+      .select("id")
+    val live = Similarity.ivfPqDelete(split, tombs)
+    val servedDir = s"$base/compacted"
+    live.write.mode("overwrite").parquet(servedDir)
+    val queries = emb.filter(col("id") < 4 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    Similarity.ivfPqResidualSearchIndex(queries, s.read.parquet(servedDir),
+        TopK, books, newCents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   // e20's candidate width: ADC retrieves 3k candidates, exact cosine
   // reranks them down to k
   private val RerankN = 3 * TopK
@@ -1983,6 +2032,7 @@ object LlmQueries {
     "e21_index_lifecycle_e2e" -> (indexLifecycleE2E _),
     "e22_ivfpqr_topk" -> (residualRerankTopK _),
     "e23_residual_lifecycle" -> (residualLifecycle _),
+    "e24_residual_stream_index" -> (residualStreamLifecycle _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
@@ -2303,28 +2353,11 @@ object LlmQueries {
     // residuals and serving both against the POST-SPLIT table ct2 —
     // an oracle built from stale (pre-split) codes would mismatch
     // every moved row, so the hash pins the re-encode-on-move contract
-    "e23_residual_lifecycle" -> ((s, dir) => {
-      val books = trainedResidualBooksBase(s, dir)
-      val oldCents = trainedCentsBase(s, dir)
-      val (c, subs, newCents) = e21SplitState(s, dir)
-      val n = oldCents.size
-      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
-      residualOracleSql(doubleLit2(oldCents), doubleLit3(books),
-        doubleLit2(Similarity.pqCellNorms(books)),
-        qPred = s"(vec_id < 4 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
-        extraCtes =
-          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
-             |cents3 AS (SELECT ${doubleLit2(subs)} AS ct3),
-             |""".stripMargin,
-        fromExtra = ", cents2, cents3",
-        cCell =
-          s"""CASE WHEN $oldCell = ${c + 1}
-             |    THEN CASE WHEN -(${rankedSql("embedding", 2, "ct3")})[1].nj = 1
-             |         THEN ${c + 1} ELSE ${n + 1} END
-             |    ELSE $oldCell END""".stripMargin,
-        cPred = s"NOT (vec_id % $DeleteMod = 3)",
-        serveCt = "ct2", serveN = n + 1)
-    }),
+    "e23_residual_lifecycle" -> (residualJourneyOracle _),
+    // e24 = the SAME rebuilt form: the streamed-storage admission and
+    // the fold are pure storage moves, so the journey's answer is
+    // identical to e23's — one oracle pins both compositions
+    "e24_residual_stream_index" -> (residualJourneyOracle _),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
     "e22_ivfpqr_topk" -> ((s, dir) => {
@@ -2484,6 +2517,34 @@ object LlmQueries {
    * centroid table (`serveCt` — the post-split table the codes are
    * encoded against), the corpus predicate (tombstones) and the probe
    * width; every other oracle keeps the defaults (`serveCt` = `ct`). */
+  /** The residual journey's rebuilt-form oracle (e23 AND e24): the
+   * surviving corpus re-assigned through the surgical split CASE,
+   * residuals and serving against the post-split table. Shared because
+   * the two gates differ only in HOW admission reached storage (batch
+   * union vs streamed delta + fold) — the answer must not. */
+  private def residualJourneyOracle(s: SparkSession, dir: String): String = {
+    val books = trainedResidualBooksBase(s, dir)
+    val oldCents = trainedCentsBase(s, dir)
+    val (c, subs, newCents) = e21SplitState(s, dir)
+    val n = oldCents.size
+    val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+    residualOracleSql(doubleLit2(oldCents), doubleLit3(books),
+      doubleLit2(Similarity.pqCellNorms(books)),
+      qPred = s"(vec_id < 4 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
+      extraCtes =
+        s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+           |cents3 AS (SELECT ${doubleLit2(subs)} AS ct3),
+           |""".stripMargin,
+      fromExtra = ", cents2, cents3",
+      cCell =
+        s"""CASE WHEN $oldCell = ${c + 1}
+           |    THEN CASE WHEN -(${rankedSql("embedding", 2, "ct3")})[1].nj = 1
+           |         THEN ${c + 1} ELSE ${n + 1} END
+           |    ELSE $oldCell END""".stripMargin,
+      cPred = s"NOT (vec_id % $DeleteMod = 3)",
+      serveCt = "ct2", serveN = n + 1)
+  }
+
   private def residualOracleSql(centsLit: String, booksLit: String,
                                 normsLit: String,
                                 qPred: String = "vec_id < 5",

@@ -157,6 +157,89 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.read(spark, idx).count() == committed)
   }
 
+  test("a LIVE reader racing a slow admission stream serves only committed-prefix snapshots") {
+    val dir = "target/tmp/idxstore_race"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    // SPARSE base (8 vectors): same-code twins tie on ADC and lose to
+    // smaller ids, so a dense base would make every prefix serve the
+    // same top-5 and the race would pin nothing; with 8 base vectors
+    // each admitted wave genuinely reshapes the candidate pool
+    val baseSlice = col("id") < 120 && col("id") % 16 === 0
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(baseSlice), books, cents), idx)
+    val queries = vecs.filter(col("id") < 4)
+    def serve(i: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] =
+      Similarity.ivfPqSearchIndex(queries, i, 5, books, cents, 2)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank").collect().toSeq
+
+    // every answer a consistent reader may give: the batch-built index
+    // over each committed prefix of waves (files commit in mtime order,
+    // maxFilesPerTrigger=1, so prefixes are exactly base+0, base+w0,
+    // base+w0+w1, all)
+    val incoming = vecs.filter(col("id") >= 120)
+    val prefixes = (0 to 3).map { k =>
+      val admitted = vecs.filter(baseSlice ||
+        (col("id") >= 120 && pmod(col("id"), lit(3)) < k))
+      serve(Similarity.ivfPqIndex(admitted, books, cents))
+    }
+    assert(prefixes.distinct.size >= 3,
+      "fixture too weak: admission waves barely move the serve results, " +
+        "the race below would pin nothing")
+
+    // the deterministic prefix test above proves WHAT a reader may see;
+    // this one proves it while a real admission stream is mid-flight:
+    // each micro-batch is slowed through a per-row sleep so a reader
+    // thread hammering read()+search necessarily samples between
+    // commits, and every sample must equal SOME committed-prefix answer
+    // — never a torn batch, never a half-visible fold state
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    (0 until 3).foreach { i =>
+      Tables.stageFile(incoming.filter(pmod(col("id"), lit(3)) === i),
+        in.resolve(f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    }
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val slow = udf { (id: Long) => Thread.sleep(15); id >= 0 }
+    val stream = scoped.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      .filter(slow(col("id")))
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    @volatile var stopReader = false
+    val reader = new Thread(() => {
+      try {
+        while (!stopReader) {
+          val res = serve(IndexStore.read(spark, idx))
+          val k = prefixes.indexOf(res)
+          if (k < 0)
+            throw new AssertionError(
+              "a live serve matched NO committed-prefix index — torn read")
+          seen.add(k)
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    }, "racing-reader")
+    reader.start()
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .option("path", IndexStore.deltaDir(idx))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    stopReader = true
+    reader.join(30000)
+    assert(failure.get() == null, s"racing reader failed: ${failure.get()}")
+    assert(serve(IndexStore.read(spark, idx)) == prefixes.last,
+      "post-drain serve drifted from the all-waves index")
+    assert(seen.size >= 2,
+      s"reader observed only prefix states $seen — the injected slow batch " +
+        "did not expose any mid-admission read; slow the stream down")
+  }
+
   test("serve-while-admitting: each serve sees exactly the committed prefix of waves") {
     val dir = "target/tmp/idxstore_prefix"
     graft.util.Fs.deleteRecursive(Paths.get(dir))
