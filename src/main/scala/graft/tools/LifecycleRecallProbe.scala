@@ -60,19 +60,22 @@ object LifecycleRecallProbe {
       .select("query_id", "neighbor_id").cache()
     exact.count()
 
-    def point(cents: Seq[Seq[Double]], np: Int): (Double, Double) = {
-      val approx = Similarity.ivfTopKWith(queries, corpus, TopK, cents, np)
+    def pointOver(crp: DataFrame, qs: DataFrame, gt: DataFrame,
+                  cents: Seq[Seq[Double]], np: Int): (Double, Double) = {
+      val approx = Similarity.ivfTopKWith(qs, crp, TopK, cents, np)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      val recall = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      val recall = gt.join(approx, Seq("query_id", "neighbor_id"), "left")
         .agg(count(col("hit")).cast("double") / count(lit(1))).head().getDouble(0)
-      val occ = occupancy(corpus, cents)
-      val probeRows = queries
+      val occ = occupancy(crp, cents)
+      val probeRows = qs
         .select(col("id"), Similarity.ivfProbesD(col("vec"), cents, np).as("p"))
         .collect()
       val cost = probeRows.map(_.getSeq[Int](1).map(c =>
         occ.getOrElse(c, 0L)).sum.toDouble).sum / probeRows.length
       (recall, cost)
     }
+    def point(cents: Seq[Seq[Double]], np: Int): (Double, Double) =
+      pointOver(corpus, queries, exact, cents, np)
 
     // iterative surgical splits of the current fullest cell
     def splitOnce(cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
@@ -98,6 +101,31 @@ object LifecycleRecallProbe {
     val post1 = sweep(cents1)
     val post3 = sweep(cents3)
 
+    // DELETION HOLES — the other drift source a long-lived index
+    // accrues (r12 extension): a takedown tombstones 70% of the
+    // admitted hot-cell rows (the "domain removed" shape — deletion is
+    // never uniform), the tombstones compact away physically, and the
+    // survivors serve under centroids trained BEFORE the delete. Ground
+    // truth, queries and occupancy all re-derive over the survivor
+    // corpus: the curve isolates what the frozen quantizer loses (or
+    // doesn't) when cells it still probes have been hollowed out —
+    // measured under both the pre-split table and the 3-split table the
+    // journey would actually be serving by then.
+    val tombs = incoming.filter(pmod(col("id"), lit(10)) < 7).select("id")
+    val survivors = corpus.join(tombs, Seq("id"), "left_anti").cache()
+    val nSurvivors = survivors.count()
+    val qSurv = survivors.filter(col("id").isin(qIds: _*)).cache()
+    val exactSurv = Similarity.bruteForceTopK(qSurv, survivors, TopK)
+      .select("query_id", "neighbor_id").cache()
+    exactSurv.count()
+    def sweepSurv(cents: Seq[Seq[Double]]): String = probes.map { np =>
+      val (r, c) = pointOver(survivors, qSurv, exactSurv, cents, np)
+      f""""nprobe$np": {"recall": $r%.3f, "mean_candidates": $c%.1f}"""
+    }.mkString("{", ", ", "}")
+    val occDel = occupancy(survivors, cents3)
+    val delPre = sweepSurv(cents0)
+    val delPost3 = sweepSurv(cents3)
+
     println(s"""{
       |"probe": "graft.tools.LifecycleRecallProbe",
       |"dir": "$dir",
@@ -108,7 +136,13 @@ object LifecycleRecallProbe {
       |  "after_3_splits_max_occ": ${occ3.values.max}},
       |"pre_split": $pre,
       |"after_1_split": $post1,
-      |"after_3_splits": $post3
+      |"after_3_splits": $post3,
+      |"delete": {"survivors": $nSurvivors,
+      |  "surviving_queries": ${qSurv.count()},
+      |  "empty_cells_of_${cents3.size}_after_delete":
+      |    ${cents3.indices.count(j => occDel.getOrElse(j, 0L) == 0L)},
+      |  "after_delete_presplit_table": $delPre,
+      |  "after_delete_split3_table": $delPost3}
       |}""".stripMargin.replace("\n", " "))
     spark.stop()
   }
