@@ -1653,6 +1653,43 @@ object LlmQueries {
 
   private val M11Shift = 40
 
+  /** M12: video NEAR-duplicate pairs — banded Hamming over the m11
+   * fingerprint, completing the near-dup trilogy (m7 images, m10
+   * audio, this): m11 groups on fingerprint EQUALITY, but a real
+   * re-encode both re-levels globally AND distorts locally, so the
+   * planted clone here carries BOTH — a global brightness lift (which
+   * the fingerprint cancels exactly) and three perturbed stream
+   * windows (which flip the adjacent delta bits). Every 19th
+   * document's clip re-renders under a shifted id (+10⁶) with that
+   * combined distortion, and the closed-form oracle rebuilds both
+   * fingerprints sample-exactly before replaying the identical banded
+   * join — planted distances are hash-exact, recall degradation from
+   * the hot-bucket cap is mirrored, never hidden. The cap itself is
+   * wider than m7/m10's (256): the tiny synthesized clips collapse
+   * into few fingerprint classes, and the gate should still FIND the
+   * planted pairs through their unperturbed band at this corpus
+   * size. */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text")
+    val clones = Multimodal.packAsY4m(
+      docs.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", brightnessShift = M12Shift,
+      perturbWindows = M12Windows, perturbDelta = M12Delta)
+    CacheScope.materialized { implicit scope =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFingerprint(orig.unionByName(clones)),
+        maxHamming = M12MaxHamming, maxBucket = M12MaxBucket)
+    }.orderBy("ida", "idb")
+  }
+
+  private val M12Shift = 20
+  private val M12Windows = Seq(3, 17, 44)
+  private val M12Delta = 25
+  private val M12MaxHamming = 8
+  private val M12MaxBucket = 256
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -2067,7 +2104,8 @@ object LlmQueries {
     "m9_audio_fp_dedup" -> (audioFingerprintDedup _),
     "m8b_trimodal_verdict" -> (docMediaVerdictTri _),
     "m10_audio_near_dedup" -> (audioNearDup _),
-    "m11_video_fp_dedup" -> (videoFingerprintDedup _)
+    "m11_video_fp_dedup" -> (videoFingerprintDedup _),
+    "m12_video_near_dedup" -> (videoNearDup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3772,6 +3810,60 @@ object LlmQueries {
          |SELECT mid AS media_id, fp_hi, fp_lo,
          |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
          |FROM hh ORDER BY media_id""".stripMargin,
+    // m12: the m11 luma/fingerprint chain over the planted corpus
+    // (clones of every 19th doc re-levelled by M12Shift — which the
+    // cross-multiplied compare cancels — AND perturbed by M12Delta in
+    // windows 3/17/44), then the m7 band/hot-bucket/popcount join
+    "m12_video_near_dedup" ->
+      s"""WITH par AS (
+         |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, length(text), 1 FROM documents
+         |  WHERE doc_id % 19 = 0),
+         |d AS (SELECT mid, 2 * (1 + len % 6) AS wd, 2 * (1 + len % 4) AS ht,
+         |  1 + len % 5 AS nf, len % 180 AS a, pert FROM par),
+         |dn AS (SELECT mid, wd, ht, nf, a, pert,
+         |  wd * ht * nf AS n, wd * ht AS fsz FROM d),
+         |e AS (SELECT mid,
+         |  list_transform(range(0, 65), w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+         |        k -> (a + pert * $M12Shift
+         |              + CASE WHEN pert = 1 AND w IN (${M12Windows.mkString(", ")})
+         |                  THEN $M12Delta ELSE 0 END
+         |              + ((k % fsz) % wd) + ((k % fsz) // wd)
+         |              + 3 * (k // fsz))::BIGINT)),
+         |      (x, y) -> x + y)) AS es,
+         |  list_transform(range(0, 65), w ->
+         |    (((w + 1) * n) // 65 - (w * n) // 65)::BIGINT) AS ss
+         |  FROM dn),
+         |hh AS (SELECT mid,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_lo
+         |  FROM e),
+         |tband AS (
+         |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
+         |  FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
+         |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
+         |tok AS (SELECT band, bkey FROM tband
+         |        GROUP BY 1, 2 HAVING count(*) <= $M12MaxBucket),
+         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+         |tp AS (
+         |  SELECT a.mid AS ida, b.mid AS idb,
+         |    min(bit_count(xor(a.fp_hi, b.fp_hi))
+         |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
+         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+         |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M12MaxHamming
+         |ORDER BY ida, idb""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->

@@ -379,6 +379,18 @@ object Multimodal {
     bandedHammingPairs(fps, "media_id", "fp_hi", "fp_lo",
       maxHamming, maxBucket)
 
+  /** Banded-Hamming near-duplicate pairs over [[videoFingerprint]]
+   * codes — the video leg: a re-encode that locally distorts a few
+   * spans of the luma stream (or a crop of the fade tail) flips the
+   * delta bits adjacent to the touched windows, so thresholded
+   * Hamming is the verdict here exactly as for images and audio.
+   * Same 64-bit code shape → same machinery verbatim. */
+  def videoNearDupPairs(fps: DataFrame, maxHamming: Int = 8,
+                        maxBucket: Int = 64)(
+      implicit scope: graft.operators.CacheScope): DataFrame =
+    bandedHammingPairs(fps, "media_id", "fp_hi", "fp_lo",
+      maxHamming, maxBucket)
+
   /** The shared banded-Hamming core: 64-bit codes split as (hi, lo)
    * 32-bit halves in `hiCol`/`loCol`, banded into 4×16-bit keys
    * (pigeonhole: radius ≤ 3 guaranteed, larger radii best-effort),
@@ -615,13 +627,23 @@ object Multimodal {
    * chroma planes constant 128.
    */
   def packAsY4m(df: DataFrame, idCol: String, textCol: String,
-                brightnessShift: Int = 0): DataFrame = {
-    // a "re-mastered" stand-in for near-dup planting: every luma sample
-    // lifts by a constant (a global brightness/levels change — the
-    // classic re-encode artifact); 209 is the unshifted luma max, so
-    // shifts ≤ 46 never clip and the closed-form oracle stays exact
-    require(brightnessShift >= 0 && brightnessShift <= 46,
-      s"brightnessShift must be in [0, 46], got $brightnessShift")
+                brightnessShift: Int = 0,
+                perturbWindows: Seq[Int] = Nil,
+                perturbDelta: Int = 0): DataFrame = {
+    // near-dup planting, two distortion axes: `brightnessShift` lifts
+    // EVERY luma sample by a constant (a global levels change — the
+    // fingerprint is exactly invariant to it by design), and
+    // `perturbWindows`/`perturbDelta` lift only the samples inside the
+    // named fingerprint windows (boundaries exactly as
+    // [[Y4mDecoder.fingerprint]] slices the concatenated stream) — a
+    // LOCALIZED distortion that moves those windows' means and flips
+    // the adjacent delta bits. 209 is the unshifted luma max, so
+    // shift+delta ≤ 46 never clips and the closed-form oracle stays
+    // exact.
+    require(brightnessShift >= 0 && perturbDelta >= 0 &&
+        brightnessShift + perturbDelta <= 46,
+      s"brightnessShift + perturbDelta must be in [0, 46], got " +
+        s"$brightnessShift + $perturbDelta")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -642,6 +664,13 @@ object Multimodal {
           .getBytes("US-ASCII")
         val frameMark = "FRAME\n".getBytes("US-ASCII")
         val cSize = (w / 2) * (h / 2)
+        val n = w * h * nf
+        val bump = new Array[Int](n)
+        perturbWindows.foreach { pw =>
+          var k = pw * n / 65
+          val until = (pw + 1) * n / 65
+          while (k < until) { bump(k) = perturbDelta; k += 1 }
+        }
         val buf = java.nio.ByteBuffer.allocate(
           header.length + nf * (frameMark.length + w * h + 2 * cSize))
         buf.put(header)
@@ -651,7 +680,10 @@ object Multimodal {
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { buf.put((a + x + y + 3 * t).toByte); x += 1 }
+            while (x < w) {
+              buf.put((a + x + y + 3 * t + bump(t * w * h + y * w + x)).toByte)
+              x += 1
+            }
             y += 1
           }
           var c = 0

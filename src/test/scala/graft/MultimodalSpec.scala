@@ -230,6 +230,18 @@ class MultimodalSpec extends SparkSpec {
     // frame's luma ramp still separates (windows cover all frames)
     assert(fpBase.getLong(1) != 0L || fpBase.getLong(2) != 0L,
       "degenerate all-zero fingerprint")
+    // a clone that is BOTH re-levelled and locally distorted (the m12
+    // plant) lands a small nonzero Hamming away: the global shift
+    // cancels, the window perturbation flips only adjacent delta bits
+    val fpPert = Multimodal.videoFingerprint(
+      Multimodal.packAsY4m(doc.withColumn("doc_id", lit(4L)),
+        "doc_id", "text", brightnessShift = 20,
+        perturbWindows = Seq(3, 17, 44), perturbDelta = 25)).head()
+    val ham = java.lang.Long.bitCount(fpBase.getLong(1) ^ fpPert.getLong(1)) +
+      java.lang.Long.bitCount(fpBase.getLong(2) ^ fpPert.getLong(2))
+    assert(ham > 0 && ham <= 8,
+      s"perturbed clone landed at Hamming $ham — expected a small nonzero " +
+        "offset (3 windows touch at most 6 delta bits)")
   }
 
   test("a corrupt payload fails loudly, not with silent zeros") {
