@@ -832,6 +832,78 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** W11: streamed serving FROM THE LIVE STORE — w10's foreachBatch
+   * request loop pointed at [[graft.ml.IndexStore.read]] instead of a
+   * frozen parquet file list, against a store in its STEADY state:
+   * a folded base version plus two late-admitted, not-yet-folded
+   * deltas (w10 serves a static artifact; e16 admits but serves once,
+   * after maintenance; the race spec proves isolation — this gate
+   * composes the production serving path end-to-end and oracle-pins
+   * its answers). Each query micro-batch re-resolves the serving view
+   * through the version marker + sink log, which is exactly what a
+   * 100 TB serving tier does between maintenance windows. The late
+   * admission continues the SAME checkpointed stream after the fold —
+   * the sink log keeps batch numbering, so the fold/admission
+   * interleaving is the real one, not a staged simplification. */
+  def streamServeFromStore(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/w11_${new java.io.File(dir).getName}"
+    val idxDir = s"$base/index"
+    val inc = emb.filter(col("id") >= AdmitBoundary)
+    val even = inc.filter(pmod(col("id"), lit(2)) === 0)
+    val admStream = stageWaveStream(s, s"$base/admit", even)
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    def runAdmission(stream: DataFrame): Unit = {
+      val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+        .option("checkpointLocation", s"$base/admit/ckpt")
+        .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+        .format("parquet").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    runAdmission(admStream)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    // late admission AFTER the fold: two more waves land in the same
+    // staging dir with later mtimes and the SAME checkpoint resumes —
+    // they stay unfolded, so serving reads base ∪ live delta tail
+    val in = Paths.get(s"$base/admit", "in")
+    Seq(1L, 3L).zipWithIndex.foreach { case (r, i) =>
+      graft.Tables.stageFile(inc.filter(pmod(col("id"), lit(4)) === r),
+        in.resolve(f"wave${3 + i}%02d.parquet"),
+        1000000000000L + (3 + i) * 60000L)
+    }
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    runAdmission(scoped.readStream.schema(even.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString))
+    require(graft.ml.IndexStore.unfoldedDeltaFiles(s, idxDir).size == 2,
+      "w11's serving view must carry live unfolded deltas — the gate " +
+        "exists to exercise base ∪ delta resolution per micro-batch")
+    // the serving loop: writer quiesced (L6), queries stream in
+    val queries = emb.filter(col("id") < 6)
+    val qStream = stageWaveStream(s, s"$base/serve", queries)
+    val outDir = s"$base/out"
+    val q = qStream.writeStream
+      .option("checkpointLocation", s"$base/serve/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Similarity.ivfPqSearchIndex(batch,
+            graft.ml.IndexStore.read(batch.sparkSession, idxDir),
+            TopK, books, cents, NProbe)
+          .select("query_id", "rank", "neighbor_id", "adc")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir).drop("batch")
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** E21's split state — e18's [[splitState]] under the BASE-trained
    * quantizer (the lifecycle journey freezes e14's constants): fullest
    * cell of the POST-admission corpus (ties to the smaller id), 2-means
@@ -2071,6 +2143,7 @@ object LlmQueries {
     "e23_residual_lifecycle" -> (residualLifecycle _),
     "e24_residual_stream_index" -> (residualStreamLifecycle _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
+    "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -2439,12 +2512,11 @@ object LlmQueries {
     }),
     // w10 = the batch search over the union of the streamed queries —
     // per-query results are micro-batch-assignment-independent
-    "w10_stream_ann_serve" -> ((s, dir) => {
-      val books = trainedBooksBase(s, dir)
-      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
-        doubleLit2(Similarity.pqCellNorms(books)),
-        qPred = "vec_id < 6")
-    }),
+    "w10_stream_ann_serve" -> (streamServeOracle _),
+    // w11 = the same rebuilt form as w10: serving from the live store
+    // view (folded base ∪ unfolded delta tail) instead of a static
+    // parquet must not move an answer — one oracle pins both paths
+    "w11_stream_serve_from_store" -> (streamServeOracle _),
     // the REBUILT form of e17: index over only the SURVIVING corpus
     // (tombstoned slice excluded), same frozen base-trained literals —
     // hash-equality proves logical deletion lost and leaked nothing
@@ -2555,6 +2627,17 @@ object LlmQueries {
    * centroid table (`serveCt` — the post-split table the codes are
    * encoded against), the corpus predicate (tombstones) and the probe
    * width; every other oracle keeps the defaults (`serveCt` = `ct`). */
+  /** The streamed-serving rebuilt-form oracle (w10 AND w11): the plain
+   * batch search over the union of all streamed queries against the
+   * full admitted corpus — per-query results are independent of both
+   * micro-batch assignment and WHERE the index rows were read from. */
+  private def streamServeOracle(s: SparkSession, dir: String): String = {
+    val books = trainedBooksBase(s, dir)
+    ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+      doubleLit2(Similarity.pqCellNorms(books)),
+      qPred = "vec_id < 6")
+  }
+
   /** The residual journey's rebuilt-form oracle (e23 AND e24): the
    * surviving corpus re-assigned through the surgical split CASE,
    * residuals and serving against the post-split table. Shared because
