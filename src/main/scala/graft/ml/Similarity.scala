@@ -822,13 +822,31 @@ object Similarity {
    */
   def ivfTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
                    cents: Seq[Seq[Double]], nprobe: Int,
-                   assign: Int): DataFrame = {
+                   assign: Int): DataFrame =
+    ivfSearchMultiAssigned(queries,
+      ivfMultiAssign(corpus, cents, assign), k, cents, nprobe)
+
+  /** The corpus side of [[ivfTopKMulti]] as a standalone frame —
+   * `(neighbor_id, cvec, cell)` with each vector exploded into its
+   * `assign` best cells. Split out so a sweep (e13b's recall surface)
+   * can persist ONE multi-assignment per assign level and reuse it
+   * across every nprobe value: the assignment kernel (nCells×dim dots
+   * per corpus row) is the scan-side cost, and Spark physical plans
+   * do not dedupe repeated subplans on their own. */
+  def ivfMultiAssign(corpus: DataFrame, cents: Seq[Seq[Double]],
+                     assign: Int): DataFrame =
+    corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
+      explode(ivfProbesD(col("vec"), cents, assign)).as("cell"))
+
+  /** Search over a prebuilt [[ivfMultiAssign]] frame — the serving
+   * half of [[ivfTopKMulti]]. */
+  def ivfSearchMultiAssigned(queries: DataFrame, assigned: DataFrame,
+                             k: Int, cents: Seq[Seq[Double]],
+                             nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
       explode(ivfProbesD(col("vec"), cents, nprobe)).as("cell"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("cvec"),
-      explode(ivfProbesD(col("vec"), cents, assign)).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qvec"), col("cvec")).as("sim"))
