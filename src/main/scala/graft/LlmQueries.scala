@@ -1776,6 +1776,38 @@ object LlmQueries {
   private val M12MaxHamming = 8
   private val M12MaxBucket = 256
 
+  /** M13: the image near-dup CLUSTER VERDICT — what a pipeline actually
+   * consumes: m7 emits near-dup PAIRS, but the keep decision needs the
+   * transitive closure (A≈B, B≈C ⇒ one keeper among {A,B,C} even when
+   * A–C's Hamming alone clears nothing), which is exactly d8's
+   * star-contraction machinery ([[Dedup.duplicateClustersStar]] — the
+   * diameter-safe path at 100 TB) running on 16-byte hash pairs
+   * instead of text digests. One row per corpus member: cluster label
+   * (min id), keep = is the label. The oracle closes m7's pair chain
+   * with the same recursive reach/label shape the text closures use —
+   * modality changes the fingerprint, never the verdict machinery. */
+  def imageNearDupVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsPngTextured(docs, "doc_id", "text")
+    val clones = Multimodal.packAsPngTextured(
+      docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", bumpDelta = M7Bump)
+    CacheScope.materialized { implicit scope =>
+      val hashes = scope.persist(
+        Multimodal.imagePHash(orig.unionByName(clones))).toDF()
+      val pairs = Multimodal.phashNearDupPairs(hashes,
+        maxHamming = M7MaxHamming, maxBucket = M7MaxBucket)
+      val labels = Dedup.duplicateClustersStar(pairs)
+        .withColumnRenamed("node", "media_id")
+      hashes.select(col("media_id"))
+        .join(labels, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("label"), col("media_id")).as("cluster_id"))
+        .withColumn("kept", col("cluster_id") === col("media_id"))
+    }.orderBy("media_id")
+  }
+
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
    * (the mjpegtools/ffmpeg uncompressed interchange container) into the
    * binary column, then demux them with the pure-JVM [[Y4mDecoder]] in
@@ -2192,7 +2224,8 @@ object LlmQueries {
     "m8b_trimodal_verdict" -> (docMediaVerdictTri _),
     "m10_audio_near_dedup" -> (audioNearDup _),
     "m11_video_fp_dedup" -> (videoFingerprintDedup _),
-    "m12_video_near_dedup" -> (videoNearDup _)
+    "m12_video_near_dedup" -> (videoNearDup _),
+    "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -2912,6 +2945,61 @@ object LlmQueries {
       |        THEN (1::BIGINT << (j * 8 + i)) ELSE 0::BIGINT END))))
       |    AS BIGINT) AS hash_lo
       |  FROM s)""".stripMargin
+
+  /** The m7 closed-form chain over the textured planted corpus
+   * (originals + bumped shifted-id clones of every 17th doc): texture,
+   * bump clamp, aHash bits, band keys, hot-bucket cap, banded join,
+   * exact popcount verify — ending in `tp(ida, idb, hamming)` and with
+   * the full member list in `par(mid, ...)`. Shared by the m7 pair
+   * oracle and the m13 cluster-verdict oracle. */
+  private lazy val texturedNearDupCtes =
+    s"""par AS (
+       |  SELECT doc_id AS mid, length(text) AS len, 0 AS bump FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, length(text), $M7Bump FROM documents
+       |  WHERE doc_id % 17 = 0),
+       |tb AS (
+       |  SELECT mid, bump,
+       |    (len + 31 * (mid % 1000000)) % 200 AS a,
+       |    3 + 2 * ((len + (mid % 1000000)) % 13) AS p1,
+       |    5 + 2 * ((len + 3 * (mid % 1000000)) % 11) AS p2
+       |  FROM par),
+       |tg AS (SELECT mid,
+       |  flatten(list_transform(range(0, 8), j ->
+       |    list_transform(range(0, 8), i ->
+       |      CASE WHEN (i = 1 AND j = 1) OR (i = 3 AND j = 3)
+       |             OR (i = 5 AND j = 7)
+       |        THEN least((a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
+       |               + bump, 250)
+       |        ELSE (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
+       |      END))) AS sv
+       |  FROM tb),
+       |tt AS (SELECT mid, sv, list_sum(sv) AS total FROM tg),
+       |thh AS (SELECT mid,
+       |  CAST(list_sum(list_transform(range(32, 64), p ->
+       |    CASE WHEN 64 * sv[p + 1] >= total
+       |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS hash_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), p ->
+       |    CASE WHEN 64 * sv[p + 1] >= total
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS hash_lo
+       |  FROM tt),
+       |tband AS (
+       |  SELECT mid, hash_hi, hash_lo, 0 AS band, hash_lo & 65535 AS bkey
+       |  FROM thh
+       |  UNION ALL SELECT mid, hash_hi, hash_lo, 1, (hash_lo >> 16) & 65535 FROM thh
+       |  UNION ALL SELECT mid, hash_hi, hash_lo, 2, hash_hi & 65535 FROM thh
+       |  UNION ALL SELECT mid, hash_hi, hash_lo, 3, (hash_hi >> 16) & 65535 FROM thh),
+       |tok AS (SELECT band, bkey FROM tband
+       |        GROUP BY 1, 2 HAVING count(*) <= $M7MaxBucket),
+       |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+       |tp AS (
+       |  SELECT a.mid AS ida, b.mid AS idb,
+       |    min(bit_count(xor(a.hash_hi, b.hash_hi))
+       |      + bit_count(xor(a.hash_lo, b.hash_lo)))::INTEGER AS hamming
+       |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.mid < b.mid GROUP BY 1, 2)""".stripMargin
 
   /** The m9 closed-form audio-fingerprint CTE chain over the PCM
    * synthesis, ending in `ahh(doc_id, fp_hi, fp_lo)` — shared by the
@@ -3724,55 +3812,29 @@ object LlmQueries {
     // aHash bits, band keys, hot-bucket cap, banded join, exact
     // popcount verify: each stage mirrors the Spark plan exactly
     "m7_image_near_dedup" ->
-      s"""WITH par AS (
-         |  SELECT doc_id AS mid, length(text) AS len, 0 AS bump FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, length(text), $M7Bump FROM documents
-         |  WHERE doc_id % 17 = 0),
-         |tb AS (
-         |  SELECT mid, bump,
-         |    (len + 31 * (mid % 1000000)) % 200 AS a,
-         |    3 + 2 * ((len + (mid % 1000000)) % 13) AS p1,
-         |    5 + 2 * ((len + 3 * (mid % 1000000)) % 11) AS p2
-         |  FROM par),
-         |tg AS (SELECT mid,
-         |  flatten(list_transform(range(0, 8), j ->
-         |    list_transform(range(0, 8), i ->
-         |      CASE WHEN (i = 1 AND j = 1) OR (i = 3 AND j = 3)
-         |             OR (i = 5 AND j = 7)
-         |        THEN least((a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
-         |               + bump, 250)
-         |        ELSE (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251
-         |      END))) AS sv
-         |  FROM tb),
-         |tt AS (SELECT mid, sv, list_sum(sv) AS total FROM tg),
-         |thh AS (SELECT mid,
-         |  CAST(list_sum(list_transform(range(32, 64), p ->
-         |    CASE WHEN 64 * sv[p + 1] >= total
-         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS hash_hi,
-         |  CAST(list_sum(list_transform(range(0, 32), p ->
-         |    CASE WHEN 64 * sv[p + 1] >= total
-         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS hash_lo
-         |  FROM tt),
-         |tband AS (
-         |  SELECT mid, hash_hi, hash_lo, 0 AS band, hash_lo & 65535 AS bkey
-         |  FROM thh
-         |  UNION ALL SELECT mid, hash_hi, hash_lo, 1, (hash_lo >> 16) & 65535 FROM thh
-         |  UNION ALL SELECT mid, hash_hi, hash_lo, 2, hash_hi & 65535 FROM thh
-         |  UNION ALL SELECT mid, hash_hi, hash_lo, 3, (hash_hi >> 16) & 65535 FROM thh),
-         |tok AS (SELECT band, bkey FROM tband
-         |        GROUP BY 1, 2 HAVING count(*) <= $M7MaxBucket),
-         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
-         |tp AS (
-         |  SELECT a.mid AS ida, b.mid AS idb,
-         |    min(bit_count(xor(a.hash_hi, b.hash_hi))
-         |      + bit_count(xor(a.hash_lo, b.hash_lo)))::INTEGER AS hamming
-         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+      s"""WITH $texturedNearDupCtes
          |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M7MaxHamming
          |ORDER BY ida, idb""".stripMargin,
+    // m13: m7's pair chain closed transitively (the d8 reach/label
+    // shape) into the per-image keep verdict — singletons label
+    // themselves via the left join
+    "m13_image_near_dedup_verdict" ->
+      s"""WITH RECURSIVE $texturedNearDupCtes,
+         |prs AS (SELECT ida AS u, idb AS v FROM tp
+         |        WHERE hamming <= $M7MaxHamming),
+         |edges AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS media_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT m.media_id,
+         |  coalesce(l.cluster_id, m.media_id) AS cluster_id,
+         |  (coalesce(l.cluster_id, m.media_id) = m.media_id) AS kept
+         |FROM (SELECT mid AS media_id FROM par) m
+         |LEFT JOIN lab l USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // m8: the d12 text closure and the m6 image-hash chain composed
     // into the per-document keep decision
     "m8_doc_media_verdict" ->
