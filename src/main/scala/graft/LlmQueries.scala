@@ -865,6 +865,10 @@ object LlmQueries {
     val cents = trainedCentsBase(s, dir)
     val emb = embFrame(s, dir)
     val base = s"target/tmp/w11_${new java.io.File(dir).getName}"
+    // the staging helper wipes only its own subdir — wipe the whole
+    // gate root so the index/checkpoints from a previous run never
+    // collide with writeBase (the gate must be re-runnable)
+    graft.util.Fs.deleteRecursive(Paths.get(base))
     val idxDir = s"$base/index"
     val inc = emb.filter(col("id") >= AdmitBoundary)
     val even = inc.filter(pmod(col("id"), lit(2)) === 0)
@@ -895,7 +899,10 @@ object LlmQueries {
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     runAdmission(scoped.readStream.schema(even.schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString))
-    require(graft.ml.IndexStore.unfoldedDeltaFiles(s, idxDir).size == 2,
+    // ≥ 2: one per late micro-batch at least — a batch may write more
+    // than one part file at larger SFs, so an exact file count would
+    // be asserting an accident of partitioning
+    require(graft.ml.IndexStore.unfoldedDeltaFiles(s, idxDir).size >= 2,
       "w11's serving view must carry live unfolded deltas — the gate " +
         "exists to exercise base ∪ delta resolution per micro-batch")
     // the serving loop: writer quiesced (L6), queries stream in
