@@ -84,12 +84,6 @@ object IndexStore {
     writeVersion(df, dir, 0, Nil)
   }
 
-  /** Committed delta data files (absolute URIs), per the sink log —
-   * empty when the delta dir has no sink metadata yet. The base
-   * version's schema is supplied explicitly: schema INFERENCE would
-   * open the footers of every log-listed file, and files folded by a
-   * previous compaction are deleted (only the log remembers them) —
-   * with a schema the call is a pure log listing. */
   /** Committed delta data files (absolute URIs) per the sink log, with
    * the schema taken from the SNAPSHOTTED live version `live` — both so
    * schema inference doesn't open deleted files' footers (only the log
