@@ -846,6 +846,48 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E25: merge-on-read DELETES through the store — e17 gates the
+   * logical delete as a DataFrame op; this gates it as a STORAGE verb
+   * ([[graft.ml.IndexStore.tombstone]]): after streamed admission, the
+   * takedown logs one tombstone id-batch (no base rewrite — at 100 TB
+   * a delete must cost an id-list append, with the rewrite riding the
+   * next fold), the view anti-joins it out immediately, and the fold
+   * then applies it PHYSICALLY — deltas and tombstones fold in the
+   * same atomic marker commit. Serve runs post-fold from the new base;
+   * the oracle is e17's rebuilt-over-survivors form under e16's query
+   * set, so the hash pins that the storage delete lost and leaked
+   * nothing (the merge-on-read ≡ post-fold equivalence itself is
+   * pinned row-exactly in `IndexStoreSpec`). */
+  def storeTombstoneServe(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e25_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    graft.ml.IndexStore.tombstone(s, idxDir,
+      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"))
+    // 3 deltas + 1 tombstone batch > 2: the fold applies the delete
+    // physically and drains both logs
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    val index = graft.ml.IndexStore.read(s, idxDir)
+    val queries = emb.filter(col("id") < 3 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    Similarity.ivfPqSearchIndex(queries, index, TopK, books, cents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   /** W11: streamed serving FROM THE LIVE STORE — w10's foreachBatch
    * request loop pointed at [[graft.ml.IndexStore.read]] instead of a
    * frozen parquet file list, against a store in its STEADY state:
@@ -2195,6 +2237,7 @@ object LlmQueries {
     "e22_ivfpqr_topk" -> (residualRerankTopK _),
     "e23_residual_lifecycle" -> (residualLifecycle _),
     "e24_residual_stream_index" -> (residualStreamLifecycle _),
+    "e25_store_tombstone_serve" -> (storeTombstoneServe _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
@@ -2523,6 +2566,16 @@ object LlmQueries {
     // the fold are pure storage moves, so the journey's answer is
     // identical to e23's — one oracle pins both compositions
     "e24_residual_stream_index" -> (residualJourneyOracle _),
+    // e25 = e17's rebuilt-over-survivors form under e16's query set:
+    // the storage-level merge-on-read delete + fold must serve exactly
+    // what an index built without the tombstoned rows serves
+    "e25_store_tombstone_serve" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
+        cPred = s"NOT (vec_id % $DeleteMod = 3)")
+    }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
     "e22_ivfpqr_topk" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -27,6 +28,16 @@ import scala.jdk.CollectionConverters._
  *    committed delta, so during a compaction a reader sees either
  *    (old base + delta) or (new base + delta − folded) — never a row
  *    twice, never a torn fold.
+ *  - DELETES are merge-on-read: [[tombstone]] logs a batch of ids as a
+ *    `tombs/t=<k>` parquet dir (live once its `_SUCCESS` exists — the
+ *    same commit-marker protocol as everything else here), `read`
+ *    anti-joins the live unfolded tombstone ids out of the view, and
+ *    compaction applies them PHYSICALLY (the new base contains no
+ *    tombstoned row) while recording them in the same atomic `_folded`
+ *    marker (namespaced `tombs/t=k` lines — delta file names never
+ *    contain '/'). This is the Delta-Lake/Iceberg merge-on-read shape:
+ *    at 100 TB a delete must not rewrite the base synchronously; it
+ *    costs one id-list append now and its rewrite rides the next fold.
  *  - Compaction runs in the maintenance role with the WRITER quiesced
  *    (the same single-writer constraint as every lifecycle verb — L6);
  *    old-version/folded-file deletion is immediate here, where a
@@ -129,26 +140,95 @@ object IndexStore {
       case Some((_, p)) => unfoldedFrom(spark, dir, p)
     }
 
-  /** The serving view: live base version ∪ committed-but-unfolded
-   * delta files. The version list is listed ONCE; the same version
-   * supplies the base read, the fold set, and the delta schema. */
+  // ---- tombstones (merge-on-read deletes) --------------------------------
+
+  private def tombsPath(dir: String): Path = Paths.get(dir, "tombs")
+
+  /** All `t=<k>` batch dirs present on disk (torn ones included —
+   * callers filter liveness themselves; [[tombstone]] needs the full
+   * list so a crashed batch's number is never reused). */
+  private def tombDirsPresent(dir: String): Seq[(Int, Path)] =
+    if (!Files.isDirectory(tombsPath(dir))) Nil
+    else {
+      val listing = Files.list(tombsPath(dir))
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries
+        .filter(_.getFileName.toString.startsWith("t="))
+        .map(p => p.getFileName.toString.stripPrefix("t=").toInt -> p)
+        .sortBy(_._1)
+    }
+
+  private def tombMarker(k: Int): String = s"tombs/t=$k"
+
+  /** Live (committed, `_SUCCESS`-marked) tombstone batches not folded
+   * into the GIVEN version. */
+  private def unfoldedTombs(dir: String, live: Path): Seq[Path] = {
+    val folded = foldedNames(live)
+    tombDirsPresent(dir).collect {
+      case (k, p) if Files.exists(p.resolve("_SUCCESS")) &&
+        !folded(tombMarker(k)) => p
+    }
+  }
+
+  /** Pending tombstone batches the live view still has to anti-join —
+   * counts toward `compact`'s per-read merge-cost threshold. */
+  def unfoldedTombstoneBatches(spark: SparkSession, dir: String): Seq[String] =
+    versions(dir).lastOption match {
+      case None => Nil
+      case Some((_, p)) => unfoldedTombs(dir, p).map(_.toString)
+    }
+
+  /** Record a batch of deletions (an `id` column) as a live tombstone
+   * set. Writer-role call (single-writer with admission and
+   * compaction). The batch goes live atomically with its parquet
+   * `_SUCCESS`; a crash mid-write leaves a torn dir no reader looks at,
+   * and the batch number is never reused (torn dirs and fold-recorded
+   * numbers both advance the counter), so the retry just writes the
+   * next one. Tombstoning an absent id is a no-op — the verb is
+   * idempotent at the row level. */
+  def tombstone(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no live base version under $dir")
+    val present = tombDirsPresent(dir).map(_._1)
+    val recorded = foldedNames(vs.last._2)
+      .filter(_.startsWith("tombs/t="))
+      .map(_.stripPrefix("tombs/t=").toInt)
+    val next = (present ++ recorded ++ Seq(-1)).max + 1
+    ids.select(col("id"))
+      .write.parquet(tombsPath(dir).resolve(s"t=$next").toString)
+  }
+
+  /** The serving view: (live base version ∪ committed-but-unfolded
+   * delta files) − live unfolded tombstone ids. The version list is
+   * listed ONCE; the same version supplies the base read, the fold
+   * set, the delta schema and the tombstone subtraction. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
     val live = vs.last._2
     val base = spark.read.parquet(live.toString)
-    unfoldedFrom(spark, dir, live) match {
+    val withDelta = unfoldedFrom(spark, dir, live) match {
       case Seq() => base
       case files => base.unionByName(spark.read.parquet(files: _*))
+    }
+    unfoldedTombs(dir, live) match {
+      case Seq() => withDelta
+      case tombs => withDelta.join(
+        spark.read.parquet(tombs.map(_.toString): _*).select("id"),
+        Seq("id"), "left_anti")
     }
   }
 
   /**
-   * Fold the committed deltas into a new base version when more than
-   * `maxDeltaFiles` are pending; no-op (false) otherwise. Requires the
-   * streaming WRITER quiesced (see the isolation contract above);
-   * readers stay consistent throughout because the new version only
-   * goes live with its fold list, and the folded files/old version are
+   * Fold the committed deltas AND pending tombstones into a new base
+   * version when their combined count exceeds `maxDeltaFiles` (both
+   * are per-read merge cost: a delta is an extra footer+scan, a
+   * tombstone batch an extra anti-join side); no-op (false) otherwise.
+   * The new base is the union MINUS the tombstoned ids — the physical
+   * apply of every merge-on-read delete. Requires the streaming WRITER
+   * quiesced (see the isolation contract above); readers stay
+   * consistent throughout because the new version only goes live with
+   * its fold list, and the folded files/batches/old version are
    * deleted only after that point.
    */
   def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int): Boolean = {
@@ -156,18 +236,35 @@ object IndexStore {
     require(vs.nonEmpty, s"no live base version under $dir")
     val (pv, pdir) = vs.last
     val pending = unfoldedFrom(spark, dir, pdir)
-    if (pending.size <= maxDeltaFiles) false
+    val tombs = unfoldedTombs(dir, pdir)
+    if (pending.size + tombs.size <= maxDeltaFiles) false
     else {
-      val merged = spark.read.parquet(pdir.toString)
-        .unionByName(spark.read.parquet(pending: _*))
+      val unioned =
+        if (pending.isEmpty) spark.read.parquet(pdir.toString)
+        else spark.read.parquet(pdir.toString)
+          .unionByName(spark.read.parquet(pending: _*))
+      val merged =
+        if (tombs.isEmpty) unioned
+        else unioned.join(
+          spark.read.parquet(tombs.map(_.toString): _*).select("id"),
+          Seq("id"), "left_anti")
       // the fold list is CUMULATIVE (prior folds' names carry forward):
       // the sink log never forgets a committed file, so a version that
       // listed only its own fold would let files folded two epochs ago
-      // — physically deleted — resurface as "pending"
+      // — physically deleted — resurface as "pending"; tombstone batch
+      // numbers carry forward the same way so they are never reused
+      val tombKs = tombs.map(p =>
+        tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
       writeVersion(merged, dir, pv + 1,
-        (foldedNames(pdir) ++ pending.map(fileName)).toSeq.sorted)
+        (foldedNames(pdir) ++ pending.map(fileName) ++ tombKs).toSeq.sorted)
       pending.foreach(f =>
         Files.deleteIfExists(Paths.get(new java.net.URI(f))))
+      tombs.foreach(graft.util.Fs.deleteRecursive)
+      // torn tombstone dirs (no _SUCCESS) are dead garbage — vacuum
+      // them here, in the same writer-quiesced maintenance window
+      tombDirsPresent(dir).collect {
+        case (_, p) if !Files.exists(p.resolve("_SUCCESS")) => p
+      }.foreach(graft.util.Fs.deleteRecursive)
       graft.util.Fs.deleteRecursive(pdir)
       true
     }

@@ -83,6 +83,64 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
   }
 
+  test("tombstones: merge-on-read excludes ids, compaction applies them physically, torn batch invisible") {
+    val dir = "target/tmp/idxstore_tombs"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    assert(before.size == 240)
+
+    // merge-on-read: the verb is one id-list append, the view excludes
+    // the ids immediately — rows in the BASE and rows in the DELTA both
+    import spark.implicits._
+    IndexStore.tombstone(spark, idx,
+      (0L until 240L).filter(_ % 7 == 3).toDF("id"))
+    val surviving = before.filterNot(_.getLong(0) % 7 == 3)
+    assert(IndexStore.read(spark, idx).collect().toSet == surviving)
+    assert(IndexStore.unfoldedTombstoneBatches(spark, idx).size == 1)
+
+    // a torn tombstone batch (crash before _SUCCESS) is invisible: it
+    // must neither delete its ids nor block the next batch's number
+    val tornDir = Paths.get(idx, "tombs", "t=1")
+    Seq(0L, 1L).toDF("id").write.parquet(tornDir.toString)
+    Files.delete(tornDir.resolve("_SUCCESS"))
+    assert(IndexStore.read(spark, idx).collect().toSet == surviving,
+      "a torn tombstone batch leaked into the serving view")
+    IndexStore.tombstone(spark, idx, Seq(139L).toDF("id"))
+    assert(Files.isDirectory(Paths.get(idx, "tombs", "t=2")),
+      "tombstone reused a torn batch's number")
+    val surviving2 = surviving.filterNot(_.getLong(0) == 139L)
+    assert(IndexStore.read(spark, idx).collect().toSet == surviving2)
+
+    // compaction: applies every pending tombstone physically (the new
+    // base holds no deleted row), records the batches in the atomic
+    // fold marker, vacuums live+torn batch dirs, and the view is
+    // row-stable across the fold
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2))
+    assert(IndexStore.read(spark, idx).collect().toSet == surviving2,
+      "the fold moved the serving view")
+    assert(IndexStore.unfoldedTombstoneBatches(spark, idx).isEmpty)
+    assert(spark.read.parquet(Paths.get(idx, "base", "v=1").toString)
+      .filter(col("id") % 7 === 3 || col("id") === 139L).count() == 0,
+      "a tombstoned row survived the physical apply")
+    assert(!Files.exists(Paths.get(idx, "tombs", "t=0")) &&
+           !Files.exists(tornDir),
+      "compaction did not vacuum the folded/torn tombstone batches")
+
+    // tombstones ALONE trip the next fold (they are per-read merge
+    // cost too), and the folded batch numbers are never reused
+    IndexStore.tombstone(spark, idx, Seq(140L).toDF("id"))
+    assert(Files.isDirectory(Paths.get(idx, "tombs", "t=3")),
+      "tombstone reused a folded batch's number")
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 0))
+    assert(IndexStore.read(spark, idx).collect().toSet ==
+      surviving2.filterNot(_.getLong(0) == 140L))
+  }
+
   test("a crash mid-fold-commit (torn _folded marker) never makes a truncated fold list live") {
     val dir = "target/tmp/idxstore_tornfold"
     graft.util.Fs.deleteRecursive(Paths.get(dir))
