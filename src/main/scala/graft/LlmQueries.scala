@@ -1845,16 +1845,48 @@ object LlmQueries {
     CacheScope.materialized { implicit scope =>
       val hashes = scope.persist(
         Multimodal.imagePHash(orig.unionByName(clones))).toDF()
-      val pairs = Multimodal.phashNearDupPairs(hashes,
-        maxHamming = M7MaxHamming, maxBucket = M7MaxBucket)
-      val labels = Dedup.duplicateClustersStar(pairs)
-        .withColumnRenamed("node", "media_id")
-      hashes.select(col("media_id"))
-        .join(labels, Seq("media_id"), "left")
-        .select(col("media_id"),
-          coalesce(col("label"), col("media_id")).as("cluster_id"))
-        .withColumn("kept", col("cluster_id") === col("media_id"))
+      nearDupClusterVerdict(hashes,
+        Multimodal.phashNearDupPairs(hashes,
+          maxHamming = M7MaxHamming, maxBucket = M7MaxBucket))
     }.orderBy("media_id")
+  }
+
+  /** M14: the audio near-dup CLUSTER VERDICT — m13's shape over m10's
+   * pairs: the transitive closure of the banded-Hamming fingerprint
+   * pairs via the same star contraction, one (cluster_id, kept) row
+   * per clip. Modality changes the fingerprint; the closure and the
+   * verdict are the same machinery — which is exactly the claim this
+   * gate makes checkable for audio. */
+  def audioNearDupVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsWav(docs, "doc_id", "text")
+    val clones = Multimodal.packAsWav(
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text",
+      perturbWindows = M10Windows, perturbDelta = M10Delta)
+    CacheScope.materialized { implicit scope =>
+      val fps = scope.persist(
+        Multimodal.audioFingerprint(orig.unionByName(clones))).toDF()
+      nearDupClusterVerdict(fps,
+        Multimodal.audioNearDupPairs(fps,
+          maxHamming = M10MaxHamming, maxBucket = M10MaxBucket))
+    }.orderBy("media_id")
+  }
+
+  /** pairs → per-member verdict, shared by m13/m14: star-contraction
+   * closure, label = min id of the component, keep = is the label;
+   * singletons (no surviving pair) keep themselves via the left join. */
+  private def nearDupClusterVerdict(members: DataFrame,
+                                    pairs: DataFrame)(
+      implicit scope: CacheScope): DataFrame = {
+    val labels = Dedup.duplicateClustersStar(pairs)
+      .withColumnRenamed("node", "media_id")
+    members.select(col("media_id"))
+      .join(labels, Seq("media_id"), "left")
+      .select(col("media_id"),
+        coalesce(col("label"), col("media_id")).as("cluster_id"))
+      .withColumn("kept", col("cluster_id") === col("media_id"))
   }
 
   /** M5: REAL video decode end-to-end — synthesize YUV4MPEG2 streams
@@ -2275,7 +2307,8 @@ object LlmQueries {
     "m10_audio_near_dedup" -> (audioNearDup _),
     "m11_video_fp_dedup" -> (videoFingerprintDedup _),
     "m12_video_near_dedup" -> (videoNearDup _),
-    "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _)
+    "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _),
+    "m14_audio_near_dedup_verdict" -> (audioNearDupVerdict _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3058,6 +3091,56 @@ object LlmQueries {
        |  SELECT a.mid AS ida, b.mid AS idb,
        |    min(bit_count(xor(a.hash_hi, b.hash_hi))
        |      + bit_count(xor(a.hash_lo, b.hash_lo)))::INTEGER AS hamming
+       |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.mid < b.mid GROUP BY 1, 2)""".stripMargin
+
+  /** The m10 closed-form chain over the planted audio corpus
+   * (originals + window-perturbed shifted-id clones of every 13th
+   * doc): PCM synthesis with the perturbation additive, window
+   * energies, fingerprint bits, band keys, hot-bucket cap, banded
+   * join — ending in `tp(ida, idb, hamming)` with the member list in
+   * `par(mid, ...)`. Shared by the m10 pair oracle and the m14
+   * cluster-verdict oracle. */
+  private lazy val audioNearDupCtes =
+    s"""par AS (
+       |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, length(text), 1 FROM documents
+       |  WHERE doc_id % 13 = 0),
+       |d AS (SELECT mid, 1 + len % 240 AS n,
+       |  (len * 131) % 65521 AS a, pert FROM par),
+       |e AS (SELECT mid,
+       |  list_transform(range(0, 65), w ->
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+       |        j -> abs(((a + j * 7919 +
+       |            CASE WHEN pert = 1 AND w IN (${M10Windows.mkString(", ")})
+       |              THEN $M10Delta ELSE 0 END) % 65521) - 32760)::BIGINT)),
+       |      (x, y) -> x + y)) AS es
+       |  FROM d),
+       |hh AS (SELECT mid,
+       |  CAST(list_sum(list_transform(range(32, 64), p ->
+       |    CASE WHEN es[p + 2] > es[p + 1]
+       |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), p ->
+       |    CASE WHEN es[p + 2] > es[p + 1]
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_lo
+       |  FROM e),
+       |tband AS (
+       |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
+       |  FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
+       |tok AS (SELECT band, bkey FROM tband
+       |        GROUP BY 1, 2 HAVING count(*) <= $M10MaxBucket),
+       |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+       |tp AS (
+       |  SELECT a.mid AS ida, b.mid AS idb,
+       |    min(bit_count(xor(a.fp_hi, b.fp_hi))
+       |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
        |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.mid < b.mid GROUP BY 1, 2)""".stripMargin
 
@@ -3947,49 +4030,28 @@ object LlmQueries {
     // 2/9/33, boundaries exactly as the decoder slices them), then the
     // m7 band/hot-bucket/popcount join over (fp_hi, fp_lo)
     "m10_audio_near_dedup" ->
-      s"""WITH par AS (
-         |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, length(text), 1 FROM documents
-         |  WHERE doc_id % 13 = 0),
-         |d AS (SELECT mid, 1 + len % 240 AS n,
-         |  (len * 131) % 65521 AS a, pert FROM par),
-         |e AS (SELECT mid,
-         |  list_transform(range(0, 65), w ->
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
-         |        j -> abs(((a + j * 7919 +
-         |            CASE WHEN pert = 1 AND w IN (${M10Windows.mkString(", ")})
-         |              THEN $M10Delta ELSE 0 END) % 65521) - 32760)::BIGINT)),
-         |      (x, y) -> x + y)) AS es
-         |  FROM d),
-         |hh AS (SELECT mid,
-         |  CAST(list_sum(list_transform(range(32, 64), p ->
-         |    CASE WHEN es[p + 2] > es[p + 1]
-         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS fp_hi,
-         |  CAST(list_sum(list_transform(range(0, 32), p ->
-         |    CASE WHEN es[p + 2] > es[p + 1]
-         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS fp_lo
-         |  FROM e),
-         |tband AS (
-         |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
-         |  FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
-         |tok AS (SELECT band, bkey FROM tband
-         |        GROUP BY 1, 2 HAVING count(*) <= $M10MaxBucket),
-         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
-         |tp AS (
-         |  SELECT a.mid AS ida, b.mid AS idb,
-         |    min(bit_count(xor(a.fp_hi, b.fp_hi))
-         |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
-         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+      s"""WITH $audioNearDupCtes
          |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M10MaxHamming
          |ORDER BY ida, idb""".stripMargin,
+    // m14: m10's pair chain closed transitively (the same d8
+    // reach/label shape as m13) into the per-clip keep verdict
+    "m14_audio_near_dedup_verdict" ->
+      s"""WITH RECURSIVE $audioNearDupCtes,
+         |prs AS (SELECT ida AS u, idb AS v FROM tp
+         |        WHERE hamming <= $M10MaxHamming),
+         |edges AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS media_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT m.media_id,
+         |  coalesce(l.cluster_id, m.media_id) AS cluster_id,
+         |  (coalesce(l.cluster_id, m.media_id) = m.media_id) AS kept
+         |FROM (SELECT mid AS media_id FROM par) m
+         |LEFT JOIN lab l USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // m11: the luma stream in closed form (sample k of W×H×nf: frame
     // k//(W·H), row/col from the remainder, value a+sh+x+y+3t), 65
     // windowed sums + span sizes, bit p = cross-multiplied mean
