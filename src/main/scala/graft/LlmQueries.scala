@@ -1284,6 +1284,64 @@ object LlmQueries {
     }.orderBy("query_id", "rank")
   }
 
+  private val mergeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Double]], Int, Int, Seq[Seq[Double]])]
+  /** e26's merge state: the two LEAST-occupied cells of the trained
+   * table over the corpus (ties to the smaller id), their
+   * occupancy-weighted merged centroid in the smaller slot, the larger
+   * slot removed and every higher cell shifted down — memoized per dir
+   * like every trained constant. */
+  private def mergeState(s: SparkSession, dir: String):
+      (Seq[Seq[Double]], Int, Int, Seq[Seq[Double]]) =
+    mergeMemo.getOrElseUpdate(dir, {
+      val oldCents = trainedCents(s, dir)
+      val emb = embFrame(s, dir)
+      val counts = emb
+        .select(Similarity.ivfAssignD(col("vec"), oldCents).as("cell"))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val Seq(cA, cB) = (0 until oldCents.size)
+        .sortBy(j => (counts.getOrElse(j, 0L), j.toLong)).take(2).sorted
+      val (nA, nB) = (counts.getOrElse(cA, 0L), counts.getOrElse(cB, 0L))
+      val merged =
+        if (nA + nB == 0L)
+          oldCents(cA).zip(oldCents(cB)).map { case (x, y) => (x + y) / 2.0 }
+        else oldCents(cA).zip(oldCents(cB)).map { case (x, y) =>
+          (nA * x + nB * y) / (nA + nB).toDouble
+        }
+      val newCents = oldCents.updated(cA, merged)
+        .patch(cB, Nil, 1)
+      (oldCents, cA, cB, newCents)
+    })
+
+  /** E26: IVF cell MERGE — the inverse maintenance verb of e18's
+   * split, and the remedy for the drift this round's
+   * `LifecycleRecallProbe` deletion leg measures: takedowns hollow
+   * cells out, and a near-empty cell still costs a probe slot. The
+   * two least-occupied cells merge surgically
+   * ([[Similarity.ivfPqMerge]]): members relabel, higher cells shift
+   * down one slot, PQ codes never change (raw codebooks — no vector
+   * fetch at all, a pure narrow map), and queries probe the
+   * post-merge table whose surviving slot holds the
+   * occupancy-weighted merged centroid. The oracle computes exactly
+   * this surgical relabeling over the old table — merged members do
+   * NOT re-rank against other centroids, and the hash pins that the
+   * merge moved precisely the two cells' labels and nothing else. */
+  def cellMerge(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooks(s, dir)
+    val (oldCents, cA, cB, newCents) = mergeState(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      val index = scope.persist(
+        Similarity.ivfPqIndex(emb, books, oldCents)).toDF()
+      val updated = Similarity.ivfPqMerge(index, cA, cB)
+      val queries = emb.filter(col("id") < 5)
+      Similarity.ivfPqSearchIndex(queries, updated, TopK, books,
+        newCents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** E17: index DELETION — serve after tombstoning. A production index
    * outlives its corpus membership: takedowns and dedup verdicts
    * (d12's world) remove documents, and search must stop returning
@@ -2263,6 +2321,7 @@ object LlmQueries {
     "e16_stream_index_admission" -> (streamIndexAdmission _),
     "e17_index_delete" -> (indexDelete _),
     "e18_cell_split" -> (cellSplit _),
+    "e26_cell_merge" -> (cellMerge _),
     "e19_ivfpq_residual_topk" -> (residualTopK _),
     "e20_ivfpq_exact_rerank" -> (rerankTopK _),
     "e21_index_lifecycle_e2e" -> (indexLifecycleE2E _),
@@ -2649,6 +2708,27 @@ object LlmQueries {
              |         THEN ${c + 1} ELSE ${n + 1} END
              |    ELSE $oldCell END""".stripMargin,
         qRanked = rankedSql("embedding", n + 1, "ct2"))
+    }),
+    // e26's surgical form: corpus-side cell = old assignment with
+    // cellB's members relabeled into cellA and higher cells shifted
+    // down; queries probe the post-merge table ct2 (size n−1, slot
+    // cA+1 = the weighted merged centroid)
+    "e26_cell_merge" -> ((s, dir) => {
+      val books = trainedBooks(s, dir)
+      val (oldCents, cA, cB, newCents) = mergeState(s, dir)
+      val n = oldCents.size
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      ivfPqOracleSql(doubleLit2(oldCents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        extraCtes =
+          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+             |""".stripMargin,
+        fromExtra = ", cents2",
+        cCell =
+          s"""CASE WHEN $oldCell = ${cB + 1} THEN ${cA + 1}
+             |     WHEN $oldCell > ${cB + 1} THEN $oldCell - 1
+             |     ELSE $oldCell END""".stripMargin,
+        qRanked = rankedSql("embedding", n - 1, "ct2"))
     }),
     // w10 = the batch search over the union of the streamed queries —
     // per-query results are micro-batch-assignment-independent

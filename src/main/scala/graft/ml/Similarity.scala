@@ -436,6 +436,34 @@ object Similarity {
   }
 
   /**
+   * IVF cell MERGE — the inverse maintenance verb of [[ivfPqSplit]]:
+   * deletion holes (takedowns concentrated in a domain) hollow cells
+   * out, and serving then pays a probe slot for a near-empty cell —
+   * merging the two emptiest reclaims it (the remedy for the drift
+   * `LifecycleRecallProbe`'s deletion leg measures). The merge is
+   * SURGICAL and O(index): `cellB`'s members relabel to `cellA`, cells
+   * above `cellB` shift down one slot, and — the raw-family fact that
+   * makes this a pure narrow map with NO vector fetch — PQ codes never
+   * change (codebooks encode raw vectors, not residuals; contrast
+   * [[ivfPqResidualSplit]], where moving a member forces a re-encode).
+   * The deliberate production trade, pinned by the e26 oracle exactly
+   * as e18 pins the split's: merged members do NOT re-rank against
+   * the other centroids — no global reshuffle, the cell table shrinks
+   * by one and everything else is untouched. Serve against the
+   * post-merge table (slot `cellA` = the occupancy-weighted merged
+   * centroid).
+   */
+  def ivfPqMerge(index: DataFrame, cellA: Int, cellB: Int): DataFrame = {
+    require(cellA < cellB,
+      s"merge target must be the smaller slot, got $cellA !< $cellB")
+    index.select(col("id"),
+      when(col("cell") === cellB, lit(cellA))
+        .when(col("cell") > cellB, col("cell") - 1)
+        .otherwise(col("cell")).as("cell"),
+      col("codes"))
+  }
+
+  /**
    * Search a PREBUILT `(id, cell, codes)` index table — the serving
    * path: never touches original vectors (the index is self-contained),
    * probes `nprobe` trained cells per query, ADC-scores only those

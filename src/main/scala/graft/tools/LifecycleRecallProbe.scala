@@ -126,6 +126,23 @@ object LifecycleRecallProbe {
     val delPre = sweepSurv(cents0)
     val delPost3 = sweepSurv(cents3)
 
+    // ... and the REMEDY (e26's verb): merge the two least-occupied
+    // cells of the post-delete table, twice — does reclaiming the
+    // hollowed slots move the iso-cost frontier back out?
+    def mergeOnce(cents: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+      val occ = occupancy(survivors, cents)
+      val Seq(a, b) = cents.indices
+        .sortBy(j => (occ.getOrElse(j, 0L), j.toLong)).take(2).sorted
+      val (na, nb) = (occ.getOrElse(a, 0L), occ.getOrElse(b, 0L))
+      val m =
+        if (na + nb == 0L) cents(a).zip(cents(b)).map(t => (t._1 + t._2) / 2.0)
+        else cents(a).zip(cents(b)).map(t =>
+          (na * t._1 + nb * t._2) / (na + nb).toDouble)
+      cents.updated(a, m).patch(b, Nil, 1)
+    }
+    val centsMerged = mergeOnce(mergeOnce(cents3))
+    val delMerged = sweepSurv(centsMerged)
+
     println(s"""{
       |"probe": "graft.tools.LifecycleRecallProbe",
       |"dir": "$dir",
@@ -142,7 +159,8 @@ object LifecycleRecallProbe {
       |  "empty_cells_of_${cents3.size}_after_delete":
       |    ${cents3.indices.count(j => occDel.getOrElse(j, 0L) == 0L)},
       |  "after_delete_presplit_table": $delPre,
-      |  "after_delete_split3_table": $delPost3}
+      |  "after_delete_split3_table": $delPost3,
+      |  "after_delete_merge2_of_${centsMerged.size}_cells": $delMerged}
       |}""".stripMargin.replace("\n", " "))
     spark.stop()
   }
