@@ -1342,6 +1342,32 @@ object LlmQueries {
     }.orderBy("query_id", "rank")
   }
 
+  /** E27: cell merge under the RESIDUAL family — where
+   * re-encode-on-move cuts BOTH ways ([[Similarity.ivfPqResidualMerge]]):
+   * the surviving slot holds the merged centroid, so `cellA`'s unmoved
+   * members are just as stale as `cellB`'s relabeled ones — every
+   * member of either cell re-encodes against the merged centroid in
+   * one O(|A|+|B|) pass, untouched cells shift labels with codes
+   * intact. The oracle computes residuals against the post-merge table
+   * for the surgically-mapped cells, so an implementation that forgot
+   * to re-encode `cellA`'s own members (the easy half to miss — they
+   * "didn't move") would mismatch every one of their scores. */
+  def residualCellMerge(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedResidualBooks(s, dir)
+    val (oldCents, cA, cB, newCents) = mergeState(s, dir)
+    val emb = embFrame(s, dir)
+    CacheScope.materialized { implicit scope =>
+      val index = scope.persist(
+        Similarity.ivfPqResidualIndex(emb, books, oldCents)).toDF()
+      val updated = Similarity.ivfPqResidualMerge(index, emb, cA, cB,
+        newCents(cA), books)
+      val queries = emb.filter(col("id") < 5)
+      Similarity.ivfPqResidualSearchIndex(queries, updated, TopK, books,
+        newCents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** E17: index DELETION — serve after tombstoning. A production index
    * outlives its corpus membership: takedowns and dedup verdicts
    * (d12's world) remove documents, and search must stop returning
@@ -2322,6 +2348,7 @@ object LlmQueries {
     "e17_index_delete" -> (indexDelete _),
     "e18_cell_split" -> (cellSplit _),
     "e26_cell_merge" -> (cellMerge _),
+    "e27_residual_cell_merge" -> (residualCellMerge _),
     "e19_ivfpq_residual_topk" -> (residualTopK _),
     "e20_ivfpq_exact_rerank" -> (rerankTopK _),
     "e21_index_lifecycle_e2e" -> (indexLifecycleE2E _),
@@ -2708,6 +2735,27 @@ object LlmQueries {
              |         THEN ${c + 1} ELSE ${n + 1} END
              |    ELSE $oldCell END""".stripMargin,
         qRanked = rankedSql("embedding", n + 1, "ct2"))
+    }),
+    // e27 = e26's surgical CASE under the residual oracle: residuals
+    // and serving both against the post-merge table ct2, so stale
+    // codes beside the merged centroid — cellA's unmoved members
+    // included — would mismatch every score
+    "e27_residual_cell_merge" -> ((s, dir) => {
+      val books = trainedResidualBooks(s, dir)
+      val (oldCents, cA, cB, newCents) = mergeState(s, dir)
+      val n = oldCents.size
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      residualOracleSql(doubleLit2(oldCents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        extraCtes =
+          s"""cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2),
+             |""".stripMargin,
+        fromExtra = ", cents2",
+        cCell =
+          s"""CASE WHEN $oldCell = ${cB + 1} THEN ${cA + 1}
+             |     WHEN $oldCell > ${cB + 1} THEN $oldCell - 1
+             |     ELSE $oldCell END""".stripMargin,
+        serveCt = "ct2", serveN = n - 1)
     }),
     // e26's surgical form: corpus-side cell = old assignment with
     // cellB's members relabeled into cellA and higher cells shifted

@@ -599,6 +599,38 @@ object Similarity {
     index.filter(col("cell") =!= cell).unionByName(moved)
   }
 
+  /**
+   * Residual-family cell MERGE — [[ivfPqMerge]] where re-encode-on-move
+   * cuts BOTH ways: after the merge, `cellA`'s surviving slot holds the
+   * merged centroid, so not only `cellB`'s relabeled members but ALSO
+   * `cellA`'s unmoved ones now sit beside a centroid their codes were
+   * never encoded against — every member of either cell re-encodes its
+   * residual against `mergedCentroid` in the same O(|cellA|+|cellB|)
+   * pass (stale codes beside a new centroid would silently corrupt
+   * every score — the exact failure mode [[ivfPqResidualSplit]]
+   * documents for the split). Untouched cells shift labels above
+   * `cellB` down one slot with their codes intact, since their
+   * centroids didn't move.
+   */
+  def ivfPqResidualMerge(index: DataFrame, vecs: DataFrame,
+                         cellA: Int, cellB: Int,
+                         mergedCentroid: Seq[Double],
+                         books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(cellA < cellB,
+      s"merge target must be the smaller slot, got $cellA !< $cellB")
+    val moved = index.filter(col("cell") === cellA || col("cell") === cellB)
+      .join(vecs.select("id", "vec"), "id")
+      .select(col("id"), lit(cellA).as("cell"),
+        pqEncodeCol(residualCol(col("vec"), lit(0), Seq(mergedCentroid)),
+          books, pqCellNorms(books)).as("codes"))
+    index.filter(col("cell") =!= cellA && col("cell") =!= cellB)
+      .select(col("id"),
+        when(col("cell") > cellB, col("cell") - 1)
+          .otherwise(col("cell")).as("cell"),
+        col("codes"))
+      .unionByName(moved)
+  }
+
   /** Residual of a vector against one cell's centroid — float lanes
    * widen to double (exact) before the IEEE subtraction, so the DuckDB
    * mirror `embedding[i]::DOUBLE - ct[cell][i]` lands on identical
