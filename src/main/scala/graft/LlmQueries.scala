@@ -1958,8 +1958,34 @@ object LlmQueries {
     }.orderBy("media_id")
   }
 
-  /** pairs → per-member verdict, shared by m13/m14: star-contraction
-   * closure, label = min id of the component, keep = is the label;
+  /** M15: the video near-dup CLUSTER VERDICT — the trilogy's last leg
+   * (m13 images, m14 audio, this): m12's banded-Hamming pairs over the
+   * brightness-cancelling video fingerprint close transitively through
+   * the same star contraction into one (cluster_id, kept) row per
+   * clip. Same planted corpus as m12 (re-levelled AND window-perturbed
+   * clones of every 19th doc), same oracle move as m13/m14: the
+   * closed-form pair chain plus the recursive reach/label closure —
+   * three modalities, one verdict machine, all three now checkable. */
+  def videoNearDupVerdict(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text")
+    val clones = Multimodal.packAsY4m(
+      docs.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", brightnessShift = M12Shift,
+      perturbWindows = M12Windows, perturbDelta = M12Delta)
+    CacheScope.materialized { implicit scope =>
+      val fps = scope.persist(
+        Multimodal.videoFingerprint(orig.unionByName(clones))).toDF()
+      nearDupClusterVerdict(fps,
+        Multimodal.videoNearDupPairs(fps,
+          maxHamming = M12MaxHamming, maxBucket = M12MaxBucket))
+    }.orderBy("media_id")
+  }
+
+  /** pairs → per-member verdict, shared by m13/m14/m15:
+   * star-contraction closure, label = min id of the component, keep =
+   * is the label;
    * singletons (no surviving pair) keep themselves via the left join. */
   private def nearDupClusterVerdict(members: DataFrame,
                                     pairs: DataFrame)(
@@ -2394,7 +2420,8 @@ object LlmQueries {
     "m11_video_fp_dedup" -> (videoFingerprintDedup _),
     "m12_video_near_dedup" -> (videoNearDup _),
     "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _),
-    "m14_audio_near_dedup_verdict" -> (audioNearDupVerdict _)
+    "m14_audio_near_dedup_verdict" -> (audioNearDupVerdict _),
+    "m15_video_near_dedup_verdict" -> (videoNearDupVerdict _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3264,6 +3291,63 @@ object LlmQueries {
        |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
        |tok AS (SELECT band, bkey FROM tband
        |        GROUP BY 1, 2 HAVING count(*) <= $M10MaxBucket),
+       |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+       |tp AS (
+       |  SELECT a.mid AS ida, b.mid AS idb,
+       |    min(bit_count(xor(a.fp_hi, b.fp_hi))
+       |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
+       |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.mid < b.mid GROUP BY 1, 2)""".stripMargin
+
+  /** The m12 closed-form chain over the planted video corpus
+   * (originals + re-levelled AND window-perturbed shifted-id clones of
+   * every 19th doc): luma synthesis with the brightness shift and the
+   * perturbation additive, 65 windowed sums + span sizes, the
+   * cross-multiplied mean-compare fingerprint bits (the shift cancels
+   * exactly), band keys, hot-bucket cap, banded join — ending in
+   * `tp(ida, idb, hamming)` with the member list in `par(mid, ...)`.
+   * Shared by the m12 pair oracle and the m15 cluster-verdict oracle. */
+  private lazy val videoNearDupCtes =
+    s"""par AS (
+       |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, length(text), 1 FROM documents
+       |  WHERE doc_id % 19 = 0),
+       |d AS (SELECT mid, 2 * (1 + len % 6) AS wd, 2 * (1 + len % 4) AS ht,
+       |  1 + len % 5 AS nf, len % 180 AS a, pert FROM par),
+       |dn AS (SELECT mid, wd, ht, nf, a, pert,
+       |  wd * ht * nf AS n, wd * ht AS fsz FROM d),
+       |e AS (SELECT mid,
+       |  list_transform(range(0, 65), w ->
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+       |        k -> (a + pert * $M12Shift
+       |              + CASE WHEN pert = 1 AND w IN (${M12Windows.mkString(", ")})
+       |                  THEN $M12Delta ELSE 0 END
+       |              + ((k % fsz) % wd) + ((k % fsz) // wd)
+       |              + 3 * (k // fsz))::BIGINT)),
+       |      (x, y) -> x + y)) AS es,
+       |  list_transform(range(0, 65), w ->
+       |    (((w + 1) * n) // 65 - (w * n) // 65)::BIGINT) AS ss
+       |  FROM dn),
+       |hh AS (SELECT mid,
+       |  CAST(list_sum(list_transform(range(32, 64), p ->
+       |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+       |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), p ->
+       |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_lo
+       |  FROM e),
+       |tband AS (
+       |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
+       |  FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
+       |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
+       |tok AS (SELECT band, bkey FROM tband
+       |        GROUP BY 1, 2 HAVING count(*) <= $M12MaxBucket),
        |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
        |tp AS (
        |  SELECT a.mid AS ida, b.mid AS idb,
@@ -4224,55 +4308,28 @@ object LlmQueries {
     // cross-multiplied compare cancels — AND perturbed by M12Delta in
     // windows 3/17/44), then the m7 band/hot-bucket/popcount join
     "m12_video_near_dedup" ->
-      s"""WITH par AS (
-         |  SELECT doc_id AS mid, length(text) AS len, 0 AS pert FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, length(text), 1 FROM documents
-         |  WHERE doc_id % 19 = 0),
-         |d AS (SELECT mid, 2 * (1 + len % 6) AS wd, 2 * (1 + len % 4) AS ht,
-         |  1 + len % 5 AS nf, len % 180 AS a, pert FROM par),
-         |dn AS (SELECT mid, wd, ht, nf, a, pert,
-         |  wd * ht * nf AS n, wd * ht AS fsz FROM d),
-         |e AS (SELECT mid,
-         |  list_transform(range(0, 65), w ->
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
-         |        k -> (a + pert * $M12Shift
-         |              + CASE WHEN pert = 1 AND w IN (${M12Windows.mkString(", ")})
-         |                  THEN $M12Delta ELSE 0 END
-         |              + ((k % fsz) % wd) + ((k % fsz) // wd)
-         |              + 3 * (k // fsz))::BIGINT)),
-         |      (x, y) -> x + y)) AS es,
-         |  list_transform(range(0, 65), w ->
-         |    (((w + 1) * n) // 65 - (w * n) // 65)::BIGINT) AS ss
-         |  FROM dn),
-         |hh AS (SELECT mid,
-         |  CAST(list_sum(list_transform(range(32, 64), p ->
-         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
-         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS fp_hi,
-         |  CAST(list_sum(list_transform(range(0, 32), p ->
-         |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
-         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
-         |    AS fp_lo
-         |  FROM e),
-         |tband AS (
-         |  SELECT mid, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
-         |  FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
-         |  UNION ALL SELECT mid, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
-         |tok AS (SELECT band, bkey FROM tband
-         |        GROUP BY 1, 2 HAVING count(*) <= $M12MaxBucket),
-         |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
-         |tp AS (
-         |  SELECT a.mid AS ida, b.mid AS idb,
-         |    min(bit_count(xor(a.fp_hi, b.fp_hi))
-         |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
-         |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
-         |  WHERE a.mid < b.mid GROUP BY 1, 2)
+      s"""WITH $videoNearDupCtes
          |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M12MaxHamming
          |ORDER BY ida, idb""".stripMargin,
+    // m15: m12's pair chain closed transitively (the same d8
+    // reach/label shape as m13/m14) into the per-clip keep verdict
+    "m15_video_near_dedup_verdict" ->
+      s"""WITH RECURSIVE $videoNearDupCtes,
+         |prs AS (SELECT ida AS u, idb AS v FROM tp
+         |        WHERE hamming <= $M12MaxHamming),
+         |edges AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS media_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u)
+         |SELECT m.media_id,
+         |  coalesce(l.cluster_id, m.media_id) AS cluster_id,
+         |  (coalesce(l.cluster_id, m.media_id) = m.media_id) AS kept
+         |FROM (SELECT mid AS media_id FROM par) m
+         |LEFT JOIN lab l USING (media_id)
+         |ORDER BY media_id""".stripMargin,
     // pixel(x,y) = a+x+y over W×H with a=len%200 (< 256 always), so
     // sum = W*H*a + H*ΣX + W*ΣY — the decoded stats in closed form
     "m1_multimodal_features" ->
