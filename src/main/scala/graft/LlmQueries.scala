@@ -888,6 +888,68 @@ object LlmQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** E28: VERSION-PINNED reads + VACUUM GRACE — the reader-side half
+   * of the compaction contract. e16/e25 prove the fold preserves the
+   * CURRENT serving view; this gate proves what the contract promises
+   * the readers the fold overlaps: compaction with `retainVersions=2`
+   * keeps the pre-fold version AND its folded delta files on disk, so
+   * a reader pinned at v0 ([[graft.ml.IndexStore.readAt]] — a 100 TB
+   * serving tier mid-query when the maintenance window fires) resolves
+   * its exact pre-fold file set (old base + retained deltas + live
+   * tombstone anti-join) while a current reader resolves the new
+   * physically-merged base — and both serve the IDENTICAL answer. The
+   * explicit [[graft.ml.IndexStore.vacuum]] then retires v0 and its
+   * files, and the view still doesn't move by a row. Three tagged
+   * serves, one rebuilt-over-survivors oracle replicated under the
+   * tags: time travel pins the view; vacuum moves only files. */
+  def storeTimeTravelServe(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e28_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    graft.ml.IndexStore.tombstone(s, idxDir,
+      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"))
+    // 3 deltas + 1 tombstone > 2 trips the fold; retainVersions=2
+    // opens the grace window instead of retiring v0 immediately
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 2)
+    require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(0, 1),
+      "e28 needs both versions live through the grace window — " +
+        "readAt(v0) must resolve the retained pre-fold file set")
+    val queries = emb.filter(col("id") < 3 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    def serve(view: String, index: DataFrame): DataFrame =
+      Similarity.ivfPqSearchIndex(queries, index, TopK, books, cents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+        .withColumn("view", lit(view))
+    // materialize (lineage CUT, not just cached) BEFORE the vacuum: the
+    // grace serves must have read their file sets while v0's still
+    // exists — serving, then retiring, never a recompute over deleted
+    // files
+    val grace =
+      serve("v0_grace", graft.ml.IndexStore.readAt(s, idxDir, 0))
+        .unionByName(serve("v1_grace", graft.ml.IndexStore.read(s, idxDir)))
+        .localCheckpoint()
+    graft.ml.IndexStore.vacuum(idxDir, retainVersions = 1)
+    require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(1),
+      "vacuum must retire the out-of-grace version")
+    grace.unionByName(
+        serve("v1_vacuumed", graft.ml.IndexStore.read(s, idxDir)))
+      .orderBy("view", "query_id", "rank")
+  }
+
   /** W11: streamed serving FROM THE LIVE STORE — w10's foreachBatch
    * request loop pointed at [[graft.ml.IndexStore.read]] instead of a
    * frozen parquet file list, against a store in its STEADY state:
@@ -2382,6 +2444,7 @@ object LlmQueries {
     "e23_residual_lifecycle" -> (residualLifecycle _),
     "e24_residual_stream_index" -> (residualStreamLifecycle _),
     "e25_store_tombstone_serve" -> (storeTombstoneServe _),
+    "e28_store_time_travel" -> (storeTimeTravelServe _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
@@ -2721,6 +2784,22 @@ object LlmQueries {
         doubleLit2(Similarity.pqCellNorms(books)),
         qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
         cPred = s"NOT (vec_id % $DeleteMod = 3)")
+    }),
+    // e28 = e25's rebuilt-over-survivors form replicated under the
+    // three serving tags: the version-pinned grace read, the current
+    // read during grace, and the current read post-vacuum must all
+    // serve the identical answer — time travel pins the VIEW, vacuum
+    // moves only files
+    "e28_store_time_travel" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      val body = ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)),
+        doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)),
+        qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))",
+        cPred = s"NOT (vec_id % $DeleteMod = 3)")
+      s"""SELECT v.view, r.query_id, r.rank, r.neighbor_id, r.adc
+         |FROM ($body) r
+         |CROSS JOIN (VALUES ('v0_grace'), ('v1_grace'), ('v1_vacuumed')) v(view)
+         |ORDER BY view, query_id, rank""".stripMargin
     }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper

@@ -198,6 +198,26 @@ object IndexStore {
       .write.parquet(tombsPath(dir).resolve(s"t=$next").toString)
   }
 
+  /** Live base version numbers, ascending — more than one only during
+   * a vacuum-grace window (a [[compact]] with `retainVersions` > 1). */
+  def liveVersions(dir: String): Seq[Int] = versions(dir).map(_._1)
+
+  /** The serving view PINNED at a specific live base version — what a
+   * reader still holding version `v`'s file list resolves during the
+   * vacuum-grace window. Version v's view is v's base plus every
+   * committed delta/tombstone NOT in v's fold list, so during the
+   * grace a pinned old reader and a current reader see the SAME rows
+   * through different file sets (old base + retained folded files vs
+   * new physically-merged base) — the gate/spec-checkable form of the
+   * isolation contract's "never a row twice, never a torn fold". */
+  def readAt(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val vs = versions(dir)
+    val live = vs.collectFirst { case (v, p) if v == version => p }
+    require(live.nonEmpty, s"version $version is not live under $dir " +
+      s"(live: ${vs.map(_._1).mkString(", ")})")
+    readFrom(spark, dir, live.get)
+  }
+
   /** The serving view: (live base version ∪ committed-but-unfolded
    * delta files) − live unfolded tombstone ids. The version list is
    * listed ONCE; the same version supplies the base read, the fold
@@ -205,7 +225,11 @@ object IndexStore {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
-    val live = vs.last._2
+    readFrom(spark, dir, vs.last._2)
+  }
+
+  private def readFrom(spark: SparkSession, dir: String,
+                       live: Path): DataFrame = {
     val base = spark.read.parquet(live.toString)
     val withDelta = unfoldedFrom(spark, dir, live) match {
       case Seq() => base
@@ -229,9 +253,14 @@ object IndexStore {
    * quiesced (see the isolation contract above); readers stay
    * consistent throughout because the new version only goes live with
    * its fold list, and the folded files/batches/old version are
-   * deleted only after that point.
+   * retired only after that point — immediately with the default
+   * `retainVersions = 1`, or kept through a GRACE WINDOW with
+   * `retainVersions > 1` (readers pinned at the old version via
+   * [[readAt]] keep resolving their exact pre-fold view; a later
+   * [[vacuum]] retires it).
    */
-  def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int): Boolean = {
+  def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int,
+              retainVersions: Int = 1): Boolean = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
     val (pv, pdir) = vs.last
@@ -257,16 +286,99 @@ object IndexStore {
         tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
       writeVersion(merged, dir, pv + 1,
         (foldedNames(pdir) ++ pending.map(fileName) ++ tombKs).toSeq.sorted)
-      pending.foreach(f =>
-        Files.deleteIfExists(Paths.get(new java.net.URI(f))))
-      tombs.foreach(graft.util.Fs.deleteRecursive)
-      // torn tombstone dirs (no _SUCCESS) are dead garbage — vacuum
-      // them here, in the same writer-quiesced maintenance window
-      tombDirsPresent(dir).collect {
-        case (_, p) if !Files.exists(p.resolve("_SUCCESS")) => p
-      }.foreach(graft.util.Fs.deleteRecursive)
-      graft.util.Fs.deleteRecursive(pdir)
+      vacuum(dir, retainVersions)
       true
+    }
+  }
+
+  // ---- writer fencing (the storage half of L6's single-writer rule) ------
+
+  private def writersPath(dir: String): Path = Paths.get(dir, "writers")
+
+  private def epochsPresent(dir: String): Seq[Long] =
+    if (!Files.isDirectory(writersPath(dir))) Nil
+    else {
+      val listing = Files.list(writersPath(dir))
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+        .sorted
+    }
+
+  /** Claim the writer role, superseding every prior holder: returns a
+   * monotonically increasing FENCING TOKEN (the Kafka-producer-epoch /
+   * lease-epoch design). The claim is an atomic `createDirectory` — two
+   * racers both computing epoch N collide on the mkdir and the loser
+   * retries at N+1, so epochs are never shared. A prior writer is not
+   * notified; it discovers it is a ZOMBIE when its next fenced verb
+   * ([[compact]]/[[tombstone]] with its stale token) refuses — exactly
+   * the "fail the zombie's next action" semantics a 100 TB deployment
+   * needs when a maintenance job is rescheduled while its predecessor
+   * is stuck but not dead. */
+  @scala.annotation.tailrec
+  def acquireWriter(dir: String): Long = {
+    Files.createDirectories(writersPath(dir))
+    val next = epochsPresent(dir).lastOption.getOrElse(-1L) + 1L
+    val claimed =
+      try { Files.createDirectory(writersPath(dir).resolve(s"epoch=$next")); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (claimed) next else acquireWriter(dir)
+  }
+
+  /** Refuse a verb from a superseded writer. Checked immediately before
+   * each fenced verb's commit point; a zombie that lost the role after
+   * this check but before its (single, atomic) marker/`_SUCCESS` commit
+   * is the standard fencing residual every lease design carries — the
+   * window is one rename wide, and the NEXT verb from the zombie fails
+   * here deterministically. */
+  private def fence(dir: String, epoch: Long): Unit = {
+    val current = epochsPresent(dir).lastOption.getOrElse(-1L)
+    require(current == epoch,
+      s"writer fenced: epoch $epoch superseded by $current under $dir")
+  }
+
+  /** [[tombstone]] under a fencing token: a superseded writer's delete
+   * refuses instead of corrupting the log. */
+  def tombstone(spark: SparkSession, dir: String, ids: DataFrame,
+                epoch: Long): Unit = {
+    fence(dir, epoch)
+    tombstone(spark, dir, ids)
+  }
+
+  /** [[compact]] under a fencing token: a superseded maintenance job
+   * refuses instead of racing the new holder's fold. */
+  def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int,
+              retainVersions: Int, epoch: Long): Boolean = {
+    fence(dir, epoch)
+    compact(spark, dir, maxDeltaFiles, retainVersions)
+  }
+
+  /**
+   * Retire base versions past the newest `retainVersions`, then delete
+   * every delta file and tombstone batch folded into the OLDEST
+   * retained version — those are invisible to all retained versions
+   * (fold lists are cumulative), so no pinned reader can still need
+   * them; files folded only into NEWER versions stay, because a reader
+   * pinned at the oldest retained version still resolves them as
+   * unfolded. Torn tombstone dirs (no `_SUCCESS`) are dead garbage and
+   * go too. Runs in the writer-quiesced maintenance window like
+   * [[compact]] (which calls it); idempotent.
+   */
+  def vacuum(dir: String, retainVersions: Int = 1): Unit = {
+    require(retainVersions >= 1, s"retainVersions must be >= 1")
+    val vs = versions(dir)
+    if (vs.nonEmpty) {
+      vs.dropRight(retainVersions)
+        .foreach { case (_, p) => graft.util.Fs.deleteRecursive(p) }
+      val folded = foldedNames(vs.takeRight(retainVersions).head._2)
+      val deltaRoot = Paths.get(deltaDir(dir))
+      folded.filterNot(_.startsWith("tombs/"))
+        .foreach(name => Files.deleteIfExists(deltaRoot.resolve(name)))
+      tombDirsPresent(dir).collect {
+        case (k, p) if folded(tombMarker(k)) ||
+          !Files.exists(p.resolve("_SUCCESS")) => p
+      }.foreach(graft.util.Fs.deleteRecursive)
     }
   }
 }

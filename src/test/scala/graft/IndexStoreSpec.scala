@@ -184,6 +184,96 @@ class IndexStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(idx, "base", "v=1", "_folded.tmp")))
   }
 
+  test("vacuum grace: a retained old version serves its exact pre-fold view; vacuum retires only out-of-grace state") {
+    import scala.jdk.CollectionConverters._
+    val dir = "target/tmp/idxstore_grace"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    import spark.implicits._
+    IndexStore.tombstone(spark, idx,
+      (0L until 240L).filter(_ % 7 == 3).toDF("id"))
+    val before = IndexStore.read(spark, idx).collect().toSet
+    def deltaParts(): Int = {
+      val l = Files.list(Paths.get(IndexStore.deltaDir(idx)))
+      try l.iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2,
+      retainVersions = 2))
+    assert(IndexStore.liveVersions(idx) == Seq(0, 1))
+    // the grace window retains v0 AND everything v0 still resolves as
+    // unfolded: the three folded delta files and the folded tombstone
+    // batch stay on disk even though v1 has them merged/applied
+    assert(deltaParts() >= 3,
+      "grace compaction deleted delta files a v0-pinned reader needs")
+    assert(Files.exists(Paths.get(idx, "tombs", "t=0", "_SUCCESS")),
+      "grace compaction deleted the tombstone batch v0 still anti-joins")
+    // pinned and current reads converge on the SAME rows through
+    // DIFFERENT file sets (old base + retained files vs merged base)
+    assert(IndexStore.readAt(spark, idx, 0).collect().toSet == before,
+      "the v0-pinned grace view drifted from the pre-fold view")
+    assert(IndexStore.readAt(spark, idx, 1).collect().toSet == before)
+    assert(IndexStore.read(spark, idx).collect().toSet == before)
+    // a never-live version refuses rather than serving garbage
+    intercept[IllegalArgumentException] {
+      IndexStore.readAt(spark, idx, 7)
+    }
+    // vacuum inside the grace is a no-op; vacuum(1) retires v0, its
+    // folded delta files and the folded tombstone batch — and the
+    // current view does not move by a row
+    IndexStore.vacuum(idx, retainVersions = 2)
+    assert(IndexStore.liveVersions(idx) == Seq(0, 1))
+    IndexStore.vacuum(idx, retainVersions = 1)
+    assert(IndexStore.liveVersions(idx) == Seq(1))
+    assert(!Files.exists(Paths.get(idx, "base", "v=0")))
+    assert(!Files.exists(Paths.get(idx, "tombs", "t=0")))
+    assert(deltaParts() == 0, "vacuum left folded delta files behind")
+    assert(IndexStore.read(spark, idx).collect().toSet == before,
+      "vacuum moved the serving view")
+  }
+
+  test("writer fencing: a superseded writer's next verb refuses; the new holder proceeds") {
+    val dir = "target/tmp/idxstore_fence"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    import spark.implicits._
+
+    val a = IndexStore.acquireWriter(idx)
+    IndexStore.tombstone(spark, idx, Seq(3L).toDF("id"), epoch = a)
+    // B takes over: monotone token, A is now a zombie
+    val b = IndexStore.acquireWriter(idx)
+    assert(b > a)
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.compact(spark, idx, maxDeltaFiles = 2,
+        retainVersions = 1, epoch = a)
+    }
+    assert(ex.getMessage.contains("fenced"))
+    intercept[IllegalArgumentException] {
+      IndexStore.tombstone(spark, idx, Seq(4L).toDF("id"), epoch = a)
+    }
+    // the zombie's refusals left the store exactly where A's last
+    // COMMITTED verb left it — no half-applied maintenance
+    assert(IndexStore.read(spark, idx).collect().toSet ==
+      before.filterNot(_.getLong(0) == 3L))
+    // the current holder's verbs proceed under its token
+    IndexStore.tombstone(spark, idx, Seq(4L).toDF("id"), epoch = b)
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = b))
+    assert(IndexStore.read(spark, idx).collect().toSet ==
+      before.filterNot(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
+  }
+
   test("a torn (uncommitted) delta file is invisible to readers") {
     val dir = "target/tmp/idxstore_torn"
     graft.util.Fs.deleteRecursive(Paths.get(dir))
