@@ -682,30 +682,122 @@ object LlmQueries {
     val incoming = docs.filter(col("doc_id") >= 400)
       .unionByName(existing.filter(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 1000000L))
-    locally {
-      val inc = incoming.select(col("doc_id"), unhex(md5(col("text"))).as("_dig"))
-      val exDig = existing.select(unhex(md5(col("text"))).as("_dig"))
-        .distinct().withColumn("_hit", lit(true))
-      val exact = inc.join(exDig, Seq("_dig"), "left")
-        .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("exact_dup"))
-      val corpus = existing.unionByName(incoming)
-      val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
-        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
-        .filter((col("ida") >= 400) =!= (col("idb") >= 400))
-      val nearIds = Dedup.jaccardVerify(cands, corpus, "doc_id", "text", k = 3)
-        .filter(col("jaccard") >= 0.5)
-        .select(when(col("ida") >= 400, col("ida")).otherwise(col("idb"))
-          .as("doc_id"))
-        .distinct().withColumn("_near", lit(true))
-      // nearIds is batch-proportional (largest exactly when the batch is
-      // duplicate-heavy) — leave the join threshold-decided, never hint
-      incoming.select("doc_id")
-        .join(exact, "doc_id")
-        .join(nearIds, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("exact_dup"),
-          coalesce(col("_near"), lit(false)).as("near_dup"))
-        .withColumn("admitted", !col("exact_dup") && !col("near_dup"))
+    admissionVerdict(incoming, existing)
+  }
+
+  /** The admission-dedup core shared by d13 (one batch) and w12 (each
+   * micro-batch against the evolving reference): exact pass = one
+   * digest equi-join; near pass = d2's banded candidates restricted to
+   * cross-boundary pairs, d4's exact-Jaccard verify. Batch membership
+   * rides as an id-list join (batch-proportional, so at 100 TB the
+   * flag frames broadcast under the threshold like every other
+   * batch-sized side here — never hinted). */
+  private def admissionVerdict(incoming: DataFrame, existing: DataFrame)(
+      implicit scope: CacheScope): DataFrame = {
+    val inc = incoming.select(col("doc_id"), unhex(md5(col("text"))).as("_dig"))
+    val exDig = existing.select(unhex(md5(col("text"))).as("_dig"))
+      .distinct().withColumn("_hit", lit(true))
+    val exact = inc.join(exDig, Seq("_dig"), "left")
+      .select(col("doc_id"), coalesce(col("_hit"), lit(false)).as("exact_dup"))
+    val corpus = existing.unionByName(incoming)
+    val aIn = incoming.select(col("doc_id").as("ida"))
+      .withColumn("_ina", lit(true))
+    val bIn = incoming.select(col("doc_id").as("idb"))
+      .withColumn("_inb", lit(true))
+    val cands = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      .join(aIn, Seq("ida"), "left").join(bIn, Seq("idb"), "left")
+      .select(col("ida"), col("idb"),
+        coalesce(col("_ina"), lit(false)).as("_ina"),
+        coalesce(col("_inb"), lit(false)).as("_inb"))
+      .filter(col("_ina") =!= col("_inb"))
+    val nearIds = Dedup.jaccardVerify(cands.select("ida", "idb"),
+        corpus, "doc_id", "text", k = 3)
+      .filter(col("jaccard") >= 0.5)
+      .join(aIn, Seq("ida"), "left")
+      .select(when(coalesce(col("_ina"), lit(false)), col("ida"))
+        .otherwise(col("idb")).as("doc_id"))
+      .distinct().withColumn("_near", lit(true))
+    // nearIds is batch-proportional (largest exactly when the batch is
+    // duplicate-heavy) — leave the join threshold-decided, never hint
+    incoming.select("doc_id")
+      .join(exact, "doc_id")
+      .join(nearIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("exact_dup"),
+        coalesce(col("_near"), lit(false)).as("near_dup"))
+      .withColumn("admitted", !col("exact_dup") && !col("near_dup"))
+  }
+
+  /** W12: STREAMED admission dedup — d13's verdict machinery run
+   * INSIDE the streaming lifecycle with the property d13 cannot
+   * express: each micro-batch checks against the EVOLVING reference
+   * (the seed corpus plus every previously ADMITTED doc), and its own
+   * admitted survivors join that reference for the batches after it.
+   * The fixture plants both duplicate shapes: wave 1 carries clones of
+   * SEED docs (caught like d13's), wave 2 carries a clone of a WAVE-0
+   * doc — admitted two triggers earlier, never in the seed — which
+   * only an evolving reference can reject. Per-trigger writes go to
+   * their own `batch=`/`adm` dirs with overwrite (w10's idempotent
+   * replay shape); the reference store is read back each trigger, so
+   * at 100 TB the state is a parquet table growing by admitted docs,
+   * not executor memory. The oracle unrolls the three admission
+   * rounds exactly (shared suffixed minhash pipeline per round). */
+  def streamDedupAdmission(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val base = s"target/tmp/w12_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val existing = docs.filter(col("doc_id") < 400)
+    val later = docs.filter(col("doc_id") >= 400)
+    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(existing.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(w0.filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    Seq(w0, w1, w2).zipWithIndex.foreach { case (w, i) =>
+      graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
     }
+    val refDir = s"$base/ref"
+    val outDir = s"$base/out"
+    existing.write.parquet(s"$refDir/seed")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        CacheScope.withScope { implicit scope =>
+          val b = scope.persist(batch).toDF()
+          // the reference = seed + every PRIOR batch's admitted dir —
+          // never this batch's own (a crashed attempt's leftover output
+          // would otherwise make the replayed batch self-duplicate)
+          val listing = Files.list(Paths.get(refDir))
+          val refParts = try listing.iterator().asScala.toList.map(_.toString)
+            .filter { p =>
+              val n = Paths.get(p).getFileName.toString
+              n == "seed" || (n.startsWith("adm") && n.stripPrefix("adm").toLong < id)
+            } finally listing.close()
+          val ref = sp.read.parquet(refParts: _*)
+          val verdict = scope.persist(admissionVerdict(b, ref)).toDF()
+          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          b.join(verdict.filter(col("admitted")).select("doc_id"), "doc_id")
+            .write.mode("overwrite").parquet(s"$refDir/adm$id")
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir).drop("batch")
+      .select("doc_id", "exact_dup", "near_dup", "admitted")
+      .orderBy("doc_id")
   }
 
   /** E14: INCREMENTAL ANN INDEX MAINTENANCE — the continual-ingestion
@@ -2447,6 +2539,7 @@ object LlmQueries {
     "e28_store_time_travel" -> (storeTimeTravelServe _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
+    "w12_stream_dedup_admission" -> (streamDedupAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -2490,20 +2583,22 @@ object LlmQueries {
   // ---- oracle SQL --------------------------------------------------------
 
   /** The banded-LSH candidate CTE chain, parameterized by source table
-   * (d13 runs it over a staged union instead of `documents`). */
-  private def minhashPipelineSqlOver(tbl: String) =
-    s"""sigs AS (
+   * (d13 runs it over a staged union instead of `documents`) and by a
+   * CTE-name suffix (w12 instantiates the chain once per admission
+   * round, so the rounds' intermediates must not collide). */
+  private def minhashPipelineSqlOver(tbl: String, sfx: String = "") =
+    s"""sigs$sfx AS (
        |  SELECT doc_id AS _id, $sigSql AS sig
        |  FROM (SELECT doc_id, $shingleHashesSql AS hashes
        |        FROM (SELECT doc_id, $tokenHashesSql AS th
        |              FROM $tbl WHERE len($toksSql) >= 3))),
-       |banded AS (
+       |banded$sfx AS (
        |  ${(0 until Bands).map(b =>
-            s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs")
+            s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs$sfx")
             .mkString("\n  UNION ALL ")}),
-       |cand AS (
+       |cand$sfx AS (
        |  SELECT a._id AS doc_a, b._id AS doc_b, a.sig AS siga, b.sig AS sigb
-       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+       |  FROM banded$sfx a JOIN banded$sfx b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a._id < b._id)""".stripMargin
 
   private lazy val minhashPipelineSql = minhashPipelineSqlOver("documents")
@@ -3551,6 +3646,61 @@ object LlmQueries {
          |  (md5(i.text) NOT IN (SELECT dg FROM exd) AND n.doc_id IS NULL) AS admitted
          |FROM inc i LEFT JOIN near n USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // w12: the three admission rounds unrolled exactly — each round
+    // re-instantiates the banded pipeline (suffixed CTEs) over
+    // (evolving reference ∪ wave) and the next reference adds the
+    // round's admitted survivors; one shared shingle-set CTE serves
+    // every round's Jaccard verify (ids are globally unique)
+    "w12_stream_dedup_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |v$i AS (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 50 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
+         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |${round(0, "seed", "w0")},
+         |ref1 AS (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup,
+         |  (NOT exact_dup AND NOT near_dup) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
     // same banded candidates + exact-Jaccard verify as d2/d4, restricted
     // to pairs whose hash-split flags differ; x9's split arithmetic
     "x21_split_leakage" ->
