@@ -1801,6 +1801,32 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M16: QUARANTINED media decode — the corrupt-record error channel
+   * (s9 CSV, k11 DLQ) at the media decode seam: the fixture corrupts
+   * every 7th clip's payload by cutting the data section in half
+   * (header intact, declared length now a lie — the interrupted-upload
+   * shape) and every remaining 11th clip's container magic, then
+   * [[Multimodal.extractAudioFeaturesQuarantined]] turns each failure
+   * into a typed verdict row while the healthy clips decode to their
+   * full m3 stats in the same pass. The corruption is applied with
+   * PLAIN column functions over the binary payload (substring/concat —
+   * binary ops are columns too), and the oracle replays verdicts and
+   * stats in closed form from the planted ids and the synthesis
+   * arithmetic. One pass, no job failure, nothing silently dropped —
+   * the contract a 100 TB media ingest actually needs. */
+  def quarantinedAudioStats(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsWav(Tpar(s, dir, "documents"), "doc_id", "text")
+    val corrupted = packed.withColumn("payload",
+      when(col("media_id") % 7 === 0,
+        expr("substring(payload, 1, 44 + cast(floor((length(payload) - 44) / 2) as int))"))
+        .when(col("media_id") % 11 === 0,
+          concat(lit("X".getBytes("US-ASCII")),
+            expr("substring(payload, 2, length(payload) - 1)")))
+        .otherwise(col("payload")))
+    Multimodal.extractAudioFeaturesQuarantined(corrupted)
+      .orderBy("media_id")
+  }
+
   /** M4: REAL image resize end-to-end — PNG decode → nearest-neighbor
    * half-size → PNG re-encode → decode again for stats. Every number
    * comes from the second DECODE of the re-encoded bytes; the sampled
@@ -2577,7 +2603,8 @@ object LlmQueries {
     "m12_video_near_dedup" -> (videoNearDup _),
     "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _),
     "m14_audio_near_dedup_verdict" -> (audioNearDupVerdict _),
-    "m15_video_near_dedup_verdict" -> (videoNearDupVerdict _)
+    "m15_video_near_dedup_verdict" -> (videoNearDupVerdict _),
+    "m16_quarantined_decode" -> (quarantinedAudioStats _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -4366,6 +4393,32 @@ object LlmQueries {
         |  CAST(list_max(list_transform(ss, x -> abs(x))) AS INTEGER) AS peak_abs,
         |  CAST(list_sum(ss) AS BIGINT) AS amp_sum,
         |  sqrt(list_sum(list_transform(ss, x -> x * x))::DOUBLE / n) AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
+    // m16: verdicts replay from the planted ids (%7 truncation wins
+    // over %11 magic-flip — the same precedence the column expression
+    // applies); healthy rows carry m3's closed-form stats, quarantined
+    // rows NULL them
+    "m16_quarantined_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 240 AS n,
+        |    8000 + (length(text) % 4) * 4000 AS rate,
+        |    (length(text) * 131) % 65521 AS a
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, rate,
+        |    list_transform(range(0, n), i -> ((a + i * 7919) % 65521) - 32760) AS ss,
+        |    (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS healthy
+        |  FROM d)
+        |SELECT doc_id AS media_id,
+        |  healthy AS ok,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'truncated_payload'
+        |       WHEN doc_id % 11 = 0 THEN 'unreadable_container' END AS err_kind,
+        |  CASE WHEN healthy THEN CAST(rate AS INTEGER) END AS sample_rate,
+        |  CASE WHEN healthy THEN CAST(n AS BIGINT) END AS n_samples,
+        |  CASE WHEN healthy
+        |    THEN CAST(list_max(list_transform(ss, x -> abs(x))) AS INTEGER)
+        |  END AS peak_abs,
+        |  CASE WHEN healthy THEN CAST(list_sum(ss) AS BIGINT) END AS amp_sum
         |FROM s ORDER BY media_id""".stripMargin,
     // nearest-neighbor half-size of the a+x+y raster: out(x,y) = a+2x+2y
     // over ceil(W/2)×ceil(H/2) — closed form again after the re-decode

@@ -505,6 +505,77 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** QUARANTINED audio decode (the m16 seam): decode failures become
+   * ROWS, not job failures — the DLQ/corrupt-record pattern (s9's CSV
+   * error channel, k11's routing) applied to the media decode seam,
+   * because at 100 TB of scraped media a single truncated upload must
+   * never kill a stage and a silent drop is unauditable. Per payload:
+   *  - the container parse rejects it (bad magic, mangled header,
+   *    non-PCM16-mono) → `err_kind = 'unreadable_container'`;
+   *  - the container parses but the data section holds fewer samples
+   *    than the header declares (interrupted write — the classic
+   *    corruption a crawler produces), or zero samples →
+   *    `err_kind = 'truncated_payload'`;
+   *  - otherwise `ok = true` with the [[extractAudioFeatures]] stats.
+   * Classification is STRUCTURAL (declared-vs-actual, parse outcome),
+   * never message-text matching, so the verdict is deterministic and
+   * the gate's closed-form oracle can replay it from the planted
+   * corruption alone. */
+  def extractAudioFeaturesQuarantined(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("err_kind", StringType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("peak_abs", IntegerType, nullable = true),
+      StructField("amp_sum", LongType, nullable = true)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    def quarantined(id: Long, kind: String): Row =
+      Row(id, false, kind, null, null, null, null)
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"expected PCM16 mono, got $fmt")
+            val declared = ais.getFrameLength
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            if (n == 0 || (declared >= 0 && n < declared))
+              quarantined(id, "truncated_payload")
+            else {
+              val big = fmt.isBigEndian
+              var i = 0
+              var sum = 0L
+              var peak = 0
+              while (i < n) {
+                val b0 = data(2 * i)
+                val b1 = data(2 * i + 1)
+                val s = if (big) (b0 << 8) | (b1 & 0xff)
+                        else (b1 << 8) | (b0 & 0xff)
+                sum += s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                i += 1
+              }
+              Row(id, true, null, fmt.getSampleRate.toInt, n.toLong, peak, sum)
+            }
+          } finally ais.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            quarantined(id, "unreadable_container")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Batched REAL wav decode: one [[WavDecoder]] per partition, RIFF
    * payloads in, true rate/duration/amplitude stats out. */
   def extractAudioFeatures(df: DataFrame): DataFrame = {

@@ -304,6 +304,35 @@ class MultimodalSpec extends SparkSpec {
     intercept[Exception](d.decode("RIFFgarbage".getBytes("US-ASCII")))
   }
 
+  test("quarantined decode: structural verdicts, healthy rows match the loud decoder") {
+    val docs = Seq((1L, "hello world"), (2L, "y" * 300), (3L, "abc"))
+      .toDF("doc_id", "text")
+    val packed = Multimodal.packAsWav(docs, "doc_id", "text")
+    // corrupt 1 by cutting the data section (header intact, declared
+    // length now a lie) and 2 by mangling the container magic; 3 stays
+    val corrupted = packed.withColumn("payload",
+      when(col("media_id") === 1L,
+        expr("substring(payload, 1, 44 + cast(floor((length(payload) - 44) / 2) as int))"))
+        .when(col("media_id") === 2L,
+          concat(lit("X".getBytes("US-ASCII")),
+            expr("substring(payload, 2, length(payload) - 1)")))
+        .otherwise(col("payload")))
+    val out = Multimodal.extractAudioFeaturesQuarantined(corrupted)
+      .orderBy("media_id").collect()
+    assert(!out(0).getBoolean(1) && out(0).getString(2) == "truncated_payload")
+    assert(out(0).isNullAt(3) && out(0).isNullAt(6))
+    assert(!out(1).getBoolean(1) && out(1).getString(2) == "unreadable_container")
+    // the healthy row's stats equal the loud decoder's, field for field
+    val loud = Multimodal.extractAudioFeatures(
+        packed.filter(col("media_id") === 3L))
+      .select("media_id", "features.*").collect().head
+    assert(out(2).getBoolean(1) && out(2).isNullAt(2))
+    assert(out(2).getInt(3) == loud.getInt(1))    // sample_rate
+    assert(out(2).getLong(4) == loud.getLong(2))  // n_samples
+    assert(out(2).getInt(5) == loud.getInt(4))    // peak_abs
+    assert(out(2).getLong(6) == loud.getLong(5))  // amp_sum
+  }
+
   test("packAsY4m writes a genuine YUV4MPEG2 stream (header + FRAME sections)") {
     val docs = Seq((1L, "hello world"), (2L, "z" * 300)).toDF("doc_id", "text")
     val rows = Multimodal.packAsY4m(docs, "doc_id", "text").collect()
