@@ -117,6 +117,38 @@ object ConnectQueries {
     good.unionByName(errs).orderBy("kind", "n_nationkey")
   }
 
+  /** S12: schema-DRIFT spool — one producer's CSV schema grew add-only
+   * across three polls (ids → +acctbal → +mktsegment), so the spool
+   * holds files with THREE different header sets at once. The evolving
+   * read ([[SpoolDir.readBatchEvolving]]) parses each file under its
+   * own header and NULL-pads missing columns through the same
+   * `unionEvolve` the K4 sink path uses — auto.evolve's add-only rule
+   * applied at the source seam, where a single inferred schema would
+   * mis-parse every older file positionally. Fixture staging collects
+   * a table slice to write the spool files (fixture-only — the READ
+   * side stays distributed per file). */
+  def spoolDirSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val spool = s"target/tmp/spool_drift_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(spool))
+    Files.createDirectories(Paths.get(spool))
+    val cust = T(s, dir, "customer")
+    def stage(name: String, cols: Seq[String], m: Int): Unit = {
+      val rows = cust.filter(col("c_custkey") % 3 === m)
+        .select(cols.map(col): _*).orderBy("c_custkey").collect()
+      val body = (cols.mkString(",") +:
+        rows.map(_.toSeq.mkString(","))).mkString("\n")
+      Files.write(Paths.get(spool, name), body.getBytes("UTF-8"))
+    }
+    stage("batch_0.csv", Seq("c_custkey", "c_name"), 0)
+    stage("batch_1.csv", Seq("c_custkey", "c_name", "c_acctbal"), 1)
+    stage("batch_2.csv",
+      Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"), 2)
+    SpoolDir.readBatchEvolving(s, SpoolDir.Config(inputPath = spool,
+        pattern = Some("*.csv")))
+      .orderBy("c_custkey")
+  }
+
   /** C2 schemaless JSON round-trip, decoded via the schema-member sniff
    * (no `schemas.enable` hint). */
   def schemalessRoundTrip(s: SparkSession, dir: String): DataFrame = {
@@ -1497,6 +1529,7 @@ object ConnectQueries {
     "s5_table_multiplex" -> (tableMultiplex _),
     "s7_snapshot_modes" -> (snapshotModes _),
     "s9_spooldir_csv" -> (spoolDirCsv _),
+    "s12_spooldir_schema_drift" -> (spoolDirSchemaDrift _),
     "c2_schemaless_roundtrip" -> (schemalessRoundTrip _),
     "c3_avro_roundtrip" -> (avroRoundTrip _),
     "c1b_json_temporal_decimal" -> (jsonTemporalDecimal _),
@@ -1678,6 +1711,19 @@ object ConnectQueries {
     "s9_spooldir_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // s12: the drifted polls rebuilt as add-only NULL-padded slices
+    "s12_spooldir_schema_drift" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(NULL AS DOUBLE) AS c_acctbal,
+        |  CAST(NULL AS VARCHAR) AS c_mktsegment
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR)
+        |FROM customer WHERE c_custkey % 3 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 3 = 2
+        |ORDER BY c_custkey""".stripMargin,
     "c2_schemaless_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,

@@ -72,6 +72,42 @@ object SpoolDir {
     load(r, conf)
   }
 
+  /** S12 — schema-DRIFT spool read: a long-lived spool's producers add
+   * columns over time, so one poll's files carry different column sets
+   * — and a single inferred schema would mis-parse every older CSV
+   * positionally. Each file reads under its OWN header/inferred
+   * schema, then the frames union add-only (missing columns NULL-pad —
+   * `auto.evolve`'s rule applied at the source seam, the same
+   * `unionEvolve` the K4 sink path uses); a TYPE change on a shared
+   * column refuses loudly, exactly like auto.evolve rejects in-place
+   * type mutations. Files merge in name order (spools name files
+   * monotonically) purely for determinism — this is a union, not a
+   * merge, so order never changes the result set. Per-file schema
+   * capture is a driver-side listing of headers (bytes read: one
+   * header line per file); the DATA reads stay distributed. */
+  def readBatchEvolving(spark: SparkSession, conf: Config): DataFrame = {
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:${conf.globPattern}")
+    val files = Option(new java.io.File(conf.inputPath).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && matcher.matches(f.toPath.getFileName))
+      .map(_.getPath).sorted
+    require(files.nonEmpty,
+      s"empty spool: ${conf.inputPath}/${conf.globPattern}")
+    files.map(f => readBatch(spark,
+        conf.copy(inputPath = f, pattern = Some("*"))))
+      .reduce { (a, b) =>
+        b.schema.fields.foreach { f =>
+          a.schema.fields.find(_.name == f.name).foreach { g =>
+            require(g.dataType == f.dataType,
+              s"schema drift on '${f.name}' is not add-only: " +
+                s"${g.dataType} vs ${f.dataType}")
+          }
+        }
+        graft.sinks.SchemaEvolution.unionEvolve(a, b)
+      }
+  }
+
   /** Streaming read — the reference's continuous spool. Schema is
    * mandatory (Spark streams cannot infer); finished files move to the
    * archive dir like `finished.path`. */
