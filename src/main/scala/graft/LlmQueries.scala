@@ -1583,6 +1583,42 @@ object LlmQueries {
     }.orderBy("train_id", "val_id")
   }
 
+  /** X24: split-leakage REPAIR — x21 detects train/val contamination;
+   * this closes the loop with the deterministic fix an eval pipeline
+   * actually applies: every val doc with ANY cross-split near-dup
+   * moves to train (val must be contamination-free; the moved doc
+   * stays usable for training — dropping it would waste data for no
+   * extra hygiene). One row per doc with the before/after assignment
+   * and the moved flag, so downstream mixes re-derive from the
+   * repaired split and audits can count the migration. Same candidate
+   * machinery as x21 (banded LSH, cross-split restriction, exact
+   * Jaccard verify); the repair itself is one distinct + left join —
+   * at 100 TB the leak set is pair-verified-small and the join is
+   * threshold-decided like d13's. */
+  def splitLeakageRepair(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents")
+    CacheScope.materialized { implicit scope =>
+      val isVal = TextAnalysis.hashSampleKeep(col("text"), 0.2)
+      val tagged = docs.select(col("doc_id"), isVal.as("in_val"))
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = 3, numPerms = NumPerms, bands = Bands).select("ida", "idb")
+      val va = tagged.select(col("doc_id").as("ida"), col("in_val").as("va"))
+      val vb = tagged.select(col("doc_id").as("idb"), col("in_val").as("vb"))
+      val cross = cands.join(va, "ida").join(vb, "idb")
+        .filter(col("va") =!= col("vb")).select("ida", "idb")
+      val leakedVal = Dedup.jaccardVerify(cross, docs, "doc_id", "text", k = 3)
+        .filter(col("jaccard") >= 0.5)
+        .join(va, "ida")
+        .select(when(col("va"), col("ida")).otherwise(col("idb")).as("doc_id"))
+        .distinct().withColumn("_leak", lit(true))
+      tagged.join(leakedVal, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("in_val").as("in_val_before"),
+          (col("in_val") && !coalesce(col("_leak"), lit(false)))
+            .as("in_val_after"),
+          (col("in_val") && coalesce(col("_leak"), lit(false))).as("moved"))
+    }.orderBy("doc_id")
+  }
+
   private val MmrK = 5
   private val MmrLambda = 0.7
 
@@ -2542,6 +2578,7 @@ object LlmQueries {
     "x18_curation_funnel" -> (curationFunnel _),
     "x19_gopher_rules" -> (gopherRulesQ _),
     "x21_split_leakage" -> (splitLeakage _),
+    "x24_split_leakage_repair" -> (splitLeakageRepair _),
     "d13_incremental_dedup" -> (incrementalDedup _),
     "e5_quantized_topk" -> (quantizedTopK _),
     "e6_pq_topk" -> (pqTopK _),
@@ -3751,6 +3788,32 @@ object LlmQueries {
          |  CASE WHEN va THEN doc_a ELSE doc_b END AS val_id, jaccard
          |FROM ver WHERE jaccard >= 0.5
          |ORDER BY train_id, val_id""".stripMargin,
+    // x24: x21's leak chain, then the repair — every leaking val doc's
+    // assignment flips to train, one row per doc with the audit flags
+    "x24_split_leakage_repair" ->
+      s"""WITH $minhashPipelineSql,
+         |cpairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |flag AS (SELECT doc_id, ${h60("text")} % 1000 < 200 AS in_val
+         |         FROM documents),
+         |cross0 AS (
+         |  SELECT doc_a, doc_b, fa.in_val AS va
+         |  FROM cpairs JOIN flag fa ON doc_a = fa.doc_id
+         |  JOIN flag fb ON doc_b = fb.doc_id
+         |  WHERE fa.in_val <> fb.in_val),
+         |ver AS (
+         |  SELECT doc_a, doc_b, va,
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE AS jaccard
+         |  FROM cross0 JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id),
+         |leak AS (SELECT DISTINCT CASE WHEN va THEN doc_a ELSE doc_b END AS doc_id
+         |         FROM ver WHERE jaccard >= 0.5)
+         |SELECT f.doc_id, f.in_val AS in_val_before,
+         |  (f.in_val AND l.doc_id IS NULL) AS in_val_after,
+         |  (f.in_val AND l.doc_id IS NOT NULL) AS moved
+         |FROM flag f LEFT JOIN leak l USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
