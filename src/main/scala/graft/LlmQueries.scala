@@ -1042,6 +1042,134 @@ object LlmQueries {
       .orderBy("view", "query_id", "rank")
   }
 
+  /** E29: the MAINTENANCE PLANNER — the "who decides" half of the
+   * lifecycle verbs e14–e28 gate individually. Input: the full corpus
+   * under the FROZEN base quantizer (trained on the pre-admission
+   * slice — the admission-skew shape e18's split exists to fix).
+   * Output: a DECLARATIVE plan frame, the ordered list of surgical
+   * verbs the next maintenance window should run. The rules are
+   * BUDGET-driven, not threshold-driven — at 100 TB a maintenance
+   * window affords a fixed number of surgical verbs, so the planner
+   * ranks offenders instead of waiting for a drifting float cutoff
+   * (k-means keeps occupancy near-uniform, so absolute thresholds
+   * like "2× mean" fire never or everywhere); all comparisons are
+   * integer-exact products:
+   *   - SPLIT the two most-occupied cells strictly above the mean
+   *     (occ·nCells > total; ties by cell id) — the cells that
+   *     dominate per-probe cost, worst first (e18's verb);
+   *   - MERGE the two least-occupied cells when the merged cell
+   *     would stay under the split bound (Σocc·nCells ≤ 2·total —
+   *     reclaims the slots splits consume; e26's verb).
+   * Perfect uniformity yields an empty plan — correct, not vacuous.
+   * Plan rows carry the occupancy evidence so an operator can audit
+   * why each verb fired. The planner costs ONE narrow aggregation
+   * over cell assignments — at 100 TB it reads the index table's cell
+   * column, never a vector; the two-row picks are driver folds over
+   * the O(nCells) stats frame, like every trained-constant memo. */
+  def maintenancePlan(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val total = emb.count()
+    CacheScope.materialized { implicit scope =>
+      val counts = emb
+        .select(Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+        .groupBy("cell").count()
+      // fixed denominator nCells: EMPTY cells stay in the frame — they
+      // are exactly what merge reclaims, and a non-empty-only mean
+      // would drift as cells hollow out
+      val o = scope.persist(
+        s.range(NCells).select(col("id").cast(IntegerType).as("cell"))
+          .join(counts, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("count"), lit(0L)).as("occ"))).toDF()
+      val splits = o.filter(col("occ") * NCells > lit(total))
+        .orderBy(col("occ").desc, col("cell")).limit(2)
+        .select(lit("split").as("action"), col("cell").as("cell_a"),
+          lit(null).cast(IntegerType).as("cell_b"),
+          col("occ").as("occupancy"))
+      val low2 = o.orderBy(col("occ"), col("cell")).limit(2).collect()
+      val merges =
+        if (low2.length == 2 &&
+            low2.map(_.getLong(1)).sum * NCells <= 2L * total) {
+          val Seq(a, b) = low2.map(_.getInt(0)).toSeq.sorted
+          Seq((("merge"), a, b, low2.map(_.getLong(1)).sum))
+        } else Nil
+      import s.implicits._
+      splits.unionByName(
+        merges.toDF("action", "cell_a", "cell_b", "occupancy")
+          .select(col("action"), col("cell_a"),
+            col("cell_b").cast(IntegerType), col("occupancy")))
+    }.orderBy("action", "cell_a")
+  }
+
+  /** E30's executable form of the e29 plan, memoized per dir: the same
+   * integer-exact budget rules as [[maintenancePlan]] replayed as a
+   * driver fold over the O(nCells) occupancy map (the documented
+   * trained-constant pattern — [[mergeState]] collects the same map),
+   * plus the 2-means sub-centroids each planned split needs, trained on
+   * only that cell's members (e18's O(|cell|) contract). */
+  private val applyMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)])]
+  private def maintenancePlanState(s: SparkSession, dir: String):
+      (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)]) =
+    applyMemo.getOrElseUpdate(dir, {
+      val cents = trainedCentsBase(s, dir)
+      val emb = embFrame(s, dir)
+      val counts = emb
+        .select(Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val occ = (j: Int) => counts.getOrElse(j, 0L)
+      val total = (0 until NCells).map(occ).sum
+      val splitCells = (0 until NCells)
+        .filter(j => occ(j) * NCells > total)
+        .sortBy(j => (-occ(j), j.toLong)).take(2)
+      val low2 = (0 until NCells).sortBy(j => (occ(j), j.toLong)).take(2)
+      val merge =
+        if (low2.map(occ).sum * NCells <= 2L * total)
+          Some((low2.min, low2.max)) else None
+      val splits = splitCells.map { c =>
+        c -> Similarity.trainIvfCentroids(
+          emb.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
+          nCells = 2, dim = Dim, iters = 3)
+      }
+      (splits, merge)
+    })
+
+  /** E30: maintenance plan EXECUTION — closes the loop e29 opens. The
+   * planner's verbs run IN PLAN ORDER against the materialized index
+   * through the same surgical operators the individual gates pin
+   * ([[Similarity.ivfPqSplit]] per planned split — each appends one
+   * cell; [[Similarity.ivfPqMerge]] for the planned pair — slots shift
+   * down), and the output is every member's (cell_before, cell_after):
+   * the hash gate proves the composed execution moved EXACTLY the
+   * planned cells' members (split members to their 2-means side, merged
+   * members to the surviving slot, everyone else only relabeled by the
+   * shift) and nothing else. Splits run before the merge, so the merge
+   * shift relabels the freshly appended cells too — the oracle replays
+   * that ordering. Cost at 100 TB = the verbs' own contracts: each
+   * split O(|cell|) with a vector fetch only for its members, the
+   * merge a pure narrow map, never a rebuild. */
+  def maintenanceApply(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val (splits, mergeOpt) = maintenancePlanState(s, dir)
+    CacheScope.materialized { implicit scope =>
+      val index0 = scope.persist(
+        Similarity.ivfPqIndex(emb, books, cents)).toDF()
+      val afterSplits = splits.zipWithIndex.foldLeft(index0: DataFrame) {
+        case (idx, ((c, subs), i)) =>
+          Similarity.ivfPqSplit(idx, emb, c, subs, newCell = NCells + i)
+      }
+      val finalIdx = mergeOpt.fold(afterSplits) { case (a, b) =>
+        Similarity.ivfPqMerge(afterSplits, a, b)
+      }
+      index0.select(col("id"), col("cell").as("cell_before"))
+        .join(finalIdx.select(col("id"), col("cell").as("cell_after")),
+          Seq("id"))
+    }.orderBy("id")
+  }
+
   /** W11: streamed serving FROM THE LIVE STORE — w10's foreachBatch
    * request loop pointed at [[graft.ml.IndexStore.read]] instead of a
    * frozen parquet file list, against a store in its STEADY state:
@@ -2600,6 +2728,8 @@ object LlmQueries {
     "e24_residual_stream_index" -> (residualStreamLifecycle _),
     "e25_store_tombstone_serve" -> (storeTombstoneServe _),
     "e28_store_time_travel" -> (storeTimeTravelServe _),
+    "e29_maintenance_plan" -> (maintenancePlan _),
+    "e30_maintenance_apply" -> (maintenanceApply _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
@@ -2959,6 +3089,68 @@ object LlmQueries {
          |FROM ($body) r
          |CROSS JOIN (VALUES ('v0_grace'), ('v1_grace'), ('v1_vacuumed')) v(view)
          |ORDER BY view, query_id, rank""".stripMargin
+    }),
+    // e29 = the planner's budget-ranked integer-exact rules replayed
+    // over the same frozen-quantizer cell assignment: occupancy from a
+    // GROUP BY with empty cells kept, split = top-2 strictly-above-mean
+    // by (occ DESC, cell), merge = the two lowest (occ, cell) rows when
+    // the merged cell stays under the split bound — all as products,
+    // never a float mean
+    "e29_maintenance_plan" -> ((s, dir) => {
+      val cents = trainedCentsBase(s, dir)
+      s"""WITH cents AS (SELECT ${doubleLit2(cents)} AS ct),
+         |asg AS (SELECT (-(${rankedSql("embedding")})[1].nj - 1) AS cell
+         |        FROM embeddings, cents),
+         |occ AS (
+         |  SELECT r.cell, coalesce(c.n, 0) AS occ
+         |  FROM (SELECT unnest(range(0, $NCells)) AS cell) r
+         |  LEFT JOIN (SELECT cell, count(*) AS n FROM asg GROUP BY cell) c
+         |  USING (cell)),
+         |tot AS (SELECT count(*) AS t FROM embeddings),
+         |splits AS (
+         |  SELECT 'split' AS action, cell::INTEGER AS cell_a,
+         |    CAST(NULL AS INTEGER) AS cell_b, occ::BIGINT AS occupancy
+         |  FROM occ, tot WHERE occ * $NCells > t
+         |  ORDER BY occ DESC, cell LIMIT 2),
+         |low2 AS (SELECT cell, occ FROM occ ORDER BY occ, cell LIMIT 2),
+         |merges AS (
+         |  SELECT 'merge' AS action, min(cell)::INTEGER AS cell_a,
+         |    max(cell)::INTEGER AS cell_b, sum(occ)::BIGINT AS occupancy
+         |  FROM low2
+         |  HAVING sum(occ) * $NCells <= 2 * (SELECT t FROM tot))
+         |SELECT action, cell_a, cell_b, occupancy FROM splits
+         |UNION ALL SELECT action, cell_a, cell_b, occupancy FROM merges
+         |ORDER BY action, cell_a""".stripMargin
+    }),
+    // e30 = the plan's verbs replayed surgically over the base
+    // assignment in plan order: split members choose their 2-means side
+    // (sub-centroid literals, ties to the first), merged members
+    // relabel to the surviving slot, the merge shift renumbers every
+    // higher cell — including the split-appended ones
+    "e30_maintenance_apply" -> ((s, dir) => {
+      val cents = trainedCentsBase(s, dir)
+      val (splits, mergeOpt) = maintenancePlanState(s, dir)
+      val constCols = s"${doubleLit2(cents)} AS ct" +:
+        splits.zipWithIndex.map { case ((_, subs), i) =>
+          s"${doubleLit2(subs)} AS s$i" }
+      val passThrough = splits.indices.map(i => s", s$i").mkString
+      val splitCase =
+        if (splits.isEmpty) "cell_before"
+        else "CASE " + splits.zipWithIndex.map { case ((c, _), i) =>
+          s"""WHEN cell_before = $c THEN
+             |    (CASE WHEN -(${rankedSql("embedding", 2, s"s$i")})[1].nj = 1
+             |     THEN $c ELSE ${NCells + i} END)""".stripMargin
+        }.mkString("\n  ") + " ELSE cell_before END"
+      val mergeCase = mergeOpt.fold("cell1") { case (a, b) =>
+        s"CASE WHEN cell1 = $b THEN $a WHEN cell1 > $b THEN cell1 - 1 ELSE cell1 END"
+      }
+      s"""WITH consts AS (SELECT ${constCols.mkString(",\n  ")}),
+         |a0 AS (SELECT vec_id AS id, embedding$passThrough,
+         |  (-(${rankedSql("embedding")})[1].nj - 1) AS cell_before
+         |  FROM embeddings, consts),
+         |a1 AS (SELECT id, cell_before, ($splitCase) AS cell1 FROM a0)
+         |SELECT id, cell_before, ($mergeCase) AS cell_after FROM a1
+         |ORDER BY id""".stripMargin
     }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
