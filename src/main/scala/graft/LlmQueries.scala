@@ -267,6 +267,17 @@ object LlmQueries {
       Dedup.duplicateSpans(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
     }.orderBy("doc_id", "span_start")
 
+  /** X25: span-dedup REPAIR — d11's detection closed into the cut a
+   * curation pipeline applies (the x24 pattern at the substring level):
+   * duplicated 15-token windows vanish from every doc except the
+   * earliest holder, and the gate hashes the REASSEMBLED clean text —
+   * an off-by-one in the cut window or a dropped survivor token
+   * mismatches the whole document string. */
+  def spanDedupRepairQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      Dedup.spanDedupRepair(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
+    }.orderBy("doc_id")
+
   /** D12: the END-TO-END near-dedup verdict — the full pipeline a
    * curation run executes, composed from the stages d2/d4/d6 check
    * individually: MinHash-LSH candidates → exact-Jaccard verify (≥ 0.5)
@@ -2695,6 +2706,7 @@ object LlmQueries {
     "d10_semdedup" -> (semDedupQ _),
     "d10b_semdedup_scaled" -> (semDedupScaledQ _),
     "d11_dup_spans" -> (duplicateSpans _),
+    "x25_span_dedup_repair" -> (spanDedupRepairQ _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
@@ -4328,6 +4340,31 @@ object LlmQueries {
          |  CAST(max(i) + 15 AS INTEGER) AS span_end
          |FROM g GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+    // x25 = the repair replayed in closed form: duplicated windows with
+    // their min-doc keeper, removed positions = the union of non-keeper
+    // windows' [i, i+15), survivors reassembled by position
+    "x25_span_dedup_repair" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w AS (SELECT doc_id, i, array_to_string(t[i+1:i+15], ' ') AS gram
+         |      FROM (SELECT doc_id, t, unnest(range(0, len(t)-15+1)) AS i
+         |            FROM t WHERE len(t) >= 15)),
+         |d AS (SELECT gram, min(doc_id) AS keep FROM w GROUP BY gram
+         |      HAVING count(DISTINCT doc_id) >= 2),
+         |rm AS (SELECT DISTINCT w.doc_id, w.i + u.j AS j
+         |       FROM w JOIN d USING (gram), unnest(range(0, 15)) u(j)
+         |       WHERE d.keep < w.doc_id),
+         |ra AS (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id),
+         |pos AS (SELECT doc_id, j, t[j+1] AS tok
+         |        FROM (SELECT doc_id, t, unnest(range(0, len(t))) AS j FROM t)),
+         |kept AS (SELECT p.doc_id, p.j, p.tok
+         |         FROM pos p ANTI JOIN rm USING (doc_id, j)),
+         |clean AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text
+         |          FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.t) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(ra.n_removed, 0) AS INTEGER) AS n_removed,
+         |  coalesce(clean.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN ra USING (doc_id) LEFT JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same cell assignment + sequential-fold cosine as the Spark plan;
     // the survivors are ids with no smaller-id same-cell neighbor >= tau
     "d10_semdedup" ->

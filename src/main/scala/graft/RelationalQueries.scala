@@ -171,6 +171,45 @@ object RelationalQueries {
       .orderBy("user_bucket")
   }
 
+  /** Q19: UNPIVOT — the inverse reshape of q9, melting the wide
+   * per-type count columns back to (user_bucket, event_type, n) rows
+   * through Spark's native `unpivot` (the Expand-based Unpivot logical
+   * node — one pass, no join, output rows = input rows × value
+   * columns). Round-tripping q9's pivot keeps the zero cells a plain
+   * GROUP BY would drop — exactly what distinguishes unpivot-of-pivot
+   * from re-aggregation, and what the oracle's left join replays. */
+  def unpivotCounts(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cols = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    T(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .agg(cols.head, cols.tail: _*)
+      .unpivot(Array(col("user_bucket")), types.map(col).toArray,
+        "event_type", "n")
+      .orderBy("user_bucket", "event_type")
+  }
+
+  /** Q20: EXACT percentile aggregation — quartiles of l_quantity per
+   * return flag via Spark's sort-based `percentile` (not the t-digest
+   * `approx_percentile`: the oracle is exact, so the engine side must
+   * be too). Interpolation positions (n−1)·{¼,½,¾} and the whole-number
+   * quantity domain are both binary-exact, so Spark's and DuckDB's
+   * linear interpolation agree bit-for-bit — no DECIMAL detour needed.
+   * At 100 TB exact percentiles are a sort-per-group; the per-flag
+   * groups here shuffle once and sort within partitions (the same
+   * shape as q3's windows) — switch to approx_percentile only when the
+   * group cardinality makes that sort the bottleneck. */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Q10: TPC-H Q3 shape through the SQL STRING entry point — temp
    * views + `spark.sql` — proving the engine's tables are consumable
    * from plain SQL, not just the DataFrame API. Catalyst compiles this
@@ -774,6 +813,8 @@ object RelationalQueries {
     "q8_range_join" -> (rangeJoin _),
     "j1_json_functions" -> (jsonFunctions _),
     "q9_pivot" -> (pivotAgg _),
+    "q19_unpivot" -> (unpivotCounts _),
+    "q20_percentile" -> (percentileAgg _),
     "q10_tpch_q3_sql" -> (tpchQ3Sql _),
     "q11_tpch_q5" -> (tpchQ5Join _),
     "q12_exists_semijoin" -> (existsSemiJoinSql _),
@@ -859,6 +900,21 @@ object RelationalQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q19_unpivot" ->
+      """WITH p AS (SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |b AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type)
+        |SELECT user_bucket, event_type, coalesce(n, 0) AS n
+        |FROM b CROSS JOIN t LEFT JOIN p USING (user_bucket, event_type)
+        |ORDER BY user_bucket, event_type""".stripMargin,
+    "q20_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q10_tpch_q3_sql" ->
       """SELECT l_orderkey,
         |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

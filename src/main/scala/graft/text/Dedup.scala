@@ -587,6 +587,49 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** X25: the REPAIR closing [[duplicateSpans]]'s detection — the cut
+   * Lee et al. 2022 apply after finding exact duplicated substrings:
+   * every cross-doc duplicated k-token window is removed from all but
+   * the EARLIEST document holding it (min id per shingle keeps its
+   * text, duplicates keep the rest of theirs — the doc stays usable,
+   * like x24's split repair), and the surviving tokens reassemble in
+   * order. Returns one row per input document: token counts and the
+   * cleaned text.
+   *
+   * Scale shape: the shingle shuffle moves 16-byte digests + ids (never
+   * text), the removed-position frame is O(duplicated windows) and
+   * folds to one small sorted array per affected doc, and the repair
+   * itself is an id-keyed left join + a per-row array filter — no
+   * corpus-wide pass touches document bodies twice. */
+  def spanDedupRepair(df: DataFrame, idCol: String, textCol: String, k: Int)
+                     (implicit scope: graft.operators.CacheScope): DataFrame = {
+    val toks = scope.persist(df.select(col(idCol), tokens(col(textCol)).as("_t")))
+    val wins = scope.persist(toks
+      .filter(size(col("_t")) >= k)
+      .select(col(idCol), explode(transform(
+          sequence(lit(0), size(col("_t")) - k),
+          i => struct(i.as("i"),
+            unhex(md5(concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as("g"))))
+        .as("_w"))
+      .select(col(idCol), col("_w.i").as("i"), col("_w.g").as("g")))
+    val keeper = wins.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("_df"), min(col(idCol)).as("_keep"))
+      .filter(col("_df") >= 2)
+      .select("g", "_keep")
+    val removed = wins.join(keeper, Seq("g"))
+      .filter(col("_keep") < col(idCol))
+      .select(col(idCol), explode(sequence(col("i"), col("i") + (k - 1))).as("j"))
+      .groupBy(idCol).agg(sort_array(collect_set(col("j"))).as("_rm"))
+    toks.join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_t")).as("n_tokens"),
+        coalesce(size(col("_rm")), lit(0)).as("n_removed"),
+        concat_ws(" ",
+          when(col("_rm").isNull, col("_t"))
+            .otherwise(filter(col("_t"),
+              (t, j) => !exists(col("_rm"), x => x === j)))).as("clean_text"))
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */
