@@ -267,6 +267,16 @@ object LlmQueries {
       Dedup.duplicateSpans(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
     }.orderBy("doc_id", "span_start")
 
+  /** X26: containment near-dup — the asymmetric |A∩B|/|A| verdict over
+   * informative (df-capped) shingles (the d-family's trigram space);
+   * finds the quoted-inside pairs Jaccard misses. Threshold ½,
+   * integer-exact. */
+  def containmentPairsQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      Dedup.containmentPairs(Tpar(s, dir, "documents"), "doc_id", "text",
+        k = 3, tauNum = 1, tauDen = 2, maxDf = 20)
+    }.orderBy("ida", "idb")
+
   /** X25: span-dedup REPAIR — d11's detection closed into the cut a
    * curation pipeline applies (the x24 pattern at the substring level):
    * duplicated 15-token windows vanish from every doc except the
@@ -2707,6 +2717,7 @@ object LlmQueries {
     "d10b_semdedup_scaled" -> (semDedupScaledQ _),
     "d11_dup_spans" -> (duplicateSpans _),
     "x25_span_dedup_repair" -> (spanDedupRepairQ _),
+    "x26_containment_pairs" -> (containmentPairsQ _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
@@ -4340,6 +4351,24 @@ object LlmQueries {
          |  CAST(max(i) + 15 AS INTEGER) AS span_end
          |FROM g GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+    // x26 = the same inverted-index shape as d5, corpus-wide: informative
+    // shingles (2 <= df <= 20), pair counts via the posting self-join,
+    // integer-exact threshold, containment as one small-int division
+    "x26_containment_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |rare AS (SELECT h FROM sh GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+         |p AS (SELECT doc_id, h FROM sh JOIN rare USING (h)),
+         |na AS (SELECT doc_id, count(*) AS n_a FROM p GROUP BY doc_id),
+         |shr AS (SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS shared
+         |        FROM p a JOIN p b USING (h) WHERE a.doc_id <> b.doc_id
+         |        GROUP BY 1, 2)
+         |SELECT ida, idb, n_a, shared,
+         |  shared::DOUBLE / n_a::DOUBLE AS containment
+         |FROM shr JOIN na ON ida = na.doc_id
+         |WHERE shared * 2 >= n_a
+         |ORDER BY ida, idb""".stripMargin,
     // x25 = the repair replayed in closed form: duplicated windows with
     // their min-doc keeper, removed positions = the union of non-keeper
     // windows' [i, i+15), survivors reassembled by position

@@ -587,6 +587,47 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** X26: CONTAINMENT near-dup — the asymmetric overlap |A∩B| / |A|
+   * over informative shingles, the case Jaccard-based detection (d2/d4)
+   * structurally misses: a short document quoted whole inside a much
+   * larger one has tiny Jaccard (union ≈ the big doc) but containment ≈
+   * 1 for the small side. Candidates come from a shingle inverted
+   * index, not MinHash — LSH's collision probability IS Jaccard, so it
+   * under-samples exactly the pairs this operator exists to find.
+   *
+   * The production dial is the document-frequency cap: shingles held by
+   * more than `maxDf` docs are boilerplate and are excluded from BOTH
+   * the numerator and the denominator ("containment over informative
+   * shingles") — that bounds the posting-list self-join at Σ df² ≤
+   * maxDf · Σ df, the same skew bound d5's decontamination uses, and
+   * the shuffle moves 8-byte shingle hashes + ids, never text. The
+   * threshold is integer-exact (shared·tauDen ≥ n_a·tauNum); the
+   * reported containment is one small-int division, bit-identical in
+   * the oracle. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+                       tauNum: Int, tauDen: Int, maxDf: Int)
+                      (implicit scope: graft.operators.CacheScope): DataFrame = {
+    val sh = scope.persist(df
+      .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
+      .select(col(idCol),
+        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("_h")))
+    val rare = sh.groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2 && col("_df") <= maxDf)
+      .select("_h")
+    val p = scope.persist(sh.join(rare, Seq("_h")))
+    val na = p.groupBy(idCol).agg(count(lit(1)).as("n_a"))
+    p.as("a").join(p.as("b"),
+        col("a._h") === col("b._h") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+      .join(na.select(col(idCol).as("ida"), col("n_a")), Seq("ida"))
+      .filter(col("shared") * tauDen >= col("n_a") * tauNum)
+      .select(col("ida"), col("idb"), col("n_a"), col("shared"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("containment"))
+  }
+
   /** X25: the REPAIR closing [[duplicateSpans]]'s detection — the cut
    * Lee et al. 2022 apply after finding exact duplicated substrings:
    * every cross-doc duplicated k-token window is removed from all but
