@@ -2389,6 +2389,20 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M17: SCENE-CUT detection — the shot-boundary pass before keyframe
+   * selection, over the REAL Y4M demux. The fixture plants a sustained
+   * scene change (every luma sample of frames t ≥ 2 lifts by 40), so
+   * the frame-to-frame mean delta is 3 everywhere except a 43 spike
+   * exactly at the cut; threshold 10 separates them with an
+   * integer-exact compare. The oracle replays deltas in closed form
+   * from `length(text)` — the same lossless-codec contract as m5. */
+  def videoSceneCutsQ(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsY4m(Tpar(s, dir, "documents"),
+      "doc_id", "text", cutAtFrame = 2, cutDelta = 40)
+    Multimodal.videoSceneCuts(packed, threshold = 10)
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** X23: FEATURE-HASHED text embeddings
    * ([[TextAnalysis.hashedEmbedding]] — the Weinberger et al. 2009
    * hashing trick): the text → vector-space bridge, so the similarity
@@ -2783,6 +2797,7 @@ object LlmQueries {
     "m3_audio_stats" -> (audioStats _),
     "m4_image_resize" -> (imageResize _),
     "m5_video_stats" -> (videoStats _),
+    "m17_video_scene_cuts" -> (videoSceneCutsQ _),
     "m6_image_phash_dedup" -> (imagePHashDedup _),
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
@@ -4953,6 +4968,17 @@ object LlmQueries {
     // b = W·H·a + H·ΣX + W·ΣY, stream sum = nf·b + 3·W·H·Σt; the
     // stride-2 sampler keeps frames t=0,2,… → ns = (nf+1)//2 with
     // Σ(sampled t) = 2·(0+1+…+(ns−1)) = ns·(ns−1)
+    // m17 = the planted-cut stream's deltas in closed form: the uniform
+    // +3/frame ramp everywhere, +40 once at the sustained scene change
+    // (which exists only when the clip reaches frame 2)
+    "m17_video_scene_cuts" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 5 AS nf FROM documents)
+        |SELECT doc_id AS media_id, CAST(t AS INTEGER) AS frame_idx,
+        |  (3 + CASE WHEN t = 2 THEN 40 ELSE 0 END)::DOUBLE AS delta_mean,
+        |  (3 + CASE WHEN t = 2 THEN 40 ELSE 0 END) > 10 AS is_cut
+        |FROM (SELECT doc_id, unnest(range(1, nf)) AS t FROM d)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "m5_video_stats" ->
       """WITH d AS (
         |  SELECT doc_id, 2 * (1 + length(text) % 6) AS w,

@@ -700,7 +700,9 @@ object Multimodal {
   def packAsY4m(df: DataFrame, idCol: String, textCol: String,
                 brightnessShift: Int = 0,
                 perturbWindows: Seq[Int] = Nil,
-                perturbDelta: Int = 0): DataFrame = {
+                perturbDelta: Int = 0,
+                cutAtFrame: Int = -1,
+                cutDelta: Int = 0): DataFrame = {
     // near-dup planting, two distortion axes: `brightnessShift` lifts
     // EVERY luma sample by a constant (a global levels change — the
     // fingerprint is exactly invariant to it by design), and
@@ -711,10 +713,14 @@ object Multimodal {
     // the adjacent delta bits. 209 is the unshifted luma max, so
     // shift+delta ≤ 46 never clips and the closed-form oracle stays
     // exact.
-    require(brightnessShift >= 0 && perturbDelta >= 0 &&
-        brightnessShift + perturbDelta <= 46,
-      s"brightnessShift + perturbDelta must be in [0, 46], got " +
-        s"$brightnessShift + $perturbDelta")
+    // `cutAtFrame`/`cutDelta` plant a SCENE CHANGE: every luma sample of
+    // frames t >= cutAtFrame lifts by cutDelta — a sustained level jump
+    // (the new scene persists), so the frame-to-frame mean delta spikes
+    // once, exactly at the cut.
+    require(brightnessShift >= 0 && perturbDelta >= 0 && cutDelta >= 0 &&
+        brightnessShift + perturbDelta + cutDelta <= 46,
+      s"brightnessShift + perturbDelta + cutDelta must be in [0, 46], got " +
+        s"$brightnessShift + $perturbDelta + $cutDelta")
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -748,11 +754,13 @@ object Multimodal {
         var t = 0
         while (t < nf) {
           buf.put(frameMark)
+          val cut = if (cutAtFrame >= 0 && t >= cutAtFrame) cutDelta else 0
           var y = 0
           while (y < h) {
             var x = 0
             while (x < w) {
-              buf.put((a + x + y + 3 * t + bump(t * w * h + y * w + x)).toByte)
+              buf.put((a + x + y + 3 * t + cut +
+                bump(t * w * h + y * w + x)).toByte)
               x += 1
             }
             y += 1
@@ -783,6 +791,40 @@ object Multimodal {
       val decoder = new Y4mDecoder // per-partition init (amortized)
       rows.map(r =>
         Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), sampleStride)))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** SCENE-CUT detection over the real Y4M demux — the shot-boundary
+   * pass a video training pipeline runs before picking representative
+   * frames (one keyframe per SHOT beats every-Nth when content is
+   * static for minutes then cuts): per-frame luma means from the real
+   * plane reads, one row per adjacent frame pair, a cut where the mean
+   * jumps by more than `threshold` luma levels. The comparison is
+   * integer-exact (|Σy(t) − Σy(t−1)| > threshold · w·h — no float
+   * threshold); the reported delta is one small-int division. Per-clip
+   * work is one linear scan of the luma planes in the same
+   * partition-batched codec seam as every m-gate; downstream shot
+   * tables carry (media_id, frame_idx) — never pixels. */
+  def videoSceneCuts(df: DataFrame, threshold: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("delta_mean", DoubleType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new Y4mDecoder // per-partition init (amortized)
+      rows.flatMap { r =>
+        val (w, h, sums) = decoder.frameLumaSums(r.getAs[Array[Byte]](1))
+        val ySize = w.toLong * h
+        (1 until sums.length).iterator.map { t =>
+          val diff = sums(t) - sums(t - 1)
+          Row(r.getLong(0), t, diff.toDouble / ySize,
+            math.abs(diff) > threshold * ySize)
+        }
+      }
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -974,6 +1016,21 @@ final class Y4mDecoder {
     }
     require(offs.nonEmpty, "empty Y4M stream: no frames")
     offs.toArray
+  }
+
+  /** Per-frame luma sums from the demuxed planes — the scene-cut
+   * detector's input: (width, height, one Σy per frame). */
+  def frameLumaSums(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val sh = parseHeader(bytes)
+    val offs = lumaOffsets(bytes, sh)
+    val ySize = sh.w * sh.h
+    val sums = offs.map { o =>
+      var s = 0L
+      var i = 0
+      while (i < ySize) { s += bytes(o + i) & 0xff; i += 1 }
+      s
+    }
+    (sh.w, sh.h, sums)
   }
 
   /** `sampleStride` keeps every stride-th frame (from frame 0) in the
