@@ -2403,6 +2403,37 @@ object LlmQueries {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** M18: SHOT-aware keyframe selection — m17's cuts folded into the
+   * verb the pipeline actually wants: per-shot segments (shot_id = the
+   * running count of cuts at or before the frame) and one
+   * representative frame per shot (the middle one — deterministic,
+   * content-position-free). "One keyframe per shot" is the sampling
+   * contract every-Nth-frame (m2/m5's stride) cannot give: a static
+   * hour then a cut yields two keyframes, not 1800 near-identical
+   * ones. The fold is a window cum-sum + one groupBy over the m17
+   * delta rows — shot tables stay (media_id, ints), never pixels. */
+  def shotKeyframesQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = Multimodal.packAsY4m(Tpar(s, dir, "documents"),
+      "doc_id", "text", cutAtFrame = 2, cutDelta = 40)
+    val deltas = Multimodal.videoSceneCuts(packed, threshold = 10)
+    // frame 0 opens shot 0; every cut frame opens the next shot
+    val frames = packed
+      .select(col("media_id"), lit(0).as("frame_idx"), lit(false).as("is_cut"))
+      .unionByName(deltas.select("media_id", "frame_idx", "is_cut"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("shot_id",
+        sum(col("is_cut").cast(IntegerType)).over(w).cast(IntegerType))
+      .groupBy("media_id", "shot_id")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).cast(IntegerType).as("n_frames"))
+      .withColumn("keyframe_idx",
+        expr("(start_frame + end_frame) div 2").cast(IntegerType))
+      .orderBy("media_id", "shot_id")
+  }
+
   /** X23: FEATURE-HASHED text embeddings
    * ([[TextAnalysis.hashedEmbedding]] — the Weinberger et al. 2009
    * hashing trick): the text → vector-space bridge, so the similarity
@@ -2798,6 +2829,7 @@ object LlmQueries {
     "m4_image_resize" -> (imageResize _),
     "m5_video_stats" -> (videoStats _),
     "m17_video_scene_cuts" -> (videoSceneCutsQ _),
+    "m18_shot_keyframes" -> (shotKeyframesQ _),
     "m6_image_phash_dedup" -> (imagePHashDedup _),
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
@@ -4979,6 +5011,21 @@ object LlmQueries {
         |  (3 + CASE WHEN t = 2 THEN 40 ELSE 0 END) > 10 AS is_cut
         |FROM (SELECT doc_id, unnest(range(1, nf)) AS t FROM d)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // m18 = the shot fold in closed form: the only cut is the planted
+    // one at t=2 (when the clip reaches it), so shots are [0,1] and
+    // [2, nf-1] — or one shot when nf <= 2
+    "m18_shot_keyframes" ->
+      """WITH d AS (SELECT doc_id, 1 + length(text) % 5 AS nf FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, nf)) AS t FROM d),
+        |s AS (SELECT doc_id, t,
+        |        CASE WHEN t >= 2 THEN 1 ELSE 0 END AS shot_id FROM f)
+        |SELECT doc_id AS media_id, CAST(shot_id AS INTEGER) AS shot_id,
+        |  CAST(min(t) AS INTEGER) AS start_frame,
+        |  CAST(max(t) AS INTEGER) AS end_frame,
+        |  CAST(count(*) AS INTEGER) AS n_frames,
+        |  CAST((min(t) + max(t)) // 2 AS INTEGER) AS keyframe_idx
+        |FROM s GROUP BY doc_id, s.shot_id
+        |ORDER BY media_id, shot_id""".stripMargin,
     "m5_video_stats" ->
       """WITH d AS (
         |  SELECT doc_id, 2 * (1 + length(text) % 6) AS w,
