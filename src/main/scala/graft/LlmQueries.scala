@@ -1129,9 +1129,10 @@ object LlmQueries {
    * plus the 2-means sub-centroids each planned split needs, trained on
    * only that cell's members (e18's O(|cell|) contract). */
   private val applyMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)])]
+    .empty[String, (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)],
+      Map[Int, Long])]
   private def maintenancePlanState(s: SparkSession, dir: String):
-      (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)]) =
+      (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)], Map[Int, Long]) =
     applyMemo.getOrElseUpdate(dir, {
       val cents = trainedCentsBase(s, dir)
       val emb = embFrame(s, dir)
@@ -1153,7 +1154,7 @@ object LlmQueries {
           emb.filter(Similarity.ivfAssignD(col("vec"), cents) === c),
           nCells = 2, dim = Dim, iters = 3)
       }
-      (splits, merge)
+      (splits, merge, (0 until NCells).map(j => j -> occ(j)).toMap)
     })
 
   /** E30: maintenance plan EXECUTION — closes the loop e29 opens. The
@@ -1174,7 +1175,7 @@ object LlmQueries {
     val books = trainedBooksBase(s, dir)
     val cents = trainedCentsBase(s, dir)
     val emb = embFrame(s, dir)
-    val (splits, mergeOpt) = maintenancePlanState(s, dir)
+    val (splits, mergeOpt, _) = maintenancePlanState(s, dir)
     CacheScope.materialized { implicit scope =>
       val index0 = scope.persist(
         Similarity.ivfPqIndex(emb, books, cents)).toDF()
@@ -1189,6 +1190,79 @@ object LlmQueries {
         .join(finalIdx.select(col("id"), col("cell").as("cell_after")),
           Seq("id"))
     }.orderBy("id")
+  }
+
+  /** Post-maintenance centroid table: splits append their 2-means
+   * sub-centroids in plan order, the merge collapses its pair into the
+   * plan-time occupancy-weighted centroid (e26's rule) and shifts
+   * higher slots down. Shared by e31's serve and its oracle. */
+  private def maintainedCents(cents: Seq[Seq[Double]],
+                              splits: Seq[(Int, Seq[Seq[Double]])],
+                              mergeOpt: Option[(Int, Int)],
+                              occ: Map[Int, Long]): Seq[Seq[Double]] = {
+    val afterSplits = splits.foldLeft(cents) { case (cs, (c, subs)) =>
+      cs.updated(c, subs(0)) :+ subs(1)
+    }
+    mergeOpt.fold(afterSplits) { case (a, b) =>
+      val (na, nb) = (occ.getOrElse(a, 0L), occ.getOrElse(b, 0L))
+      val merged =
+        if (na + nb == 0L)
+          afterSplits(a).zip(afterSplits(b)).map { case (x, y) => (x + y) / 2.0 }
+        else afterSplits(a).zip(afterSplits(b)).map { case (x, y) =>
+          (na * x + nb * y) / (na + nb).toDouble
+        }
+      afterSplits.updated(a, merged).patch(b, Nil, 1)
+    }
+  }
+
+  /** E31: the PLANNER driving maintenance through the STORE journey —
+   * e21's plumbing with e29 deciding instead of a hardcoded verb list:
+   * base from the pre-admission slice, the rest streamed through the
+   * delta dir (three checkpointed micro-batches), a threshold fold,
+   * then the e29 plan's verbs run against the STORE-read index (each
+   * split O(|cell|), the merge a narrow map), the maintained table
+   * written back to storage, and serving reads ONLY that table —
+   * candidates cannot come from anywhere else. The oracle is the
+   * rebuilt form: full-corpus assignment under the frozen base
+   * quantizer, e30's composed surgical CASE for the post-plan cells,
+   * probes against the post-maintenance centroid table. One hash
+   * equality pins the whole journey ≡ plan-applied rebuild. */
+  def storeMaintenanceJourney(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val (splits, mergeOpt, occ) = maintenancePlanState(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e31_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir)
+    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
+      .format("parquet").start()
+    q.processAllAvailable()
+    q.stop()
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    val admitted = graft.ml.IndexStore.read(s, idxDir)
+    val afterSplits = splits.zipWithIndex.foldLeft(admitted) {
+      case (idx, ((c, subs), i)) =>
+        Similarity.ivfPqSplit(idx, emb, c, subs, newCell = NCells + i)
+    }
+    val maintained = mergeOpt.fold(afterSplits) { case (a, b) =>
+      Similarity.ivfPqMerge(afterSplits, a, b)
+    }
+    // the maintained index is the serving table: written back to
+    // storage, read back, searched — same discipline as e21
+    val servedDir = s"$base/maintained"
+    maintained.write.mode("overwrite").parquet(servedDir)
+    val newCents = maintainedCents(cents, splits, mergeOpt, occ)
+    Similarity.ivfPqSearchIndex(emb.filter(col("id") < 5),
+        s.read.parquet(servedDir), TopK, books, newCents, NProbe)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
   }
 
   /** W11: streamed serving FROM THE LIVE STORE — w10's foreachBatch
@@ -2798,6 +2872,7 @@ object LlmQueries {
     "e28_store_time_travel" -> (storeTimeTravelServe _),
     "e29_maintenance_plan" -> (maintenancePlan _),
     "e30_maintenance_apply" -> (maintenanceApply _),
+    "e31_store_maintenance" -> (storeMaintenanceJourney _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
@@ -3199,7 +3274,7 @@ object LlmQueries {
     // higher cell — including the split-appended ones
     "e30_maintenance_apply" -> ((s, dir) => {
       val cents = trainedCentsBase(s, dir)
-      val (splits, mergeOpt) = maintenancePlanState(s, dir)
+      val (splits, mergeOpt, _) = maintenancePlanState(s, dir)
       val constCols = s"${doubleLit2(cents)} AS ct" +:
         splits.zipWithIndex.map { case ((_, subs), i) =>
           s"${doubleLit2(subs)} AS s$i" }
@@ -3221,6 +3296,41 @@ object LlmQueries {
          |a1 AS (SELECT id, cell_before, ($splitCase) AS cell1 FROM a0)
          |SELECT id, cell_before, ($mergeCase) AS cell_after FROM a1
          |ORDER BY id""".stripMargin
+    }),
+    // e31 = the plan-applied REBUILD: full-corpus assignment under the
+    // frozen base quantizer with e30's composed surgical CASE on the
+    // corpus side, probes against the post-maintenance table ct2 —
+    // the journey (store admission, fold, planner verbs, write-back,
+    // serve-from-storage) must hash-equal this closed form
+    "e31_store_maintenance" -> ((s, dir) => {
+      val books = trainedBooksBase(s, dir)
+      val cents = trainedCentsBase(s, dir)
+      val (splits, mergeOpt, occ) = maintenancePlanState(s, dir)
+      val n = cents.size
+      val newCents = maintainedCents(cents, splits, mergeOpt, occ)
+      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+      val splitCase =
+        if (splits.isEmpty) s"($oldCell)"
+        else "(CASE " + splits.zipWithIndex.map { case ((c, _), i) =>
+          s"""WHEN $oldCell = ${c + 1} THEN
+             |      (CASE WHEN -(${rankedSql("embedding", 2, s"sc$i")})[1].nj = 1
+             |       THEN ${c + 1} ELSE ${n + i + 1} END)""".stripMargin
+        }.mkString(" ") + s" ELSE $oldCell END)"
+      val cCell = mergeOpt.fold(splitCase) { case (a, b) =>
+        s"""CASE WHEN $splitCase = ${b + 1} THEN ${a + 1}
+           |     WHEN $splitCase > ${b + 1} THEN $splitCase - 1
+           |     ELSE $splitCase END""".stripMargin
+      }
+      val subCtes = splits.zipWithIndex.map { case ((_, subs), i) =>
+        s"subc$i AS (SELECT ${doubleLit2(subs)} AS sc$i)" }
+      val extra = (s"cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2)" +: subCtes)
+        .mkString("", ",\n", ",\n")
+      ivfPqOracleSql(doubleLit2(cents), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        extraCtes = extra,
+        fromExtra = ", cents2" + splits.indices.map(i => s", subc$i").mkString,
+        cCell = cCell,
+        qRanked = rankedSql("embedding", newCents.size, "ct2"))
     }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
