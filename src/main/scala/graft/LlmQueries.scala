@@ -267,6 +267,14 @@ object LlmQueries {
       Dedup.duplicateSpans(Tpar(s, dir, "documents"), "doc_id", "text", k = 15)
     }.orderBy("doc_id", "span_start")
 
+  /** X27: n-gram novelty — the marginal-information score a mixing
+   * pipeline dials on: the fraction of each doc's distinct trigram
+   * shingles appearing nowhere else in the corpus. */
+  def noveltyScoreQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      Dedup.noveltyScore(Tpar(s, dir, "documents"), "doc_id", "text", k = 3)
+    }.orderBy("doc_id")
+
   /** X26: containment near-dup — the asymmetric |A∩B|/|A| verdict over
    * informative (df-capped) shingles (the d-family's trigram space);
    * finds the quoted-inside pairs Jaccard misses. Threshold ½,
@@ -2837,6 +2845,7 @@ object LlmQueries {
     "d11_dup_spans" -> (duplicateSpans _),
     "x25_span_dedup_repair" -> (spanDedupRepairQ _),
     "x26_containment_pairs" -> (containmentPairsQ _),
+    "x27_novelty_score" -> (noveltyScoreQ _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
@@ -4526,6 +4535,18 @@ object LlmQueries {
          |FROM shr JOIN na ON ida = na.doc_id
          |WHERE shared * 2 >= n_a
          |ORDER BY ida, idb""".stripMargin,
+    // x27 = df per shingle, novel = df 1, one small-int division
+    "x27_novelty_score" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents)),
+         |d AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS novelty
+         |FROM sh JOIN d USING (h) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // x25 = the repair replayed in closed form: duplicated windows with
     // their min-doc keeper, removed positions = the union of non-keeper
     // windows' [i, i+15), survivors reassembled by position

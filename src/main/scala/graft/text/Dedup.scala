@@ -587,6 +587,33 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"))
   }
 
+  /** X27: n-gram NOVELTY score — the per-document data-valuation dual
+   * of [[containmentPairs]]: the fraction of a doc's distinct shingles
+   * that appear NOWHERE else in the corpus (df = 1). A mixing pipeline
+   * uses it as the marginal-information dial: docs scoring near 0 are
+   * recombinations of text the corpus already has (even when no single
+   * pair crosses a dedup threshold), docs near 1 bring new content.
+   * Two narrow aggregations over the same 8-byte shingle-hash frame
+   * the dedup family shuffles — df per shingle, then novel-count per
+   * doc — never a pairwise join, so at 100 TB it costs two map-side-
+   * combined shuffles of (hash, id). The score is one small-int
+   * division, bit-identical in the oracle. */
+  def noveltyScore(df: DataFrame, idCol: String, textCol: String, k: Int)
+                  (implicit scope: graft.operators.CacheScope): DataFrame = {
+    val sh = scope.persist(df
+      .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
+      .select(col(idCol),
+        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("_h")))
+    val dfCount = sh.groupBy("_h").agg(count(lit(1)).as("_df"))
+    sh.join(dfCount, Seq("_h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** X26: CONTAINMENT near-dup — the asymmetric overlap |A∩B| / |A|
    * over informative shingles, the case Jaccard-based detection (d2/d4)
    * structurally misses: a short document quoted whole inside a much
