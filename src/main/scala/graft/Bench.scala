@@ -49,7 +49,10 @@ object Bench {
       "e13b_ann_recall_trained", "m6_image_phash_dedup",
       "m11_video_fp_dedup", "x2_quality_score", "x5_repetition",
       "x13_mix_report", "x15_quality_classifier", "x19_gopher_rules",
-      "x23_hashed_embedding")
+      "x23_hashed_embedding",
+      // r12 additions over the 1.4 cutoff (PruneAudit at sf0.1:
+      // m17 2.9, q20 1.6)
+      "m17_video_scene_cuts", "q20_percentile")
     def consume(name: String, df: org.apache.spark.sql.DataFrame): Unit =
       if (consumeAll(name))
         df.select(org.apache.spark.sql.functions.expr(

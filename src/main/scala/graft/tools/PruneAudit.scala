@@ -23,8 +23,12 @@ object PruneAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = graft.SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => n.matches("^(q|x|j|d|e|m)\\d.*"))
+    // optional args restrict the audit to the named gates (local
+    // iteration after adding gates); no args = the full batch families
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(graft.SparkEntry.queries.contains).sorted
+      else graft.SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => n.matches("^(q|x|j|d|e|m)\\d.*"))
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
