@@ -371,4 +371,50 @@ class PlanQualitySpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
       "partial + final aggregate expected around the exchange")
   }
+
+  // the shared claim of the shingle family's r12 additions: text never
+  // rides a shuffle — every join condition and grouping key is a hash
+  // (long), a digest (binary) or an id
+  private def assertNoTextShuffle(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.StringType
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected at least one join")
+    joins.foreach { j =>
+      val refs = j.condition.toSeq.flatMap(_.references.toSeq)
+      assert(refs.forall(_.dataType != StringType),
+        s"document text in a join key: ${refs.map(r => s"${r.name}:${r.dataType}")}")
+    }
+    lp.collect { case a: Aggregate if a.groupingExpressions.nonEmpty => a }
+      .foreach { a =>
+        assert(a.groupingExpressions.forall(_.dataType != StringType),
+          s"document text as a grouping key: ${a.groupingExpressions.map(_.dataType)}")
+      }
+    assert(!plan(df).contains("CartesianProduct"))
+  }
+
+  test("containment pairs: posting join shuffles hashes and ids, never text") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assertNoTextShuffle(graft.text.Dedup.containmentPairs(
+        docs, "doc_id", "text", k = 3, tauNum = 1, tauDen = 2, maxDf = 20))
+    }
+  }
+
+  test("novelty score: both aggregations key on the hash, never text") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assertNoTextShuffle(graft.text.Dedup.noveltyScore(
+        docs, "doc_id", "text", k = 3))
+    }
+  }
+
+  test("span-dedup repair: window digests and positions shuffle, never text") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assertNoTextShuffle(graft.text.Dedup.spanDedupRepair(
+        docs, "doc_id", "text", k = 15))
+    }
+  }
 }
