@@ -275,6 +275,19 @@ object LlmQueries {
       Dedup.noveltyScore(Tpar(s, dir, "documents"), "doc_id", "text", k = 3)
     }.orderBy("doc_id")
 
+  /** X28: admission-time novelty — x27's production form: incoming
+   * docs (id ≥ 400, the embeddings family's admission boundary) score
+   * against the frozen reference's distinct-shingle set; per-batch
+   * cost is one batch-side join, never a corpus-wide df recompute. */
+  def noveltyAtAdmissionQ(s: SparkSession, dir: String): DataFrame =
+    CacheScope.materialized { implicit scope =>
+      val docs = Tpar(s, dir, "documents")
+      Dedup.noveltyAtAdmission(
+        docs.filter(col("doc_id") < AdmitBoundary),
+        docs.filter(col("doc_id") >= AdmitBoundary),
+        "doc_id", "text", k = 3)
+    }.orderBy("doc_id")
+
   /** X26: containment near-dup — the asymmetric |A∩B|/|A| verdict over
    * informative (df-capped) shingles (the d-family's trigram space);
    * finds the quoted-inside pairs Jaccard misses. Threshold ½,
@@ -2846,6 +2859,7 @@ object LlmQueries {
     "x25_span_dedup_repair" -> (spanDedupRepairQ _),
     "x26_containment_pairs" -> (containmentPairsQ _),
     "x27_novelty_score" -> (noveltyScoreQ _),
+    "x28_novelty_admission" -> (noveltyAtAdmissionQ _),
     "d12_neardedup_corpus" -> (nearDedupCorpus _),
     "x17_temperature_mix" -> (temperatureMixQ _),
     "e9_knn_graph" -> (knnGraphQ _),
@@ -4547,6 +4561,22 @@ object LlmQueries {
          |    / count(*)::DOUBLE AS novelty
          |FROM sh JOIN d USING (h) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // x28 = the reference's distinct shingles, one left join per batch doc
+    "x28_novelty_admission" ->
+      s"""WITH rsh AS (
+         |  SELECT DISTINCT unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents
+         |        WHERE doc_id < 400)),
+         |ish AS (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM documents
+         |        WHERE doc_id >= 400))
+         |SELECT i.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_known,
+         |  sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS novelty
+         |FROM ish i LEFT JOIN rsh r USING (h) GROUP BY i.doc_id
+         |ORDER BY i.doc_id""".stripMargin,
     // x25 = the repair replayed in closed form: duplicated windows with
     // their min-doc keeper, removed positions = the union of non-keeper
     // windows' [i, i+15), survivors reassembled by position

@@ -614,6 +614,33 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** X28: novelty AT ADMISSION — [[noveltyScore]]'s production form:
+   * an incoming batch scores against a FROZEN reference corpus (the
+   * d13 admission shape), so nothing recomputes corpus-wide df per
+   * batch. The reference's distinct-shingle set is the persisted
+   * artifact admission reuses run after run — at 100 TB it's built
+   * once and the per-batch cost is one left join of the BATCH's
+   * shingles against it (batch-side shuffle only; the reference side
+   * is the pre-bucketed big build side). novelty = the fraction of an
+   * incoming doc's distinct shingles the reference has never seen. */
+  def noveltyAtAdmission(reference: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String, k: Int)
+                        (implicit scope: graft.operators.CacheScope): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
+      .select(col(idCol),
+        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("_h"))
+    val refSet = scope.persist(sh(reference).select("_h").distinct())
+    sh(incoming)
+      .join(refSet.withColumn("_known", lit(1L)), Seq("_h"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_known"), lit(0L))).as("n_known"))
+      .select(col(idCol), col("n_shingles"), col("n_known"),
+        ((col("n_shingles") - col("n_known")).cast("double") /
+          col("n_shingles").cast("double")).as("novelty"))
+  }
+
   /** X26: CONTAINMENT near-dup — the asymmetric overlap |A∩B| / |A|
    * over informative shingles, the case Jaccard-based detection (d2/d4)
    * structurally misses: a short document quoted whole inside a much
