@@ -1236,6 +1236,76 @@ object LlmQueries {
     }
   }
 
+  /** The e31/e32 oracles' shared parts: the composed surgical cell
+   * CASE in rankedSql's 1-based space (split members choose their
+   * 2-means side, merged members relabel to the surviving slot, the
+   * shift renumbers everything above — appended cells included), the
+   * literal CTEs it references, and the post-maintenance table. */
+  private def maintenanceOracleParts(s: SparkSession, dir: String):
+      (String, String, String, Seq[Seq[Double]]) = {
+    val cents = trainedCentsBase(s, dir)
+    val (splits, mergeOpt, occ) = maintenancePlanState(s, dir)
+    val n = cents.size
+    val newCents = maintainedCents(cents, splits, mergeOpt, occ)
+    val oldCell = s"-(${rankedSql("embedding")})[1].nj"
+    val splitCase =
+      if (splits.isEmpty) s"($oldCell)"
+      else "(CASE " + splits.zipWithIndex.map { case ((c, _), i) =>
+        s"""WHEN $oldCell = ${c + 1} THEN
+           |      (CASE WHEN -(${rankedSql("embedding", 2, s"sc$i")})[1].nj = 1
+           |       THEN ${c + 1} ELSE ${n + i + 1} END)""".stripMargin
+      }.mkString(" ") + s" ELSE $oldCell END)"
+    val cCell = mergeOpt.fold(splitCase) { case (a, b) =>
+      s"""CASE WHEN $splitCase = ${b + 1} THEN ${a + 1}
+         |     WHEN $splitCase > ${b + 1} THEN $splitCase - 1
+         |     ELSE $splitCase END""".stripMargin
+    }
+    val subCtes = splits.zipWithIndex.map { case ((_, subs), i) =>
+      s"subc$i AS (SELECT ${doubleLit2(subs)} AS sc$i)" }
+    val extra = (s"cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2)" +: subCtes)
+      .mkString("", ",\n", ",\n")
+    (cCell, extra,
+      ", cents2" + splits.indices.map(i => s", subc$i").mkString, newCents)
+  }
+
+  /** E32: the plan's verbs under the RESIDUAL family — e30's composed
+   * execution where re-encode-on-move applies at EVERY step: each
+   * split re-encodes both of its cell's sides against their 2-means
+   * sub-centroids ([[Similarity.ivfPqResidualSplit]]), the merge
+   * re-encodes both cells against the merged centroid
+   * ([[Similarity.ivfPqResidualMerge]]), untouched cells shift labels
+   * with codes intact (their centroids didn't move). The composed
+   * invariant the oracle pins: after the whole plan, EVERY member's
+   * codes are its residual against the FINAL table's slot — uniform,
+   * because a centroid changed exactly where a re-encode ran. Serving
+   * probes the post-maintenance table; one stale code anywhere
+   * mismatches that member's every score. */
+  def residualMaintenanceApply(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedResidualBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val (splits, mergeOpt, occ) = maintenancePlanState(s, dir)
+    val emb = embFrame(s, dir)
+    val newCents = maintainedCents(cents, splits, mergeOpt, occ)
+    CacheScope.materialized { implicit scope =>
+      val index0 = scope.persist(
+        Similarity.ivfPqResidualIndex(emb, books, cents)).toDF()
+      val afterSplits = splits.zipWithIndex.foldLeft(index0: DataFrame) {
+        case (idx, ((c, subs), i)) =>
+          Similarity.ivfPqResidualSplit(idx, emb, c, subs,
+            newCell = NCells + i, books)
+      }
+      val maintained = mergeOpt.fold(afterSplits) { case (a, b) =>
+        // slot a < b < NCells, so its index is unshifted in the final
+        // table — newCents(a) IS the merged centroid
+        Similarity.ivfPqResidualMerge(afterSplits, emb, a, b,
+          newCents(a), books)
+      }
+      Similarity.ivfPqResidualSearchIndex(emb.filter(col("id") < 5),
+          maintained, TopK, books, newCents, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    }.orderBy("query_id", "rank")
+  }
+
   /** E31: the PLANNER driving maintenance through the STORE journey —
    * e21's plumbing with e29 deciding instead of a hardcoded verb list:
    * base from the pre-admission slice, the rest streamed through the
@@ -2896,6 +2966,7 @@ object LlmQueries {
     "e29_maintenance_plan" -> (maintenancePlan _),
     "e30_maintenance_apply" -> (maintenanceApply _),
     "e31_store_maintenance" -> (storeMaintenanceJourney _),
+    "e32_residual_maintenance" -> (residualMaintenanceApply _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
@@ -3327,33 +3398,27 @@ object LlmQueries {
     // serve-from-storage) must hash-equal this closed form
     "e31_store_maintenance" -> ((s, dir) => {
       val books = trainedBooksBase(s, dir)
-      val cents = trainedCentsBase(s, dir)
-      val (splits, mergeOpt, occ) = maintenancePlanState(s, dir)
-      val n = cents.size
-      val newCents = maintainedCents(cents, splits, mergeOpt, occ)
-      val oldCell = s"-(${rankedSql("embedding")})[1].nj"
-      val splitCase =
-        if (splits.isEmpty) s"($oldCell)"
-        else "(CASE " + splits.zipWithIndex.map { case ((c, _), i) =>
-          s"""WHEN $oldCell = ${c + 1} THEN
-             |      (CASE WHEN -(${rankedSql("embedding", 2, s"sc$i")})[1].nj = 1
-             |       THEN ${c + 1} ELSE ${n + i + 1} END)""".stripMargin
-        }.mkString(" ") + s" ELSE $oldCell END)"
-      val cCell = mergeOpt.fold(splitCase) { case (a, b) =>
-        s"""CASE WHEN $splitCase = ${b + 1} THEN ${a + 1}
-           |     WHEN $splitCase > ${b + 1} THEN $splitCase - 1
-           |     ELSE $splitCase END""".stripMargin
-      }
-      val subCtes = splits.zipWithIndex.map { case ((_, subs), i) =>
-        s"subc$i AS (SELECT ${doubleLit2(subs)} AS sc$i)" }
-      val extra = (s"cents2 AS (SELECT ${doubleLit2(newCents)} AS ct2)" +: subCtes)
-        .mkString("", ",\n", ",\n")
-      ivfPqOracleSql(doubleLit2(cents), doubleLit3(books),
+      val (cCell, extra, fromExtra, newCents) = maintenanceOracleParts(s, dir)
+      ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
         doubleLit2(Similarity.pqCellNorms(books)),
         extraCtes = extra,
-        fromExtra = ", cents2" + splits.indices.map(i => s", subc$i").mkString,
+        fromExtra = fromExtra,
         cCell = cCell,
         qRanked = rankedSql("embedding", newCents.size, "ct2"))
+    }),
+    // e32 = the same composed CASE under the residual oracle: residuals
+    // AND serving both against the post-maintenance table ct2, so a
+    // stale code beside any moved centroid — a split side, either
+    // merged cell — would mismatch every one of its scores
+    "e32_residual_maintenance" -> ((s, dir) => {
+      val books = trainedResidualBooksBase(s, dir)
+      val (cCell, extra, fromExtra, newCents) = maintenanceOracleParts(s, dir)
+      residualOracleSql(doubleLit2(trainedCentsBase(s, dir)), doubleLit3(books),
+        doubleLit2(Similarity.pqCellNorms(books)),
+        extraCtes = extra,
+        fromExtra = fromExtra,
+        cCell = cCell,
+        serveCt = "ct2", serveN = newCents.size)
     }),
     // e22 = IndexIVFPQR: e19's fully-residualized candidate query
     // (widened to 3k) nested under the same exact-rerank wrapper
