@@ -1110,19 +1110,26 @@ object LlmQueries {
    * the O(nCells) stats frame, like every trained-constant memo. */
   def maintenancePlan(s: SparkSession, dir: String): DataFrame = {
     val cents = trainedCentsBase(s, dir)
-    val emb = embFrame(s, dir)
-    val total = emb.count()
+    val cells = embFrame(s, dir)
+      .select(Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+    planFromCells(s, cells).orderBy("action", "cell_a")
+  }
+
+  /** The e29 rules over a prebuilt cell-label frame — the planner core
+   * shared by the batch gate and w13's per-trigger observation. The
+   * planner never reads a vector: its input is the index table's cell
+   * column, its cost one narrow aggregation + an O(nCells) driver
+   * fold. */
+  private def planFromCells(s: SparkSession, cells: DataFrame): DataFrame =
     CacheScope.materialized { implicit scope =>
-      val counts = emb
-        .select(Similarity.ivfAssignD(col("vec"), cents).as("cell"))
-        .groupBy("cell").count()
       // fixed denominator nCells: EMPTY cells stay in the frame — they
       // are exactly what merge reclaims, and a non-empty-only mean
       // would drift as cells hollow out
       val o = scope.persist(
         s.range(NCells).select(col("id").cast(IntegerType).as("cell"))
-          .join(counts, Seq("cell"), "left")
+          .join(cells.groupBy("cell").count(), Seq("cell"), "left")
           .select(col("cell"), coalesce(col("count"), lit(0L)).as("occ"))).toDF()
+      val total = o.agg(sum(col("occ"))).collect()(0).getLong(0)
       val splits = o.filter(col("occ") * NCells > lit(total))
         .orderBy(col("occ").desc, col("cell")).limit(2)
         .select(lit("split").as("action"), col("cell").as("cell_a"),
@@ -1140,7 +1147,46 @@ object LlmQueries {
         merges.toDF("action", "cell_a", "cell_b", "occupancy")
           .select(col("action"), col("cell_a"),
             col("cell_b").cast(IntegerType), col("occupancy")))
-    }.orderBy("action", "cell_a")
+    }
+
+  /** W13: the planner INSIDE the admission stream — continuous
+   * observation: each micro-batch appends its cell labels to the index
+   * table, then the e29 rules run over the whole table as of that
+   * trigger, and the trigger's plan frame lands in an idempotent
+   * `batch_id=` dir (the w12 replay discipline). The stream only
+   * OBSERVES — planning needs no vector and no training, so it rides
+   * the ingest loop at one narrow aggregation per trigger; a separate
+   * maintenance window (e31) drains the recorded backlog. The gate
+   * pins the full plan HISTORY: three waves → three plan frames, each
+   * derived from exactly its admission prefix. */
+  def streamMaintenancePlans(s: SparkSession, dir: String): DataFrame = {
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/w13_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/idx"
+    val plansDir = s"$base/plans"
+    emb.filter(col("id") < AdmitBoundary)
+      .select(col("id"), Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+      .write.mode("overwrite").parquet(idxDir)
+    val q = stream
+      .select(col("id"), Similarity.ivfAssignD(col("vec"), cents).as("cell"))
+      .writeStream.option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        batch.write.mode("append").parquet(idxDir)
+        planFromCells(sp, sp.read.parquet(idxDir).select("cell"))
+          .write.mode("overwrite").parquet(s"$plansDir/batch_id=$id")
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(plansDir)
+      .select(col("batch_id").cast(IntegerType).as("batch_id"),
+        col("action"), col("cell_a"), col("cell_b"), col("occupancy"))
+      .orderBy("batch_id", "action", "cell_a")
   }
 
   /** E30's executable form of the e29 plan, memoized per dir: the same
@@ -1235,6 +1281,35 @@ object LlmQueries {
       afterSplits.updated(a, merged).patch(b, Nil, 1)
     }
   }
+
+  /** The e29 rules as one SQL block over `embeddings WHERE pred` —
+   * shared by the batch planner oracle (pred TRUE) and w13's
+   * per-trigger history (one block per admission prefix, each
+   * prefixed with its batch_id literal via `batchSel`). */
+  private def planOracleBlock(cents: Seq[Seq[Double]], pred: String,
+                              batchSel: String = ""): String =
+    s"""WITH cents AS (SELECT ${doubleLit2(cents)} AS ct),
+       |asg AS (SELECT (-(${rankedSql("embedding")})[1].nj - 1) AS cell
+       |        FROM embeddings, cents WHERE $pred),
+       |occ AS (
+       |  SELECT r.cell, coalesce(c.n, 0) AS occ
+       |  FROM (SELECT unnest(range(0, $NCells)) AS cell) r
+       |  LEFT JOIN (SELECT cell, count(*) AS n FROM asg GROUP BY cell) c
+       |  USING (cell)),
+       |tot AS (SELECT count(*) AS t FROM embeddings WHERE $pred),
+       |splits AS (
+       |  SELECT 'split' AS action, cell::INTEGER AS cell_a,
+       |    CAST(NULL AS INTEGER) AS cell_b, occ::BIGINT AS occupancy
+       |  FROM occ, tot WHERE occ * $NCells > t
+       |  ORDER BY occ DESC, cell LIMIT 2),
+       |low2 AS (SELECT cell, occ FROM occ ORDER BY occ, cell LIMIT 2),
+       |merges AS (
+       |  SELECT 'merge' AS action, min(cell)::INTEGER AS cell_a,
+       |    max(cell)::INTEGER AS cell_b, sum(occ)::BIGINT AS occupancy
+       |  FROM low2
+       |  HAVING sum(occ) * $NCells <= 2 * (SELECT t FROM tot))
+       |SELECT ${batchSel}action, cell_a, cell_b, occupancy FROM splits
+       |UNION ALL SELECT ${batchSel}action, cell_a, cell_b, occupancy FROM merges""".stripMargin
 
   /** The e31/e32 oracles' shared parts: the composed surgical cell
    * CASE in rankedSql's 1-based space (split members choose their
@@ -2967,6 +3042,7 @@ object LlmQueries {
     "e30_maintenance_apply" -> (maintenanceApply _),
     "e31_store_maintenance" -> (storeMaintenanceJourney _),
     "e32_residual_maintenance" -> (residualMaintenanceApply _),
+    "w13_stream_maintenance_plans" -> (streamMaintenancePlans _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
@@ -3335,31 +3411,22 @@ object LlmQueries {
     // by (occ DESC, cell), merge = the two lowest (occ, cell) rows when
     // the merged cell stays under the split bound — all as products,
     // never a float mean
-    "e29_maintenance_plan" -> ((s, dir) => {
+    "e29_maintenance_plan" -> ((s, dir) =>
+      planOracleBlock(trainedCentsBase(s, dir), "TRUE") +
+        "\nORDER BY action, cell_a"),
+    // w13 = one e29 block per admission prefix (wave k covers
+    // vec_id % 3 <= k on top of the pre-admission slice), unioned with
+    // the trigger's batch_id — the plan history the stream records
+    "w13_stream_maintenance_plans" -> ((s, dir) => {
       val cents = trainedCentsBase(s, dir)
-      s"""WITH cents AS (SELECT ${doubleLit2(cents)} AS ct),
-         |asg AS (SELECT (-(${rankedSql("embedding")})[1].nj - 1) AS cell
-         |        FROM embeddings, cents),
-         |occ AS (
-         |  SELECT r.cell, coalesce(c.n, 0) AS occ
-         |  FROM (SELECT unnest(range(0, $NCells)) AS cell) r
-         |  LEFT JOIN (SELECT cell, count(*) AS n FROM asg GROUP BY cell) c
-         |  USING (cell)),
-         |tot AS (SELECT count(*) AS t FROM embeddings),
-         |splits AS (
-         |  SELECT 'split' AS action, cell::INTEGER AS cell_a,
-         |    CAST(NULL AS INTEGER) AS cell_b, occ::BIGINT AS occupancy
-         |  FROM occ, tot WHERE occ * $NCells > t
-         |  ORDER BY occ DESC, cell LIMIT 2),
-         |low2 AS (SELECT cell, occ FROM occ ORDER BY occ, cell LIMIT 2),
-         |merges AS (
-         |  SELECT 'merge' AS action, min(cell)::INTEGER AS cell_a,
-         |    max(cell)::INTEGER AS cell_b, sum(occ)::BIGINT AS occupancy
-         |  FROM low2
-         |  HAVING sum(occ) * $NCells <= 2 * (SELECT t FROM tot))
-         |SELECT action, cell_a, cell_b, occupancy FROM splits
-         |UNION ALL SELECT action, cell_a, cell_b, occupancy FROM merges
-         |ORDER BY action, cell_a""".stripMargin
+      val blocks = (0 until 3).map { k =>
+        "(" + planOracleBlock(cents,
+          s"(vec_id < $AdmitBoundary OR vec_id % 3 <= $k)",
+          s"$k AS batch_id, ") + ")"
+      }
+      s"""SELECT batch_id, action, cell_a, cell_b, occupancy FROM (
+         |${blocks.mkString("\nUNION ALL\n")}
+         |) ORDER BY batch_id, action, cell_a""".stripMargin
     }),
     // e30 = the plan's verbs replayed surgically over the base
     // assignment in plan order: split members choose their 2-means side
