@@ -350,6 +350,29 @@ object RelationalQueries {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Q21: RANGE window frames — the TIME-based moving aggregate q13's
+   * ROWS frames can't express: "sum of the last hour" is a frame over
+   * VALUES (all events within 3.6e9 µs of this one, ties included as
+   * peers), not over a row count. The frame key is epoch micros on
+   * both engines — numeric RANGE, so Spark's `rangeBetween` and
+   * DuckDB's `RANGE BETWEEN n PRECEDING` agree exactly, with no
+   * interval-arithmetic edge to drift; sums ride DECIMAL until the
+   * final projection (the q13 discipline). One shuffle on the
+   * partition key, one sorted pass, frame bounds advanced by two
+   * pointers — the same plan shape as every window gate. */
+  def rangeIntervalWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("us"),
+        col("value").cast(DecimalType(18, 6)).as("_v"))
+      .select(col("event_id"), col("event_type"),
+        sum(col("_v")).over(w).cast(DoubleType).as("sum_1h"),
+        count(lit(1)).over(w).cast(IntegerType).as("n_1h"))
+      .orderBy("event_id")
+  }
+
   /** Q16: the DISTRIBUTION window family — ntile quartiles, cume_dist
    * and percent_rank over a deterministic (balance, key) order per
    * segment: completes the window-function coverage next to q3's
@@ -820,6 +843,7 @@ object RelationalQueries {
     "q12_exists_semijoin" -> (existsSemiJoinSql _),
     "q15_not_exists_anti" -> (notExistsAntiSql _),
     "q13_window_frames" -> (windowFrames _),
+    "q21_range_window" -> (rangeIntervalWindow _),
     "q14_cube" -> (cubeAgg _),
     "q16_distribution_windows" -> (distributionWindows _),
     "q17_set_ops_all" -> (setOpsAll _),
@@ -900,6 +924,14 @@ object RelationalQueries {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q21_range_window" ->
+      """SELECT event_id, event_type,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h,
+        |  CAST(count(*) OVER w AS INTEGER) AS n_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q19_unpivot" ->
       """WITH p AS (SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),
