@@ -51,8 +51,8 @@ object Bench {
       "x13_mix_report", "x15_quality_classifier", "x19_gopher_rules",
       "x23_hashed_embedding",
       // r12 additions over the 1.4 cutoff (PruneAudit at sf0.1:
-      // m17 2.9, q20 1.6)
-      "m17_video_scene_cuts", "q20_percentile")
+      // q21 4.2, m17 2.9, q20 1.6)
+      "m17_video_scene_cuts", "q20_percentile", "q21_range_window")
     def consume(name: String, df: org.apache.spark.sql.DataFrame): Unit =
       if (consumeAll(name))
         df.select(org.apache.spark.sql.functions.expr(
