@@ -2629,6 +2629,32 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M19: overlapped audio CHUNKING — the ASR-standard pre-transcription
+   * verb (fixed-length windows, 50% hop, the last one short), completing
+   * the segmentation matrix: text chunks (d9), video shots (m18), audio
+   * chunks here. The chunk table derives from the REAL RIFF header parse
+   * (n_samples/rate from [[Multimodal.extractAudioFeatures]]'s decode,
+   * never caller metadata) and is pure sequence arithmetic after it —
+   * one explode, no second payload pass; downstream ASR reads
+   * (media_id, start, len) slices. Chunk 80 samples, hop 40. */
+  def audioChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val packed = Multimodal.packAsWav(Tpar(s, dir, "documents"),
+      "doc_id", "text")
+    Multimodal.extractAudioFeatures(packed)
+      .select(col("media_id"),
+        col("features.sample_rate").as("rate"),
+        col("features.n_samples").as("n"))
+      .select(col("media_id"), col("rate"), col("n"),
+        explode(sequence(lit(0L), expr("(n - 1) div 40"))).as("k"))
+      .select(col("media_id"),
+        col("k").cast(IntegerType).as("seg_idx"),
+        (col("k") * 40).cast(IntegerType).as("start_sample"),
+        least(lit(80L), col("n") - col("k") * 40)
+          .cast(IntegerType).as("seg_len"),
+        col("rate").cast(IntegerType).as("rate"))
+      .orderBy("media_id", "seg_idx")
+  }
+
   /** M17: SCENE-CUT detection — the shot-boundary pass before keyframe
    * selection, over the REAL Y4M demux. The fixture plants a sustained
    * scene change (every luma sample of frames t ≥ 2 lifts by 40), so
@@ -3075,6 +3101,7 @@ object LlmQueries {
     "m5_video_stats" -> (videoStats _),
     "m17_video_scene_cuts" -> (videoSceneCutsQ _),
     "m18_shot_keyframes" -> (shotKeyframesQ _),
+    "m19_audio_chunks" -> (audioChunksQ _),
     "m6_image_phash_dedup" -> (imagePHashDedup _),
     "m7_image_near_dedup" -> (imageNearDup _),
     "m8_doc_media_verdict" -> (docMediaVerdict _),
@@ -5293,6 +5320,20 @@ object LlmQueries {
     // b = W·H·a + H·ΣX + W·ΣY, stream sum = nf·b + 3·W·H·Σt; the
     // stride-2 sampler keeps frames t=0,2,… → ns = (nf+1)//2 with
     // Σ(sampled t) = 2·(0+1+…+(ns−1)) = ns·(ns−1)
+    // m19 = the chunk grid in closed form from the synthesis lengths:
+    // hop-40 starts while they land inside the clip, last chunk short
+    "m19_audio_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + length(text) % 240 AS n,
+        |    8000 + (length(text) % 4) * 4000 AS rate
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS seg_idx,
+        |  CAST(k * 40 AS INTEGER) AS start_sample,
+        |  CAST(least(80, n - k * 40) AS INTEGER) AS seg_len,
+        |  CAST(rate AS INTEGER) AS rate
+        |FROM (SELECT doc_id, n, rate,
+        |        unnest(range(0, (n - 1) // 40 + 1)) AS k FROM d)
+        |ORDER BY media_id, seg_idx""".stripMargin,
     // m17 = the planted-cut stream's deltas in closed form: the uniform
     // +3/frame ramp everywhere, +40 once at the sustained scene change
     // (which exists only when the clip reaches frame 2)
