@@ -373,6 +373,30 @@ object RelationalQueries {
       .orderBy("event_id")
   }
 
+  /** Q22: null-aware NOT IN — the tri-state trap q15's NOT EXISTS
+   * doesn't cover: one NULL in the subquery makes `x NOT IN (...)`
+   * UNKNOWN for every non-matching row, so the result is EMPTY — the
+   * semantics Spark implements as a null-aware anti join (a different
+   * physical operator from the plain LeftAnti NOT EXISTS compiles to).
+   * The gate pins BOTH legs in one row: the null-free subquery keeps
+   * the out-of-range parts (n_clean > 0), the same subquery with a
+   * planted NULL keeps none (n_nullaware = 0) — so an engine that
+   * silently rewrote NOT IN to NOT EXISTS would mismatch. */
+  def notInNullAware(s: SparkSession, dir: String): DataFrame = {
+    T(s, dir, "part").createOrReplaceTempView("v_part_q22")
+    T(s, dir, "orders").createOrReplaceTempView("v_orders_q22")
+    s.sql("""
+      SELECT
+        (SELECT count(*) FROM v_part_q22
+         WHERE p_size NOT IN (SELECT o_orderkey % 40 FROM v_orders_q22
+                              WHERE o_orderkey % 100 < 50)) AS n_clean,
+        (SELECT count(*) FROM v_part_q22
+         WHERE p_size NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                                          ELSE o_orderkey % 40 END
+                              FROM v_orders_q22
+                              WHERE o_orderkey % 100 < 50)) AS n_nullaware""")
+  }
+
   /** Q16: the DISTRIBUTION window family — ntile quartiles, cume_dist
    * and percent_rank over a deterministic (balance, key) order per
    * segment: completes the window-function coverage next to q3's
@@ -844,6 +868,7 @@ object RelationalQueries {
     "q15_not_exists_anti" -> (notExistsAntiSql _),
     "q13_window_frames" -> (windowFrames _),
     "q21_range_window" -> (rangeIntervalWindow _),
+    "q22_notin_nullaware" -> (notInNullAware _),
     "q14_cube" -> (cubeAgg _),
     "q16_distribution_windows" -> (distributionWindows _),
     "q17_set_ops_all" -> (setOpsAll _),
@@ -932,6 +957,16 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q22_notin_nullaware" ->
+      """SELECT
+        |  (SELECT count(*) FROM part
+        |   WHERE p_size NOT IN (SELECT o_orderkey % 40 FROM orders
+        |                        WHERE o_orderkey % 100 < 50)) AS n_clean,
+        |  (SELECT count(*) FROM part
+        |   WHERE p_size NOT IN (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |                                    ELSE o_orderkey % 40 END
+        |                        FROM orders
+        |                        WHERE o_orderkey % 100 < 50)) AS n_nullaware""".stripMargin,
     "q19_unpivot" ->
       """WITH p AS (SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),
