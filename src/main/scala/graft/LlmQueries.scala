@@ -842,6 +842,92 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** W14: FUSED streamed curation admission — the actual production
+   * ingest gate, composing three verdicts the suite gates separately
+   * into ONE per-micro-batch decision: w12's evolving-reference dedup
+   * (exact digest + banded near), x15's classifier-head quality filter
+   * (batch-local — no reference needed), and x28's admission-time
+   * novelty (scored against the same evolving reference's
+   * distinct-shingle set). admitted = not a dup AND quality passes;
+   * novelty rides as a SCORE, not a gate — the mixing dial downstream
+   * weighs it. Only admitted survivors join the reference the NEXT
+   * batch checks against, so a near-dup of a wave-0 survivor is caught
+   * two triggers later while a near-dup of a REJECTED doc is not.
+   * State is the same parquet reference table w12 grows (never
+   * executor memory), verdicts land in idempotent per-batch dirs, and
+   * the per-batch cost is one digest join + one banded-candidate pass
+   * + one shingle join + a handful of codegen'd multiply-adds. The
+   * oracle unrolls the three admission rounds exactly (w12's suffixed
+   * pattern) with the quality and novelty legs joined per round. */
+  def streamCurationAdmission(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val base = s"target/tmp/w14_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val existing = docs.filter(col("doc_id") < 400)
+    val later = docs.filter(col("doc_id") >= 400)
+    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(existing.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(w0.filter(col("doc_id") % 37 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L))
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    Seq(w0, w1, w2).zipWithIndex.foreach { case (w, i) =>
+      graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    }
+    val refDir = s"$base/ref"
+    val outDir = s"$base/out"
+    existing.write.parquet(s"$refDir/seed")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        CacheScope.withScope { implicit scope =>
+          val b = scope.persist(batch).toDF()
+          // reference = seed + every PRIOR batch's admitted dir (w12's
+          // replay discipline: never this batch's own leftovers)
+          val listing = Files.list(Paths.get(refDir))
+          val refParts = try listing.iterator().asScala.toList.map(_.toString)
+            .filter { p =>
+              val n = Paths.get(p).getFileName.toString
+              n == "seed" || (n.startsWith("adm") && n.stripPrefix("adm").toLong < id)
+            } finally listing.close()
+          val ref = sp.read.parquet(refParts: _*)
+          val dedup = admissionVerdict(b, ref)
+          val qual = b.select(col("doc_id"),
+            TextAnalysis.classifierLogit(
+              TextAnalysis.qualityFeatures(col("text"))).as("_z"))
+            .select(col("doc_id"), (col("_z") >= 0.0).as("quality_keep"))
+          val nov = Dedup.noveltyAtAdmission(ref, b, "doc_id", "text", k = 3)
+            .select("doc_id", "n_shingles", "n_known", "novelty")
+          val verdict = scope.persist(dedup.join(qual, "doc_id")
+            .join(nov, Seq("doc_id"), "left")
+            .withColumn("admitted",
+              !col("exact_dup") && !col("near_dup") && col("quality_keep")))
+            .toDF()
+          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          b.join(verdict.filter(col("admitted")).select("doc_id"), "doc_id")
+            .write.mode("overwrite").parquet(s"$refDir/adm$id")
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir).drop("batch")
+      .select("doc_id", "exact_dup", "near_dup", "quality_keep",
+        "n_shingles", "n_known", "novelty", "admitted")
+      .orderBy("doc_id")
+  }
+
   /** E14: INCREMENTAL ANN INDEX MAINTENANCE — the continual-ingestion
    * path every production vector index needs (d13's admission story
    * applied to the north-star index): the IVF/PQ quantizers train ONCE
@@ -878,9 +964,11 @@ object LlmQueries {
    * the streaming lifecycle: the existing index materializes once
    * (batch), then incoming vectors arrive as three file-source
    * micro-batches (`maxFilesPerTrigger=1`) and each batch encodes
-   * against the FROZEN trained constants and appends to a delta
-   * directory through the checkpointed file-sink commit protocol
-   * (exactly-once on replay). Search reads base + delta back from
+   * against the FROZEN trained constants and appends to the delta log
+   * through the EPOCH-FENCED admission channel
+   * ([[graft.ml.IndexStore.admit]] — per-batch commit dirs, idempotent
+   * on replay, fence re-checked before every batch's write). Search
+   * reads base + delta back from
    * storage — the serving path sees only `(id, cell, codes)` files,
    * never the original vectors, and a base alongside streamed deltas
    * is exactly the layout a production index maintains. The oracle is
@@ -909,6 +997,19 @@ object LlmQueries {
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
   }
 
+  /** Drive one FENCED admission pass to completion — the encoded
+   * stream runs through [[graft.ml.IndexStore.admit]] under the
+   * holder's epoch, so every micro-batch re-checks the fence before
+   * its write and a rescheduled admission job refuses instead of
+   * interleaving the delta log (the production writer discipline every
+   * store gate below demonstrates). */
+  private def admitStream(encoded: DataFrame, idxDir: String,
+                          ckpt: String, epoch: Long): Unit = {
+    val q = graft.ml.IndexStore.admit(encoded, idxDir, ckpt, epoch)
+    q.processAllAvailable()
+    q.stop()
+  }
+
   def streamIndexAdmission(s: SparkSession, dir: String): DataFrame = {
     val books = trainedBooksBase(s, dir)
     val cents = trainedCentsBase(s, dir)
@@ -917,20 +1018,18 @@ object LlmQueries {
     val incoming = emb.filter(col("id") >= AdmitBoundary)
     val stream = stageWaveStream(s, base, incoming)
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
     // past-threshold maintenance: three committed per-wave deltas exceed
     // maxDeltaFiles=2, so the round trips the fold — the serving view
     // (and the oracle hash) must not move by a row (IndexStoreSpec
     // asserts the file-level effects this gate's oracle can't see)
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     val index = graft.ml.IndexStore.read(s, idxDir)
     val queries = emb.filter(col("id") < 3 ||
       (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
@@ -1000,20 +1099,18 @@ object LlmQueries {
     val stream = stageWaveStream(s, base,
       emb.filter(col("id") >= AdmitBoundary))
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
     graft.ml.IndexStore.tombstone(s, idxDir,
-      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"))
+      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"), ep)
     // 3 deltas + 1 tombstone batch > 2: the fold applies the delete
     // physically and drains both logs
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     val index = graft.ml.IndexStore.read(s, idxDir)
     val queries = emb.filter(col("id") < 3 ||
       (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
@@ -1044,21 +1141,18 @@ object LlmQueries {
     val stream = stageWaveStream(s, base,
       emb.filter(col("id") >= AdmitBoundary))
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
     graft.ml.IndexStore.tombstone(s, idxDir,
-      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"))
+      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"), ep)
     // 3 deltas + 1 tombstone > 2 trips the fold; retainVersions=2
     // opens the grace window instead of retiring v0 immediately
     graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
-      retainVersions = 2)
+      retainVersions = 2, epoch = ep)
     require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(0, 1),
       "e28 needs both versions live through the grace window — " +
         "readAt(v0) must resolve the retained pre-fold file set")
@@ -1076,7 +1170,7 @@ object LlmQueries {
       serve("v0_grace", graft.ml.IndexStore.readAt(s, idxDir, 0))
         .unionByName(serve("v1_grace", graft.ml.IndexStore.read(s, idxDir)))
         .localCheckpoint()
-    graft.ml.IndexStore.vacuum(idxDir, retainVersions = 1)
+    graft.ml.IndexStore.vacuum(idxDir, retainVersions = 1, epoch = ep)
     require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(1),
       "vacuum must retire the out-of-grace version")
     grace.unionByName(
@@ -1150,16 +1244,21 @@ object LlmQueries {
     }
 
   /** W13: the planner INSIDE the admission stream — continuous
-   * observation: each micro-batch appends its cell labels to the index
-   * table, then the e29 rules run over the whole table as of that
-   * trigger, and the trigger's plan frame lands in an idempotent
-   * `batch_id=` dir (the w12 replay discipline). The stream only
-   * OBSERVES — planning needs no vector and no training, so it rides
-   * the ingest loop at one narrow aggregation per trigger; a separate
-   * maintenance window (e31) drains the recorded backlog. The gate
-   * pins the full plan HISTORY: three waves → three plan frames, each
-   * derived from exactly its admission prefix. */
+   * observation: each micro-batch lands its cell labels in its OWN
+   * idempotent `adm<id>` dir (the w12 replay discipline — a retried
+   * trigger overwrites its own labels instead of double-appending them
+   * into every subsequent plan's input), then the e29 rules run over
+   * the union of the seed plus every label dir up to that trigger, and
+   * the trigger's plan frame lands in an idempotent `batch_id=` dir.
+   * The stream only OBSERVES — planning needs no vector and no
+   * training, so it rides the ingest loop at one narrow aggregation
+   * per trigger; a separate maintenance window (e31) drains the
+   * recorded backlog. The gate pins the full plan HISTORY: three waves
+   * → three plan frames, each derived from exactly its admission
+   * prefix. */
   def streamMaintenancePlans(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
     val cents = trainedCentsBase(s, dir)
     val emb = embFrame(s, dir)
     val base = s"target/tmp/w13_${new java.io.File(dir).getName}"
@@ -1169,14 +1268,24 @@ object LlmQueries {
     val plansDir = s"$base/plans"
     emb.filter(col("id") < AdmitBoundary)
       .select(col("id"), Similarity.ivfAssignD(col("vec"), cents).as("cell"))
-      .write.mode("overwrite").parquet(idxDir)
+      .write.mode("overwrite").parquet(s"$idxDir/seed")
     val q = stream
       .select(col("id"), Similarity.ivfAssignD(col("vec"), cents).as("cell"))
       .writeStream.option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val sp = batch.sparkSession
-        batch.write.mode("append").parquet(idxDir)
-        planFromCells(sp, sp.read.parquet(idxDir).select("cell"))
+        batch.write.mode("overwrite").parquet(s"$idxDir/adm$id")
+        // the plan input = seed + labels up to and including THIS
+        // trigger; a crashed later attempt's leftover dir never leaks
+        // into an earlier batch's replayed plan
+        val listing = Files.list(Paths.get(idxDir))
+        val parts = try listing.iterator().asScala.toList.map(_.toString)
+          .filter { p =>
+            val n = Paths.get(p).getFileName.toString
+            n == "seed" ||
+              (n.startsWith("adm") && n.stripPrefix("adm").toLong <= id)
+          } finally listing.close()
+        planFromCells(sp, sp.read.parquet(parts: _*).select("cell"))
           .write.mode("overwrite").parquet(s"$plansDir/batch_id=$id")
         ()
       }
@@ -1194,7 +1303,11 @@ object LlmQueries {
    * driver fold over the O(nCells) occupancy map (the documented
    * trained-constant pattern — [[mergeState]] collects the same map),
    * plus the 2-means sub-centroids each planned split needs, trained on
-   * only that cell's members (e18's O(|cell|) contract). */
+   * only that cell's members (e18's O(|cell|) contract). Keyed on the
+   * fixture DIR under the same single-load assumption as every trained
+   * constant here: the embeddings under a dir are immutable for the
+   * process lifetime (regenerating them in-process would serve e30–e32
+   * a stale plan — restart instead, as Verify/Bench do). */
   private val applyMemo = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[(Int, Seq[Seq[Double]])], Option[(Int, Int)],
       Map[Int, Long])]
@@ -1402,16 +1515,14 @@ object LlmQueries {
     val stream = stageWaveStream(s, base,
       emb.filter(col("id") >= AdmitBoundary))
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     val admitted = graft.ml.IndexStore.read(s, idxDir)
     val afterSplits = splits.zipWithIndex.foldLeft(admitted) {
       case (idx, ((c, subs), i)) =>
@@ -1439,11 +1550,12 @@ object LlmQueries {
    * after maintenance; the race spec proves isolation — this gate
    * composes the production serving path end-to-end and oracle-pins
    * its answers). Each query micro-batch re-resolves the serving view
-   * through the version marker + sink log, which is exactly what a
-   * 100 TB serving tier does between maintenance windows. The late
-   * admission continues the SAME checkpointed stream after the fold —
-   * the sink log keeps batch numbering, so the fold/admission
-   * interleaving is the real one, not a staged simplification. */
+   * through the version marker + committed admission batches, which is
+   * exactly what a 100 TB serving tier does between maintenance
+   * windows. The late admission continues the SAME checkpointed fenced
+   * stream after the fold — the checkpoint keeps batch numbering, so
+   * the fold/admission interleaving is the real one, not a staged
+   * simplification. */
   def streamServeFromStore(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.Paths
     val books = trainedBooksBase(s, dir)
@@ -1458,19 +1570,16 @@ object LlmQueries {
     val inc = emb.filter(col("id") >= AdmitBoundary)
     val even = inc.filter(pmod(col("id"), lit(2)) === 0)
     val admStream = stageWaveStream(s, s"$base/admit", even)
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    def runAdmission(stream: DataFrame): Unit = {
-      val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-        .option("checkpointLocation", s"$base/admit/ckpt")
-        .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-        .format("parquet").start()
-      q.processAllAvailable()
-      q.stop()
-    }
+      idxDir, ep)
+    def runAdmission(stream: DataFrame): Unit =
+      admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+        s"$base/admit/ckpt", ep)
     runAdmission(admStream)
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     // late admission AFTER the fold: two more waves land in the same
     // staging dir with later mtimes and the SAME checkpoint resumes —
     // they stay unfolded, so serving reads base ∪ live delta tail
@@ -1562,16 +1671,14 @@ object LlmQueries {
     val stream = stageWaveStream(s, base,
       emb.filter(col("id") >= AdmitBoundary))
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     val admitted = graft.ml.IndexStore.read(s, idxDir)
     val split = Similarity.ivfPqSplit(admitted, emb, c, subs,
       newCell = cents.size)
@@ -1695,17 +1802,15 @@ object LlmQueries {
     val stream = stageWaveStream(s, base,
       emb.filter(col("id") >= AdmitBoundary))
     val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
     graft.ml.IndexStore.writeBase(
       Similarity.ivfPqResidualIndex(
         emb.filter(col("id") < AdmitBoundary), books, cents),
-      idxDir)
-    val q = Similarity.ivfPqResidualIndex(stream, books, cents).writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .option("path", graft.ml.IndexStore.deltaDir(idxDir))
-      .format("parquet").start()
-    q.processAllAvailable()
-    q.stop()
-    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2)
+      idxDir, ep)
+    admitStream(Similarity.ivfPqResidualIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
+    graft.ml.IndexStore.compact(s, idxDir, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = ep)
     val admitted = graft.ml.IndexStore.read(s, idxDir)
     val split = Similarity.ivfPqResidualSplit(admitted, emb, c, subs,
       newCell = cents.size, books = books)
@@ -3072,6 +3177,7 @@ object LlmQueries {
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
+    "w14_stream_curation_admission" -> (streamCurationAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -3925,7 +4031,7 @@ object LlmQueries {
     s"(${w}e0) * $f"
   }.mkString(s"(${TextAnalysis.QualityBias}e0) + ", " + ", "")
 
-  private lazy val qualityFeaturesCte =
+  private def qualityFeaturesCteOver(tbl: String) =
     s"""f AS (
        |  SELECT doc_id,
        |    len($toksSql)::BIGINT AS n_words,
@@ -3936,7 +4042,9 @@ object LlmQueries {
        |    len(list_filter($toksSql, t -> list_contains($stopwordsSql, lower(t))))::DOUBLE
        |      / len($toksSql)::DOUBLE AS stopword_ratio,
        |    len(list_distinct($toksSql))::DOUBLE / len($toksSql)::DOUBLE AS distinct_ratio
-       |  FROM documents)""".stripMargin
+       |  FROM $tbl)""".stripMargin
+
+  private lazy val qualityFeaturesCte = qualityFeaturesCteOver("documents")
 
   /** The d12 CTE chain up to `lab` (doc_id → cluster minimum over the
    * VERIFIED near-dup pairs) — shared by the d12 oracle and the x18
@@ -4319,6 +4427,81 @@ object LlmQueries {
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin
     },
+    // w14 = w12's unrolled rounds with the quality head (one global CTE
+    // — quality is batch-local) and the per-round novelty leg (the
+    // reference's distinct shingles as of that round) joined into each
+    // round's verdict; refs evolve by the FUSED admitted flag
+    "w14_stream_curation_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |rsh$i AS (SELECT DISTINCT h FROM dsh JOIN $ref USING (doc_id)),
+           |nov$i AS (
+           |  SELECT d.doc_id, count(*) AS n_shingles,
+           |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_known
+           |  FROM dsh d JOIN $w USING (doc_id)
+           |  LEFT JOIN rsh$i r USING (h)
+           |  GROUP BY d.doc_id),
+           |v$i AS (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    q.quality_keep,
+           |    nv.n_shingles, nv.n_known,
+           |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+           |      AS novelty
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  JOIN q USING (doc_id)
+           |  LEFT JOIN nov$i nv USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 50 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
+         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+         |${qualityFeaturesCteOver("allc")},
+         |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+         |      FROM f),
+         |${round(0, "seed", "w0")},
+         |ref1 AS (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+         |  n_known, novelty,
+         |  (NOT exact_dup AND NOT near_dup AND quality_keep) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
     // same banded candidates + exact-Jaccard verify as d2/d4, restricted
     // to pairs whose hash-split flags differ; x9's split arithmetic
     "x21_split_leakage" ->
@@ -4692,7 +4875,10 @@ object LlmQueries {
          |ORDER BY doc_id, span_start""".stripMargin,
     // x26 = the same inverted-index shape as d5, corpus-wide: informative
     // shingles (2 <= df <= 20), pair counts via the posting self-join,
-    // integer-exact threshold, containment as one small-int division
+    // integer-exact threshold, containment as one small-int division.
+    // (doc, shingle) pairs are unique by construction — shingleHashesSql
+    // carries list_distinct, mirroring the Spark side's array_distinct —
+    // so df is true document frequency (set semantics)
     "x26_containment_pairs" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleHashesSql) AS h
@@ -4708,7 +4894,9 @@ object LlmQueries {
          |FROM shr JOIN na ON ida = na.doc_id
          |WHERE shared * 2 >= n_a
          |ORDER BY ida, idb""".stripMargin,
-    // x27 = df per shingle, novel = df 1, one small-int division
+    // x27 = df per shingle (document frequency — (doc, shingle) pairs
+    // unique via shingleHashesSql's list_distinct, set semantics),
+    // novel = df 1, one small-int division
     "x27_novelty_score" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($shingleHashesSql) AS h
@@ -4720,7 +4908,8 @@ object LlmQueries {
          |    / count(*)::DOUBLE AS novelty
          |FROM sh JOIN d USING (h) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
-    // x28 = the reference's distinct shingles, one left join per batch doc
+    // x28 = the reference's distinct shingles, one left join per batch
+    // doc (the batch side is per-doc distinct via list_distinct too)
     "x28_novelty_admission" ->
       s"""WITH rsh AS (
          |  SELECT DISTINCT unnest($shingleHashesSql) AS h

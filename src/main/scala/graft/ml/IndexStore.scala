@@ -2,6 +2,7 @@ package graft.ml
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
@@ -21,7 +22,10 @@ import scala.jdk.CollectionConverters._
  *    log, so an in-flight or crashed micro-batch's data files are
  *    invisible until their batch commits — readers get committed-prefix
  *    snapshots for free from the sink protocol (`IndexStoreSpec` plants
- *    a torn file and pins this).
+ *    a torn file and pins this). The FENCED admission channel
+ *    ([[admit]]) gives the same guarantee from per-batch `adm=b<k>`
+ *    dirs live only with their parquet `_SUCCESS`, plus an epoch check
+ *    before every batch's write.
  *  - A base version is live only once BOTH its parquet `_SUCCESS` and
  *    its `_folded` marker (the list of delta files folded into it)
  *    exist; `read` subtracts the live version's folded files from the
@@ -71,7 +75,8 @@ object IndexStore {
     }
 
   private def writeVersion(df: DataFrame, dir: String, v: Int,
-                           folded: Seq[String]): Path = {
+                           folded: Seq[String],
+                           preCommit: () => Unit = () => ()): Path = {
     val target = basePath(dir).resolve(s"v=$v")
     df.write.mode("overwrite").parquet(target.toString)
     // the marker lands AFTER the parquet commit, and ATOMICALLY: a bare
@@ -84,15 +89,31 @@ object IndexStore {
     // looks at, and the retried compaction overwrites the whole dir.
     val tmp = target.resolve("_folded.tmp")
     Files.write(tmp, folded.mkString("\n").getBytes("UTF-8"))
+    // `preCommit` is the fenced verbs' last-instant re-check: it runs
+    // with the new version fully staged but still INVISIBLE (no
+    // `_folded`), so a throw here aborts the fold with the store
+    // unmoved — the zombie window really is the one rename below
+    preCommit()
     Files.move(tmp, target.resolve("_folded"), StandardCopyOption.ATOMIC_MOVE)
     target
   }
 
   /** Write the initial base (v=0, nothing folded). The target `dir`
-   * must be fresh. */
-  def writeBase(df: DataFrame, dir: String): Unit = {
+   * must be fresh. Unfenced bootstrap — package-private so a library
+   * consumer cannot bypass the fence; production callers use the
+   * epoch overload. */
+  private[graft] def writeBase(df: DataFrame, dir: String): Unit = {
     require(versions(dir).isEmpty, s"base already exists under $dir")
     writeVersion(df, dir, 0, Nil)
+  }
+
+  /** [[writeBase]] under a fencing token: a superseded bootstrap job
+   * refuses instead of racing the new holder's store creation. Claim
+   * the writer role FIRST ([[acquireWriter]] on the same dir), then
+   * bootstrap — the epoch dir and the base land under one root. */
+  def writeBase(df: DataFrame, dir: String, epoch: Long): Unit = {
+    fence(dir, epoch)
+    writeBase(df, dir)
   }
 
   /** Committed delta data files (absolute URIs) per the sink log, with
@@ -130,15 +151,80 @@ object IndexStore {
     committedDeltaFiles(spark, dir, live).filterNot(f => folded(fileName(f)))
   }
 
-  /** Committed delta files NOT yet folded into the live base — the
-   * count `compact` thresholds on. */
+  /** Committed delta units NOT yet folded into the live base — sink-log
+   * data files plus fenced-admission batch dirs, each one extra
+   * per-read merge cost; the count `compact` thresholds on. */
   def unfoldedDeltaFiles(spark: SparkSession, dir: String): Seq[String] =
     versions(dir).lastOption match {
       // no live base yet (a writer racing ahead of writeBase): nothing
       // is servable, so report no deltas rather than throw on the read
       case None => Nil
-      case Some((_, p)) => unfoldedFrom(spark, dir, p)
+      case Some((_, p)) =>
+        unfoldedFrom(spark, dir, p) ++ unfoldedAdm(dir, p).map(_.toString)
     }
+
+  // ---- fenced streaming admission (the delta writer role) -----------------
+
+  private def admMarker(id: Long): String = s"adm=b$id"
+
+  /** All `adm=b<id>` batch dirs present under the delta root (torn ones
+   * included — callers filter liveness). */
+  private def admDirsPresent(dir: String): Seq[(Long, Path)] = {
+    val d = Paths.get(deltaDir(dir))
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val listing = Files.list(d)
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries
+        .filter(_.getFileName.toString.startsWith("adm=b"))
+        .map(p => p.getFileName.toString.stripPrefix("adm=b").toLong -> p)
+        .sortBy(_._1)
+    }
+  }
+
+  /** Live (committed, `_SUCCESS`-marked) admission batches not folded
+   * into the GIVEN version. */
+  private def unfoldedAdm(dir: String, live: Path): Seq[Path] = {
+    val folded = foldedNames(live)
+    admDirsPresent(dir).collect {
+      case (id, p) if Files.exists(p.resolve("_SUCCESS")) &&
+        !folded(admMarker(id)) => p
+    }
+  }
+
+  /**
+   * The EPOCH-FENCED streaming admission entry point — the delta
+   * writer role under the same fencing tokens as [[compact]] and
+   * [[tombstone]]. Each micro-batch re-checks the fence ON THE DRIVER
+   * immediately before its write, then lands in its own
+   * `delta/adm=b<batchId>` dir with overwrite — a replayed trigger
+   * after a crash rewrites the same dir (idempotent, effectively
+   * exactly-once), and the batch goes live atomically with its parquet
+   * `_SUCCESS`, so readers get committed-prefix snapshots exactly as
+   * they do from the sink-log channel. A superseded writer's NEXT
+   * batch refuses here with the store unmoved — the rescheduled-
+   * admission-job race (two jobs with different checkpoints
+   * interleaving one delta log) this fence exists for.
+   *
+   * The checkpoint is part of the store's identity: a rescheduled
+   * holder resumes the SAME checkpoint under its NEW epoch (standard
+   * Structured Streaming restart + the Kafka producer-epoch bump), so
+   * batch numbering continues and a committed batch never replays.
+   * Returns the started query; callers drive it
+   * (`processAllAvailable`/`awaitTermination`) and stop it.
+   */
+  def admit(encoded: DataFrame, dir: String, checkpoint: String,
+            epoch: Long): StreamingQuery = {
+    fence(dir, epoch)
+    encoded.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        fence(dir, epoch)
+        batch.write.mode("overwrite")
+          .parquet(Paths.get(deltaDir(dir), s"adm=b$id").toString)
+        ()
+      }.start()
+  }
 
   // ---- tombstones (merge-on-read deletes) --------------------------------
 
@@ -185,8 +271,11 @@ object IndexStore {
    * and the batch number is never reused (torn dirs and fold-recorded
    * numbers both advance the counter), so the retry just writes the
    * next one. Tombstoning an absent id is a no-op — the verb is
-   * idempotent at the row level. */
-  def tombstone(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+   * idempotent at the row level. Unfenced form is package-private (a
+   * zombie must not bypass the fence by calling the old surface);
+   * production callers use the epoch overload. */
+  private[graft] def tombstone(spark: SparkSession, dir: String,
+                               ids: DataFrame): Unit = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
     val present = tombDirsPresent(dir).map(_._1)
@@ -235,9 +324,14 @@ object IndexStore {
       case Seq() => base
       case files => base.unionByName(spark.read.parquet(files: _*))
     }
-    unfoldedTombs(dir, live) match {
+    val withAdm = unfoldedAdm(dir, live) match {
       case Seq() => withDelta
-      case tombs => withDelta.join(
+      case dirs => withDelta.unionByName(
+        spark.read.parquet(dirs.map(_.toString): _*))
+    }
+    unfoldedTombs(dir, live) match {
+      case Seq() => withAdm
+      case tombs => withAdm.join(
         spark.read.parquet(tombs.map(_.toString): _*).select("id"),
         Seq("id"), "left_anti")
     }
@@ -259,19 +353,35 @@ object IndexStore {
    * [[readAt]] keep resolving their exact pre-fold view; a later
    * [[vacuum]] retires it).
    */
-  def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int,
-              retainVersions: Int = 1): Boolean = {
+  private[graft] def compact(spark: SparkSession, dir: String,
+                             maxDeltaFiles: Int,
+                             retainVersions: Int = 1): Boolean =
+    compactCore(spark, dir, maxDeltaFiles, retainVersions, () => ())
+
+  /** The fold body with an injectable fence RE-CHECK, called at the
+   * two points where a superseded writer could still damage the store
+   * after the entry check: immediately before the new version's
+   * `_folded` marker move (the publish) and immediately before the
+   * vacuum's deletions. A throw at either point leaves the store
+   * unmoved (the staged version has no marker; nothing was deleted).
+   * Package-private so the spec can pin the mid-fold abort
+   * deterministically. */
+  private[graft] def compactCore(spark: SparkSession, dir: String,
+                                 maxDeltaFiles: Int, retainVersions: Int,
+                                 recheck: () => Unit): Boolean = {
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
     val (pv, pdir) = vs.last
     val pending = unfoldedFrom(spark, dir, pdir)
+    val admB = unfoldedAdm(dir, pdir)
     val tombs = unfoldedTombs(dir, pdir)
-    if (pending.size + tombs.size <= maxDeltaFiles) false
+    if (pending.size + admB.size + tombs.size <= maxDeltaFiles) false
     else {
+      val deltaSrcs = pending ++ admB.map(_.toString)
       val unioned =
-        if (pending.isEmpty) spark.read.parquet(pdir.toString)
+        if (deltaSrcs.isEmpty) spark.read.parquet(pdir.toString)
         else spark.read.parquet(pdir.toString)
-          .unionByName(spark.read.parquet(pending: _*))
+          .unionByName(spark.read.parquet(deltaSrcs: _*))
       val merged =
         if (tombs.isEmpty) unioned
         else unioned.join(
@@ -281,11 +391,17 @@ object IndexStore {
       // the sink log never forgets a committed file, so a version that
       // listed only its own fold would let files folded two epochs ago
       // — physically deleted — resurface as "pending"; tombstone batch
-      // numbers carry forward the same way so they are never reused
+      // and admission batch numbers carry forward the same way so they
+      // are never reused
       val tombKs = tombs.map(p =>
         tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
+      val admKs = admB.map(p =>
+        admMarker(p.getFileName.toString.stripPrefix("adm=b").toLong))
       writeVersion(merged, dir, pv + 1,
-        (foldedNames(pdir) ++ pending.map(fileName) ++ tombKs).toSeq.sorted)
+        (foldedNames(pdir) ++ pending.map(fileName) ++ admKs ++ tombKs)
+          .toSeq.sorted,
+        preCommit = recheck)
+      recheck()
       vacuum(dir, retainVersions)
       true
     }
@@ -326,12 +442,16 @@ object IndexStore {
     if (claimed) next else acquireWriter(dir)
   }
 
-  /** Refuse a verb from a superseded writer. Checked immediately before
-   * each fenced verb's commit point; a zombie that lost the role after
-   * this check but before its (single, atomic) marker/`_SUCCESS` commit
-   * is the standard fencing residual every lease design carries — the
-   * window is one rename wide, and the NEXT verb from the zombie fails
-   * here deterministically. */
+  /** Refuse a verb from a superseded writer. Checked at verb entry AND
+   * re-checked immediately before each commit point — [[compactCore]]
+   * re-fences right before the new version's marker move and again
+   * before its vacuum deletions, [[admit]] re-fences before every
+   * micro-batch's write — so a zombie that lost the role mid-verb
+   * aborts with the store unmoved. What remains is the standard
+   * fencing residual every lease design carries: a supersession landing
+   * between the final re-check and the (single, atomic)
+   * marker/`_SUCCESS` commit — the window is one rename wide, and the
+   * NEXT action from the zombie fails here deterministically. */
   private def fence(dir: String, epoch: Long): Unit = {
     val current = epochsPresent(dir).lastOption.getOrElse(-1L)
     require(current == epoch,
@@ -347,25 +467,40 @@ object IndexStore {
   }
 
   /** [[compact]] under a fencing token: a superseded maintenance job
-   * refuses instead of racing the new holder's fold. */
+   * refuses instead of racing the new holder's fold — at entry, again
+   * immediately before the new version's marker move, and again before
+   * the vacuum deletions (a supersession landing mid-fold aborts with
+   * the staged version invisible and nothing deleted). */
   def compact(spark: SparkSession, dir: String, maxDeltaFiles: Int,
               retainVersions: Int, epoch: Long): Boolean = {
     fence(dir, epoch)
-    compact(spark, dir, maxDeltaFiles, retainVersions)
+    compactCore(spark, dir, maxDeltaFiles, retainVersions,
+      () => fence(dir, epoch))
+  }
+
+  /** [[vacuum]] under a fencing token: a superseded maintenance job
+   * cannot retire grace-window versions/files the new holder's pinned
+   * readers still resolve. */
+  def vacuum(dir: String, retainVersions: Int, epoch: Long): Unit = {
+    fence(dir, epoch)
+    vacuum(dir, retainVersions)
   }
 
   /**
    * Retire base versions past the newest `retainVersions`, then delete
-   * every delta file and tombstone batch folded into the OLDEST
-   * retained version — those are invisible to all retained versions
-   * (fold lists are cumulative), so no pinned reader can still need
-   * them; files folded only into NEWER versions stay, because a reader
-   * pinned at the oldest retained version still resolves them as
-   * unfolded. Torn tombstone dirs (no `_SUCCESS`) are dead garbage and
-   * go too. Runs in the writer-quiesced maintenance window like
-   * [[compact]] (which calls it); idempotent.
+   * every delta file, admission batch and tombstone batch folded into
+   * the OLDEST retained version — those are invisible to all retained
+   * versions (fold lists are cumulative), so no pinned reader can
+   * still need them; files folded only into NEWER versions stay,
+   * because a reader pinned at the oldest retained version still
+   * resolves them as unfolded. Torn tombstone dirs (no `_SUCCESS`) are
+   * dead garbage and go too (torn ADMISSION dirs are NOT — an
+   * in-flight replay may be mid-write on its own batch dir; its retry
+   * overwrites it). Runs in the writer-quiesced maintenance window
+   * like [[compact]] (which calls it); idempotent. Unfenced form is
+   * package-private; production callers use the epoch overload.
    */
-  def vacuum(dir: String, retainVersions: Int = 1): Unit = {
+  private[graft] def vacuum(dir: String, retainVersions: Int = 1): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1")
     val vs = versions(dir)
     if (vs.nonEmpty) {
@@ -374,7 +509,12 @@ object IndexStore {
       val folded = foldedNames(vs.takeRight(retainVersions).head._2)
       val deltaRoot = Paths.get(deltaDir(dir))
       folded.filterNot(_.startsWith("tombs/"))
-        .foreach(name => Files.deleteIfExists(deltaRoot.resolve(name)))
+        .foreach { name =>
+          // adm= markers name whole batch DIRS; plain names are files
+          if (name.startsWith("adm="))
+            graft.util.Fs.deleteRecursive(deltaRoot.resolve(name))
+          else Files.deleteIfExists(deltaRoot.resolve(name))
+        }
       tombDirsPresent(dir).collect {
         case (k, p) if folded(tombMarker(k)) ||
           !Files.exists(p.resolve("_SUCCESS")) => p

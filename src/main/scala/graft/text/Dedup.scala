@@ -600,6 +600,11 @@ object Dedup {
    * division, bit-identical in the oracle. */
   def noveltyScore(df: DataFrame, idCol: String, textCol: String, k: Int)
                   (implicit scope: graft.operators.CacheScope): DataFrame = {
+    // set semantics by construction: [[shingleHashesFromTokenHashes]]
+    // applies array_distinct per doc, so the exploded (doc, shingle)
+    // pairs are already unique — _df below is true DOCUMENT frequency
+    // ("appears nowhere ELSE in the corpus"), never occurrence counts,
+    // with no extra dedup shuffle needed
     val sh = scope.persist(df
       .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
       .select(col(idCol),
@@ -626,6 +631,9 @@ object Dedup {
   def noveltyAtAdmission(reference: DataFrame, incoming: DataFrame,
                          idCol: String, textCol: String, k: Int)
                         (implicit scope: graft.operators.CacheScope): DataFrame = {
+    // per-doc distinct by construction (array_distinct inside
+    // [[shingleHashesFromTokenHashes]]): n_shingles/n_known count the
+    // doc's DISTINCT shingles — set semantics, no extra dedup shuffle
     def sh(df: DataFrame) = df
       .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
       .select(col(idCol),
@@ -661,6 +669,11 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                        tauNum: Int, tauDen: Int, maxDf: Int)
                       (implicit scope: graft.operators.CacheScope): DataFrame = {
+    // (doc, shingle) pairs are unique by construction (array_distinct
+    // inside [[shingleHashesFromTokenHashes]]), so _df is true DOCUMENT
+    // frequency and |A∩B|/|A| ranges over DISTINCT shingles — set
+    // semantics: a shingle repeated inside one doc neither inflates the
+    // pair counts nor sneaks past the boilerplate cap
     val sh = scope.persist(df
       .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
       .select(col(idCol),

@@ -274,6 +274,146 @@ class IndexStoreSpec extends SparkSpec {
       before.filterNot(r => r.getLong(0) == 3L || r.getLong(0) == 4L))
   }
 
+  test("fenced admission: a zombie's next batch refuses with the store unmoved; the new holder resumes the same checkpoint") {
+    val dir = "target/tmp/idxstore_admit"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    val incoming = vecs.filter(col("id") >= 120)
+    def stageWave(w: Int): Unit =
+      Tables.stageFile(incoming.filter(pmod(col("id"), lit(3)) === w),
+        in.resolve(f"wave$w%02d.parquet"), 1000000000000L + w * 60000L)
+    def admitQuery(epoch: Long) = {
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = scoped.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      IndexStore.admit(Similarity.ivfPqIndex(stream, books, cents),
+        idx, s"$dir/ckpt", epoch)
+    }
+
+    val a = IndexStore.acquireWriter(idx)
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents),
+      idx, a)
+    // wave 0 commits under A's epoch through the fenced channel
+    stageWave(0)
+    val qa = admitQuery(a)
+    qa.processAllAvailable()
+    val afterW0 = IndexStore.read(spark, idx).collect().toSet
+    assert(afterW0.size == 160)
+    assert(Files.exists(
+      Paths.get(IndexStore.deltaDir(idx), "adm=b0", "_SUCCESS")))
+
+    // B supersedes while A's stream is still running — A's NEXT batch
+    // (wave 1) must refuse at its pre-write fence with the store unmoved
+    val b = IndexStore.acquireWriter(idx)
+    stageWave(1)
+    val ex = intercept[Throwable] { qa.processAllAvailable() }
+    assert(Option(ex.getMessage).getOrElse(ex.getCause.getMessage)
+      .contains("fenced") || ex.getCause != null &&
+        ex.getCause.getMessage.contains("fenced"),
+      s"expected a fence refusal, got: $ex")
+    qa.stop()
+    assert(!Files.exists(Paths.get(IndexStore.deltaDir(idx), "adm=b1")),
+      "the zombie's refused batch left data behind")
+    assert(IndexStore.read(spark, idx).collect().toSet == afterW0,
+      "the zombie's refused batch moved the serving view")
+
+    // a freshly-started zombie refuses at ENTRY too (never starts)
+    intercept[IllegalArgumentException] { admitQuery(a) }
+
+    // the new holder resumes the SAME checkpoint under its epoch: the
+    // committed batch 0 does not replay, wave 1 lands as adm=b1
+    val qb = admitQuery(b)
+    qb.processAllAvailable()
+    assert(IndexStore.read(spark, idx).collect().toSet.size == 200,
+      "resume replayed a committed batch or lost the refused one")
+    // a torn admission dir (crash mid-write, no _SUCCESS) is invisible
+    val torn = Paths.get(IndexStore.deltaDir(idx), "adm=b9")
+    Similarity.ivfPqIndex(
+        vecs.filter(col("id") < 5).withColumn("id", col("id") + 9000L),
+        books, cents)
+      .write.parquet(torn.toString)
+    Files.delete(torn.resolve("_SUCCESS"))
+    assert(IndexStore.read(spark, idx).collect().toSet.size == 200,
+      "a torn admission batch leaked into the serving view")
+    stageWave(2)
+    qb.processAllAvailable()
+    qb.stop()
+    val all = IndexStore.read(spark, idx).collect().toSet
+    assert(all.size == 240)
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).size == 3)
+
+    // the fold drains the committed admission batches (not the torn
+    // one), the view is row-stable, and vacuum retires the batch dirs
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2,
+      retainVersions = 1, epoch = b))
+    assert(IndexStore.read(spark, idx).collect().toSet == all,
+      "the fold moved the serving view")
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
+    assert(!Files.exists(Paths.get(IndexStore.deltaDir(idx), "adm=b0")),
+      "vacuum left a folded admission batch dir behind")
+  }
+
+  test("fenced bootstrap and vacuum: a superseded writer can neither re-bootstrap nor retire grace state") {
+    val dir = "target/tmp/idxstore_bootfence"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(120)
+    val idx = s"$dir/index"
+    val base = Similarity.ivfPqIndex(vecs, books, cents)
+    val a = IndexStore.acquireWriter(idx)
+    val b = IndexStore.acquireWriter(idx)
+    intercept[IllegalArgumentException] { IndexStore.writeBase(base, idx, a) }
+    assert(IndexStore.liveVersions(idx).isEmpty,
+      "the zombie's refused bootstrap left a live version")
+    IndexStore.writeBase(base, idx, b)
+    assert(IndexStore.liveVersions(idx) == Seq(0))
+    intercept[IllegalArgumentException] {
+      IndexStore.vacuum(idx, retainVersions = 1, epoch = a)
+    }
+    IndexStore.vacuum(idx, retainVersions = 1, epoch = b)
+    assert(IndexStore.liveVersions(idx) == Seq(0))
+  }
+
+  test("a supersession landing mid-fold aborts the compaction with the store unmoved") {
+    val dir = "target/tmp/idxstore_midfold"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    assert(before.size == 240)
+
+    // the fence re-check fires with the new version fully staged but
+    // still unpublished — a supersession here must abort the fold with
+    // nothing live, nothing deleted, the serving view unmoved
+    var rechecks = 0
+    intercept[IllegalArgumentException] {
+      IndexStore.compactCore(spark, idx, maxDeltaFiles = 2,
+        retainVersions = 1, recheck = () => {
+          rechecks += 1
+          throw new IllegalArgumentException(
+            "writer fenced: superseded mid-fold")
+        })
+    }
+    assert(rechecks == 1, "the abort must fire at the FIRST commit point")
+    assert(IndexStore.liveVersions(idx) == Seq(0),
+      "a mid-fold abort published the staged version")
+    assert(!Files.exists(Paths.get(idx, "base", "v=1", "_folded")))
+    assert(IndexStore.read(spark, idx).collect().toSet == before)
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).size == 3,
+      "a mid-fold abort deleted delta state")
+
+    // recovery is the new holder's ordinary retry over the staged ruins
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 2))
+    assert(IndexStore.read(spark, idx).collect().toSet == before)
+  }
+
   test("a torn (uncommitted) delta file is invisible to readers") {
     val dir = "target/tmp/idxstore_torn"
     graft.util.Fs.deleteRecursive(Paths.get(dir))
