@@ -109,6 +109,27 @@ object LlmQueries {
       Similarity.trainPqCodebooks(embExisting(s, dir), PqM, PqSubDim, PqCodes,
         iters = 2, sampleMod = 4))
 
+  // e33's RETRAINED constants: quantizers trained on the SURVIVING
+  // corpus the reindex will serve (everything admitted minus the
+  // tombstoned slice) — the production retrain for drift the surgical
+  // verbs can't repair. Memoized per dir like every trained constant.
+  private val trainedIvfReindex =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+  private val trainedPqReindex =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+
+  private def embSurvivors(s: SparkSession, dir: String): DataFrame =
+    embFrame(s, dir).filter(pmod(col("id"), lit(DeleteMod)) =!= 3)
+
+  private[graft] def trainedCentsReindex(s: SparkSession, dir: String): Seq[Seq[Double]] =
+    trainedIvfReindex.getOrElseUpdate(dir,
+      Similarity.trainIvfCentroids(embSurvivors(s, dir), NCells, Dim, iters = 5))
+
+  private[graft] def trainedBooksReindex(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    trainedPqReindex.getOrElseUpdate(dir,
+      Similarity.trainPqCodebooks(embSurvivors(s, dir), PqM, PqSubDim, PqCodes,
+        iters = 2, sampleMod = 4))
+
   // ---- DuckDB SQL fragments ----------------------------------------------
 
   private val P = Hashing.P
@@ -1175,6 +1196,74 @@ object LlmQueries {
       "vacuum must retire the out-of-grace version")
     grace.unionByName(
         serve("v1_vacuumed", graft.ml.IndexStore.read(s, idxDir)))
+      .orderBy("view", "query_id", "rank")
+  }
+
+  /** E33: REINDEX — retrain + shadow build + atomic cutover, the verb
+   * for drift the surgical verbs can't repair (`bench/
+   * lifecycle_recall_r12.json` shows splits/merges only BEND the recall
+   * frontier; when the corpus outgrows its quantizers, production
+   * retrains and re-encodes). The journey: base + fenced streamed
+   * admission + merge-on-read tombstone (the store in its lived-in
+   * state), then the REINDEX: quantizers retrain on the SURVIVING
+   * corpus, the index rebuilds under the new constants as a SHADOW
+   * while v0 keeps serving, and [[graft.ml.IndexStore.cutover]]
+   * publishes it atomically via the version marker with a vacuum-grace
+   * window. Four tagged serves pin the whole contract: v0_pre (before
+   * the cutover) and v0_grace (PINNED at v0 after it) serve the
+   * identical old-constant answer — a reader mid-cutover never sees a
+   * torn view; v1_cutover and v1_vacuumed serve the identical
+   * new-constant answer — vacuum moves only files. The oracle is the
+   * rebuilt-over-survivors form under the OLD literals for the v0 tags
+   * and the RETRAINED literals for the v1 tags. */
+  def reindexCutover(s: SparkSession, dir: String): DataFrame = {
+    val books = trainedBooksBase(s, dir)
+    val cents = trainedCentsBase(s, dir)
+    val emb = embFrame(s, dir)
+    val base = s"target/tmp/e33_${new java.io.File(dir).getName}"
+    val stream = stageWaveStream(s, base,
+      emb.filter(col("id") >= AdmitBoundary))
+    val idxDir = s"$base/index"
+    val ep = graft.ml.IndexStore.acquireWriter(idxDir)
+    graft.ml.IndexStore.writeBase(
+      Similarity.ivfPqIndex(emb.filter(col("id") < AdmitBoundary), books, cents),
+      idxDir, ep)
+    admitStream(Similarity.ivfPqIndex(stream, books, cents), idxDir,
+      s"$base/ckpt", ep)
+    graft.ml.IndexStore.tombstone(s, idxDir,
+      emb.filter(pmod(col("id"), lit(DeleteMod)) === lit(3)).select("id"), ep)
+    val queries = emb.filter(col("id") < 3 ||
+      (col("id") >= AdmitBoundary && col("id") < AdmitBoundary + 2))
+    def serve(view: String, index: DataFrame, bks: Seq[Seq[Seq[Double]]],
+              cts: Seq[Seq[Double]]): DataFrame =
+      Similarity.ivfPqSearchIndex(queries, index, TopK, bks, cts, NProbe)
+        .select("query_id", "rank", "neighbor_id", "adc")
+        .withColumn("view", lit(view))
+    // materialized BEFORE the cutover (lineage cut): v0_pre must have
+    // read its file set while it was the CURRENT version
+    val pre = serve("v0_pre", graft.ml.IndexStore.read(s, idxDir),
+      books, cents).localCheckpoint()
+    // RETRAIN on the survivors, SHADOW BUILD, ATOMIC CUTOVER
+    val newCents = trainedCentsReindex(s, dir)
+    val newBooks = trainedBooksReindex(s, dir)
+    val rebuilt = Similarity.ivfPqIndex(embSurvivors(s, dir),
+      newBooks, newCents)
+    graft.ml.IndexStore.cutover(s, idxDir, rebuilt, retainVersions = 2,
+      epoch = ep)
+    require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(0, 1),
+      "e33 needs both versions live through the cutover grace window")
+    val grace =
+      serve("v0_grace", graft.ml.IndexStore.readAt(s, idxDir, 0),
+          books, cents)
+        .unionByName(serve("v1_cutover",
+          graft.ml.IndexStore.read(s, idxDir), newBooks, newCents))
+        .localCheckpoint()
+    graft.ml.IndexStore.vacuum(idxDir, retainVersions = 1, epoch = ep)
+    require(graft.ml.IndexStore.liveVersions(idxDir) == Seq(1),
+      "vacuum must retire the pre-reindex version after the grace")
+    pre.unionByName(grace)
+      .unionByName(serve("v1_vacuumed",
+        graft.ml.IndexStore.read(s, idxDir), newBooks, newCents))
       .orderBy("view", "query_id", "rank")
   }
 
@@ -3173,6 +3262,7 @@ object LlmQueries {
     "e30_maintenance_apply" -> (maintenanceApply _),
     "e31_store_maintenance" -> (storeMaintenanceJourney _),
     "e32_residual_maintenance" -> (residualMaintenanceApply _),
+    "e33_reindex_cutover" -> (reindexCutover _),
     "w13_stream_maintenance_plans" -> (streamMaintenancePlans _),
     "w10_stream_ann_serve" -> (streamAnnServe _),
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
@@ -3536,6 +3626,31 @@ object LlmQueries {
       s"""SELECT v.view, r.query_id, r.rank, r.neighbor_id, r.adc
          |FROM ($body) r
          |CROSS JOIN (VALUES ('v0_grace'), ('v1_grace'), ('v1_vacuumed')) v(view)
+         |ORDER BY view, query_id, rank""".stripMargin
+    }),
+    // e33 = rebuilt-over-survivors under the OLD (base-trained)
+    // literals for the v0 tags and the RETRAINED (survivor-trained)
+    // literals for the v1 tags: the pinned reader's grace view is the
+    // old index, the cutover view IS the fresh-trained rebuild, and
+    // vacuum moves only files
+    "e33_reindex_cutover" -> ((s, dir) => {
+      val oldBooks = trainedBooksBase(s, dir)
+      val newBooks = trainedBooksReindex(s, dir)
+      val qPred = s"(vec_id < 3 OR (vec_id >= $AdmitBoundary AND vec_id < ${AdmitBoundary + 2}))"
+      val cPred = s"NOT (vec_id % $DeleteMod = 3)"
+      val oldBody = ivfPqOracleSql(doubleLit2(trainedCentsBase(s, dir)),
+        doubleLit3(oldBooks), doubleLit2(Similarity.pqCellNorms(oldBooks)),
+        qPred = qPred, cPred = cPred)
+      val newBody = ivfPqOracleSql(doubleLit2(trainedCentsReindex(s, dir)),
+        doubleLit3(newBooks), doubleLit2(Similarity.pqCellNorms(newBooks)),
+        qPred = qPred, cPred = cPred)
+      s"""SELECT v.view, r.query_id, r.rank, r.neighbor_id, r.adc
+         |FROM ($oldBody) r
+         |CROSS JOIN (VALUES ('v0_pre'), ('v0_grace')) v(view)
+         |UNION ALL
+         |SELECT v.view, r.query_id, r.rank, r.neighbor_id, r.adc
+         |FROM ($newBody) r
+         |CROSS JOIN (VALUES ('v1_cutover'), ('v1_vacuumed')) v(view)
          |ORDER BY view, query_id, rank""".stripMargin
     }),
     // e29 = the planner's budget-ranked integer-exact rules replayed

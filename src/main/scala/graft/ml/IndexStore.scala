@@ -487,6 +487,45 @@ object IndexStore {
   }
 
   /**
+   * REINDEX cutover — the verb for drift the surgical verbs can't
+   * repair: publish `rebuilt` (an index REBUILT from the current
+   * serving view under NEW trained constants, built as a SHADOW while
+   * the current version keeps serving) as the next base version,
+   * atomically via the version marker. The new version's fold list
+   * covers every delta file, admission batch and tombstone the serving
+   * view resolved — the rebuild incorporated them — so a post-cutover
+   * reader sees exactly the rebuilt table, while a reader pinned at
+   * the old version ([[readAt]]) keeps resolving its exact pre-cutover
+   * file set through the vacuum grace (`retainVersions` > 1) until a
+   * later fenced [[vacuum]] retires it. Requires the admission writer
+   * quiesced (the single-writer rule — the rebuild must have seen
+   * every commit) and runs under the fencing token like every
+   * maintenance verb: re-checked immediately before the marker move
+   * and before the vacuum. Returns the new live version number.
+   */
+  def cutover(spark: SparkSession, dir: String, rebuilt: DataFrame,
+              retainVersions: Int, epoch: Long): Int = {
+    fence(dir, epoch)
+    val vs = versions(dir)
+    require(vs.nonEmpty, s"no live base version under $dir")
+    val (pv, pdir) = vs.last
+    val pending = unfoldedFrom(spark, dir, pdir)
+    val admB = unfoldedAdm(dir, pdir)
+    val tombs = unfoldedTombs(dir, pdir)
+    val tombKs = tombs.map(p =>
+      tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
+    val admKs = admB.map(p =>
+      admMarker(p.getFileName.toString.stripPrefix("adm=b").toLong))
+    writeVersion(rebuilt, dir, pv + 1,
+      (foldedNames(pdir) ++ pending.map(fileName) ++ admKs ++ tombKs)
+        .toSeq.sorted,
+      preCommit = () => fence(dir, epoch))
+    fence(dir, epoch)
+    vacuum(dir, retainVersions)
+    pv + 1
+  }
+
+  /**
    * Retire base versions past the newest `retainVersions`, then delete
    * every delta file, admission batch and tombstone batch folded into
    * the OLDEST retained version — those are invisible to all retained

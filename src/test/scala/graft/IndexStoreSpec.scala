@@ -414,6 +414,62 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.read(spark, idx).collect().toSet == before)
   }
 
+  test("reindex cutover: atomic publish, pinned reader keeps its pre-cutover view, zombie refuses, vacuum retires grace") {
+    val dir = "target/tmp/idxstore_cutover"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 3, upTo = 240)
+    import spark.implicits._
+    IndexStore.tombstone(spark, idx,
+      (0L until 240L).filter(_ % 7 == 3).toDF("id"))
+    val before = IndexStore.read(spark, idx).collect().toSet
+    assert(before.size == 240 - (0 until 240).count(_ % 7 == 3))
+
+    // shadow rebuild under DIFFERENT constants (reversed centroid
+    // table relabels every cell) over the surviving corpus
+    val rebuilt = Similarity.ivfPqIndex(
+      vecs.filter(col("id") % 7 =!= 3), books, cents.reverse)
+    val rebuiltRows = rebuilt.collect().toSet
+    assert(rebuiltRows.map(_.getLong(0)) == before.map(_.getLong(0)),
+      "fixture: the rebuild must cover exactly the surviving ids")
+    assert(rebuiltRows != before,
+      "fixture too weak: the retrained rebuild must differ row-wise")
+
+    val a = IndexStore.acquireWriter(idx)
+    val v1 = IndexStore.cutover(spark, idx, rebuilt, retainVersions = 2,
+      epoch = a)
+    assert(v1 == 1 && IndexStore.liveVersions(idx) == Seq(0, 1))
+    // pinned reader mid-cutover: its exact pre-cutover view, row for row
+    assert(IndexStore.readAt(spark, idx, 0).collect().toSet == before,
+      "the v0-pinned reader's view moved across the cutover")
+    // current reader: exactly the rebuilt table
+    assert(IndexStore.read(spark, idx).collect().toSet == rebuiltRows,
+      "the cutover view is not the rebuilt index")
+
+    // a superseded writer can neither cut over again nor vacuum
+    val b = IndexStore.acquireWriter(idx)
+    intercept[IllegalArgumentException] {
+      IndexStore.cutover(spark, idx, rebuilt, retainVersions = 1, epoch = a)
+    }
+    intercept[IllegalArgumentException] {
+      IndexStore.vacuum(idx, retainVersions = 1, epoch = a)
+    }
+    assert(IndexStore.liveVersions(idx) == Seq(0, 1),
+      "a zombie's refusal moved the version set")
+
+    // the new holder's vacuum retires v0 and everything only v0 needed
+    IndexStore.vacuum(idx, retainVersions = 1, epoch = b)
+    assert(IndexStore.liveVersions(idx) == Seq(1))
+    assert(IndexStore.read(spark, idx).collect().toSet == rebuiltRows,
+      "vacuum moved the serving view")
+    assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty &&
+      IndexStore.unfoldedTombstoneBatches(spark, idx).isEmpty,
+      "the cutover's fold list did not cover the drained logs")
+  }
+
   test("a torn (uncommitted) delta file is invisible to readers") {
     val dir = "target/tmp/idxstore_torn"
     graft.util.Fs.deleteRecursive(Paths.get(dir))
