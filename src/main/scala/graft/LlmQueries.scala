@@ -2446,6 +2446,47 @@ object LlmQueries {
       .orderBy("media_id")
   }
 
+  /** M20: quarantine PARITY across the image and video decoders — m16
+   * covers audio only; this gate plants the same two corruption shapes
+   * into the PNG and Y4M corpora and runs both through quarantined
+   * decoders that classify through ONE shared seam
+   * ([[Multimodal.extractImageFeaturesQuarantined]] /
+   * [[Multimodal.extractVideoFeaturesQuarantined]] — the
+   * `classifyDecode` + [[graft.multimodal.TruncatedMediaException]]
+   * machinery): every 7th payload's data section is CUT (PNG: halved,
+   * losing the IEND tail under an intact signature; Y4M: final byte
+   * dropped, so the last frame's planes end early — a half cut could
+   * land exactly on a frame boundary and parse as a valid shorter
+   * stream, which would be a silently-wrong fixture, not a truncation)
+   * and every remaining 11th payload's container magic is broken →
+   * `unreadable_container`. Healthy rows carry the m1/m5 closed-form
+   * stats; one `checksum` column (pixel_sum / y_sum) keeps the two
+   * modalities union-compatible. One pass per modality, no job
+   * failure, nothing silently dropped. */
+  def quarantinedMediaParity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents")
+    def corrupt(df: DataFrame, cutExpr: String): DataFrame =
+      df.withColumn("payload",
+        when(col("media_id") % 7 === 0, expr(cutExpr))
+          .when(col("media_id") % 11 === 0,
+            concat(lit("X".getBytes("US-ASCII")),
+              expr("substring(payload, 2, length(payload) - 1)")))
+          .otherwise(col("payload")))
+    val img = Multimodal.extractImageFeaturesQuarantined(
+      corrupt(Multimodal.packAsPng(docs, "doc_id", "text"),
+        "substring(payload, 1, cast(ceil(length(payload) / 2.0) as int))"))
+      .select(lit("image").as("modality"), col("media_id"), col("ok"),
+        col("err_kind"), col("width"), col("height"),
+        col("pixel_sum").as("checksum"))
+    val vid = Multimodal.extractVideoFeaturesQuarantined(
+      corrupt(Multimodal.packAsY4m(docs, "doc_id", "text"),
+        "substring(payload, 1, length(payload) - 1)"))
+      .select(lit("video").as("modality"), col("media_id"), col("ok"),
+        col("err_kind"), col("width"), col("height"),
+        col("y_sum").as("checksum"))
+    img.unionByName(vid).orderBy("modality", "media_id")
+  }
+
   /** M4: REAL image resize end-to-end — PNG decode → nearest-neighbor
    * half-size → PNG re-encode → decode again for stats. Every number
    * comes from the second DECODE of the re-encoded bytes; the sampled
@@ -2920,6 +2961,69 @@ object LlmQueries {
       .orderBy("media_id", "shot_id")
   }
 
+  /** M21: SHOT-level video near-dup — the partial-overlap case the
+   * whole-stream fingerprint (m11/m12) structurally misses: a re-edit
+   * or compilation SHARES SHOTS with its sources without its full
+   * stream resembling any of them. One decode pass per clip yields the
+   * m17 cuts, the m18 shot fold and one 64-bit fingerprint PER SHOT
+   * ([[Multimodal.videoShotFingerprints]]); shots band through the
+   * shared banded-Hamming core keyed `media_id·16 + shot_id`; and the
+   * clip-pair verdict is containment-style — the fraction of clip A's
+   * shots matched by at least one of B's (directed, like x26). The
+   * fixture plants exactly the claim: for every 23rd doc whose clip
+   * has a post-cut second shot, a composite clip whose MIDDLE THIRD is
+   * that shot byte-for-byte between two flat host segments
+   * ([[Multimodal.packAsY4mSpliced]]) — so the donor third ALWAYS
+   * matches its source (verified in the dump: every planted pair
+   * surfaces in both directions). At this corpus's tiny clip sizes the
+   * 64-bit codes over few-byte shot streams also collide beyond the
+   * plant (the same honest caveat as m9/m11 — fractions often exceed
+   * the geometric 1/3), and the oracle mirrors every such collision:
+   * it rebuilds each shot's stream from the synthesis algebra
+   * (originals' cut profile AND composites' three-segment profile) and
+   * replays the banded join and both verdict directions exactly. */
+  def shotNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text",
+      cutAtFrame = 2, cutDelta = 40)
+    val comps = Multimodal.packAsY4mSpliced(
+      docs.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 3000000L),
+      "doc_id", "text")
+    CacheScope.materialized { implicit scope =>
+      val shots = scope.persist(
+        Multimodal.videoShotFingerprints(orig.unionByName(comps))).toDF()
+      val pairs = Multimodal.videoShotNearDupPairs(shots,
+        maxHamming = M21MaxHamming, maxBucket = M21MaxBucket)
+      // decompose the shot keys, keep CROSS-clip matches, symmetrize
+      // to directed rows, then the containment-style verdict
+      val m = pairs.select(
+          shiftright(col("ida"), 4).as("mida"),
+          pmod(col("ida"), lit(16)).as("sida"),
+          shiftright(col("idb"), 4).as("midb"),
+          pmod(col("idb"), lit(16)).as("sidb"))
+        .filter(col("mida") =!= col("midb"))
+      val directed = m.select(col("mida").as("ida"), col("midb").as("idb"),
+          col("sida").as("shot_a"))
+        .unionByName(m.select(col("midb").as("ida"), col("mida").as("idb"),
+          col("sidb").as("shot_a")))
+        .distinct()
+      val nShots = shots.groupBy(col("media_id").as("ida"))
+        .agg(count(lit(1)).as("n_shots_a"))
+      // matched-clip pairs are sparse (near-dup evidence), so the
+      // n_shots side stays threshold-decided like every verdict join
+      directed.groupBy("ida", "idb")
+        .agg(countDistinct(col("shot_a")).as("n_shared"))
+        .join(nShots, "ida")
+        .select(col("ida"), col("idb"), col("n_shots_a"), col("n_shared"),
+          (col("n_shared").cast(DoubleType) /
+            col("n_shots_a").cast(DoubleType)).as("shared_frac"))
+    }.orderBy("ida", "idb")
+  }
+
+  private val M21MaxHamming = 8
+  private val M21MaxBucket = 256
+
   /** X23: FEATURE-HASHED text embeddings
    * ([[TextAnalysis.hashedEmbedding]] — the Weinberger et al. 2009
    * hashing trick): the text → vector-space bridge, so the similarity
@@ -3335,7 +3439,9 @@ object LlmQueries {
     "m13_image_near_dedup_verdict" -> (imageNearDupVerdict _),
     "m14_audio_near_dedup_verdict" -> (audioNearDupVerdict _),
     "m15_video_near_dedup_verdict" -> (videoNearDupVerdict _),
-    "m16_quarantined_decode" -> (quarantinedAudioStats _)
+    "m16_quarantined_decode" -> (quarantinedAudioStats _),
+    "m20_quarantined_media_parity" -> (quarantinedMediaParity _),
+    "m21_shot_near_dedup" -> (shotNearDup _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -5438,6 +5544,39 @@ object LlmQueries {
         |  END AS peak_abs,
         |  CASE WHEN healthy THEN CAST(list_sum(ss) AS BIGINT) END AS amp_sum
         |FROM s ORDER BY media_id""".stripMargin,
+    // m20: the m16 verdict CASE replayed per modality (same planted-id
+    // precedence), healthy rows carrying m1's pixel_sum / m5's y_sum
+    // closed forms as the shared checksum column
+    "m20_quarantined_media_parity" ->
+      """WITH verd AS (SELECT doc_id,
+        |    (doc_id % 7 <> 0 AND doc_id % 11 <> 0) AS ok,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'truncated_payload'
+        |         WHEN doc_id % 11 = 0 THEN 'unreadable_container'
+        |    END AS err_kind,
+        |    length(text) AS len
+        |  FROM documents),
+        |di AS (SELECT doc_id, ok, err_kind, 1 + len % 16 AS w,
+        |         1 + len % 12 AS h, len % 200 AS a FROM verd),
+        |dv AS (SELECT doc_id, ok, err_kind, 2 * (1 + len % 6) AS w,
+        |         2 * (1 + len % 4) AS h, 1 + len % 5 AS nf,
+        |         len % 180 AS a FROM verd)
+        |SELECT 'image' AS modality, doc_id AS media_id, ok, err_kind,
+        |  CASE WHEN ok THEN CAST(w AS INTEGER) END AS width,
+        |  CASE WHEN ok THEN CAST(h AS INTEGER) END AS height,
+        |  CASE WHEN ok THEN
+        |    CAST(w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2) AS BIGINT)
+        |  END AS checksum
+        |FROM di
+        |UNION ALL
+        |SELECT 'video', doc_id, ok, err_kind,
+        |  CASE WHEN ok THEN CAST(w AS INTEGER) END,
+        |  CASE WHEN ok THEN CAST(h AS INTEGER) END,
+        |  CASE WHEN ok THEN
+        |    CAST(nf*(w*h*a + h*(w*(w-1)//2) + w*(h*(h-1)//2))
+        |         + 3*w*h*(nf*(nf-1)//2) AS BIGINT)
+        |  END
+        |FROM dv
+        |ORDER BY modality, media_id""".stripMargin,
     // nearest-neighbor half-size of the a+x+y raster: out(x,y) = a+2x+2y
     // over ceil(W/2)×ceil(H/2) — closed form again after the re-decode
     "m4_image_resize" ->
@@ -5603,6 +5742,90 @@ object LlmQueries {
          |SELECT mid AS media_id, fp_hi, fp_lo,
          |  count(*) OVER (PARTITION BY fp_hi, fp_lo) AS n_same
          |FROM hh ORDER BY media_id""".stripMargin,
+    // m21: one row per SHOT of every clip (originals under the m18 cut
+    // profile; composites under the spliced three-segment profile),
+    // each shot's luma stream rebuilt from the synthesis algebra
+    // (value = a + x + y + ramp·(3t + 40·[t≥2])), the m11 window/bit
+    // fold per shot, the m7 band/hot-bucket/popcount join over
+    // mid·16+sid keys, then the directed shared-shot-fraction verdict
+    "m21_shot_near_dedup" -> {
+      val fpPerShot =
+        s"""dd AS (SELECT doc_id, 2 * (1 + length(text) % 6) AS wd,
+           |  2 * (1 + length(text) % 4) AS ht, 1 + length(text) % 5 AS nf,
+           |  length(text) % 180 AS a FROM documents),
+           |par AS (
+           |  SELECT doc_id AS mid, 0 AS sid, 0 AS t0,
+           |    CASE WHEN nf <= 2 THEN nf ELSE 2 END AS m, a, 1 AS ramp,
+           |    wd, ht
+           |  FROM dd
+           |  UNION ALL
+           |  SELECT doc_id, 1, 2, nf - 2, a, 1, wd, ht FROM dd WHERE nf >= 3
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, 0, 0, nf - 2, a, 0, wd, ht FROM dd
+           |  WHERE nf >= 3 AND doc_id % 23 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, 1, 2, nf - 2, a, 1, wd, ht FROM dd
+           |  WHERE nf >= 3 AND doc_id % 23 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 3000000, 2, 0, nf - 2, a, 0, wd, ht FROM dd
+           |  WHERE nf >= 3 AND doc_id % 23 = 0),
+           |dn AS (SELECT mid, sid, t0, a, ramp, wd, ht,
+           |  m * wd * ht AS n, wd * ht AS fsz FROM par),
+           |e AS (SELECT mid, sid,
+           |  list_transform(range(0, 65), w ->
+           |    list_reduce(list_prepend(0::BIGINT,
+           |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+           |        k -> (a + ((k % fsz) % wd) + ((k % fsz) // wd)
+           |              + ramp * (3 * (t0 + k // fsz)
+           |                  + CASE WHEN t0 + k // fsz >= 2
+           |                    THEN 40 ELSE 0 END))::BIGINT)),
+           |      (x, y) -> x + y)) AS es,
+           |  list_transform(range(0, 65), w ->
+           |    (((w + 1) * n) // 65 - (w * n) // 65)::BIGINT) AS ss
+           |  FROM dn),
+           |hh AS (SELECT mid * 16 + sid AS skey,
+           |  CAST(list_sum(list_transform(range(32, 64), p ->
+           |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+           |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+           |    AS fp_hi,
+           |  CAST(list_sum(list_transform(range(0, 32), p ->
+           |    CASE WHEN es[p + 2] * ss[p + 1] > es[p + 1] * ss[p + 2]
+           |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+           |    AS fp_lo
+           |  FROM e),
+           |tband AS (
+           |  SELECT skey, fp_hi, fp_lo, 0 AS band, fp_lo & 65535 AS bkey
+           |  FROM hh
+           |  UNION ALL SELECT skey, fp_hi, fp_lo, 1, (fp_lo >> 16) & 65535 FROM hh
+           |  UNION ALL SELECT skey, fp_hi, fp_lo, 2, fp_hi & 65535 FROM hh
+           |  UNION ALL SELECT skey, fp_hi, fp_lo, 3, (fp_hi >> 16) & 65535 FROM hh),
+           |tok AS (SELECT band, bkey FROM tband
+           |        GROUP BY 1, 2 HAVING count(*) <= $M21MaxBucket),
+           |tbf AS (SELECT b.* FROM tband b JOIN tok USING (band, bkey)),
+           |tp AS (
+           |  SELECT a.skey AS ida, b.skey AS idb,
+           |    min(bit_count(xor(a.fp_hi, b.fp_hi))
+           |      + bit_count(xor(a.fp_lo, b.fp_lo)))::INTEGER AS hamming
+           |  FROM tbf a JOIN tbf b ON a.band = b.band AND a.bkey = b.bkey
+           |  WHERE a.skey < b.skey GROUP BY 1, 2)""".stripMargin
+      s"""WITH $fpPerShot,
+         |mm AS (SELECT ida // 16 AS mida, ida % 16 AS sida,
+         |         idb // 16 AS midb, idb % 16 AS sidb
+         |       FROM tp WHERE hamming <= $M21MaxHamming),
+         |cr AS (SELECT * FROM mm WHERE mida <> midb),
+         |directed AS (
+         |  SELECT mida AS ida, midb AS idb, sida AS shot_a FROM cr
+         |  UNION
+         |  SELECT midb, mida, sidb FROM cr),
+         |ns AS (SELECT mid AS ida, count(*) AS n_shots_a FROM par
+         |       GROUP BY mid)
+         |SELECT ida, idb, n_shots_a, n_shared,
+         |  n_shared::DOUBLE / n_shots_a::DOUBLE AS shared_frac
+         |FROM (SELECT ida, idb, count(DISTINCT shot_a) AS n_shared
+         |      FROM directed GROUP BY 1, 2)
+         |JOIN ns USING (ida)
+         |ORDER BY ida, idb""".stripMargin
+    },
     // m12: the m11 luma/fingerprint chain over the planted corpus
     // (clones of every 19th doc re-levelled by M12Shift — which the
     // cross-multiplied compare cancels — AND perturbed by M12Delta in

@@ -521,6 +521,27 @@ object Multimodal {
    * never message-text matching, so the verdict is deterministic and
    * the gate's closed-form oracle can replay it from the planted
    * corruption alone. */
+  /** The SHARED quarantine classification seam (m16 audio, m20
+   * image/video): run the modality's decode thunk and turn any
+   * structural failure into the same two typed verdicts every modality
+   * shares — `truncated_payload` when the container identified itself
+   * but its data section ended early ([[TruncatedMediaException]],
+   * thrown by each decoder's structural length checks), and
+   * `unreadable_container` for anything that does not parse as the
+   * container at all. Verdict rows carry only the id and the kind —
+   * never exception message text, which can embed payload bytes (the
+   * k11 DLQ discipline). `nStats` = the modality's stat column count,
+   * nulled on quarantine. */
+  private def classifyDecode(id: Long, nStats: Int)(decode: => Row): Row =
+    try decode catch {
+      case _: TruncatedMediaException =>
+        Row.fromSeq(id +: false +: "truncated_payload" +:
+          Seq.fill[Any](nStats)(null))
+      case scala.util.control.NonFatal(_) =>
+        Row.fromSeq(id +: false +: "unreadable_container" +:
+          Seq.fill[Any](nStats)(null))
+    }
+
   def extractAudioFeaturesQuarantined(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -532,12 +553,10 @@ object Multimodal {
       StructField("peak_abs", IntegerType, nullable = true),
       StructField("amp_sum", LongType, nullable = true)))
     val projected = df.select(col("media_id").cast(LongType), col("payload"))
-    def quarantined(id: Long, kind: String): Row =
-      Row(id, false, kind, null, null, null, null)
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        try {
+        classifyDecode(id, nStats = 4) {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
           try {
@@ -548,28 +567,108 @@ object Multimodal {
             val data = ais.readAllBytes()
             val n = data.length / 2
             if (n == 0 || (declared >= 0 && n < declared))
-              quarantined(id, "truncated_payload")
-            else {
-              val big = fmt.isBigEndian
-              var i = 0
-              var sum = 0L
-              var peak = 0
-              while (i < n) {
-                val b0 = data(2 * i)
-                val b1 = data(2 * i + 1)
-                val s = if (big) (b0 << 8) | (b1 & 0xff)
-                        else (b1 << 8) | (b0 & 0xff)
-                sum += s
-                val a = math.abs(s)
-                if (a > peak) peak = a
-                i += 1
-              }
-              Row(id, true, null, fmt.getSampleRate.toInt, n.toLong, peak, sum)
+              throw new TruncatedMediaException(
+                "PCM data ends before the declared frame count")
+            val big = fmt.isBigEndian
+            var i = 0
+            var sum = 0L
+            var peak = 0
+            while (i < n) {
+              val b0 = data(2 * i)
+              val b1 = data(2 * i + 1)
+              val s = if (big) (b0 << 8) | (b1 & 0xff)
+                      else (b1 << 8) | (b0 & 0xff)
+              sum += s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
             }
+            Row(id, true, null, fmt.getSampleRate.toInt, n.toLong, peak, sum)
           } finally ais.close()
-        } catch {
-          case scala.util.control.NonFatal(_) =>
-            quarantined(id, "unreadable_container")
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** M20 (image leg): [[extractImageFeaturesQuarantined]] — the m16
+   * quarantine contract at the PNG decode seam, classified through the
+   * same [[classifyDecode]] seam. Truncation is detected STRUCTURALLY
+   * (a complete PNG ends in its IEND chunk; a data-section cut keeps
+   * the signature but loses the tail) rather than by relying on which
+   * exception the ImageIO reader happens to throw on a truncated IDAT
+   * — deterministic across JDKs. A payload without the 8-byte PNG
+   * signature never identified itself as the container →
+   * `unreadable_container`. */
+  def extractImageFeaturesQuarantined(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("err_kind", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("pixel_sum", LongType, nullable = true)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        classifyDecode(id, nStats = 3) {
+          val sig = bytes.length >= 8 && bytes(0) == 0x89.toByte &&
+            bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+          require(sig, "no PNG signature")
+          val n = bytes.length
+          val tailOk = n >= 12 && bytes(n - 8) == 'I' &&
+            bytes(n - 7) == 'E' && bytes(n - 6) == 'N' && bytes(n - 5) == 'D'
+          if (!tailOk) throw new TruncatedMediaException(
+            "PNG data section ends before IEND")
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, "undecodable image payload")
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += raster.getSample(x, y, 0); x += 1
+            }
+            y += 1
+          }
+          Row(id, true, null, img.getWidth, img.getHeight, sum)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** M20 (video leg): the quarantine contract at the Y4M demux seam.
+   * [[Y4mDecoder]]'s structural length checks throw
+   * [[TruncatedMediaException]] (a FRAME whose planes end early, a
+   * marker line without its newline), so a cut data section classifies
+   * as `truncated_payload`; a payload whose header is not `YUV4MPEG2`
+   * never identified itself → `unreadable_container` — the same two
+   * kinds, the same seam. */
+  def extractVideoFeaturesQuarantined(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("err_kind", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("y_sum", LongType, nullable = true)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new Y4mDecoder
+      rows.map { r =>
+        val id = r.getLong(0)
+        classifyDecode(id, nStats = 4) {
+          val (w, h, sums) = decoder.frameLumaSums(r.getAs[Array[Byte]](1))
+          Row(id, true, null, w, h, sums.length, sums.sum)
         }
       }
     }
@@ -775,6 +874,117 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /**
+   * Synthesize COMPOSITE Y4M clips (the m21 fixture): for each input
+   * doc whose original clip has a post-cut second shot (nf ≥ 3; docs
+   * without one yield no composite), a clip whose MIDDLE THIRD is
+   * byte-for-byte the original clip's second shot — m = nf−2 flat host
+   * frames (Y = a+x+y, no ramp, so the segment is cut-free), then the
+   * donor shot's frames exactly (Y = a+x+y+3t+40 for t = 2..nf−1, the
+   * original's post-cut scene with its ramp and sustained lift), then
+   * m more host frames. The host→donor and donor→host boundaries jump
+   * the frame mean by ≥ 43 luma levels — always past the cut threshold
+   * — so the composite demuxes into exactly three shots with the donor
+   * isolated as shot 1: the re-edit/compilation shape whole-stream
+   * fingerprints (m11/m12) structurally miss.
+   */
+  def packAsY4mSpliced(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", VideoMetaSchema, nullable = false)))
+    val projected = df.select(col(idCol).cast(LongType),
+      encode(col(textCol), "UTF-8"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val len = r.getAs[Array[Byte]](1).length
+        val w = 2 * (1 + len % 6)
+        val h = 2 * (1 + len % 4)
+        val nf = 1 + len % 5
+        val fps = 24 + len % 2
+        val a = len % 180
+        if (nf < 3) None
+        else {
+          val m = nf - 2
+          val nfc = 3 * m
+          val header = s"YUV4MPEG2 W$w H$h F$fps:1 Ip A1:1 C420jpeg\n"
+            .getBytes("US-ASCII")
+          val frameMark = "FRAME\n".getBytes("US-ASCII")
+          val cSize = (w / 2) * (h / 2)
+          val buf = java.nio.ByteBuffer.allocate(
+            header.length + nfc * (frameMark.length + w * h + 2 * cSize))
+          buf.put(header)
+          var f = 0
+          while (f < nfc) {
+            buf.put(frameMark)
+            val donor = f >= m && f < 2 * m
+            val t = if (donor) 2 + (f - m) else 0
+            val lift = if (donor) 40 else 0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                buf.put((a + x + y + 3 * t + lift).toByte)
+                x += 1
+              }
+              y += 1
+            }
+            var c = 0
+            while (c < 2 * cSize) { buf.put(128.toByte); c += 1 }
+            f += 1
+          }
+          Some(Row(id, buf.array(), Row("video/y4m", w, h, nfc, fps)))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Per-SHOT video fingerprints in the codec seam —
+   * [[Y4mDecoder.shotFingerprints]] per clip: one decode pass yields
+   * the m17 cut scan, the m18 shot fold and one 64-bit fingerprint per
+   * shot; downstream joins shuffle (media_id, shot_id, 8-byte code)
+   * rows, never frames. */
+  def videoShotFingerprints(df: DataFrame, windows: Int = 65,
+                            cutThreshold: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("shot_id", IntegerType, nullable = false),
+      StructField("start_frame", IntegerType, nullable = false),
+      StructField("end_frame", IntegerType, nullable = false),
+      StructField("fp_hi", LongType, nullable = false),
+      StructField("fp_lo", LongType, nullable = false)))
+    val projected = df.select(col("media_id").cast(LongType), col("payload"))
+    val rdd = projected.rdd.mapPartitions { rows =>
+      val decoder = new Y4mDecoder
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        decoder.shotFingerprints(r.getAs[Array[Byte]](1), windows,
+            cutThreshold)
+          .map { case (sid, t0, t1, hi, lo) => Row(id, sid, t0, t1, hi, lo) }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Banded-Hamming near-duplicate pairs over PER-SHOT fingerprints —
+   * the m21 candidate join: shots key as `media_id·16 + shot_id` (a
+   * clip's shot count is frame-bounded ≤ 15 here) so the shared banded
+   * core applies verbatim; the clip-level shared-shot verdict
+   * decomposes the key downstream. */
+  def videoShotNearDupPairs(shotFps: DataFrame, maxHamming: Int = 8,
+                            maxBucket: Int = 256)(
+      implicit scope: graft.operators.CacheScope): DataFrame =
+    bandedHammingPairs(
+      shotFps.select(
+        (col("media_id") * 16 + col("shot_id")).as("skey"),
+        col("fp_hi"), col("fp_lo")),
+      "skey", "fp_hi", "fp_lo", maxHamming, maxBucket)
+
   /** Batched REAL video decode: one [[Y4mDecoder]] per partition, Y4M
    * payloads in, demuxed dimension/frame-count/luma stats out — every
    * number comes from the container parse and plane reads, not the
@@ -946,6 +1156,12 @@ final class WavDecoder {
   }
 }
 
+/** The TYPED truncation signal the quarantine seam classifies as
+ * `truncated_payload`: a decoder throws it when the container
+ * identified itself but its data section ended early — structural, so
+ * classification never parses exception message text. */
+final class TruncatedMediaException(msg: String) extends RuntimeException(msg)
+
 /**
  * REAL video decoder for the YUV4MPEG2 container — pure JVM, no native
  * codecs (Y4M planes are raw, the demux is the whole decode). Parses
@@ -960,7 +1176,8 @@ final class Y4mDecoder {
   private def lineEnd(bytes: Array[Byte], from: Int): Int = {
     var i = from
     while (i < bytes.length && bytes(i) != '\n') i += 1
-    require(i < bytes.length, "truncated Y4M: no newline terminating header")
+    if (i >= bytes.length) throw new TruncatedMediaException(
+      "truncated Y4M: stream ends inside a header/marker line")
     i
   }
 
@@ -1009,8 +1226,9 @@ final class Y4mDecoder {
       val mark = new String(bytes, pos, fEnd - pos, "US-ASCII")
       require(mark.startsWith("FRAME"), s"expected FRAME marker, got '$mark'")
       pos = fEnd + 1
-      require(pos + ySize + sh.chromaSize <= bytes.length,
-        s"truncated Y4M frame ${offs.size}: need ${ySize + sh.chromaSize} bytes")
+      if (pos + ySize + sh.chromaSize > bytes.length)
+        throw new TruncatedMediaException(
+          s"truncated Y4M frame ${offs.size}: need ${ySize + sh.chromaSize} bytes")
       offs += pos
       pos += ySize + sh.chromaSize
     }
@@ -1052,8 +1270,9 @@ final class Y4mDecoder {
       val mark = new String(bytes, pos, fEnd - pos, "US-ASCII")
       require(mark.startsWith("FRAME"), s"expected FRAME marker, got '$mark'")
       pos = fEnd + 1
-      require(pos + ySize + chromaSize <= bytes.length,
-        s"truncated Y4M frame $nFrames: need ${ySize + chromaSize} bytes")
+      if (pos + ySize + chromaSize > bytes.length)
+        throw new TruncatedMediaException(
+          s"truncated Y4M frame $nFrames: need ${ySize + chromaSize} bytes")
       var frameSum = 0L
       var i = 0
       while (i < ySize) { frameSum += bytes(pos + i) & 0xff; i += 1 }
@@ -1122,6 +1341,65 @@ final class Y4mDecoder {
       p += 1
     }
     (hi, lo)
+  }
+
+  /** Per-SHOT fingerprints — the m18→m21 composition in one decode
+   * pass: per-frame luma sums drive the m17 cut rule (|ΔΣy| >
+   * threshold·w·h, integer-exact), cut-free frame runs fold to shots,
+   * and each shot's concatenated luma stream fingerprints with the
+   * SAME windowed cross-multiplied delta-bit algebra as
+   * [[fingerprint]] — so a shot re-used inside another clip (a
+   * re-edit, a compilation) carries the same code no matter where it
+   * lands in the host stream: exactly the partial-overlap evidence a
+   * whole-stream fingerprint structurally misses. Returns
+   * (shotId, startFrame, endFrame, fpHi, fpLo) per shot. */
+  def shotFingerprints(bytes: Array[Byte], windows: Int = 65,
+                       cutThreshold: Int = 10): Seq[(Int, Int, Int, Long, Long)] = {
+    require(windows >= 2 && windows <= 65,
+      s"windows-1 bits must fit 64, got $windows")
+    val sh = parseHeader(bytes)
+    val offs = lumaOffsets(bytes, sh)
+    val ySize = sh.w * sh.h
+    val sums = offs.map { o =>
+      var s = 0L
+      var i = 0
+      while (i < ySize) { s += bytes(o + i) & 0xff; i += 1 }
+      s
+    }
+    val cuts = (1 until offs.length)
+      .filter(t => math.abs(sums(t) - sums(t - 1)) > cutThreshold.toLong * ySize)
+    val starts = 0 +: cuts
+    val ends = cuts.map(_ - 1) :+ (offs.length - 1)
+    starts.zip(ends).zipWithIndex.map { case ((t0, t1), sid) =>
+      val n = (t1 - t0 + 1).toLong * ySize
+      val e = new Array[Long](windows)
+      val sw = new Array[Long](windows)
+      var w = 0
+      while (w < windows) {
+        val from = w * n / windows
+        val until = (w + 1) * n / windows
+        sw(w) = until - from
+        var acc = 0L
+        var k = from
+        while (k < until) {
+          val frame = t0 + (k / ySize).toInt
+          val off = (k % ySize).toInt
+          acc += bytes(offs(frame) + off) & 0xff
+          k += 1
+        }
+        e(w) = acc
+        w += 1
+      }
+      var hi = 0L; var lo = 0L
+      var p = 0
+      while (p < windows - 1) {
+        if (e(p + 1) * sw(p) > e(p) * sw(p + 1)) {
+          if (p < 32) lo |= 1L << p else hi |= 1L << (p - 32)
+        }
+        p += 1
+      }
+      (sid, t0, t1, hi, lo)
+    }
   }
 }
 

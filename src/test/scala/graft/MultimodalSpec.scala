@@ -380,7 +380,65 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(7) == 2 && r.getLong(8) == 36L)
     intercept[IllegalArgumentException](
       d.decode("MPEG garbage\n".getBytes("US-ASCII")))
-    intercept[IllegalArgumentException]( // truncated frame
+    // a cut data section throws the TYPED truncation signal the
+    // quarantine seam classifies as truncated_payload
+    intercept[graft.multimodal.TruncatedMediaException](
       d.decode(header ++ fm ++ Array[Byte](1, 2)))
+  }
+
+  test("quarantined image/video decoders classify the two corruption shapes like m16's audio") {
+    val docs = Seq((7L, "a" * 70), (11L, "b" * 110), (5L, "c" * 50))
+      .toDF("doc_id", "text")
+    def corrupt(df: org.apache.spark.sql.DataFrame,
+                cut: String): org.apache.spark.sql.DataFrame =
+      df.withColumn("payload",
+        when(col("media_id") % 7 === 0, expr(cut))
+          .when(col("media_id") % 11 === 0,
+            concat(lit("X".getBytes("US-ASCII")),
+              expr("substring(payload, 2, length(payload) - 1)")))
+          .otherwise(col("payload")))
+    val img = Multimodal.extractImageFeaturesQuarantined(
+      corrupt(Multimodal.packAsPng(docs, "doc_id", "text"),
+        "substring(payload, 1, cast(ceil(length(payload) / 2.0) as int))"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!img(7L).getBoolean(1) && img(7L).getString(2) == "truncated_payload")
+    assert(!img(11L).getBoolean(1) && img(11L).getString(2) == "unreadable_container")
+    assert(img(5L).getBoolean(1) && img(5L).isNullAt(2))
+    // healthy stats come from the real decode: w=3,h=3,a=50 for len 50
+    assert(img(5L).getInt(3) == 3 && img(5L).getInt(4) == 3)
+    val vid = Multimodal.extractVideoFeaturesQuarantined(
+      corrupt(Multimodal.packAsY4m(docs, "doc_id", "text"),
+        "substring(payload, 1, length(payload) - 1)"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!vid(7L).getBoolean(1) && vid(7L).getString(2) == "truncated_payload")
+    assert(!vid(11L).getBoolean(1) && vid(11L).getString(2) == "unreadable_container")
+    assert(vid(5L).getBoolean(1) && vid(5L).isNullAt(2))
+  }
+
+  test("spliced composite demuxes into three shots with the donor's fingerprint equal to the source shot's") {
+    // len 53 -> nf = 1 + 53 % 5 = 4 >= 3, so the original has shots
+    // [0,1] and [2,3] and the composite exists (m = 2, 6 frames)
+    val docs = Seq((23L, "z" * 53)).toDF("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text",
+      cutAtFrame = 2, cutDelta = 40)
+    val comp = Multimodal.packAsY4mSpliced(
+      docs.withColumn("doc_id", col("doc_id") + 3000000L), "doc_id", "text")
+    val shots = Multimodal.videoShotFingerprints(orig.unionByName(comp))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5))).toMap
+    assert(shots.keySet == Set((23L, 0), (23L, 1),
+      (3000023L, 0), (3000023L, 1), (3000023L, 2)),
+      s"unexpected shot set: ${shots.keySet}")
+    assert(shots((23L, 1))._1 == 2 && shots((23L, 1))._2 == 3)
+    assert(shots((3000023L, 1))._1 == 2 && shots((3000023L, 1))._2 == 3)
+    // the donor third carries the SOURCE shot's exact code
+    assert((shots((3000023L, 1))._3, shots((3000023L, 1))._4) ==
+           (shots((23L, 1))._3, shots((23L, 1))._4),
+      "the spliced donor shot's fingerprint drifted from its source")
+    // a doc whose clip has no second shot yields NO composite
+    val none = Multimodal.packAsY4mSpliced(
+      Seq((1L, "y" * 51)).toDF("doc_id", "text"), // nf = 2
+      "doc_id", "text")
+    assert(none.count() == 0)
   }
 }
