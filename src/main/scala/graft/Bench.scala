@@ -111,6 +111,23 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Streaming-commit / localCheckpoint-barrier gates: their wall is
+    // dominated by fixed per-trigger commit and barrier floors that
+    // swing up to 3.5x run-over-run with scheduler luck, not plan cost
+    // (bench/watchitems_r12.md: the driver read d13 at 7.02 s where the
+    // matched-canary archive reads 2.03 s — same code, same SF). These
+    // get TWO EXTRA timed reps (min over 4 samples instead of 2), so
+    // the archived number converges on the floor. ~15 gates × a few
+    // seconds buys round-over-round comparability for the whole family.
+    val barrierGates: Set[String] = Set(
+      "w4_stream_stream_join", "w7_stream_dedup", "w8_stream_outer_join",
+      "w9_late_data_drop", "w10_stream_ann_serve",
+      "w11_stream_serve_from_store", "w12_stream_dedup_admission",
+      "w13_stream_maintenance_plans", "w14_stream_curation_admission",
+      "d8_dup_clusters_star", "d13_incremental_dedup",
+      "m13_image_near_dedup_verdict", "m14_audio_near_dedup_verdict",
+      "m15_video_near_dedup_verdict", "s7b_snapshot_stream_handoff",
+      "s8_pg_cdc", "e33_reindex_cutover")
     canaryOnce() // pay its own codegen before the measured reps
     val canary0 = canaryOnce()
     val pass1 = names.map(n => n -> once(n)).toMap
@@ -118,7 +135,10 @@ object Bench {
     val results = names.map { n =>
       val a = pass1(n)
       val b = once(n)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+      val reps = Seq(a, b) ++
+        (if (barrierGates(n)) Seq(once(n), once(n)) else Nil)
+      val ok = reps.filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val canary = math.min(canary0, math.min(canary1, canaryOnce()))
     val total = results.map(_._2).filter(_ >= 0).sum
