@@ -143,6 +143,19 @@ object LifecycleRecallProbe {
     val centsMerged = mergeOnce(mergeOnce(cents3))
     val delMerged = sweepSurv(centsMerged)
 
+    // ... and the RESET (e33's verb, the r13 extension): the surgical
+    // verbs above only BEND the drifted frontier — they re-cut cells
+    // under centroids still trained on the pre-admission slice. The
+    // REINDEX retrains the quantizer on the surviving corpus itself
+    // (exactly what IndexStore.cutover publishes) at the SAME cell
+    // count as the split3 table, so the comparison is iso-cell-budget:
+    // any frontier gap between `after_delete_split3_table` and this
+    // curve is purely what retraining recovers.
+    val centsReindex = Similarity.trainIvfCentroids(
+      survivors, cents3.size, Dim, iters = 5)
+    val occRe = occupancy(survivors, centsReindex)
+    val delReindex = sweepSurv(centsReindex)
+
     println(s"""{
       |"probe": "graft.tools.LifecycleRecallProbe",
       |"dir": "$dir",
@@ -160,7 +173,11 @@ object LifecycleRecallProbe {
       |    ${cents3.indices.count(j => occDel.getOrElse(j, 0L) == 0L)},
       |  "after_delete_presplit_table": $delPre,
       |  "after_delete_split3_table": $delPost3,
-      |  "after_delete_merge2_of_${centsMerged.size}_cells": $delMerged}
+      |  "after_delete_merge2_of_${centsMerged.size}_cells": $delMerged},
+      |"reindex": {"cells": ${centsReindex.size},
+      |  "max_occ": ${occRe.values.max},
+      |  "empty_cells": ${centsReindex.indices.count(j => occRe.getOrElse(j, 0L) == 0L)},
+      |  "after_delete_retrained_table": $delReindex}
       |}""".stripMargin.replace("\n", " "))
     spark.stop()
   }
