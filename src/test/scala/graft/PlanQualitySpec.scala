@@ -417,4 +417,28 @@ class PlanQualitySpec extends SparkSpec {
         docs, "doc_id", "text", k = 15))
     }
   }
+
+  test("shot near-dup: the banded shot join shuffles 8-byte codes keyed by band, never frames") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      import org.apache.spark.sql.types.{BinaryType, StringType}
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")).limit(40)
+      val packed = graft.multimodal.Multimodal.packAsY4m(docs,
+        "doc_id", "text", cutAtFrame = 2, cutDelta = 40)
+      val pairs = graft.multimodal.Multimodal.videoShotNearDupPairs(
+        graft.multimodal.Multimodal.videoShotFingerprints(packed))
+      val lp = pairs.queryExecution.optimizedPlan
+      val joins = lp.collect { case j: Join => j }
+      assert(joins.nonEmpty, "expected the banded self-join")
+      joins.foreach { j =>
+        val refs = j.condition.toSeq.flatMap(_.references.toSeq)
+        assert(refs.forall(r =>
+            r.dataType != BinaryType && r.dataType != StringType),
+          s"payload bytes in the shot join: " +
+            refs.map(r => s"${r.name}:${r.dataType}").mkString(", "))
+      }
+      assert(!plan(pairs).contains("CartesianProduct"))
+    }
+  }
 }
