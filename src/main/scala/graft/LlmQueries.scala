@@ -2564,7 +2564,13 @@ object LlmQueries {
   private def memoFrame(s: SparkSession, dir: String, key: String)
                        (build: String => Unit): DataFrame = {
     val path = mmMemo.getOrElseUpdate(s"$key|$dir", {
-      val p = s"target/tmp/memo_${key}_${new java.io.File(dir).getName}"
+      // the artifact path carries a digest of the FULL dir, not just
+      // its basename: the memo never rebuilds on a hit, so two fixture
+      // dirs sharing a basename must never share an artifact (unlike
+      // the per-gate target/tmp dirs, which rewrite every invocation
+      // and self-heal)
+      val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+      val p = s"target/tmp/memo_${key}_${new java.io.File(dir).getName}_$tag"
       build(p)
       p
     })

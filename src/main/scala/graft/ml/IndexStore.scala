@@ -220,6 +220,18 @@ object IndexStore {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         fence(dir, epoch)
+        // the checkpoint-identity guard: a holder pointing a FRESH
+        // checkpoint at an existing store restarts batch ids at 0, and
+        // an id already in the live fold list would overwrite a folded
+        // (vacuum-doomed) dir — valid rows silently invisible to every
+        // reader. Fold lists are cumulative, so the live version's list
+        // covers every folded batch; refuse loudly instead.
+        val folded = versions(dir).lastOption
+          .map { case (_, p) => foldedNames(p) }.getOrElse(Set.empty[String])
+        require(!folded(admMarker(id)),
+          s"admission batch $id was already folded into a base version " +
+            s"under $dir: this stream's checkpoint does not belong to " +
+            "this store — resume the store's original checkpoint")
         batch.write.mode("overwrite")
           .parquet(Paths.get(deltaDir(dir), s"adm=b$id").toString)
         ()
@@ -387,24 +399,31 @@ object IndexStore {
         else unioned.join(
           spark.read.parquet(tombs.map(_.toString): _*).select("id"),
           Seq("id"), "left_anti")
-      // the fold list is CUMULATIVE (prior folds' names carry forward):
-      // the sink log never forgets a committed file, so a version that
-      // listed only its own fold would let files folded two epochs ago
-      // — physically deleted — resurface as "pending"; tombstone batch
-      // and admission batch numbers carry forward the same way so they
-      // are never reused
-      val tombKs = tombs.map(p =>
-        tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
-      val admKs = admB.map(p =>
-        admMarker(p.getFileName.toString.stripPrefix("adm=b").toLong))
       writeVersion(merged, dir, pv + 1,
-        (foldedNames(pdir) ++ pending.map(fileName) ++ admKs ++ tombKs)
-          .toSeq.sorted,
+        foldListFor(pdir, pending, admB, tombs),
         preCommit = recheck)
       recheck()
       vacuum(dir, retainVersions)
       true
     }
+  }
+
+  /** The new version's CUMULATIVE fold list (prior folds' names carry
+   * forward): the sink log never forgets a committed file, so a version
+   * that listed only its own fold would let files folded two epochs ago
+   * — physically deleted — resurface as "pending"; tombstone batch and
+   * admission batch numbers carry forward the same way so they are
+   * never reused. ONE assembly shared by [[compactCore]] and
+   * [[cutover]] — vacuum's deletions trust exactly this composition,
+   * so the two verbs must never desynchronize. */
+  private def foldListFor(pdir: Path, pending: Seq[String],
+                          admB: Seq[Path], tombs: Seq[Path]): Seq[String] = {
+    val tombKs = tombs.map(p =>
+      tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
+    val admKs = admB.map(p =>
+      admMarker(p.getFileName.toString.stripPrefix("adm=b").toLong))
+    (foldedNames(pdir) ++ pending.map(fileName) ++ admKs ++ tombKs)
+      .toSeq.sorted
   }
 
   // ---- writer fencing (the storage half of L6's single-writer rule) ------
@@ -512,13 +531,8 @@ object IndexStore {
     val pending = unfoldedFrom(spark, dir, pdir)
     val admB = unfoldedAdm(dir, pdir)
     val tombs = unfoldedTombs(dir, pdir)
-    val tombKs = tombs.map(p =>
-      tombMarker(p.getFileName.toString.stripPrefix("t=").toInt))
-    val admKs = admB.map(p =>
-      admMarker(p.getFileName.toString.stripPrefix("adm=b").toLong))
     writeVersion(rebuilt, dir, pv + 1,
-      (foldedNames(pdir) ++ pending.map(fileName) ++ admKs ++ tombKs)
-        .toSeq.sorted,
+      foldListFor(pdir, pending, admB, tombs),
       preCommit = () => fence(dir, epoch))
     fence(dir, epoch)
     vacuum(dir, retainVersions)

@@ -981,7 +981,15 @@ object Multimodal {
       implicit scope: graft.operators.CacheScope): DataFrame =
     bandedHammingPairs(
       shotFps.select(
-        (col("media_id") * 16 + col("shot_id")).as("skey"),
+        // the key width is a real bound, enforced: a clip with >= 16
+        // shots would alias its 16th shot into media_id+1's slot and
+        // silently corrupt every downstream verdict — fail the row
+        // loudly instead (assert_true raises; it returns NULL on pass,
+        // so the when() wrapper is the idiomatic lazy guard)
+        when(assert_true(col("shot_id") < lit(16),
+            lit("shot_id >= 16 overflows the media_id*16+shot_id key " +
+              "encoding — widen the key for this corpus")).isNull,
+          col("media_id") * 16 + col("shot_id")).as("skey"),
         col("fp_hi"), col("fp_lo")),
       "skey", "fp_hi", "fp_lo", maxHamming, maxBucket)
 
@@ -1186,6 +1194,14 @@ final class Y4mDecoder {
                                         headerEnd: Int)
 
   private def parseHeader(bytes: Array[Byte]): StreamHeader = {
+    // the MAGIC check runs BEFORE any truncation signal can fire: a
+    // payload that never identified itself as Y4M (e.g. a newline-free
+    // binary blob, where lineEnd would otherwise throw the typed
+    // truncation) must classify as unreadable, not truncated
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    require(bytes.length >= magic.length &&
+        magic.indices.forall(i => bytes(i) == magic(i)),
+      "not a Y4M stream: YUV4MPEG2 magic absent")
     val hEnd = lineEnd(bytes, 0)
     val header = new String(bytes, 0, hEnd, "US-ASCII")
     val tokens = header.split(' ')

@@ -356,6 +356,27 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.unfoldedDeltaFiles(spark, idx).isEmpty)
     assert(!Files.exists(Paths.get(IndexStore.deltaDir(idx), "adm=b0")),
       "vacuum left a folded admission batch dir behind")
+
+    // a holder pointing a FRESH checkpoint at the folded store refuses
+    // loudly: its batch ids restart at 0, and adm=b0 is already in the
+    // live fold list — an overwrite there would be valid rows landing
+    // in a vacuum-doomed dir, invisible to every reader
+    val c = IndexStore.acquireWriter(idx)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val freshStream = scoped.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val qc = IndexStore.admit(
+      Similarity.ivfPqIndex(freshStream, books, cents),
+      idx, s"$dir/ckpt_fresh", c)
+    val exc = intercept[Throwable] { qc.processAllAvailable() }
+    qc.stop()
+    assert(Option(exc.getMessage).exists(_.contains("already folded")) ||
+      Option(exc.getCause).exists(e =>
+        Option(e.getMessage).exists(_.contains("already folded"))),
+      s"expected the checkpoint-identity refusal, got: $exc")
+    assert(IndexStore.read(spark, idx).collect().toSet == all,
+      "the refused fresh-checkpoint batch moved the serving view")
   }
 
   test("fenced bootstrap and vacuum: a superseded writer can neither re-bootstrap nor retire grace state") {

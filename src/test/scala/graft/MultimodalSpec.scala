@@ -413,6 +413,14 @@ class MultimodalSpec extends SparkSpec {
     assert(!vid(7L).getBoolean(1) && vid(7L).getString(2) == "truncated_payload")
     assert(!vid(11L).getBoolean(1) && vid(11L).getString(2) == "unreadable_container")
     assert(vid(5L).getBoolean(1) && vid(5L).isNullAt(2))
+    // a newline-free non-Y4M blob classifies UNREADABLE, never
+    // truncated: the magic check runs before any truncation signal
+    // (lineEnd) can fire
+    val blob = Seq((1L, Array[Byte](71, 73, 70, 56, 57, 97, 1, 2)))
+      .toDF("media_id", "payload")
+    val vb = Multimodal.extractVideoFeaturesQuarantined(blob).collect().head
+    assert(!vb.getBoolean(1) && vb.getString(2) == "unreadable_container",
+      s"newline-free non-Y4M blob misclassified: ${vb.getString(2)}")
   }
 
   test("spliced composite demuxes into three shots with the donor's fingerprint equal to the source shot's") {
