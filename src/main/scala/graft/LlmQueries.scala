@@ -2568,8 +2568,11 @@ object LlmQueries {
       // its basename: the memo never rebuilds on a hit, so two fixture
       // dirs sharing a basename must never share an artifact (unlike
       // the per-gate target/tmp dirs, which rewrite every invocation
-      // and self-heal)
-      val tag = f"${dir.hashCode & 0x7fffffff}%08x"
+      // and self-heal). MD5 of the absolute path — a 32-bit hashCode
+      // could collide across dirs and silently cross-contaminate.
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(new java.io.File(dir).getAbsolutePath.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
       val p = s"target/tmp/memo_${key}_${new java.io.File(dir).getName}_$tag"
       build(p)
       p
@@ -2973,7 +2976,8 @@ object LlmQueries {
    * stream resembling any of them. One decode pass per clip yields the
    * m17 cuts, the m18 shot fold and one 64-bit fingerprint PER SHOT
    * ([[Multimodal.videoShotFingerprints]]); shots band through the
-   * shared banded-Hamming core keyed `media_id·16 + shot_id`; and the
+   * shared banded-Hamming core keyed by the `(media_id, shot_id)`
+   * struct (no shot-count bound); and the
    * clip-pair verdict is containment-style — the fraction of clip A's
    * shots matched by at least one of B's (directed, like x26). The
    * fixture plants exactly the claim: for every 23rd doc whose clip
@@ -3001,13 +3005,13 @@ object LlmQueries {
         Multimodal.videoShotFingerprints(orig.unionByName(comps))).toDF()
       val pairs = Multimodal.videoShotNearDupPairs(shots,
         maxHamming = M21MaxHamming, maxBucket = M21MaxBucket)
-      // decompose the shot keys, keep CROSS-clip matches, symmetrize
-      // to directed rows, then the containment-style verdict
+      // read the struct shot keys apart, keep CROSS-clip matches,
+      // symmetrize to directed rows, then the containment-style verdict
       val m = pairs.select(
-          shiftright(col("ida"), 4).as("mida"),
-          pmod(col("ida"), lit(16)).as("sida"),
-          shiftright(col("idb"), 4).as("midb"),
-          pmod(col("idb"), lit(16)).as("sidb"))
+          col("ida.media_id").as("mida"),
+          col("ida.shot_id").as("sida"),
+          col("idb.media_id").as("midb"),
+          col("idb.shot_id").as("sidb"))
         .filter(col("mida") =!= col("midb"))
       val directed = m.select(col("mida").as("ida"), col("midb").as("idb"),
           col("sida").as("shot_a"))

@@ -972,24 +972,20 @@ object Multimodal {
   }
 
   /** Banded-Hamming near-duplicate pairs over PER-SHOT fingerprints —
-   * the m21 candidate join: shots key as `media_id·16 + shot_id` (a
-   * clip's shot count is frame-bounded ≤ 15 here) so the shared banded
-   * core applies verbatim; the clip-level shared-shot verdict
-   * decomposes the key downstream. */
+   * the m21 candidate join: shots key as the STRUCT
+   * `(media_id, shot_id)` (the banded core keys on an arbitrary
+   * column; struct ordering is lexicographic, so the `ida < idb`
+   * orientation matches the retired `media_id·16 + shot_id` integer
+   * encoding wherever that encoding was valid — and a clip with any
+   * number of shots is representable, where the packed key aliased at
+   * 16). The clip-level shared-shot verdict reads the struct fields
+   * downstream. */
   def videoShotNearDupPairs(shotFps: DataFrame, maxHamming: Int = 8,
                             maxBucket: Int = 256)(
       implicit scope: graft.operators.CacheScope): DataFrame =
     bandedHammingPairs(
       shotFps.select(
-        // the key width is a real bound, enforced: a clip with >= 16
-        // shots would alias its 16th shot into media_id+1's slot and
-        // silently corrupt every downstream verdict — fail the row
-        // loudly instead (assert_true raises; it returns NULL on pass,
-        // so the when() wrapper is the idiomatic lazy guard)
-        when(assert_true(col("shot_id") < lit(16),
-            lit("shot_id >= 16 overflows the media_id*16+shot_id key " +
-              "encoding — widen the key for this corpus")).isNull,
-          col("media_id") * 16 + col("shot_id")).as("skey"),
+        struct(col("media_id"), col("shot_id")).as("skey"),
         col("fp_hi"), col("fp_lo")),
       "skey", "fp_hi", "fp_lo", maxHamming, maxBucket)
 

@@ -449,4 +449,29 @@ class MultimodalSpec extends SparkSpec {
       "doc_id", "text")
     assert(none.count() == 0)
   }
+
+  test("shot near-dup pairs handle clips with 16+ shots (struct key, no aliasing)") {
+    // The retired media_id*16+shot_id encoding aliased shot 16 of clip m
+    // into clip m+1's slot 0. Build a synthetic shot table where exactly
+    // that collision is live: clip 1 has 24 shots (shot 20 shares clip
+    // 2's shot-0 fingerprint), and clip 1's shot 16 carries a UNIQUE
+    // code while clip 2's shot 0 region would have swallowed it under
+    // the packed key. The struct key must surface only the true match.
+    val mk = (m: Long, s: Int, hi: Long, lo: Long) => (m, s, 0, 0, hi, lo)
+    val rows =
+      (0 until 24).map(s => mk(1L, s, 0x1111L * (s + 2), 0x7777L * (s + 3))) ++
+      Seq(mk(2L, 0, 0x1111L * 22, 0x7777L * 23), // == clip 1 shot 20
+          mk(2L, 1, 0x0badL, 0x0badL))
+    val shotFps = rows.toDF("media_id", "shot_id", "start_frame",
+      "end_frame", "fp_hi", "fp_lo")
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val pairs = Multimodal.videoShotNearDupPairs(shotFps, maxHamming = 0)
+        .collect()
+        .map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getInt(1),
+                   r.getStruct(1).getLong(0), r.getStruct(1).getInt(1)))
+        .toSet
+      assert(pairs == Set((1L, 20, 2L, 0)),
+        s"expected exactly the planted (1,20)~(2,0) match, got $pairs")
+    }
+  }
 }
