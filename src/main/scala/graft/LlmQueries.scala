@@ -755,7 +755,7 @@ object LlmQueries {
    * rides as an id-list join (batch-proportional, so at 100 TB the
    * flag frames broadcast under the threshold like every other
    * batch-sized side here — never hinted). */
-  private def admissionVerdict(incoming: DataFrame, existing: DataFrame)(
+  private[graft] def admissionVerdict(incoming: DataFrame, existing: DataFrame)(
       implicit scope: CacheScope): DataFrame = {
     val inc = incoming.select(col("doc_id"), unhex(md5(col("text"))).as("_dig"))
     val exDig = existing.select(unhex(md5(col("text"))).as("_dig"))
@@ -791,26 +791,12 @@ object LlmQueries {
       .withColumn("admitted", !col("exact_dup") && !col("near_dup"))
   }
 
-  /** W12: STREAMED admission dedup — d13's verdict machinery run
-   * INSIDE the streaming lifecycle with the property d13 cannot
-   * express: each micro-batch checks against the EVOLVING reference
-   * (the seed corpus plus every previously ADMITTED doc), and its own
-   * admitted survivors join that reference for the batches after it.
-   * The fixture plants both duplicate shapes: wave 1 carries clones of
-   * SEED docs (caught like d13's), wave 2 carries a clone of a WAVE-0
-   * doc — admitted two triggers earlier, never in the seed — which
-   * only an evolving reference can reject. Per-trigger writes go to
-   * their own `batch=`/`adm` dirs with overwrite (w10's idempotent
-   * replay shape); the reference store is read back each trigger, so
-   * at 100 TB the state is a parquet table growing by admitted docs,
-   * not executor memory. The oracle unrolls the three admission
-   * rounds exactly (shared suffixed minhash pipeline per round). */
-  def streamDedupAdmission(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
-    val base = s"target/tmp/w12_${new java.io.File(dir).getName}"
-    graft.util.Fs.deleteRecursive(Paths.get(base))
+  /** The canonical three admission waves w12/w14 stream: wave 1
+   * carries clones of SEED docs (caught like d13's), wave 2 carries a
+   * clone of a WAVE-0 doc — admitted two triggers earlier, never in
+   * the seed — which only an evolving reference can reject. */
+  private def admissionWaves(docs: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
     val existing = docs.filter(col("doc_id") < 400)
     val later = docs.filter(col("doc_id") >= 400)
     val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
@@ -820,45 +806,138 @@ object LlmQueries {
     val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
       .unionByName(w0.filter(col("doc_id") % 37 === 0)
         .withColumn("doc_id", col("doc_id") + 2000000L))
+    (existing, Seq(w0, w1, w2))
+  }
+
+  /** One trigger's verdict from the batch's ARTIFACTS and the
+   * precomputed reference STATE — the per-trigger core shared by w12
+   * (`fused = false`: dedup verdict only) and w14 (`fused = true`:
+   * dedup + batch-local quality head + novelty vs the state shingle
+   * table). Takes only derived frames — no reference text can enter;
+   * the spec pins that by asserting every file scan under the verdict
+   * resolves into the state dir. */
+  private[graft] def admissionTriggerVerdict(
+      batch: DataFrame, batchArt: DataFrame, stateArt: DataFrame,
+      stateSh: DataFrame, fused: Boolean)(
+      implicit scope: CacheScope): DataFrame = {
+    val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
+      numBands = Bands, numPerms = NumPerms)
+    if (!fused) dedup
+    else {
+      val qual = batch.select(col("doc_id"),
+        TextAnalysis.classifierLogit(
+          TextAnalysis.qualityFeatures(col("text"))).as("_z"))
+        .select(col("doc_id"), (col("_z") >= 0.0).as("quality_keep"))
+      val nov = Dedup.noveltyIncremental(batchArt, stateSh)
+        .select("doc_id", "n_shingles", "n_known", "novelty")
+      dedup.join(qual, "doc_id")
+        .join(nov, Seq("doc_id"), "left")
+        .withColumn("admitted",
+          !col("exact_dup") && !col("near_dup") && col("quality_keep"))
+    }
+  }
+
+  /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
+   * files, bootstraps the evolving reference's DERIVED state (seed
+   * artifact + shingle tables — the one-time O(corpus) build
+   * production amortizes over every later trigger), then drives the
+   * stream. Each trigger computes its verdict from the BATCH's text
+   * plus the PRECOMPUTED state ONLY: the admitted-corpus text lands
+   * under `ref/` as the pipeline's product but is never re-read (the
+   * r13 scale fix — the old form re-tokenized the whole evolving
+   * reference every trigger, O(|reference| text) per batch and
+   * growing without bound; this form's per-trigger cost is O(batch)
+   * hashing + joins against state tables that grow only by admitted
+   * artifacts). Per-trigger writes stay in their own `batch=`/`adm`/
+   * `b<id>` dirs with overwrite (w10's idempotent replay shape), and
+   * the state read filters to ids STRICTLY BELOW the current batch —
+   * a crashed attempt's leftover state can never make its replay
+   * self-duplicate. `onTrigger` observes (batchId, wallMillis) for
+   * the ladder probe. */
+  private[graft] def runAdmissionStream(
+      s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
+      base: String, fused: Boolean,
+      onTrigger: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    graft.util.Fs.deleteRecursive(Paths.get(base))
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    Seq(w0, w1, w2).zipWithIndex.foreach { case (w, i) =>
+    waves.zipWithIndex.foreach { case (w, i) =>
       graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
     }
     val refDir = s"$base/ref"
+    val stateDir = s"$base/state"
     val outDir = s"$base/out"
-    existing.write.parquet(s"$refDir/seed")
+    val schema = seed.schema
+    seed.write.parquet(s"$refDir/seed")
+    // bootstrap: the seed's derived artifacts — built ONCE, before the
+    // stream starts; every trigger joins against these files
+    val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
+      k = 3, numPerms = NumPerms)
+    seedArt.write.parquet(s"$stateDir/seed/art")
+    seedArt.select(explode(col("sset")).as("h")).distinct()
+      .write.parquet(s"$stateDir/seed/sh")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = scoped.readStream.schema(docs.schema)
+    val stream = scoped.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t0 = System.nanoTime()
         val sp = batch.sparkSession
         CacheScope.withScope { implicit scope =>
           val b = scope.persist(batch).toDF()
-          // the reference = seed + every PRIOR batch's admitted dir —
-          // never this batch's own (a crashed attempt's leftover output
-          // would otherwise make the replayed batch self-duplicate)
-          val listing = Files.list(Paths.get(refDir))
-          val refParts = try listing.iterator().asScala.toList.map(_.toString)
+          // state = seed + every PRIOR batch's admitted artifacts —
+          // never this batch's own (replay safety, as with adm dirs)
+          val listing = Files.list(Paths.get(stateDir))
+          val parts = try listing.iterator().asScala.toList.map(_.toString)
             .filter { p =>
               val n = Paths.get(p).getFileName.toString
-              n == "seed" || (n.startsWith("adm") && n.stripPrefix("adm").toLong < id)
+              n == "seed" || (n.startsWith("b") && n.stripPrefix("b").toLong < id)
             } finally listing.close()
-          val ref = sp.read.parquet(refParts: _*)
-          val verdict = scope.persist(admissionVerdict(b, ref)).toDF()
+          val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
+          val stateSh = sp.read.parquet(parts.map(_ + "/sh"): _*)
+          val batchArt = scope.persist(Dedup.admissionArtifacts(
+            b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
+          val verdict = scope.persist(admissionTriggerVerdict(
+            b, batchArt, stateArt, stateSh, fused)).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          b.join(verdict.filter(col("admitted")).select("doc_id"), "doc_id")
+          val admIds = verdict.filter(col("admitted")).select("doc_id")
+          // the admitted-corpus product (text) — WRITE-only from here on
+          b.join(admIds, "doc_id")
             .write.mode("overwrite").parquet(s"$refDir/adm$id")
+          // the state append: only the admitted docs' artifacts
+          val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
+          admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
+          admArt.select(explode(col("sset")).as("h")).distinct()
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
         }
+        onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
       }.start()
     q.processAllAvailable()
     q.stop()
     s.read.parquet(outDir).drop("batch")
+  }
+
+  /** W12: STREAMED admission dedup — d13's verdict machinery run
+   * INSIDE the streaming lifecycle with the property d13 cannot
+   * express: each micro-batch checks against the EVOLVING reference
+   * (the seed corpus plus every previously ADMITTED doc), and its own
+   * admitted survivors join that reference for the batches after it.
+   * The fixture plants both duplicate shapes (see [[admissionWaves]]).
+   * The reference's state is parquet artifact tables growing by
+   * admitted docs — never executor memory, never re-derived text (see
+   * [[runAdmissionStream]]). The oracle unrolls the three admission
+   * rounds exactly (shared suffixed minhash pipeline per round). */
+  def streamDedupAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves) = admissionWaves(docs)
+    runAdmissionStream(s, existing, waves,
+        s"target/tmp/w12_${new java.io.File(dir).getName}", fused = false)
       .select("doc_id", "exact_dup", "near_dup", "admitted")
       .orderBy("doc_id")
   }
@@ -874,76 +953,19 @@ object LlmQueries {
    * weighs it. Only admitted survivors join the reference the NEXT
    * batch checks against, so a near-dup of a wave-0 survivor is caught
    * two triggers later while a near-dup of a REJECTED doc is not.
-   * State is the same parquet reference table w12 grows (never
-   * executor memory), verdicts land in idempotent per-batch dirs, and
-   * the per-batch cost is one digest join + one banded-candidate pass
-   * + one shingle join + a handful of codegen'd multiply-adds. The
-   * oracle unrolls the three admission rounds exactly (w12's suffixed
-   * pattern) with the quality and novelty legs joined per round. */
+   * State is the same parquet artifact-table family w12 grows (never
+   * executor memory, never re-derived text — [[runAdmissionStream]]),
+   * verdicts land in idempotent per-batch dirs, and the per-batch cost
+   * is one digest semi-join + one banded-candidate pass + one shingle
+   * semi-join + a handful of codegen'd multiply-adds — all against
+   * precomputed state. The oracle unrolls the three admission rounds
+   * exactly (w12's suffixed pattern) with the quality and novelty legs
+   * joined per round. */
   def streamCurationAdmission(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
-    val base = s"target/tmp/w14_${new java.io.File(dir).getName}"
-    graft.util.Fs.deleteRecursive(Paths.get(base))
-    val existing = docs.filter(col("doc_id") < 400)
-    val later = docs.filter(col("doc_id") >= 400)
-    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
-    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
-      .unionByName(existing.filter(col("doc_id") % 50 === 0)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
-    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
-      .unionByName(w0.filter(col("doc_id") % 37 === 0)
-        .withColumn("doc_id", col("doc_id") + 2000000L))
-    val in = Paths.get(base, "in")
-    Files.createDirectories(in)
-    Seq(w0, w1, w2).zipWithIndex.foreach { case (w, i) =>
-      graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
-        1000000000000L + i * 60000L)
-    }
-    val refDir = s"$base/ref"
-    val outDir = s"$base/out"
-    existing.write.parquet(s"$refDir/seed")
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    val stream = scoped.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", 1).parquet(in.toString)
-    val q = stream.writeStream
-      .option("checkpointLocation", s"$base/ckpt")
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sp = batch.sparkSession
-        CacheScope.withScope { implicit scope =>
-          val b = scope.persist(batch).toDF()
-          // reference = seed + every PRIOR batch's admitted dir (w12's
-          // replay discipline: never this batch's own leftovers)
-          val listing = Files.list(Paths.get(refDir))
-          val refParts = try listing.iterator().asScala.toList.map(_.toString)
-            .filter { p =>
-              val n = Paths.get(p).getFileName.toString
-              n == "seed" || (n.startsWith("adm") && n.stripPrefix("adm").toLong < id)
-            } finally listing.close()
-          val ref = sp.read.parquet(refParts: _*)
-          val dedup = admissionVerdict(b, ref)
-          val qual = b.select(col("doc_id"),
-            TextAnalysis.classifierLogit(
-              TextAnalysis.qualityFeatures(col("text"))).as("_z"))
-            .select(col("doc_id"), (col("_z") >= 0.0).as("quality_keep"))
-          val nov = Dedup.noveltyAtAdmission(ref, b, "doc_id", "text", k = 3)
-            .select("doc_id", "n_shingles", "n_known", "novelty")
-          val verdict = scope.persist(dedup.join(qual, "doc_id")
-            .join(nov, Seq("doc_id"), "left")
-            .withColumn("admitted",
-              !col("exact_dup") && !col("near_dup") && col("quality_keep")))
-            .toDF()
-          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          b.join(verdict.filter(col("admitted")).select("doc_id"), "doc_id")
-            .write.mode("overwrite").parquet(s"$refDir/adm$id")
-        }
-        ()
-      }.start()
-    q.processAllAvailable()
-    q.stop()
-    s.read.parquet(outDir).drop("batch")
+    val (existing, waves) = admissionWaves(docs)
+    runAdmissionStream(s, existing, waves,
+        s"target/tmp/w14_${new java.io.File(dir).getName}", fused = true)
       .select("doc_id", "exact_dup", "near_dup", "quality_keep",
         "n_shingles", "n_known", "novelty", "admitted")
       .orderBy("doc_id")

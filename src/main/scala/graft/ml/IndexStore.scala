@@ -206,36 +206,98 @@ object IndexStore {
    * admission-job race (two jobs with different checkpoints
    * interleaving one delta log) this fence exists for.
    *
-   * The checkpoint is part of the store's identity: a rescheduled
-   * holder resumes the SAME checkpoint under its NEW epoch (standard
-   * Structured Streaming restart + the Kafka producer-epoch bump), so
-   * batch numbering continues and a committed batch never replays.
-   * Returns the started query; callers drive it
+   * The checkpoint is part of the store's identity, ENFORCED: the
+   * first admit records the checkpoint's canonical path as a
+   * `writers/ckpt=<digest>` marker (mkdir-atomic, like the epoch
+   * claim), and every later admit refuses a DIFFERENT checkpoint —
+   * a fresh/foreign checkpoint restarts batch ids at 0 and would
+   * silently replace committed batches with different rows (the
+   * two-checkpoints-one-log race). A rescheduled holder resumes the
+   * SAME checkpoint under its NEW epoch (standard Structured
+   * Streaming restart + the Kafka producer-epoch bump), so batch
+   * numbering continues and a committed batch never replays with
+   * different data. Returns the started query; callers drive it
    * (`processAllAvailable`/`awaitTermination`) and stop it.
    */
   def admit(encoded: DataFrame, dir: String, checkpoint: String,
             epoch: Long): StreamingQuery = {
     fence(dir, epoch)
+    bindCheckpoint(dir, checkpoint)
     encoded.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         fence(dir, epoch)
-        // the checkpoint-identity guard: a holder pointing a FRESH
-        // checkpoint at an existing store restarts batch ids at 0, and
-        // an id already in the live fold list would overwrite a folded
-        // (vacuum-doomed) dir — valid rows silently invisible to every
-        // reader. Fold lists are cumulative, so the live version's list
-        // covers every folded batch; refuse loudly instead.
+        // belt-and-suspenders behind the identity bind (a store written
+        // before binding existed): an id already in the live fold list
+        // would land rows in a vacuum-doomed dir — refuse loudly.
         val folded = versions(dir).lastOption
           .map { case (_, p) => foldedNames(p) }.getOrElse(Set.empty[String])
         require(!folded(admMarker(id)),
           s"admission batch $id was already folded into a base version " +
             s"under $dir: this stream's checkpoint does not belong to " +
             "this store — resume the store's original checkpoint")
-        batch.write.mode("overwrite")
-          .parquet(Paths.get(deltaDir(dir), s"adm=b$id").toString)
+        val target = Paths.get(deltaDir(dir), s"adm=b$id")
+        if (Files.exists(target.resolve("_SUCCESS"))) {
+          // crash-replay of an already-COMMITTED batch (the checkpoint
+          // lost the commit record, the dir didn't): same checkpoint =>
+          // same id => same rows, so the dir's content already IS this
+          // batch. Rewriting it (overwrite = delete + rewrite) would
+          // make the committed batch transiently vanish from a
+          // concurrent reader's listing — idempotence by NO-OP instead.
+          ()
+        } else {
+          // target is absent or a torn attempt (no _SUCCESS — invisible
+          // to every reader, which filters on the marker): safe to
+          // clear and rewrite; the batch goes live atomically with its
+          // fresh _SUCCESS
+          graft.util.Fs.deleteRecursive(target)
+          batch.write.mode("overwrite").parquet(target.toString)
+        }
         ()
       }.start()
+  }
+
+  /** The store-side CHECKPOINT IDENTITY — recorded on the first admit
+   * as a `writers/ckpt=<md5(canonical path)>` dir (mkdir-atomic: two
+   * racing first admits with different checkpoints cannot both bind;
+   * the loser removes its claim and refuses). Every admit thereafter
+   * must present the same checkpoint — a fresh or foreign checkpoint
+   * refuses HERE, at entry, before any batch can overwrite committed
+   * `adm=b<id>` dirs with different rows. */
+  private def bindCheckpoint(dir: String, checkpoint: String): Unit = {
+    Files.createDirectories(writersPath(dir))
+    val canon = new java.io.File(checkpoint).getCanonicalPath
+    val mine = "ckpt=" + java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def bound: Seq[String] = {
+      val listing = Files.list(writersPath(dir))
+      try listing.iterator().asScala.toList.map(_.getFileName.toString)
+        .filter(_.startsWith("ckpt=")).sorted
+      finally listing.close()
+    }
+    if (!bound.contains(mine)) {
+      require(bound.isEmpty,
+        s"store $dir is bound to a different admission checkpoint " +
+          s"(${bound.mkString(", ")}): a fresh checkpoint would restart " +
+          "batch ids and replace committed admission batches — resume " +
+          "the store's original checkpoint")
+      try Files.createDirectory(writersPath(dir).resolve(mine))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val now = bound
+      if (now != Seq(mine)) {
+        // a first-bind race against a DIFFERENT checkpoint: withdraw
+        // our claim and refuse. (If both racers observe each other,
+        // both withdraw and both refuse — fail-closed; the next admit
+        // binds a now-empty store cleanly. Two concurrent first admits
+        // with different checkpoints is already a deployment error.)
+        Files.deleteIfExists(writersPath(dir).resolve(mine))
+        require(false, s"store $dir was concurrently bound to a " +
+          s"different admission checkpoint (${now.mkString(", ")})")
+      }
+      // informative: the canonical path behind the digest (best-effort)
+      Files.write(writersPath(dir).resolve(mine).resolve("path"),
+        canon.getBytes("UTF-8"))
+    }
   }
 
   // ---- tombstones (merge-on-read deletes) --------------------------------
@@ -518,12 +580,32 @@ object IndexStore {
    * file set through the vacuum grace (`retainVersions` > 1) until a
    * later fenced [[vacuum]] retires it. Requires the admission writer
    * quiesced (the single-writer rule — the rebuild must have seen
-   * every commit) and runs under the fencing token like every
-   * maintenance verb: re-checked immediately before the marker move
-   * and before the vacuum. Returns the new live version number.
+   * every commit), and ENFORCES it: the pre-marker re-check re-lists
+   * the unfolded delta/admission/tombstone sets and aborts if they
+   * moved since the entry snapshot — an admission stream still running
+   * under the SAME epoch (every fence passes: admit holds the same
+   * token) could otherwise commit a batch between the snapshot and the
+   * marker move, and that batch would union into the new view ON TOP
+   * of a rebuild that already contains its rows — double-served.
+   * Unlike [[compact]] (whose merge includes only snapshotted files,
+   * so a late batch merely stays pending), cutover's fold list claims
+   * everything the rebuild saw — so the claim is re-verified at the
+   * last instant. Also fenced like every maintenance verb: re-checked
+   * immediately before the marker move and before the vacuum. Returns
+   * the new live version number.
    */
   def cutover(spark: SparkSession, dir: String, rebuilt: DataFrame,
-              retainVersions: Int, epoch: Long): Int = {
+              retainVersions: Int, epoch: Long): Int =
+    cutoverCore(spark, dir, rebuilt, retainVersions, epoch, () => ())
+
+  /** The cutover body with an injectable hook AFTER the entry
+   * snapshot and before the publish — package-private so the spec can
+   * land a late commit deterministically and pin the pre-marker
+   * quiescence abort. */
+  private[graft] def cutoverCore(spark: SparkSession, dir: String,
+                                 rebuilt: DataFrame, retainVersions: Int,
+                                 epoch: Long,
+                                 afterSnapshot: () => Unit): Int = {
     fence(dir, epoch)
     val vs = versions(dir)
     require(vs.nonEmpty, s"no live base version under $dir")
@@ -531,9 +613,20 @@ object IndexStore {
     val pending = unfoldedFrom(spark, dir, pdir)
     val admB = unfoldedAdm(dir, pdir)
     val tombs = unfoldedTombs(dir, pdir)
+    afterSnapshot()
     writeVersion(rebuilt, dir, pv + 1,
       foldListFor(pdir, pending, admB, tombs),
-      preCommit = () => fence(dir, epoch))
+      preCommit = () => {
+        fence(dir, epoch)
+        val nowP = unfoldedFrom(spark, dir, pdir)
+        val nowA = unfoldedAdm(dir, pdir)
+        val nowT = unfoldedTombs(dir, pdir)
+        require(nowP == pending && nowA == admB && nowT == tombs,
+          s"cutover aborted: commits landed under $dir after the shadow " +
+            "rebuild's snapshot (the rebuild cannot contain them; " +
+            "publishing would double-serve every row it does) — quiesce " +
+            "the admission stream, rebuild, and retry")
+      })
     fence(dir, epoch)
     vacuum(dir, retainVersions)
     pv + 1
@@ -547,11 +640,15 @@ object IndexStore {
    * still need them; files folded only into NEWER versions stay,
    * because a reader pinned at the oldest retained version still
    * resolves them as unfolded. Torn tombstone dirs (no `_SUCCESS`) are
-   * dead garbage and go too (torn ADMISSION dirs are NOT — an
-   * in-flight replay may be mid-write on its own batch dir; its retry
-   * overwrites it). Runs in the writer-quiesced maintenance window
-   * like [[compact]] (which calls it); idempotent. Unfenced form is
-   * package-private; production callers use the epoch overload.
+   * dead garbage and go too. A torn ADMISSION dir is retired only when
+   * its batch id is in the retained fold list — that id committed,
+   * folded and can never be legitimately rewritten ([[admit]] refuses
+   * folded ids), so the dir is a corpse from a crashed rewrite;
+   * at-the-frontier torn dirs stay, because an in-flight replay may be
+   * mid-write on its own batch dir and its retry overwrites it. Runs
+   * in the writer-quiesced maintenance window like [[compact]] (which
+   * calls it); idempotent. Unfenced form is package-private;
+   * production callers use the epoch overload.
    */
   private[graft] def vacuum(dir: String, retainVersions: Int = 1): Unit = {
     require(retainVersions >= 1, s"retainVersions must be >= 1")
@@ -568,6 +665,12 @@ object IndexStore {
             graft.util.Fs.deleteRecursive(deltaRoot.resolve(name))
           else Files.deleteIfExists(deltaRoot.resolve(name))
         }
+      // torn admission corpses: a dir with no _SUCCESS whose id the
+      // retained fold list already covers (see the contract above)
+      admDirsPresent(dir).collect {
+        case (id, p) if !Files.exists(p.resolve("_SUCCESS")) &&
+          folded(admMarker(id)) => p
+      }.foreach(graft.util.Fs.deleteRecursive)
       tombDirsPresent(dir).collect {
         case (k, p) if folded(tombMarker(k)) ||
           !Files.exists(p.resolve("_SUCCESS")) => p

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import graft.operators.CacheScope
+import graft.text.Dedup
+
+/** The incremental streamed-admission contract (w12/w14's r14 scale
+  * fix): the evolving reference's DERIVED artifacts persist as
+  * append-only state tables, and per-trigger verdicts are exactly
+  * equivalent to the full-rescan form while never reading reference
+  * TEXT after the seed bootstrap. */
+class AdmissionStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = spark.read.parquet(s"$dir/documents.parquet")
+    .select("doc_id", "text")
+
+  /** d13's exact fixture: existing corpus + a batch with planted clones. */
+  private def fixture: (DataFrame, DataFrame) = {
+    val existing = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .unionByName(existing.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    (existing, incoming)
+  }
+
+  test("incremental admission verdict equals the full-rescan verdict row-for-row") {
+    val (existing, incoming) = fixture
+    CacheScope.withScope { implicit scope =>
+      val full = LlmQueries.admissionVerdict(incoming, existing)
+        .orderBy("doc_id").collect().toSeq
+      val stateArt = Dedup.admissionArtifacts(existing, "doc_id", "text",
+        k = 3, numPerms = 16)
+      val batchArt = Dedup.admissionArtifacts(incoming, "doc_id", "text",
+        k = 3, numPerms = 16)
+      val inc = Dedup.admissionVerdictIncremental(batchArt, stateArt,
+          numBands = 4, numPerms = 16)
+        .orderBy("doc_id").collect().toSeq
+      assert(inc == full,
+        s"incremental verdict diverged: ${inc.diff(full).take(3)} vs ${full.diff(inc).take(3)}")
+      // the fixture is live: both dup shapes present and docs admitted
+      val byFlag = inc.groupBy(r => (r.getBoolean(1), r.getBoolean(2)))
+      assert(byFlag.keys.exists(_._1) && byFlag.keys.exists(_._2) &&
+        byFlag.contains((false, false)))
+    }
+  }
+
+  test("incremental novelty equals noveltyAtAdmission row-for-row") {
+    val (existing, incoming) = fixture
+    CacheScope.withScope { implicit scope =>
+      val full = Dedup.noveltyAtAdmission(existing, incoming,
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id").collect().toSeq
+      val batchArt = Dedup.admissionArtifacts(incoming, "doc_id", "text",
+        k = 3, numPerms = 16)
+      val stateSh = Dedup.admissionArtifacts(existing, "doc_id", "text",
+          k = 3, numPerms = 16)
+        .select(explode(col("sset")).as("h")).distinct()
+      val inc = Dedup.noveltyIncremental(batchArt, stateSh)
+        .orderBy("doc_id").collect().toSeq
+      assert(inc == full)
+    }
+  }
+
+  test("semi joins tolerate duplicate state rows (two identical admitted docs)") {
+    CacheScope.withScope { implicit scope =>
+      val state = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+                      (2L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text")
+      val batch = Seq((10L, "the quick brown fox jumps over the lazy dog"),
+                      (11L, "an entirely different document about spark plans"))
+        .toDF("doc_id", "text")
+      val stateArt = Dedup.admissionArtifacts(state, "doc_id", "text", 3, 16)
+      val batchArt = Dedup.admissionArtifacts(batch, "doc_id", "text", 3, 16)
+      val v = Dedup.admissionVerdictIncremental(batchArt, stateArt, 4, 16)
+        .orderBy("doc_id").collect()
+      // one row per batch doc despite the duplicated state text
+      assert(v.length == 2)
+      assert(v(0).getBoolean(1) && !v(0).getBoolean(3)) // 10: exact dup
+      assert(!v(1).getBoolean(1) && v(1).getBoolean(3)) // 11: admitted
+      // novelty likewise: a shingle two state docs share counts once
+      val stateSh = stateArt.select(explode(col("sset")).as("h")) // NOT distinct
+      val nov = Dedup.noveltyIncremental(batchArt, stateSh)
+        .filter(col("doc_id") === 10L).collect().head
+      assert(nov.getLong(1) == nov.getLong(2) && nov.getDouble(3) == 0.0,
+        s"identical doc must have novelty 0: $nov")
+    }
+  }
+
+  test("after bootstrap, a trigger's verdict scans ONLY state tables — never reference text") {
+    val (existing, incoming) = fixture
+    val base = "target/tmp/admission_state_spec"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(base))
+    // bootstrap exactly as runAdmissionStream does
+    existing.write.parquet(s"$base/ref/seed")
+    val seedArt = Dedup.admissionArtifacts(existing, "doc_id", "text", 3, 16)
+    seedArt.write.parquet(s"$base/state/seed/art")
+    seedArt.select(explode(col("sset")).as("h")).distinct()
+      .write.parquet(s"$base/state/seed/sh")
+    CacheScope.withScope { implicit scope =>
+      val stateArt = spark.read.parquet(s"$base/state/seed/art")
+      val stateSh = spark.read.parquet(s"$base/state/seed/sh")
+      val batchArt = scope.persist(
+        Dedup.admissionArtifacts(incoming, "doc_id", "text", 3, 16)).toDF()
+      val verdict = LlmQueries.admissionTriggerVerdict(
+        incoming, batchArt, stateArt, stateSh, fused = true)
+      val scans = verdict.queryExecution.optimizedPlan.collect {
+        case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+          fs.location.rootPaths.map(_.toString)
+      }.flatten
+      assert(scans.nonEmpty, "expected file scans in the verdict plan")
+      scans.foreach { p =>
+        assert(p.contains("/state/") || p.contains("documents.parquet"),
+          s"verdict scans a non-state path: $p")
+        assert(!p.contains("/ref/"),
+          s"verdict re-reads reference text: $p")
+      }
+      // and the state scans never project a text column
+      verdict.queryExecution.optimizedPlan.collect {
+        case lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _)
+            if fs.location.rootPaths.exists(_.toString.contains("/state/")) => lr
+      }.foreach { lr =>
+        assert(!lr.output.map(_.name).contains("text"),
+          s"state scan carries a text column: ${lr.output.map(_.name)}")
+      }
+    }
+  }
+}

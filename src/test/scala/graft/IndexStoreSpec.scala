@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ml.{IndexStore, Similarity}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The streamed-index storage layer (e16's layout): versioned base +
   * file-sink delta, threshold-triggered compaction, and the isolation
@@ -357,26 +358,24 @@ class IndexStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(IndexStore.deltaDir(idx), "adm=b0")),
       "vacuum left a folded admission batch dir behind")
 
-    // a holder pointing a FRESH checkpoint at the folded store refuses
-    // loudly: its batch ids restart at 0, and adm=b0 is already in the
-    // live fold list — an overwrite there would be valid rows landing
-    // in a vacuum-doomed dir, invisible to every reader
+    // a holder pointing a FRESH checkpoint at the store refuses AT
+    // ENTRY: the store is bound to its original checkpoint's identity
+    // on first admit, and a foreign checkpoint would restart batch ids
+    // at 0 and replace committed admission batches with different rows
     val c = IndexStore.acquireWriter(idx)
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val freshStream = scoped.readStream.schema(incoming.schema)
       .option("maxFilesPerTrigger", 1).parquet(in.toString)
-    val qc = IndexStore.admit(
-      Similarity.ivfPqIndex(freshStream, books, cents),
-      idx, s"$dir/ckpt_fresh", c)
-    val exc = intercept[Throwable] { qc.processAllAvailable() }
-    qc.stop()
-    assert(Option(exc.getMessage).exists(_.contains("already folded")) ||
-      Option(exc.getCause).exists(e =>
-        Option(e.getMessage).exists(_.contains("already folded"))),
+    val exc = intercept[IllegalArgumentException] {
+      IndexStore.admit(
+        Similarity.ivfPqIndex(freshStream, books, cents),
+        idx, s"$dir/ckpt_fresh", c)
+    }
+    assert(exc.getMessage.contains("bound to a different admission checkpoint"),
       s"expected the checkpoint-identity refusal, got: $exc")
     assert(IndexStore.read(spark, idx).collect().toSet == all,
-      "the refused fresh-checkpoint batch moved the serving view")
+      "the refused fresh-checkpoint admit moved the serving view")
   }
 
   test("fenced bootstrap and vacuum: a superseded writer can neither re-bootstrap nor retire grace state") {
@@ -645,5 +644,152 @@ class IndexStoreSpec extends SparkSpec {
              serve(Similarity.ivfPqIndex(admitted, books, cents)),
         s"serve after wave $w drifted from the committed-prefix index")
     }
+  }
+
+  test("checkpoint identity: a foreign checkpoint refuses at entry with NOTHING folded; a lost-state replay never rewrites a committed batch") {
+    val dir = "target/tmp/idxstore_ckptid"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(180)
+    val idx = s"$dir/index"
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    val incoming = vecs.filter(col("id") >= 90)
+    Tables.stageFile(incoming, in.resolve("wave00.parquet"), 1000000000000L)
+    def admitQuery(ckpt: String, epoch: Long) = {
+      val scoped = spark.newSession()
+      scoped.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = scoped.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      IndexStore.admit(Similarity.ivfPqIndex(stream, books, cents),
+        idx, ckpt, epoch)
+    }
+    val a = IndexStore.acquireWriter(idx)
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 90), books, cents),
+      idx, a)
+    val q = admitQuery(s"$dir/ckpt", a)
+    q.processAllAvailable(); q.stop()
+    val admDir = Paths.get(IndexStore.deltaDir(idx), "adm=b0")
+    assert(Files.exists(admDir.resolve("_SUCCESS")))
+    val view = IndexStore.read(spark, idx).collect().toSet
+    assert(view.size == 180)
+
+    // the r13 guard keyed on FOLDED ids only — with adm=b0 committed
+    // but unfolded (the common pre-compaction state), a foreign
+    // checkpoint restarted ids at 0 and silently replaced it. The
+    // identity bind refuses at entry, store unmoved.
+    val exc = intercept[IllegalArgumentException] {
+      admitQuery(s"$dir/ckpt_foreign", a)
+    }
+    assert(exc.getMessage.contains("bound to a different admission checkpoint"))
+    assert(IndexStore.read(spark, idx).collect().toSet == view)
+
+    // a replay whose checkpoint STATE was lost (same path = same
+    // identity) re-runs batch 0 onto the committed dir — and must
+    // no-op, not delete+rewrite it (a concurrent reader listing
+    // mid-rewrite would see the committed batch vanish)
+    val filesBefore = {
+      val l = Files.list(admDir)
+      try l.iterator().asScala.toList.map(p =>
+        p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally l.close()
+    }
+    graft.util.Fs.deleteRecursive(Paths.get(s"$dir/ckpt"))
+    val q2 = admitQuery(s"$dir/ckpt", a)
+    q2.processAllAvailable(); q2.stop()
+    val filesAfter = {
+      val l = Files.list(admDir)
+      try l.iterator().asScala.toList.map(p =>
+        p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+      finally l.close()
+    }
+    assert(filesAfter == filesBefore,
+      "the committed-batch replay rewrote adm=b0 instead of no-opping")
+    assert(IndexStore.read(spark, idx).collect().toSet == view)
+  }
+
+  test("cutover aborts when a commit lands after the shadow rebuild's snapshot") {
+    val dir = "target/tmp/idxstore_cutabort"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents), idx)
+    admitWaves(dir, vecs.filter(col("id") >= 120), waves = 2, upTo = 240)
+    val before = IndexStore.read(spark, idx).collect().toSet
+    val rebuilt = Similarity.ivfPqIndex(
+      vecs.filter(col("id") < 240), books, cents.reverse)
+    val a = IndexStore.acquireWriter(idx)
+    // an admission batch commits between cutover's snapshot and its
+    // marker move (same epoch — every fence passes; this is exactly
+    // the double-serve the quiescence recheck exists to catch)
+    val late = Similarity.ivfPqIndex(
+      vecs.filter(col("id") < 3).withColumn("id", col("id") + 9000L),
+      books, cents)
+    val exc = intercept[IllegalArgumentException] {
+      IndexStore.cutoverCore(spark, idx, rebuilt, retainVersions = 1,
+        epoch = a, afterSnapshot = () =>
+          late.write.parquet(
+            Paths.get(IndexStore.deltaDir(idx), "adm=b7").toString))
+    }
+    assert(exc.getMessage.contains("cutover aborted"),
+      s"expected the quiescence abort, got: $exc")
+    // store unmoved: v0 still live, the late batch serves as pending
+    assert(IndexStore.liveVersions(idx) == Seq(0))
+    assert(IndexStore.read(spark, idx).collect().toSet.size ==
+      before.size + 3, "the late batch must serve as an unfolded delta")
+    // with the writer genuinely quiesced, the retried cutover publishes
+    val rebuilt2 = Similarity.ivfPqIndex(
+      IndexStore.read(spark, idx).select("id").join(
+        vecs.withColumn("id", col("id")), "id").select("id", "vec"),
+      books, cents.reverse)
+    val v = IndexStore.cutover(spark, idx,
+      rebuilt2, retainVersions = 1, epoch = a)
+    assert(v == 1 && IndexStore.liveVersions(idx) == Seq(1))
+  }
+
+  test("vacuum retires a torn admission corpse whose id is folded, keeps the frontier's") {
+    val dir = "target/tmp/idxstore_torncorpse"
+    graft.util.Fs.deleteRecursive(Paths.get(dir))
+    val vecs = corpus(240)
+    val idx = s"$dir/index"
+    val a = IndexStore.acquireWriter(idx)
+    IndexStore.writeBase(
+      Similarity.ivfPqIndex(vecs.filter(col("id") < 120), books, cents),
+      idx, a)
+    val in = Paths.get(dir, "in")
+    Files.createDirectories(in)
+    val incoming = vecs.filter(col("id") >= 120)
+    Tables.stageFile(incoming, in.resolve("wave00.parquet"), 1000000000000L)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = IndexStore.admit(Similarity.ivfPqIndex(stream, books, cents),
+      idx, s"$dir/ckpt", a)
+    q.processAllAvailable(); q.stop()
+    assert(IndexStore.compact(spark, idx, maxDeltaFiles = 0,
+      retainVersions = 1, epoch = a))
+    // plant a torn corpse at the FOLDED id 0 (crashed rewrite of a
+    // batch that folded) and a torn frontier dir at id 9 (an in-flight
+    // attempt a resumed stream may legitimately complete)
+    def plantTorn(id: Int): java.nio.file.Path = {
+      val p = Paths.get(IndexStore.deltaDir(idx), s"adm=b$id")
+      Similarity.ivfPqIndex(
+          vecs.filter(col("id") < 2).withColumn("id", col("id") + 8000L),
+          books, cents)
+        .write.parquet(p.toString)
+      Files.delete(p.resolve("_SUCCESS"))
+      p
+    }
+    val corpse = plantTorn(0)
+    val frontier = plantTorn(9)
+    val view = IndexStore.read(spark, idx).collect().toSet
+    IndexStore.vacuum(idx, retainVersions = 1, epoch = a)
+    assert(!Files.exists(corpse),
+      "vacuum left the folded-id torn corpse behind")
+    assert(Files.exists(frontier),
+      "vacuum deleted a frontier torn dir an in-flight replay may own")
+    assert(IndexStore.read(spark, idx).collect().toSet == view)
   }
 }
