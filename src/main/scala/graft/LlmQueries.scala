@@ -971,6 +971,166 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** The audio id-seed modulus for m22 — chosen NOT to divide (or be
+   * divided by) the textured image pack's 1 000 000 id seed, so plant
+   * offsets exist that preserve one modality's fingerprint while
+   * moving the other's (lcm = 7 000 000 preserves both). */
+  private val M22AudioSeedMod = 700000L
+
+  /** M22: FUSED MULTIMODAL streamed admission — w14's production
+   * ingest gate extended to media: each micro-batch's documents pack
+   * into REAL PNG (id-seeded texture) and WAV (id-seeded phase)
+   * payloads, decode + fingerprint in the codec seam (m6's aHash,
+   * m9's window-energy fingerprint), and the verdict fuses FOUR axes
+   * per doc: text exact (digest vs state), text near (banded + exact
+   * Jaccard vs state), image dup and audio dup (fingerprint-group
+   * membership vs the evolving reference's m6/m9 fingerprint STATE
+   * tables — the same incremental append-only state discipline as the
+   * text artifacts; nothing re-decodes reference media, ever).
+   * admitted = clean on all four; only admitted docs' artifacts AND
+   * fingerprints join the reference for later triggers.
+   *
+   * The plants cover the verdict matrix: wave-1 carries translated
+   * (same-length, shingle-novel) clones of SEED docs at offset 7M
+   * (both media dup: 7M ≡ 0 mod both id seeds), 1M (image-only: the
+   * audio phase moves) and 3.5M (audio-only: the texture moves);
+   * wave-2 carries translated clones of WAVE-0 docs at 7M — media
+   * dups of docs admitted two triggers earlier, which only an
+   * evolving fingerprint state can reject — plus verbatim copies of
+   * seed docs at 21M (all four flags fire). On this synthesis a
+   * verbatim copy is dup in every modality (media derive from text),
+   * and natural fingerprint collisions surface beyond the plants —
+   * the oracle rebuilds every member's fingerprints in closed form
+   * and unrolls the three admission rounds exactly, so every
+   * collision is mirrored. */
+  def streamMultimodalAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 400)
+    val later = docs.filter(col("doc_id") >= 400)
+    def tmut(df: DataFrame): DataFrame =
+      df.withColumn("text", translate(col("text"), "aeiou", "uoiea"))
+    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(tmut(seed.filter(col("doc_id") % 50 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+      .unionByName(tmut(seed.filter(col("doc_id") % 70 === 0))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(tmut(seed.filter(col("doc_id") % 90 === 0))
+        .withColumn("doc_id", col("doc_id") + 3500000L))
+    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(tmut(w0.filter(col("doc_id") % 5 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+      .unionByName(seed.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + 21000000L))
+    runMultimodalAdmissionStream(s, seed, Seq(w0, w1, w2),
+        s"target/tmp/m22_${new java.io.File(dir).getName}")
+      .select("doc_id", "exact_dup", "near_dup", "image_dup", "audio_dup",
+        "admitted")
+      .orderBy("doc_id")
+  }
+
+  /** One frame's media FINGERPRINTS — pack to real containers, decode
+   * and fingerprint in the codec seam; returns (image (media_id,
+   * hash_hi, hash_lo), audio (media_id, fp_hi, fp_lo)). Per-doc cost
+   * only; this runs on the BATCH each trigger (and once on the seed at
+   * bootstrap) — never on the evolving reference. */
+  private def mediaFingerprints(df: DataFrame): (DataFrame, DataFrame) = (
+    Multimodal.imagePHash(Multimodal.packAsPngTextured(df, "doc_id", "text")),
+    Multimodal.audioFingerprint(
+      Multimodal.packAsWav(df, "doc_id", "text", idSeedMod = M22AudioSeedMod)))
+
+  /** [[runAdmissionStream]]'s shape with media fingerprint state
+   * tables beside the text artifacts: per trigger, the batch's OWN
+   * media decode (O(batch)) plus equality joins of its fingerprints
+   * against the state `imgfp`/`audfp` tables; admitted docs append
+   * their fingerprints the same way they append their text artifacts.
+   * Replay discipline identical (per-batch overwrite dirs, state read
+   * strictly below the current batch id). */
+  private def runMultimodalAdmissionStream(
+      s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
+      base: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = Paths.get(base, "in")
+    Files.createDirectories(in)
+    waves.zipWithIndex.foreach { case (w, i) =>
+      graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    }
+    val refDir = s"$base/ref"
+    val stateDir = s"$base/state"
+    val outDir = s"$base/out"
+    val schema = seed.schema
+    seed.write.parquet(s"$refDir/seed")
+    val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
+      k = 3, numPerms = NumPerms)
+    seedArt.write.parquet(s"$stateDir/seed/art")
+    val (seedImg, seedAud) = mediaFingerprints(seed)
+    seedImg.write.parquet(s"$stateDir/seed/imgfp")
+    seedAud.write.parquet(s"$stateDir/seed/audfp")
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = scoped.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in.toString)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sp = batch.sparkSession
+        CacheScope.withScope { implicit scope =>
+          val b = scope.persist(batch).toDF()
+          val listing = Files.list(Paths.get(stateDir))
+          val parts = try listing.iterator().asScala.toList.map(_.toString)
+            .filter { p =>
+              val n = Paths.get(p).getFileName.toString
+              n == "seed" || (n.startsWith("b") && n.stripPrefix("b").toLong < id)
+            } finally listing.close()
+          val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
+          val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
+          val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
+          val batchArt = scope.persist(Dedup.admissionArtifacts(
+            b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
+          val (bImgRaw, bAudRaw) = mediaFingerprints(b)
+          val bImg = scope.persist(bImgRaw).toDF()
+          val bAud = scope.persist(bAudRaw).toDF()
+          val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
+            numBands = Bands, numPerms = NumPerms)
+          // fingerprint-GROUP membership (the m6/m9 group semantics):
+          // semi joins, so duplicate state fingerprints never fan out
+          val imgDup = bImg.join(
+              stateImg.select("hash_hi", "hash_lo"),
+              Seq("hash_hi", "hash_lo"), "left_semi")
+            .select(col("media_id").as("doc_id")).withColumn("_im", lit(true))
+          val audDup = bAud.join(
+              stateAud.select("fp_hi", "fp_lo"),
+              Seq("fp_hi", "fp_lo"), "left_semi")
+            .select(col("media_id").as("doc_id")).withColumn("_au", lit(true))
+          val verdict = scope.persist(dedup
+            .join(imgDup, Seq("doc_id"), "left")
+            .join(audDup, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+              coalesce(col("_im"), lit(false)).as("image_dup"),
+              coalesce(col("_au"), lit(false)).as("audio_dup"))
+            .withColumn("admitted", !col("exact_dup") && !col("near_dup") &&
+              !col("image_dup") && !col("audio_dup"))).toDF()
+          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          val admIds = verdict.filter(col("admitted")).select("doc_id")
+          b.join(admIds, "doc_id")
+            .write.mode("overwrite").parquet(s"$refDir/adm$id")
+          batchArt.join(admIds, "doc_id")
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/art")
+          bImg.join(admIds, bImg("media_id") === admIds("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
+          bAud.join(admIds, bAud("media_id") === admIds("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
+        }
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(outDir).drop("batch")
+  }
+
   /** E14: INCREMENTAL ANN INDEX MAINTENANCE — the continual-ingestion
    * path every production vector index needs (d13's admission story
    * applied to the north-star index): the IVF/PQ quantizers train ONCE
@@ -3473,7 +3633,8 @@ object LlmQueries {
     "m15_video_near_dedup_verdict" -> (videoNearDupVerdict _),
     "m16_quarantined_decode" -> (quarantinedAudioStats _),
     "m20_quarantined_media_parity" -> (quarantinedMediaParity _),
-    "m21_shot_near_dedup" -> (shotNearDup _)
+    "m21_shot_near_dedup" -> (shotNearDup _),
+    "m22_multimodal_admission" -> (streamMultimodalAdmission _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -4777,6 +4938,129 @@ object LlmQueries {
          |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
          |  n_known, novelty,
          |  (NOT exact_dup AND NOT near_dup AND quality_keep) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // m22 = w12's unrolled text rounds fused with the media verdicts:
+    // every member's textured aHash (mih) and id-seeded audio
+    // fingerprint (mah) rebuild once in closed form from the synthesis
+    // algebra; each round's image/audio dup = fingerprint-group
+    // membership against that round's evolving reference; refs grow by
+    // the four-way admitted flag
+    "m22_multimodal_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |img$i AS (SELECT DISTINCT b.doc_id
+           |  FROM mih b JOIN $w w ON w.doc_id = b.doc_id
+           |  JOIN mih r ON r.hash_hi = b.hash_hi AND r.hash_lo = b.hash_lo
+           |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+           |aud$i AS (SELECT DISTINCT b.doc_id
+           |  FROM mah b JOIN $w w ON w.doc_id = b.doc_id
+           |  JOIN mah r ON r.fp_hi = b.fp_hi AND r.fp_lo = b.fp_lo
+           |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+           |v$i AS (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    (im.doc_id IS NOT NULL) AS image_dup,
+           |    (au.doc_id IS NOT NULL) AS audio_dup
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  LEFT JOIN img$i im USING (doc_id)
+           |  LEFT JOIN aud$i au USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents WHERE doc_id < 400 AND doc_id % 50 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents WHERE doc_id < 400 AND doc_id % 70 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 3500000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents WHERE doc_id < 400 AND doc_id % 90 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 5 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 21000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 100 = 0),
+         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |mtb AS (SELECT doc_id,
+         |    (length(text) + 31 * (doc_id % 1000000)) % 200 AS a,
+         |    3 + 2 * ((length(text) + (doc_id % 1000000)) % 13) AS p1,
+         |    5 + 2 * ((length(text) + 3 * (doc_id % 1000000)) % 11) AS p2
+         |  FROM allc),
+         |mtg AS (SELECT doc_id,
+         |  flatten(list_transform(range(0, 8), j ->
+         |    list_transform(range(0, 8), i ->
+         |      (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251))) AS sv
+         |  FROM mtb),
+         |mtt AS (SELECT doc_id, sv, list_sum(sv) AS total FROM mtg),
+         |mih AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_lo
+         |  FROM mtt),
+         |mad AS (SELECT doc_id, 1 + length(text) % 240 AS n,
+         |    (length(text) * 131 + 37 * (doc_id % ${M22AudioSeedMod})) % 65521
+         |      AS a
+         |  FROM allc),
+         |mae AS (SELECT doc_id,
+         |  list_transform(range(0, 65), w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+         |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
+         |      (x, y) -> x + y)) AS es
+         |  FROM mad),
+         |mah AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_lo
+         |  FROM mae),
+         |${round(0, "seed", "w0")},
+         |ref1 AS (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup
+         |           AND NOT v.image_dup AND NOT v.audio_dup),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup
+         |           AND NOT v.image_dup AND NOT v.audio_dup),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, image_dup, audio_dup,
+         |  (NOT exact_dup AND NOT near_dup
+         |   AND NOT image_dup AND NOT audio_dup) AS admitted
          |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin

@@ -454,10 +454,18 @@ object Multimodal {
    * construction), so the DuckDB oracle rebuilds the waveform from
    * `length(text)` and checks the DECODER's output exactly. Encoding
    * runs in the partition-batched codec seam.
+   *
+   * `idSeedMod` > 0 additionally seeds the phase with the id:
+   * a = (len·131 + 37·(id mod idSeedMod)) mod 65521 — the
+   * [[packAsPngTextured]] move applied to audio, so same-length docs
+   * stop colliding into one waveform while a clone at id + k·idSeedMod
+   * reproduces its original exactly (m22's admission plants). Default
+   * 0 keeps the original len-only algebra every earlier oracle pins.
    */
   def packAsWav(df: DataFrame, idCol: String, textCol: String,
                 perturbWindows: Seq[Int] = Nil,
-                perturbDelta: Long = 0L): DataFrame = {
+                perturbDelta: Long = 0L,
+                idSeedMod: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
@@ -471,7 +479,9 @@ object Multimodal {
         val len = r.getAs[Array[Byte]](1).length
         val n = 1 + len % 240
         val rate = 8000 + (len % 4) * 4000
-        val a = (len.toLong * 131L) % 65521L
+        val a = if (idSeedMod > 0L)
+          (len.toLong * 131L + 37L * (id % idSeedMod)) % 65521L
+        else (len.toLong * 131L) % 65521L
         // a "noisy re-encode" stand-in for near-dup planting: samples
         // inside the fingerprint windows listed in `perturbWindows`
         // (boundaries EXACTLY as audioFingerprint slices them, so the

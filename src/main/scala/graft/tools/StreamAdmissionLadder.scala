@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-trigger cost ladder for the streamed admission family — the
+ * number behind r14's "flat batch cost as the reference grows" claim:
+ * drive [[graft.LlmQueries.runAdmissionStream]] with MANY equal-size
+ * waves (each admitted wave grows the reference the next wave checks
+ * against) and record each trigger's wall millis. With the
+ * incremental state tables, per-trigger cost must stay ~flat from the
+ * first wave to the last; the old full-rescan form grew linearly with
+ * the reference. Args: sfDir [waves] [fused] — prints one JSON line.
+ *
+ * Usage:
+ *   sbt -batch "runMain graft.tools.StreamAdmissionLadder /root/testdata/sf0.1 8 true"
+ */
+object StreamAdmissionLadder {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val waves = if (args.length > 1) args(1).toInt else 8
+    val fused = if (args.length > 2) args(2).toBoolean else true
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // seed = the first half (by rank, robust to sparse ids at sf1);
+    // waves = the rest in `waves` equal random-ish slices, so every
+    // admitted wave grows the reference by ~|wave| while the batch
+    // size stays constant — exactly the shape the flatness claim needs
+    val n = docs.count()
+    val ranked = docs.withColumn("_r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id")) - 1)
+    val seed = ranked.filter(col("_r") < n / 2).drop("_r")
+    val rest = ranked.filter(col("_r") >= n / 2)
+    val waveFrames = (0 until waves).map(i =>
+      rest.filter(pmod(col("_r"), lit(waves)) === i).drop("_r"))
+    val timings = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val t0 = System.nanoTime()
+    graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
+      s"target/tmp/ladder_admission_${new java.io.File(sfDir).getName}",
+      fused = fused,
+      onTrigger = (id, ms) => timings += ((id, ms)))
+    val total = (System.nanoTime() - t0) / 1000000L
+    val sorted = timings.sortBy(_._1)
+    val perTrigger = sorted.map(_._2)
+    val waveSize = (n - n / 2) / waves
+    val refSizes = sorted.map { case (id, _) => n / 2 + id * waveSize }
+    def arr(xs: Seq[Long]) = xs.mkString("[", ",", "]")
+    // slope: last-trigger cost over first-trigger cost — ~1.0 = flat
+    val slope = if (perTrigger.head > 0)
+      perTrigger.last.toDouble / perTrigger.head else -1.0
+    println(s"""{"tool":"stream_admission_ladder","sf":"${
+      new java.io.File(sfDir).getName}","waves":$waves,"fused":$fused,""" +
+      s""""docs":$n,"seed_docs":${n / 2},"wave_docs":$waveSize,""" +
+      s""""per_trigger_ms":${arr(perTrigger.toSeq)},""" +
+      s""""ref_docs_at_trigger":${arr(refSizes.toSeq)},""" +
+      f""""last_over_first":$slope%.3f,"total_ms":$total}""")
+    spark.stop()
+  }
+}

@@ -450,6 +450,26 @@ class MultimodalSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("packAsWav idSeedMod: clone at id + k*mod reproduces its original; same-length different-id diverges; default 0 keeps the len-only algebra") {
+    val docs = Seq((10L, "x" * 100), (11L, "y" * 100), (700010L, "z" * 100))
+      .toDF("doc_id", "text")
+    // assert at the WAVEFORM level (payload bytes): the id seed must
+    // move the samples; whether a 64-bit fingerprint also separates two
+    // specific waveforms is a collision question the oracle mirrors
+    def wavs(mod: Long) = Multimodal.packAsWav(
+        docs, "doc_id", "text", idSeedMod = mod)
+      .select("media_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val seeded = wavs(700000L)
+    assert(seeded(10L) == seeded(700010L),
+      "a clone at id + mod must reproduce its original's waveform")
+    assert(seeded(10L) != seeded(11L),
+      "same-length different-id docs must not share a waveform under idSeedMod")
+    val plain = wavs(0L)
+    assert(plain(10L) == plain(11L) && plain(10L) == plain(700010L),
+      "idSeedMod = 0 must keep the len-only algebra (all same-length equal)")
+  }
+
   test("shot near-dup pairs handle clips with 16+ shots (struct key, no aliasing)") {
     // The retired media_id*16+shot_id encoding aliased shot 16 of clip m
     // into clip m+1's slot 0. Build a synthetic shot table where exactly
