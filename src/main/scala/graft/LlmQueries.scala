@@ -2833,6 +2833,28 @@ object LlmQueries {
       }
     }
 
+  /** M23: the UNMEMOIZED decode → fingerprint → banded-join build —
+   * m12's exact pipeline recomputed from payload bytes EVERY run. The
+   * r13 memo made m7/m10/m12/m13–m15 read back prebuilt artifacts
+   * (min-over-reps discards the one rep that pays the build), so a
+   * perf regression in the decode/fingerprint/join path had become
+   * invisible to the bench suite — this gate is the timed build the
+   * memo family checks against, and its oracle is m12's verbatim. */
+  def videoNearDupBuild(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val orig = Multimodal.packAsY4m(docs, "doc_id", "text")
+    val clones = Multimodal.packAsY4m(
+      docs.filter(col("doc_id") % 19 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L),
+      "doc_id", "text", brightnessShift = M12Shift,
+      perturbWindows = M12Windows, perturbDelta = M12Delta)
+    CacheScope.materialized { implicit scope =>
+      Multimodal.videoNearDupPairs(
+        Multimodal.videoFingerprint(orig.unionByName(clones)),
+        maxHamming = M12MaxHamming, maxBucket = M12MaxBucket)
+    }.orderBy("ida", "idb")
+  }
+
   /** M8: the DOCUMENT-level multimodal dedup verdict — the
    * LLM-pipeline reality m1–m7 build toward: a (text, image) document
    * pair carries TWO dedup verdicts that can disagree (same photo
@@ -3634,7 +3656,8 @@ object LlmQueries {
     "m16_quarantined_decode" -> (quarantinedAudioStats _),
     "m20_quarantined_media_parity" -> (quarantinedMediaParity _),
     "m21_shot_near_dedup" -> (shotNearDup _),
-    "m22_multimodal_admission" -> (streamMultimodalAdmission _)
+    "m22_multimodal_admission" -> (streamMultimodalAdmission _),
+    "m23_video_neardup_build" -> (videoNearDupBuild _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -6147,6 +6170,13 @@ object LlmQueries {
     // cross-multiplied compare cancels — AND perturbed by M12Delta in
     // windows 3/17/44), then the m7 band/hot-bucket/popcount join
     "m12_video_near_dedup" ->
+      s"""WITH $videoNearDupCtes
+         |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M12MaxHamming
+         |ORDER BY ida, idb""".stripMargin,
+    // m23 recomputes m12's pipeline unmemoized — same result, so the
+    // same closed-form oracle; only the timing differs (that is the
+    // point: the memo gates no longer time the build)
+    "m23_video_neardup_build" ->
       s"""WITH $videoNearDupCtes
          |SELECT ida, idb, hamming FROM tp WHERE hamming <= $M12MaxHamming
          |ORDER BY ida, idb""".stripMargin,
