@@ -803,12 +803,24 @@ object Similarity {
    * against an oracle built from the same literals.
    */
   def trainIvfCentroids(corpus: DataFrame, nCells: Int = 16, dim: Int = 64,
-                        iters: Int = 3): Seq[Seq[Double]] = {
+                        iters: Int = 3): Seq[Seq[Double]] =
+    trainIvfCentroidsFrom(corpus,
+      ivfCentroids(nCells, dim).map(_.map(_.toDouble)), dim, iters)
+
+  /** The Lloyd loop under an EXPLICIT initialization — the same exact
+   * decimal-sum math as [[trainIvfCentroids]] (which delegates here
+   * with the synthetic grid init, so every trained-constant oracle is
+   * unchanged). A production REINDEX seeds from the corpus itself
+   * (e.g. a deterministic stride sample) — a drifted corpus's mass
+   * then attracts centroids the synthetic grid never reaches; the
+   * DriftRecallProbe measures exactly that gap. */
+  def trainIvfCentroidsFrom(corpus: DataFrame, init: Seq[Seq[Double]],
+                            dim: Int, iters: Int): Seq[Seq[Double]] = {
     def unit(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
       if (n > 0.0) v.map(_ / n) else v
     }
-    var cents = ivfCentroids(nCells, dim).map(c => unit(c.map(_.toDouble)))
+    var cents = init.map(unit)
     for (_ <- 0 until iters) {
       val sums = corpus
         .select(col("vec"), ivfAssignD(col("vec"), cents).as("cell"))
@@ -827,6 +839,22 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** Deterministic corpus-stride seeding for [[trainIvfCentroidsFrom]]:
+   * every ⌈n/k⌉-th vector in id order — the spread-out sample a
+   * production reindex initializes from (no RNG: resumable, and the
+   * same corpus always trains the same table). */
+  def strideSeeds(corpus: DataFrame, k: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.expressions.Window
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    corpus.select(col("id"), col("vec"))
+      .withColumn("_r", row_number().over(Window.orderBy("id")) - 1)
+      .filter(pmod(col("_r"), lit(stride)) === 0)
+      .orderBy("id").limit(k)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
   }
 
   /** Accumulator type for training sums: a float element rounds to 12
