@@ -1046,9 +1046,10 @@ object LlmQueries {
    * their fingerprints the same way they append their text artifacts.
    * Replay discipline identical (per-batch overwrite dirs, state read
    * strictly below the current batch id). */
-  private def runMultimodalAdmissionStream(
+  private[graft] def runMultimodalAdmissionStream(
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
-      base: String): DataFrame = {
+      base: String,
+      onTrigger: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -1076,6 +1077,7 @@ object LlmQueries {
     val q = stream.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        val t0 = System.nanoTime()
         val sp = batch.sparkSession
         CacheScope.withScope { implicit scope =>
           val b = scope.persist(batch).toDF()
@@ -1124,6 +1126,7 @@ object LlmQueries {
           bAud.join(admIds, bAud("media_id") === admIds("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
         }
+        onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
       }.start()
     q.processAllAvailable()

@@ -10,16 +10,20 @@ import org.apache.spark.sql.functions._
  * against) and record each trigger's wall millis. With the
  * incremental state tables, per-trigger cost must stay ~flat from the
  * first wave to the last; the old full-rescan form grew linearly with
- * the reference. Args: sfDir [waves] [fused] — prints one JSON line.
+ * the reference. Args: sfDir [waves] [mode] — mode `plain` = w12's
+ * dedup verdict, `fused` = w14's (default), `media` = m22's
+ * multimodal runner (per-batch pack + decode + fingerprint checked
+ * against the fingerprint state tables). Prints one JSON line.
  *
  * Usage:
- *   sbt -batch "runMain graft.tools.StreamAdmissionLadder /root/testdata/sf0.1 8 true"
+ *   sbt -batch "runMain graft.tools.StreamAdmissionLadder /root/testdata/sf0.1 8 fused"
  */
 object StreamAdmissionLadder {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val waves = if (args.length > 1) args(1).toInt else 8
-    val fused = if (args.length > 2) args(2).toBoolean else true
+    val mode = if (args.length > 2) args(2) else "fused"
+    require(Set("plain", "fused", "media")(mode), s"bad mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,10 +49,14 @@ object StreamAdmissionLadder {
       rest.filter(pmod(col("_r"), lit(waves)) === i).drop("_r"))
     val timings = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val t0 = System.nanoTime()
-    graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
-      s"target/tmp/ladder_admission_${new java.io.File(sfDir).getName}",
-      fused = fused,
-      onTrigger = (id, ms) => timings += ((id, ms)))
+    val base = s"target/tmp/ladder_admission_${new java.io.File(sfDir).getName}"
+    val hook = (id: Long, ms: Long) => { timings += ((id, ms)); () }
+    if (mode == "media")
+      graft.LlmQueries.runMultimodalAdmissionStream(spark, seed, waveFrames,
+        base, onTrigger = hook)
+    else
+      graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
+        base, fused = mode == "fused", onTrigger = hook)
     val total = (System.nanoTime() - t0) / 1000000L
     val sorted = timings.sortBy(_._1)
     val perTrigger = sorted.map(_._2)
@@ -59,7 +67,7 @@ object StreamAdmissionLadder {
     val slope = if (perTrigger.head > 0)
       perTrigger.last.toDouble / perTrigger.head else -1.0
     println(s"""{"tool":"stream_admission_ladder","sf":"${
-      new java.io.File(sfDir).getName}","waves":$waves,"fused":$fused,""" +
+      new java.io.File(sfDir).getName}","waves":$waves,"mode":"$mode",""" +
       s""""docs":$n,"seed_docs":${n / 2},"wave_docs":$waveSize,""" +
       s""""per_trigger_ms":${arr(perTrigger.toSeq)},""" +
       s""""ref_docs_at_trigger":${arr(refSizes.toSeq)},""" +
