@@ -891,13 +891,10 @@ object LlmQueries {
         CacheScope.withScope { implicit scope =>
           val b = scope.persist(batch).toDF()
           // state = seed + every PRIOR batch's admitted artifacts —
-          // never this batch's own (replay safety, as with adm dirs)
-          val listing = Files.list(Paths.get(stateDir))
-          val parts = try listing.iterator().asScala.toList.map(_.toString)
-            .filter { p =>
-              val n = Paths.get(p).getFileName.toString
-              n == "seed" || (n.startsWith("b") && n.stripPrefix("b").toLong < id)
-            } finally listing.close()
+          // never this batch's own (replay safety, as with adm dirs);
+          // resolves through AdmissionState so folded state (the
+          // small-files maintenance verb) reads as one compacted dir
+          val parts = graft.text.AdmissionState.parts(stateDir, id)
           val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
           val stateSh = sp.read.parquet(parts.map(_ + "/sh"): _*)
           val batchArt = scope.persist(Dedup.admissionArtifacts(
@@ -1081,12 +1078,7 @@ object LlmQueries {
         val sp = batch.sparkSession
         CacheScope.withScope { implicit scope =>
           val b = scope.persist(batch).toDF()
-          val listing = Files.list(Paths.get(stateDir))
-          val parts = try listing.iterator().asScala.toList.map(_.toString)
-            .filter { p =>
-              val n = Paths.get(p).getFileName.toString
-              n == "seed" || (n.startsWith("b") && n.stripPrefix("b").toLong < id)
-            } finally listing.close()
+          val parts = graft.text.AdmissionState.parts(stateDir, id)
           val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
           val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
           val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)

@@ -90,6 +90,65 @@ class AdmissionStateSpec extends SparkSpec {
     }
   }
 
+  test("state fold: one compacted dir replaces seed + folded batches; reads and verdicts identical; crash leaves state untouched") {
+    import graft.text.AdmissionState
+    val (existing, incoming) = fixture
+    val base = "target/tmp/admission_fold_spec"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(base))
+    val stateDir = s"$base/state"
+    // bootstrap + two admitted batches, exactly the runner's layout
+    def art(df: DataFrame) =
+      Dedup.admissionArtifacts(df, "doc_id", "text", 3, 16)
+    def sh(df: DataFrame) = art(df).select(explode(col("sset")).as("h")).distinct()
+    val b0 = incoming.filter(col("doc_id") % 3 === 0)
+    val b1 = incoming.filter(col("doc_id") % 3 === 1)
+    art(existing).write.parquet(s"$stateDir/seed/art")
+    sh(existing).write.parquet(s"$stateDir/seed/sh")
+    art(b0).write.parquet(s"$stateDir/b0/art")
+    sh(b0).write.parquet(s"$stateDir/b0/sh")
+    art(b1).write.parquet(s"$stateDir/b1/art")
+    sh(b1).write.parquet(s"$stateDir/b1/sh")
+
+    def readArt(belowId: Long) = spark.read.parquet(
+      AdmissionState.parts(stateDir, belowId).map(_ + "/art"): _*)
+    def verdictRows() = CacheScope.withScope { implicit scope =>
+      Dedup.admissionVerdictIncremental(
+          art(incoming.filter(col("doc_id") % 3 === 2)), readArt(2L), 4, 16)
+        .orderBy("doc_id").collect().toSeq
+    }
+    val artBefore = readArt(2L).orderBy("doc_id").collect().toSeq
+    val verdictBefore = verdictRows()
+
+    // a crashed fold (torn .tmp) is invisible
+    val torn = java.nio.file.Paths.get(stateDir, ".fold=0.tmp")
+    java.nio.file.Files.createDirectories(torn)
+    assert(AdmissionState.parts(stateDir, 2L).toSet ==
+      Set(s"$stateDir/seed", s"$stateDir/b0", s"$stateDir/b1"))
+    graft.util.Fs.deleteRecursive(torn)
+
+    // fold seed + b0 (safe mid-stream: 0 < frontier 1): reads resolve
+    // fold=0 + b1, and everything downstream is row-identical
+    assert(AdmissionState.fold(spark, stateDir, upTo = 0L, Seq("art", "sh")))
+    assert(AdmissionState.parts(stateDir, 2L) ==
+      Seq(s"$stateDir/fold=0", s"$stateDir/b1"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(stateDir, "seed")))
+    assert(readArt(2L).orderBy("doc_id").collect().toSeq == artBefore,
+      "folded state lost or duplicated artifact rows")
+    assert(verdictRows() == verdictBefore,
+      "the verdict moved across the fold")
+
+    // fold the rest: one dir, prior fold retired, still identical
+    assert(AdmissionState.fold(spark, stateDir, upTo = 1L, Seq("art", "sh")))
+    assert(AdmissionState.parts(stateDir, 2L) == Seq(s"$stateDir/fold=1"))
+    assert(readArt(2L).orderBy("doc_id").collect().toSeq == artBefore)
+    assert(verdictRows() == verdictBefore)
+    // folding below the horizon refuses
+    intercept[IllegalArgumentException] {
+      AdmissionState.fold(spark, stateDir, upTo = 1L, Seq("art", "sh"))
+    }
+  }
+
   test("after bootstrap, a trigger's verdict scans ONLY state tables — never reference text") {
     val (existing, incoming) = fixture
     val base = "target/tmp/admission_state_spec"
