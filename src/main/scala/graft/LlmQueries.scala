@@ -857,7 +857,8 @@ object LlmQueries {
   private[graft] def runAdmissionStream(
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
       base: String, fused: Boolean,
-      onTrigger: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onTrigger: (Long, Long) => Unit = (_, _) => (),
+      foldThreshold: Int = 6): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -877,7 +878,14 @@ object LlmQueries {
     val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
       k = 3, numPerms = NumPerms)
     seedArt.write.parquet(s"$stateDir/seed/art")
-    seedArt.select(explode(col("sset")).as("h")).distinct()
+    // the shingle table derives from the artifact PARQUET, not the
+    // artifact plan: explode() infers a not-null/size filter that
+    // Catalyst pushes below the projections, inlining the whole
+    // tokenize+md5+shingle subtree ~7x per document into a scan-level
+    // Filter (measured 10s vs 0.5s on the seed) — the read-back cuts
+    // the lineage so the filter lands on a materialized column
+    s.read.parquet(s"$stateDir/seed/art")
+      .select(explode(col("sset")).as("h")).distinct()
       .write.parquet(s"$stateDir/seed/sh")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
@@ -911,6 +919,14 @@ object LlmQueries {
           admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
           admArt.select(explode(col("sset")).as("h")).distinct()
             .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
+          // self-driving state maintenance (the LogTable auto-compaction
+          // move): once the unfolded tail exceeds the threshold, fold
+          // everything strictly below this batch — safe mid-stream
+          // (committed ids never replay), and the next trigger's state
+          // read resolves one compacted dir instead of the tail
+          if (parts.size > foldThreshold)
+            graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
+              subs = Seq("art", "sh"))
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
@@ -1046,7 +1062,8 @@ object LlmQueries {
   private[graft] def runMultimodalAdmissionStream(
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
       base: String,
-      onTrigger: (Long, Long) => Unit = (_, _) => ()): DataFrame = {
+      onTrigger: (Long, Long) => Unit = (_, _) => (),
+      foldThreshold: Int = 6): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -1117,6 +1134,10 @@ object LlmQueries {
             .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
           bAud.join(admIds, bAud("media_id") === admIds("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
+          // self-driving state fold, as in the text runner
+          if (parts.size > foldThreshold)
+            graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
+              subs = Seq("art", "imgfp", "audfp"))
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
