@@ -878,15 +878,18 @@ object LlmQueries {
     val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
       k = 3, numPerms = NumPerms)
     seedArt.write.parquet(s"$stateDir/seed/art")
-    // the shingle table derives from the artifact PARQUET, not the
-    // artifact plan: explode() infers a not-null/size filter that
-    // Catalyst pushes below the projections, inlining the whole
-    // tokenize+md5+shingle subtree ~7x per document into a scan-level
-    // Filter (measured 10s vs 0.5s on the seed) — the read-back cuts
-    // the lineage so the filter lands on a materialized column
-    s.read.parquet(s"$stateDir/seed/art")
-      .select(explode(col("sset")).as("h")).distinct()
-      .write.parquet(s"$stateDir/seed/sh")
+    // the distinct-shingle table exists for the novelty leg only — the
+    // plain dedup form (w12) neither writes nor reads it. It derives
+    // from the artifact PARQUET, not the artifact plan: explode()
+    // infers a not-null/size filter that Catalyst pushes below the
+    // projections, inlining the whole tokenize+md5+shingle subtree ~7x
+    // per document into a scan-level Filter (measured 10s vs 0.5s on
+    // the seed) — the read-back cuts the lineage so the filter lands
+    // on a materialized column
+    if (fused)
+      s.read.parquet(s"$stateDir/seed/art")
+        .select(explode(col("sset")).as("h")).distinct()
+        .write.parquet(s"$stateDir/seed/sh")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = scoped.readStream.schema(schema)
@@ -904,7 +907,8 @@ object LlmQueries {
           // small-files maintenance verb) reads as one compacted dir
           val parts = graft.text.AdmissionState.parts(stateDir, id)
           val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
-          val stateSh = sp.read.parquet(parts.map(_ + "/sh"): _*)
+          val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
+                        else sp.emptyDataFrame
           val batchArt = scope.persist(Dedup.admissionArtifacts(
             b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
           val verdict = scope.persist(admissionTriggerVerdict(
@@ -917,8 +921,9 @@ object LlmQueries {
           // the state append: only the admitted docs' artifacts
           val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
           admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
-          admArt.select(explode(col("sset")).as("h")).distinct()
-            .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
+          if (fused)
+            admArt.select(explode(col("sset")).as("h")).distinct()
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
           // self-driving state maintenance (the LogTable auto-compaction
           // move): once the unfolded tail exceeds the threshold, fold
           // everything strictly below this batch — safe mid-stream
@@ -926,7 +931,7 @@ object LlmQueries {
           // read resolves one compacted dir instead of the tail
           if (parts.size > foldThreshold)
             graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
-              subs = Seq("art", "sh"))
+              subs = if (fused) Seq("art", "sh") else Seq("art"))
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
