@@ -79,6 +79,13 @@ object AdmissionState {
     val horizon = priorFold.map(_._1).getOrElse(-1L)
     require(upTo > horizon,
       s"fold upTo=$upTo is not above the current fold horizon $horizon")
+    // a fold PAST the newest batch would publish as fold=<upTo> yet be
+    // invisible to parts(belowId) for every belowId <= upTo — with seed
+    // already retired, those readers would resolve nothing: refuse
+    val maxBatch = entries.flatMap { case (n, _) => batchId(n) }
+      .foldLeft(-1L)(math.max)
+    require(upTo <= maxBatch,
+      s"fold upTo=$upTo exceeds the newest state batch $maxBatch")
     val inputs = parts(stateDir, upTo + 1)
     val toRetire = entries.collect {
       case (n, p) if n == "seed" && priorFold.isEmpty => p

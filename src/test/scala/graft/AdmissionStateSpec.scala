@@ -143,9 +143,14 @@ class AdmissionStateSpec extends SparkSpec {
     assert(AdmissionState.parts(stateDir, 2L) == Seq(s"$stateDir/fold=1"))
     assert(readArt(2L).orderBy("doc_id").collect().toSeq == artBefore)
     assert(verdictRows() == verdictBefore)
-    // folding below the horizon refuses
+    // folding below the horizon refuses, and so does folding past the
+    // newest batch (it would retire seed yet stay invisible to every
+    // parts(belowId <= upTo) reader)
     intercept[IllegalArgumentException] {
       AdmissionState.fold(spark, stateDir, upTo = 1L, Seq("art", "sh"))
+    }
+    intercept[IllegalArgumentException] {
+      AdmissionState.fold(spark, stateDir, upTo = 9L, Seq("art", "sh"))
     }
   }
 
