@@ -396,6 +396,32 @@ object LlmQueries {
         benchPred = col("doc_id") < 20, k = 3, minShared = 5, maxDf = 10)
     }.orderBy("bench_id", "train_id")
 
+  /** D16: decontamination AT ADMISSION — the ingest-gate form of d5
+   * ([[Dedup.decontaminateAtAdmission]]): the benchmark suite (every
+   * 10th doc under 400) compiles into frozen df-capped shingle
+   * postings, and the incoming batch (docs >= 400, plus planted
+   * contaminated docs: the first 30 tokens of every 20th benchmark
+   * doc QUOTED verbatim in front of shingle-novel filler) checks
+   * against them — any doc sharing >= 5 informative shingles with a
+   * single benchmark doc is refused at the door instead of surfacing
+   * in a post-hoc corpus scan. The oracle replays the plant and the
+   * overlap join exactly. */
+  def decontaminateAdmissionQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+    val incoming = docs.filter(col("doc_id") >= 400)
+      .unionByName(bench.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
+            lit(" "),
+            translate(col("text"), "aeiou", "uoiea")).as("text")))
+    CacheScope.materialized { implicit scope =>
+      Dedup.decontaminateAtAdmission(bench, incoming, "doc_id", "text",
+        k = 3, minShared = 5, maxDf = 10)
+    }.orderBy("doc_id")
+  }
+
   /** E1: brute-force cosine top-k (queries = vec_id < 5). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
@@ -3571,6 +3597,7 @@ object LlmQueries {
     "d3_dedup_simhash" -> (dedupSimhash _),
     "d4_dedup_jaccard_verify" -> (dedupJaccardVerify _),
     "d5_decontamination" -> (decontamination _),
+    "d16_decontaminate_admission" -> (decontaminateAdmissionQ _),
     "d6_dup_clusters" -> (dupClusters _),
     "d8_dup_clusters_star" -> (dupClustersStar _),
     "d9_chunk_dedup" -> (chunkDedupDocs _),
@@ -5262,6 +5289,37 @@ object LlmQueries {
          |FROM b JOIN t USING (h)
          |GROUP BY 1, 2 HAVING count(*) >= 5
          |ORDER BY bench_id, train_id""".stripMargin,
+    // d16: the plant (30-token verbatim quote + shingle-novel filler)
+    // and the df-capped overlap join replayed per incoming doc
+    "d16_decontaminate_admission" ->
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id < 400 AND doc_id % 10 = 0),
+         |inc AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    array_to_string(list_slice($toksSql, 1, 30), ' ')
+         |      || ' ' || translate(text, 'aeiou', 'uoiea')
+         |  FROM bench WHERE doc_id % 20 = 0),
+         |bsh AS (SELECT doc_id AS bench_id, unnest($shingleHashesSql) AS h
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
+         |keep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= 10),
+         |posts AS (SELECT bench_id, h FROM bsh JOIN keep USING (h)),
+         |ish AS (SELECT doc_id, unnest($shingleHashesSql) AS h
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM inc)),
+         |hits AS (SELECT doc_id, bench_id, count(*) AS shared
+         |         FROM ish JOIN posts USING (h)
+         |         GROUP BY 1, 2 HAVING count(*) >= 5),
+         |agg AS (SELECT doc_id, count(*) AS n_bench_docs,
+         |          max(shared) AS max_shared
+         |        FROM hits GROUP BY 1)
+         |SELECT i.doc_id,
+         |  coalesce(a.n_bench_docs, 0) AS n_bench_docs,
+         |  coalesce(a.max_shared, 0) AS max_shared,
+         |  (a.doc_id IS NOT NULL) AS contaminated
+         |FROM inc i LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // the Bloom prune is invisible to results (no false negatives; false
     // positives die in the exact join), so the oracle is plain overlap
     "d7_decontaminate_bloom" ->

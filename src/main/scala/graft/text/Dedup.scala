@@ -851,6 +851,49 @@ object Dedup {
           col("n_shingles").cast("double")).as("novelty"))
   }
 
+  /** D16: DECONTAMINATION AT ADMISSION — [[decontaminate]]'s
+   * production form at the ingest gate (the d13/x28 admission shape):
+   * the BENCHMARK suite's df-capped shingle POSTINGS are the frozen
+   * persisted artifact (built once — benchmark suites change rarely —
+   * and at 100 TB bucketed on the shingle hash); per batch, the
+   * incoming docs' shingles join the postings and any doc sharing
+   * >= `minShared` distinct informative shingles with any single
+   * benchmark doc is refused. One row per incoming doc:
+   * (id, n_bench_docs, max_shared, contaminated). Per-batch cost is
+   * batch-side hashing + one join against the postings; the df cap
+   * bounds join fanout exactly as [[decontaminate]]'s — and the
+   * shuffle carries 8-byte shingle hashes + ids, never text. */
+  def decontaminateAtAdmission(bench: DataFrame, incoming: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               minShared: Int, maxDf: Int)
+                              (implicit scope: CacheScope): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col(idCol), tokenHashes31(tokens(col(textCol))).as("_th"))
+      .select(col(idCol),
+        explode(shingleHashesFromTokenHashes(col("_th"), k)).as("_h"))
+    val bsh = scope.persist(
+      sh(bench).select(col(idCol).as("bench_id"), col("_h")))
+    val keep = bsh.groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("_h")
+    // the postings table IS the frozen artifact a deployment persists;
+    // here it materializes once per call (the ingest-side analog of
+    // x28's reference shingle set)
+    val posts = scope.persist(bsh.join(keep, Seq("_h")))
+    val hits = sh(incoming)
+      .join(posts, Seq("_h"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bench_docs"), max("_shared").as("max_shared"))
+    incoming.select(idCol)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .withColumn("contaminated", col("n_bench_docs") > 0)
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

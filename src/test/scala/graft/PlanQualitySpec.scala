@@ -410,6 +410,15 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("admission decontamination: the posting join shuffles hashes and ids, never text") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      assertNoTextShuffle(graft.text.Dedup.decontaminateAtAdmission(
+        docs.filter(col("doc_id") < 20), docs.filter(col("doc_id") >= 20),
+        "doc_id", "text", k = 3, minShared = 5, maxDf = 10))
+    }
+  }
+
   test("span-dedup repair: window digests and positions shuffle, never text") {
     graft.operators.CacheScope.withScope { implicit scope =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
