@@ -837,14 +837,16 @@ object LlmQueries {
 
   /** One trigger's verdict from the batch's ARTIFACTS and the
    * precomputed reference STATE — the per-trigger core shared by w12
-   * (`fused = false`: dedup verdict only) and w14 (`fused = true`:
-   * dedup + batch-local quality head + novelty vs the state shingle
-   * table). Takes only derived frames — no reference text can enter;
-   * the spec pins that by asserting every file scan under the verdict
-   * resolves into the state dir. */
+   * (`fused = false`: dedup verdict only), w14 (`fused = true`: dedup
+   * + batch-local quality head + novelty vs the state shingle table)
+   * and w15 (`posts` set: + the d16 decontamination leg against the
+   * frozen benchmark posting table). Takes only derived frames — no
+   * reference text can enter; the spec pins that by asserting every
+   * file scan under the verdict resolves into the state dir. */
   private[graft] def admissionTriggerVerdict(
       batch: DataFrame, batchArt: DataFrame, stateArt: DataFrame,
-      stateSh: DataFrame, fused: Boolean)(
+      stateSh: DataFrame, fused: Boolean,
+      posts: Option[DataFrame] = None)(
       implicit scope: CacheScope): DataFrame = {
     val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
       numBands = Bands, numPerms = NumPerms)
@@ -856,12 +858,27 @@ object LlmQueries {
         .select(col("doc_id"), (col("_z") >= 0.0).as("quality_keep"))
       val nov = Dedup.noveltyIncremental(batchArt, stateSh)
         .select("doc_id", "n_shingles", "n_known", "novelty")
-      dedup.join(qual, "doc_id")
+      val base = dedup.join(qual, "doc_id")
         .join(nov, Seq("doc_id"), "left")
-        .withColumn("admitted",
-          !col("exact_dup") && !col("near_dup") && col("quality_keep"))
+      posts match {
+        case None =>
+          base.withColumn("admitted",
+            !col("exact_dup") && !col("near_dup") && col("quality_keep"))
+        case Some(p) =>
+          val ct = Dedup.contaminatedIds(batchArt, p, DecontMinShared)
+            .withColumn("_ct", lit(true))
+          base.join(ct, Seq("doc_id"), "left")
+            .withColumn("contaminated",
+              coalesce(col("_ct"), lit(false))).drop("_ct")
+            .withColumn("admitted",
+              !col("exact_dup") && !col("near_dup") && col("quality_keep")
+                && !col("contaminated"))
+      }
     }
   }
+
+  private val DecontMinShared = 5
+  private val DecontMaxDf = 10
 
   /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
    * files, bootstraps the evolving reference's DERIVED state (seed
@@ -884,7 +901,8 @@ object LlmQueries {
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
       base: String, fused: Boolean,
       onTrigger: (Long, Long) => Unit = (_, _) => (),
-      foldThreshold: Int = 6): DataFrame = {
+      foldThreshold: Int = 6,
+      bench: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -916,6 +934,23 @@ object LlmQueries {
       s.read.parquet(s"$stateDir/seed/art")
         .select(explode(col("sset")).as("h")).distinct()
         .write.parquet(s"$stateDir/seed/sh")
+    // the FROZEN benchmark posting table (w15's decontamination leg):
+    // built once at bootstrap — benchmarks change rarely — and read by
+    // every trigger; df-capped like d16, derived via the same artifact
+    // read-back that keeps explode off the raw tokenize plan. The
+    // `bench`-prefixed dirs are invisible to AdmissionState.parts
+    // (names parse as neither seed, b<id> nor fold=<k>).
+    bench.foreach { b =>
+      Dedup.admissionArtifacts(b, "doc_id", "text", k = 3,
+          numPerms = NumPerms)
+        .write.parquet(s"$stateDir/bench/art")
+      val bsh = s.read.parquet(s"$stateDir/bench/art")
+        .select(col("doc_id").as("bench_id"), explode(col("sset")).as("h"))
+      val bkeep = bsh.groupBy("h").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= DecontMaxDf).select("h")
+      bsh.join(bkeep, Seq("h"))
+        .write.parquet(s"$stateDir/bench/posts")
+    }
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = scoped.readStream.schema(schema)
@@ -937,8 +972,10 @@ object LlmQueries {
                         else sp.emptyDataFrame
           val batchArt = scope.persist(Dedup.admissionArtifacts(
             b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
+          val posts = bench.map(_ =>
+            sp.read.parquet(s"$stateDir/bench/posts"))
           val verdict = scope.persist(admissionTriggerVerdict(
-            b, batchArt, stateArt, stateSh, fused)).toDF()
+            b, batchArt, stateArt, stateSh, fused, posts)).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           val admIds = verdict.filter(col("admitted")).select("doc_id")
           // the admitted-corpus product (text) — WRITE-only from here on
@@ -1012,6 +1049,39 @@ object LlmQueries {
         s"target/tmp/w14_${new java.io.File(dir).getName}", fused = true)
       .select("doc_id", "exact_dup", "near_dup", "quality_keep",
         "n_shingles", "n_known", "novelty", "admitted")
+      .orderBy("doc_id")
+  }
+
+  /** W15: the COMPLETE fused production ingest gate — w14's per-batch
+   * verdict (evolving-reference dedup + quality head + novelty) plus
+   * the d16 DECONTAMINATION leg: every incoming doc also checks
+   * against the FROZEN benchmark suite's df-capped shingle postings
+   * (built once at bootstrap, read by every trigger — the fourth
+   * admission axis, and the one a training-data pipeline can least
+   * afford to skip: an admitted benchmark quote poisons every eval
+   * downstream). admitted = not-a-dup AND quality AND NOT
+   * contaminated; only 4-way survivors join the evolving reference.
+   * Wave 1 plants 30-token verbatim quotes of benchmark docs in front
+   * of shingle-novel filler — caught by the posting join while the
+   * dedup leg stays silent (Jaccard vs the quoted doc is tiny: the
+   * case decontamination exists for). The oracle unrolls the three
+   * rounds with the frozen contamination table joined per round. */
+  def streamDecontaminatedAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves0) = admissionWaves(docs)
+    val bench = docs.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+    val plants = bench.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
+          lit(" "),
+          translate(col("text"), "aeiou", "uoiea")).as("text"))
+    val waves = Seq(waves0(0), waves0(1).unionByName(plants), waves0(2))
+    runAdmissionStream(s, existing, waves,
+        s"target/tmp/w15_${new java.io.File(dir).getName}", fused = true,
+        bench = Some(bench))
+      .select("doc_id", "exact_dup", "near_dup", "quality_keep",
+        "n_shingles", "n_known", "novelty", "contaminated", "admitted")
       .orderBy("doc_id")
   }
 
@@ -3660,6 +3730,7 @@ object LlmQueries {
     "w11_stream_serve_from_store" -> (streamServeFromStore _),
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
     "w14_stream_curation_admission" -> (streamCurationAdmission _),
+    "w15_stream_decontaminated_admission" -> (streamDecontaminatedAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -5009,6 +5080,100 @@ object LlmQueries {
          |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
          |  n_known, novelty,
          |  (NOT exact_dup AND NOT near_dup AND quality_keep) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // w15 = w14's unrolled rounds + the FROZEN d16 contamination table
+    // (benchmark postings are state built once, so the leg is a global
+    // CTE joined per round); refs evolve by the 4-way admitted flag
+    "w15_stream_decontaminated_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |rsh$i AS (SELECT DISTINCT h FROM dsh JOIN $ref USING (doc_id)),
+           |nov$i AS (
+           |  SELECT d.doc_id, count(*) AS n_shingles,
+           |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_known
+           |  FROM dsh d JOIN $w USING (doc_id)
+           |  LEFT JOIN rsh$i r USING (h)
+           |  GROUP BY d.doc_id),
+           |v$i AS (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    q.quality_keep,
+           |    nv.n_shingles, nv.n_known,
+           |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+           |      AS novelty,
+           |    (c.doc_id IS NOT NULL) AS contaminated
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  JOIN q USING (doc_id)
+           |  LEFT JOIN nov$i nv USING (doc_id)
+           |  LEFT JOIN ct c USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |bench AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id < 400 AND doc_id % 10 = 0),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 50 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 6000000,
+         |         array_to_string(list_slice($toksSql, 1, 30), ' ')
+         |           || ' ' || translate(text, 'aeiou', 'uoiea')
+         |       FROM bench WHERE doc_id % 20 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
+         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |dsh AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+         |bsh AS (SELECT doc_id AS bench_id, unnest($shingleHashesSql) AS h
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
+         |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
+         |posts AS (SELECT bench_id, h FROM bsh JOIN bkeep USING (h)),
+         |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
+         |          FROM dsh d JOIN posts p USING (h)
+         |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
+         |ct AS (SELECT DISTINCT doc_id FROM cthit),
+         |${qualityFeaturesCteOver("allc")},
+         |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+         |      FROM f),
+         |${round(0, "seed", "w0")},
+         |ref1 AS (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+         |  n_known, novelty, contaminated,
+         |  (NOT exact_dup AND NOT near_dup AND quality_keep
+         |   AND NOT contaminated) AS admitted
          |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin

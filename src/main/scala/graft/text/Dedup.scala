@@ -894,6 +894,22 @@ object Dedup {
       .withColumn("contaminated", col("n_bench_docs") > 0)
   }
 
+  /** The per-batch core of [[decontaminateAtAdmission]] against
+   * PRECOMPUTED postings — the streamed gates' form: the batch side is
+   * its artifact table (shingles explode from the stored `sset`, no
+   * re-tokenization), the benchmark side is the frozen `(bench_id, h)`
+   * posting table read back from state. Returns the distinct ids of
+   * contaminated batch docs (>= `minShared` shared shingles with a
+   * single benchmark doc). */
+  def contaminatedIds(batchArt: DataFrame, posts: DataFrame,
+                      minShared: Int): DataFrame =
+    batchArt.select(col("doc_id"), explode(col("sset")).as("_h"))
+      .join(posts.select(col("bench_id"), col("h").as("_h")), Seq("_h"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select("doc_id").distinct()
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */
