@@ -127,7 +127,13 @@ object Bench {
       "d8_dup_clusters_star", "d13_incremental_dedup",
       "m13_image_near_dedup_verdict", "m14_audio_near_dedup_verdict",
       "m15_video_near_dedup_verdict", "s7b_snapshot_stream_handoff",
-      "s8_pg_cdc", "e33_reindex_cutover")
+      "s8_pg_cdc", "e33_reindex_cutover",
+      // r15: the whole multi-trigger admission family — trigger-0
+      // codegen warmup is 2.4-4x steady state (r14 ladder), so 2-rep
+      // minima measured warmup luck, not the operator
+      "w15_stream_decontaminated_admission",
+      "w16_stream_contained_admission",
+      "m22_multimodal_admission", "m24_media_decontaminated_admission")
     canaryOnce() // pay its own codegen before the measured reps
     val canary0 = canaryOnce()
     val pass1 = names.map(n => n -> once(n)).toMap

@@ -846,7 +846,8 @@ object LlmQueries {
   private[graft] def admissionTriggerVerdict(
       batch: DataFrame, batchArt: DataFrame, stateArt: DataFrame,
       stateSh: DataFrame, fused: Boolean,
-      posts: Option[DataFrame] = None)(
+      posts: Option[DataFrame] = None,
+      cposts: Option[DataFrame] = None)(
       implicit scope: CacheScope): DataFrame = {
     val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
       numBands = Bands, numPerms = NumPerms)
@@ -860,25 +861,44 @@ object LlmQueries {
         .select("doc_id", "n_shingles", "n_known", "novelty")
       val base = dedup.join(qual, "doc_id")
         .join(nov, Seq("doc_id"), "left")
-      posts match {
-        case None =>
-          base.withColumn("admitted",
-            !col("exact_dup") && !col("near_dup") && col("quality_keep"))
+      // each optional leg joins its flag and ANDs into the gate; the
+      // flag frames are batch-proportional (threshold-decided joins)
+      val withCt = posts match {
+        case None => base
         case Some(p) =>
           val ct = Dedup.contaminatedIds(batchArt, p, DecontMinShared)
             .withColumn("_ct", lit(true))
           base.join(ct, Seq("doc_id"), "left")
             .withColumn("contaminated",
               coalesce(col("_ct"), lit(false))).drop("_ct")
-            .withColumn("admitted",
-              !col("exact_dup") && !col("near_dup") && col("quality_keep")
-                && !col("contaminated"))
       }
+      val withCn = cposts match {
+        case None => withCt
+        case Some(cp) =>
+          val cn = Dedup.containedIds(batchArt, cp,
+              ContainTauNum, ContainTauDen, ContainMinShingles)
+            .withColumn("_cn", lit(true))
+          withCt.join(cn, Seq("doc_id"), "left")
+            .withColumn("contained_dup",
+              coalesce(col("_cn"), lit(false))).drop("_cn")
+      }
+      val gate = Seq(!col("exact_dup"), !col("near_dup"),
+          col("quality_keep")) ++
+        posts.map(_ => !col("contaminated")) ++
+        cposts.map(_ => !col("contained_dup"))
+      withCn.withColumn("admitted", gate.reduce(_ && _))
     }
   }
 
   private val DecontMinShared = 5
   private val DecontMaxDf = 10
+  // containment-leg dials: tau = 4/5 over informative shingles, with a
+  // floor on the smaller side so trivial snippets don't trigger; the
+  // seed posting table df-caps at the d16 boilerplate dial
+  private val ContainTauNum = 4
+  private val ContainTauDen = 5
+  private val ContainMinShingles = 10
+  private val ContainMaxDf = 10
 
   /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
    * files, bootstraps the evolving reference's DERIVED state (seed
@@ -902,7 +922,8 @@ object LlmQueries {
       base: String, fused: Boolean,
       onTrigger: (Long, Long) => Unit = (_, _) => (),
       foldThreshold: Int = 6,
-      bench: Option[DataFrame] = None): DataFrame = {
+      bench: Option[DataFrame] = None,
+      containment: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -951,6 +972,19 @@ object LlmQueries {
       bsh.join(bkeep, Seq("h"))
         .write.parquet(s"$stateDir/bench/posts")
     }
+    // the containment leg's posting state (w16): the seed's df-capped
+    // per-doc postings, built once at bootstrap from the artifact
+    // read-back (the same lineage-cut discipline as the sh table);
+    // admitted batches append their raw postings per trigger
+    if (containment)
+      Dedup.containmentPostings(
+          s.read.parquet(s"$stateDir/seed/art"), ContainMaxDf)
+        .write.parquet(s"$stateDir/seed/cpost")
+    // the admission-runner role: epoch lease + checkpoint-identity bind
+    // (a rescheduled job on this stateDir supersedes us; OUR next append
+    // or fold then refuses — see AdmissionState's concurrency contract)
+    val epoch = graft.text.AdmissionState.acquireWriter(stateDir)
+    graft.text.AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = scoped.readStream.schema(schema)
@@ -966,6 +1000,7 @@ object LlmQueries {
           // never this batch's own (replay safety, as with adm dirs);
           // resolves through AdmissionState so folded state (the
           // small-files maintenance verb) reads as one compacted dir
+          graft.text.AdmissionState.guard(stateDir, epoch)
           val parts = graft.text.AdmissionState.parts(stateDir, id)
           val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
           val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
@@ -974,8 +1009,10 @@ object LlmQueries {
             b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
           val posts = bench.map(_ =>
             sp.read.parquet(s"$stateDir/bench/posts"))
+          val cposts = if (containment)
+            Some(sp.read.parquet(parts.map(_ + "/cpost"): _*)) else None
           val verdict = scope.persist(admissionTriggerVerdict(
-            b, batchArt, stateArt, stateSh, fused, posts)).toDF()
+            b, batchArt, stateArt, stateSh, fused, posts, cposts)).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           val admIds = verdict.filter(col("admitted")).select("doc_id")
           // the admitted-corpus product (text) — WRITE-only from here on
@@ -987,6 +1024,15 @@ object LlmQueries {
           if (fused)
             admArt.select(explode(col("sset")).as("h")).distinct()
               .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
+          if (containment)
+            // raw (uncapped) postings: the append is batch-bounded, so
+            // per-trigger containment fanout stays O(batch·maxDf +
+            // unfolded·batch); a deployment re-caps at reindex time
+            admArt.select(col("doc_id").as("ref_id"), col("sset"))
+              .select(col("ref_id"),
+                explode(col("sset")).as("h"),
+                size(col("sset")).cast("long").as("n_b"))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
           // self-driving state maintenance (the LogTable auto-compaction
           // move): once the unfolded tail exceeds the threshold, fold
           // everything strictly below this batch — safe mid-stream
@@ -994,7 +1040,9 @@ object LlmQueries {
           // read resolves one compacted dir instead of the tail
           if (parts.size > foldThreshold)
             graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
-              subs = if (fused) Seq("art", "sh") else Seq("art"))
+              subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
+                (if (containment) Seq("cpost") else Nil),
+              epoch = epoch)
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
@@ -1085,6 +1133,66 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** W16: the fused ingest gate with the CONTAINMENT leg — w15's four
+   * axes (evolving-reference dedup, quality head, novelty,
+   * benchmark decontamination) plus x26's asymmetric quoted-inside
+   * detection against the evolving reference's posting state, the
+   * fifth axis and the one the dedup leg structurally under-catches:
+   * wave 2 plants (a) a LARGE doc quoting a wave-0-ADMITTED doc whole
+   * between two real same-wave filler docs — Jaccard vs the quoted doc
+   * ≈ ⅓ (dedup leg silent), novel filler (novelty high), real prose
+   * (quality passes), no benchmark overlap (decontamination silent) —
+   * and (b) a 40-token verbatim slice of a wave-0-admitted doc (the
+   * reverse direction: incoming contained in reference). Both are
+   * caught ONLY by the containment join: shared·5 >= least(n_a,n_b)·4
+   * over the persisted `(ref_id, h, n_b)` postings. Only 5-way
+   * survivors join the reference. The oracle unrolls the three rounds
+   * with the containment state rebuilt per round (seed df-capped +
+   * admitted raw, exactly the state tables' content). */
+  def streamContainedAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves0) = admissionWaves(docs)
+    val bench = docs.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+    val benchPlants = bench.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
+          lit(" "),
+          translate(col("text"), "aeiou", "uoiea")).as("text"))
+    // quoted-inside plants: a LONG-ENOUGH wave-0 doc p (>= 40 tokens,
+    // so its shingle set clears the containment floor) sandwiched
+    // between the texts of two OTHER real docs from wave 2 (p+2 and
+    // p+5 are ≡ 2 mod 3, so both fillers are legitimate wave-2 docs;
+    // inner joins drop plants whose fillers fall past the id range —
+    // oracle mirrors). The reverse-direction plant slices 22 tokens
+    // out of a >= 60-token wave-0 doc: containment of the slice ≈ 1
+    // while Jaccard vs the source stays well under the 0.5 dedup cut.
+    val w0 = waves0(0)
+    val later = docs.filter(col("doc_id") >= 400)
+    val f1 = later.select(col("doc_id").as("_f1id"), col("text").as("_f1"))
+    val f2 = later.select(col("doc_id").as("_f2id"), col("text").as("_f2"))
+    val quoting = w0
+      .filter(col("doc_id") % 7 === 0 && size(Dedup.tokens(col("text"))) >= 40)
+      .join(f1, col("doc_id") + 2 === col("_f1id"))
+      .join(f2, col("doc_id") + 5 === col("_f2id"))
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("_f1"), lit(" "), col("text"), lit(" "), col("_f2"))
+          .as("text"))
+    val sliced = w0
+      .filter(col("doc_id") % 11 === 0 && size(Dedup.tokens(col("text"))) >= 60)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 22)).as("text"))
+    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants),
+      waves0(2).unionByName(quoting).unionByName(sliced))
+    runAdmissionStream(s, existing, waves,
+        s"target/tmp/w16_${new java.io.File(dir).getName}", fused = true,
+        bench = Some(bench), containment = true)
+      .select("doc_id", "exact_dup", "near_dup", "quality_keep",
+        "n_shingles", "n_known", "novelty", "contaminated",
+        "contained_dup", "admitted")
+      .orderBy("doc_id")
+  }
+
   /** The audio id-seed modulus for m22 — chosen NOT to divide (or be
    * divided by) the textured image pack's 1 000 000 id seed, so plant
    * offsets exist that preserve one modality's fingerprint while
@@ -1143,6 +1251,49 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** M24: m22's multimodal ingest gate plus MEDIA DECONTAMINATION —
+   * the d16 discipline applied to m6/m9 fingerprints: a benchmark
+   * media suite's image/audio fingerprints freeze at bootstrap
+   * (16 bytes per doc per modality) and every incoming doc's decoded
+   * fingerprints equality-join against them; a match refuses
+   * admission — an admitted benchmark image poisons multimodal eval
+   * exactly as a quoted benchmark answer poisons text eval. The
+   * benchmark here is DISJOINT from the seed corpus (docs 300–399 vs
+   * seed < 300), so a benchmark-media clone matches NO state
+   * fingerprint — the dup legs stay silent and ONLY the contamination
+   * leg catches it. Plants: translated (same byte length — the
+   * synthesis derives pixels/samples from (length, id mod seed))
+   * clones of benchmark docs at offset 7M (both fingerprints
+   * preserved, text shingle-novel) in waves 1 and 2; m22's evolving
+   * media-dup plants ride along against the smaller seed. The oracle
+   * rebuilds all fingerprints in closed form and unrolls the three
+   * rounds with the frozen benchmark fingerprint tables global. */
+  def streamMediaDecontaminatedAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 300)
+    val bench = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val later = docs.filter(col("doc_id") >= 400)
+    def tmut(df: DataFrame): DataFrame =
+      df.withColumn("text", translate(col("text"), "aeiou", "uoiea"))
+    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(tmut(seed.filter(col("doc_id") % 50 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+      .unionByName(tmut(bench.filter(col("doc_id") % 30 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(tmut(w0.filter(col("doc_id") % 5 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+      .unionByName(tmut(bench.filter(col("doc_id") % 45 === 0))
+        .withColumn("doc_id", col("doc_id") + 14000000L))
+    runMultimodalAdmissionStream(s, seed, Seq(w0, w1, w2),
+        s"target/tmp/m24_${new java.io.File(dir).getName}",
+        benchMedia = Some(bench))
+      .select("doc_id", "exact_dup", "near_dup", "image_dup", "audio_dup",
+        "media_contaminated", "admitted")
+      .orderBy("doc_id")
+  }
+
   /** One frame's media FINGERPRINTS — pack to real containers, decode
    * and fingerprint in the codec seam; returns (image (media_id,
    * hash_hi, hash_lo), audio (media_id, fp_hi, fp_lo)). Per-doc cost
@@ -1164,7 +1315,8 @@ object LlmQueries {
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
       base: String,
       onTrigger: (Long, Long) => Unit = (_, _) => (),
-      foldThreshold: Int = 6): DataFrame = {
+      foldThreshold: Int = 6,
+      benchMedia: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -1185,6 +1337,21 @@ object LlmQueries {
     val (seedImg, seedAud) = mediaFingerprints(seed)
     seedImg.write.parquet(s"$stateDir/seed/imgfp")
     seedAud.write.parquet(s"$stateDir/seed/audfp")
+    // the MEDIA decontamination state (m24): the benchmark suite's
+    // image/audio fingerprints freeze at bootstrap (the d16 move on
+    // m6/m9 fingerprints — 16 bytes per doc per modality) and every
+    // trigger equality-joins its batch fingerprints against them; an
+    // admitted benchmark image poisons multimodal eval exactly as
+    // quoted text does. `bench`-prefixed dirs stay invisible to
+    // AdmissionState.parts.
+    benchMedia.foreach { bm =>
+      val (bi, ba) = mediaFingerprints(bm)
+      bi.write.parquet(s"$stateDir/bench/imgfp")
+      ba.write.parquet(s"$stateDir/bench/audfp")
+    }
+    // same runner-role fencing as the text runner
+    val epoch = graft.text.AdmissionState.acquireWriter(stateDir)
+    graft.text.AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = scoped.readStream.schema(schema)
@@ -1196,6 +1363,7 @@ object LlmQueries {
         val sp = batch.sparkSession
         CacheScope.withScope { implicit scope =>
           val b = scope.persist(batch).toDF()
+          graft.text.AdmissionState.guard(stateDir, epoch)
           val parts = graft.text.AdmissionState.parts(stateDir, id)
           val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
           val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
@@ -1217,14 +1385,41 @@ object LlmQueries {
               stateAud.select("fp_hi", "fp_lo"),
               Seq("fp_hi", "fp_lo"), "left_semi")
             .select(col("media_id").as("doc_id")).withColumn("_au", lit(true))
-          val verdict = scope.persist(dedup
+          // the frozen benchmark-media contamination leg (m24): one
+          // equality semi-join per modality against the bootstrap
+          // fingerprint tables — per-batch cost O(batch), state never
+          // grows (benchmark suites change rarely)
+          val mediaCt = benchMedia.map { _ =>
+            val bi = sp.read.parquet(s"$stateDir/bench/imgfp")
+            val ba = sp.read.parquet(s"$stateDir/bench/audfp")
+            bImg.join(bi.select("hash_hi", "hash_lo"),
+                Seq("hash_hi", "hash_lo"), "left_semi")
+              .select(col("media_id").as("doc_id"))
+              .unionByName(bAud.join(ba.select("fp_hi", "fp_lo"),
+                  Seq("fp_hi", "fp_lo"), "left_semi")
+                .select(col("media_id").as("doc_id")))
+              .distinct().withColumn("_mc", lit(true))
+          }
+          val flags = dedup
             .join(imgDup, Seq("doc_id"), "left")
             .join(audDup, Seq("doc_id"), "left")
-            .select(col("doc_id"), col("exact_dup"), col("near_dup"),
-              coalesce(col("_im"), lit(false)).as("image_dup"),
-              coalesce(col("_au"), lit(false)).as("audio_dup"))
-            .withColumn("admitted", !col("exact_dup") && !col("near_dup") &&
-              !col("image_dup") && !col("audio_dup"))).toDF()
+          val withMc = mediaCt match {
+            case None => flags
+              .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+                coalesce(col("_im"), lit(false)).as("image_dup"),
+                coalesce(col("_au"), lit(false)).as("audio_dup"))
+              .withColumn("admitted", !col("exact_dup") && !col("near_dup") &&
+                !col("image_dup") && !col("audio_dup"))
+            case Some(mc) => flags.join(mc, Seq("doc_id"), "left")
+              .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+                coalesce(col("_im"), lit(false)).as("image_dup"),
+                coalesce(col("_au"), lit(false)).as("audio_dup"),
+                coalesce(col("_mc"), lit(false)).as("media_contaminated"))
+              .withColumn("admitted", !col("exact_dup") && !col("near_dup") &&
+                !col("image_dup") && !col("audio_dup") &&
+                !col("media_contaminated"))
+          }
+          val verdict = scope.persist(withMc).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           val admIds = verdict.filter(col("admitted")).select("doc_id")
           b.join(admIds, "doc_id")
@@ -1238,7 +1433,7 @@ object LlmQueries {
           // self-driving state fold, as in the text runner
           if (parts.size > foldThreshold)
             graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
-              subs = Seq("art", "imgfp", "audfp"))
+              subs = Seq("art", "imgfp", "audfp"), epoch = epoch)
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
@@ -3731,6 +3926,7 @@ object LlmQueries {
     "w12_stream_dedup_admission" -> (streamDedupAdmission _),
     "w14_stream_curation_admission" -> (streamCurationAdmission _),
     "w15_stream_decontaminated_admission" -> (streamDecontaminatedAdmission _),
+    "w16_stream_contained_admission" -> (streamContainedAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -3776,7 +3972,8 @@ object LlmQueries {
     "m20_quarantined_media_parity" -> (quarantinedMediaParity _),
     "m21_shot_near_dedup" -> (shotNearDup _),
     "m22_multimodal_admission" -> (streamMultimodalAdmission _),
-    "m23_video_neardup_build" -> (videoNearDupBuild _)
+    "m23_video_neardup_build" -> (videoNearDupBuild _),
+    "m24_media_decontaminated_admission" -> (streamMediaDecontaminatedAdmission _)
   )
 
   // ---- oracle SQL --------------------------------------------------------
@@ -3786,12 +3983,18 @@ object LlmQueries {
    * CTE-name suffix (w12 instantiates the chain once per admission
    * round, so the rounds' intermediates must not collide). */
   private def minhashPipelineSqlOver(tbl: String, sfx: String = "") =
-    s"""sigs$sfx AS (
+    // MATERIALIZED: DuckDB inlines CTEs by default; the admission-round
+    // oracles reference these through diamond-shaped ref/v chains, and
+    // inlining re-evaluates the whole tokenize+minhash subtree (and
+    // re-opens the parquet) once per reference — the w16 oracle ran out
+    // of file descriptors before the hints and 205 s with only the
+    // top-level ones. Semantics-neutral.
+    s"""sigs$sfx AS MATERIALIZED (
        |  SELECT doc_id AS _id, $sigSql AS sig
        |  FROM (SELECT doc_id, $shingleHashesSql AS hashes
        |        FROM (SELECT doc_id, $tokenHashesSql AS th
        |              FROM $tbl WHERE len($toksSql) >= 3))),
-       |banded$sfx AS (
+       |banded$sfx AS MATERIALIZED (
        |  ${(0 until Bands).map(b =>
             s"SELECT _id, $b AS band, array_to_string(list_slice(sig, ${b * Rows + 1}, ${b * Rows + Rows}), ',') AS bkey, sig FROM sigs$sfx")
             .mkString("\n  UNION ALL ")}),
@@ -5178,6 +5381,137 @@ object LlmQueries {
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin
     },
+    // w16 = w15's unrolled rounds + the CONTAINMENT leg: the posting
+    // state rebuilds per round (seed df-capped at the bootstrap dial +
+    // every previously-admitted doc's raw postings — exactly the cpost
+    // state tables' content); refs evolve by the 5-way admitted flag
+    "w16_stream_contained_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |rsh$i AS MATERIALIZED (SELECT DISTINCT h FROM dsh JOIN $ref USING (doc_id)),
+           |nov$i AS MATERIALIZED (
+           |  SELECT d.doc_id, count(*) AS n_shingles,
+           |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_known
+           |  FROM dsh d JOIN $w USING (doc_id)
+           |  LEFT JOIN rsh$i r USING (h)
+           |  GROUP BY d.doc_id),
+           |cp$i AS MATERIALIZED (SELECT ref_id, h, n_b FROM cps
+           |  UNION ALL
+           |  SELECT d.doc_id AS ref_id, d.h,
+           |    count(*) OVER (PARTITION BY d.doc_id) AS n_b
+           |  FROM dsh d JOIN $ref r USING (doc_id) WHERE d.doc_id >= 400),
+           |ch$i AS (SELECT d.doc_id, p.ref_id, p.n_b, count(*) AS shared
+           |  FROM dsh d JOIN $w w USING (doc_id) JOIN cp$i p USING (h)
+           |  GROUP BY 1, 2, 3),
+           |cont$i AS (SELECT DISTINCT c.doc_id
+           |  FROM ch$i c JOIN nsh USING (doc_id)
+           |  WHERE least(nsh.n, c.n_b) >= $ContainMinShingles
+           |    AND c.shared * $ContainTauDen >=
+           |        least(nsh.n, c.n_b) * $ContainTauNum),
+           |v$i AS MATERIALIZED (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    q.quality_keep,
+           |    nv.n_shingles, nv.n_known,
+           |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+           |      AS novelty,
+           |    (c.doc_id IS NOT NULL) AS contaminated,
+           |    (cn.doc_id IS NOT NULL) AS contained_dup
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  JOIN q USING (doc_id)
+           |  LEFT JOIN nov$i nv USING (doc_id)
+           |  LEFT JOIN ct c USING (doc_id)
+           |  LEFT JOIN cont$i cn USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |bench AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id < 400 AND doc_id % 10 = 0),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 50 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 6000000,
+         |         array_to_string(list_slice($toksSql, 1, 30), ' ')
+         |           || ' ' || translate(text, 'aeiou', 'uoiea')
+         |       FROM bench WHERE doc_id % 20 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0
+         |       UNION ALL
+         |       SELECT p.doc_id + 4000000,
+         |         f1.text || ' ' || p.text || ' ' || f2.text
+         |       FROM documents p
+         |       JOIN documents f1 ON f1.doc_id = p.doc_id + 2
+         |       JOIN documents f2 ON f2.doc_id = p.doc_id + 5
+         |       WHERE p.doc_id >= 400 AND p.doc_id % 3 = 0
+         |         AND p.doc_id % 7 = 0
+         |         AND len(regexp_extract_all(p.text, '\\S+')) >= 40
+         |       UNION ALL
+         |       SELECT doc_id + 5000000,
+         |         array_to_string(list_slice($toksSql, 1, 22), ' ')
+         |       FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 11 = 0
+         |         AND len($toksSql) >= 60),
+         |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+         |nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dsh GROUP BY 1),
+         |bsh AS (SELECT doc_id AS bench_id, unnest($shingleHashesSql) AS h
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
+         |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
+         |posts AS MATERIALIZED (SELECT bench_id, h FROM bsh JOIN bkeep USING (h)),
+         |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
+         |          FROM dsh d JOIN posts p USING (h)
+         |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
+         |ct AS MATERIALIZED (SELECT DISTINCT doc_id FROM cthit),
+         |csh AS (SELECT doc_id AS ref_id, h FROM dsh WHERE doc_id < 400),
+         |ckeep AS (SELECT h FROM csh GROUP BY h
+         |          HAVING count(*) <= $ContainMaxDf),
+         |cps AS MATERIALIZED (SELECT ref_id, h, count(*) OVER (PARTITION BY ref_id) AS n_b
+         |        FROM csh JOIN ckeep USING (h)),
+         |${qualityFeaturesCteOver("allc")},
+         |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+         |      FROM f),
+         |${round(0, "seed", "w0")},
+         |ref1 AS MATERIALIZED (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated AND NOT v.contained_dup),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated AND NOT v.contained_dup),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+         |  n_known, novelty, contaminated, contained_dup,
+         |  (NOT exact_dup AND NOT near_dup AND quality_keep
+         |   AND NOT contaminated AND NOT contained_dup) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
     // m22 = w12's unrolled text rounds fused with the media verdicts:
     // every member's textured aHash (mih) and id-seeded audio
     // fingerprint (mah) rebuild once in closed form from the synthesis
@@ -5297,6 +5631,149 @@ object LlmQueries {
          |SELECT doc_id, exact_dup, near_dup, image_dup, audio_dup,
          |  (NOT exact_dup AND NOT near_dup
          |   AND NOT image_dup AND NOT audio_dup) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // m24 = m22's unrolled rounds + the FROZEN benchmark-media
+    // fingerprint tables (bench is DISJOINT from the seed, so a
+    // benchmark clone matches no state fingerprint — only the
+    // contamination join catches it); fingerprints rebuild in closed
+    // form over allc ∪ bench; refs evolve by the 5-way admitted flag
+    "m24_media_decontaminated_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |img$i AS (SELECT DISTINCT b.doc_id
+           |  FROM mih b JOIN $w w ON w.doc_id = b.doc_id
+           |  JOIN mih r ON r.hash_hi = b.hash_hi AND r.hash_lo = b.hash_lo
+           |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+           |aud$i AS (SELECT DISTINCT b.doc_id
+           |  FROM mah b JOIN $w w ON w.doc_id = b.doc_id
+           |  JOIN mah r ON r.fp_hi = b.fp_hi AND r.fp_lo = b.fp_lo
+           |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+           |v$i AS MATERIALIZED (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    (im.doc_id IS NOT NULL) AS image_dup,
+           |    (au.doc_id IS NOT NULL) AS audio_dup,
+           |    (mc.doc_id IS NOT NULL) AS media_contaminated
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  LEFT JOIN img$i im USING (doc_id)
+           |  LEFT JOIN aud$i au USING (doc_id)
+           |  LEFT JOIN mct mc USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+         |bench AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id >= 300 AND doc_id < 400),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents WHERE doc_id < 300 AND doc_id % 50 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents
+         |       WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 30 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 5 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 14000000, translate(text, 'aeiou', 'uoiea')
+         |       FROM documents
+         |       WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 45 = 0),
+         |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |        UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |allm AS MATERIALIZED (SELECT * FROM allc
+         |        UNION ALL SELECT * FROM bench),
+         |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |mtb AS (SELECT doc_id,
+         |    (length(text) + 31 * (doc_id % 1000000)) % 200 AS a,
+         |    3 + 2 * ((length(text) + (doc_id % 1000000)) % 13) AS p1,
+         |    5 + 2 * ((length(text) + 3 * (doc_id % 1000000)) % 11) AS p2
+         |  FROM allm),
+         |mtg AS (SELECT doc_id,
+         |  flatten(list_transform(range(0, 8), j ->
+         |    list_transform(range(0, 8), i ->
+         |      (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251))) AS sv
+         |  FROM mtb),
+         |mtt AS (SELECT doc_id, sv, list_sum(sv) AS total FROM mtg),
+         |mih AS MATERIALIZED (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN 64 * sv[p + 1] >= total
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS hash_lo
+         |  FROM mtt),
+         |mad AS (SELECT doc_id, 1 + length(text) % 240 AS n,
+         |    (length(text) * 131 + 37 * (doc_id % ${M22AudioSeedMod})) % 65521
+         |      AS a
+         |  FROM allm),
+         |mae AS (SELECT doc_id,
+         |  list_transform(range(0, 65), w ->
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+         |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
+         |      (x, y) -> x + y)) AS es
+         |  FROM mad),
+         |mah AS MATERIALIZED (SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(32, 64), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_hi,
+         |  CAST(list_sum(list_transform(range(0, 32), p ->
+         |    CASE WHEN es[p + 2] > es[p + 1]
+         |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+         |    AS fp_lo
+         |  FROM mae),
+         |bihash AS (SELECT hash_hi, hash_lo FROM mih
+         |           JOIN bench USING (doc_id)),
+         |bahash AS (SELECT fp_hi, fp_lo FROM mah
+         |           JOIN bench USING (doc_id)),
+         |mct AS MATERIALIZED (
+         |  SELECT DISTINCT m.doc_id FROM mih m
+         |  JOIN bihash b ON b.hash_hi = m.hash_hi AND b.hash_lo = m.hash_lo
+         |  WHERE m.doc_id NOT IN (SELECT doc_id FROM bench)
+         |  UNION
+         |  SELECT DISTINCT m.doc_id FROM mah m
+         |  JOIN bahash b ON b.fp_hi = m.fp_hi AND b.fp_lo = m.fp_lo
+         |  WHERE m.doc_id NOT IN (SELECT doc_id FROM bench)),
+         |${round(0, "seed", "w0")},
+         |ref1 AS MATERIALIZED (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup
+         |           AND NOT v.image_dup AND NOT v.audio_dup
+         |           AND NOT v.media_contaminated),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup
+         |           AND NOT v.image_dup AND NOT v.audio_dup
+         |           AND NOT v.media_contaminated),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, image_dup, audio_dup,
+         |  media_contaminated,
+         |  (NOT exact_dup AND NOT near_dup
+         |   AND NOT image_dup AND NOT audio_dup
+         |   AND NOT media_contaminated) AS admitted
          |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin

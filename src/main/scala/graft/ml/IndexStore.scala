@@ -266,9 +266,12 @@ object IndexStore {
    * `adm=b<id>` dirs with different rows. */
   private def bindCheckpoint(dir: String, checkpoint: String): Unit = {
     Files.createDirectories(writersPath(dir))
-    val canon = new java.io.File(checkpoint).getCanonicalPath
-    val mine = "ckpt=" + java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    // URI-aware identity (graft.util.Fs.checkpointCanon): an
+    // `hdfs://`/`s3a://` location normalizes structurally instead of
+    // resolving against the process CWD — the same logical checkpoint
+    // binds identically across working directories
+    val canon = graft.util.Fs.checkpointCanon(checkpoint)
+    val mine = "ckpt=" + graft.util.Fs.checkpointDigest(checkpoint)
     def bound: Seq[String] = {
       val listing = Files.list(writersPath(dir))
       try listing.iterator().asScala.toList.map(_.getFileName.toString)
@@ -297,6 +300,26 @@ object IndexStore {
       // informative: the canonical path behind the digest (best-effort)
       Files.write(writersPath(dir).resolve(mine).resolve("path"),
         canon.getBytes("UTF-8"))
+    }
+  }
+
+  /** Release the store's checkpoint-identity bind — the fenced
+   * maintenance verb for a bound-then-abandoned store (the original
+   * checkpoint is lost/retired and a NEW stream must take over).
+   * Operator contract: the next admit's checkpoint starts batch ids at
+   * 0, so the caller must ensure previously committed admission batches
+   * were folded (compact) or the new stream's early ids would collide
+   * with live `adm=b<id>` dirs — admit's folded-id re-check refuses the
+   * folded collisions; unfolded ones are the operator's to vacuum.
+   * Requires the current writer epoch, so a zombie cannot unbind the
+   * live holder's identity. */
+  def unbindCheckpoint(dir: String, epoch: Long): Unit = {
+    fence(dir, epoch)
+    if (Files.isDirectory(writersPath(dir))) {
+      val listing = Files.list(writersPath(dir))
+      val marks = try listing.iterator().asScala.toList finally listing.close()
+      marks.filter(_.getFileName.toString.startsWith("ckpt="))
+        .foreach(graft.util.Fs.deleteRecursive)
     }
   }
 
@@ -660,17 +683,15 @@ object IndexStore {
       val deltaRoot = Paths.get(deltaDir(dir))
       folded.filterNot(_.startsWith("tombs/"))
         .foreach { name =>
-          // adm= markers name whole batch DIRS; plain names are files
+          // adm= markers name whole batch DIRS; plain names are files.
+          // The recursive delete on a folded adm= dir is the SINGLE
+          // owner of folded-batch retirement: it removes committed and
+          // torn-rewrite corpses alike (admit refuses folded ids, so a
+          // folded dir can never be a live in-flight write).
           if (name.startsWith("adm="))
             graft.util.Fs.deleteRecursive(deltaRoot.resolve(name))
           else Files.deleteIfExists(deltaRoot.resolve(name))
         }
-      // torn admission corpses: a dir with no _SUCCESS whose id the
-      // retained fold list already covers (see the contract above)
-      admDirsPresent(dir).collect {
-        case (id, p) if !Files.exists(p.resolve("_SUCCESS")) &&
-          folded(admMarker(id)) => p
-      }.foreach(graft.util.Fs.deleteRecursive)
       tombDirsPresent(dir).collect {
         case (k, p) if folded(tombMarker(k)) ||
           !Files.exists(p.resolve("_SUCCESS")) => p

@@ -19,12 +19,30 @@ import scala.jdk.CollectionConverters._
  * an invisible `.tmp`), and [[parts]] resolves the newest fold plus
  * the unfolded tail.
  *
- * Concurrency contract (the [[graft.ml.IndexStore.compact]] shape):
- * fold runs in a maintenance window — either the admission stream is
- * quiesced, or `upTo` is strictly below the stream's frontier batch id
- * (committed ids never replay, so no writer can touch a folded dir;
- * only the FRONTIER id can be rewritten by a crash-replay). Readers
- * racing a fold must re-list on a miss, exactly like a vacuum grace.
+ * Concurrency contract (the [[graft.ml.IndexStore.compact]] shape),
+ * ENFORCED by the same two mechanisms as the vector store:
+ *
+ *  1. **Epoch fencing** ([[acquireWriter]] / the fenced [[fold]] and
+ *     [[guard]]): the admission-runner role is a mkdir-atomic
+ *     monotonically-increasing lease under `writers/epoch=<n>`. A
+ *     rescheduled job acquires the next epoch; the superseded job's
+ *     next fold or state append refuses deterministically with the
+ *     state unmoved — a stale job can no longer retire `b<id>` dirs a
+ *     newer job's trigger is about to read.
+ *  2. **Checkpoint-identity bind** ([[bindCheckpoint]]): the first
+ *     append records the stream checkpoint's canonical identity as a
+ *     `writers/ckpt=<digest>` marker; a later job pointing a FRESH or
+ *     foreign checkpoint at the same `stateDir` refuses at entry —
+ *     fresh checkpoints restart batch ids at 0 and would silently
+ *     overwrite committed `b<id>` state with different rows.
+ *
+ * Within one holder, fold still runs in a maintenance window — either
+ * the stream is quiesced, or `upTo` is strictly below the stream's
+ * frontier batch id (committed ids never replay, so no writer can
+ * touch a folded dir; only the FRONTIER id can be rewritten by a
+ * crash-replay). Readers racing a fold re-list on a miss, exactly
+ * like a vacuum grace. The `writers/` dir is invisible to [[parts]]
+ * (the name parses as neither `seed`, `b<id>` nor `fold=<k>`).
  */
 object AdmissionState {
 
@@ -70,13 +88,20 @@ object AdmissionState {
    * dir per sub-table, staged under a dot-prefixed temp and published
    * by ONE atomic rename; the folded inputs (and any older fold) are
    * deleted after the publish. No-op when nothing new would fold.
-   * See the concurrency contract above. */
-  def fold(spark: SparkSession, stateDir: String, upTo: Long,
-           subs: Seq[String]): Boolean = {
+   * SELF-HEALING: the post-publish retire pass deletes EVERY dir the
+   * new fold supersedes — seed, all `b<=upTo`, all older folds — not
+   * just the ones this call folded, so a prior crash between publish
+   * and retire (which leaks superseded dirs; `parts` excludes them,
+   * so correctness was never affected) is cleaned by the next fold.
+   * Unfenced form is package-private (a zombie must not bypass the
+   * fence); production callers use the epoch overload. See the
+   * concurrency contract above. */
+  private[graft] def fold(spark: SparkSession, stateDir: String, upTo: Long,
+                          subs: Seq[String],
+                          preCommit: () => Unit = () => ()): Boolean = {
     val entries = list(stateDir).map(p => p.getFileName.toString -> p)
-    val priorFold = entries.flatMap { case (n, p) => foldId(n).map(_ -> p) }
-      .sortBy(_._1).lastOption
-    val horizon = priorFold.map(_._1).getOrElse(-1L)
+    val horizon = entries.flatMap { case (n, _) => foldId(n) }
+      .foldLeft(-1L)(math.max)
     require(upTo > horizon,
       s"fold upTo=$upTo is not above the current fold horizon $horizon")
     // a fold PAST the newest batch would publish as fold=<upTo> yet be
@@ -87,10 +112,6 @@ object AdmissionState {
     require(upTo <= maxBatch,
       s"fold upTo=$upTo exceeds the newest state batch $maxBatch")
     val inputs = parts(stateDir, upTo + 1)
-    val toRetire = entries.collect {
-      case (n, p) if n == "seed" && priorFold.isEmpty => p
-      case (n, p) if batchId(n).exists(id => id > horizon && id <= upTo) => p
-    } ++ priorFold.map(_._2).toSeq
     if (inputs.isEmpty) false
     else {
       val tmp = Paths.get(stateDir, s".fold=$upTo.tmp")
@@ -99,10 +120,111 @@ object AdmissionState {
         spark.read.parquet(inputs.map(_ + s"/$sub"): _*)
           .write.parquet(tmp.resolve(sub).toString)
       }
+      // last-instant re-check with the fold fully staged but still
+      // INVISIBLE (dot-prefixed): a throw here aborts with the state
+      // unmoved — the zombie window is the one rename below
+      preCommit()
       Files.move(tmp, Paths.get(stateDir, s"fold=$upTo"),
         StandardCopyOption.ATOMIC_MOVE)
-      toRetire.foreach(graft.util.Fs.deleteRecursive)
+      entries.collect {
+        case ("seed", p) => p
+        case (n, p) if batchId(n).exists(_ <= upTo) => p
+        case (n, p) if foldId(n).exists(_ < upTo) => p
+      }.foreach(graft.util.Fs.deleteRecursive)
       true
+    }
+  }
+
+  /** [[fold]] under a fencing token: checked at entry AND re-checked
+   * immediately before the atomic publish, so a superseded maintenance
+   * pass aborts with the state unmoved (the staged `.tmp` stays
+   * invisible to every reader). */
+  def fold(spark: SparkSession, stateDir: String, upTo: Long,
+           subs: Seq[String], epoch: Long): Boolean = {
+    fence(stateDir, epoch)
+    fold(spark, stateDir, upTo, subs, () => fence(stateDir, epoch))
+  }
+
+  // ---- writer fencing (the IndexStore discipline) --------------------------
+
+  private def writersPath(stateDir: String): Path =
+    Paths.get(stateDir, "writers")
+
+  private def epochsPresent(stateDir: String): Seq[Long] =
+    if (!Files.isDirectory(writersPath(stateDir))) Nil
+    else {
+      val listing = Files.list(writersPath(stateDir))
+      val entries = try listing.iterator().asScala.toList finally listing.close()
+      entries.map(_.getFileName.toString)
+        .filter(_.startsWith("epoch="))
+        .map(_.stripPrefix("epoch=").toLong)
+        .sorted
+    }
+
+  /** Claim the admission-runner role, superseding every prior holder:
+   * a monotonically increasing fencing token via mkdir-atomic claim
+   * (two racers computing the same epoch collide on the mkdir; the
+   * loser retries at n+1, so epochs are never shared). The superseded
+   * holder discovers it is a ZOMBIE when its next fenced verb
+   * ([[guard]] before a state append, the fenced [[fold]]) refuses. */
+  @scala.annotation.tailrec
+  def acquireWriter(stateDir: String): Long = {
+    Files.createDirectories(writersPath(stateDir))
+    val next = epochsPresent(stateDir).lastOption.getOrElse(-1L) + 1L
+    val claimed =
+      try { Files.createDirectory(writersPath(stateDir).resolve(s"epoch=$next")); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (claimed) next else acquireWriter(stateDir)
+  }
+
+  private def fence(stateDir: String, epoch: Long): Unit = {
+    val current = epochsPresent(stateDir).lastOption.getOrElse(-1L)
+    require(current == epoch,
+      s"admission writer fenced: epoch $epoch superseded by $current " +
+        s"under $stateDir")
+  }
+
+  /** The per-trigger append guard: re-checks the fence on the driver
+   * immediately before a trigger writes its `b<id>` state dirs, so a
+   * superseded admission job's next append refuses with the state
+   * unmoved instead of interleaving with the new holder's triggers. */
+  def guard(stateDir: String, epoch: Long): Unit = fence(stateDir, epoch)
+
+  /** The store-side CHECKPOINT IDENTITY bind (the
+   * [[graft.ml.IndexStore]] shape): recorded on the first append as a
+   * `writers/ckpt=<digest>` dir (mkdir-atomic — two racing first binds
+   * with different checkpoints cannot both win; the loser withdraws
+   * and refuses). Every append thereafter must present the same
+   * checkpoint: a fresh or foreign checkpoint restarts batch ids at 0
+   * and would silently overwrite committed `b<id>` state with
+   * different rows. Identity is URI-aware ([[graft.util.Fs
+   * .checkpointCanon]]) so `hdfs://`/`s3a://` locations don't resolve
+   * against the process CWD. */
+  def bindCheckpoint(stateDir: String, checkpoint: String): Unit = {
+    Files.createDirectories(writersPath(stateDir))
+    val mine = "ckpt=" + graft.util.Fs.checkpointDigest(checkpoint)
+    def bound: Seq[String] = {
+      val listing = Files.list(writersPath(stateDir))
+      try listing.iterator().asScala.toList.map(_.getFileName.toString)
+        .filter(_.startsWith("ckpt=")).sorted
+      finally listing.close()
+    }
+    if (!bound.contains(mine)) {
+      require(bound.isEmpty,
+        s"admission state $stateDir is bound to a different stream " +
+          s"checkpoint (${bound.mkString(", ")}): a fresh checkpoint " +
+          "would restart batch ids and overwrite committed state — " +
+          "resume the state's original checkpoint")
+      try Files.createDirectory(writersPath(stateDir).resolve(mine))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      val now = bound
+      if (now != Seq(mine)) {
+        Files.deleteIfExists(writersPath(stateDir).resolve(mine))
+        require(false, s"admission state $stateDir was concurrently " +
+          s"bound to a different checkpoint (${now.mkString(", ")})")
+      }
+      Files.write(writersPath(stateDir).resolve(mine).resolve("path"),
+        graft.util.Fs.checkpointCanon(checkpoint).getBytes("UTF-8"))
     }
   }
 }

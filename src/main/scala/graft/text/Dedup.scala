@@ -910,6 +910,53 @@ object Dedup {
       .filter(col("_shared") >= minShared)
       .select("doc_id").distinct()
 
+  /** CONTAINMENT at admission against PRECOMPUTED reference postings —
+   * x26's asymmetric quoted-inside detection run as an ingest-gate leg
+   * (the case the Jaccard dedup leg structurally misses: a wave-0-
+   * admitted doc quoted whole inside a much larger incoming doc has
+   * tiny Jaccard but containment ≈ 1 for the quoted side). The batch
+   * side explodes stored artifact `sset`s (distinct by construction);
+   * the reference side is the persisted `(ref_id, h, n_b)` posting
+   * state — seed postings df-capped at bootstrap (boilerplate dial,
+   * the d16 discipline; the seed IS the corpus bulk), per-admitted-
+   * batch appends raw (batch-bounded fanout; a production deployment
+   * re-caps at reindex-style maintenance). A batch doc is contained-
+   * dup when it shares >= ⌈tau·least(n_a, n_b)⌉ distinct shingles with
+   * a single reference doc in EITHER direction (incoming-quotes-ref or
+   * ref-quotes-incoming), with a floor on the smaller side so trivial
+   * snippets don't trigger. Integer-exact threshold
+   * (shared·tauDen >= least·tauNum), bit-identical in the oracle; the
+   * shuffle carries 8-byte shingle hashes + ids, never text. */
+  def containedIds(batchArt: DataFrame, cposts: DataFrame,
+                   tauNum: Int, tauDen: Int, minShingles: Int): DataFrame =
+    batchArt.select(col("doc_id"),
+        size(col("sset")).cast(LongType).as("_na"),
+        explode(col("sset")).as("_h"))
+      .join(cposts.select(col("ref_id"), col("h").as("_h"), col("n_b")),
+        Seq("_h"))
+      .groupBy("doc_id", "ref_id")
+      .agg(count(lit(1)).as("_shared"), min("_na").as("_na"),
+        min("n_b").as("_nb"))
+      .filter(least(col("_na"), col("_nb")) >= minShingles &&
+        col("_shared") * tauDen >= least(col("_na"), col("_nb")) * tauNum)
+      .select("doc_id").distinct()
+
+  /** The seed/bootstrap form of the containment posting state: the
+   * reference docs' distinct shingles df-capped over the reference
+   * (shingles held by more than `maxDf` docs are boilerplate and leave
+   * both the postings and the denominators — "containment over
+   * informative shingles", x26's production dial), with `n_b` = each
+   * doc's surviving-shingle count denormalized onto its rows. */
+  def containmentPostings(art: DataFrame, maxDf: Int): DataFrame = {
+    val sh = art.select(col("doc_id").as("ref_id"),
+      explode(col("sset")).as("h"))
+    val keep = sh.groupBy("h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("h")
+    val capped = sh.join(keep, Seq("h"))
+    val nb = capped.groupBy("ref_id").agg(count(lit(1)).as("n_b"))
+    capped.join(nb, Seq("ref_id")).select("ref_id", "h", "n_b")
+  }
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

@@ -9,4 +9,27 @@ object Fs {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+
+  /** A checkpoint location's CANONICAL IDENTITY string — the value two
+   * processes binding the same logical checkpoint must agree on.
+   * URI-style locations (`hdfs://nn/path`, `s3a://bucket/path`) are
+   * normalized structurally (scheme+authority lowercased, path as
+   * given) — resolving them through `File.getCanonicalPath` would
+   * anchor them to the process CWD, making the SAME checkpoint hash
+   * differently across working directories and permanently refusing a
+   * legitimate resume. Bare local paths canonicalize through the
+   * filesystem (symlinks, `..`). */
+  def checkpointCanon(checkpoint: String): String =
+    if (checkpoint.contains("://")) {
+      val u = java.net.URI.create(checkpoint).normalize()
+      val auth = Option(u.getAuthority).getOrElse("").toLowerCase
+      s"${Option(u.getScheme).getOrElse("").toLowerCase}://$auth${u.getPath}"
+    } else new java.io.File(checkpoint).getCanonicalPath
+
+  /** MD5 digest of [[checkpointCanon]] — the `ckpt=<digest>` marker
+   * name used by the store-side checkpoint-identity binds. */
+  def checkpointDigest(checkpoint: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointCanon(checkpoint).getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
 }

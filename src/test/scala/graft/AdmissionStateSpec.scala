@@ -154,6 +154,146 @@ class AdmissionStateSpec extends SparkSpec {
     }
   }
 
+  test("fencing: a superseded admission job's append/fold refuse with state unmoved; a foreign checkpoint refuses to bind") {
+    import graft.text.AdmissionState
+    import java.nio.file.{Files, Paths}
+    val base = "target/tmp/admission_fence_spec"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val stateDir = s"$base/state"
+    val docsSmall = docs.filter(col("doc_id") < 60)
+    def art(df: DataFrame) =
+      Dedup.admissionArtifacts(df, "doc_id", "text", 3, 16)
+    art(docsSmall).write.parquet(s"$stateDir/seed/art")
+    art(docsSmall.filter(col("doc_id") % 2 === 0))
+      .write.parquet(s"$stateDir/b0/art")
+    art(docsSmall.filter(col("doc_id") % 2 === 1))
+      .write.parquet(s"$stateDir/b1/art")
+
+    val e0 = AdmissionState.acquireWriter(stateDir)
+    AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt")
+    // the writers/ dir is invisible to readers
+    assert(AdmissionState.parts(stateDir, 2L).toSet ==
+      Set(s"$stateDir/seed", s"$stateDir/b0", s"$stateDir/b1"))
+    // same checkpoint re-binds freely (restart of the same stream)
+    AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt")
+    // a fresh/foreign checkpoint refuses AT ENTRY — it would restart
+    // batch ids and overwrite committed b<id> state
+    intercept[IllegalArgumentException] {
+      AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt_other")
+    }
+    // URI-style identity doesn't resolve against the CWD
+    AdmissionState.bindCheckpoint(
+      s"$base/state_uri", "hdfs://nn:8020/pipelines/adm/ckpt")
+    intercept[IllegalArgumentException] {
+      AdmissionState.bindCheckpoint(
+        s"$base/state_uri", "hdfs://nn:8020/pipelines/adm/ckpt2")
+    }
+
+    AdmissionState.guard(stateDir, e0) // holder appends fine
+    val e1 = AdmissionState.acquireWriter(stateDir) // rescheduled job
+    assert(e1 == e0 + 1)
+    // the zombie's next append refuses…
+    intercept[IllegalArgumentException] { AdmissionState.guard(stateDir, e0) }
+    // …and so does its fold, with the state unmoved
+    val before = AdmissionState.parts(stateDir, 2L)
+    intercept[IllegalArgumentException] {
+      AdmissionState.fold(spark, stateDir, upTo = 0L, Seq("art"), epoch = e0)
+    }
+    assert(AdmissionState.parts(stateDir, 2L) == before)
+    assert(Files.exists(Paths.get(stateDir, "seed")))
+    // a supersession landing MID-fold (after staging, before publish)
+    // aborts at the pre-publish re-check with the state unmoved
+    intercept[IllegalArgumentException] {
+      AdmissionState.fold(spark, stateDir, upTo = 0L, Seq("art"),
+        preCommit = () => { AdmissionState.acquireWriter(stateDir); // e2
+          AdmissionState.guard(stateDir, e1) })
+    }
+    assert(AdmissionState.parts(stateDir, 2L) == before)
+    // the live holder (now e2's owner) folds fine
+    val e3 = AdmissionState.acquireWriter(stateDir)
+    assert(AdmissionState.fold(spark, stateDir, upTo = 0L, Seq("art"),
+      epoch = e3))
+    assert(AdmissionState.parts(stateDir, 2L) ==
+      Seq(s"$stateDir/fold=0", s"$stateDir/b1"))
+  }
+
+  test("fold self-heals dirs leaked by a crash between publish and retire") {
+    import graft.text.AdmissionState
+    import java.nio.file.{Files, Paths}
+    val base = "target/tmp/admission_heal_spec"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val stateDir = s"$base/state"
+    val docsSmall = docs.filter(col("doc_id") < 60)
+    def art(df: DataFrame) =
+      Dedup.admissionArtifacts(df, "doc_id", "text", 3, 16)
+    art(docsSmall).write.parquet(s"$stateDir/seed/art")
+    (0L to 2L).foreach { i =>
+      art(docsSmall.filter(col("doc_id") % 3 === i))
+        .write.parquet(s"$stateDir/b$i/art")
+    }
+    val expected = spark.read.parquet(
+        AdmissionState.parts(stateDir, 3L).map(_ + "/art"): _*)
+      .orderBy("doc_id").collect().toSeq
+    assert(AdmissionState.fold(spark, stateDir, upTo = 0L, Seq("art")))
+    // simulate the crash leak: fold=0 published but seed/b0 retire lost
+    art(docsSmall).write.parquet(s"$stateDir/seed/art")
+    art(docsSmall.filter(col("doc_id") % 3 === 0))
+      .write.parquet(s"$stateDir/b0/art")
+    // leaked dirs are invisible to readers (fold horizon covers them)…
+    assert(AdmissionState.parts(stateDir, 3L) ==
+      Seq(s"$stateDir/fold=0", s"$stateDir/b1", s"$stateDir/b2"))
+    // …and the NEXT fold retires them along with its own inputs
+    assert(AdmissionState.fold(spark, stateDir, upTo = 1L, Seq("art")))
+    assert(!Files.exists(Paths.get(stateDir, "seed")))
+    assert(!Files.exists(Paths.get(stateDir, "b0")))
+    assert(!Files.exists(Paths.get(stateDir, "fold=0")))
+    assert(AdmissionState.parts(stateDir, 3L) ==
+      Seq(s"$stateDir/fold=1", s"$stateDir/b2"))
+    assert(spark.read.parquet(
+        AdmissionState.parts(stateDir, 3L).map(_ + "/art"): _*)
+      .orderBy("doc_id").collect().toSeq == expected,
+      "self-healing fold lost or duplicated rows")
+  }
+
+  test("containment leg: both quoted-inside directions caught, floor and df-cap honored") {
+    CacheScope.withScope { implicit scope =>
+      val mk = (n: Int, seed: Int) => (1 to n).map(i => s"tok${seed}_$i").mkString(" ")
+      val small = mk(20, 1)                      // 18 shingles
+      val big = mk(60, 2) + " " + small + " " + mk(60, 3)
+      val tiny = mk(8, 4)                        // 6 shingles — under floor
+      val state = Seq((1L, small), (2L, mk(50, 5)), (3L, tiny))
+        .toDF("doc_id", "text")
+      val stateArt = Dedup.admissionArtifacts(state, "doc_id", "text", 3, 16)
+      val cposts = Dedup.containmentPostings(stateArt, maxDf = 10)
+      // batch: (10) big doc quoting state doc 1 whole — ref-in-incoming;
+      // (11) a verbatim 15-token slice of state doc 2 — incoming-in-ref;
+      // (12) unrelated; (13) quotes the under-floor tiny doc — no flag
+      val slice = mk(50, 5).split(" ").take(15).mkString(" ")
+      val batch = Seq((10L, big), (11L, slice),
+          (12L, mk(40, 9)), (13L, mk(30, 8) + " " + tiny))
+        .toDF("doc_id", "text")
+      val batchArt = Dedup.admissionArtifacts(batch, "doc_id", "text", 3, 16)
+      val hit = Dedup.containedIds(batchArt, cposts,
+          tauNum = 4, tauDen = 5, minShingles = 10)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(hit == Seq(10L, 11L), s"containment hits: $hit")
+      // df-cap: a shingle in >maxDf state docs leaves postings AND n_b
+      val boiler = (1 to 12).map(i => (100L + i,
+        "common boiler plate text here " + mk(5, 20 + i))).toDF("doc_id", "text")
+      val bArt = Dedup.admissionArtifacts(boiler, "doc_id", "text", 3, 16)
+      val bPosts = Dedup.containmentPostings(bArt, maxDf = 10)
+      val boilerShingles = bArt.filter(col("doc_id") === 101L)
+        .select(explode(col("sset")).as("h"))
+      // the 4 all-boilerplate shingles (from the shared 6-token prefix,
+      // df=12 > 10) must be absent from the postings
+      val common = bPosts.select("h").distinct()
+        .join(boilerShingles, Seq("h"), "left_semi").count()
+      val perDoc = bArt.filter(col("doc_id") === 101L)
+        .select(size(col("sset"))).head().getInt(0)
+      assert(common < perDoc, "df-capped shingles still in postings")
+    }
+  }
+
   test("after bootstrap, a trigger's verdict scans ONLY state tables — never reference text") {
     val (existing, incoming) = fixture
     val base = "target/tmp/admission_state_spec"
