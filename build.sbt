@@ -33,7 +33,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 24g default (was 16g): the r15 sf1 full-suite run hit generated-code
+  // eviction — full GCs unloaded weakly-reachable codegen classes and
+  // j1/k7/k10/e9c recompiled mid-suite, reading 4-14x their isolated
+  // times. More heap keeps natural GC (and that eviction) rare as the
+  // suite grows.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Whole-stage codegen emits one class per plan; a long query suite
   // fills the JVM's default 240 MB code cache, after which the JIT
   // disables itself and every later compute-heavy query runs
