@@ -23,7 +23,7 @@ object StreamAdmissionLadder {
     val sfDir = args(0)
     val waves = if (args.length > 1) args(1).toInt else 8
     val mode = if (args.length > 2) args(2) else "fused"
-    require(Set("plain", "fused", "media")(mode), s"bad mode $mode")
+    require(Set("plain", "fused", "media", "full")(mode), s"bad mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,9 +40,13 @@ object StreamAdmissionLadder {
     // admitted wave grows the reference by ~|wave| while the batch
     // size stays constant — exactly the shape the flatness claim needs
     val n = docs.count()
-    val ranked = docs.withColumn("_r",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id")) - 1)
+    // global rank via distributed range sort + zipWithIndex (the
+    // strideSeeds pattern) — never a single-partition Window.orderBy
+    val ranked = spark.createDataFrame(
+      docs.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+        .rdd.zipWithIndex()
+        .map { case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      docs.schema.add("_r", org.apache.spark.sql.types.LongType))
     val seed = ranked.filter(col("_r") < n / 2).drop("_r")
     val rest = ranked.filter(col("_r") >= n / 2)
     val waveFrames = (0 until waves).map(i =>
@@ -54,6 +58,14 @@ object StreamAdmissionLadder {
     if (mode == "media")
       graft.LlmQueries.runMultimodalAdmissionStream(spark, seed, waveFrames,
         base, onTrigger = hook)
+    else if (mode == "full")
+      // w16's complete 6-leg shape: fused verdict + frozen benchmark
+      // postings + evolving containment postings (bench = every 10th
+      // seed doc, the w15/w16 fixture's dial)
+      graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
+        base, fused = true, onTrigger = hook,
+        bench = Some(seed.filter(col("doc_id") % 10 === 0)),
+        containment = true)
     else
       graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
         base, fused = mode == "fused", onTrigger = hook)

@@ -419,6 +419,19 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("containment at admission: the posting join shuffles hashes and ids, never text") {
+    graft.operators.CacheScope.withScope { implicit scope =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val stateArt = graft.text.Dedup.admissionArtifacts(
+        docs.filter(col("doc_id") < 20), "doc_id", "text", 3, 16)
+      val cposts = graft.text.Dedup.containmentPostings(stateArt, maxDf = 10)
+      val batchArt = graft.text.Dedup.admissionArtifacts(
+        docs.filter(col("doc_id") >= 20), "doc_id", "text", 3, 16)
+      assertNoTextShuffle(graft.text.Dedup.containedIds(
+        batchArt, cposts, tauNum = 4, tauDen = 5, minShingles = 10))
+    }
+  }
+
   test("span-dedup repair: window digests and positions shuffle, never text") {
     graft.operators.CacheScope.withScope { implicit scope =>
       val docs = spark.read.parquet(s"$dir/documents.parquet")
