@@ -1027,7 +1027,8 @@ object LlmQueries {
           if (containment)
             // raw (uncapped) postings: the append is batch-bounded, so
             // per-trigger containment fanout stays O(batch·maxDf +
-            // unfolded·batch); a deployment re-caps at reindex time
+            // unfolded·batch); a deployment re-caps globally at a
+            // maintenance window (Dedup.foldWithRecappedPostings)
             admArt.select(col("doc_id").as("ref_id"), col("sset"))
               .select(col("ref_id"),
                 explode(col("sset")).as("h"),

@@ -98,7 +98,8 @@ object AdmissionState {
    * concurrency contract above. */
   private[graft] def fold(spark: SparkSession, stateDir: String, upTo: Long,
                           subs: Seq[String],
-                          preCommit: () => Unit = () => ()): Boolean = {
+                          preCommit: () => Unit = () => (),
+                          build: (String, Seq[String]) => org.apache.spark.sql.DataFrame = null): Boolean = {
     val entries = list(stateDir).map(p => p.getFileName.toString -> p)
     val horizon = entries.flatMap { case (n, _) => foldId(n) }
       .foldLeft(-1L)(math.max)
@@ -116,9 +117,11 @@ object AdmissionState {
     else {
       val tmp = Paths.get(stateDir, s".fold=$upTo.tmp")
       graft.util.Fs.deleteRecursive(tmp)
+      val mk: (String, Seq[String]) => org.apache.spark.sql.DataFrame =
+        if (build != null) build
+        else (sub, parts) => spark.read.parquet(parts.map(_ + s"/$sub"): _*)
       subs.foreach { sub =>
-        spark.read.parquet(inputs.map(_ + s"/$sub"): _*)
-          .write.parquet(tmp.resolve(sub).toString)
+        mk(sub, inputs).write.parquet(tmp.resolve(sub).toString)
       }
       // last-instant re-check with the fold fully staged but still
       // INVISIBLE (dot-prefixed): a throw here aborts with the state
@@ -143,6 +146,20 @@ object AdmissionState {
            subs: Seq[String], epoch: Long): Boolean = {
     fence(stateDir, epoch)
     fold(spark, stateDir, upTo, subs, () => fence(stateDir, epoch))
+  }
+
+  /** Fenced [[fold]] with a per-sub-table BUILD override — the hook
+   * maintenance rewrites publish through: `build(sub, partDirs)`
+   * returns the compacted frame for `sub` (default: concatenate the
+   * parts' own `sub` dirs), so a derived table can be REBUILT from
+   * sibling state during the fold and go live atomically with it —
+   * e.g. re-capping the containment posting table from the folded
+   * artifacts ([[Dedup.foldWithRecappedPostings]]). */
+  def fold(spark: SparkSession, stateDir: String, upTo: Long,
+           subs: Seq[String], epoch: Long,
+           build: (String, Seq[String]) => org.apache.spark.sql.DataFrame): Boolean = {
+    fence(stateDir, epoch)
+    fold(spark, stateDir, upTo, subs, () => fence(stateDir, epoch), build)
   }
 
   // ---- writer fencing (the IndexStore discipline) --------------------------

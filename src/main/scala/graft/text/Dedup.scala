@@ -957,6 +957,31 @@ object Dedup {
     capped.join(nb, Seq("ref_id")).select("ref_id", "h", "n_b")
   }
 
+  /** RE-CAP maintenance fold for the containment posting state — the
+   * policy verb the per-batch append defers to: batches append their
+   * postings RAW (a batch can't know global document frequency), so
+   * boilerplate that becomes hot only ACROSS batches accumulates
+   * uncapped in the tail. This fold compacts the admission state up to
+   * `upTo` AND rebuilds `cpost` from the folded `art` tables under the
+   * GLOBAL df cap — published atomically with the fold (the
+   * [[graft.text.AdmissionState.fold]] build hook), so readers see
+   * either the old state or the recapped one, never a torn mix.
+   * Verdict drift is the documented policy: cross-batch boilerplate
+   * leaves the postings (and the n_b denominators) at the next
+   * maintenance window, exactly as a reindex re-trains quantizers.
+   * Fenced: runs under the admission writer epoch. */
+  def foldWithRecappedPostings(spark: org.apache.spark.sql.SparkSession,
+                               stateDir: String, upTo: Long,
+                               otherSubs: Seq[String], maxDf: Int,
+                               epoch: Long): Boolean =
+    graft.text.AdmissionState.fold(spark, stateDir, upTo,
+      otherSubs :+ "cpost", epoch,
+      build = (sub: String, parts: Seq[String]) =>
+        if (sub == "cpost")
+          containmentPostings(
+            spark.read.parquet(parts.map(_ + "/art"): _*), maxDf)
+        else spark.read.parquet(parts.map(_ + s"/$sub"): _*))
+
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and
    * ids, never document bodies. */

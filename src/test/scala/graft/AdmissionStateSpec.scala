@@ -294,6 +294,54 @@ class AdmissionStateSpec extends SparkSpec {
     }
   }
 
+  test("recap fold: cross-batch boilerplate leaves the postings at the maintenance window") {
+    import graft.text.AdmissionState
+    import java.nio.file.Paths
+    val base = "target/tmp/admission_recap_spec"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val stateDir = s"$base/state"
+    // "common boiler plate" rides in EVERY doc across three state units
+    // (4 docs per unit: within-unit df = 4 <= cap, global df = 12 > 10)
+    def unit(seed: Int) = (1 to 4).map(i => ((seed * 10 + i).toLong,
+      "common boiler plate here now " +
+        (1 to 15).map(j => s"tok${seed}_${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    def art(df: DataFrame) =
+      Dedup.admissionArtifacts(df, "doc_id", "text", 3, 16)
+    val cap = 10
+    Seq(("seed", unit(1)), ("b0", unit(2)), ("b1", unit(3))).foreach {
+      case (name, df) =>
+        val a = art(df)
+        a.write.parquet(s"$stateDir/$name/art")
+        // seed cpost capped within the seed; batches append raw — the
+        // runner's exact layout
+        (if (name == "seed") Dedup.containmentPostings(a, cap)
+         else a.select(col("doc_id").as("ref_id"),
+             explode(col("sset")).as("h"),
+             size(col("sset")).cast("long").as("n_b")))
+          .write.parquet(s"$stateDir/$name/cpost")
+    }
+    val boilerH = art(unit(1)).select(explode(col("sset")).as("h"))
+      .join(art(unit(2)).select(explode(col("sset")).as("h")), Seq("h"),
+        "left_semi").distinct() // shingles shared across units = boilerplate
+    val nBoiler = boilerH.count()
+    assert(nBoiler >= 2, s"fixture needs cross-unit shingles, got $nBoiler")
+    def postedBoiler(): Long = spark.read.parquet(
+        AdmissionState.parts(stateDir, 99L).map(_ + "/cpost"): _*)
+      .select("h").distinct().join(boilerH, Seq("h"), "left_semi").count()
+    // before maintenance: the raw batch appends still carry them
+    assert(postedBoiler() == nBoiler)
+    val e = AdmissionState.acquireWriter(stateDir)
+    assert(Dedup.foldWithRecappedPostings(spark, stateDir, upTo = 1L,
+      otherSubs = Seq("art"), maxDf = cap, epoch = e))
+    assert(AdmissionState.parts(stateDir, 99L) == Seq(s"$stateDir/fold=1"))
+    // after: global df = 12 > 10 — boilerplate gone from the postings
+    assert(postedBoiler() == 0L,
+      "recap fold left globally-hot shingles in the posting state")
+    // and the per-doc tables are untouched rows (art folded verbatim)
+    assert(spark.read.parquet(s"$stateDir/fold=1/art").count() == 12)
+  }
+
   test("after bootstrap, a trigger's verdict scans ONLY state tables — never reference text") {
     val (existing, incoming) = fixture
     val base = "target/tmp/admission_state_spec"
