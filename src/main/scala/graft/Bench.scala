@@ -132,7 +132,7 @@ object Bench {
       // codegen warmup is 2.4-4x steady state (r14 ladder), so 2-rep
       // minima measured warmup luck, not the operator
       "w15_stream_decontaminated_admission",
-      "w16_stream_contained_admission",
+      "w16_stream_contained_admission", "w17_stream_semantic_admission",
       "m22_multimodal_admission", "m24_media_decontaminated_admission")
     canaryOnce() // pay its own codegen before the measured reps
     val canary0 = canaryOnce()

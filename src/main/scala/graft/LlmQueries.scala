@@ -847,7 +847,8 @@ object LlmQueries {
       batch: DataFrame, batchArt: DataFrame, stateArt: DataFrame,
       stateSh: DataFrame, fused: Boolean,
       posts: Option[DataFrame] = None,
-      cposts: Option[DataFrame] = None)(
+      cposts: Option[DataFrame] = None,
+      semb: Option[(DataFrame, DataFrame)] = None)(
       implicit scope: CacheScope): DataFrame = {
     val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
       numBands = Bands, numPerms = NumPerms)
@@ -882,11 +883,31 @@ object LlmQueries {
             .withColumn("contained_dup",
               coalesce(col("_cn"), lit(false))).drop("_cn")
       }
+      // the SEMANTIC leg (w17): batch hashed-text vectors bucket-join
+      // the state embedding table (LSH equality — a paraphrase with the
+      // same token bag lands the IDENTICAL vector, so the same bucket,
+      // guaranteed); within-bucket exact cosine >= tau refuses. The
+      // shingle legs are structurally blind to word-order paraphrase:
+      // same bag, disjoint 3-grams
+      val withSm = semb match {
+        case None => withCn
+        case Some((bEmb, sEmb)) =>
+          val sm = bEmb.select(col("doc_id"), col("bucket"),
+              col("vec").as("_bv"))
+            .join(sEmb.select(col("bucket"), col("vec").as("_rv")),
+              Seq("bucket"))
+            .filter(Similarity.cosine(col("_bv"), col("_rv")) >= SemTau)
+            .select("doc_id").distinct().withColumn("_sm", lit(true))
+          withCn.join(sm, Seq("doc_id"), "left")
+            .withColumn("semantic_dup",
+              coalesce(col("_sm"), lit(false))).drop("_sm")
+      }
       val gate = Seq(!col("exact_dup"), !col("near_dup"),
           col("quality_keep")) ++
         posts.map(_ => !col("contaminated")) ++
-        cposts.map(_ => !col("contained_dup"))
-      withCn.withColumn("admitted", gate.reduce(_ && _))
+        cposts.map(_ => !col("contained_dup")) ++
+        semb.map(_ => !col("semantic_dup"))
+      withSm.withColumn("admitted", gate.reduce(_ && _))
     }
   }
 
@@ -899,6 +920,10 @@ object LlmQueries {
   private val ContainTauDen = 5
   private val ContainMinShingles = 10
   private val ContainMaxDf = 10
+  // semantic-leg cosine threshold over hashed-text-count vectors — the
+  // d15 SemDeDup dial: signed counts make high cosine mean genuinely
+  // shared token distributions
+  private val SemTau = 0.9
 
   /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
    * files, bootstraps the evolving reference's DERIVED state (seed
@@ -923,7 +948,8 @@ object LlmQueries {
       onTrigger: (Long, Long) => Unit = (_, _) => (),
       foldThreshold: Int = 6,
       bench: Option[DataFrame] = None,
-      containment: Boolean = false): DataFrame = {
+      containment: Boolean = false,
+      semantic: Boolean = false): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -980,6 +1006,18 @@ object LlmQueries {
       Dedup.containmentPostings(
           s.read.parquet(s"$stateDir/seed/art"), ContainMaxDf)
         .write.parquet(s"$stateDir/seed/cpost")
+    // the semantic leg's embedding state (w17): hashed-text vector +
+    // LSH bucket per reference doc — one O(seed) codegen pass at
+    // bootstrap, appended per admitted batch like every state table
+    def embFrameOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("ref_id"),
+        TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
+      .select(col("ref_id"),
+        Similarity.lshBucket(col("vec"), Planes).as("bucket"),
+        col("vec"))
+    if (semantic)
+      embFrameOf(seed).write.parquet(s"$stateDir/seed/emb")
     // the admission-runner role: epoch lease + checkpoint-identity bind
     // (a rescheduled job on this stateDir supersedes us; OUR next append
     // or fold then refuses — see AdmissionState's concurrency contract)
@@ -1011,8 +1049,14 @@ object LlmQueries {
             sp.read.parquet(s"$stateDir/bench/posts"))
           val cposts = if (containment)
             Some(sp.read.parquet(parts.map(_ + "/cpost"): _*)) else None
+          val batchEmb = if (semantic)
+            Some(scope.persist(embFrameOf(b)
+              .withColumnRenamed("ref_id", "doc_id")).toDF()) else None
+          val semb = batchEmb.map(be =>
+            (be, sp.read.parquet(parts.map(_ + "/emb"): _*)))
           val verdict = scope.persist(admissionTriggerVerdict(
-            b, batchArt, stateArt, stateSh, fused, posts, cposts)).toDF()
+            b, batchArt, stateArt, stateSh, fused, posts, cposts,
+            semb)).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           val admIds = verdict.filter(col("admitted")).select("doc_id")
           // the admitted-corpus product (text) — WRITE-only from here on
@@ -1034,6 +1078,10 @@ object LlmQueries {
                 explode(col("sset")).as("h"),
                 size(col("sset")).cast("long").as("n_b"))
               .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
+          batchEmb.foreach(be =>
+            be.join(admIds, "doc_id")
+              .select(col("doc_id").as("ref_id"), col("bucket"), col("vec"))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/emb"))
           // self-driving state maintenance (the LogTable auto-compaction
           // move): once the unfolded tail exceeds the threshold, fold
           // everything strictly below this batch — safe mid-stream
@@ -1042,7 +1090,8 @@ object LlmQueries {
           if (parts.size > foldThreshold)
             graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
               subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
-                (if (containment) Seq("cpost") else Nil),
+                (if (containment) Seq("cpost") else Nil) ++
+                (if (semantic) Seq("emb") else Nil),
               epoch = epoch)
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
@@ -1191,6 +1240,46 @@ object LlmQueries {
       .select("doc_id", "exact_dup", "near_dup", "quality_keep",
         "n_shingles", "n_known", "novelty", "contaminated",
         "contained_dup", "admitted")
+      .orderBy("doc_id")
+  }
+
+  /** W17: the fused ingest gate with the SEMANTIC leg — all of w16's
+   * axes plus paraphrase detection over hashed-text vectors (the d15
+   * SemDeDup composition run incrementally): the evolving reference
+   * persists `(ref_id, bucket, vec)` embedding state (x23's hashing-
+   * trick vector + the LSH bucket), and each batch doc is refused when
+   * a same-bucket reference doc sits at cosine >= 0.9. Word-order
+   * paraphrase is the case EVERY shingle leg is structurally blind to:
+   * wave 2 plants token-REVERSED copies of wave-0-ADMITTED docs — the
+   * token bag is identical (vector identical → same bucket, cosine
+   * exactly 1) but the 3-gram shingle set is disjoint, so exact /
+   * MinHash / containment / decontamination all stay silent, quality
+   * reads the same features that admitted the original, and novelty
+   * reads HIGH. Only the semantic join catches it. The oracle unrolls
+   * the rounds with the embedding CTE global and the bucket-equality
+   * cosine join per round. */
+  def streamSemanticAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves0) = admissionWaves(docs)
+    val bench = docs.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+    val benchPlants = bench.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 6000000L).as("doc_id"),
+        concat(
+          concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
+          lit(" "),
+          translate(col("text"), "aeiou", "uoiea")).as("text"))
+    val w0 = waves0(0)
+    val paraphrase = w0.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants),
+      waves0(2).unionByName(paraphrase))
+    runAdmissionStream(s, existing, waves,
+        s"target/tmp/w17_${new java.io.File(dir).getName}", fused = true,
+        bench = Some(bench), containment = true, semantic = true)
+      .select("doc_id", "exact_dup", "near_dup", "quality_keep",
+        "n_shingles", "n_known", "novelty", "contaminated",
+        "contained_dup", "semantic_dup", "admitted")
       .orderBy("doc_id")
   }
 
@@ -3928,6 +4017,7 @@ object LlmQueries {
     "w14_stream_curation_admission" -> (streamCurationAdmission _),
     "w15_stream_decontaminated_admission" -> (streamDecontaminatedAdmission _),
     "w16_stream_contained_admission" -> (streamContainedAdmission _),
+    "w17_stream_semantic_admission" -> (streamSemanticAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -4717,11 +4807,11 @@ object LlmQueries {
    * the dim-wide signed-count vector (bucket = h mod dim, sign = hash
    * bit 30 — mirrors [[TextAnalysis.hashedEmbedding]] exactly; the
    * counts are small integers, so DOUBLE arithmetic is exact). */
-  private lazy val hashedEmbCtes =
+  private def hashedEmbCtesOver(tbl: String) =
     s"""hsx AS (SELECT doc_id,
        |  list_transform(regexp_extract_all(lower(text), '\\S+'),
        |    t -> ${h60("t")}) AS hs
-       |  FROM documents),
+       |  FROM $tbl),
        |hv AS (SELECT doc_id, len(hs) AS n_tokens,
        |  list_transform(range(0, $Dim), i ->
        |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(hs, h ->
@@ -4729,6 +4819,8 @@ object LlmQueries {
        |        THEN (CASE WHEN (h >> 30) & 1 = 0 THEN 1.0 ELSE -1.0 END)
        |        ELSE 0.0 END)), (a, x) -> a + x)) AS v
        |  FROM hsx)""".stripMargin
+
+  private lazy val hashedEmbCtes = hashedEmbCtesOver("documents")
 
   private def bucketSql(vec: String) = bucketSqlN(vec, NPlanes)
 
@@ -5632,6 +5724,147 @@ object LlmQueries {
          |SELECT doc_id, exact_dup, near_dup, image_dup, audio_dup,
          |  (NOT exact_dup AND NOT near_dup
          |   AND NOT image_dup AND NOT audio_dup) AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |      UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // w17 = w16's unrolled rounds + the SEMANTIC leg: the hashed-text
+    // vector + LSH bucket rebuild globally over allc (x23/d14's CTE
+    // chain), and each round's semantic_dup is a bucket-equality join
+    // against that round's reference at exact cosine >= 0.9; refs
+    // evolve by the 6-way admitted flag
+    "w17_stream_semantic_admission" -> {
+      def round(i: Int, ref: String, w: String): String =
+        s"""c$i AS (SELECT doc_id, text FROM $ref
+           |        UNION ALL SELECT doc_id, text FROM $w),
+           |${minhashPipelineSqlOver(s"c$i", s"$i")},
+           |x$i AS (SELECT doc_a, doc_b FROM cand$i
+           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+           |     <> (doc_b IN (SELECT doc_id FROM $w))),
+           |near$i AS (
+           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+           |    THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+           |rsh$i AS MATERIALIZED (SELECT DISTINCT h FROM dsh
+           |  JOIN $ref USING (doc_id)),
+           |nov$i AS (
+           |  SELECT d.doc_id, count(*) AS n_shingles,
+           |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_known
+           |  FROM dsh d JOIN $w USING (doc_id)
+           |  LEFT JOIN rsh$i r USING (h)
+           |  GROUP BY d.doc_id),
+           |cp$i AS MATERIALIZED (SELECT ref_id, h, n_b FROM cps
+           |  UNION ALL
+           |  SELECT d.doc_id AS ref_id, d.h,
+           |    count(*) OVER (PARTITION BY d.doc_id) AS n_b
+           |  FROM dsh d JOIN $ref r USING (doc_id) WHERE d.doc_id >= 400),
+           |ch$i AS (SELECT d.doc_id, p.ref_id, p.n_b, count(*) AS shared
+           |  FROM dsh d JOIN $w w USING (doc_id) JOIN cp$i p USING (h)
+           |  GROUP BY 1, 2, 3),
+           |cont$i AS (SELECT DISTINCT c.doc_id
+           |  FROM ch$i c JOIN nsh USING (doc_id)
+           |  WHERE least(nsh.n, c.n_b) >= $ContainMinShingles
+           |    AND c.shared * $ContainTauDen >=
+           |        least(nsh.n, c.n_b) * $ContainTauNum),
+           |sem$i AS (SELECT DISTINCT b.doc_id
+           |  FROM bv b JOIN $w w ON w.doc_id = b.doc_id
+           |  JOIN bv r ON r.bucket = b.bucket
+           |  JOIN $ref rr ON rr.doc_id = r.doc_id
+           |  WHERE ${cosineSql("b.v", "r.v")} >= $SemTau),
+           |v$i AS MATERIALIZED (SELECT i.doc_id,
+           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+           |    (n.doc_id IS NOT NULL) AS near_dup,
+           |    q.quality_keep,
+           |    nv.n_shingles, nv.n_known,
+           |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+           |      AS novelty,
+           |    (c.doc_id IS NOT NULL) AS contaminated,
+           |    (cn.doc_id IS NOT NULL) AS contained_dup,
+           |    (sm.doc_id IS NOT NULL) AS semantic_dup
+           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+           |  JOIN q USING (doc_id)
+           |  LEFT JOIN nov$i nv USING (doc_id)
+           |  LEFT JOIN ct c USING (doc_id)
+           |  LEFT JOIN cont$i cn USING (doc_id)
+           |  LEFT JOIN sem$i sm USING (doc_id))""".stripMargin
+      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |bench AS (SELECT doc_id, text FROM documents
+         |          WHERE doc_id < 400 AND doc_id % 10 = 0),
+         |w0 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+         |w1 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+         |       UNION ALL
+         |       SELECT doc_id + 1000000, text FROM documents
+         |       WHERE doc_id < 400 AND doc_id % 50 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 6000000,
+         |         array_to_string(list_slice($toksSql, 1, 30), ' ')
+         |           || ' ' || translate(text, 'aeiou', 'uoiea')
+         |       FROM bench WHERE doc_id % 20 = 0),
+         |w2 AS (SELECT doc_id, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, text FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0
+         |       UNION ALL
+         |       SELECT doc_id + 8000000,
+         |         array_to_string(list_reverse($toksSql), ' ')
+         |       FROM documents
+         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 13 = 0),
+         |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+         |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
+         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+         |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, unnest($shingleHashesSql) AS h
+         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+         |nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dsh
+         |  GROUP BY 1),
+         |bsh AS MATERIALIZED (SELECT doc_id AS bench_id,
+         |          unnest($shingleHashesSql) AS h
+         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
+         |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
+         |posts AS MATERIALIZED (SELECT bench_id, h FROM bsh
+         |        JOIN bkeep USING (h)),
+         |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
+         |          FROM dsh d JOIN posts p USING (h)
+         |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
+         |ct AS MATERIALIZED (SELECT DISTINCT doc_id FROM cthit),
+         |csh AS (SELECT doc_id AS ref_id, h FROM dsh WHERE doc_id < 400),
+         |ckeep AS (SELECT h FROM csh GROUP BY h
+         |          HAVING count(*) <= $ContainMaxDf),
+         |cps AS MATERIALIZED (SELECT ref_id, h,
+         |          count(*) OVER (PARTITION BY ref_id) AS n_b
+         |        FROM csh JOIN ckeep USING (h)),
+         |planes AS (SELECT $planesSql AS pl),
+         |${hashedEmbCtesOver("allc")},
+         |bv AS MATERIALIZED (SELECT doc_id, v, ${bucketSql("v")} AS bucket
+         |      FROM hv, planes),
+         |${qualityFeaturesCteOver("allc")},
+         |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+         |      FROM f),
+         |${round(0, "seed", "w0")},
+         |ref1 AS MATERIALIZED (SELECT * FROM seed UNION ALL
+         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated AND NOT v.contained_dup
+         |           AND NOT v.semantic_dup),
+         |${round(1, "ref1", "w1")},
+         |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
+         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated AND NOT v.contained_dup
+         |           AND NOT v.semantic_dup),
+         |${round(2, "ref2", "w2")}
+         |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+         |  n_known, novelty, contaminated, contained_dup, semantic_dup,
+         |  (NOT exact_dup AND NOT near_dup AND quality_keep
+         |   AND NOT contaminated AND NOT contained_dup
+         |   AND NOT semantic_dup) AS admitted
          |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin
