@@ -133,7 +133,18 @@ object Bench {
       // minima measured warmup luck, not the operator
       "w15_stream_decontaminated_admission",
       "w16_stream_contained_admission", "w17_stream_semantic_admission",
-      "m22_multimodal_admission", "m24_media_decontaminated_admission")
+      "m22_multimodal_admission", "m24_media_decontaminated_admission",
+      // r16: the documented JVM codegen-eviction victims — a full GC
+      // elsewhere in the suite unloads their generated classes and a
+      // 2-rep min still reads the recompile, not the operator
+      // (BENCH_r15 carried x25 at 53.46 s vs its archived 1.56 s;
+      // j1/k7/k10/e9c re-read in-band in isolation,
+      // bench/sf1_eviction_recheck_r15.json; k9 flagged 6.19 s vs a
+      // 1.4 s history in bench/watchitems_r15.md)
+      "x25_span_dedup_repair", "k7_cdc_ingest_dml",
+      "k7b_cdc_engine_stream", "k9_jdbc_statements",
+      "k9b_upsert_sql_dialects", "k10_db_to_db_live",
+      "j1_json_functions", "e9c_knn_graph_scaled")
     canaryOnce() // pay its own codegen before the measured reps
     val canary0 = canaryOnce()
     val pass1 = names.map(n => n -> once(n)).toMap

@@ -848,7 +848,8 @@ object LlmQueries {
       stateSh: DataFrame, fused: Boolean,
       posts: Option[DataFrame] = None,
       cposts: Option[DataFrame] = None,
-      semb: Option[(DataFrame, DataFrame)] = None)(
+      semb: Option[(DataFrame, DataFrame)] = None,
+      extraFlags: Seq[(String, DataFrame)] = Nil)(
       implicit scope: CacheScope): DataFrame = {
     val dedup = Dedup.admissionVerdictIncremental(batchArt, stateArt,
       numBands = Bands, numPerms = NumPerms)
@@ -888,13 +889,21 @@ object LlmQueries {
       // same token bag lands the IDENTICAL vector, so the same bucket,
       // guaranteed); within-bucket exact cosine >= tau refuses. The
       // shingle legs are structurally blind to word-order paraphrase:
-      // same bag, disjoint 3-grams
+      // same bag, disjoint 3-grams. HOT-BUCKET CAP (the m7 discipline,
+      // mirrored in the oracle): a state bucket holding more than
+      // [[SemMaxBucket]] reference docs is degenerate (empty/boilerplate
+      // token bags pile onto one vector) and leaves the join — per-doc
+      // comparisons stay <= batch × cap however the reference grows
       val withSm = semb match {
         case None => withCn
         case Some((bEmb, sEmb)) =>
+          val okBuckets = sEmb.groupBy("bucket")
+            .agg(count(lit(1)).as("_occ"))
+            .filter(col("_occ") <= SemMaxBucket).select("bucket")
           val sm = bEmb.select(col("doc_id"), col("bucket"),
               col("vec").as("_bv"))
-            .join(sEmb.select(col("bucket"), col("vec").as("_rv")),
+            .join(sEmb.join(okBuckets, Seq("bucket"), "left_semi")
+              .select(col("bucket"), col("vec").as("_rv")),
               Seq("bucket"))
             .filter(Similarity.cosine(col("_bv"), col("_rv")) >= SemTau)
             .select("doc_id").distinct().withColumn("_sm", lit(true))
@@ -902,12 +911,22 @@ object LlmQueries {
             .withColumn("semantic_dup",
               coalesce(col("_sm"), lit(false))).drop("_sm")
       }
+      // extra axes (w18's media legs): each is a (flagName, flaggedIds)
+      // pair — batch-proportional id frames decided by their own joins
+      // upstream — joined left and ANDed into the gate like every leg
+      val withExtra = extraFlags.foldLeft(withSm) { case (df, (name, ids)) =>
+        df.join(ids.select("doc_id").distinct()
+            .withColumn(s"_x_$name", lit(true)), Seq("doc_id"), "left")
+          .withColumn(name, coalesce(col(s"_x_$name"), lit(false)))
+          .drop(s"_x_$name")
+      }
       val gate = Seq(!col("exact_dup"), !col("near_dup"),
           col("quality_keep")) ++
         posts.map(_ => !col("contaminated")) ++
         cposts.map(_ => !col("contained_dup")) ++
-        semb.map(_ => !col("semantic_dup"))
-      withSm.withColumn("admitted", gate.reduce(_ && _))
+        semb.map(_ => !col("semantic_dup")) ++
+        extraFlags.map { case (name, _) => !col(name) }
+      withExtra.withColumn("admitted", gate.reduce(_ && _))
     }
   }
 
@@ -924,6 +943,13 @@ object LlmQueries {
   // d15 SemDeDup dial: signed counts make high cosine mean genuinely
   // shared token distributions
   private val SemTau = 0.9
+  // semantic-leg hot-bucket cap (the m12/m21 `maxBucket` discipline):
+  // state buckets holding more reference docs than this leave the join.
+  // 16× the dial's expected occupancy — headroom for the natural skew
+  // of centered text embeddings (semantic clusters are real structure;
+  // measured max ≈ 6× expected at sf0.1) while a degenerate pile
+  // (templated boilerplate) still exits the join instead of exploding it
+  private val SemMaxBucket = 256
 
   /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
    * files, bootstraps the evolving reference's DERIVED state (seed
@@ -949,7 +975,11 @@ object LlmQueries {
       foldThreshold: Int = 6,
       bench: Option[DataFrame] = None,
       containment: Boolean = false,
-      semantic: Boolean = false): DataFrame = {
+      semantic: Boolean = false,
+      semPlanes: Seq[Seq[Long]] = Planes,
+      semCenter: Seq[Double] = Nil,
+      media: Boolean = false,
+      benchMedia: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     graft.util.Fs.deleteRecursive(Paths.get(base))
@@ -1008,16 +1038,57 @@ object LlmQueries {
         .write.parquet(s"$stateDir/seed/cpost")
     // the semantic leg's embedding state (w17): hashed-text vector +
     // LSH bucket per reference doc — one O(seed) codegen pass at
-    // bootstrap, appended per admitted batch like every state table
-    def embFrameOf(df: DataFrame): DataFrame = df
+    // bootstrap, appended per admitted batch like every state table.
+    // `curPlanes` is the leg's LIVE LSH dial: it starts at the caller's
+    // production plane count (expected bucket ≈ 16 docs over the gate
+    // corpus — the d14b dial) and GROWS at the maintenance fold as the
+    // reference crosses occupancy thresholds; the fold re-buckets the
+    // folded state and the appends after it bucket under the grown
+    // planes, so batch and state sides always agree. The dial is
+    // re-derivable from state alone (scaledPlaneCount of the newest
+    // fold's emb row count, floored at the bootstrap count — the
+    // reference is append-only, so the newest fold's count is the max),
+    // which is what a crash-resumed deployment recomputes.
+    var curPlanes = semPlanes
+    def rawEmbOf(df: DataFrame): DataFrame = df
       .select(col("doc_id").as("ref_id"),
         TextAnalysis.hashedEmbedding(
           Dedup.tokens(lower(col("text"))), Dim).as("vec"))
-      .select(col("ref_id"),
-        Similarity.lshBucket(col("vec"), Planes).as("bucket"),
-        col("vec"))
-    if (semantic)
+    // the bucketing CENTER: hashed text-count vectors share a dominant
+    // common direction, so raw sign-of-dot buckets collapse into a
+    // mega-bucket the hot-bucket cap would then blind; buckets derive
+    // from the unit-normalized, seed-mean-centered vector instead
+    // ([[Similarity.meanUnitVector]]). Frozen at bootstrap (quantizer
+    // discipline — a reindex re-trains it) and persisted beside the
+    // state so a resumed deployment reads it back rather than needing
+    // the retired seed; the tiny `center` dir is invisible to
+    // AdmissionState.parts.
+    val center: Seq[Double] =
+      if (!semantic) Nil
+      else if (semCenter.nonEmpty) semCenter
+      else Similarity.meanUnitVector(rawEmbOf(seed), "vec", Dim)
+    def bucketOf(vec: Column): Column =
+      Similarity.lshBucket(Similarity.unitCentered(vec, center), curPlanes)
+    def embFrameOf(df: DataFrame): DataFrame = rawEmbOf(df)
+      .select(col("ref_id"), bucketOf(col("vec")).as("bucket"), col("vec"))
+    if (semantic) {
+      import s.implicits._
+      Seq(center).toDF("center").write.parquet(s"$stateDir/center")
       embFrameOf(seed).write.parquet(s"$stateDir/seed/emb")
+    }
+    // the MEDIA axes (w18 = m22/m24's legs fused into this runner):
+    // seed media fingerprints bootstrap once; the frozen benchmark-media
+    // fingerprints freeze like the text posting benchmark
+    if (media) {
+      val (si, sa) = mediaFingerprints(seed)
+      si.write.parquet(s"$stateDir/seed/imgfp")
+      sa.write.parquet(s"$stateDir/seed/audfp")
+      benchMedia.foreach { bm =>
+        val (bi, ba) = mediaFingerprints(bm)
+        bi.write.parquet(s"$stateDir/benchm/imgfp")
+        ba.write.parquet(s"$stateDir/benchm/audfp")
+      }
+    }
     // the admission-runner role: epoch lease + checkpoint-identity bind
     // (a rescheduled job on this stateDir supersedes us; OUR next append
     // or fold then refuses — see AdmissionState's concurrency contract)
@@ -1054,14 +1125,70 @@ object LlmQueries {
               .withColumnRenamed("ref_id", "doc_id")).toDF()) else None
           val semb = batchEmb.map(be =>
             (be, sp.read.parquet(parts.map(_ + "/emb"): _*)))
+          // the media axes: the batch's OWN decode + fingerprint
+          // (O(batch) — reference media never re-decodes), then
+          // fingerprint-group semi-joins against the evolving state
+          // tables and the frozen benchmark-media tables (m22/m24)
+          val batchMedia = if (!media) None else {
+            val (bi, ba) = mediaFingerprints(b)
+            Some((scope.persist(bi).toDF(), scope.persist(ba).toDF()))
+          }
+          val mediaFlags: Seq[(String, DataFrame)] = batchMedia match {
+            case None => Nil
+            case Some((bImg, bAud)) =>
+              val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
+              val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
+              def hits(bfp: DataFrame, state: DataFrame,
+                       keys: Seq[String]): DataFrame =
+                bfp.join(state.select(keys.map(col): _*), keys, "left_semi")
+                  .select(col("media_id").as("doc_id"))
+              Seq(
+                "image_dup" -> hits(bImg, stateImg, Seq("hash_hi", "hash_lo")),
+                "audio_dup" -> hits(bAud, stateAud, Seq("fp_hi", "fp_lo"))) ++
+                benchMedia.map { _ =>
+                  val bi = sp.read.parquet(s"$stateDir/benchm/imgfp")
+                  val ba = sp.read.parquet(s"$stateDir/benchm/audfp")
+                  "media_contaminated" ->
+                    hits(bImg, bi, Seq("hash_hi", "hash_lo"))
+                      .unionByName(hits(bAud, ba, Seq("fp_hi", "fp_lo")))
+                }
+          }
           val verdict = scope.persist(admissionTriggerVerdict(
             b, batchArt, stateArt, stateSh, fused, posts, cposts,
-            semb)).toDF()
+            semb, mediaFlags)).toDF()
           verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
           val admIds = verdict.filter(col("admitted")).select("doc_id")
           // the admitted-corpus product (text) — WRITE-only from here on
           b.join(admIds, "doc_id")
             .write.mode("overwrite").parquet(s"$refDir/adm$id")
+          // self-driving state maintenance (the LogTable auto-compaction
+          // move): once the unfolded tail exceeds the threshold, fold
+          // everything strictly below this batch — safe mid-stream
+          // (committed ids never replay, and this batch's own appends
+          // land AFTER the fold, above its horizon). The PRODUCTION fold
+          // verb rewrites the derived tables atomically with the
+          // compaction: `cpost` re-caps under the GLOBAL df (cross-batch
+          // boilerplate leaves the postings exactly here), and `emb`
+          // re-buckets under the GROWN plane dial when the folded
+          // reference crosses an occupancy threshold (expected bucket
+          // ≈ 16 docs) — appends below then bucket under the same grown
+          // planes, so state and batch sides never mix dials.
+          if (parts.size > foldThreshold) {
+            if (semantic) {
+              val nRef = sp.read.parquet(parts.map(_ + "/emb"): _*).count()
+              val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
+              if (grown > curPlanes.size)
+                curPlanes = Similarity.hyperplanes(grown, Dim)
+            }
+            Dedup.maintenanceFold(sp, stateDir, upTo = id - 1,
+              subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
+                (if (containment) Seq("cpost") else Nil) ++
+                (if (semantic) Seq("emb") else Nil) ++
+                (if (media) Seq("imgfp", "audfp") else Nil),
+              epoch = epoch,
+              recapMaxDf = if (containment) Some(ContainMaxDf) else None,
+              rebucket = if (semantic) Some(bucketOf _) else None)
+          }
           // the state append: only the admitted docs' artifacts
           val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
           admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
@@ -1071,28 +1198,29 @@ object LlmQueries {
           if (containment)
             // raw (uncapped) postings: the append is batch-bounded, so
             // per-trigger containment fanout stays O(batch·maxDf +
-            // unfolded·batch); a deployment re-caps globally at a
-            // maintenance window (Dedup.foldWithRecappedPostings)
+            // unfolded·batch); the maintenance fold above re-caps
+            // globally ([[Dedup.maintenanceFold]])
             admArt.select(col("doc_id").as("ref_id"), col("sset"))
               .select(col("ref_id"),
                 explode(col("sset")).as("h"),
                 size(col("sset")).cast("long").as("n_b"))
               .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
+          // bucket derived FROM THE VECTOR at append time (not reused
+          // from the verdict frame): if the fold above grew the plane
+          // dial, this append must already bucket under the grown planes
           batchEmb.foreach(be =>
             be.join(admIds, "doc_id")
-              .select(col("doc_id").as("ref_id"), col("bucket"), col("vec"))
+              .select(col("doc_id").as("ref_id"),
+                bucketOf(col("vec")).as("bucket"), col("vec"))
               .write.mode("overwrite").parquet(s"$stateDir/b$id/emb"))
-          // self-driving state maintenance (the LogTable auto-compaction
-          // move): once the unfolded tail exceeds the threshold, fold
-          // everything strictly below this batch — safe mid-stream
-          // (committed ids never replay), and the next trigger's state
-          // read resolves one compacted dir instead of the tail
-          if (parts.size > foldThreshold)
-            graft.text.AdmissionState.fold(sp, stateDir, upTo = id - 1,
-              subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
-                (if (containment) Seq("cpost") else Nil) ++
-                (if (semantic) Seq("emb") else Nil),
-              epoch = epoch)
+          batchMedia.foreach { case (bImg, bAud) =>
+            bImg.join(admIds, bImg("media_id") === admIds("doc_id"),
+                "left_semi")
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
+            bAud.join(admIds, bAud("media_id") === admIds("doc_id"),
+                "left_semi")
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
+          }
         }
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
@@ -1192,7 +1320,7 @@ object LlmQueries {
    * between two real same-wave filler docs — Jaccard vs the quoted doc
    * ≈ ⅓ (dedup leg silent), novel filler (novelty high), real prose
    * (quality passes), no benchmark overlap (decontamination silent) —
-   * and (b) a 40-token verbatim slice of a wave-0-admitted doc (the
+   * and (b) a 22-token verbatim slice of a wave-0-admitted doc (the
    * reverse direction: incoming contained in reference). Both are
    * caught ONLY by the containment join: shared·5 >= least(n_a,n_b)·4
    * over the persisted `(ref_id, h, n_b)` postings. Only 5-way
@@ -1255,9 +1383,15 @@ object LlmQueries {
    * exactly 1) but the 3-gram shingle set is disjoint, so exact /
    * MinHash / containment / decontamination all stay silent, quality
    * reads the same features that admitted the original, and novelty
-   * reads HIGH. Only the semantic join catches it. The oracle unrolls
-   * the rounds with the embedding CTE global and the bucket-equality
-   * cosine join per round. */
+   * reads HIGH. Only the semantic join catches it. PRODUCTION DIAL:
+   * the plane count is corpus-scaled (expected bucket ≈ 16 docs — the
+   * d14b/e9c move, grown further at the maintenance fold as the
+   * reference crosses occupancy thresholds) and state buckets hotter
+   * than [[SemMaxBucket]] leave the join (the m7 cap — degenerate
+   * token bags pile onto one vector), so per-trigger comparisons stay
+   * O(batch × cap) however the reference grows. The oracle unrolls the
+   * rounds with the embedding CTE global, the SAME plane literals and
+   * cap rendered in, and the bucket-equality cosine join per round. */
   def streamSemanticAdmission(s: SparkSession, dir: String): DataFrame = {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val (existing, waves0) = admissionWaves(docs)
@@ -1276,7 +1410,8 @@ object LlmQueries {
       waves0(2).unionByName(paraphrase))
     runAdmissionStream(s, existing, waves,
         s"target/tmp/w17_${new java.io.File(dir).getName}", fused = true,
-        bench = Some(bench), containment = true, semantic = true)
+        bench = Some(bench), containment = true, semantic = true,
+        semPlanes = semPlanesFor(s, dir), semCenter = semCenterFor(s, dir))
       .select("doc_id", "exact_dup", "near_dup", "quality_keep",
         "n_shingles", "n_known", "novelty", "contaminated",
         "contained_dup", "semantic_dup", "admitted")
@@ -1380,6 +1515,97 @@ object LlmQueries {
         s"target/tmp/m24_${new java.io.File(dir).getName}",
         benchMedia = Some(bench))
       .select("doc_id", "exact_dup", "near_dup", "image_dup", "audio_dup",
+        "media_contaminated", "admitted")
+      .orderBy("doc_id")
+  }
+
+  /** W18: THE COMPLETE MULTIMODAL INGEST GATE — every admission axis
+   * this engine has, fused into ONE per-trigger verdict over
+   * (text, image, audio) documents: text exact + MinHash near + quality
+   * + novelty + benchmark decontamination (w15) + containment (w16) +
+   * semantic paraphrase (w17, at the production plane dial with the
+   * centered bucketing and hot-bucket cap) AND image dup + audio dup
+   * (m22, evolving fingerprint state) + media decontamination (m24,
+   * frozen benchmark-media fingerprints). A production corpus is
+   * admitted ONCE — until this gate, the 7-leg text runner and the
+   * 5-leg media runner were siblings that never met.
+   *
+   * Per-axis-unique plants (each caught by the one leg the others are
+   * structurally blind to): image-only = translated clone at the
+   * image-seed-preserving offset (+1M — audio phase moves, text
+   * shingles novel); audio-only = +3.5M (audio seed preserved, texture
+   * moves); media-decontamination = translated clone of a BENCHMARK
+   * media doc at +7M (benchmark disjoint from the corpus, so every dup
+   * leg is silent); text-decontamination = the w15 slice plant (+6M,
+   * different length so media fingerprints move); containment = w16's
+   * quoted-inside (+4M) and sliced (+5M) plants; semantic = w17's
+   * token-reversed plants (+8M); quality = vowel→punct junk (+9.3M,
+   * both media seeds moved); and a verbatim copy (+1.3M, both media
+   * seeds moved) fires the whole TEXT family at once (exact, near,
+   * containment, semantic) as the cross-axis sanity row. Wave 2's +7M
+   * translated clones of wave-0-admitted docs prove the EVOLVING media
+   * fingerprint state (dups of docs admitted two triggers earlier).
+   * The oracle unrolls the three rounds with every leg's CTEs global
+   * where its state is frozen (benchmarks, center, planes) and
+   * per-round where it evolves (reference text, postings, embeddings,
+   * media fingerprints). */
+  def streamFullAdmission(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 300)
+    val benchM = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val benchT = seed.filter(col("doc_id") % 10 === 0)
+    val later = docs.filter(col("doc_id") >= 400)
+    def tmut(df: DataFrame): DataFrame =
+      df.withColumn("text", translate(col("text"), "aeiou", "uoiea"))
+    val w0 = later.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val w1 = later.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .unionByName(seed.filter(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 1300000L))
+      .unionByName(tmut(seed.filter(col("doc_id") % 70 === 0))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      .unionByName(tmut(seed.filter(col("doc_id") % 90 === 0))
+        .withColumn("doc_id", col("doc_id") + 3500000L))
+      .unionByName(tmut(benchM.filter(col("doc_id") % 30 === 0))
+        .withColumn("doc_id", col("doc_id") + 7000000L))
+      .unionByName(benchT.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(
+            concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
+            lit(" "),
+            translate(col("text"), "aeiou", "uoiea")).as("text")))
+    val f1 = later.select(col("doc_id").as("_f1id"), col("text").as("_f1"))
+    val f2 = later.select(col("doc_id").as("_f2id"), col("text").as("_f2"))
+    val quoting = w0
+      .filter(col("doc_id") % 7 === 0 && size(Dedup.tokens(col("text"))) >= 40)
+      .join(f1, col("doc_id") + 2 === col("_f1id"))
+      .join(f2, col("doc_id") + 5 === col("_f2id"))
+      .select((col("doc_id") + 4000000L).as("doc_id"),
+        concat(col("_f1"), lit(" "), col("text"), lit(" "), col("_f2"))
+          .as("text"))
+    val sliced = w0
+      .filter(col("doc_id") % 11 === 0 && size(Dedup.tokens(col("text"))) >= 60)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 22)).as("text"))
+    val paraphrase = w0.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    val junk = seed.filter(col("doc_id") % 60 === 0)
+      .select((col("doc_id") + 9300000L).as("doc_id"),
+        upper(translate(col("text"), "aeiou", "!!!!!")).as("text"))
+    val evolving = tmut(w0.filter(col("doc_id") % 5 === 0))
+      .withColumn("doc_id", col("doc_id") + 7000000L)
+    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .unionByName(quoting).unionByName(sliced).unionByName(paraphrase)
+      .unionByName(junk).unionByName(evolving)
+    runAdmissionStream(s, seed, Seq(w0, w1, w2),
+        s"target/tmp/w18_${new java.io.File(dir).getName}", fused = true,
+        bench = Some(benchT), containment = true, semantic = true,
+        semPlanes = semPlanesFor(s, dir),
+        semCenter = semCenterOver(s, dir, 300L),
+        media = true, benchMedia = Some(benchM))
+      .select("doc_id", "exact_dup", "near_dup", "quality_keep",
+        "n_shingles", "n_known", "novelty", "contaminated",
+        "contained_dup", "semantic_dup", "image_dup", "audio_dup",
         "media_contaminated", "admitted")
       .orderBy("doc_id")
   }
@@ -3694,10 +3920,51 @@ object LlmQueries {
   private val d14PlanesMemo =
     scala.collection.concurrent.TrieMap.empty[String, Int]
   private def d14Planes(s: SparkSession, dir: String): Int =
-    d14PlanesMemo.getOrElseUpdate(dir, {
-      val n = Tpar(s, dir, "documents").count()
-      math.max(NPlanes,
-        math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt)
+    d14PlanesMemo.getOrElseUpdate(dir,
+      scaledPlaneCount(Tpar(s, dir, "documents").count()))
+
+  /** THE LSH-family production dial (shared by d14b and the w17
+   * semantic admission leg): enough hyperplanes that the expected
+   * bucket holds ~16 docs — `floor` is the minimum (the fixed fixture
+   * dial, or a stream's current count so growth is monotone). */
+  private[graft] def scaledPlaneCount(n: Long, floor: Int = NPlanes): Int =
+    math.max(floor,
+      math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt)
+
+  /** w17's hyperplanes at the production dial, memoized per dir (the
+   * same count as [[d14Planes]] — one dial for the whole LSH family). */
+  private val semPlanesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Long]]]
+  private def semPlanesFor(s: SparkSession, dir: String): Seq[Seq[Long]] =
+    semPlanesMemo.getOrElseUpdate(dir,
+      Similarity.hyperplanes(d14Planes(s, dir), Dim))
+
+  /** w17's frozen bucketing center, memoized per dir: the DECIMAL-exact
+   * unit-mean of the gate SEED's hashed embeddings
+   * ([[Similarity.meanUnitVector]]) — deterministic, so the dynamic
+   * oracle renders the identical literal. */
+  private val semCenterMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  private def semCenterFor(s: SparkSession, dir: String): Seq[Double] =
+    semCenterMemo.getOrElseUpdate(dir, {
+      val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+      Similarity.meanUnitVector(admissionWaves(docs)._1
+        .select(TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec")), "vec", Dim)
+    })
+
+  /** [[semCenterFor]] for a gate whose seed is `doc_id < maxId`
+   * (w18's multimodal fixture seeds at 300 to keep the benchmark media
+   * suite disjoint), memoized per (dir, cutoff). */
+  private val semCenterOverMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+  private def semCenterOver(s: SparkSession, dir: String,
+                            maxId: Long): Seq[Double] =
+    semCenterOverMemo.getOrElseUpdate(s"$dir|$maxId", {
+      val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+      Similarity.meanUnitVector(docs.filter(col("doc_id") < maxId)
+        .select(TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec")), "vec", Dim)
     })
 
   /** D14b: d14 at the PRODUCTION dial — the plane count grows with the
@@ -4637,7 +4904,12 @@ object LlmQueries {
     "e6b_pq_trained_topk" -> ((s, dir) => {
       val books = trainedBooks(s, dir)
       pqOracleSql(doubleLit3(books), doubleLit2(Similarity.pqCellNorms(books)))
-    }))
+    }),
+    // w17: the semantic leg renders at the corpus-scaled plane dial
+    // (deterministic — a count picks nPlanes, exactly d14b's move) with
+    // the frozen seed-mean bucketing center as a literal
+    "w17_stream_semantic_admission" ->
+      ((s, dir) => w17OracleSql(d14Planes(s, dir), semCenterFor(s, dir))))
 
   /** e7/e7b/e14 share one oracle shape: coarse-centroid and codebook
    * literals differ (fixed grid vs trained doubles), and e14 widens the
@@ -5200,6 +5472,168 @@ object LlmQueries {
        |UNION ALL SELECT 5, 'near_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM k5
        |ORDER BY stage""".stripMargin
 
+  /** w17's oracle, rendered at the corpus-scaled plane dial (`nP` =
+   * [[d14Planes]]'s count): w16's unrolled rounds + the SEMANTIC leg —
+   * the hashed-text vector + LSH bucket rebuild globally over allc
+   * (x23/d14's CTE chain); each round's semantic_dup is a
+   * bucket-equality join against that round's reference at exact
+   * cosine >= 0.9, with the round's HOT state buckets (occupancy >
+   * [[SemMaxBucket]]) excluded exactly as the Spark leg excludes them.
+   * Buckets derive from the unit-normalized, `ctr`-centered vector
+   * (the frozen seed-mean center, rendered as a literal like every
+   * trained constant); cosine stays over the raw vectors. Refs evolve
+   * by the 6-way admitted flag. */
+  private def w17OracleSql(nP: Int, ctr: Seq[Double]): String = {
+    val pls = Similarity.hyperplanes(nP, Dim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",\n     ", "]")
+    def round(i: Int, ref: String, w: String): String =
+      s"""c$i AS (SELECT doc_id, text FROM $ref
+         |        UNION ALL SELECT doc_id, text FROM $w),
+         |${minhashPipelineSqlOver(s"c$i", s"$i")},
+         |x$i AS (SELECT doc_a, doc_b FROM cand$i
+         |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+         |     <> (doc_b IN (SELECT doc_id FROM $w))),
+         |near$i AS (
+         |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+         |    THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+         |rsh$i AS MATERIALIZED (SELECT DISTINCT h FROM dsh
+         |  JOIN $ref USING (doc_id)),
+         |nov$i AS (
+         |  SELECT d.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_known
+         |  FROM dsh d JOIN $w USING (doc_id)
+         |  LEFT JOIN rsh$i r USING (h)
+         |  GROUP BY d.doc_id),
+         |cp$i AS MATERIALIZED (SELECT ref_id, h, n_b FROM cps
+         |  UNION ALL
+         |  SELECT d.doc_id AS ref_id, d.h,
+         |    count(*) OVER (PARTITION BY d.doc_id) AS n_b
+         |  FROM dsh d JOIN $ref r USING (doc_id) WHERE d.doc_id >= 400),
+         |ch$i AS (SELECT d.doc_id, p.ref_id, p.n_b, count(*) AS shared
+         |  FROM dsh d JOIN $w w USING (doc_id) JOIN cp$i p USING (h)
+         |  GROUP BY 1, 2, 3),
+         |cont$i AS (SELECT DISTINCT c.doc_id
+         |  FROM ch$i c JOIN nsh USING (doc_id)
+         |  WHERE least(nsh.n, c.n_b) >= $ContainMinShingles
+         |    AND c.shared * $ContainTauDen >=
+         |        least(nsh.n, c.n_b) * $ContainTauNum),
+         |semcap$i AS (SELECT r.bucket FROM bv r
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id
+         |  GROUP BY r.bucket HAVING count(*) <= $SemMaxBucket),
+         |sem$i AS (SELECT DISTINCT b.doc_id
+         |  FROM bv b JOIN $w w ON w.doc_id = b.doc_id
+         |  JOIN semcap$i sc ON sc.bucket = b.bucket
+         |  JOIN bv r ON r.bucket = b.bucket
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id
+         |  WHERE ${cosineSql("b.v", "r.v")} >= $SemTau),
+         |v$i AS MATERIALIZED (SELECT i.doc_id,
+         |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+         |    (n.doc_id IS NOT NULL) AS near_dup,
+         |    q.quality_keep,
+         |    nv.n_shingles, nv.n_known,
+         |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+         |      AS novelty,
+         |    (c.doc_id IS NOT NULL) AS contaminated,
+         |    (cn.doc_id IS NOT NULL) AS contained_dup,
+         |    (sm.doc_id IS NOT NULL) AS semantic_dup
+         |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |  LEFT JOIN nov$i nv USING (doc_id)
+         |  LEFT JOIN ct c USING (doc_id)
+         |  LEFT JOIN cont$i cn USING (doc_id)
+         |  LEFT JOIN sem$i sm USING (doc_id))""".stripMargin
+    s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |bench AS (SELECT doc_id, text FROM documents
+       |          WHERE doc_id < 400 AND doc_id % 10 = 0),
+       |w0 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+       |w1 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, text FROM documents
+       |       WHERE doc_id < 400 AND doc_id % 50 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 6000000,
+       |         array_to_string(list_slice($toksSql, 1, 30), ' ')
+       |           || ' ' || translate(text, 'aeiou', 'uoiea')
+       |       FROM bench WHERE doc_id % 20 = 0),
+       |w2 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+       |       UNION ALL
+       |       SELECT doc_id + 2000000, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 8000000,
+       |         array_to_string(list_reverse($toksSql), ' ')
+       |       FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 13 = 0),
+       |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+       |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+       |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
+       |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+       |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest($shingleHashesSql) AS h
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+       |nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dsh
+       |  GROUP BY 1),
+       |bsh AS MATERIALIZED (SELECT doc_id AS bench_id,
+       |          unnest($shingleHashesSql) AS h
+       |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
+       |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
+       |posts AS MATERIALIZED (SELECT bench_id, h FROM bsh
+       |        JOIN bkeep USING (h)),
+       |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
+       |          FROM dsh d JOIN posts p USING (h)
+       |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
+       |ct AS MATERIALIZED (SELECT DISTINCT doc_id FROM cthit),
+       |csh AS (SELECT doc_id AS ref_id, h FROM dsh WHERE doc_id < 400),
+       |ckeep AS (SELECT h FROM csh GROUP BY h
+       |          HAVING count(*) <= $ContainMaxDf),
+       |cps AS MATERIALIZED (SELECT ref_id, h,
+       |          count(*) OVER (PARTITION BY ref_id) AS n_b
+       |        FROM csh JOIN ckeep USING (h)),
+       |planes AS (SELECT $pls AS pl),
+       |sctr AS (SELECT ${ctr.map(dLit).mkString("[", ",", "]")} AS sc),
+       |${hashedEmbCtesOver("allc")},
+       |hvn AS (SELECT doc_id, v,
+       |      CASE WHEN sqrt(${dotSql("v", "v")}) = 0 THEN 1.0::DOUBLE
+       |           ELSE sqrt(${dotSql("v", "v")}) END AS nz
+       |      FROM hv),
+       |hvc AS (SELECT doc_id, v, list_transform(range(0, $Dim),
+       |        i -> v[i + 1] / nz - sc[i + 1]) AS w
+       |      FROM hvn, sctr),
+       |bv AS MATERIALIZED (SELECT doc_id, v, ${bucketSqlN("w", nP)} AS bucket
+       |      FROM hvc, planes),
+       |${qualityFeaturesCteOver("allc")},
+       |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+       |      FROM f),
+       |${round(0, "seed", "w0")},
+       |ref1 AS MATERIALIZED (SELECT * FROM seed UNION ALL
+       |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+       |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+       |           AND NOT v.contaminated AND NOT v.contained_dup
+       |           AND NOT v.semantic_dup),
+       |${round(1, "ref1", "w1")},
+       |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
+       |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+       |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+       |           AND NOT v.contaminated AND NOT v.contained_dup
+       |           AND NOT v.semantic_dup),
+       |${round(2, "ref2", "w2")}
+       |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+       |  n_known, novelty, contaminated, contained_dup, semantic_dup,
+       |  (NOT exact_dup AND NOT near_dup AND quality_keep
+       |   AND NOT contaminated AND NOT contained_dup
+       |   AND NOT semantic_dup) AS admitted
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x18_curation_funnel" -> curationFunnelOracleSql,
     "d12_neardedup_corpus" -> nearDedupCorpusOracleSql,
@@ -5728,147 +6162,10 @@ object LlmQueries {
          |      UNION ALL SELECT * FROM v2)
          |ORDER BY doc_id""".stripMargin
     },
-    // w17 = w16's unrolled rounds + the SEMANTIC leg: the hashed-text
-    // vector + LSH bucket rebuild globally over allc (x23/d14's CTE
-    // chain), and each round's semantic_dup is a bucket-equality join
-    // against that round's reference at exact cosine >= 0.9; refs
-    // evolve by the 6-way admitted flag
-    "w17_stream_semantic_admission" -> {
-      def round(i: Int, ref: String, w: String): String =
-        s"""c$i AS (SELECT doc_id, text FROM $ref
-           |        UNION ALL SELECT doc_id, text FROM $w),
-           |${minhashPipelineSqlOver(s"c$i", s"$i")},
-           |x$i AS (SELECT doc_a, doc_b FROM cand$i
-           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
-           |     <> (doc_b IN (SELECT doc_id FROM $w))),
-           |near$i AS (
-           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
-           |    THEN doc_a ELSE doc_b END AS doc_id
-           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
-           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
-           |rsh$i AS MATERIALIZED (SELECT DISTINCT h FROM dsh
-           |  JOIN $ref USING (doc_id)),
-           |nov$i AS (
-           |  SELECT d.doc_id, count(*) AS n_shingles,
-           |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-           |      AS n_known
-           |  FROM dsh d JOIN $w USING (doc_id)
-           |  LEFT JOIN rsh$i r USING (h)
-           |  GROUP BY d.doc_id),
-           |cp$i AS MATERIALIZED (SELECT ref_id, h, n_b FROM cps
-           |  UNION ALL
-           |  SELECT d.doc_id AS ref_id, d.h,
-           |    count(*) OVER (PARTITION BY d.doc_id) AS n_b
-           |  FROM dsh d JOIN $ref r USING (doc_id) WHERE d.doc_id >= 400),
-           |ch$i AS (SELECT d.doc_id, p.ref_id, p.n_b, count(*) AS shared
-           |  FROM dsh d JOIN $w w USING (doc_id) JOIN cp$i p USING (h)
-           |  GROUP BY 1, 2, 3),
-           |cont$i AS (SELECT DISTINCT c.doc_id
-           |  FROM ch$i c JOIN nsh USING (doc_id)
-           |  WHERE least(nsh.n, c.n_b) >= $ContainMinShingles
-           |    AND c.shared * $ContainTauDen >=
-           |        least(nsh.n, c.n_b) * $ContainTauNum),
-           |sem$i AS (SELECT DISTINCT b.doc_id
-           |  FROM bv b JOIN $w w ON w.doc_id = b.doc_id
-           |  JOIN bv r ON r.bucket = b.bucket
-           |  JOIN $ref rr ON rr.doc_id = r.doc_id
-           |  WHERE ${cosineSql("b.v", "r.v")} >= $SemTau),
-           |v$i AS MATERIALIZED (SELECT i.doc_id,
-           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
-           |    (n.doc_id IS NOT NULL) AS near_dup,
-           |    q.quality_keep,
-           |    nv.n_shingles, nv.n_known,
-           |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
-           |      AS novelty,
-           |    (c.doc_id IS NOT NULL) AS contaminated,
-           |    (cn.doc_id IS NOT NULL) AS contained_dup,
-           |    (sm.doc_id IS NOT NULL) AS semantic_dup
-           |  FROM $w i LEFT JOIN near$i n USING (doc_id)
-           |  JOIN q USING (doc_id)
-           |  LEFT JOIN nov$i nv USING (doc_id)
-           |  LEFT JOIN ct c USING (doc_id)
-           |  LEFT JOIN cont$i cn USING (doc_id)
-           |  LEFT JOIN sem$i sm USING (doc_id))""".stripMargin
-      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-         |bench AS (SELECT doc_id, text FROM documents
-         |          WHERE doc_id < 400 AND doc_id % 10 = 0),
-         |w0 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
-         |w1 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
-         |       UNION ALL
-         |       SELECT doc_id + 1000000, text FROM documents
-         |       WHERE doc_id < 400 AND doc_id % 50 = 0
-         |       UNION ALL
-         |       SELECT doc_id + 6000000,
-         |         array_to_string(list_slice($toksSql, 1, 30), ' ')
-         |           || ' ' || translate(text, 'aeiou', 'uoiea')
-         |       FROM bench WHERE doc_id % 20 = 0),
-         |w2 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
-         |       UNION ALL
-         |       SELECT doc_id + 2000000, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0
-         |       UNION ALL
-         |       SELECT doc_id + 8000000,
-         |         array_to_string(list_reverse($toksSql), ' ')
-         |       FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 13 = 0),
-         |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
-         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
-         |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
-         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
-         |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM (
-         |  SELECT doc_id, unnest($shingleHashesSql) AS h
-         |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
-         |nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dsh
-         |  GROUP BY 1),
-         |bsh AS MATERIALIZED (SELECT doc_id AS bench_id,
-         |          unnest($shingleHashesSql) AS h
-         |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench)),
-         |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
-         |posts AS MATERIALIZED (SELECT bench_id, h FROM bsh
-         |        JOIN bkeep USING (h)),
-         |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
-         |          FROM dsh d JOIN posts p USING (h)
-         |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
-         |ct AS MATERIALIZED (SELECT DISTINCT doc_id FROM cthit),
-         |csh AS (SELECT doc_id AS ref_id, h FROM dsh WHERE doc_id < 400),
-         |ckeep AS (SELECT h FROM csh GROUP BY h
-         |          HAVING count(*) <= $ContainMaxDf),
-         |cps AS MATERIALIZED (SELECT ref_id, h,
-         |          count(*) OVER (PARTITION BY ref_id) AS n_b
-         |        FROM csh JOIN ckeep USING (h)),
-         |planes AS (SELECT $planesSql AS pl),
-         |${hashedEmbCtesOver("allc")},
-         |bv AS MATERIALIZED (SELECT doc_id, v, ${bucketSql("v")} AS bucket
-         |      FROM hv, planes),
-         |${qualityFeaturesCteOver("allc")},
-         |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
-         |      FROM f),
-         |${round(0, "seed", "w0")},
-         |ref1 AS MATERIALIZED (SELECT * FROM seed UNION ALL
-         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
-         |           AND NOT v.contaminated AND NOT v.contained_dup
-         |           AND NOT v.semantic_dup),
-         |${round(1, "ref1", "w1")},
-         |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
-         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
-         |           AND NOT v.contaminated AND NOT v.contained_dup
-         |           AND NOT v.semantic_dup),
-         |${round(2, "ref2", "w2")}
-         |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
-         |  n_known, novelty, contaminated, contained_dup, semantic_dup,
-         |  (NOT exact_dup AND NOT near_dup AND quality_keep
-         |   AND NOT contaminated AND NOT contained_dup
-         |   AND NOT semantic_dup) AS admitted
-         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-         |      UNION ALL SELECT * FROM v2)
-         |ORDER BY doc_id""".stripMargin
-    },
+    // m24 = m22's unrolled rounds + the FROZEN benchmark-media
+    // fingerprint tables — see below; w17's oracle moved to
+    // [[dynamicOracleSql]] (its plane count is the corpus-scaled d14b
+    // dial, so the literals render per dir)
     // m24 = m22's unrolled rounds + the FROZEN benchmark-media
     // fingerprint tables (bench is DISJOINT from the seed, so a
     // benchmark clone matches no state fingerprint — only the

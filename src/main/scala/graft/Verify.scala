@@ -60,23 +60,46 @@ object Verify {
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+        pending.add(name)
         pool.submit(new Runnable { def run(): Unit = {
           val g0 = System.nanoTime()
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // each gate gets its OWN session (shared SparkContext): gates
+          // register fixed-name temp views (v_customer, v_documents, …)
+          // via createOrReplaceTempView, and on one shared session a
+          // future gate binding the same name over different data would
+          // silently corrupt a concurrent gate's dump — newSession
+          // isolates the catalogs (SQL confs re-read from the SparkConf
+          // the builder populated, so shuffle.partitions etc. carry over)
+          try fn(spark.newSession(), sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             failures.incrementAndGet()
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
+          pending.remove(name)
           System.err.println(f"[verify-time] $name ${(System.nanoTime() - g0) / 1e9}%.2f s (total ${(System.nanoTime() - t0) / 1e9}%.1f s)")
         }})
       }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    val finished =
+      pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!finished) {
+      // killed mid-write gates must read as failures, loudly — a clean
+      // "ALL DONE" after a timeout would hide them from the driver log
+      import scala.jdk.CollectionConverters._
+      val stuck = pending.asScala.toSeq.sorted
+      failures.addAndGet(stuck.size)
+      System.err.println(
+        s"[verify] TIMEOUT after 2h — unfinished gates: ${stuck.mkString(", ")}")
+    }
     System.err.println(f"[verify-time] ALL DONE ${(System.nanoTime() - t0) / 1e9}%.1f s, failures=${failures.get()}")
+    // exit 0 even on failures: the driver's gate is the per-query
+    // artifact compare, and a nonzero rc could discard a partial dump
+    // that still carries every completed gate
     spark.stop()
   }
 }

@@ -869,6 +869,45 @@ object Similarity {
    * associative where double addition is not. */
   private val SumDecimal = DecimalType(27, 12)
 
+  /** DECIMAL-exact mean of a corpus's UNIT-normalized vectors — the
+   * frozen CENTER for mean-centered LSH bucketing (the w17 semantic
+   * leg's spread fix): hashed text-count vectors share a dominant
+   * common direction (stopword dims carry most counts identically for
+   * every doc), so raw sign-of-dot buckets collapse — measured 15% of
+   * an sf0.1 corpus in ONE of 512 buckets. Subtracting the unit-mean
+   * leaves residual directions that spread near-uniformly (measured
+   * max bucket 754 → 98 at the same dial), while two identical
+   * vectors still bucket together under ANY center. DETERMINISTIC
+   * like [[trainIvfCentroids]]: unit components are pure per-row
+   * double ops, partial sums accumulate in DECIMAL (exact,
+   * associative), and the single divide runs on the driver —
+   * identical center under any partitioning, so the literal renders
+   * into both the Spark plan and the oracle. Trains once at bootstrap
+   * and freezes (quantizer discipline); a reindex re-trains it. */
+  def meanUnitVector(corpus: DataFrame, vecCol: String, dim: Int): Seq[Double] = {
+    val v = col(vecCol)
+    val nz = when(norm(v) === 0.0, lit(1.0)).otherwise(norm(v))
+    val r = corpus.select(
+        count(lit(1)).as("n"),
+        array((0 until dim).map(i =>
+          sum((element_at(v, i + 1) / nz).cast(SumDecimal))): _*).as("s"))
+      .collect()(0)
+    val n = r.getLong(0)
+    if (n == 0L) Seq.fill(dim)(0.0)
+    else r.getSeq[java.math.BigDecimal](1).map(_.doubleValue / n).toSeq
+  }
+
+  /** The mean-centered bucketing vector: `vec / max(‖vec‖, 0→1) −
+   * center`, element-wise — feed this (not the raw vector) to
+   * [[lshBucket]] when the corpus has a dominant common direction.
+   * The all-zero vector (empty token bag) skips normalization and
+   * centers to `-center` — every empty doc shares one bucket, and
+   * their cosine against anything is NaN, so they never flag. */
+  def unitCentered(vec: Column, center: Seq[Double]): Column = {
+    val nz = when(norm(vec) === 0.0, lit(1.0)).otherwise(norm(vec))
+    zip_with(vec, typedlit(center), (x, c) => x / nz - c)
+  }
+
   /**
    * ANN via IVF: corpus partitions into cells by nearest centroid;
    * queries probe their `nprobe` best cells and rerank candidates by

@@ -974,13 +974,45 @@ object Dedup {
                                stateDir: String, upTo: Long,
                                otherSubs: Seq[String], maxDf: Int,
                                epoch: Long): Boolean =
-    graft.text.AdmissionState.fold(spark, stateDir, upTo,
-      otherSubs :+ "cpost", epoch,
-      build = (sub: String, parts: Seq[String]) =>
-        if (sub == "cpost")
+    maintenanceFold(spark, stateDir, upTo, otherSubs :+ "cpost", epoch,
+      recapMaxDf = Some(maxDf))
+
+  /** The PRODUCTION maintenance fold — ONE fenced compaction publishing
+   * every derived-table rewrite atomically with the fold itself:
+   *
+   *  - `cpost` (when present and `recapMaxDf` is set) rebuilds from the
+   *    folded `art` tables under the GLOBAL df cap
+   *    ([[foldWithRecappedPostings]]'s re-cap — cross-batch boilerplate
+   *    leaves the postings and the `n_b` denominators here);
+   *  - `emb` (when present and `rebucket` is set) RE-BUCKETS from the
+   *    stored vectors under the caller's bucketing expression — the
+   *    LSH-dial growth point for the semantic admission leg: as the
+   *    reference crosses bucket-occupancy thresholds the caller grows
+   *    the plane count (expected bucket ≈ 16 docs, the d14b/e9c dial)
+   *    and the folded state re-buckets in the same atomic publish, so
+   *    batch and state sides always bucket under the SAME planes;
+   *  - every other sub-table concatenates verbatim.
+   *
+   * All rewrites stage under the fold's dot-prefixed temp and go live
+   * with its single rename — readers see the old state or the fully
+   * rewritten one, never a torn mix. Fenced by the admission epoch. */
+  def maintenanceFold(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String, upTo: Long,
+                      subs: Seq[String], epoch: Long,
+                      recapMaxDf: Option[Int] = None,
+                      rebucket: Option[Column => Column] = None): Boolean =
+    graft.text.AdmissionState.fold(spark, stateDir, upTo, subs, epoch,
+      build = (sub: String, parts: Seq[String]) => (sub, recapMaxDf,
+          rebucket) match {
+        case ("cpost", Some(maxDf), _) =>
           containmentPostings(
             spark.read.parquet(parts.map(_ + "/art"): _*), maxDf)
-        else spark.read.parquet(parts.map(_ + s"/$sub"): _*))
+        case ("emb", _, Some(bucketOf)) =>
+          spark.read.parquet(parts.map(_ + "/emb"): _*)
+            .select(col("ref_id"), bucketOf(col("vec")).as("bucket"),
+              col("vec"))
+        case _ => spark.read.parquet(parts.map(_ + s"/$sub"): _*)
+      })
 
   /** Exact dedup: keep the smallest id per identical text. The groupBy
    * key is the md5 digest — at 100 TB the shuffle moves 16-byte keys and

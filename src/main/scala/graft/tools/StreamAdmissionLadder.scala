@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
  * the reference. Args: sfDir [waves] [mode] — mode `plain` = w12's
  * dedup verdict, `fused` = w14's (default), `media` = m22's
  * multimodal runner (per-batch pack + decode + fingerprint checked
- * against the fingerprint state tables). Prints one JSON line.
+ * against the fingerprint state tables), `mediadecont` = m24's (media
+ * runner + the frozen benchmark-media fingerprint leg), `full` =
+ * w16's 6-leg text gate, `semantic` = w17's complete 7-leg gate
+ * (adds the LSH-bucketed embedding leg at the corpus-scaled plane
+ * dial, growing at the maintenance folds). Prints one JSON line.
  *
  * Usage:
  *   sbt -batch "runMain graft.tools.StreamAdmissionLadder /root/testdata/sf0.1 8 fused"
@@ -23,7 +27,8 @@ object StreamAdmissionLadder {
     val sfDir = args(0)
     val waves = if (args.length > 1) args(1).toInt else 8
     val mode = if (args.length > 2) args(2) else "fused"
-    require(Set("plain", "fused", "media", "full")(mode), s"bad mode $mode")
+    require(Set("plain", "fused", "media", "mediadecont", "full",
+      "semantic")(mode), s"bad mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +63,13 @@ object StreamAdmissionLadder {
     if (mode == "media")
       graft.LlmQueries.runMultimodalAdmissionStream(spark, seed, waveFrames,
         base, onTrigger = hook)
+    else if (mode == "mediadecont")
+      // m24's shape: media runner + the frozen benchmark-media
+      // fingerprint leg (bench = every 10th seed doc — state never
+      // grows, so the leg is flat by construction; this run proves it)
+      graft.LlmQueries.runMultimodalAdmissionStream(spark, seed, waveFrames,
+        base, onTrigger = hook,
+        benchMedia = Some(seed.filter(col("doc_id") % 10 === 0)))
     else if (mode == "full")
       // w16's complete 6-leg shape: fused verdict + frozen benchmark
       // postings + evolving containment postings (bench = every 10th
@@ -66,6 +78,16 @@ object StreamAdmissionLadder {
         base, fused = true, onTrigger = hook,
         bench = Some(seed.filter(col("doc_id") % 10 === 0)),
         containment = true)
+    else if (mode == "semantic")
+      // w17's complete 7-leg gate at the production dial: plane count
+      // corpus-scaled (grows further at maintenance folds), bucketing
+      // over the unit-centered vectors, hot-bucket cap live
+      graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
+        base, fused = true, onTrigger = hook,
+        bench = Some(seed.filter(col("doc_id") % 10 === 0)),
+        containment = true, semantic = true,
+        semPlanes = graft.ml.Similarity.hyperplanes(
+          graft.LlmQueries.scaledPlaneCount(n), 64))
     else
       graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
         base, fused = mode == "fused", onTrigger = hook)

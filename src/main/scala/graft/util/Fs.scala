@@ -23,7 +23,18 @@ object Fs {
     if (checkpoint.contains("://")) {
       val u = java.net.URI.create(checkpoint).normalize()
       val auth = Option(u.getAuthority).getOrElse("").toLowerCase
-      s"${Option(u.getScheme).getOrElse("").toLowerCase}://$auth${u.getPath}"
+      // trailing-slash insensitive (and empty path ≡ root): the same
+      // logical checkpoint written as `hdfs://nn/path/` on resume must
+      // digest identically to `hdfs://nn/path`, or bindCheckpoint would
+      // permanently refuse a legitimate resume — URIs get no filesystem
+      // canonicalization, so normalize structurally
+      val p = Option(u.getPath).getOrElse("") match {
+        case "" => "/"
+        case "/" => "/"
+        case s if s.endsWith("/") => s.dropRight(1)
+        case s => s
+      }
+      s"${Option(u.getScheme).getOrElse("").toLowerCase}://$auth$p"
     } else new java.io.File(checkpoint).getCanonicalPath
 
   /** MD5 digest of [[checkpointCanon]] — the `ckpt=<digest>` marker

@@ -380,4 +380,116 @@ class AdmissionStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("checkpoint canonical identity: URI form is trailing-slash, case and dot-segment insensitive") {
+    import graft.util.Fs
+    assert(Fs.checkpointCanon("hdfs://nn/path/") ==
+      Fs.checkpointCanon("hdfs://nn/path"))
+    assert(Fs.checkpointCanon("HDFS://NN/path") ==
+      Fs.checkpointCanon("hdfs://nn/path"))
+    assert(Fs.checkpointCanon("s3a://bucket") ==
+      Fs.checkpointCanon("s3a://bucket/"))
+    assert(Fs.checkpointCanon("hdfs://nn/a/../b/") ==
+      Fs.checkpointCanon("hdfs://nn/b"))
+    assert(Fs.checkpointCanon("hdfs://nn/path") !=
+      Fs.checkpointCanon("hdfs://nn/path2"))
+  }
+
+  test("semantic leg skips HOT state buckets (the m7 cap) and still catches cool-bucket paraphrase") {
+    // synthetic semb frames pin the cap behavior exactly: 257 reference
+    // docs share bucket 1 (degenerate boilerplate vectors), 2 sit in
+    // bucket 2. A batch doc at cosine 1 against the hot bucket must NOT
+    // flag (the cap excludes the bucket); the cool-bucket twin must.
+    val (existing, incoming0) = fixture
+    val incoming = incoming0.limit(4)
+    CacheScope.withScope { implicit scope =>
+      val stateArt = Dedup.admissionArtifacts(existing, "doc_id", "text", 3, 16)
+      val batchArt = scope.persist(
+        Dedup.admissionArtifacts(incoming, "doc_id", "text", 3, 16)).toDF()
+      val batchIds = incoming.select("doc_id").orderBy("doc_id")
+        .collect().map(_.getLong(0))
+      val vec = (1 to 64).map(_.toDouble)
+      val sEmb = ((1 to 257).map(i => (i.toLong, 1L, vec)) ++
+          Seq((900L, 2L, vec), (901L, 2L, vec)))
+        .toDF("ref_id", "bucket", "vec")
+      val bEmb = Seq((batchIds(0), 1L, vec), (batchIds(1), 2L, vec),
+          (batchIds(2), 3L, vec))
+        .toDF("doc_id", "bucket", "vec")
+      val verdict = LlmQueries.admissionTriggerVerdict(
+          incoming, batchArt, stateArt,
+          stateArt.select(explode(col("sset")).as("h")).distinct(),
+          fused = true, semb = Some((bEmb, sEmb)))
+        .select("doc_id", "semantic_dup").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(!verdict(batchIds(0)),
+        "hot-bucket (occupancy 257 > cap 256) match must be skipped")
+      assert(verdict(batchIds(1)),
+        "cool-bucket cosine-1 match must flag semantic_dup")
+      assert(!verdict(batchIds(2)), "empty bucket must not flag")
+    }
+  }
+
+  test("runner maintenance fold re-caps postings globally and re-buckets embeddings under the grown plane dial") {
+    import graft.ml.Similarity
+    val base = "target/tmp/admission_growth_spec"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(base))
+    val seed = docs.filter(col("doc_id") < 200)
+    // 4 waves with foldThreshold=1 force folds mid-stream; the last
+    // wave plants a token-reversed paraphrase of a WAVE-0 doc, so the
+    // catch depends on state written BEFORE the growth fold surviving
+    // the re-bucket consistently
+    val later = docs.filter(col("doc_id") >= 200 && col("doc_id") < 420)
+    val w0 = later.filter(col("doc_id") % 4 === 0)
+    val w3 = later.filter(col("doc_id") % 4 === 3)
+      .unionByName(w0.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 8000000L).as("doc_id"),
+          concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text")))
+    val waves = Seq(w0, later.filter(col("doc_id") % 4 === 1),
+      later.filter(col("doc_id") % 4 === 2), w3)
+    val bootPlanes = Similarity.hyperplanes(2, 64)
+    val out = LlmQueries.runAdmissionStream(spark, seed, waves,
+      base, fused = true, foldThreshold = 1,
+      containment = true, semantic = true, semPlanes = bootPlanes)
+    // every paraphrase plant whose ORIGINAL was admitted (and is
+    // therefore in the embedding state) was caught across the growth
+    // folds — originals refused by other legs never entered state, so
+    // their plants are legitimately novel
+    val res = out.select("doc_id", "semantic_dup", "admitted").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    val plantIds = res.keys.filter(_ >= 8000000L).toSeq
+    val catchable = plantIds.filter(p => res.get(p - 8000000L).exists(_._2))
+    assert(catchable.size >= 3,
+      s"fixture needs admitted originals, got ${catchable.size}")
+    catchable.foreach(p => assert(res(p)._1,
+      s"plant $p of an admitted original must be caught across growth folds"))
+    // newest fold: emb buckets are consistent under ONE grown dial
+    val folds = new java.io.File(s"$base/state").listFiles()
+      .map(_.getName).filter(_.startsWith("fold="))
+      .map(_.stripPrefix("fold=").toLong)
+    assert(folds.nonEmpty, "foldThreshold=1 over 4 waves must fold")
+    val foldEmb = spark.read.parquet(
+      s"$base/state/fold=${folds.max}/emb")
+    val ctr = spark.read.parquet(s"$base/state/center")
+      .collect()(0).getSeq[Double](0).toSeq
+    val consistentAt = (2 to 12).filter { p =>
+      foldEmb.filter(col("bucket") =!=
+        Similarity.lshBucket(Similarity.unitCentered(col("vec"), ctr),
+          Similarity.hyperplanes(p, 64)))
+        .isEmpty
+    }
+    assert(consistentAt.nonEmpty,
+      "folded emb buckets must derive from one plane set")
+    assert(consistentAt.head > 2,
+      s"plane dial must have GROWN past the bootstrap 2 " +
+        s"(ref ~${foldEmb.count()} docs wants ceil(log2(n/16))); " +
+        s"got $consistentAt")
+    // and the folded postings are globally re-capped: rebuilding from
+    // the folded artifacts under the production cap changes nothing
+    val foldArt = spark.read.parquet(s"$base/state/fold=${folds.max}/art")
+    val rebuilt = Dedup.containmentPostings(foldArt, 10)
+    val foldCp = spark.read.parquet(s"$base/state/fold=${folds.max}/cpost")
+    assert(foldCp.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(foldCp).isEmpty,
+      "runner fold must publish globally re-capped postings")
+  }
 }
