@@ -1530,20 +1530,27 @@ object LlmQueries {
    * admitted ONCE — until this gate, the 7-leg text runner and the
    * 5-leg media runner were siblings that never met.
    *
-   * Per-axis-unique plants (each caught by the one leg the others are
-   * structurally blind to): image-only = translated clone at the
-   * image-seed-preserving offset (+1M — audio phase moves, text
-   * shingles novel); audio-only = +3.5M (audio seed preserved, texture
-   * moves); media-decontamination = translated clone of a BENCHMARK
-   * media doc at +7M (benchmark disjoint from the corpus, so every dup
-   * leg is silent); text-decontamination = the w15 slice plant (+6M,
-   * different length so media fingerprints move); containment = w16's
-   * quoted-inside (+4M) and sliced (+5M) plants; semantic = w17's
-   * token-reversed plants (+8M); quality = vowel→punct junk (+9.3M,
-   * both media seeds moved); and a verbatim copy (+1.3M, both media
-   * seeds moved) fires the whole TEXT family at once (exact, near,
-   * containment, semantic) as the cross-axis sanity row. Wave 2's +7M
-   * translated clones of wave-0-admitted docs prove the EVOLVING media
+   * ONE benchmark suite (docs 300–399, disjoint from the corpus)
+   * freezes for BOTH decontamination legs. Per-axis-unique plants
+   * (each flagged by the one DUP/CONTAMINATION leg the others are
+   * structurally blind to — the quality leg additionally refuses the
+   * vowel-garbled media plants, correctly, so the media axes are
+   * proven by their FLAGS, not by admission alone): image-only =
+   * translated clone at the image-seed-preserving offset (+1M — audio
+   * phase moves, text shingles novel); audio-only = +3.5M (audio seed
+   * preserved, texture moves); media-decontamination = translated
+   * clone of a BENCHMARK doc at +7M (both fingerprints preserved,
+   * nothing in the reference to dup against); text-decontamination =
+   * the w15 slice plant over the DISJOINT benchmark (+6M — caught by
+   * contamination alone, containment silent because no REFERENCE doc
+   * contains the slice); containment = w16's quoted-inside (+4M) and
+   * sliced (+5M) plants; semantic = w17's token-reversed plants at
+   * +8.3M (≡ 0 mod NEITHER media seed, so the length-preserving
+   * reversal can't ride the image axis); quality = vowel→punct junk
+   * (+9.3M); and a verbatim copy (+1.3M, both media seeds moved)
+   * fires the whole TEXT family at once (exact, near, containment,
+   * semantic) as the cross-axis sanity row. Wave 2's +7M translated
+   * clones of wave-0-admitted docs prove the EVOLVING media
    * fingerprint state (dups of docs admitted two triggers earlier).
    * The oracle unrolls the three rounds with every leg's CTEs global
    * where its state is frozen (benchmarks, center, planes) and
@@ -1552,8 +1559,12 @@ object LlmQueries {
   def streamFullAdmission(s: SparkSession, dir: String): DataFrame = {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val seed = docs.filter(col("doc_id") < 300)
+    // ONE benchmark suite (docs 300–399, DISJOINT from the corpus)
+    // freezes for BOTH decontamination legs — text postings and media
+    // fingerprints — so a benchmark quote/clone matches nothing in the
+    // reference and ONLY its contamination leg catches it
     val benchM = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
-    val benchT = seed.filter(col("doc_id") % 10 === 0)
+    val benchT = benchM
     val later = docs.filter(col("doc_id") >= 400)
     def tmut(df: DataFrame): DataFrame =
       df.withColumn("text", translate(col("text"), "aeiou", "uoiea"))
@@ -1586,8 +1597,10 @@ object LlmQueries {
       .filter(col("doc_id") % 11 === 0 && size(Dedup.tokens(col("text"))) >= 60)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 22)).as("text"))
+    // +8.3M (not the w17 +8M): 8.3M is ≡ 0 mod NEITHER media seed, so a
+    // length-preserving token reversal can't also ride the image axis
     val paraphrase = w0.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 8000000L).as("doc_id"),
+      .select((col("doc_id") + 8300000L).as("doc_id"),
         concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
     val junk = seed.filter(col("doc_id") % 60 === 0)
       .select((col("doc_id") + 9300000L).as("doc_id"),
@@ -4285,6 +4298,7 @@ object LlmQueries {
     "w15_stream_decontaminated_admission" -> (streamDecontaminatedAdmission _),
     "w16_stream_contained_admission" -> (streamContainedAdmission _),
     "w17_stream_semantic_admission" -> (streamSemanticAdmission _),
+    "w18_stream_full_admission" -> (streamFullAdmission _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -4909,7 +4923,12 @@ object LlmQueries {
     // (deterministic — a count picks nPlanes, exactly d14b's move) with
     // the frozen seed-mean bucketing center as a literal
     "w17_stream_semantic_admission" ->
-      ((s, dir) => w17OracleSql(d14Planes(s, dir), semCenterFor(s, dir))))
+      ((s, dir) => w17OracleSql(d14Planes(s, dir), semCenterFor(s, dir))),
+    // w18: the complete multimodal gate — same dial, center over ITS
+    // seed (doc_id < 300, the media-benchmark-disjoint cutoff)
+    "w18_stream_full_admission" ->
+      ((s, dir) => w18OracleSql(d14Planes(s, dir),
+        semCenterOver(s, dir, 300L))))
 
   /** e7/e7b/e14 share one oracle shape: coarse-centroid and codebook
    * literals differ (fixed grid vs trained doubles), and e14 widens the
@@ -5629,6 +5648,267 @@ object LlmQueries {
        |  (NOT exact_dup AND NOT near_dup AND quality_keep
        |   AND NOT contaminated AND NOT contained_dup
        |   AND NOT semantic_dup) AS admitted
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** w18's oracle — the COMPLETE multimodal gate unrolled: w17's text
+   * CTEs (seed cutoff 300, text benchmark = seed docs % 10, plane +
+   * center literals rendered at the production dial) merged with m24's
+   * media fingerprint CTEs (computed in closed form over corpus ∪
+   * benchmark media), one v$i per round carrying all ten flags, refs
+   * evolving by the 9-way admitted verdict. */
+  private def w18OracleSql(nP: Int, ctr: Seq[Double]): String = {
+    val pls = Similarity.hyperplanes(nP, Dim)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",\n     ", "]")
+    def round(i: Int, ref: String, w: String): String =
+      s"""c$i AS (SELECT doc_id, text FROM $ref
+         |        UNION ALL SELECT doc_id, text FROM $w),
+         |${minhashPipelineSqlOver(s"c$i", s"$i")},
+         |x$i AS (SELECT doc_a, doc_b FROM cand$i
+         |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+         |     <> (doc_b IN (SELECT doc_id FROM $w))),
+         |near$i AS (
+         |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+         |    THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+         |rsh$i AS MATERIALIZED (SELECT DISTINCT h FROM dsh
+         |  JOIN $ref USING (doc_id)),
+         |nov$i AS (
+         |  SELECT d.doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN r.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_known
+         |  FROM dsh d JOIN $w USING (doc_id)
+         |  LEFT JOIN rsh$i r USING (h)
+         |  GROUP BY d.doc_id),
+         |cp$i AS MATERIALIZED (SELECT ref_id, h, n_b FROM cps
+         |  UNION ALL
+         |  SELECT d.doc_id AS ref_id, d.h,
+         |    count(*) OVER (PARTITION BY d.doc_id) AS n_b
+         |  FROM dsh d JOIN $ref r USING (doc_id) WHERE d.doc_id >= 300),
+         |ch$i AS (SELECT d.doc_id, p.ref_id, p.n_b, count(*) AS shared
+         |  FROM dsh d JOIN $w w USING (doc_id) JOIN cp$i p USING (h)
+         |  GROUP BY 1, 2, 3),
+         |cont$i AS (SELECT DISTINCT c.doc_id
+         |  FROM ch$i c JOIN nsh USING (doc_id)
+         |  WHERE least(nsh.n, c.n_b) >= $ContainMinShingles
+         |    AND c.shared * $ContainTauDen >=
+         |        least(nsh.n, c.n_b) * $ContainTauNum),
+         |semcap$i AS (SELECT r.bucket FROM bv r
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id
+         |  GROUP BY r.bucket HAVING count(*) <= $SemMaxBucket),
+         |sem$i AS (SELECT DISTINCT b.doc_id
+         |  FROM bv b JOIN $w w ON w.doc_id = b.doc_id
+         |  JOIN semcap$i sc ON sc.bucket = b.bucket
+         |  JOIN bv r ON r.bucket = b.bucket
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id
+         |  WHERE ${cosineSql("b.v", "r.v")} >= $SemTau),
+         |img$i AS (SELECT DISTINCT b.doc_id
+         |  FROM mih b JOIN $w w ON w.doc_id = b.doc_id
+         |  JOIN mih r ON r.hash_hi = b.hash_hi AND r.hash_lo = b.hash_lo
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+         |aud$i AS (SELECT DISTINCT b.doc_id
+         |  FROM mah b JOIN $w w ON w.doc_id = b.doc_id
+         |  JOIN mah r ON r.fp_hi = b.fp_hi AND r.fp_lo = b.fp_lo
+         |  JOIN $ref rr ON rr.doc_id = r.doc_id),
+         |v$i AS MATERIALIZED (SELECT i.doc_id,
+         |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+         |    (n.doc_id IS NOT NULL) AS near_dup,
+         |    q.quality_keep,
+         |    nv.n_shingles, nv.n_known,
+         |    (nv.n_shingles - nv.n_known)::DOUBLE / nv.n_shingles::DOUBLE
+         |      AS novelty,
+         |    (c.doc_id IS NOT NULL) AS contaminated,
+         |    (cn.doc_id IS NOT NULL) AS contained_dup,
+         |    (sm.doc_id IS NOT NULL) AS semantic_dup,
+         |    (im.doc_id IS NOT NULL) AS image_dup,
+         |    (au.doc_id IS NOT NULL) AS audio_dup,
+         |    (mc.doc_id IS NOT NULL) AS media_contaminated
+         |  FROM $w i LEFT JOIN near$i n USING (doc_id)
+         |  JOIN q USING (doc_id)
+         |  LEFT JOIN nov$i nv USING (doc_id)
+         |  LEFT JOIN ct c USING (doc_id)
+         |  LEFT JOIN cont$i cn USING (doc_id)
+         |  LEFT JOIN sem$i sm USING (doc_id)
+         |  LEFT JOIN img$i im USING (doc_id)
+         |  LEFT JOIN aud$i au USING (doc_id)
+         |  LEFT JOIN mct mc USING (doc_id))"""
+    def refNext(k: Int, prev: String, w: String, v: String): String =
+      s"""ref$k AS MATERIALIZED (SELECT * FROM $prev UNION ALL
+         |         SELECT w.doc_id, w.text FROM $w w JOIN $v v USING (doc_id)
+         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
+         |           AND NOT v.contaminated AND NOT v.contained_dup
+         |           AND NOT v.semantic_dup AND NOT v.image_dup
+         |           AND NOT v.audio_dup AND NOT v.media_contaminated)"""
+    s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |benchm AS (SELECT doc_id, text FROM documents
+       |          WHERE doc_id >= 300 AND doc_id < 400),
+       |bench_t AS (SELECT doc_id, text FROM documents
+       |          WHERE doc_id >= 300 AND doc_id < 400),
+       |w0 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+       |w1 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+       |       UNION ALL
+       |       SELECT doc_id + 1300000, text FROM documents
+       |       WHERE doc_id < 300 AND doc_id % 50 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, translate(text, 'aeiou', 'uoiea')
+       |       FROM documents WHERE doc_id < 300 AND doc_id % 70 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 3500000, translate(text, 'aeiou', 'uoiea')
+       |       FROM documents WHERE doc_id < 300 AND doc_id % 90 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+       |       FROM documents
+       |       WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 30 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 6000000,
+       |         array_to_string(list_slice($toksSql, 1, 30), ' ')
+       |           || ' ' || translate(text, 'aeiou', 'uoiea')
+       |       FROM documents
+       |       WHERE doc_id >= 300 AND doc_id < 400 AND doc_id % 20 = 0),
+       |w2 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+       |       UNION ALL
+       |       SELECT p.doc_id + 4000000,
+       |         f1.text || ' ' || p.text || ' ' || f2.text
+       |       FROM documents p
+       |       JOIN documents f1 ON f1.doc_id = p.doc_id + 2
+       |       JOIN documents f2 ON f2.doc_id = p.doc_id + 5
+       |       WHERE p.doc_id >= 400 AND p.doc_id % 3 = 0
+       |         AND p.doc_id % 7 = 0
+       |         AND len(regexp_extract_all(p.text, '\\S+')) >= 40
+       |       UNION ALL
+       |       SELECT doc_id + 5000000,
+       |         array_to_string(list_slice($toksSql, 1, 22), ' ')
+       |       FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 11 = 0
+       |         AND len($toksSql) >= 60
+       |       UNION ALL
+       |       SELECT doc_id + 8300000,
+       |         array_to_string(list_reverse($toksSql), ' ')
+       |       FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 13 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 9300000,
+       |         upper(translate(text, 'aeiou', '!!!!!'))
+       |       FROM documents WHERE doc_id < 300 AND doc_id % 60 = 0
+       |       UNION ALL
+       |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
+       |       FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 5 = 0),
+       |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+       |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+       |allm AS MATERIALIZED (SELECT * FROM allc
+       |         UNION ALL SELECT * FROM benchm),
+       |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
+       |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+       |dsh AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, unnest($shingleHashesSql) AS h
+       |  FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc))),
+       |nsh AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM dsh
+       |  GROUP BY 1),
+       |bsh AS MATERIALIZED (SELECT doc_id AS bench_id,
+       |          unnest($shingleHashesSql) AS h
+       |        FROM (SELECT doc_id, $tokenHashesSql AS th FROM bench_t)),
+       |bkeep AS (SELECT h FROM bsh GROUP BY h HAVING count(*) <= $DecontMaxDf),
+       |posts AS MATERIALIZED (SELECT bench_id, h FROM bsh
+       |        JOIN bkeep USING (h)),
+       |cthit AS (SELECT d.doc_id, p.bench_id, count(*) AS shared
+       |          FROM dsh d JOIN posts p USING (h)
+       |          GROUP BY 1, 2 HAVING count(*) >= $DecontMinShared),
+       |ct AS MATERIALIZED (SELECT DISTINCT doc_id FROM cthit),
+       |csh AS (SELECT doc_id AS ref_id, h FROM dsh WHERE doc_id < 300),
+       |ckeep AS (SELECT h FROM csh GROUP BY h
+       |          HAVING count(*) <= $ContainMaxDf),
+       |cps AS MATERIALIZED (SELECT ref_id, h,
+       |          count(*) OVER (PARTITION BY ref_id) AS n_b
+       |        FROM csh JOIN ckeep USING (h)),
+       |planes AS (SELECT $pls AS pl),
+       |sctr AS (SELECT ${ctr.map(dLit).mkString("[", ",", "]")} AS sc),
+       |${hashedEmbCtesOver("allc")},
+       |hvn AS (SELECT doc_id, v,
+       |      CASE WHEN sqrt(${dotSql("v", "v")}) = 0 THEN 1.0::DOUBLE
+       |           ELSE sqrt(${dotSql("v", "v")}) END AS nz
+       |      FROM hv),
+       |hvc AS (SELECT doc_id, v, list_transform(range(0, $Dim),
+       |        i -> v[i + 1] / nz - sc[i + 1]) AS w
+       |      FROM hvn, sctr),
+       |bv AS MATERIALIZED (SELECT doc_id, v, ${bucketSqlN("w", nP)} AS bucket
+       |      FROM hvc, planes),
+       |${qualityFeaturesCteOver("allc")},
+       |q AS (SELECT doc_id, ($classifierZSql) >= 0.0e0 AS quality_keep
+       |      FROM f),
+       |mtb AS (SELECT doc_id,
+       |    (length(text) + 31 * (doc_id % 1000000)) % 200 AS a,
+       |    3 + 2 * ((length(text) + (doc_id % 1000000)) % 13) AS p1,
+       |    5 + 2 * ((length(text) + 3 * (doc_id % 1000000)) % 11) AS p2
+       |  FROM allm),
+       |mtg AS (SELECT doc_id,
+       |  flatten(list_transform(range(0, 8), j ->
+       |    list_transform(range(0, 8), i ->
+       |      (a + (2 * i) * p1 + ((j * 12) // 8) * p2) % 251))) AS sv
+       |  FROM mtb),
+       |mtt AS (SELECT doc_id, sv, list_sum(sv) AS total FROM mtg),
+       |mih AS MATERIALIZED (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(32, 64), p ->
+       |    CASE WHEN 64 * sv[p + 1] >= total
+       |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS hash_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), p ->
+       |    CASE WHEN 64 * sv[p + 1] >= total
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS hash_lo
+       |  FROM mtt),
+       |mad AS (SELECT doc_id, 1 + length(text) % 240 AS n,
+       |    (length(text) * 131 + 37 * (doc_id % ${M22AudioSeedMod})) % 65521
+       |      AS a
+       |  FROM allm),
+       |mae AS (SELECT doc_id,
+       |  list_transform(range(0, 65), w ->
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(range((w * n) // 65, ((w + 1) * n) // 65),
+       |        j -> abs(((a + j * 7919) % 65521) - 32760)::BIGINT)),
+       |      (x, y) -> x + y)) AS es
+       |  FROM mad),
+       |mah AS MATERIALIZED (SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(32, 64), p ->
+       |    CASE WHEN es[p + 2] > es[p + 1]
+       |      THEN (1::BIGINT << (p - 32)) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_hi,
+       |  CAST(list_sum(list_transform(range(0, 32), p ->
+       |    CASE WHEN es[p + 2] > es[p + 1]
+       |      THEN (1::BIGINT << p) ELSE 0::BIGINT END)) AS BIGINT)
+       |    AS fp_lo
+       |  FROM mae),
+       |bihash AS (SELECT hash_hi, hash_lo FROM mih
+       |           JOIN benchm USING (doc_id)),
+       |bahash AS (SELECT fp_hi, fp_lo FROM mah
+       |           JOIN benchm USING (doc_id)),
+       |mct AS MATERIALIZED (
+       |  SELECT DISTINCT m.doc_id FROM mih m
+       |  JOIN bihash b ON b.hash_hi = m.hash_hi AND b.hash_lo = m.hash_lo
+       |  WHERE m.doc_id NOT IN (SELECT doc_id FROM benchm)
+       |  UNION
+       |  SELECT DISTINCT m.doc_id FROM mah m
+       |  JOIN bahash b ON b.fp_hi = m.fp_hi AND b.fp_lo = m.fp_lo
+       |  WHERE m.doc_id NOT IN (SELECT doc_id FROM benchm)),
+       |${round(0, "seed", "w0")},
+       |${refNext(1, "seed", "w0", "v0")},
+       |${round(1, "ref1", "w1")},
+       |${refNext(2, "ref1", "w1", "v1")},
+       |${round(2, "ref2", "w2")}
+       |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+       |  n_known, novelty, contaminated, contained_dup, semantic_dup,
+       |  image_dup, audio_dup, media_contaminated,
+       |  (NOT exact_dup AND NOT near_dup AND quality_keep
+       |   AND NOT contaminated AND NOT contained_dup
+       |   AND NOT semantic_dup AND NOT image_dup AND NOT audio_dup
+       |   AND NOT media_contaminated) AS admitted
        |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
        |      UNION ALL SELECT * FROM v2)
        |ORDER BY doc_id""".stripMargin

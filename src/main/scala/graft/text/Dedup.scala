@@ -845,8 +845,12 @@ object Dedup {
     batchArt.filter(size(col("sset")) > 0)
       .select(col("doc_id"), size(col("sset")).cast(LongType).as("n_shingles"))
       .join(known, Seq("doc_id"), "left")
+      // coalesce BEFORE the ratio: a fully-novel doc (zero known
+      // shingles) has no `known` row, and a ratio over the raw NULL
+      // would report novelty NULL instead of 1.0
       .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .select(col("doc_id"), col("n_shingles"), col("n_known"),
         ((col("n_shingles") - col("n_known")).cast("double") /
           col("n_shingles").cast("double")).as("novelty"))
   }
