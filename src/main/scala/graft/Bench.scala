@@ -134,6 +134,7 @@ object Bench {
       "w15_stream_decontaminated_admission",
       "w16_stream_contained_admission", "w17_stream_semantic_admission",
       "m22_multimodal_admission", "m24_media_decontaminated_admission",
+      "w18_stream_full_admission", "l13_admission_pipeline",
       // r16: the documented JVM codegen-eviction victims — a full GC
       // elsewhere in the suite unloads their generated classes and a
       // 2-rep min still reads the recompile, not the operator

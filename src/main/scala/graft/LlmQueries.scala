@@ -1249,6 +1249,89 @@ object LlmQueries {
       .orderBy("doc_id")
   }
 
+  /** L13: THE INGEST GATE THROUGH THE CONNECT LIFECYCLE — the
+   * reference's whole UX is declarative configs over REST (L1/L9),
+   * and until this gate the admission operators were reachable only
+   * through the bespoke runners. A `{"type": "admission"}` sink spec
+   * ([[graft.pipeline.AdmissionSink]]) registers w12's
+   * dedup-at-admission as a [[graft.pipeline.PipelineSpec]] via
+   * [[graft.pipeline.ConnectServer]], drives wave 0 + 1, PAUSES with
+   * the wave-2 backlog already staged, resumes from the checkpoint
+   * (a fresh fenced admission epoch supersedes the paused
+   * incarnation's), processes the backlog, and deregisters. The
+   * verdict rows must equal w12's exactly — same fixture waves, same
+   * per-trigger core, same oracle — with the lifecycle evidence
+   * riding as literal columns (l9's shape). */
+  def admissionPipelineLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l13_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves) = admissionWaves(docs)
+    existing.write.parquet(s"$base/seed")
+    def stage(i: Int): Unit =
+      graft.Tables.stageFile(waves(i), Paths.get(in, f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    stage(0); stage(1) // wave 2 lands as backlog while paused
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val server = new graft.pipeline.ConnectServer(engine)
+    val url = server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: Option[String] = None) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url + path))
+        val r = http.send(body.fold(b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+            b.method(method,
+              java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() < 400,
+          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
+        r.body()
+      }
+      def state_(): String = {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(call("GET", "/connectors/l13/status"))
+        n.get("connector").get("state").asText()
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      val specJson =
+        s"""{"name":"l13",
+           |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+           |  "schemaDdl":"doc_id BIGINT, text STRING",
+           |  "keyFields":["doc_id"],"seqColumn":"doc_id",
+           |  "topic":"corpus","maxFilesPerTrigger":"1"},
+           |"transforms":[],
+           |"sink":{"type":"admission",
+           |  "path":${q.writeValueAsString(s"$base/gate")},
+           |  "seedPath":${q.writeValueAsString(s"$base/seed")}}}""".stripMargin
+      call("POST", "/connectors", Some(specJson))
+      scoped.streams.active.foreach(_.processAllAvailable()) // waves 0, 1
+      val stRunning = state_()
+      call("PUT", "/connectors/l13/pause")
+      val stPaused = state_()
+      stage(2) // the backlog a paused gate must NOT process
+      call("PUT", "/connectors/l13/resume")
+      scoped.streams.active.foreach(_.processAllAvailable()) // wave 2
+      val stResumed = state_()
+      call("DELETE", "/connectors/l13")
+      val after = call("GET", "/connectors")
+      s.read.parquet(s"$base/gate/out").drop("batch")
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("admitted"),
+          lit(stRunning).as("status_after_register"),
+          lit(stPaused).as("status_while_paused"),
+          lit(stResumed).as("status_after_resume"),
+          lit(after == "[]").as("deregistered"))
+        .orderBy("doc_id")
+    } finally server.stop()
+  }
+
   /** W14: FUSED streamed curation admission — the actual production
    * ingest gate, composing three verdicts the suite gates separately
    * into ONE per-micro-batch decision: w12's evolving-reference dedup
@@ -4299,6 +4382,7 @@ object LlmQueries {
     "w16_stream_contained_admission" -> (streamContainedAdmission _),
     "w17_stream_semantic_admission" -> (streamSemanticAdmission _),
     "w18_stream_full_admission" -> (streamFullAdmission _),
+    "l13_admission_pipeline" -> (admissionPipelineLifecycle _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -5914,6 +5998,62 @@ object LlmQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** w12's oracle — the three admission rounds unrolled with one
+   * suffixed banded pipeline per round; SHARED by the w12 gate and the
+   * l13 REST-lifecycle gate (which drives the identical fixture waves
+   * through the Connect-registered admission sink, so its verdict rows
+   * must hash-match these). */
+  private lazy val w12AdmissionOracle: String = {
+    def round(i: Int, ref: String, w: String): String =
+      s"""c$i AS (SELECT doc_id, text FROM $ref
+         |        UNION ALL SELECT doc_id, text FROM $w),
+         |${minhashPipelineSqlOver(s"c$i", s"$i")},
+         |x$i AS (SELECT doc_a, doc_b FROM cand$i
+         |  WHERE (doc_a IN (SELECT doc_id FROM $w))
+         |     <> (doc_b IN (SELECT doc_id FROM $w))),
+         |near$i AS (
+         |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
+         |    THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
+         |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
+         |v$i AS (SELECT i.doc_id,
+         |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
+         |    (n.doc_id IS NOT NULL) AS near_dup
+         |  FROM $w i LEFT JOIN near$i n USING (doc_id))""".stripMargin
+    s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |w0 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
+       |w1 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 1
+       |       UNION ALL
+       |       SELECT doc_id + 1000000, text FROM documents
+       |       WHERE doc_id < 400 AND doc_id % 50 = 0),
+       |w2 AS (SELECT doc_id, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 2
+       |       UNION ALL
+       |       SELECT doc_id + 2000000, text FROM documents
+       |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
+       |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+       |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+       |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
+       |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
+       |${round(0, "seed", "w0")},
+       |ref1 AS (SELECT * FROM seed UNION ALL
+       |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
+       |         WHERE NOT v.exact_dup AND NOT v.near_dup),
+       |${round(1, "ref1", "w1")},
+       |ref2 AS (SELECT * FROM ref1 UNION ALL
+       |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
+       |         WHERE NOT v.exact_dup AND NOT v.near_dup),
+       |${round(2, "ref2", "w2")}
+       |SELECT doc_id, exact_dup, near_dup,
+       |  (NOT exact_dup AND NOT near_dup) AS admitted
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+       |      UNION ALL SELECT * FROM v2)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "x18_curation_funnel" -> curationFunnelOracleSql,
     "d12_neardedup_corpus" -> nearDedupCorpusOracleSql,
@@ -5969,56 +6109,18 @@ object LlmQueries {
     // (evolving reference ∪ wave) and the next reference adds the
     // round's admitted survivors; one shared shingle-set CTE serves
     // every round's Jaccard verify (ids are globally unique)
-    "w12_stream_dedup_admission" -> {
-      def round(i: Int, ref: String, w: String): String =
-        s"""c$i AS (SELECT doc_id, text FROM $ref
-           |        UNION ALL SELECT doc_id, text FROM $w),
-           |${minhashPipelineSqlOver(s"c$i", s"$i")},
-           |x$i AS (SELECT doc_a, doc_b FROM cand$i
-           |  WHERE (doc_a IN (SELECT doc_id FROM $w))
-           |     <> (doc_b IN (SELECT doc_id FROM $w))),
-           |near$i AS (
-           |  SELECT DISTINCT CASE WHEN doc_a IN (SELECT doc_id FROM $w)
-           |    THEN doc_a ELSE doc_b END AS doc_id
-           |  FROM x$i JOIN sets a ON doc_a = a._id JOIN sets b ON doc_b = b._id
-           |  WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-           |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::DOUBLE >= 0.5),
-           |v$i AS (SELECT i.doc_id,
-           |    (md5(i.text) IN (SELECT md5(text) FROM $ref)) AS exact_dup,
-           |    (n.doc_id IS NOT NULL) AS near_dup
-           |  FROM $w i LEFT JOIN near$i n USING (doc_id))""".stripMargin
-      s"""WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
-         |w0 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 0),
-         |w1 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 1
-         |       UNION ALL
-         |       SELECT doc_id + 1000000, text FROM documents
-         |       WHERE doc_id < 400 AND doc_id % 50 = 0),
-         |w2 AS (SELECT doc_id, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 2
-         |       UNION ALL
-         |       SELECT doc_id + 2000000, text FROM documents
-         |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
-         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
-         |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
-         |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
-         |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
-         |${round(0, "seed", "w0")},
-         |ref1 AS (SELECT * FROM seed UNION ALL
-         |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup),
-         |${round(1, "ref1", "w1")},
-         |ref2 AS (SELECT * FROM ref1 UNION ALL
-         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup),
-         |${round(2, "ref2", "w2")}
-         |SELECT doc_id, exact_dup, near_dup,
-         |  (NOT exact_dup AND NOT near_dup) AS admitted
-         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-         |      UNION ALL SELECT * FROM v2)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "w12_stream_dedup_admission" -> w12AdmissionOracle,
+    // l13 = w12's verdict rows (the REST-registered gate runs the SAME
+    // fixture waves through the SAME per-trigger core) plus the
+    // lifecycle-evidence literal columns, exactly l9's shape
+    "l13_admission_pipeline" ->
+      s"""SELECT doc_id, exact_dup, near_dup, admitted,
+         |  'RUNNING' AS status_after_register,
+         |  'PAUSED' AS status_while_paused,
+         |  'RUNNING' AS status_after_resume,
+         |  TRUE AS deregistered
+         |FROM ($w12AdmissionOracle)
+         |ORDER BY doc_id""".stripMargin,
     // w14 = w12's unrolled rounds with the quality head (one global CTE
     // — quality is batch-local) and the per-round novelty leg (the
     // reference's distinct shingles as of that round) joined into each

@@ -160,6 +160,12 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     if (e.query.exists(_.isActive))
       throw new IllegalStateException(s"pause '$name' before resetting offsets")
     graft.util.Fs.deleteRecursive(Paths.get(checkpointDir(name)))
+    // an admission gate's state is keyed by the checkpoint's batch ids:
+    // a reset stream restarts them at 0, so the gate root resets with
+    // the offsets (re-ingest from scratch — the Debezium
+    // re-snapshot-after-offset-delete analog; see AdmissionSink)
+    if (e.spec.sink.kind == "admission")
+      AdmissionSink.resetState(e.spec.sink.path)
   }
 
   /** L3 read side: the pipeline's committed progress, as the latest
@@ -241,8 +247,23 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
         keyedSinks(spec.sink.kind))
       throw new IllegalArgumentException(
         "kafka source feeding a keyed sink requires source.keyFields")
-    if (!(keyedSinks + "append")(spec.sink.kind))
+    if (!(keyedSinks + "append" + "admission")(spec.sink.kind))
       throw new IllegalArgumentException(s"unknown sink '${spec.sink.kind}'")
+    // L13 — the ingest-gate sink: needs the seed corpus to bootstrap
+    // its reference state, and a gate root to own
+    if (spec.sink.kind == "admission") {
+      if (spec.sink.seedPath.isEmpty)
+        throw new IllegalArgumentException(
+          "admission sink requires 'seedPath' (the existing corpus whose " +
+            "artifacts bootstrap the gate's reference state)")
+      if (spec.sink.path.isEmpty)
+        throw new IllegalArgumentException(
+          "admission sink requires 'path' (the gate root)")
+      if (spec.source.kind == "rate")
+        throw new IllegalArgumentException(
+          "admission sink consumes (doc_id, text) documents — a rate " +
+            "source carries neither")
+    }
     if (spec.sink.kind == "jdbc") {
       if (spec.sink.url.isEmpty)
         throw new IllegalArgumentException("jdbc sink requires 'url'")
@@ -373,6 +394,20 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
           .option("path", sink.path)
           .partitionBy(graft.model.Connect.TopicCol)
           .format("parquet").start()
+      case "admission" =>
+        // L13 — the ingest gate as a lifecycle-managed sink: bootstrap
+        // the seed's reference state once (idempotent), claim the
+        // fenced admission-writer role (resume supersedes the previous
+        // incarnation's epoch), bind the pipeline's checkpoint identity
+        // to the state dir, then run the w12-shape verdict per batch
+        AdmissionSink.bootstrap(spark, sink.seedPath.get, sink.path)
+        val epoch = graft.text.AdmissionState.acquireWriter(s"${sink.path}/state")
+        graft.text.AdmissionState.bindCheckpoint(s"${sink.path}/state",
+          checkpointDir(spec.name))
+        writer("update").foreachBatch { (batch: DataFrame, id: Long) =>
+          AdmissionSink.applyBatch(spark, sink.path, epoch,
+            AdmissionSink.documentsOf(batch), id)
+        }.start()
       case other =>
         throw new IllegalArgumentException(s"unknown sink '$other'")
     }

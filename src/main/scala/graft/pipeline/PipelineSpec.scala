@@ -130,7 +130,7 @@ final case class TransformSpec(kind: String, args: Map[String, String],
 }
 
 final case class SinkSpec(
-    kind: String,             // table | logtable | append | jdbc
+    kind: String,             // table | logtable | append | jdbc | admission
     path: String,
     keys: Seq[String],
     deleteEnabled: Boolean = true,
@@ -143,7 +143,13 @@ final case class SinkSpec(
     // Connect's errors.retry.timeout: transient sink failures retry
     // with backoff for this many ms before the tolerance stage; 0 (the
     // Connect default) disables retry
-    retryTimeoutMs: Long = 0L)
+    retryTimeoutMs: Long = 0L,
+    // admission sink only — the existing-corpus table whose derived
+    // artifacts bootstrap the gate's reference state on first start
+    // (the ingest-gate analog of snapshotPath); `path` is the gate
+    // root: state tables under path/state, verdicts under path/out,
+    // the admitted-corpus product under path/ref
+    seedPath: Option[String] = None)
 
 object PipelineSpec {
 
@@ -189,7 +195,8 @@ object PipelineSpec {
         url = str(sink, "url"),
         table = str(sink, "table"),
         dialect = str(sink, "dialect"),
-        retryTimeoutMs = str(sink, "retryTimeoutMs").map(_.toLong).getOrElse(0L)),
+        retryTimeoutMs = str(sink, "retryTimeoutMs").map(_.toLong).getOrElse(0L),
+        seedPath = str(sink, "seedPath")),
       triggerMs = str(n, "triggerMs").map(_.toLong))
   }
 }

@@ -370,4 +370,52 @@ class EngineSpec extends SparkSpec {
     assert(PgCdc.eventKeyFields(Seq("c1"), Seq("c1", "c2"), replicaIdentityFull = false)
       == Seq("c1"))
   }
+
+  test("L13 admission sink: offset reset wipes the gate root and the next resume re-ingests from scratch") {
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("engine_adm").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 300).write.parquet(s"$base/seed")
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, Paths.get(in, f"w$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    stage(docs.filter(col("doc_id") >= 300 && col("doc_id") % 2 === 0), 0)
+    stage(docs.filter(col("doc_id") >= 300 && col("doc_id") % 2 === 1)
+      .unionByName(docs.filter(col("doc_id") >= 300 &&
+          col("doc_id") % 2 === 0 && col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)), 1)
+    val engine = new Engine(spark, s"$base/engine")
+    val spec =
+      s"""{"name":"adm","source":{"type":"parquet","path":"$in",
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c",
+         |  "maxFilesPerTrigger":"1"},
+         |"transforms":[],
+         |"sink":{"type":"admission","path":"$base/gate",
+         |  "seedPath":"$base/seed"}}""".stripMargin
+    engine.registerJson(spec).processAllAvailable()
+    def verdicts(): Seq[(Long, Boolean)] =
+      spark.read.parquet(s"$base/gate/out")
+        .select("doc_id", "admitted").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toSeq.sorted
+    val first = verdicts()
+    assert(first.nonEmpty)
+    // the wave-1 clones of wave-0-ADMITTED docs were refused — the
+    // evolving reference worked through the lifecycle-managed sink
+    assert(first.filter(_._1 >= 1000000L).forall(!_._2))
+    // reset: only legal paused; wipes checkpoint AND the gate root
+    engine.pause("adm")
+    engine.resetOffsets("adm")
+    assert(!Files.exists(Paths.get(s"$base/gate")),
+      "offset reset must wipe the admission gate root with the offsets")
+    // resume re-bootstraps and re-ingests the same files from scratch:
+    // deterministic — the verdicts come back identical
+    engine.resume("adm")
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(verdicts() == first,
+      "re-ingest after reset must reproduce the verdicts")
+    engine.delete("adm")
+  }
 }
