@@ -1385,7 +1385,12 @@ object LlmQueries {
           concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 30)),
           lit(" "),
           translate(col("text"), "aeiou", "uoiea")).as("text"))
-    val waves = Seq(waves0(0), waves0(1).unionByName(plants), waves0(2))
+    // TWO waves (r16): wave 1 absorbs the old wave 2 — every plant
+    // targets wave-0-ADMITTED or seed docs, so the evolving-reference
+    // property still exercises (catches one trigger later instead of
+    // two) at ~2/3 the bench cost; the oracle unrolls two rounds
+    val waves = Seq(waves0(0),
+      waves0(1).unionByName(plants).unionByName(waves0(2)))
     runAdmissionStream(s, existing, waves,
         s"target/tmp/w15_${new java.io.File(dir).getName}", fused = true,
         bench = Some(bench))
@@ -1399,7 +1404,7 @@ object LlmQueries {
    * benchmark decontamination) plus x26's asymmetric quoted-inside
    * detection against the evolving reference's posting state, the
    * fifth axis and the one the dedup leg structurally under-catches:
-   * wave 2 plants (a) a LARGE doc quoting a wave-0-ADMITTED doc whole
+   * the second wave plants (a) a LARGE doc quoting a wave-0-ADMITTED doc whole
    * between two real same-wave filler docs — Jaccard vs the quoted doc
    * ≈ ⅓ (dedup leg silent), novel filler (novelty high), real prose
    * (quality passes), no benchmark overlap (decontamination silent) —
@@ -1407,7 +1412,7 @@ object LlmQueries {
    * reverse direction: incoming contained in reference). Both are
    * caught ONLY by the containment join: shared·5 >= least(n_a,n_b)·4
    * over the persisted `(ref_id, h, n_b)` postings. Only 5-way
-   * survivors join the reference. The oracle unrolls the three rounds
+   * survivors join the reference. The oracle unrolls the two rounds
    * with the containment state rebuilt per round (seed df-capped +
    * admitted raw, exactly the state tables' content). */
   def streamContainedAdmission(s: SparkSession, dir: String): DataFrame = {
@@ -1443,8 +1448,10 @@ object LlmQueries {
       .filter(col("doc_id") % 11 === 0 && size(Dedup.tokens(col("text"))) >= 60)
       .select((col("doc_id") + 5000000L).as("doc_id"),
         concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 22)).as("text"))
-    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants),
-      waves0(2).unionByName(quoting).unionByName(sliced))
+    // TWO waves (r16, the w15 move): the containment plants target
+    // wave-0-ADMITTED docs, so they catch one trigger later
+    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants)
+      .unionByName(waves0(2)).unionByName(quoting).unionByName(sliced))
     runAdmissionStream(s, existing, waves,
         s"target/tmp/w16_${new java.io.File(dir).getName}", fused = true,
         bench = Some(bench), containment = true)
@@ -1461,7 +1468,7 @@ object LlmQueries {
    * trick vector + the LSH bucket), and each batch doc is refused when
    * a same-bucket reference doc sits at cosine >= 0.9. Word-order
    * paraphrase is the case EVERY shingle leg is structurally blind to:
-   * wave 2 plants token-REVERSED copies of wave-0-ADMITTED docs — the
+   * the second wave plants token-REVERSED copies of wave-0-ADMITTED docs — the
    * token bag is identical (vector identical → same bucket, cosine
    * exactly 1) but the 3-gram shingle set is disjoint, so exact /
    * MinHash / containment / decontamination all stay silent, quality
@@ -1489,8 +1496,10 @@ object LlmQueries {
     val paraphrase = w0.filter(col("doc_id") % 13 === 0)
       .select((col("doc_id") + 8000000L).as("doc_id"),
         concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
-    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants),
-      waves0(2).unionByName(paraphrase))
+    // TWO waves (r16, the w15 move): the paraphrase plants target
+    // wave-0-ADMITTED docs, so they catch one trigger later
+    val waves = Seq(waves0(0), waves0(1).unionByName(benchPlants)
+      .unionByName(waves0(2)).unionByName(paraphrase))
     runAdmissionStream(s, existing, waves,
         s"target/tmp/w17_${new java.io.File(dir).getName}", fused = true,
         bench = Some(bench), containment = true, semantic = true,
@@ -1632,10 +1641,10 @@ object LlmQueries {
    * reversal can't ride the image axis); quality = vowel→punct junk
    * (+9.3M); and a verbatim copy (+1.3M, both media seeds moved)
    * fires the whole TEXT family at once (exact, near, containment,
-   * semantic) as the cross-axis sanity row. Wave 2's +7M translated
+   * semantic) as the cross-axis sanity row. The second wave's +7M translated
    * clones of wave-0-admitted docs prove the EVOLVING media
-   * fingerprint state (dups of docs admitted two triggers earlier).
-   * The oracle unrolls the three rounds with every leg's CTEs global
+   * fingerprint state (dups of docs admitted a trigger earlier).
+   * The oracle unrolls the two rounds with every leg's CTEs global
    * where its state is frozen (benchmarks, center, planes) and
    * per-round where it evolves (reference text, postings, embeddings,
    * media fingerprints). */
@@ -1690,10 +1699,13 @@ object LlmQueries {
         upper(translate(col("text"), "aeiou", "!!!!!")).as("text"))
     val evolving = tmut(w0.filter(col("doc_id") % 5 === 0))
       .withColumn("doc_id", col("doc_id") + 7000000L)
-    val w2 = later.filter(pmod(col("doc_id"), lit(3)) === 2)
+    // TWO waves (r16, the w15 move): every wave-1 plant targets
+    // wave-0-ADMITTED, seed or benchmark docs — the evolving-reference
+    // property exercises one trigger later at ~2/3 the bench cost
+    val w1all = w1.unionByName(later.filter(pmod(col("doc_id"), lit(3)) === 2))
       .unionByName(quoting).unionByName(sliced).unionByName(paraphrase)
       .unionByName(junk).unionByName(evolving)
-    runAdmissionStream(s, seed, Seq(w0, w1, w2),
+    runAdmissionStream(s, seed, Seq(w0, w1all),
         s"target/tmp/w18_${new java.io.File(dir).getName}", fused = true,
         bench = Some(benchT), containment = true, semantic = true,
         semPlanes = semPlanesFor(s, dir),
@@ -5674,6 +5686,7 @@ object LlmQueries {
        |         array_to_string(list_reverse($toksSql), ' ')
        |       FROM documents
        |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 13 = 0),
+       |w1a AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
        |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
        |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
        |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
@@ -5720,20 +5733,13 @@ object LlmQueries {
        |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
        |           AND NOT v.contaminated AND NOT v.contained_dup
        |           AND NOT v.semantic_dup),
-       |${round(1, "ref1", "w1")},
-       |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
-       |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
-       |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
-       |           AND NOT v.contaminated AND NOT v.contained_dup
-       |           AND NOT v.semantic_dup),
-       |${round(2, "ref2", "w2")}
+       |${round(1, "ref1", "w1a")}
        |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
        |  n_known, novelty, contaminated, contained_dup, semantic_dup,
        |  (NOT exact_dup AND NOT near_dup AND quality_keep
        |   AND NOT contaminated AND NOT contained_dup
        |   AND NOT semantic_dup) AS admitted
-       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-       |      UNION ALL SELECT * FROM v2)
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -5885,6 +5891,7 @@ object LlmQueries {
        |       SELECT doc_id + 7000000, translate(text, 'aeiou', 'uoiea')
        |       FROM documents
        |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 5 = 0),
+       |w1a AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
        |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
        |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
        |allm AS MATERIALIZED (SELECT * FROM allc
@@ -5983,9 +5990,7 @@ object LlmQueries {
        |  WHERE m.doc_id NOT IN (SELECT doc_id FROM benchm)),
        |${round(0, "seed", "w0")},
        |${refNext(1, "seed", "w0", "v0")},
-       |${round(1, "ref1", "w1")},
-       |${refNext(2, "ref1", "w1", "v1")},
-       |${round(2, "ref2", "w2")}
+       |${round(1, "ref1", "w1a")}
        |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
        |  n_known, novelty, contaminated, contained_dup, semantic_dup,
        |  image_dup, audio_dup, media_contaminated,
@@ -5993,8 +5998,7 @@ object LlmQueries {
        |   AND NOT contaminated AND NOT contained_dup
        |   AND NOT semantic_dup AND NOT image_dup AND NOT audio_dup
        |   AND NOT media_contaminated) AS admitted
-       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-       |      UNION ALL SELECT * FROM v2)
+       |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -6253,7 +6257,8 @@ object LlmQueries {
          |       UNION ALL
          |       SELECT doc_id + 2000000, text FROM documents
          |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 37 = 0),
-         |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |w1a AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+       |allc AS (SELECT * FROM seed UNION ALL SELECT * FROM w0
          |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
          |sets AS (SELECT doc_id AS _id, $shingleHashesSql AS s
          |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
@@ -6276,18 +6281,12 @@ object LlmQueries {
          |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
          |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
          |           AND NOT v.contaminated),
-         |${round(1, "ref1", "w1")},
-         |ref2 AS (SELECT * FROM ref1 UNION ALL
-         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
-         |           AND NOT v.contaminated),
-         |${round(2, "ref2", "w2")}
+         |${round(1, "ref1", "w1a")}
          |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
          |  n_known, novelty, contaminated,
          |  (NOT exact_dup AND NOT near_dup AND quality_keep
          |   AND NOT contaminated) AS admitted
-         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-         |      UNION ALL SELECT * FROM v2)
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
          |ORDER BY doc_id""".stripMargin
     },
     // w16 = w15's unrolled rounds + the CONTAINMENT leg: the posting
@@ -6378,7 +6377,8 @@ object LlmQueries {
          |       FROM documents
          |       WHERE doc_id >= 400 AND doc_id % 3 = 0 AND doc_id % 11 = 0
          |         AND len($toksSql) >= 60),
-         |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
+         |w1a AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+       |allc AS MATERIALIZED (SELECT * FROM seed UNION ALL SELECT * FROM w0
          |         UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2),
          |sets AS MATERIALIZED (SELECT doc_id AS _id, $shingleHashesSql AS s
          |         FROM (SELECT doc_id, $tokenHashesSql AS th FROM allc)),
@@ -6407,18 +6407,12 @@ object LlmQueries {
          |         SELECT w.doc_id, w.text FROM w0 w JOIN v0 v USING (doc_id)
          |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
          |           AND NOT v.contaminated AND NOT v.contained_dup),
-         |${round(1, "ref1", "w1")},
-         |ref2 AS MATERIALIZED (SELECT * FROM ref1 UNION ALL
-         |         SELECT w.doc_id, w.text FROM w1 w JOIN v1 v USING (doc_id)
-         |         WHERE NOT v.exact_dup AND NOT v.near_dup AND v.quality_keep
-         |           AND NOT v.contaminated AND NOT v.contained_dup),
-         |${round(2, "ref2", "w2")}
+         |${round(1, "ref1", "w1a")}
          |SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
          |  n_known, novelty, contaminated, contained_dup,
          |  (NOT exact_dup AND NOT near_dup AND quality_keep
          |   AND NOT contaminated AND NOT contained_dup) AS admitted
-         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
-         |      UNION ALL SELECT * FROM v2)
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
          |ORDER BY doc_id""".stripMargin
     },
     // m22 = w12's unrolled text rounds fused with the media verdicts:
