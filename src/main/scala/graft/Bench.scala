@@ -59,8 +59,48 @@ object Bench {
           s"bit_xor(xxhash64(struct(${df.columns.map(c => s"`$c`").mkString(",")})))"))
           .collect()
       else df.count()
+    // Streaming-commit / localCheckpoint-barrier gates: their wall is
+    // dominated by fixed per-trigger commit and barrier floors that
+    // swing up to 3.5x run-over-run with scheduler luck, not plan cost
+    // (bench/watchitems_r12.md: the driver read d13 at 7.02 s where the
+    // matched-canary archive reads 2.03 s — same code, same SF). These
+    // get TWO EXTRA timed reps (min over 4 samples instead of 2), so
+    // the archived number converges on the floor. ~15 gates × a few
+    // seconds buys round-over-round comparability for the whole family.
+    val barrierGates: Set[String] = Set(
+      "w4_stream_stream_join", "w7_stream_dedup", "w8_stream_outer_join",
+      "w9_late_data_drop", "w10_stream_ann_serve",
+      "w11_stream_serve_from_store", "w12_stream_dedup_admission",
+      "w13_stream_maintenance_plans", "w14_stream_curation_admission",
+      "d8_dup_clusters_star", "d13_incremental_dedup",
+      "m13_image_near_dedup_verdict", "m14_audio_near_dedup_verdict",
+      "m15_video_near_dedup_verdict", "s7b_snapshot_stream_handoff",
+      "s8_pg_cdc", "e33_reindex_cutover",
+      // r15: the whole multi-trigger admission family — trigger-0
+      // codegen warmup is 2.4-4x steady state (r14 ladder), so 2-rep
+      // minima measured warmup luck, not the operator
+      "w15_stream_decontaminated_admission",
+      "w16_stream_contained_admission", "w17_stream_semantic_admission",
+      "m22_multimodal_admission", "m24_media_decontaminated_admission",
+      "w18_stream_full_admission", "l13_admission_pipeline",
+      // r16: the documented JVM codegen-eviction victims — a full GC
+      // elsewhere in the suite unloads their generated classes and a
+      // 2-rep min still reads the recompile, not the operator
+      // (BENCH_r15 carried x25 at 53.46 s vs its archived 1.56 s;
+      // j1/k7/k10/e9c re-read in-band in isolation,
+      // bench/sf1_eviction_recheck_r15.json; k9 flagged 6.19 s vs a
+      // 1.4 s history in bench/watchitems_r15.md)
+      "x25_span_dedup_repair", "k7_cdc_ingest_dml",
+      "k7b_cdc_engine_stream", "k9_jdbc_statements",
+      "k9b_upsert_sql_dialects", "k10_db_to_db_live",
+      "j1_json_functions", "e9c_knn_graph_scaled")
+    // Barrier gates SKIP the warmup passes: they take min-of-4 timed
+    // reps, so their first rep IS the warmup (trigger-0 codegen is
+    // 2.4-4x steady and converges by rep 2 — r14 ladder), and running
+    // every multi-trigger streaming gate twice more at tiny SFs cost
+    // the suite ~10+ minutes of wall for numbers the min never reads.
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { wd =>
-      names.foreach { n =>
+      names.filterNot(barrierGates).foreach { n =>
         try consume(n, SparkEntry.queries(n)(spark, wd))
         catch { case _: Throwable => () }
       }
@@ -111,41 +151,6 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // Streaming-commit / localCheckpoint-barrier gates: their wall is
-    // dominated by fixed per-trigger commit and barrier floors that
-    // swing up to 3.5x run-over-run with scheduler luck, not plan cost
-    // (bench/watchitems_r12.md: the driver read d13 at 7.02 s where the
-    // matched-canary archive reads 2.03 s — same code, same SF). These
-    // get TWO EXTRA timed reps (min over 4 samples instead of 2), so
-    // the archived number converges on the floor. ~15 gates × a few
-    // seconds buys round-over-round comparability for the whole family.
-    val barrierGates: Set[String] = Set(
-      "w4_stream_stream_join", "w7_stream_dedup", "w8_stream_outer_join",
-      "w9_late_data_drop", "w10_stream_ann_serve",
-      "w11_stream_serve_from_store", "w12_stream_dedup_admission",
-      "w13_stream_maintenance_plans", "w14_stream_curation_admission",
-      "d8_dup_clusters_star", "d13_incremental_dedup",
-      "m13_image_near_dedup_verdict", "m14_audio_near_dedup_verdict",
-      "m15_video_near_dedup_verdict", "s7b_snapshot_stream_handoff",
-      "s8_pg_cdc", "e33_reindex_cutover",
-      // r15: the whole multi-trigger admission family — trigger-0
-      // codegen warmup is 2.4-4x steady state (r14 ladder), so 2-rep
-      // minima measured warmup luck, not the operator
-      "w15_stream_decontaminated_admission",
-      "w16_stream_contained_admission", "w17_stream_semantic_admission",
-      "m22_multimodal_admission", "m24_media_decontaminated_admission",
-      "w18_stream_full_admission", "l13_admission_pipeline",
-      // r16: the documented JVM codegen-eviction victims — a full GC
-      // elsewhere in the suite unloads their generated classes and a
-      // 2-rep min still reads the recompile, not the operator
-      // (BENCH_r15 carried x25 at 53.46 s vs its archived 1.56 s;
-      // j1/k7/k10/e9c re-read in-band in isolation,
-      // bench/sf1_eviction_recheck_r15.json; k9 flagged 6.19 s vs a
-      // 1.4 s history in bench/watchitems_r15.md)
-      "x25_span_dedup_repair", "k7_cdc_ingest_dml",
-      "k7b_cdc_engine_stream", "k9_jdbc_statements",
-      "k9b_upsert_sql_dialects", "k10_db_to_db_live",
-      "j1_json_functions", "e9c_knn_graph_scaled")
     canaryOnce() // pay its own codegen before the measured reps
     val canary0 = canaryOnce()
     val pass1 = names.map(n => n -> once(n)).toMap
