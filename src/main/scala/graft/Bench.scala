@@ -2,9 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the target scale factor
-  * and prints ONE JSON line. A warmup pass at sf0.001 first pays the
+  * and prints a JSON metric line. A warmup pass at sf0.001 first pays the
   * one-time JVM/codegen/parquet-footer costs so the timed numbers measure
-  * the queries, not session bring-up. */
+  * the queries, not session bring-up.
+  *
+  * INCREMENTAL OUTPUT (r17, the r16 lesson): the r16 official artifact
+  * came back `rc: 124, parsed: null` because the driver's wall cap killed
+  * the run and the single end-of-run JSON line lost every number already
+  * measured. Now a compact cumulative metric line (top-K slowest queries,
+  * budgeted to fit the harness's last-2000-chars capture window together
+  * with any trailing log noise) is printed after EVERY timed measurement,
+  * and a JVM shutdown hook re-prints the latest one on SIGTERM — so a
+  * timeout still yields a parsed artifact carrying every gate measured up
+  * to the kill. The full-precision map is additionally rewritten to
+  * target/bench_full.json after each measurement for local archiving. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,23 +27,22 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a stray WARN burst after the final metric line
+    // could push it out of the harness's 2000-char capture window
+    spark.sparkContext.setLogLevel("ERROR")
     // Optional args = subset of query names to run (local iteration);
-    // the driver passes none and gets the full suite.
+    // the driver passes none and gets the bench population (the full
+    // suite minus SparkEntry.benchSuperseded — every superseded fixture
+    // rung stays in Verify where correctness is cheap, but bench wall
+    // no longer pays rungs whose trained/production sibling times the
+    // same plan shape at the same SF).
     val names =
       if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).distinct.sorted
-      else SparkEntry.queries.keys.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.filterNot(SparkEntry.benchSuperseded).sorted
     // locale-pinned formatting: the driver parses this line as JSON, and
     // a comma-decimal default locale would corrupt it
     def fmt(dec: Int, v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
-    // Two warmup passes (ignore failures — the timed run reports them
-    // as -1): sf0.001 pays session/plan/parquet-footer bring-up; sf0.01
-    // pushes enough rows through the hot loops that C2 actually
-    // compiles the generated code BEFORE timing. Measured: the heavy
-    // wire-path query swings 2.3s..11.8s purely with JIT maturity, so
-    // without the second pass the numbers measure compiler scheduling,
-    // not the queries.
     // Gates whose cost lives in columns a bare count() lets Catalyst
     // prune — aggregate expressions under groupBy/rollup/cube/window
     // (count needs only the keys) and expensive narrow projections
@@ -64,9 +74,8 @@ object Bench {
     // swing up to 3.5x run-over-run with scheduler luck, not plan cost
     // (bench/watchitems_r12.md: the driver read d13 at 7.02 s where the
     // matched-canary archive reads 2.03 s — same code, same SF). These
-    // get TWO EXTRA timed reps (min over 4 samples instead of 2), so
-    // the archived number converges on the floor. ~15 gates × a few
-    // seconds buys round-over-round comparability for the whole family.
+    // get up to TWO EXTRA timed reps (min over up to 4 samples instead
+    // of 2), so the archived number converges on the floor.
     val barrierGates: Set[String] = Set(
       "w4_stream_stream_join", "w7_stream_dedup", "w8_stream_outer_join",
       "w9_late_data_drop", "w10_stream_ann_serve",
@@ -83,6 +92,7 @@ object Bench {
       "w16_stream_contained_admission", "w17_stream_semantic_admission",
       "m22_multimodal_admission", "m24_media_decontaminated_admission",
       "w18_stream_full_admission", "l13_admission_pipeline",
+      "l14_admission_pipeline_full",
       // r16: the documented JVM codegen-eviction victims — a full GC
       // elsewhere in the suite unloads their generated classes and a
       // 2-rep min still reads the recompile, not the operator
@@ -94,8 +104,8 @@ object Bench {
       "k7b_cdc_engine_stream", "k9_jdbc_statements",
       "k9b_upsert_sql_dialects", "k10_db_to_db_live",
       "j1_json_functions", "e9c_knn_graph_scaled")
-    // Barrier gates SKIP the warmup passes: they take min-of-4 timed
-    // reps, so their first rep IS the warmup (trigger-0 codegen is
+    // Barrier gates SKIP the warmup passes: they take min over their
+    // timed reps, so their first rep IS the warmup (trigger-0 codegen is
     // 2.4-4x steady and converges by rep 2 — r14 ladder), and running
     // every multi-trigger streaming gate twice more at tiny SFs cost
     // the suite ~10+ minutes of wall for numbers the min never reads.
@@ -110,34 +120,98 @@ object Bench {
     // and their JIT-compiled code, so every later query recompiles.
     // The large heap (build.sbt) exists precisely to keep natural GC —
     // and that eviction — rare across the suite.
-    //
-    // Each query is timed in TWO full passes over the suite and the MIN
-    // recorded: single-shot numbers swung up to 3x with JIT/compiler
-    // scheduling, and back-to-back repeats share that transient state —
-    // a full pass in between decorrelates it (by pass 2 the whole
-    // suite's generated code is as compiled as it will ever be).
+    val runT0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - runT0) / 1e9
+    System.err.println(f"[bench-time] warmups done, timed run starts")
+    // ---- incremental result state --------------------------------------
+    // best value per gate (min over reps so far) + the run-elapsed second
+    // at which that best rep ENDED (t_at): together with the canary
+    // series below this gives every gate a load-at-measurement reading,
+    // closing the r16 "min-of-3 canary understates an 80-minute run's
+    // slow window" caveat (bench/watchitems_r16.md).
+    val best = scala.collection.mutable.Map[String, Double]()
+    val tAt = scala.collection.mutable.Map[String, Double]()
+    val canarySeries = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
+    @volatile var lastLine = ""
+    // Compact cumulative metric line: top-K slowest at 2 decimals inside
+    // a 900-char budget — small enough that the 2000-char capture window
+    // always holds one complete line even with a partial line and some
+    // shutdown log noise after it. Extra fields ("done"/"of") mark
+    // partials loudly; the omitted tail is summarized, never silent.
+    def progressLine(): String = {
+      val done = best.toSeq
+      val total = done.map(_._2).filter(_ >= 0).sum
+      val canary = if (canarySeries.isEmpty) -1.0 else canarySeries.map(_._2).min
+      val sorted = done.sortBy { case (n, v) => (-v, n) }
+      def lineK(k: Int): String = {
+        val kept = sorted.take(k)
+        val om = sorted.drop(k)
+        val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(2, v) }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"done":${done.size},"of":${names.size},"queries":$qs,""" +
+          s""""queries_omitted":${om.size},"omitted_sec":${fmt(3, om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
+      }
+      var k = sorted.size
+      while (k > 1 && lineK(k).length > 900) k -= 1
+      lineK(k)
+    }
+    def fullJson(): String = {
+      val qs = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val ts = tAt.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(1, v) }.mkString("{", ",", "}")
+      val cs = canarySeries.map { case (t, c) => s"[${fmt(1, t)},${fmt(3, c)}]" }
+        .mkString("[", ",", "]")
+      val total = best.values.filter(_ >= 0).sum
+      val canary = if (canarySeries.isEmpty) -1.0 else canarySeries.map(_._2).min
+      s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"queries":$qs,"t_at":$ts,"canary_series":$cs,"sf":"$sfDir"}"""
+    }
+    def writeFull(): Unit =
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench_full.json"), fullJson().getBytes)
+      catch { case _: Throwable => () }
+    def emit(): Unit = {
+      lastLine = progressLine()
+      println(lastLine)
+      writeFull()
+    }
+    // On SIGTERM (the driver timeout) re-print the newest cumulative line:
+    // shutdown may interleave multi-KB Spark stack traces into stdout (the
+    // r16 tail was ONLY such a trace), and a fresh print is the best shot
+    // at landing a complete metric line inside the capture window.
+    sys.addShutdownHook {
+      if (lastLine.nonEmpty) { println(lastLine); Console.out.flush() }
+    }
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { consume(name, SparkEntry.queries(name)(spark, sfDir)); true }
                catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    def record(name: String, v: Double): Unit = {
+      val better = best.get(name) match {
+        case None    => true                      // first sample, even a failure
+        case Some(c) => c < 0 || (v >= 0 && v < c) // any success beats -1; else min
+      }
+      if (better) { best(name) = v; tAt(name) = elapsed() }
+      emit()
+    }
     // Calibration CANARY: a fixed-size synthetic scan+shuffle+agg using
     // no repo operators and no input data — its wall time is a pure
     // function of machine speed/load, so round-over-round bench
     // comparisons can divide ambient drift out of per-query deltas
     // (driver totals moved +16% across r8->r9 with zero implicated
-    // code). Timed at three points across the run (before, between and
-    // after the timed passes), min recorded — same policy as queries.
-    // (No sort leg: a sort under count() is optimizer-eliminated, and
-    // 1000 aggregated rows would not measure anything anyway.)
+    // code). r17: sampled as a SERIES through the run (~ every 2 min of
+    // wall between gates) instead of 3 point samples — an 80-minute
+    // run's min-of-3 misses its slow window (bench/watchitems_r16.md);
+    // the headline "canary" stays the series MIN for round-over-round
+    // continuity, and the full archive carries the series + per-gate
+    // t_at so any gate can be read against load-at-measurement.
     // The per-key aggregates are CONSUMED through a one-row global fold
     // (collected) — under a bare count() Catalyst's column pruning
     // eliminated the sum(h)/sum(h2) aggregates and the hash projections
     // feeding them, so the canary measured only scan+shuffle of the
-    // group key. Heavier than the pre-r11 canary: compare r11+ values
-    // against BENCH_r11's baseline, not r10's 0.312
-    // (bench/watchitems_r11.md).
+    // group key. Compare r11+ values against BENCH_r11's baseline.
     def canaryOnce(): Double = {
       import org.apache.spark.sql.functions.{count, lit, sum}
       val t0 = System.nanoTime()
@@ -151,20 +225,59 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
-    canaryOnce() // pay its own codegen before the measured reps
-    val canary0 = canaryOnce()
-    val pass1 = names.map(n => n -> once(n)).toMap
-    val canary1 = canaryOnce()
-    val results = names.map { n =>
+    var lastCanaryT = -1e9
+    def maybeCanary(force: Boolean = false): Unit =
+      if (force || elapsed() - lastCanaryT > 120.0) {
+        val c = canaryOnce()
+        canarySeries += ((elapsed(), c))
+        lastCanaryT = elapsed()
+      }
+    canaryOnce() // pay its own codegen before the measured samples
+    maybeCanary(force = true)
+    // Each query is timed in TWO full passes over the suite and the MIN
+    // recorded: single-shot numbers swung up to 3x with JIT/compiler
+    // scheduling, and back-to-back repeats share that transient state —
+    // a full pass in between decorrelates it (by pass 2 the whole
+    // suite's generated code is as compiled as it will ever be).
+    val pass1 = scala.collection.mutable.Map[String, Double]()
+    names.foreach { n =>
+      maybeCanary()
+      pass1(n) = once(n)
+      record(n, pass1(n))
+    }
+    System.err.println(f"[bench-time] pass1 done at ${elapsed()}%.1f s")
+    maybeCanary(force = true)
+    names.foreach { n =>
+      maybeCanary()
       val a = pass1(n)
       val b = once(n)
-      val reps = Seq(a, b) ++
-        (if (barrierGates(n)) Seq(once(n), once(n)) else Nil)
-      val ok = reps.filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+      record(n, b)
+      if (barrierGates(n)) {
+        // Up to two extra reps, but STOP as soon as the two best samples
+        // agree within 12% — the extras exist to dodge codegen-eviction
+        // outliers and trigger-0 warmup, and two agreeing samples already
+        // prove the floor. On the heavy admission gates (5-28 s each)
+        // this saves most of a rep per gate vs r16's unconditional
+        // min-of-4, which is what made the suite outgrow the driver cap.
+        var reps = Seq(a, b).filter(_ >= 0)
+        def converged: Boolean = reps.size >= 2 && {
+          val s = reps.sorted.take(2)
+          s(1) <= s(0) * 1.12
+        }
+        var extra = 0
+        while (extra < 2 && !converged) {
+          val v = once(n)
+          if (v >= 0) reps = reps :+ v
+          record(n, v)
+          extra += 1
+        }
+      }
     }
-    val canary = math.min(canary0, math.min(canary1, canaryOnce()))
+    System.err.println(f"[bench-time] pass2 done at ${elapsed()}%.1f s")
+    maybeCanary(force = true)
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val total = results.map(_._2).filter(_ >= 0).sum
+    val canary = canarySeries.map(_._2).min
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
@@ -192,14 +305,12 @@ object Bench {
       while (k > 1 && topLine(k).length > budget) k -= 1
       topLine(k)
     }
-    // Full precision for local round-over-round diffing (tools/bench_diff.py).
-    val full = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    try {
-      val p = java.nio.file.Paths.get("target/bench_full.json")
-      java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"queries":$full,"sf":"$sfDir"}""".getBytes)
-    } catch { case _: Throwable => () }
+    writeFull()
+    lastLine = out
     println(out)
     spark.stop()
+    // Re-print after spark.stop(): its shutdown logging (or a late
+    // executor WARN) must not be the last thing in the capture window.
+    println(out)
   }
 }

@@ -982,6 +982,11 @@ object LlmQueries {
       benchMedia: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    // benchMedia only feeds the media-decontamination leg, which exists
+    // only when media=true — fail fast on the inconsistent combination
+    // instead of silently dropping the caller's benchmark set
+    require(benchMedia.isEmpty || media,
+      "benchMedia requires media=true (the media-decontamination leg is part of the media axis)")
     graft.util.Fs.deleteRecursive(Paths.get(base))
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
@@ -1047,8 +1052,13 @@ object LlmQueries {
     // planes, so batch and state sides always agree. The dial is
     // re-derivable from state alone (scaledPlaneCount of the newest
     // fold's emb row count, floored at the bootstrap count — the
-    // reference is append-only, so the newest fold's count is the max),
-    // which is what a crash-resumed deployment recomputes.
+    // reference is append-only, so the newest fold's count is the max).
+    // NOTE: this runner is NOT resumable — it wipes `base` at entry and
+    // always re-bootstraps, so no code path here performs that
+    // recomputation; it is the recipe a resumable deployment (the L13/
+    // L14 sink direction) must apply at startup-with-existing-state, or
+    // batches would bucket under the bootstrap dial against state
+    // bucketed under a grown dial and silently miss semantic dups.
     var curPlanes = semPlanes
     def rawEmbOf(df: DataFrame): DataFrame = df
       .select(col("doc_id").as("ref_id"),

@@ -438,4 +438,15 @@ object SparkEntry {
    * time. Verify merges these into oracle_sql.json. */
   def dynamicOracleSql: Map[String, (SparkSession, String) => String] =
     LlmQueries.dynamicOracleSql
+
+  /** Fixture rungs whose trained/production sibling times the SAME plan
+   * shape at the same SF — Bench skips these (the 209-gate suite outgrew
+   * the driver's wall cap at r16), Verify keeps them all (correctness at
+   * sf0.01 is cheap). Pairing: e6→e6b, e7→e7b, e9→e9b (oracle-pinned
+   * k-NN fixtures; production dial e9c also stays), e13→e13b,
+   * d10→d10b, d14→d14b, d15→d15b. Every operator family stays
+   * represented in the bench population. */
+  val benchSuperseded: Set[String] = Set(
+    "e6_pq_topk", "e7_ivfpq_topk", "e9_knn_graph", "e13_ann_recall",
+    "d10_semdedup", "d14_text_embedding_neardup", "d15_text_semdedup")
 }

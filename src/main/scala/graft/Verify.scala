@@ -61,6 +61,23 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     val pending = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val failedNames = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val doneCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Machine-readable failure sidecar (r16 judge finding #3: the failure
+    // count lived only in stderr). Rewritten after EVERY gate so a driver
+    // kill mid-dump still leaves an accurate {failures, failed, pending}
+    // — anything in `pending` when the artifact is read was killed
+    // mid-write and must be treated as failed. Exit code stays 0 by
+    // design (a nonzero rc could make the driver discard a partial dump
+    // that carries every completed gate).
+    def writeSidecar(): Unit = synchronized {
+      import scala.jdk.CollectionConverters._
+      val f = failedNames.asScala.toSeq.sorted.map(q).mkString("[", ",", "]")
+      val p = pending.asScala.toSeq.sorted.map(q).mkString("[", ",", "]")
+      try Files.writeString(Paths.get(s"$outDir/failures.json"),
+        s"""{"done":${doneCount.get()},"failures":${failures.get()},"failed":$f,"pending":$p}""")
+      catch { case _: Throwable => () }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -78,12 +95,16 @@ object Verify {
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
             failures.incrementAndGet()
+            failedNames.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
           pending.remove(name)
+          doneCount.incrementAndGet()
+          writeSidecar()
           System.err.println(f"[verify-time] $name ${(System.nanoTime() - g0) / 1e9}%.2f s (total ${(System.nanoTime() - t0) / 1e9}%.1f s)")
         }})
       }
+    writeSidecar() // first snapshot (all gates submitted; most still pending)
     pool.shutdown()
     val finished =
       pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
@@ -93,6 +114,8 @@ object Verify {
       import scala.jdk.CollectionConverters._
       val stuck = pending.asScala.toSeq.sorted
       failures.addAndGet(stuck.size)
+      stuck.foreach(failedNames.add)
+      writeSidecar()
       System.err.println(
         s"[verify] TIMEOUT after 2h — unfinished gates: ${stuck.mkString(", ")}")
     }

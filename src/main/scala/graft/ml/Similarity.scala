@@ -902,7 +902,12 @@ object Similarity {
    * [[lshBucket]] when the corpus has a dominant common direction.
    * The all-zero vector (empty token bag) skips normalization and
    * centers to `-center` — every empty doc shares one bucket, and
-   * their cosine against anything is NaN, so they never flag. */
+   * their cosine against anything is NaN. Spark SQL (and DuckDB)
+   * order NaN GREATER than any numeric, so `cosine >= threshold` is
+   * TRUE for zero-vector pairs: two distinct empty-token-bag docs in
+   * the shared bucket DO flag as semantic dups — a defensible verdict
+   * for content-free documents, and identical under both engines, so
+   * gates and oracles agree by construction. */
   def unitCentered(vec: Column, center: Seq[Double]): Column = {
     val nz = when(norm(vec) === 0.0, lit(1.0)).otherwise(norm(vec))
     zip_with(vec, typedlit(center), (x, c) => x / nz - c)

@@ -27,7 +27,14 @@ object Fs {
       // logical checkpoint written as `hdfs://nn/path/` on resume must
       // digest identically to `hdfs://nn/path`, or bindCheckpoint would
       // permanently refuse a legitimate resume — URIs get no filesystem
-      // canonicalization, so normalize structurally
+      // canonicalization, so normalize structurally.
+      // MIGRATION (one-time, r16): a ckpt=<md5> marker bound under the
+      // PRE-normalization canon of a trailing-slash URI digests
+      // differently now and would refuse resume. No such marker can
+      // exist here — every state dir in this repo's tests/benches is
+      // wiped per run and no durable deployment predates the change —
+      // but an operator upgrading a live store must rebind (delete the
+      // marker; the next run re-binds under the normalized canon).
       val p = Option(u.getPath).getOrElse("") match {
         case "" => "/"
         case "/" => "/"
