@@ -29,7 +29,7 @@ object LlmQueries {
   private val Rows = NumPerms / Bands
   private val Perms = Hashing.minhashPerms(NumPerms)
   private val NPlanes = 8
-  private val Dim = 64
+  private[graft] val Dim = 64
   private val Planes = Similarity.hyperplanes(NPlanes, Dim)
   private val TopK = 10
   private val NCells = 16
@@ -951,23 +951,313 @@ object LlmQueries {
   // (templated boilerplate) still exits the join instead of exploding it
   private val SemMaxBucket = 256
 
+  /** THE ADMISSION-GATE CORE — one implementation of bootstrap,
+   * per-trigger verdict, state append and maintenance, shared by TWO
+   * lifecycles: the bespoke stream runners ([[runAdmissionStream]] —
+   * w12/w14/w15/w16/w17/w18) and the Connect-lifecycle sink
+   * ([[graft.pipeline.AdmissionSink]] — l13/l14, where the same gate is
+   * REST-registered, paused, resumed and offset-reset like any other
+   * connector). Extracted at r17 so the declarative sink can enable
+   * EVERY admission axis by config key (the reference's whole UX is
+   * per-connector config toggles) without duplicating the carefully
+   * shaped per-trigger plans.
+   *
+   * Each trigger computes its verdict from the BATCH's text plus the
+   * PRECOMPUTED state ONLY: the admitted-corpus text lands under
+   * `ref/` as the pipeline's product but is never re-read (the r13
+   * scale fix — per-trigger cost is O(batch) hashing + joins against
+   * state tables that grow only by admitted artifacts). Per-trigger
+   * writes stay in their own `batch=`/`adm`/`b<id>` dirs with
+   * overwrite (w10's idempotent replay shape), and the state read
+   * filters to ids STRICTLY BELOW the current batch — a crashed
+   * attempt's leftover state can never make its replay
+   * self-duplicate.
+   *
+   * The class owns the gate's LIVE dials: the frozen bucketing center
+   * and the growing semantic plane count. A RESUMED deployment (the
+   * sink lifecycle — the runners always start fresh) rebuilds both
+   * from persisted state via [[resumeDials]]: the center reads back
+   * from `state/center`, and the plane count re-derives as
+   * scaledPlaneCount(newest fold's emb rows, floor = bootstrap count)
+   * — growth happens ONLY at maintenance folds and scaledPlaneCount
+   * is monotone in the (append-only) reference size, so the newest
+   * fold pins exactly the dial the folding trigger chose; without
+   * this, a resumed stream would bucket batches under the bootstrap
+   * dial against state bucketed under the grown dial and silently
+   * miss semantic dups. */
+  private[graft] final class AdmissionGateCore(
+      base: String, fused: Boolean, hasBench: Boolean,
+      containment: Boolean, semantic: Boolean, media: Boolean,
+      hasBenchMedia: Boolean,
+      semPlanes0: Seq[Seq[Long]] = Planes,
+      semCenter0: Seq[Double] = Nil,
+      foldThreshold: Int = 6) {
+    val refDir = s"$base/ref"
+    val stateDir = s"$base/state"
+    val outDir = s"$base/out"
+    // the semantic leg's LIVE LSH dial: starts at the caller's
+    // production plane count (expected bucket ~ 16 docs over the gate
+    // corpus — the d14b dial) and GROWS at the maintenance fold as the
+    // reference crosses occupancy thresholds; the fold re-buckets the
+    // folded state and the appends after it bucket under the grown
+    // planes, so batch and state sides always agree
+    private var curPlanes = semPlanes0
+    // the bucketing CENTER: hashed text-count vectors share a dominant
+    // common direction, so raw sign-of-dot buckets collapse into a
+    // mega-bucket the hot-bucket cap would then blind; buckets derive
+    // from the unit-normalized, seed-mean-centered vector instead
+    // ([[Similarity.meanUnitVector]]). Frozen at bootstrap (quantizer
+    // discipline — a reindex re-trains it) and persisted beside the
+    // state so a resumed deployment reads it back rather than needing
+    // the retired seed; the tiny `center` dir is invisible to
+    // AdmissionState.parts.
+    private var center: Seq[Double] = semCenter0
+
+    private def rawEmbOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id").as("ref_id"),
+        TextAnalysis.hashedEmbedding(
+          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
+    private def bucketOf(vec: Column): Column =
+      Similarity.lshBucket(Similarity.unitCentered(vec, center), curPlanes)
+    private def embFrameOf(df: DataFrame): DataFrame = rawEmbOf(df)
+      .select(col("ref_id"), bucketOf(col("vec")).as("bucket"), col("vec"))
+
+    /** True once [[bootstrap]] has COMPLETED on this gate root (the
+     * marker is the bootstrap's last write, so a crash mid-bootstrap
+     * reads false and the next start redoes the whole idempotent
+     * overwrite set). Dot-prefixed: invisible to AdmissionState.parts. */
+    def bootstrapped: Boolean =
+      java.nio.file.Files.exists(
+        java.nio.file.Paths.get(stateDir, ".bootstrapped"))
+
+    /** First-start bootstrap: the seed corpus's DERIVED state — built
+     * ONCE, before the stream starts; every trigger joins against
+     * these files. All writes are mode-overwrite and the completion
+     * marker lands last, so a crashed bootstrap simply re-runs. */
+    def bootstrap(s: SparkSession, seed: DataFrame,
+                  bench: Option[DataFrame],
+                  benchMedia: Option[DataFrame]): Unit = {
+      seed.write.mode("overwrite").parquet(s"$refDir/seed")
+      val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
+        k = 3, numPerms = NumPerms)
+      seedArt.write.mode("overwrite").parquet(s"$stateDir/seed/art")
+      // the distinct-shingle table exists for the novelty leg only — the
+      // plain dedup form (w12/l13) neither writes nor reads it. It
+      // derives from the artifact PARQUET, not the artifact plan:
+      // explode() infers a not-null/size filter that Catalyst pushes
+      // below the projections, inlining the whole tokenize+md5+shingle
+      // subtree ~7x per document into a scan-level Filter (measured 10s
+      // vs 0.5s on the seed) — the read-back cuts the lineage so the
+      // filter lands on a materialized column
+      if (fused)
+        s.read.parquet(s"$stateDir/seed/art")
+          .select(explode(col("sset")).as("h")).distinct()
+          .write.mode("overwrite").parquet(s"$stateDir/seed/sh")
+      // the FROZEN benchmark posting table (w15's decontamination leg):
+      // built once at bootstrap — benchmarks change rarely — and read by
+      // every trigger; df-capped like d16, derived via the same artifact
+      // read-back that keeps explode off the raw tokenize plan. The
+      // `bench`-prefixed dirs are invisible to AdmissionState.parts
+      // (names parse as neither seed, b<id> nor fold=<k>).
+      bench.foreach { b =>
+        Dedup.admissionArtifacts(b, "doc_id", "text", k = 3,
+            numPerms = NumPerms)
+          .write.mode("overwrite").parquet(s"$stateDir/bench/art")
+        val bsh = s.read.parquet(s"$stateDir/bench/art")
+          .select(col("doc_id").as("bench_id"), explode(col("sset")).as("h"))
+        val bkeep = bsh.groupBy("h").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") <= DecontMaxDf).select("h")
+        bsh.join(bkeep, Seq("h"))
+          .write.mode("overwrite").parquet(s"$stateDir/bench/posts")
+      }
+      // the containment leg's posting state (w16): the seed's df-capped
+      // per-doc postings, built once at bootstrap from the artifact
+      // read-back (the same lineage-cut discipline as the sh table);
+      // admitted batches append their raw postings per trigger
+      if (containment)
+        Dedup.containmentPostings(
+            s.read.parquet(s"$stateDir/seed/art"), ContainMaxDf)
+          .write.mode("overwrite").parquet(s"$stateDir/seed/cpost")
+      // the semantic leg's embedding state (w17): hashed-text vector +
+      // LSH bucket per reference doc — one O(seed) codegen pass at
+      // bootstrap, appended per admitted batch like every state table
+      if (semantic) {
+        if (center.isEmpty)
+          center = Similarity.meanUnitVector(rawEmbOf(seed), "vec", Dim)
+        import s.implicits._
+        Seq(center).toDF("center")
+          .write.mode("overwrite").parquet(s"$stateDir/center")
+        embFrameOf(seed).write.mode("overwrite")
+          .parquet(s"$stateDir/seed/emb")
+      }
+      // the MEDIA axes (w18 = m22/m24's legs fused into this gate):
+      // seed media fingerprints bootstrap once; the frozen
+      // benchmark-media fingerprints freeze like the text posting
+      // benchmark
+      if (media) {
+        val (si, sa) = mediaFingerprints(seed)
+        si.write.mode("overwrite").parquet(s"$stateDir/seed/imgfp")
+        sa.write.mode("overwrite").parquet(s"$stateDir/seed/audfp")
+        benchMedia.foreach { bm =>
+          val (bi, ba) = mediaFingerprints(bm)
+          bi.write.mode("overwrite").parquet(s"$stateDir/benchm/imgfp")
+          ba.write.mode("overwrite").parquet(s"$stateDir/benchm/audfp")
+        }
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(stateDir, ".bootstrapped"), "1")
+      ()
+    }
+
+    /** Startup-with-existing-state (the sink lifecycle's resume path):
+     * rebuild the live dials from persisted state — see the class doc
+     * for why the newest fold pins the plane count exactly. */
+    def resumeDials(s: SparkSession): Unit = if (semantic) {
+      center = s.read.parquet(s"$stateDir/center")
+        .head().getSeq[Double](0).toSeq
+      graft.text.AdmissionState.newestFold(stateDir).foreach { fdir =>
+        val n = s.read.parquet(s"$fdir/emb").count()
+        val grown = scaledPlaneCount(n, floor = semPlanes0.size)
+        if (grown > curPlanes.size)
+          curPlanes = Similarity.hyperplanes(grown, Dim)
+      }
+    }
+
+    /** One micro-batch through the gate: verdict from state, admitted
+     * survivors' text to `ref/`, their artifacts appended to state,
+     * the maintenance fold once the unfolded tail exceeds the
+     * threshold. Replay-safe: verdict and appends land in per-batch
+     * overwrite dirs; the state read excludes ids at or above the
+     * current batch. */
+    def applyBatch(sp: SparkSession, epoch: Long,
+                   batch: DataFrame, id: Long): Unit =
+      CacheScope.withScope { implicit scope =>
+        val b = scope.persist(batch).toDF()
+        // state = seed + every PRIOR batch's admitted artifacts —
+        // never this batch's own (replay safety, as with adm dirs);
+        // resolves through AdmissionState so folded state (the
+        // small-files maintenance verb) reads as one compacted dir
+        graft.text.AdmissionState.guard(stateDir, epoch)
+        val parts = graft.text.AdmissionState.parts(stateDir, id)
+        val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
+        val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
+                      else sp.emptyDataFrame
+        val batchArt = scope.persist(Dedup.admissionArtifacts(
+          b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
+        val posts = if (hasBench)
+          Some(sp.read.parquet(s"$stateDir/bench/posts")) else None
+        val cposts = if (containment)
+          Some(sp.read.parquet(parts.map(_ + "/cpost"): _*)) else None
+        val batchEmb = if (semantic)
+          Some(scope.persist(embFrameOf(b)
+            .withColumnRenamed("ref_id", "doc_id")).toDF()) else None
+        val semb = batchEmb.map(be =>
+          (be, sp.read.parquet(parts.map(_ + "/emb"): _*)))
+        // the media axes: the batch's OWN decode + fingerprint
+        // (O(batch) — reference media never re-decodes), then
+        // fingerprint-group semi-joins against the evolving state
+        // tables and the frozen benchmark-media tables (m22/m24)
+        val batchMedia = if (!media) None else {
+          val (bi, ba) = mediaFingerprints(b)
+          Some((scope.persist(bi).toDF(), scope.persist(ba).toDF()))
+        }
+        val mediaFlags: Seq[(String, DataFrame)] = batchMedia match {
+          case None => Nil
+          case Some((bImg, bAud)) =>
+            val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
+            val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
+            def hits(bfp: DataFrame, state: DataFrame,
+                     keys: Seq[String]): DataFrame =
+              bfp.join(state.select(keys.map(col): _*), keys, "left_semi")
+                .select(col("media_id").as("doc_id"))
+            Seq(
+              "image_dup" -> hits(bImg, stateImg, Seq("hash_hi", "hash_lo")),
+              "audio_dup" -> hits(bAud, stateAud, Seq("fp_hi", "fp_lo"))) ++
+              (if (!hasBenchMedia) Nil else {
+                val bi = sp.read.parquet(s"$stateDir/benchm/imgfp")
+                val ba = sp.read.parquet(s"$stateDir/benchm/audfp")
+                Seq("media_contaminated" ->
+                  hits(bImg, bi, Seq("hash_hi", "hash_lo"))
+                    .unionByName(hits(bAud, ba, Seq("fp_hi", "fp_lo"))))
+              })
+        }
+        val verdict = scope.persist(admissionTriggerVerdict(
+          b, batchArt, stateArt, stateSh, fused, posts, cposts,
+          semb, mediaFlags)).toDF()
+        verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val admIds = verdict.filter(col("admitted")).select("doc_id")
+        // the admitted-corpus product (text) — WRITE-only from here on
+        b.join(admIds, "doc_id")
+          .write.mode("overwrite").parquet(s"$refDir/adm$id")
+        // self-driving state maintenance (the LogTable auto-compaction
+        // move): once the unfolded tail exceeds the threshold, fold
+        // everything strictly below this batch — safe mid-stream
+        // (committed ids never replay, and this batch's own appends
+        // land AFTER the fold, above its horizon). The PRODUCTION fold
+        // verb rewrites the derived tables atomically with the
+        // compaction: `cpost` re-caps under the GLOBAL df (cross-batch
+        // boilerplate leaves the postings exactly here), and `emb`
+        // re-buckets under the GROWN plane dial when the folded
+        // reference crosses an occupancy threshold (expected bucket
+        // ~ 16 docs) — appends below then bucket under the same grown
+        // planes, so state and batch sides never mix dials.
+        if (parts.size > foldThreshold) {
+          if (semantic) {
+            val nRef = sp.read.parquet(parts.map(_ + "/emb"): _*).count()
+            val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
+            if (grown > curPlanes.size)
+              curPlanes = Similarity.hyperplanes(grown, Dim)
+          }
+          Dedup.maintenanceFold(sp, stateDir, upTo = id - 1,
+            subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
+              (if (containment) Seq("cpost") else Nil) ++
+              (if (semantic) Seq("emb") else Nil) ++
+              (if (media) Seq("imgfp", "audfp") else Nil),
+            epoch = epoch,
+            recapMaxDf = if (containment) Some(ContainMaxDf) else None,
+            rebucket = if (semantic) Some(bucketOf _) else None)
+        }
+        // the state append: only the admitted docs' artifacts
+        val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
+        admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
+        if (fused)
+          admArt.select(explode(col("sset")).as("h")).distinct()
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
+        if (containment)
+          // raw (uncapped) postings: the append is batch-bounded, so
+          // per-trigger containment fanout stays O(batch*maxDf +
+          // unfolded*batch); the maintenance fold above re-caps
+          // globally ([[Dedup.maintenanceFold]])
+          admArt.select(col("doc_id").as("ref_id"), col("sset"))
+            .select(col("ref_id"),
+              explode(col("sset")).as("h"),
+              size(col("sset")).cast("long").as("n_b"))
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
+        // bucket derived FROM THE VECTOR at append time (not reused
+        // from the verdict frame): if the fold above grew the plane
+        // dial, this append must already bucket under the grown planes
+        batchEmb.foreach(be =>
+          be.join(admIds, "doc_id")
+            .select(col("doc_id").as("ref_id"),
+              bucketOf(col("vec")).as("bucket"), col("vec"))
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/emb"))
+        batchMedia.foreach { case (bImg, bAud) =>
+          bImg.join(admIds, bImg("media_id") === admIds("doc_id"),
+              "left_semi")
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
+          bAud.join(admIds, bAud("media_id") === admIds("doc_id"),
+              "left_semi")
+            .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
+        }
+      }
+  }
+
   /** Shared w12/w14 stream runner — stages `waves` as minute-spaced
-   * files, bootstraps the evolving reference's DERIVED state (seed
-   * artifact + shingle tables — the one-time O(corpus) build
-   * production amortizes over every later trigger), then drives the
-   * stream. Each trigger computes its verdict from the BATCH's text
-   * plus the PRECOMPUTED state ONLY: the admitted-corpus text lands
-   * under `ref/` as the pipeline's product but is never re-read (the
-   * r13 scale fix — the old form re-tokenized the whole evolving
-   * reference every trigger, O(|reference| text) per batch and
-   * growing without bound; this form's per-trigger cost is O(batch)
-   * hashing + joins against state tables that grow only by admitted
-   * artifacts). Per-trigger writes stay in their own `batch=`/`adm`/
-   * `b<id>` dirs with overwrite (w10's idempotent replay shape), and
-   * the state read filters to ids STRICTLY BELOW the current batch —
-   * a crashed attempt's leftover state can never make its replay
-   * self-duplicate. `onTrigger` observes (batchId, wallMillis) for
-   * the ladder probe. */
+   * files, bootstraps the evolving reference's DERIVED state via
+   * [[AdmissionGateCore]] (the one-time O(corpus) build production
+   * amortizes over every later trigger), then drives the stream; each
+   * trigger is one [[AdmissionGateCore.applyBatch]]. `onTrigger`
+   * observes (batchId, wallMillis) for the ladder probe. */
   private[graft] def runAdmissionStream(
       s: SparkSession, seed: DataFrame, waves: Seq[DataFrame],
       base: String, fused: Boolean,
@@ -981,7 +1271,6 @@ object LlmQueries {
       media: Boolean = false,
       benchMedia: Option[DataFrame] = None): DataFrame = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     // benchMedia only feeds the media-decontamination leg, which exists
     // only when media=true — fail fast on the inconsistent combination
     // instead of silently dropping the caller's benchmark set
@@ -994,116 +1283,19 @@ object LlmQueries {
       graft.Tables.stageFile(w, in.resolve(f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
     }
-    val refDir = s"$base/ref"
-    val stateDir = s"$base/state"
-    val outDir = s"$base/out"
     val schema = seed.schema
-    seed.write.parquet(s"$refDir/seed")
-    // bootstrap: the seed's derived artifacts — built ONCE, before the
-    // stream starts; every trigger joins against these files
-    val seedArt = Dedup.admissionArtifacts(seed, "doc_id", "text",
-      k = 3, numPerms = NumPerms)
-    seedArt.write.parquet(s"$stateDir/seed/art")
-    // the distinct-shingle table exists for the novelty leg only — the
-    // plain dedup form (w12) neither writes nor reads it. It derives
-    // from the artifact PARQUET, not the artifact plan: explode()
-    // infers a not-null/size filter that Catalyst pushes below the
-    // projections, inlining the whole tokenize+md5+shingle subtree ~7x
-    // per document into a scan-level Filter (measured 10s vs 0.5s on
-    // the seed) — the read-back cuts the lineage so the filter lands
-    // on a materialized column
-    if (fused)
-      s.read.parquet(s"$stateDir/seed/art")
-        .select(explode(col("sset")).as("h")).distinct()
-        .write.parquet(s"$stateDir/seed/sh")
-    // the FROZEN benchmark posting table (w15's decontamination leg):
-    // built once at bootstrap — benchmarks change rarely — and read by
-    // every trigger; df-capped like d16, derived via the same artifact
-    // read-back that keeps explode off the raw tokenize plan. The
-    // `bench`-prefixed dirs are invisible to AdmissionState.parts
-    // (names parse as neither seed, b<id> nor fold=<k>).
-    bench.foreach { b =>
-      Dedup.admissionArtifacts(b, "doc_id", "text", k = 3,
-          numPerms = NumPerms)
-        .write.parquet(s"$stateDir/bench/art")
-      val bsh = s.read.parquet(s"$stateDir/bench/art")
-        .select(col("doc_id").as("bench_id"), explode(col("sset")).as("h"))
-      val bkeep = bsh.groupBy("h").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= DecontMaxDf).select("h")
-      bsh.join(bkeep, Seq("h"))
-        .write.parquet(s"$stateDir/bench/posts")
-    }
-    // the containment leg's posting state (w16): the seed's df-capped
-    // per-doc postings, built once at bootstrap from the artifact
-    // read-back (the same lineage-cut discipline as the sh table);
-    // admitted batches append their raw postings per trigger
-    if (containment)
-      Dedup.containmentPostings(
-          s.read.parquet(s"$stateDir/seed/art"), ContainMaxDf)
-        .write.parquet(s"$stateDir/seed/cpost")
-    // the semantic leg's embedding state (w17): hashed-text vector +
-    // LSH bucket per reference doc — one O(seed) codegen pass at
-    // bootstrap, appended per admitted batch like every state table.
-    // `curPlanes` is the leg's LIVE LSH dial: it starts at the caller's
-    // production plane count (expected bucket ≈ 16 docs over the gate
-    // corpus — the d14b dial) and GROWS at the maintenance fold as the
-    // reference crosses occupancy thresholds; the fold re-buckets the
-    // folded state and the appends after it bucket under the grown
-    // planes, so batch and state sides always agree. The dial is
-    // re-derivable from state alone (scaledPlaneCount of the newest
-    // fold's emb row count, floored at the bootstrap count — the
-    // reference is append-only, so the newest fold's count is the max).
-    // NOTE: this runner is NOT resumable — it wipes `base` at entry and
-    // always re-bootstraps, so no code path here performs that
-    // recomputation; it is the recipe a resumable deployment (the L13/
-    // L14 sink direction) must apply at startup-with-existing-state, or
-    // batches would bucket under the bootstrap dial against state
-    // bucketed under a grown dial and silently miss semantic dups.
-    var curPlanes = semPlanes
-    def rawEmbOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id").as("ref_id"),
-        TextAnalysis.hashedEmbedding(
-          Dedup.tokens(lower(col("text"))), Dim).as("vec"))
-    // the bucketing CENTER: hashed text-count vectors share a dominant
-    // common direction, so raw sign-of-dot buckets collapse into a
-    // mega-bucket the hot-bucket cap would then blind; buckets derive
-    // from the unit-normalized, seed-mean-centered vector instead
-    // ([[Similarity.meanUnitVector]]). Frozen at bootstrap (quantizer
-    // discipline — a reindex re-trains it) and persisted beside the
-    // state so a resumed deployment reads it back rather than needing
-    // the retired seed; the tiny `center` dir is invisible to
-    // AdmissionState.parts.
-    val center: Seq[Double] =
-      if (!semantic) Nil
-      else if (semCenter.nonEmpty) semCenter
-      else Similarity.meanUnitVector(rawEmbOf(seed), "vec", Dim)
-    def bucketOf(vec: Column): Column =
-      Similarity.lshBucket(Similarity.unitCentered(vec, center), curPlanes)
-    def embFrameOf(df: DataFrame): DataFrame = rawEmbOf(df)
-      .select(col("ref_id"), bucketOf(col("vec")).as("bucket"), col("vec"))
-    if (semantic) {
-      import s.implicits._
-      Seq(center).toDF("center").write.parquet(s"$stateDir/center")
-      embFrameOf(seed).write.parquet(s"$stateDir/seed/emb")
-    }
-    // the MEDIA axes (w18 = m22/m24's legs fused into this runner):
-    // seed media fingerprints bootstrap once; the frozen benchmark-media
-    // fingerprints freeze like the text posting benchmark
-    if (media) {
-      val (si, sa) = mediaFingerprints(seed)
-      si.write.parquet(s"$stateDir/seed/imgfp")
-      sa.write.parquet(s"$stateDir/seed/audfp")
-      benchMedia.foreach { bm =>
-        val (bi, ba) = mediaFingerprints(bm)
-        bi.write.parquet(s"$stateDir/benchm/imgfp")
-        ba.write.parquet(s"$stateDir/benchm/audfp")
-      }
-    }
+    val core = new AdmissionGateCore(base, fused,
+      hasBench = bench.nonEmpty, containment = containment,
+      semantic = semantic, media = media,
+      hasBenchMedia = benchMedia.nonEmpty,
+      semPlanes0 = semPlanes, semCenter0 = semCenter,
+      foldThreshold = foldThreshold)
+    core.bootstrap(s, seed, bench, benchMedia)
     // the admission-runner role: epoch lease + checkpoint-identity bind
     // (a rescheduled job on this stateDir supersedes us; OUR next append
     // or fold then refuses — see AdmissionState's concurrency contract)
-    val epoch = graft.text.AdmissionState.acquireWriter(stateDir)
-    graft.text.AdmissionState.bindCheckpoint(stateDir, s"$base/ckpt")
+    val epoch = graft.text.AdmissionState.acquireWriter(core.stateDir)
+    graft.text.AdmissionState.bindCheckpoint(core.stateDir, s"$base/ckpt")
     val scoped = s.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions", "4")
     val stream = scoped.readStream.schema(schema)
@@ -1112,132 +1304,13 @@ object LlmQueries {
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val t0 = System.nanoTime()
-        val sp = batch.sparkSession
-        CacheScope.withScope { implicit scope =>
-          val b = scope.persist(batch).toDF()
-          // state = seed + every PRIOR batch's admitted artifacts —
-          // never this batch's own (replay safety, as with adm dirs);
-          // resolves through AdmissionState so folded state (the
-          // small-files maintenance verb) reads as one compacted dir
-          graft.text.AdmissionState.guard(stateDir, epoch)
-          val parts = graft.text.AdmissionState.parts(stateDir, id)
-          val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
-          val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
-                        else sp.emptyDataFrame
-          val batchArt = scope.persist(Dedup.admissionArtifacts(
-            b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
-          val posts = bench.map(_ =>
-            sp.read.parquet(s"$stateDir/bench/posts"))
-          val cposts = if (containment)
-            Some(sp.read.parquet(parts.map(_ + "/cpost"): _*)) else None
-          val batchEmb = if (semantic)
-            Some(scope.persist(embFrameOf(b)
-              .withColumnRenamed("ref_id", "doc_id")).toDF()) else None
-          val semb = batchEmb.map(be =>
-            (be, sp.read.parquet(parts.map(_ + "/emb"): _*)))
-          // the media axes: the batch's OWN decode + fingerprint
-          // (O(batch) — reference media never re-decodes), then
-          // fingerprint-group semi-joins against the evolving state
-          // tables and the frozen benchmark-media tables (m22/m24)
-          val batchMedia = if (!media) None else {
-            val (bi, ba) = mediaFingerprints(b)
-            Some((scope.persist(bi).toDF(), scope.persist(ba).toDF()))
-          }
-          val mediaFlags: Seq[(String, DataFrame)] = batchMedia match {
-            case None => Nil
-            case Some((bImg, bAud)) =>
-              val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
-              val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
-              def hits(bfp: DataFrame, state: DataFrame,
-                       keys: Seq[String]): DataFrame =
-                bfp.join(state.select(keys.map(col): _*), keys, "left_semi")
-                  .select(col("media_id").as("doc_id"))
-              Seq(
-                "image_dup" -> hits(bImg, stateImg, Seq("hash_hi", "hash_lo")),
-                "audio_dup" -> hits(bAud, stateAud, Seq("fp_hi", "fp_lo"))) ++
-                benchMedia.map { _ =>
-                  val bi = sp.read.parquet(s"$stateDir/benchm/imgfp")
-                  val ba = sp.read.parquet(s"$stateDir/benchm/audfp")
-                  "media_contaminated" ->
-                    hits(bImg, bi, Seq("hash_hi", "hash_lo"))
-                      .unionByName(hits(bAud, ba, Seq("fp_hi", "fp_lo")))
-                }
-          }
-          val verdict = scope.persist(admissionTriggerVerdict(
-            b, batchArt, stateArt, stateSh, fused, posts, cposts,
-            semb, mediaFlags)).toDF()
-          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
-          val admIds = verdict.filter(col("admitted")).select("doc_id")
-          // the admitted-corpus product (text) — WRITE-only from here on
-          b.join(admIds, "doc_id")
-            .write.mode("overwrite").parquet(s"$refDir/adm$id")
-          // self-driving state maintenance (the LogTable auto-compaction
-          // move): once the unfolded tail exceeds the threshold, fold
-          // everything strictly below this batch — safe mid-stream
-          // (committed ids never replay, and this batch's own appends
-          // land AFTER the fold, above its horizon). The PRODUCTION fold
-          // verb rewrites the derived tables atomically with the
-          // compaction: `cpost` re-caps under the GLOBAL df (cross-batch
-          // boilerplate leaves the postings exactly here), and `emb`
-          // re-buckets under the GROWN plane dial when the folded
-          // reference crosses an occupancy threshold (expected bucket
-          // ≈ 16 docs) — appends below then bucket under the same grown
-          // planes, so state and batch sides never mix dials.
-          if (parts.size > foldThreshold) {
-            if (semantic) {
-              val nRef = sp.read.parquet(parts.map(_ + "/emb"): _*).count()
-              val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
-              if (grown > curPlanes.size)
-                curPlanes = Similarity.hyperplanes(grown, Dim)
-            }
-            Dedup.maintenanceFold(sp, stateDir, upTo = id - 1,
-              subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
-                (if (containment) Seq("cpost") else Nil) ++
-                (if (semantic) Seq("emb") else Nil) ++
-                (if (media) Seq("imgfp", "audfp") else Nil),
-              epoch = epoch,
-              recapMaxDf = if (containment) Some(ContainMaxDf) else None,
-              rebucket = if (semantic) Some(bucketOf _) else None)
-          }
-          // the state append: only the admitted docs' artifacts
-          val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
-          admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
-          if (fused)
-            admArt.select(explode(col("sset")).as("h")).distinct()
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
-          if (containment)
-            // raw (uncapped) postings: the append is batch-bounded, so
-            // per-trigger containment fanout stays O(batch·maxDf +
-            // unfolded·batch); the maintenance fold above re-caps
-            // globally ([[Dedup.maintenanceFold]])
-            admArt.select(col("doc_id").as("ref_id"), col("sset"))
-              .select(col("ref_id"),
-                explode(col("sset")).as("h"),
-                size(col("sset")).cast("long").as("n_b"))
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
-          // bucket derived FROM THE VECTOR at append time (not reused
-          // from the verdict frame): if the fold above grew the plane
-          // dial, this append must already bucket under the grown planes
-          batchEmb.foreach(be =>
-            be.join(admIds, "doc_id")
-              .select(col("doc_id").as("ref_id"),
-                bucketOf(col("vec")).as("bucket"), col("vec"))
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/emb"))
-          batchMedia.foreach { case (bImg, bAud) =>
-            bImg.join(admIds, bImg("media_id") === admIds("doc_id"),
-                "left_semi")
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
-            bAud.join(admIds, bAud("media_id") === admIds("doc_id"),
-                "left_semi")
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
-          }
-        }
+        core.applyBatch(batch.sparkSession, epoch, batch, id)
         onTrigger(id, (System.nanoTime() - t0) / 1000000L)
         ()
       }.start()
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(outDir).drop("batch")
+    s.read.parquet(core.outDir).drop("batch")
   }
 
   /** W12: STREAMED admission dedup — d13's verdict machinery run
@@ -1257,6 +1330,61 @@ object LlmQueries {
         s"target/tmp/w12_${new java.io.File(dir).getName}", fused = false)
       .select("doc_id", "exact_dup", "near_dup", "admitted")
       .orderBy("doc_id")
+  }
+
+  /** Shared l13/l14 lifecycle driver: spin up an [[graft.pipeline
+   * .Engine]] + [[graft.pipeline.ConnectServer]], REST-register the
+   * admission spec, drain the pre-staged waves, PAUSE, stage the
+   * backlog (which a paused gate must NOT process), RESUME from the
+   * checkpoint (a fresh fenced admission epoch supersedes the paused
+   * incarnation's, and the gate core rebuilds its live dials from
+   * persisted state — [[AdmissionGateCore.resumeDials]]), drain the
+   * backlog, DEREGISTER. Returns the gate's verdict frame with the
+   * lifecycle evidence riding as literal columns (l9's shape). */
+  private def driveAdmissionPipeline(
+      s: SparkSession, base: String, name: String, specJson: String,
+      stageBacklog: () => Unit): DataFrame = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", "4")
+    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
+    val server = new graft.pipeline.ConnectServer(engine)
+    val url = server.start()
+    try {
+      val http = java.net.http.HttpClient.newHttpClient()
+      def call(method: String, path: String, body: Option[String] = None) = {
+        val b = java.net.http.HttpRequest
+          .newBuilder(java.net.URI.create(url + path))
+        val r = http.send(body.fold(b.method(method,
+            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
+            b.method(method,
+              java.net.http.HttpRequest.BodyPublishers.ofString(s)))
+          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(r.statusCode() < 400,
+          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
+        r.body()
+      }
+      def state_(): String = {
+        val n = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(call("GET", s"/connectors/$name/status"))
+        n.get("connector").get("state").asText()
+      }
+      call("POST", "/connectors", Some(specJson))
+      scoped.streams.active.foreach(_.processAllAvailable()) // pre-staged
+      val stRunning = state_()
+      call("PUT", s"/connectors/$name/pause")
+      val stPaused = state_()
+      stageBacklog() // the backlog a paused gate must NOT process
+      call("PUT", s"/connectors/$name/resume")
+      scoped.streams.active.foreach(_.processAllAvailable()) // backlog
+      val stResumed = state_()
+      call("DELETE", s"/connectors/$name")
+      val after = call("GET", "/connectors")
+      s.read.parquet(s"$base/gate/out").drop("batch")
+        .withColumn("status_after_register", lit(stRunning))
+        .withColumn("status_while_paused", lit(stPaused))
+        .withColumn("status_after_resume", lit(stResumed))
+        .withColumn("deregistered", lit(after == "[]"))
+    } finally server.stop()
   }
 
   /** L13: THE INGEST GATE THROUGH THE CONNECT LIFECYCLE — the
@@ -1285,61 +1413,75 @@ object LlmQueries {
       graft.Tables.stageFile(waves(i), Paths.get(in, f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
     stage(0); stage(1) // wave 2 lands as backlog while paused
-    val scoped = s.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", "4")
-    val engine = new graft.pipeline.Engine(scoped, s"$base/engine")
-    val server = new graft.pipeline.ConnectServer(engine)
-    val url = server.start()
-    try {
-      val http = java.net.http.HttpClient.newHttpClient()
-      def call(method: String, path: String, body: Option[String] = None) = {
-        val b = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(url + path))
-        val r = http.send(body.fold(b.method(method,
-            java.net.http.HttpRequest.BodyPublishers.noBody()))(s =>
-            b.method(method,
-              java.net.http.HttpRequest.BodyPublishers.ofString(s)))
-          .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
-        require(r.statusCode() < 400,
-          s"$method $path -> HTTP ${r.statusCode()}: ${r.body()}")
-        r.body()
-      }
-      def state_(): String = {
-        val n = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(call("GET", "/connectors/l13/status"))
-        n.get("connector").get("state").asText()
-      }
-      val q = new com.fasterxml.jackson.databind.ObjectMapper()
-      val specJson =
-        s"""{"name":"l13",
-           |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
-           |  "schemaDdl":"doc_id BIGINT, text STRING",
-           |  "keyFields":["doc_id"],"seqColumn":"doc_id",
-           |  "topic":"corpus","maxFilesPerTrigger":"1"},
-           |"transforms":[],
-           |"sink":{"type":"admission",
-           |  "path":${q.writeValueAsString(s"$base/gate")},
-           |  "seedPath":${q.writeValueAsString(s"$base/seed")}}}""".stripMargin
-      call("POST", "/connectors", Some(specJson))
-      scoped.streams.active.foreach(_.processAllAvailable()) // waves 0, 1
-      val stRunning = state_()
-      call("PUT", "/connectors/l13/pause")
-      val stPaused = state_()
-      stage(2) // the backlog a paused gate must NOT process
-      call("PUT", "/connectors/l13/resume")
-      scoped.streams.active.foreach(_.processAllAvailable()) // wave 2
-      val stResumed = state_()
-      call("DELETE", "/connectors/l13")
-      val after = call("GET", "/connectors")
-      s.read.parquet(s"$base/gate/out").drop("batch")
-        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
-          col("admitted"),
-          lit(stRunning).as("status_after_register"),
-          lit(stPaused).as("status_while_paused"),
-          lit(stResumed).as("status_after_resume"),
-          lit(after == "[]").as("deregistered"))
-        .orderBy("doc_id")
-    } finally server.stop()
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specJson =
+      s"""{"name":"l13",
+         |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id",
+         |  "topic":"corpus","maxFilesPerTrigger":"1"},
+         |"transforms":[],
+         |"sink":{"type":"admission",
+         |  "path":${q.writeValueAsString(s"$base/gate")},
+         |  "seedPath":${q.writeValueAsString(s"$base/seed")}}}""".stripMargin
+    driveAdmissionPipeline(s, base, "l13", specJson, () => stage(2))
+      .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+        col("admitted"),
+        col("status_after_register"), col("status_while_paused"),
+        col("status_after_resume"), col("deregistered"))
+      .orderBy("doc_id")
+  }
+
+  /** L14: THE FULL TEN-AXIS GATE THROUGH THE CONNECT LIFECYCLE — w18's
+   * complete multimodal admission verdict driven by a REST-registered
+   * [[graft.pipeline.PipelineSpec]] whose SINK CONFIG declares every
+   * leg as a key (`fused`/`benchPath`/`containment`/`semantic`/
+   * `media`/`benchMediaPath` + the `semPlanes` production dial) — the
+   * reference's per-connector-config-toggle UX applied to the flagship
+   * operator. Same fixture waves as [[streamFullAdmission]]; the
+   * verdicts must hash-match it EXACTLY (one shared oracle), with the
+   * pause/resume boundary between the two waves: the resumed
+   * incarnation re-reads the frozen center from state and re-derives
+   * the plane dial ([[AdmissionGateCore.resumeDials]]), so the match
+   * also proves the dial-resume recipe the runners never exercise. */
+  def admissionPipelineFull(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l14_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val (seed, benchM, waves) = fullAdmissionFixture(s, dir)
+    seed.write.parquet(s"$base/seed")
+    benchM.write.parquet(s"$base/bench")
+    def stage(i: Int): Unit =
+      graft.Tables.stageFile(waves(i), Paths.get(in, f"wave$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    stage(0) // wave 1 lands as backlog while paused
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specJson =
+      s"""{"name":"l14",
+         |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id",
+         |  "topic":"corpus","maxFilesPerTrigger":"1"},
+         |"transforms":[],
+         |"sink":{"type":"admission",
+         |  "path":${q.writeValueAsString(s"$base/gate")},
+         |  "seedPath":${q.writeValueAsString(s"$base/seed")},
+         |  "fused":"true","containment":"true","semantic":"true",
+         |  "media":"true",
+         |  "benchPath":${q.writeValueAsString(s"$base/bench")},
+         |  "benchMediaPath":${q.writeValueAsString(s"$base/bench")},
+         |  "semPlanes":"${d14Planes(s, dir)}"}}""".stripMargin
+    driveAdmissionPipeline(s, base, "l14", specJson, () => stage(1))
+      .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+        col("quality_keep"), col("n_shingles"), col("n_known"),
+        col("novelty"), col("contaminated"), col("contained_dup"),
+        col("semantic_dup"), col("image_dup"), col("audio_dup"),
+        col("media_contaminated"), col("admitted"),
+        col("status_after_register"), col("status_while_paused"),
+        col("status_after_resume"), col("deregistered"))
+      .orderBy("doc_id")
   }
 
   /** W14: FUSED streamed curation admission — the actual production
@@ -1658,7 +1800,13 @@ object LlmQueries {
    * where its state is frozen (benchmarks, center, planes) and
    * per-round where it evolves (reference text, postings, embeddings,
    * media fingerprints). */
-  def streamFullAdmission(s: SparkSession, dir: String): DataFrame = {
+  /** The w18/l14 shared fixture: (seed, benchmark corpus, waves) —
+   * see [[streamFullAdmission]]'s scaladoc for the per-axis-unique
+   * plant catalog. ONE construction so the bespoke runner and the
+   * REST-registered pipeline provably gate IDENTICAL waves (they share
+   * the oracle). */
+  private def fullAdmissionFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val seed = docs.filter(col("doc_id") < 300)
     // ONE benchmark suite (docs 300–399, DISJOINT from the corpus)
@@ -1715,9 +1863,14 @@ object LlmQueries {
     val w1all = w1.unionByName(later.filter(pmod(col("doc_id"), lit(3)) === 2))
       .unionByName(quoting).unionByName(sliced).unionByName(paraphrase)
       .unionByName(junk).unionByName(evolving)
-    runAdmissionStream(s, seed, Seq(w0, w1all),
+    (seed, benchM, Seq(w0, w1all))
+  }
+
+  def streamFullAdmission(s: SparkSession, dir: String): DataFrame = {
+    val (seed, benchM, waves) = fullAdmissionFixture(s, dir)
+    runAdmissionStream(s, seed, waves,
         s"target/tmp/w18_${new java.io.File(dir).getName}", fused = true,
-        bench = Some(benchT), containment = true, semantic = true,
+        bench = Some(benchM), containment = true, semantic = true,
         semPlanes = semPlanesFor(s, dir),
         semCenter = semCenterOver(s, dir, 300L),
         media = true, benchMedia = Some(benchM))
@@ -4405,6 +4558,7 @@ object LlmQueries {
     "w17_stream_semantic_admission" -> (streamSemanticAdmission _),
     "w18_stream_full_admission" -> (streamFullAdmission _),
     "l13_admission_pipeline" -> (admissionPipelineLifecycle _),
+    "l14_admission_pipeline_full" -> (admissionPipelineFull _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -5034,7 +5188,26 @@ object LlmQueries {
     // seed (doc_id < 300, the media-benchmark-disjoint cutoff)
     "w18_stream_full_admission" ->
       ((s, dir) => w18OracleSql(d14Planes(s, dir),
-        semCenterOver(s, dir, 300L))))
+        semCenterOver(s, dir, 300L))),
+    // l14 = w18's verdict through the REST lifecycle: one shared oracle
+    // (same fixture waves, same gate core) plus the lifecycle-evidence
+    // literals (l13's shape)
+    "l14_admission_pipeline_full" ->
+      // concatenated, NOT one stripMargin template: the embedded w18 SQL
+      // carries `||` concat operators at line starts, which stripMargin
+      // would truncate into bare `|` binder errors
+      ((s, dir) =>
+        """SELECT doc_id, exact_dup, near_dup, quality_keep, n_shingles,
+          |  n_known, novelty, contaminated, contained_dup, semantic_dup,
+          |  image_dup, audio_dup, media_contaminated, admitted,
+          |  'RUNNING' AS status_after_register,
+          |  'PAUSED' AS status_while_paused,
+          |  'RUNNING' AS status_after_resume,
+          |  TRUE AS deregistered
+          |FROM (
+          |""".stripMargin +
+        w18OracleSql(d14Planes(s, dir), semCenterOver(s, dir, 300L)) +
+        "\n) ORDER BY doc_id"))
 
   /** e7/e7b/e14 share one oracle shape: coarse-centroid and codebook
    * literals differ (fixed grid vs trained doubles), and e14 widens the

@@ -5,28 +5,28 @@ import java.nio.file.Paths
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.CacheScope
-import graft.text.{AdmissionState, Dedup}
+import graft.LlmQueries
+import graft.ml.Similarity
 
 /**
- * L13 — the INGEST GATE as a Connect-lifecycle sink: the reference's
+ * L13/L14 — the INGEST GATE as a Connect-lifecycle sink: the reference's
  * whole UX is declarative configs over REST (L1/L9), and until this
  * sink the engine's flagship admission operators were reachable only
  * through the bespoke stream runners. A `{"type": "admission"}` sink
- * makes a w12-shape dedup-at-admission pipeline a first-class
- * [[PipelineSpec]]: registrable via [[ConnectServer]], pausable,
- * resumable from the checkpoint, deletable — with the lifecycle verbs
- * mapping onto the fenced [[AdmissionState]] contract:
+ * makes an admission pipeline a first-class [[PipelineSpec]]:
+ * registrable via [[ConnectServer]], pausable, resumable from the
+ * checkpoint, deletable — with the lifecycle verbs mapping onto the
+ * fenced [[graft.text.AdmissionState]] contract:
  *
  *  - **register / resume** acquire the admission-writer epoch
- *    ([[AdmissionState.acquireWriter]]) — a paused-then-resumed
- *    pipeline supersedes its previous incarnation, so a zombie query
- *    (e.g. a stop that raced a trigger) refuses its next state append
- *    deterministically instead of interleaving;
+ *    ([[graft.text.AdmissionState.acquireWriter]]) — a paused-then-
+ *    resumed pipeline supersedes its previous incarnation, so a zombie
+ *    query (e.g. a stop that raced a trigger) refuses its next state
+ *    append deterministically instead of interleaving;
  *  - **the checkpoint identity binds to the state dir**
- *    ([[AdmissionState.bindCheckpoint]]) — pointing a different
- *    pipeline name (= different checkpoint) at the same gate root
- *    refuses at entry, because fresh batch ids would overwrite
+ *    ([[graft.text.AdmissionState.bindCheckpoint]]) — pointing a
+ *    different pipeline name (= different checkpoint) at the same gate
+ *    root refuses at entry, because fresh batch ids would overwrite
  *    committed `b<id>` state;
  *  - **offset reset** (L4) wipes the gate root with the checkpoint:
  *    batch ids restart at 0, so keeping admission state would corrupt
@@ -34,64 +34,59 @@ import graft.text.{AdmissionState, Dedup}
  *    re-ingesting from scratch is exactly Debezium's
  *    re-snapshot-after-offset-delete semantics, applied to the gate.
  *
- * The per-trigger body IS w12's: the batch's derived artifacts
- * (digest + MinHash signature + shingle set) against the PRECOMPUTED
- * reference state only — O(batch) hashing plus joins against state
- * that grows only by admitted artifacts; reference text is never
- * re-read after the seed bootstrap. Dials match the w12 gate
- * (k=3 shingles, 16 perms, 4 bands) so the REST-registered pipeline's
- * verdicts hash-match the bespoke runner's on the same waves.
+ * Every admission AXIS is a sink config key (r17 — the reference
+ * toggles every behavior per connector by config key:
+ * pk.mode/delete.enabled/auto.evolve in `실습수행/JDBC Sink Connector
+ * 실습.md:331-363`, per-connector feature flags across the
+ * `connector_configs` JSON files):
+ * `fused` adds the quality + novelty legs, `benchPath` the frozen
+ * benchmark decontamination leg, `containment`/`semantic` their
+ * postings/embedding legs, `media`+`benchMediaPath` the fingerprint
+ * axes. The per-trigger body, state layout and maintenance fold are
+ * [[graft.LlmQueries.AdmissionGateCore]] — the SAME implementation the
+ * bespoke w12–w18 runners drive, so a REST-registered gate's verdicts
+ * hash-match the runners' on identical waves. With every key absent
+ * the gate is the plain w12 dedup shape (k=3 shingles, 16 perms, 4
+ * bands). The semantic dial (`semPlanes`, a plane COUNT) is part of
+ * the declarative config; the frozen center derives from the seed at
+ * bootstrap and persists beside the state, and a RESUMED gate rebuilds
+ * the live dials from state alone
+ * ([[graft.LlmQueries.AdmissionGateCore.resumeDials]]).
  */
 object AdmissionSink {
 
-  private val ShingleK = 3
-  private val NumPerms = 16
-  private val Bands = 4
-  private val FoldThreshold = 6
+  /** The gate core a sink spec declares. Dim is the engine-wide
+   * hashed-embedding width; plane count defaults to the fixture dial
+   * (8) — production specs pass the corpus-scaled count (expected
+   * bucket ≈ 16 docs). */
+  def coreFor(sink: SinkSpec): LlmQueries.AdmissionGateCore =
+    new LlmQueries.AdmissionGateCore(
+      sink.path,
+      fused = sink.fused,
+      hasBench = sink.benchPath.nonEmpty,
+      containment = sink.containment,
+      semantic = sink.semantic,
+      media = sink.media,
+      hasBenchMedia = sink.benchMediaPath.nonEmpty,
+      semPlanes0 =
+        Similarity.hyperplanes(sink.semPlanes.getOrElse(8), LlmQueries.Dim))
 
-  /** First-start bootstrap: derive the seed corpus's artifact state
-   * ONCE (idempotent — a restart on an existing state dir skips it;
-   * the stream then resumes from the checkpoint against the state its
-   * committed batches built). */
-  def bootstrap(spark: SparkSession, seedPath: String, root: String): Unit = {
-    val seedArt = Paths.get(root, "state", "seed", "art")
-    if (AdmissionState.parts(s"$root/state", Long.MaxValue).nonEmpty) return
-    val seed = spark.read.parquet(seedPath).select("doc_id", "text")
-    seed.write.mode("overwrite").parquet(s"$root/ref/seed")
-    Dedup.admissionArtifacts(seed, "doc_id", "text",
-        k = ShingleK, numPerms = NumPerms)
-      .write.mode("overwrite").parquet(seedArt.toString)
-  }
-
-  /** One micro-batch through the gate: verdict from state, admitted
-   * survivors' text to `ref/`, their artifacts appended to state, the
-   * maintenance fold once the unfolded tail exceeds the threshold —
-   * the exact replay-safe shape of the bespoke runner (verdict and
-   * appends land in per-batch overwrite dirs; the state read excludes
-   * ids at or above the current batch). */
-  def applyBatch(spark: SparkSession, root: String, epoch: Long,
-                 batch: DataFrame, id: Long): Unit = {
-    val stateDir = s"$root/state"
-    CacheScope.withScope { implicit scope =>
-      val b = scope.persist(batch).toDF()
-      AdmissionState.guard(stateDir, epoch)
-      val parts = AdmissionState.parts(stateDir, id)
-      val stateArt = spark.read.parquet(parts.map(_ + "/art"): _*)
-      val batchArt = scope.persist(Dedup.admissionArtifacts(
-        b, "doc_id", "text", k = ShingleK, numPerms = NumPerms)).toDF()
-      val verdict = scope.persist(Dedup.admissionVerdictIncremental(
-        batchArt, stateArt, numBands = Bands, numPerms = NumPerms)).toDF()
-      verdict.write.mode("overwrite").parquet(s"$root/out/batch=$id")
-      val admIds = verdict.filter(col("admitted")).select("doc_id")
-      b.join(admIds, "doc_id")
-        .write.mode("overwrite").parquet(s"$root/ref/adm$id")
-      if (parts.size > FoldThreshold)
-        Dedup.maintenanceFold(spark, stateDir, upTo = id - 1,
-          subs = Seq("art"), epoch = epoch)
-      batchArt.join(admIds, "doc_id")
-        .write.mode("overwrite").parquet(s"$stateDir/b$id/art")
+  /** First-start bootstrap: derive the seed corpus's state ONCE
+   * (idempotent — a restart on a completed state dir skips straight to
+   * [[graft.LlmQueries.AdmissionGateCore.resumeDials]]; the stream then
+   * resumes from the checkpoint against the state its committed batches
+   * built). The benchmark corpora freeze here — benchmarks change
+   * rarely; re-registering with a new `benchPath` requires an offset
+   * reset (fresh gate) by design. */
+  def bootstrapOrResume(spark: SparkSession, sink: SinkSpec,
+                        core: LlmQueries.AdmissionGateCore): Unit =
+    if (core.bootstrapped) core.resumeDials(spark)
+    else {
+      def docs(p: String): DataFrame =
+        spark.read.parquet(p).select("doc_id", "text")
+      core.bootstrap(spark, docs(sink.seedPath.get),
+        sink.benchPath.map(docs), sink.benchMediaPath.map(docs))
     }
-  }
 
   /** L4 for the gate: the offset reset deletes the WHOLE gate root
    * alongside the checkpoint — a reset stream restarts batch ids at 0,

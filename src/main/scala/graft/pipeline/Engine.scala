@@ -263,6 +263,27 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
         throw new IllegalArgumentException(
           "admission sink consumes (doc_id, text) documents — a rate " +
             "source carries neither")
+      // the axis keys (L14): the verdict core composes the extra legs
+      // only in fused form (quality/novelty are what they AND into), so
+      // a leg without fused would be silently ignored — refuse instead
+      val legs = Seq(
+        spec.sink.benchPath.map(_ => "benchPath"),
+        if (spec.sink.containment) Some("containment") else None,
+        if (spec.sink.semantic) Some("semantic") else None,
+        if (spec.sink.media) Some("media") else None).flatten
+      if (legs.nonEmpty && !spec.sink.fused)
+        throw new IllegalArgumentException(
+          s"admission legs ${legs.mkString(", ")} require fused=true " +
+            "(they AND into the fused quality/novelty verdict)")
+      if (spec.sink.benchMediaPath.nonEmpty && !spec.sink.media)
+        throw new IllegalArgumentException(
+          "benchMediaPath requires media=true (media decontamination " +
+            "is part of the media axis)")
+      if (spec.sink.semPlanes.exists(_ <= 0))
+        throw new IllegalArgumentException("semPlanes must be positive")
+      if (spec.sink.semPlanes.nonEmpty && !spec.sink.semantic)
+        throw new IllegalArgumentException(
+          "semPlanes is the semantic leg's dial — it requires semantic=true")
     }
     if (spec.sink.kind == "jdbc") {
       if (spec.sink.url.isEmpty)
@@ -395,17 +416,21 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
           .partitionBy(graft.model.Connect.TopicCol)
           .format("parquet").start()
       case "admission" =>
-        // L13 — the ingest gate as a lifecycle-managed sink: bootstrap
-        // the seed's reference state once (idempotent), claim the
-        // fenced admission-writer role (resume supersedes the previous
-        // incarnation's epoch), bind the pipeline's checkpoint identity
-        // to the state dir, then run the w12-shape verdict per batch
-        AdmissionSink.bootstrap(spark, sink.seedPath.get, sink.path)
+        // L13/L14 — the ingest gate as a lifecycle-managed sink:
+        // bootstrap the seed's reference state once (idempotent; a
+        // resume instead rebuilds the live dials from persisted state),
+        // claim the fenced admission-writer role (resume supersedes the
+        // previous incarnation's epoch), bind the pipeline's checkpoint
+        // identity to the state dir, then run the spec-declared axis
+        // set's verdict per batch — the same AdmissionGateCore the
+        // bespoke w12-w18 runners drive
+        val core = AdmissionSink.coreFor(sink)
+        AdmissionSink.bootstrapOrResume(spark, sink, core)
         val epoch = graft.text.AdmissionState.acquireWriter(s"${sink.path}/state")
         graft.text.AdmissionState.bindCheckpoint(s"${sink.path}/state",
           checkpointDir(spec.name))
         writer("update").foreachBatch { (batch: DataFrame, id: Long) =>
-          AdmissionSink.applyBatch(spark, sink.path, epoch,
+          core.applyBatch(batch.sparkSession, epoch,
             AdmissionSink.documentsOf(batch), id)
         }.start()
       case other =>

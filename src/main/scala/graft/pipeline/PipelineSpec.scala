@@ -149,7 +149,24 @@ final case class SinkSpec(
     // (the ingest-gate analog of snapshotPath); `path` is the gate
     // root: state tables under path/state, verdicts under path/out,
     // the admitted-corpus product under path/ref
-    seedPath: Option[String] = None)
+    seedPath: Option[String] = None,
+    // admission sink AXES (L14): each key enables one leg of the gate,
+    // the declarative analog of the reference's per-connector feature
+    // flags. `fused` = quality head + novelty score; `benchPath` = the
+    // frozen benchmark corpus for text decontamination; `containment`
+    // and `semantic` their postings/embedding legs; `media` the
+    // image/audio fingerprint axes, with `benchMediaPath` the frozen
+    // benchmark-media corpus for media decontamination. `semPlanes` is
+    // the semantic leg's LSH plane COUNT (the production dial scales it
+    // so the expected bucket holds ~16 docs). With all keys absent the
+    // gate is the plain w12 dedup shape (L13).
+    fused: Boolean = false,
+    containment: Boolean = false,
+    semantic: Boolean = false,
+    media: Boolean = false,
+    benchPath: Option[String] = None,
+    benchMediaPath: Option[String] = None,
+    semPlanes: Option[Int] = None)
 
 object PipelineSpec {
 
@@ -196,7 +213,14 @@ object PipelineSpec {
         table = str(sink, "table"),
         dialect = str(sink, "dialect"),
         retryTimeoutMs = str(sink, "retryTimeoutMs").map(_.toLong).getOrElse(0L),
-        seedPath = str(sink, "seedPath")),
+        seedPath = str(sink, "seedPath"),
+        fused = str(sink, "fused").exists(_.toBoolean),
+        containment = str(sink, "containment").exists(_.toBoolean),
+        semantic = str(sink, "semantic").exists(_.toBoolean),
+        media = str(sink, "media").exists(_.toBoolean),
+        benchPath = str(sink, "benchPath"),
+        benchMediaPath = str(sink, "benchMediaPath"),
+        semPlanes = str(sink, "semPlanes").map(_.toInt)),
       triggerMs = str(n, "triggerMs").map(_.toLong))
   }
 }

@@ -63,6 +63,15 @@ object AdmissionState {
     if (name.startsWith("fold=")) Some(name.stripPrefix("fold=").toLong)
     else None
 
+  /** The newest committed fold dir, if any — a RESUMED gate re-derives
+   * its grown dials (the semantic plane count) from this dir's row
+   * counts: dial growth happens only at folds, so the newest fold pins
+   * exactly the dial the folding trigger chose. */
+  def newestFold(stateDir: String): Option[String] =
+    list(stateDir).map(p => p.getFileName.toString -> p)
+      .flatMap { case (n, p) => foldId(n).map(_ -> p) }
+      .sortBy(_._1).lastOption.map(_._2.toString)
+
   /** The state part dirs a trigger with batch id `belowId` reads: the
    * newest committed fold strictly below `belowId` (which covers seed
    * and every `b<=foldId`), plus `seed`/`b<id>` dirs above that fold

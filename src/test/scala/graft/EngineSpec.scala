@@ -371,6 +371,33 @@ class EngineSpec extends SparkSpec {
       == Seq("c1"))
   }
 
+  test("L14 admission axis keys: legs require fused, benchMediaPath requires media, semPlanes requires semantic; full set parses") {
+    val base = Files.createTempDirectory("admaxes").toString
+    val engine = new Engine(spark, s"$base/engine")
+    def spec(sinkExtra: String) =
+      s"""{"name":"ax","source":{"type":"parquet","path":"$base/in",
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c"},
+         |"sink":{"type":"admission","path":"$base/gate",
+         |  "seedPath":"$base/seed"$sinkExtra}}""".stripMargin
+    // a leg without fused would be silently ignored by the verdict core
+    val e1 = intercept[IllegalArgumentException](
+      engine.registerJson(spec(""","containment":"true"""")))
+    assert(e1.getMessage.contains("fused"))
+    val e2 = intercept[IllegalArgumentException](
+      engine.registerJson(spec(""","fused":"true","benchMediaPath":"/x"""")))
+    assert(e2.getMessage.contains("media=true"))
+    val e3 = intercept[IllegalArgumentException](
+      engine.registerJson(spec(""","fused":"true","semPlanes":"9"""")))
+    assert(e3.getMessage.contains("semantic"))
+    val p = PipelineSpec.fromJson(spec(
+      ""","fused":"true","containment":"true","semantic":"true",""" +
+      """"media":"true","benchPath":"/b","benchMediaPath":"/bm","semPlanes":"9""""))
+    assert(p.sink.fused && p.sink.containment && p.sink.semantic &&
+      p.sink.media && p.sink.semPlanes.contains(9) &&
+      p.sink.benchPath.contains("/b") && p.sink.benchMediaPath.contains("/bm"))
+  }
+
   test("L13 admission sink: offset reset wipes the gate root and the next resume re-ingests from scratch") {
     import org.apache.spark.sql.DataFrame
     val base = Files.createTempDirectory("engine_adm").toString
