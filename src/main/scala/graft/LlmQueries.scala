@@ -1002,6 +1002,9 @@ object LlmQueries {
     // folded state and the appends after it bucket under the grown
     // planes, so batch and state sides always agree
     private var curPlanes = semPlanes0
+    /** Test hook: the live plane-dial size (spec-asserted around the
+     * fold-growth and resume-derivation paths). */
+    private[graft] def currentPlaneCount: Int = curPlanes.size
     // the bucketing CENTER: hashed text-count vectors share a dominant
     // common direction, so raw sign-of-dot buckets collapse into a
     // mega-bucket the hot-bucket cap would then blind; buckets derive

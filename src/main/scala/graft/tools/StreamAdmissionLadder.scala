@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
  * runner + the frozen benchmark-media fingerprint leg), `full` =
  * w16's 6-leg text gate, `semantic` = w17's complete 7-leg gate
  * (adds the LSH-bucketed embedding leg at the corpus-scaled plane
- * dial, growing at the maintenance folds). Prints one JSON line.
+ * dial, growing at the maintenance folds), `sink` = the DECLARATIVE
+ * ten-axis gate through the Engine lifecycle (l14's path — per-trigger
+ * wall from the streaming query's own triggerExecution metric).
+ * Prints one JSON line.
  *
  * Usage:
  *   sbt -batch "runMain graft.tools.StreamAdmissionLadder /root/testdata/sf0.1 8 fused"
@@ -28,7 +31,7 @@ object StreamAdmissionLadder {
     val waves = if (args.length > 1) args(1).toInt else 8
     val mode = if (args.length > 2) args(2) else "fused"
     require(Set("plain", "fused", "media", "mediadecont", "full",
-      "semantic")(mode), s"bad mode $mode")
+      "semantic", "sink")(mode), s"bad mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -88,7 +91,52 @@ object StreamAdmissionLadder {
         containment = true, semantic = true,
         semPlanes = graft.ml.Similarity.hyperplanes(
           graft.LlmQueries.scaledPlaneCount(n), 64))
-    else
+    else if (mode == "sink") {
+      // L14's path: the DECLARATIVE gate through the Engine lifecycle —
+      // the same AdmissionGateCore, driven by a registered PipelineSpec
+      // with every axis key on at the production dial. Waves stage as
+      // minute-spaced files (maxFilesPerTrigger=1 -> one trigger per
+      // wave); per-trigger wall comes from the query's own progress
+      // (triggerExecution ms). Proves the engine wrapper adds constant
+      // per-trigger overhead and the fold/dial machinery stays O(cell)
+      // under the sink lifecycle too.
+      import java.nio.file.{Files, Paths}
+      graft.util.Fs.deleteRecursive(Paths.get(base))
+      val in = s"$base/in"
+      Files.createDirectories(Paths.get(in))
+      seed.write.parquet(s"$base/seed")
+      seed.filter(col("doc_id") % 10 === 0).write.parquet(s"$base/bench")
+      waveFrames.zipWithIndex.foreach { case (w, i) =>
+        graft.Tables.stageFile(w, Paths.get(in, f"wave$i%02d.parquet"),
+          1000000000000L + i * 60000L)
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      val spec =
+        s"""{"name":"ladder","source":{"type":"parquet",
+           |  "path":${q.writeValueAsString(in)},
+           |  "schemaDdl":"doc_id BIGINT, text STRING",
+           |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c",
+           |  "maxFilesPerTrigger":"1"},
+           |"transforms":[],
+           |"sink":{"type":"admission",
+           |  "path":${q.writeValueAsString(s"$base/gate")},
+           |  "seedPath":${q.writeValueAsString(s"$base/seed")},
+           |  "fused":"true","containment":"true","semantic":"true",
+           |  "media":"true",
+           |  "benchPath":${q.writeValueAsString(s"$base/bench")},
+           |  "benchMediaPath":${q.writeValueAsString(s"$base/bench")},
+           |  "semPlanes":"${graft.LlmQueries.scaledPlaneCount(n)}"}}"""
+          .stripMargin
+      val engine = new graft.pipeline.Engine(spark, s"$base/engine")
+      val query = engine.registerJson(spec)
+      query.processAllAvailable()
+      query.recentProgress.foreach { pr =>
+        if (pr.numInputRows > 0)
+          timings += ((pr.batchId,
+            pr.durationMs.getOrDefault("triggerExecution", -1L).toLong))
+      }
+      engine.delete("ladder")
+    } else
       graft.LlmQueries.runAdmissionStream(spark, seed, waveFrames,
         base, fused = mode == "fused", onTrigger = hook)
     val total = (System.nanoTime() - t0) / 1000000L

@@ -371,6 +371,90 @@ class EngineSpec extends SparkSpec {
       == Seq("c1"))
   }
 
+  test("L14 semantic dial survives resume ACROSS a maintenance fold (resumeDials re-derives the grown plane count)") {
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("adm_dial").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val seed = docs.filter(col("doc_id") < 100)
+    seed.write.parquet(s"$base/seed")
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .write.parquet(s"$base/bench")
+    def stage(df: DataFrame, i: Int): Unit =
+      graft.Tables.stageFile(df, Paths.get(in, f"w$i%02d.parquet"),
+        1000000000000L + i * 60000L)
+    // 8 pre-staged waves -> batches 0..7; at batch 7 the unfolded tail
+    // (seed + b0..b6 = 8 parts) exceeds foldThreshold=6, so the
+    // maintenance fold runs AND grows the plane dial (floor 2, ~450
+    // reference embeddings -> scaledPlaneCount = 5)
+    (0 until 8).foreach(i => stage(
+      docs.filter(col("doc_id") >= 100 + 50 * i &&
+        col("doc_id") < 100 + 50 * (i + 1) && col("doc_id") < 500), i))
+    val engine = new Engine(spark, s"$base/engine")
+    val spec =
+      s"""{"name":"dial","source":{"type":"parquet","path":"$in",
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c",
+         |  "maxFilesPerTrigger":"1"},
+         |"transforms":[],
+         |"sink":{"type":"admission","path":"$base/gate",
+         |  "seedPath":"$base/seed","fused":"true","containment":"true",
+         |  "semantic":"true","media":"true",
+         |  "benchPath":"$base/bench","benchMediaPath":"$base/bench",
+         |  "semPlanes":"2"}}""".stripMargin
+    engine.registerJson(spec).processAllAvailable()
+    // the fold committed under a GROWN dial; a fresh core resuming on
+    // this state must re-derive that dial from the newest fold, not
+    // fall back to the bootstrap floor
+    val p = graft.pipeline.PipelineSpec.fromJson(spec)
+    val resumed = graft.pipeline.AdmissionSink.coreFor(p.sink)
+    assert(resumed.bootstrapped)
+    resumed.resumeDials(spark)
+    val foldDir = graft.text.AdmissionState
+      .newestFold(s"$base/gate/state")
+    assert(foldDir.nonEmpty, "batch 7 must have folded seed+b0..b6")
+    val nFold = spark.read.parquet(s"${foldDir.get}/emb").count()
+    val expected = graft.LlmQueries.scaledPlaneCount(nFold, floor = 2)
+    assert(expected > 2, s"fixture must force growth (nFold=$nFold)")
+    assert(resumed.currentPlaneCount == expected,
+      "resume must re-derive the grown dial from the newest fold")
+    // behavioral proof through the REST lifecycle: pause, stage a
+    // backlog carrying token-REVERSED paraphrases of three seed docs
+    // (same token bag -> identical hashed vector -> same bucket, but
+    // shingle-novel, so ONLY the semantic leg can refuse them) plus a
+    // fresh control doc; resume (a fresh incarnation re-derives the
+    // dial) and the paraphrases must flag semantic_dup under the
+    // GROWN-dial state while the control admits
+    engine.pause("dial")
+    val para = seed.filter(col("doc_id") % 30 === 0 && length(col("text")) > 120)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", reverse(graft.text.Dedup.tokens(col("text")))).as("text"))
+    assert(para.count() >= 2, "need at least two paraphrase plants")
+    // control: doc 499 with a tiny prefix — token bag CHANGED, so its
+    // hashed vector differs and the semantic leg must stay silent
+    // (near-dup/containment legs legitimately refuse it — irrelevant
+    // here; the control guards against a mis-derived dial flagging
+    // everything semantic_dup)
+    stage(para.unionByName(
+      docs.filter(col("doc_id") === 499)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("zq "), col("text")).as("text"))), 8)
+    engine.resume("dial")
+    spark.streams.active.foreach(_.processAllAvailable())
+    val last = spark.read.parquet(s"$base/gate/out")
+      .filter(col("doc_id") >= 1000000L)
+      .select("doc_id", "semantic_dup", "admitted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    val paras = last.filter(_._1 < 2000000L)
+    assert(paras.nonEmpty && paras.forall(t => t._2 && !t._3),
+      s"paraphrases must flag semantic_dup under the resumed grown dial: $last")
+    val control = last.filter(_._1 >= 2000000L)
+    assert(control.nonEmpty && control.forall(t => !t._2),
+      s"the control must not flag semantic_dup (the resumed dial isn't flagging everything): $last")
+    engine.delete("dial")
+  }
+
   test("L14 admission axis keys: legs require fused, benchMediaPath requires media, semPlanes requires semantic; full set parses") {
     val base = Files.createTempDirectory("admaxes").toString
     val engine = new Engine(spark, s"$base/engine")
