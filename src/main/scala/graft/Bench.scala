@@ -92,7 +92,8 @@ object Bench {
       "w16_stream_contained_admission", "w17_stream_semantic_admission",
       "m22_multimodal_admission", "m24_media_decontaminated_admission",
       "w18_stream_full_admission", "l13_admission_pipeline",
-      "l14_admission_pipeline_full",
+      "l14_admission_pipeline_full", "l15_admission_framed_smt",
+      "l16_admission_gate_dlq",
       // r16: the documented JVM codegen-eviction victims — a full GC
       // elsewhere in the suite unloads their generated classes and a
       // 2-rep min still reads the recompile, not the operator
@@ -100,6 +101,18 @@ object Bench {
       // j1/k7/k10/e9c re-read in-band in isolation,
       // bench/sf1_eviction_recheck_r15.json; k9 flagged 6.19 s vs a
       // 1.4 s history in bench/watchitems_r15.md)
+      "x25_span_dedup_repair", "k7_cdc_ingest_dml",
+      "k7b_cdc_engine_stream", "k9_jdbc_statements",
+      "k9b_upsert_sql_dialects", "k10_db_to_db_live",
+      "j1_json_functions", "e9c_knn_graph_scaled")
+    // The eviction-victim SUBSET keeps unconditional min-of-4 (r18): a
+    // GC can hit between pass 1 and pass 2, both reps read a similar
+    // recompile cost, "agree" within 12% and the early-stop would lock
+    // in the inflated floor — exactly the outlier mode the extra reps
+    // were added for. The early-stop stays for the multi-trigger
+    // admission gates, where trigger-0 warmup is the only outlier mode
+    // and any two post-warmup samples genuinely prove the floor.
+    val evictionVictims: Set[String] = Set(
       "x25_span_dedup_repair", "k7_cdc_ingest_dml",
       "k7b_cdc_engine_stream", "k9_jdbc_statements",
       "k9b_upsert_sql_dialects", "k10_db_to_db_live",
@@ -155,6 +168,7 @@ object Bench {
       while (k > 1 && lineK(k).length > 900) k -= 1
       lineK(k)
     }
+    var reloaded = 0 // gates re-measured by the load-bias self-heal
     def fullJson(): String = {
       val qs = best.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -164,7 +178,7 @@ object Bench {
         .mkString("[", ",", "]")
       val total = best.values.filter(_ >= 0).sum
       val canary = if (canarySeries.isEmpty) -1.0 else canarySeries.map(_._2).min
-      s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"queries":$qs,"t_at":$ts,"canary_series":$cs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","canary":$canary,"reloaded":$reloaded,"queries":$qs,"t_at":$ts,"canary_series":$cs,"sf":"$sfDir"}"""
     }
     def writeFull(): Unit =
       try java.nio.file.Files.write(
@@ -240,9 +254,11 @@ object Bench {
     // a full pass in between decorrelates it (by pass 2 the whole
     // suite's generated code is as compiled as it will ever be).
     val pass1 = scala.collection.mutable.Map[String, Double]()
+    val pass1T = scala.collection.mutable.Map[String, Double]()
     names.foreach { n =>
       maybeCanary()
       pass1(n) = once(n)
+      pass1T(n) = elapsed()
       record(n, pass1(n))
     }
     System.err.println(f"[bench-time] pass1 done at ${elapsed()}%.1f s")
@@ -259,17 +275,42 @@ object Bench {
         // prove the floor. On the heavy admission gates (5-28 s each)
         // this saves most of a rep per gate vs r16's unconditional
         // min-of-4, which is what made the suite outgrow the driver cap.
-        var reps = Seq(a, b).filter(_ >= 0)
+        // Two r18 refinements:
+        //  - eviction VICTIMS never early-stop (a GC between the passes
+        //    can make both reps read a similar recompile cost and
+        //    "agree" on an inflated floor — the exact outlier mode the
+        //    extras exist for);
+        //  - converged samples that BOTH landed inside a sustained load
+        //    window (nearest canary sample >= 1.5x the run's series min
+        //    at each rep's end time) buy ONE more rep after a fresh
+        //    canary — agreement under load proves a loaded floor, not
+        //    the floor (the r17 open item, bench/watchitems_r17.md).
+        var reps =
+          Seq((a, pass1T(n)), (b, elapsed())).filter(_._1 >= 0)
+        def rep(): Unit = {
+          val v = once(n)
+          if (v >= 0) reps = reps :+ ((v, elapsed()))
+          record(n, v)
+        }
         def converged: Boolean = reps.size >= 2 && {
-          val s = reps.sorted.take(2)
+          val s = reps.map(_._1).sorted.take(2)
           s(1) <= s(0) * 1.12
         }
+        def canaryAt(t: Double): Double =
+          canarySeries.minBy { case (ct, _) => math.abs(ct - t) }._2
+        def loadBiased: Boolean = canarySeries.nonEmpty && {
+          val floor = canarySeries.map(_._2).min
+          reps.sortBy(_._1).take(2).forall { case (_, t) =>
+            canaryAt(t) >= floor * 1.5 }
+        }
         var extra = 0
-        while (extra < 2 && !converged) {
-          val v = once(n)
-          if (v >= 0) reps = reps :+ v
-          record(n, v)
-          extra += 1
+        while (extra < 2 && !(converged && !evictionVictims(n))) {
+          rep(); extra += 1
+        }
+        if (!evictionVictims(n) && loadBiased) {
+          maybeCanary(force = true) // pin load-at-remeasure in the series
+          reloaded += 1
+          rep()
         }
       }
     }
@@ -281,8 +322,22 @@ object Bench {
     def line(dec: Int): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(dec, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"reloaded":$reloaded,"queries":$qs,"sf":"$sfDir"}"""
     }
+    // CLEAN-COMPLETION FULL LINE (r17 verdict #1): every gate's number
+    // on one stdout line, printed BEFORE the final compact lines so it
+    // lands in the driver's raw log. It CANNOT be the last line: the
+    // driver parses the metric line from a ~2000-char tail window —
+    // proven forensically, not assumed: BENCH_r03.json carries a
+    // complete, prefix-free, valid-JSON metric line in the full stdout
+    // (~2900 chars, its tail visible in the artifact's `tail` field
+    // ending `"sf":...}` right before sbt's [success] line) yet
+    // `parsed: null`; from r4 on, every line under ~1950 chars parsed.
+    // A >2000-char FINAL line would reproduce r3's null parse — the
+    // r16-class failure — so the full map prints here and the compact
+    // line stays last. (The full map also lands in target/bench_full
+    // .json with t_at + canary_series for archiving.)
+    println(fullJson())
     // The harness that captures this keeps only the last ~2000 chars of
     // output; the metric line must fit entirely inside that window.
     // First try the full per-query map at 3 then 2 decimals; once the
@@ -297,7 +352,7 @@ object Bench {
       val om = sorted.drop(k)
       val qs = kept.map { case (n, v) => "\"" + n + "\":" + fmt(2, v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"queries":$qs,""" +
+      s"""{"metric":"total","value":${fmt(3, total)},"unit":"sec","canary":${fmt(3, canary)},"reloaded":$reloaded,"queries":$qs,""" +
         s""""queries_omitted":${om.size},"omitted_sec":${fmt(3, om.map(_._2).filter(_ >= 0).sum)},"sf":"$sfDir"}"""
     }
     val out = Seq(line(3), line(2)).find(_.length <= budget).getOrElse {

@@ -1005,6 +1005,13 @@ object LlmQueries {
     /** Test hook: the live plane-dial size (spec-asserted around the
      * fold-growth and resume-derivation paths). */
     private[graft] def currentPlaneCount: Int = curPlanes.size
+    /** Test failpoint: throw BETWEEN the maintenance fold's atomic
+     * rewrite and this batch's state append — the crash window the
+     * torn-fold resume spec drives (the fold published, the folding
+     * batch's own appends never landed, the checkpoint never
+     * committed, so a restart replays this batch against the folded
+     * state under the re-derived dial). */
+    private[graft] var failAfterFold: Boolean = false
     // the bucketing CENTER: hashed text-count vectors share a dominant
     // common direction, so raw sign-of-dot buckets collapse into a
     // mega-bucket the hot-bucket cap would then blind; buckets derive
@@ -1136,11 +1143,54 @@ object LlmQueries {
                    batch: DataFrame, id: Long): Unit =
       CacheScope.withScope { implicit scope =>
         val b = scope.persist(batch).toDF()
+        graft.text.AdmissionState.guard(stateDir, epoch)
+        // self-driving state maintenance (the LogTable auto-compaction
+        // move) runs at the HEAD of the trigger (r18): once the
+        // unfolded tail exceeds the threshold, fold everything strictly
+        // below this batch BEFORE computing its verdict. Fold-first
+        // makes the whole trigger replay-deterministic: a crash
+        // anywhere in the trigger (fold published but appends not, or
+        // verdict written but checkpoint not committed) replays against
+        // exactly the state this attempt read — the fold is already
+        // published and won't re-run (parts collapse below threshold),
+        // so the verdict recomputes identically (pinned by the
+        // torn-fold spec). With fold-AFTER-verdict, the folding
+        // trigger's verdict read pre-fold state under the old dial and
+        // its replay read the folded state under the grown dial — a
+        // borderline semantic pair could legitimately flip across a
+        // crash. The PRODUCTION fold verb rewrites the derived tables
+        // atomically with the compaction: `cpost` re-caps under the
+        // GLOBAL df (cross-batch boilerplate leaves the postings
+        // exactly here), and `emb` re-buckets under the GROWN plane
+        // dial when the folded reference crosses an occupancy
+        // threshold (expected bucket ~16 docs) — this trigger's verdict
+        // and appends then bucket under the same grown planes, so
+        // state and batch sides never mix dials.
+        val preParts = graft.text.AdmissionState.parts(stateDir, id)
+        if (preParts.size > foldThreshold) {
+          if (semantic) {
+            val nRef = sp.read.parquet(preParts.map(_ + "/emb"): _*).count()
+            val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
+            if (grown > curPlanes.size)
+              curPlanes = Similarity.hyperplanes(grown, Dim)
+          }
+          Dedup.maintenanceFold(sp, stateDir, upTo = id - 1,
+            subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
+              (if (containment) Seq("cpost") else Nil) ++
+              (if (semantic) Seq("emb") else Nil) ++
+              (if (media) Seq("imgfp", "audfp") else Nil),
+            epoch = epoch,
+            recapMaxDf = if (containment) Some(ContainMaxDf) else None,
+            rebucket = if (semantic) Some(bucketOf _) else None)
+          if (failAfterFold)
+            throw new IllegalStateException(
+              "injected crash between fold rewrite and state append")
+        }
         // state = seed + every PRIOR batch's admitted artifacts —
         // never this batch's own (replay safety, as with adm dirs);
         // resolves through AdmissionState so folded state (the
-        // small-files maintenance verb) reads as one compacted dir
-        graft.text.AdmissionState.guard(stateDir, epoch)
+        // small-files maintenance verb) reads as one compacted dir —
+        // re-resolved AFTER the fold above retired the dirs it covered
         val parts = graft.text.AdmissionState.parts(stateDir, id)
         val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
         val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
@@ -1192,34 +1242,6 @@ object LlmQueries {
         // the admitted-corpus product (text) — WRITE-only from here on
         b.join(admIds, "doc_id")
           .write.mode("overwrite").parquet(s"$refDir/adm$id")
-        // self-driving state maintenance (the LogTable auto-compaction
-        // move): once the unfolded tail exceeds the threshold, fold
-        // everything strictly below this batch — safe mid-stream
-        // (committed ids never replay, and this batch's own appends
-        // land AFTER the fold, above its horizon). The PRODUCTION fold
-        // verb rewrites the derived tables atomically with the
-        // compaction: `cpost` re-caps under the GLOBAL df (cross-batch
-        // boilerplate leaves the postings exactly here), and `emb`
-        // re-buckets under the GROWN plane dial when the folded
-        // reference crosses an occupancy threshold (expected bucket
-        // ~ 16 docs) — appends below then bucket under the same grown
-        // planes, so state and batch sides never mix dials.
-        if (parts.size > foldThreshold) {
-          if (semantic) {
-            val nRef = sp.read.parquet(parts.map(_ + "/emb"): _*).count()
-            val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
-            if (grown > curPlanes.size)
-              curPlanes = Similarity.hyperplanes(grown, Dim)
-          }
-          Dedup.maintenanceFold(sp, stateDir, upTo = id - 1,
-            subs = (if (fused) Seq("art", "sh") else Seq("art")) ++
-              (if (containment) Seq("cpost") else Nil) ++
-              (if (semantic) Seq("emb") else Nil) ++
-              (if (media) Seq("imgfp", "audfp") else Nil),
-            epoch = epoch,
-            recapMaxDf = if (containment) Some(ContainMaxDf) else None,
-            rebucket = if (semantic) Some(bucketOf _) else None)
-        }
         // the state append: only the admitted docs' artifacts
         val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
         admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
@@ -1484,6 +1506,181 @@ object LlmQueries {
         col("media_contaminated"), col("admitted"),
         col("status_after_register"), col("status_while_paused"),
         col("status_after_resume"), col("deregistered"))
+      .orderBy("doc_id")
+  }
+
+  /** The Debezium-envelope-minus-metadata record schema the framed
+   * admission gates (l15/l16) declare: the unwrap SMT needs only
+   * `{before, after, op}` (`실습수행/Debezium MySQL CDC Source
+   * Connector 실습 - 01.md:162-176` — source/ts_ms are capture
+   * provenance the gate never reads). */
+  private val DocRowDdl = "doc_id BIGINT, text STRING"
+  private val DocCdcDdl =
+    s"before STRUCT<$DocRowDdl>, after STRUCT<$DocRowDdl>, op STRING"
+
+  /** Stage a document wave as WIRE records in the Kafka dump shape —
+   * each doc wrapped in a CDC envelope and encoded through the C1
+   * `{schema,payload}` JSON envelope; `offset` = doc_id (globally
+   * unique across the fixture waves, so the transport order is
+   * deterministic). `extra` appends pre-built wire rows (the l16
+   * malformed plants). */
+  private def wireWave(df: DataFrame,
+                       extra: Option[DataFrame] = None): DataFrame = {
+    val rowT = org.apache.spark.sql.types.DataType.fromDDL(DocRowDdl)
+    val envT = org.apache.spark.sql.types.DataType.fromDDL(DocCdcDdl)
+    val w = df.select(
+      to_json(struct(col("doc_id"))).as("key"),
+      graft.codec.JsonEnvelope.encodeWithSchema(
+        struct(
+          lit(null).cast(rowT).as("before"),
+          struct(col("doc_id").cast("long").as("doc_id"),
+            col("text").cast("string").as("text")).as("after"),
+          lit("c").as("op")),
+        envT).as("value"),
+      lit("corpus").as("topic"),
+      col("doc_id").cast("long").as("offset"))
+    extra.fold(w)(w.unionByName)
+  }
+
+  /** L15: THE REFERENCE'S FULL DATA PATH INTO THE GATE — converter →
+   * SMT chain → sink. The reference never feeds a sink raw tables:
+   * every record crosses `value.converter` and the `transforms` chain
+   * first (`실습수행/JDBC Sink Connector 실습.md:331-363`,
+   * `실습수행/Debezium MySQL CDC Source Connector 실습 - 02.md` —
+   * ExtractNewRecordState in front of the JDBC sink). This gate runs
+   * the SAME l13 waves, but staged as wire records: each document
+   * wrapped in a Debezium CDC envelope (`{before, after, op}`) and
+   * encoded through the C1 `{schema,payload}` JSON envelope into the
+   * Kafka dump columns (key/value/topic/offset). The spec declares
+   * the converter (`source.wireFormat=json_envelope` + the envelope's
+   * record schema) and a NON-EMPTY transform chain
+   * (ExtractNewRecordState — T5, the labs' unwrap SMT) in front of
+   * the admission sink, and drives the full REST lifecycle with the
+   * pause/resume boundary, exactly like l13. The verdicts must
+   * hash-match l13's (same waves, same gate core, one shared oracle)
+   * — proving the gate composes with the engine's codec + SMT algebra
+   * rather than only consuming raw parquet. */
+  def admissionPipelineFramed(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l15_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves) = admissionWaves(docs)
+    existing.write.parquet(s"$base/seed")
+    def stage(i: Int): Unit =
+      graft.Tables.stageFile(wireWave(waves(i)),
+        Paths.get(in, f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    stage(0); stage(1) // wave 2 lands as backlog while paused
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specJson =
+      s"""{"name":"l15",
+         |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+         |  "wireFormat":"json_envelope",
+         |  "schemaDdl":${q.writeValueAsString(DocCdcDdl)},
+         |  "keyFields":["after"],
+         |  "topic":"corpus","maxFilesPerTrigger":"1"},
+         |"transforms":[{"type":"extractNewRecordState"}],
+         |"sink":{"type":"admission",
+         |  "path":${q.writeValueAsString(s"$base/gate")},
+         |  "seedPath":${q.writeValueAsString(s"$base/seed")}}}""".stripMargin
+    driveAdmissionPipeline(s, base, "l15", specJson, () => stage(2))
+      .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+        col("admitted"),
+        col("status_after_register"), col("status_while_paused"),
+        col("status_after_resume"), col("deregistered"))
+      .orderBy("doc_id")
+  }
+
+  /** L16: THE GATE'S ERROR-TOLERANCE LEG — `errors.tolerance=all`
+   * with a dead-letter queue, the reference's converter/sink error
+   * surface (K11/K13's `errors.deadletterqueue.topic.name`) applied
+   * to the admission gate: l13's waves ride the same wire-record
+   * transport as l15, with four malformed plants —
+   *
+   *  - an UNDECODABLE wire record (garbage bytes, wave 0) →
+   *    `VALUE_CONVERTER` / `malformed_envelope`;
+   *  - a record with a null key (`doc_id` null, wave 1) →
+   *    `ADMISSION_GATE` / `null_key`;
+   *  - a record with null `text` (wave 1) → `null_text`;
+   *  - a document beyond the spec's `maxDocChars` (wave 2) →
+   *    `oversized`
+   *
+   * — all routed to the per-batch gate DLQ instead of failing the
+   * trigger, while every CLEAN document's verdict hash-matches l13's
+   * (the plants never reach the gate body, and state grows only by
+   * admitted artifacts). Output = the verdict rows + the DLQ rows
+   * (stage, reason; doc_id falls back to -offset for rows that never
+   * decoded one) + the pinned `dlq_n`. */
+  def admissionPipelineDlq(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = s"target/tmp/l16_${new java.io.File(dir).getName}"
+    graft.util.Fs.deleteRecursive(Paths.get(base))
+    val in = s"$base/in"
+    Files.createDirectories(Paths.get(in))
+    val docs = Tpar(s, dir, "documents").select("doc_id", "text")
+    val (existing, waves) = admissionWaves(docs)
+    existing.write.parquet(s"$base/seed")
+    import s.implicits._
+    val rowT = org.apache.spark.sql.types.DataType.fromDDL(DocRowDdl)
+    val envT = org.apache.spark.sql.types.DataType.fromDDL(DocCdcDdl)
+    def plantRow(id: Option[Long], text: Option[String],
+                 offset: Long): DataFrame =
+      Seq(offset).toDF("offset").select(
+        lit(null).cast("string").as("key"),
+        graft.codec.JsonEnvelope.encodeWithSchema(
+          struct(
+            lit(null).cast(rowT).as("before"),
+            struct(
+              id.map(lit(_)).getOrElse(lit(null)).cast("long").as("doc_id"),
+              text.map(lit(_)).getOrElse(lit(null)).cast("string")
+                .as("text")).as("after"),
+            lit("c").as("op")),
+          envT).as("value"),
+        lit("corpus").as("topic"),
+        col("offset").cast("long").as("offset"))
+    val garbage = Seq(("""not an envelope ### {"broken""", 8000000L))
+      .toDF("value", "offset").select(
+        lit(null).cast("string").as("key"), col("value"),
+        lit("corpus").as("topic"), col("offset"))
+    val plants = Seq(
+      0 -> garbage,
+      1 -> plantRow(None, Some("orphan document with no key"), 8000001L)
+        .unionByName(plantRow(Some(9000001L), None, 9000001L)),
+      2 -> plantRow(Some(9000002L), Some("y " * 5000), 9000002L)).toMap
+    def stage(i: Int): Unit =
+      graft.Tables.stageFile(wireWave(waves(i), plants.get(i)),
+        Paths.get(in, f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
+    stage(0); stage(1) // wave 2 lands as backlog while paused
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    val specJson =
+      s"""{"name":"l16",
+         |"source":{"type":"parquet","path":${q.writeValueAsString(in)},
+         |  "wireFormat":"json_envelope",
+         |  "schemaDdl":${q.writeValueAsString(DocCdcDdl)},
+         |  "keyFields":["after"],
+         |  "topic":"corpus","maxFilesPerTrigger":"1"},
+         |"transforms":[{"type":"extractNewRecordState"}],
+         |"sink":{"type":"admission",
+         |  "path":${q.writeValueAsString(s"$base/gate")},
+         |  "seedPath":${q.writeValueAsString(s"$base/seed")},
+         |  "errorsTolerance":"all","maxDocChars":"5000"}}""".stripMargin
+    val verdicts =
+      driveAdmissionPipeline(s, base, "l16", specJson, () => stage(2))
+        .select(col("doc_id"), col("exact_dup"), col("near_dup"),
+          col("admitted"),
+          lit(null).cast("string").as("stage"),
+          lit(null).cast("string").as("reason"))
+    val dlq = s.read.parquet(s"$base/gate/dlq")
+      .select(coalesce(col("doc_id"), -col("seq")).as("doc_id"),
+        lit(null).cast("boolean").as("exact_dup"),
+        lit(null).cast("boolean").as("near_dup"),
+        lit(null).cast("boolean").as("admitted"),
+        col("stage"), col("reason"))
+    val dlqN = dlq.count()
+    verdicts.unionByName(dlq)
+      .withColumn("dlq_n", lit(dlqN))
       .orderBy("doc_id")
   }
 
@@ -4562,6 +4759,8 @@ object LlmQueries {
     "w18_stream_full_admission" -> (streamFullAdmission _),
     "l13_admission_pipeline" -> (admissionPipelineLifecycle _),
     "l14_admission_pipeline_full" -> (admissionPipelineFull _),
+    "l15_admission_framed_smt" -> (admissionPipelineFramed _),
+    "l16_admission_gate_dlq" -> (admissionPipelineDlq _),
     "e8_label_centroid_sum" -> (labelCentroidSum _),
     "x1_lang_id" -> (langId _),
     "x2_quality_score" -> (qualityScore _),
@@ -6311,6 +6510,41 @@ object LlmQueries {
          |  TRUE AS deregistered
          |FROM ($w12AdmissionOracle)
          |ORDER BY doc_id""".stripMargin,
+    // l15 = l13's oracle EXACTLY (same waves, same gate core, same
+    // lifecycle): the converter + unwrap-SMT transport in front of the
+    // sink must be verdict-invisible — that invariance IS the gate
+    "l15_admission_framed_smt" ->
+      s"""SELECT doc_id, exact_dup, near_dup, admitted,
+         |  'RUNNING' AS status_after_register,
+         |  'PAUSED' AS status_while_paused,
+         |  'RUNNING' AS status_after_resume,
+         |  TRUE AS deregistered
+         |FROM ($w12AdmissionOracle)
+         |ORDER BY doc_id""".stripMargin,
+    // l16 = w12's verdicts on the CLEAN docs (the malformed plants
+    // dead-letter before the gate body and state grows only by
+    // admitted artifacts, so clean verdicts are unchanged) + the four
+    // planted DLQ rows with their (stage, reason) pinned + dlq_n
+    "l16_admission_gate_dlq" ->
+      s"""SELECT * FROM (
+         |  SELECT doc_id, exact_dup, near_dup, admitted,
+         |    CAST(NULL AS VARCHAR) AS stage,
+         |    CAST(NULL AS VARCHAR) AS reason,
+         |    CAST(4 AS BIGINT) AS dlq_n
+         |  FROM ($w12AdmissionOracle)
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    (CAST(-8000000 AS BIGINT), CAST(NULL AS BOOLEAN),
+         |     CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+         |     'VALUE_CONVERTER', 'malformed_envelope', CAST(4 AS BIGINT)),
+         |    (-8000001, NULL, NULL, NULL,
+         |     'ADMISSION_GATE', 'null_key', 4),
+         |    (9000001, NULL, NULL, NULL,
+         |     'ADMISSION_GATE', 'null_text', 4),
+         |    (9000002, NULL, NULL, NULL,
+         |     'ADMISSION_GATE', 'oversized', 4)
+         |  ) t(doc_id, exact_dup, near_dup, admitted, stage, reason, dlq_n)
+         |) ORDER BY doc_id""".stripMargin,
     // w14 = w12's unrolled rounds with the quality head (one global CTE
     // — quality is batch-local) and the per-round novelty leg (the
     // reference's distinct shingles as of that round) joined into each

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.nio.file.Paths
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.LlmQueries
@@ -48,18 +48,74 @@ import graft.ml.Similarity
  * hash-match the runners' on identical waves. With every key absent
  * the gate is the plain w12 dedup shape (k=3 shingles, 16 perms, 4
  * bands). The semantic dial (`semPlanes`, a plane COUNT) is part of
- * the declarative config; the frozen center derives from the seed at
- * bootstrap and persists beside the state, and a RESUMED gate rebuilds
- * the live dials from state alone
- * ([[graft.LlmQueries.AdmissionGateCore.resumeDials]]).
+ * the declarative config — OMITTED, it derives as
+ * `scaledPlaneCount(seed rows)` at bootstrap (r18: a production spec
+ * with every key defaulted gets the corpus-scaled dial, the way the
+ * reference's connector configs work with every key defaulted); the
+ * frozen center derives from the seed at bootstrap and persists beside
+ * the state, and a RESUMED gate rebuilds the live dials from state
+ * alone ([[graft.LlmQueries.AdmissionGateCore.resumeDials]]). The
+ * whole axis set + dial persist as `.axes` beside the bootstrap
+ * marker, and a resume REFUSES a spec that contradicts them (r18 —
+ * see [[openGate]]).
  */
 object AdmissionSink {
 
-  /** The gate core a sink spec declares. Dim is the engine-wide
-   * hashed-embedding width; plane count defaults to the fixture dial
-   * (8) — production specs pass the corpus-scaled count (expected
-   * bucket ≈ 16 docs). */
-  def coreFor(sink: SinkSpec): LlmQueries.AdmissionGateCore =
+  /** The axis CONFIG persisted beside the gate state (dot-prefixed —
+   * invisible to [[graft.text.AdmissionState.parts]], like the
+   * `.bootstrapped` marker it lives next to). Everything the bootstrap
+   * FROZE INTO the state layout: which sub-tables exist (the axis
+   * flags), which corpora the frozen benchmark tables derive from (the
+   * paths), and the semantic plane dial the bucketing started at. A
+   * resume whose spec differs on ANY of these would silently corrupt:
+   * e.g. a reduced axis set makes the next maintenance fold retire the
+   * `b<id>` dirs while dropping the disabled axes' sub-tables (`emb`/
+   * `cpost`) from the fold — permanently, so re-enabling the axis later
+   * crashes on the fold dir missing them. */
+  private final case class Axes(
+      seedPath: String, fused: Boolean, containment: Boolean,
+      semantic: Boolean, media: Boolean, benchPath: String,
+      benchMediaPath: String, semPlanes: Int)
+
+  private def axesOf(sink: SinkSpec, semPlanes: Int): Axes = Axes(
+    seedPath = sink.seedPath.getOrElse(""),
+    fused = sink.fused, containment = sink.containment,
+    semantic = sink.semantic, media = sink.media,
+    benchPath = sink.benchPath.getOrElse(""),
+    benchMediaPath = sink.benchMediaPath.getOrElse(""),
+    semPlanes = semPlanes)
+
+  private def axesFile(sink: SinkSpec) =
+    Paths.get(sink.path, "state", ".axes")
+
+  private def writeAxes(sink: SinkSpec, a: Axes): Unit = {
+    val q = new com.fasterxml.jackson.databind.ObjectMapper()
+    def s(v: String) = q.writeValueAsString(v)
+    java.nio.file.Files.createDirectories(axesFile(sink).getParent)
+    java.nio.file.Files.writeString(axesFile(sink),
+      s"""{"seedPath":${s(a.seedPath)},"fused":${a.fused},""" +
+        s""""containment":${a.containment},"semantic":${a.semantic},""" +
+        s""""media":${a.media},"benchPath":${s(a.benchPath)},""" +
+        s""""benchMediaPath":${s(a.benchMediaPath)},""" +
+        s""""semPlanes":${a.semPlanes}}""")
+  }
+
+  private def readAxes(sink: SinkSpec): Option[Axes] =
+    if (!java.nio.file.Files.exists(axesFile(sink))) None
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = m.readTree(java.nio.file.Files.readString(axesFile(sink)))
+      Some(Axes(
+        n.get("seedPath").asText, n.get("fused").asBoolean,
+        n.get("containment").asBoolean, n.get("semantic").asBoolean,
+        n.get("media").asBoolean, n.get("benchPath").asText,
+        n.get("benchMediaPath").asText, n.get("semPlanes").asInt))
+    }
+
+  /** The gate core a sink spec declares at an EXPLICIT plane dial. Dim
+   * is the engine-wide hashed-embedding width. */
+  private def coreAt(sink: SinkSpec, semPlanes: Int)
+      : LlmQueries.AdmissionGateCore =
     new LlmQueries.AdmissionGateCore(
       sink.path,
       fused = sink.fused,
@@ -68,25 +124,70 @@ object AdmissionSink {
       semantic = sink.semantic,
       media = sink.media,
       hasBenchMedia = sink.benchMediaPath.nonEmpty,
-      semPlanes0 =
-        Similarity.hyperplanes(sink.semPlanes.getOrElse(8), LlmQueries.Dim))
+      semPlanes0 = Similarity.hyperplanes(semPlanes, LlmQueries.Dim))
 
-  /** First-start bootstrap: derive the seed corpus's state ONCE
-   * (idempotent — a restart on a completed state dir skips straight to
-   * [[graft.LlmQueries.AdmissionGateCore.resumeDials]]; the stream then
-   * resumes from the checkpoint against the state its committed batches
-   * built). The benchmark corpora freeze here — benchmarks change
-   * rarely; re-registering with a new `benchPath` requires an offset
-   * reset (fresh gate) by design. */
-  def bootstrapOrResume(spark: SparkSession, sink: SinkSpec,
-                        core: LlmQueries.AdmissionGateCore): Unit =
-    if (core.bootstrapped) core.resumeDials(spark)
-    else {
-      def docs(p: String): DataFrame =
-        spark.read.parquet(p).select("doc_id", "text")
-      core.bootstrap(spark, docs(sink.seedPath.get),
-        sink.benchPath.map(docs), sink.benchMediaPath.map(docs))
+  /** The gate core a sink spec declares — resume-aware: on a
+   * bootstrapped root the plane dial comes from the persisted axis
+   * config (the seed that would re-derive it is retired); on a fresh
+   * root from the spec key, falling back to the fixture dial (8 — the
+   * plain-shape default; [[openGate]] is the production entry and
+   * derives the corpus-scaled dial instead). */
+  def coreFor(sink: SinkSpec): LlmQueries.AdmissionGateCore =
+    coreAt(sink, readAxes(sink).map(_.semPlanes)
+      .orElse(sink.semPlanes).getOrElse(8))
+
+  /** ENGINE ENTRY — bootstrap-or-resume with the axis-config contract:
+   *
+   *  - **fresh root**: resolve the semantic plane dial (the spec's
+   *    `semPlanes` key, else `scaledPlaneCount(seed rows)` — the same
+   *    production dial the d14b/w17 operators use, so a spec with every
+   *    key defaulted gets the corpus-scaled dial, not a toy one),
+   *    persist the axis config, then bootstrap (idempotent — the
+   *    `.bootstrapped` marker lands last, so a crash mid-bootstrap
+   *    redoes the whole overwrite set, axes included);
+   *  - **bootstrapped root**: REFUSE a spec whose axes differ from the
+   *    persisted set — the state layout froze them at bootstrap (see
+   *    [[Axes]]) — unless the operator offset-resets (which wipes the
+   *    gate root and re-bootstraps fresh). A spec omitting `semPlanes`
+   *    resumes at the persisted dial; an explicit key must match it.
+   *    Benchmark corpora freeze the same way — re-registering with a
+   *    new `benchPath` requires an offset reset by design, and the
+   *    persisted paths now ENFORCE that instead of documenting it.
+   */
+  def openGate(spark: SparkSession,
+               sink: SinkSpec): LlmQueries.AdmissionGateCore = {
+    def docs(p: String): DataFrame =
+      spark.read.parquet(p).select("doc_id", "text")
+    readAxes(sink) match {
+      case Some(persisted) =>
+        val spec = axesOf(sink,
+          sink.semPlanes.getOrElse(persisted.semPlanes))
+        if (spec != persisted)
+          throw new IllegalStateException(
+            s"admission gate '${sink.path}' was bootstrapped with axis " +
+              s"config $persisted but the spec declares $spec — the " +
+              "state layout froze the axis set at bootstrap; to change " +
+              "axes, benchmark corpora or the semantic dial, reset the " +
+              "connector's offsets (wipes the gate and re-bootstraps)")
+        val core = coreAt(sink, persisted.semPlanes)
+        if (core.bootstrapped) core.resumeDials(spark)
+        else // crashed mid-bootstrap after the axes write: redo it all
+          core.bootstrap(spark, docs(sink.seedPath.get),
+            sink.benchPath.map(docs), sink.benchMediaPath.map(docs))
+        core
+      case None =>
+        val planes = sink.semPlanes.getOrElse(
+          if (sink.semantic)
+            LlmQueries.scaledPlaneCount(
+              spark.read.parquet(sink.seedPath.get).count())
+          else 8)
+        writeAxes(sink, axesOf(sink, planes))
+        val core = coreAt(sink, planes)
+        core.bootstrap(spark, docs(sink.seedPath.get),
+          sink.benchPath.map(docs), sink.benchMediaPath.map(docs))
+        core
     }
+  }
 
   /** L4 for the gate: the offset reset deletes the WHOLE gate root
    * alongside the checkpoint — a reset stream restarts batch ids at 0,
@@ -109,4 +210,52 @@ object AdmissionSink {
           .as("doc_id"),
         col(s"${graft.model.Connect.ValueCol}.text").cast("string")
           .as("text"))
+
+  /** `errors.tolerance=all` for the gate (r18): split the framed batch
+   * into clean documents and the DLQ, mirroring what K11/K13 give the
+   * converter/JDBC path — a malformed record inside an admission batch
+   * dead-letters with (stage, reason) instead of failing the trigger:
+   *
+   *  - **VALUE_CONVERTER** stage: an undecodable wire record (the
+   *    error class / raw message ride in the frame headers the
+   *    tolerant [[Engine.toFrame]] attached);
+   *  - **ADMISSION_GATE** stage: a decoded document the gate cannot
+   *    admit or judge — null `doc_id` (`null_key`), null `text`
+   *    (`null_text`), or text beyond the spec's `maxDocChars`
+   *    (`oversized`).
+   *
+   * The DLQ lands in a per-batch overwrite dir (`dlq/batch=<id>` —
+   * the gate's idempotent-replay discipline), tombstones still drop
+   * silently (they are DATA, not errors), and clean documents flow to
+   * the verdict unchanged. The split re-evaluates the micro-batch
+   * source twice (DLQ write + verdict input) — batches are pinned
+   * file sets, so the second pass is a bounded re-read, the same
+   * trade [[graft.codec.JsonEnvelope.routeDlq]] documents. */
+  def routeGateDlq(framed: DataFrame, sink: SinkSpec,
+                   id: Long): DataFrame = {
+    val v = col(graft.model.Connect.ValueCol)
+    def h(k: String): Column =
+      if (framed.columns.contains("headers"))
+        element_at(col("headers"), k)
+      else lit(null).cast("string")
+    val convErr = h("__error_class").isNotNull
+    val docId = v.getField("doc_id").cast("long")
+    val text = v.getField("text").cast("string")
+    val gateReason = when(docId.isNull, "null_key")
+      .when(text.isNull, "null_text")
+      .when(sink.maxDocChars.map(m => length(text) > m)
+        .getOrElse(lit(false)), "oversized")
+    val isDlq = convErr || (v.isNotNull && gateReason.isNotNull)
+    framed.filter(isDlq)
+      .select(
+        when(!convErr, docId).as("doc_id"),
+        when(convErr, h("__error_stage"))
+          .otherwise(lit("ADMISSION_GATE")).as("stage"),
+        when(convErr, h("__error_class")).otherwise(gateReason)
+          .as("reason"),
+        col(graft.model.Connect.SeqCol).as("seq"),
+        h("__raw").as("raw"))
+      .write.mode("overwrite").parquet(s"${sink.path}/dlq/batch=$id")
+    documentsOf(framed.filter(!isDlq))
+  }
 }

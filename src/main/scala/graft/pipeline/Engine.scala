@@ -240,11 +240,37 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     if (spec.source.kind == "kafka" && spec.source.schema.isEmpty)
       throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value")
-    // the kafka frame lifts its key from the decoded value; with no
-    // keyFields every record would share the empty-struct key and a
+    // the wire-format converter (r18): staged files in the Kafka dump
+    // shape whose value column carries the C1 JSON envelope
+    spec.source.wireFormat.foreach { wf =>
+      if (wf != "json_envelope")
+        throw new IllegalArgumentException(s"unknown wireFormat '$wf'")
+      if (spec.source.kind != "parquet")
+        throw new IllegalArgumentException(
+          "wireFormat applies to parquet file sources (the kafka source " +
+            "always decodes; CSV carries no wire column)")
+      if (spec.source.schema.isEmpty)
+        throw new IllegalArgumentException(
+          "wireFormat requires schemaDdl (the record schema the value " +
+            "column decodes with)")
+    }
+    if (!Set("none", "all")(spec.sink.errorsTolerance))
+      throw new IllegalArgumentException(
+        s"unknown errors tolerance '${spec.sink.errorsTolerance}'")
+    if (spec.sink.errorsTolerance == "all" && spec.sink.kind != "admission")
+      throw new IllegalArgumentException(
+        "errorsTolerance=all is the admission gate's DLQ (the converter/" +
+          "JDBC DLQ surface for table flows is the K11/K13 path)")
+    if (spec.sink.maxDocChars.exists(_ <= 0))
+      throw new IllegalArgumentException("maxDocChars must be positive")
+    if (spec.sink.maxDocChars.nonEmpty && spec.sink.kind != "admission")
+      throw new IllegalArgumentException(
+        "maxDocChars is an admission sink key")
+    // the kafka/wire frame lifts its key from the decoded value; with
+    // no keyFields every record would share the empty-struct key and a
     // keyed sink silently collapses to one row
-    if (spec.source.kind == "kafka" && spec.source.keyFields.isEmpty &&
-        keyedSinks(spec.sink.kind))
+    if ((spec.source.kind == "kafka" || spec.source.wireFormat.nonEmpty) &&
+        spec.source.keyFields.isEmpty && keyedSinks(spec.sink.kind))
       throw new IllegalArgumentException(
         "kafka source feeding a keyed sink requires source.keyFields")
     if (!(keyedSinks + "append" + "admission")(spec.sink.kind))
@@ -370,7 +396,8 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     validate(spec)
     snapshotIfFirstStart(spec)
     val src = readSource(spec.source)
-    val framed = toFrame(src, spec.source)
+    val framed = toFrame(src, spec.source,
+      tolerant = spec.sink.errorsTolerance == "all")
     val transformed = spec.transforms.map(_.toTransform)
       .foldLeft(framed)((df, t) => t(df))
     val sink = spec.sink
@@ -424,14 +451,16 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
         // identity to the state dir, then run the spec-declared axis
         // set's verdict per batch — the same AdmissionGateCore the
         // bespoke w12-w18 runners drive
-        val core = AdmissionSink.coreFor(sink)
-        AdmissionSink.bootstrapOrResume(spark, sink, core)
+        val core = AdmissionSink.openGate(spark, sink)
         val epoch = graft.text.AdmissionState.acquireWriter(s"${sink.path}/state")
         graft.text.AdmissionState.bindCheckpoint(s"${sink.path}/state",
           checkpointDir(spec.name))
+        val tolerant = sink.errorsTolerance == "all"
         writer("update").foreachBatch { (batch: DataFrame, id: Long) =>
-          core.applyBatch(batch.sparkSession, epoch,
-            AdmissionSink.documentsOf(batch), id)
+          val docs =
+            if (tolerant) AdmissionSink.routeGateDlq(batch, sink, id)
+            else AdmissionSink.documentsOf(batch)
+          core.applyBatch(batch.sparkSession, epoch, docs, id)
         }.start()
       case other =>
         throw new IllegalArgumentException(s"unknown sink '$other'")
@@ -446,7 +475,16 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
     case "parquet" =>
       val r = spark.readStream
         .option("maxFilesPerTrigger", s.maxFilesPerTrigger)
-      s.schema.map(r.schema).getOrElse(r).format("parquet").load(s.path)
+      // a wireFormat source's FILES carry the Kafka dump shape; the
+      // declared schemaDdl is the RECORD schema the converter decodes
+      // the value column with (toFrame), not the file schema
+      val fileSchema =
+        if (s.wireFormat.nonEmpty) Some(
+          org.apache.spark.sql.types.DataType
+            .fromDDL("key STRING, value STRING, topic STRING, offset BIGINT")
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        else s.schema
+      fileSchema.map(r.schema).getOrElse(r).format("parquet").load(s.path)
     case "rate" =>
       spark.readStream.format("rate").option("rowsPerSecond", 10).load()
     case "kafka" =>
@@ -488,9 +526,19 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
    *
    * A kafka source is already connect-shaped: the JSON value decodes
    * with the declared schema, key fields lift from it, and the Kafka
-   * offset is the seq (exactly the Connect record's ordering). */
-  private[graft] def toFrame(df: DataFrame, s: SourceSpec): DataFrame = {
-    if (s.kind == "kafka") {
+   * offset is the seq (exactly the Connect record's ordering). A
+   * `wireFormat` FILE source (r18) takes the same branch — its staged
+   * files carry the Kafka dump shape (`key`/`value`/`topic`/`offset`)
+   * — but decodes the value CLASSIFIED
+   * ([[graft.codec.JsonEnvelope.decodeClassified]]): with `tolerant`
+   * (the sink declared errors.tolerance=all) an undecodable record
+   * becomes a null-value row whose `headers` carry the error class /
+   * stage / raw message for the DLQ router downstream; without it the
+   * first bad record fails the task (the Connect default), via a
+   * plan-level raise_error so clean streams pay nothing. */
+  private[graft] def toFrame(df: DataFrame, s: SourceSpec,
+                             tolerant: Boolean = false): DataFrame = {
+    if (s.kind == "kafka" || s.wireFormat.nonEmpty) {
       val sc = s.schema.getOrElse(throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value"))
       // keySchema in keyFields ORDER — it must be the same struct type
@@ -517,17 +565,42 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
               org.apache.spark.sql.types.ArrayType(keySchema.fields.head.dataType)),
             1).as(s.keyFields.head))
         else lit(null).cast(keySchema)
+      val rawVal = col("value").cast("string")
+      // kafka keeps the envelope-SNIFFING decode (bare JSON values are
+      // legal on a topic); an explicit wireFormat declares the schema'd
+      // envelope, so decode failures are CLASSIFIABLE rather than
+      // silently null (which a keyed sink would read as a tombstone)
+      val (decoded, errClass) =
+        if (s.wireFormat.contains("json_envelope")) {
+          val cls = graft.codec.JsonEnvelope.decodeClassified(rawVal, sc)
+          (cls.getField("value"), cls.getField("error_class"))
+        } else
+          (graft.codec.JsonEnvelope.decode(rawVal, sc),
+            lit(null).cast("string"))
+      val valueCol =
+        if (tolerant) decoded
+        else when(errClass.isNotNull,
+            raise_error(concat(lit("wire record failed to decode ("),
+              errClass, lit("): "), coalesce(rawVal, lit("null"))))
+              .cast(sc))
+          .otherwise(decoded)
+      val headerCols =
+        if (!tolerant) Nil
+        else Seq(when(errClass.isNotNull,
+            map(lit("__error_class"), errClass,
+              lit("__error_stage"), lit("VALUE_CONVERTER"),
+              lit("__raw"), rawVal))
+          .as("headers"))
       return df
-        .withColumn("_v",
-          graft.codec.JsonEnvelope.decode(col("value").cast("string"), sc))
-        .select(
+        .withColumn("_v", valueCol)
+        .select(Seq(
           when(col("_v").isNotNull,
             struct(s.keyFields.map(f => col(s"_v.$f")).toIndexedSeq: _*))
             .otherwise(when(isObject, parsedKey).otherwise(scalarKey))
             .as(Connect.KeyCol),
           col("_v").as(Connect.ValueCol), // null kafka value stays a tombstone
           col("topic").as(Connect.TopicCol),
-          col("offset").cast("long").as(Connect.SeqCol))
+          col("offset").cast("long").as(Connect.SeqCol)) ++ headerCols: _*)
     }
     val seqCol = s.seqColumn.map(col).getOrElse {
       // rate's own monotonic `value` IS an arrival order — the layout-

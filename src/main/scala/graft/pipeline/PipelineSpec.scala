@@ -61,7 +61,17 @@ final case class SourceSpec(
     // re-snapshot-after-offset-delete behavior. "schema_only" (and
     // absent) = changes only.
     snapshotMode: Option[String] = None,
-    snapshotPath: Option[String] = None) {
+    snapshotPath: Option[String] = None,
+    // r18 — the value.converter analog for FILE transports: when set,
+    // the staged files are WIRE records in the Kafka dump shape
+    // (columns `key`/`value`/`topic`/`offset`, value carrying the C1
+    // `{schema,payload}` JSON envelope of each record), and the frame
+    // decodes `value` with `schemaDdl` as the record schema — exactly
+    // what the kafka source does, applied to a spooled topic dump. A
+    // null value stays a tombstone; an UNDECODABLE value fails the
+    // task (Connect's errors.tolerance=none default) unless the sink
+    // declares errorsTolerance=all, which routes it to the DLQ instead.
+    wireFormat: Option[String] = None) {
   def schema: Option[StructType] =
     schemaDdl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
 }
@@ -157,16 +167,30 @@ final case class SinkSpec(
     // and `semantic` their postings/embedding legs; `media` the
     // image/audio fingerprint axes, with `benchMediaPath` the frozen
     // benchmark-media corpus for media decontamination. `semPlanes` is
-    // the semantic leg's LSH plane COUNT (the production dial scales it
-    // so the expected bucket holds ~16 docs). With all keys absent the
-    // gate is the plain w12 dedup shape (L13).
+    // the semantic leg's LSH plane COUNT; omitted, it derives at
+    // bootstrap as scaledPlaneCount(seed rows) — the production dial
+    // (expected bucket ~16 docs). With all keys absent the gate is the
+    // plain w12 dedup shape (L13). The axis set + dial persist beside
+    // the state at bootstrap; a resume refuses a contradicting spec
+    // (offset reset = fresh gate).
     fused: Boolean = false,
     containment: Boolean = false,
     semantic: Boolean = false,
     media: Boolean = false,
     benchPath: Option[String] = None,
     benchMediaPath: Option[String] = None,
-    semPlanes: Option[Int] = None)
+    semPlanes: Option[Int] = None,
+    // Connect's errors.tolerance, scoped to the admission gate (the
+    // converter/JDBC DLQ surface is K11/K13): "none" (default) fails
+    // the task on the first malformed record; "all" routes malformed
+    // rows — undecodable wire records (VALUE_CONVERTER stage), null-key
+    // / null-text / oversized documents (ADMISSION_GATE stage) — to a
+    // per-batch DLQ under `<path>/dlq`, verdicts unaffected.
+    errorsTolerance: String = "none",
+    // the "oversized" bound for the gate DLQ: documents longer than
+    // this many chars dead-letter instead of entering the verdict
+    // (absent = unbounded)
+    maxDocChars: Option[Int] = None)
 
 object PipelineSpec {
 
@@ -194,7 +218,8 @@ object PipelineSpec {
         maxFilesPerTrigger = str(src, "maxFilesPerTrigger").map(_.toInt).getOrElse(3),
         replicaIdentityFull = str(src, "replicaIdentityFull").exists(_.toBoolean),
         snapshotMode = str(src, "snapshotMode"),
-        snapshotPath = str(src, "snapshotPath")),
+        snapshotPath = str(src, "snapshotPath"),
+        wireFormat = str(src, "wireFormat")),
       transforms = Option(n.get("transforms")).map(_.elements().asScala.map { t =>
         TransformSpec(
           kind = t.get("type").asText,
@@ -220,7 +245,9 @@ object PipelineSpec {
         media = str(sink, "media").exists(_.toBoolean),
         benchPath = str(sink, "benchPath"),
         benchMediaPath = str(sink, "benchMediaPath"),
-        semPlanes = str(sink, "semPlanes").map(_.toInt)),
+        semPlanes = str(sink, "semPlanes").map(_.toInt),
+        errorsTolerance = str(sink, "errorsTolerance").getOrElse("none"),
+        maxDocChars = str(sink, "maxDocChars").map(_.toInt)),
       triggerMs = str(n, "triggerMs").map(_.toLong))
   }
 }

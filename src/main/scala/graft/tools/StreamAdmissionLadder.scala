@@ -127,6 +127,12 @@ object StreamAdmissionLadder {
            |  "benchMediaPath":${q.writeValueAsString(s"$base/bench")},
            |  "semPlanes":"${graft.LlmQueries.scaledPlaneCount(n)}"}}"""
           .stripMargin
+      // recentProgress is a ring buffer (default 100 entries): a ladder
+      // run past ~100 waves would silently lose its earliest rungs'
+      // timings and report a truncated ladder — size the buffer to the
+      // wave count up front (r18, ADVICE)
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        (waves + 20).toString)
       val engine = new graft.pipeline.Engine(spark, s"$base/engine")
       val query = engine.registerJson(spec)
       query.processAllAvailable()

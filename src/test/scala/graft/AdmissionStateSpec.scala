@@ -492,4 +492,88 @@ class AdmissionStateSpec extends SparkSpec {
       rebuilt.exceptAll(foldCp).isEmpty,
       "runner fold must publish globally re-capped postings")
   }
+
+  test("torn fold: a crash BETWEEN the fold rewrite and the state append resumes to verdicts identical to an uninterrupted run") {
+    // The crash window the fold's atomicity claim never proved (r17
+    // verdict, Next #4): the maintenance fold PUBLISHED (state below
+    // the frontier compacted, re-capped, re-bucketed under the grown
+    // dial) but the folding batch's own appends never landed and its
+    // checkpoint never committed. A restart must (a) re-derive the
+    // grown dial from the newest fold (resumeDials), (b) replay the
+    // SAME batch id against the folded state (reads are strictly below
+    // the frontier, so the replay is deterministic), and (c) continue
+    // to verdicts identical to a run that never crashed — across the
+    // FULL axis set, so the recap (cpost) and re-bucket (emb) rewrites
+    // are both in the replayed read path.
+    import graft.ml.Similarity
+    val seed = docs.filter(col("doc_id") < 100)
+    val bench = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+    def wave(i: Int): DataFrame =
+      if (i < 8)
+        docs.filter(col("doc_id") >= 100 + 50 * i &&
+          col("doc_id") < 100 + 50 * (i + 1) && col("doc_id") < 500)
+      else // post-fold batch: token-reversed paraphrases of seed docs
+        // (semantic-leg catches that depend on pre-fold state read
+        // back through the folded, re-bucketed emb table)
+        seed.filter(col("doc_id") % 30 === 0 && length(col("text")) > 120)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat_ws(" ", reverse(Dedup.tokens(col("text")))).as("text"))
+    def mkCore(base: String) = new LlmQueries.AdmissionGateCore(
+      base, fused = true, hasBench = true, containment = true,
+      semantic = true, media = true, hasBenchMedia = true,
+      semPlanes0 = Similarity.hyperplanes(2, LlmQueries.Dim))
+    def run(base: String, crash: Boolean): Int = {
+      graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(base))
+      var core = mkCore(base)
+      core.bootstrap(spark, seed, Some(bench), Some(bench))
+      var epoch = graft.text.AdmissionState.acquireWriter(s"$base/state")
+      var resumedDial = -1
+      var fired = false
+      (0 to 8).foreach { i =>
+        val willFold =
+          graft.text.AdmissionState.parts(s"$base/state", i).size > 6
+        if (crash && willFold && !fired) {
+          fired = true
+          core.failAfterFold = true
+          intercept[IllegalStateException](
+            core.applyBatch(spark, epoch, wave(i), i))
+          // the restart: a fresh core re-derives its dials from the
+          // published fold, a fresh epoch supersedes the corpse, and
+          // the uncommitted batch id replays
+          core = mkCore(base)
+          assert(core.bootstrapped)
+          core.resumeDials(spark)
+          resumedDial = core.currentPlaneCount
+          epoch = graft.text.AdmissionState.acquireWriter(s"$base/state")
+        }
+        core.applyBatch(spark, epoch, wave(i), i)
+      }
+      if (crash) {
+        assert(fired, "fixture must reach the fold threshold")
+        assert(resumedDial > 2,
+          s"the resumed dial must re-derive as GROWN from the torn " +
+            s"fold (got $resumedDial)")
+      }
+      core.currentPlaneCount
+    }
+    val ref = "target/tmp/tornfold_ref"
+    val crashed = "target/tmp/tornfold_crash"
+    val refDial = run(ref, crash = false)
+    val crashDial = run(crashed, crash = true)
+    assert(refDial == crashDial,
+      "both runs must end at the same plane dial")
+    def snap(base: String): Seq[String] =
+      spark.read.parquet(s"$base/out").collect()
+        .map(_.toString).sorted.toSeq
+    val (a, b) = (snap(ref), snap(crashed))
+    assert(a.nonEmpty && a == b,
+      s"resumed verdicts must be identical to the uninterrupted run's " +
+        s"(${a.size} vs ${b.size} rows)")
+    // the post-fold semantic catches survived the torn-fold resume
+    val para = spark.read.parquet(s"$crashed/out")
+      .filter(col("doc_id") >= 1000000L)
+    assert(para.count() >= 2 &&
+      para.filter(!col("semantic_dup")).count() == 0,
+      "post-resume paraphrase plants must flag semantic_dup")
+  }
 }

@@ -529,4 +529,105 @@ class EngineSpec extends SparkSpec {
       "re-ingest after reset must reproduce the verdicts")
     engine.delete("adm")
   }
+
+  test("admission axis config persists at bootstrap: a resume with different axes refuses until an offset reset; omitted semPlanes resumes at the persisted dial") {
+    import org.apache.spark.sql.DataFrame
+    val base = Files.createTempDirectory("axpersist").toString
+    val in = s"$base/in"; Files.createDirectories(Paths.get(in))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    docs.filter(col("doc_id") < 100).write.parquet(s"$base/seed")
+    graft.Tables.stageFile(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+      Paths.get(in, "w00.parquet"), 1000000000000L)
+    val engine = new Engine(spark, s"$base/engine")
+    def spec(extra: String) =
+      s"""{"name":"axp","source":{"type":"parquet","path":"$in",
+         |  "schemaDdl":"doc_id BIGINT, text STRING",
+         |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c",
+         |  "maxFilesPerTrigger":"1"},
+         |"transforms":[],
+         |"sink":{"type":"admission","path":"$base/gate",
+         |  "seedPath":"$base/seed"$extra}}""".stripMargin
+    val full =
+      ""","fused":"true","containment":"true","semantic":"true","semPlanes":"4""""
+    engine.registerJson(spec(full)).processAllAvailable()
+    engine.delete("axp") // checkpoint + gate retained, Connect-style
+    // a reduced axis set on the same gate root would make the next
+    // maintenance fold silently drop the disabled axes' sub-tables —
+    // the persisted config refuses it at entry instead
+    val e1 = intercept[IllegalStateException](engine.registerJson(
+      spec(""","fused":"true","containment":"true"""")))
+    assert(e1.getMessage.contains("axis") &&
+      e1.getMessage.contains("reset"), e1.getMessage)
+    // a different semantic dial is just as frozen (state buckets built
+    // under the bootstrap dial)
+    val e2 = intercept[IllegalStateException](engine.registerJson(spec(
+      ""","fused":"true","containment":"true","semantic":"true","semPlanes":"6"""")))
+    assert(e2.getMessage.contains("axis"), e2.getMessage)
+    // the SAME axes with semPlanes OMITTED resume at the persisted
+    // dial (the seed that derived it is retired)
+    engine.registerJson(spec(
+      ""","fused":"true","containment":"true","semantic":"true""""))
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(engine.status("axp")._2 == "RUNNING")
+    // an offset reset wipes the gate (axes included): the changed
+    // axis set now bootstraps fresh
+    engine.pause("axp")
+    engine.resetOffsets("axp")
+    engine.delete("axp")
+    engine.registerJson(spec(""","fused":"true","containment":"true""""))
+    spark.streams.active.foreach(_.processAllAvailable())
+    assert(engine.status("axp")._2 == "RUNNING")
+    engine.delete("axp")
+  }
+
+  test("omitted semPlanes derives the corpus-scaled dial at bootstrap and the verdicts hash-match an explicit spec at that dial") {
+    import org.apache.spark.sql.DataFrame
+    val baseRoot = Files.createTempDirectory("semdefault").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // a seed big enough that the derived dial EXCEEDS the legacy
+    // fixture default (8): 10 replica bands of the 500-doc corpus →
+    // scaledPlaneCount(5000) = 9, so a regression to the old hardcoded
+    // default would make the two gates bucket differently and the
+    // equality below fail
+    val seed = (0 until 10).map(k =>
+        docs.select((col("doc_id") + k * 10000L).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val expected = LlmQueries.scaledPlaneCount(5000L)
+    assert(expected > 8, s"fixture must exceed the legacy default (got $expected)")
+    val wave = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    def run(tag: String, dial: Option[Int]): Seq[String] = {
+      val base = s"$baseRoot/$tag"
+      Files.createDirectories(Paths.get(s"$base/in"))
+      seed.write.parquet(s"$base/seed")
+      graft.Tables.stageFile(wave, Paths.get(s"$base/in/w00.parquet"),
+        1000000000000L)
+      val engine = new Engine(spark, s"$base/engine")
+      engine.registerJson(
+        s"""{"name":"sd_$tag","source":{"type":"parquet","path":"$base/in",
+           |  "schemaDdl":"doc_id BIGINT, text STRING",
+           |  "keyFields":["doc_id"],"seqColumn":"doc_id","topic":"c",
+           |  "maxFilesPerTrigger":"1"},
+           |"transforms":[],
+           |"sink":{"type":"admission","path":"$base/gate",
+           |  "seedPath":"$base/seed","fused":"true","semantic":"true"
+           |  ${dial.map(d => s""","semPlanes":"$d"""").getOrElse("")}}}"""
+          .stripMargin).processAllAvailable()
+      engine.delete(s"sd_$tag")
+      // the persisted axis config carries the dial that actually ran
+      val axes = Files.readString(Paths.get(s"$base/gate/state/.axes"))
+      assert(axes.contains(s""""semPlanes":$expected"""),
+        s"persisted dial must be the corpus-scaled count: $axes")
+      spark.read.parquet(s"$base/gate/out").collect()
+        .map(_.toString).sorted.toSeq
+    }
+    val omitted = run("omit", None)
+    val explicit = run("expl", Some(expected))
+    assert(omitted.nonEmpty && omitted == explicit,
+      "an omitted semPlanes must produce the exact verdicts of an " +
+        "explicit spec at the computed dial")
+  }
 }
