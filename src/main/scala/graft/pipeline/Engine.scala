@@ -457,10 +457,18 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
           checkpointDir(spec.name))
         val tolerant = sink.errorsTolerance == "all"
         writer("update").foreachBatch { (batch: DataFrame, id: Long) =>
-          val docs =
-            if (tolerant) AdmissionSink.routeGateDlq(batch, sink, id)
-            else AdmissionSink.documentsOf(batch)
-          core.applyBatch(batch.sparkSession, epoch, docs, id)
+          if (tolerant) {
+            // pin the decoded frame: the DLQ split and the verdict
+            // input both read it, and without the persist each side
+            // would re-run the converter decode over the whole batch
+            // (per-record JSON parse — the dominant per-row cost of a
+            // wire-source batch)
+            batch.persist()
+            try core.applyBatch(batch.sparkSession, epoch,
+              AdmissionSink.routeGateDlq(batch, sink, id), id)
+            finally batch.unpersist()
+          } else core.applyBatch(batch.sparkSession, epoch,
+            AdmissionSink.documentsOf(batch), id)
         }.start()
       case other =>
         throw new IllegalArgumentException(s"unknown sink '$other'")
