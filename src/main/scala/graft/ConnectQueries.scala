@@ -753,8 +753,9 @@ object ConnectQueries {
     // Tables.stageFile: dot-temp + mtime-before-publish + atomic move,
     // so waves staged while the stream RUNS can never be read torn
     def stage(df: DataFrame, i: Int): Unit =
-      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
-        1000000000000L + i * 60000L)
+      graft.Tables.stageFileCached(
+        s"s7b_${graft.Tables.dirTag(dir)}_$i", df,
+        Paths.get(in, f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
     // wave 1 — changes that arrive while the first worker is alive
     stage(rows(nation.filter(col("n_nationkey") % 3 === 0), "w1", 100L), 0)
 
@@ -837,7 +838,8 @@ object ConnectQueries {
         col("n_name").as("v"), col("n_nationkey").cast("long").as("seq"),
         lit("false").as("__deleted"))
     (0 until 6).foreach { i =>
-      graft.Tables.stageFile(waves.filter(col("id") % 6 === i),
+      graft.Tables.stageFileCached(s"l5_${graft.Tables.dirTag(dir)}_$i",
+        waves.filter(col("id") % 6 === i),
         Paths.get(in, f"wave$i%02d.parquet"), 1000000000000L + i * 60000L)
     }
     val scoped = s.newSession()
@@ -901,7 +903,9 @@ object ConnectQueries {
         .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
     // oldest-first source order per wave; race-free vs the live stream
     def stage(df: DataFrame, i: Int): Unit =
-      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
+      graft.Tables.stageFileCached(
+        s"l9_${graft.Tables.dirTag(dir)}_$i", df,
+        Paths.get(in, f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
     stage(w1, 0) // only the snapshot wave exists at register time
 
@@ -1010,7 +1014,9 @@ object ConnectQueries {
       .withColumn("n_priority", (col("n_nationkey") % 3).cast("int"))
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(1L))
     def stage(df: DataFrame, i: Int): Unit =
-      graft.Tables.stageFile(df, Paths.get(in, f"wave$i%02d.parquet"),
+      graft.Tables.stageFileCached(
+        s"l10_${graft.Tables.dirTag(dir)}_$i", df,
+        Paths.get(in, f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
     stage(w1, 0) // only the v1 wave exists at register time
 
@@ -1172,10 +1178,13 @@ object ConnectQueries {
         .withColumn("__deleted", lit("true")).withColumn("seq", lit(2L)))
     // one staged wave fans to every connector's input dir, race-free
     // vs the live streams (Tables.stageFile publishes atomically)
-    def stage(df: DataFrame, wave: Int): Unit =
-      graft.Tables.stageFile(df,
-        names.map(n => Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")),
-        1000000000000L + wave * 60000L)
+    def stage(df: DataFrame, wave: Int): Unit = {
+      val src = graft.Tables.stagedFile(
+        s"l12_${graft.Tables.dirTag(dir)}_$wave", df)
+      names.foreach(n => graft.Tables.stageCopy(src,
+        Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet"),
+        1000000000000L + wave * 60000L))
+    }
     stage(w0, 0)
 
     val scoped = s.newSession()
@@ -1249,10 +1258,13 @@ object ConnectQueries {
       .withColumn("__deleted", lit("false")).withColumn("seq", lit(3L))
     // one staged wave fans to every connector's input dir, race-free
     // vs the live streams (Tables.stageFile publishes atomically)
-    def stage(df: DataFrame, wave: Int): Unit =
-      graft.Tables.stageFile(df,
-        names.map(n => Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet")),
-        1000000000000L + wave * 60000L)
+    def stage(df: DataFrame, wave: Int): Unit = {
+      val src = graft.Tables.stagedFile(
+        s"l11_${graft.Tables.dirTag(dir)}_$wave", df)
+      names.foreach(n => graft.Tables.stageCopy(src,
+        Paths.get(s"$base/in_$n", f"wave$wave%02d.parquet"),
+        1000000000000L + wave * 60000L))
+    }
     stage(w0, 0)
 
     val scoped = s.newSession()

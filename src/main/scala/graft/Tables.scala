@@ -93,6 +93,65 @@ object Tables {
     graft.util.Fs.deleteRecursive(tmp)
   }
 
+  /** Stage `df` at `dst`, deriving + materializing it at most ONCE per
+   * JVM per `cacheKey` (r18 — the memo discipline applied to input
+   * staging): the first call runs [[stageFile]]'s coalesce-to-one-file
+   * write into `target/tmp/stage_cache/<cacheKey>`; every later call —
+   * sibling gates staging the identical frame (several w-gates stage
+   * the same normalized events table) and later bench reps — publishes
+   * a byte copy via [[stageCopy]]. JVM-scoped (a fresh invocation
+   * always re-derives from the parquet inputs); `cacheKey` must
+   * uniquely name (frame derivation × data dir). */
+  def stageFileCached(cacheKey: String, df: => DataFrame,
+                      dst: java.nio.file.Path, mtimeMillis: Long): Unit =
+    stageCopy(stagedFile(cacheKey, df), dst, mtimeMillis)
+
+  /** The cache-or-build half of [[stageFileCached]]: the single-file
+   * staged form of `df`, materialized at most once per JVM per
+   * `cacheKey`. Callers that fan one wave to several destinations
+   * copy from the returned path via [[stageCopy]]. */
+  def stagedFile(cacheKey: String, df: => DataFrame): java.nio.file.Path =
+    stageCache.getOrElseUpdate(cacheKey, {
+      val dir = java.nio.file.Paths.get(s"target/tmp/stage_cache/$cacheKey")
+      graft.util.Fs.deleteRecursive(dir)
+      java.nio.file.Files.createDirectories(dir)
+      val p = dir.resolve("staged.parquet")
+      stageFile(df, p, 0L)
+      p
+    })
+
+  private val stageCache =
+    scala.collection.concurrent.TrieMap.empty[String, java.nio.file.Path]
+
+  /** Collision-safe cache-key fragment for a data dir: basename for
+   * readability + 8 hex of the absolute path's MD5 (the memoFrame
+   * lesson — two fixture dirs sharing a basename must never share a
+   * cached artifact). */
+  def dirTag(dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    s"${new java.io.File(dir).getName}_$md5"
+  }
+
+  /** Publish an ALREADY-MATERIALIZED staged file to `dst` with
+   * `mtimeMillis` — the byte-copy fast path of [[stageFile]] for wave
+   * files a session stages more than once (r18: bench reps and sibling
+   * gates re-derived identical wave frames per invocation; deriving
+   * once and copying keeps the same hidden-tmp → stamp-while-invisible
+   * → single-ATOMIC_MOVE publish discipline, so a live
+   * FileStreamSource still can never list a torn file or a pre-final
+   * mtime). */
+  def stageCopy(src: java.nio.file.Path, dst: java.nio.file.Path,
+                mtimeMillis: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val hidden = dst.resolveSibling("." + dst.getFileName.toString + ".tmp")
+    Files.copy(src, hidden, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(hidden,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    Files.move(hidden, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
   /** The converted events frame, memoized per (context, dir): building
    * it costs a child-session spin-up plus a parquet file-listing +
    * footer read at plan time, and a dozen queries read events — paying

@@ -1,0 +1,55 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** r18 measurement harness (guide §1): for each named SparkEntry query,
+  * write its `.explain("formatted")` to plans/<tag>/<name>_<suffix>.txt
+  * and optionally time it through the noop sink (computes every column,
+  * no sink cost, full plan in the SQL tab) — `count()` lets Catalyst
+  * prune the columns whose compute we are trying to measure.
+  *
+  * Usage: runMain graft.tools.PlanDump <suffix> [names...]
+  *   SPARK_GRAFT_SF_DIR picks the data dir (default sf0.1)
+  *   SPARK_GRAFT_PLAN_TAG picks the plans/ subdir (default r18)
+  *   SPARK_GRAFT_TIME=0 skips the timed noop runs (plan dump only)
+  *
+  * NOTE: only useful for BATCH gates — a streaming/lifecycle gate runs
+  * its pipeline while *building* the returned DataFrame, so its explain
+  * is just the final result read. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tag = sys.env.getOrElse("SPARK_GRAFT_PLAN_TAG", "r18")
+    val doTime = sys.env.getOrElse("SPARK_GRAFT_TIME", "1") == "1"
+    val suffix = args.headOption.getOrElse("before")
+    val names = args.drop(1).toSeq.filter(graft.SparkEntry.queries.contains)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(s"plans/$tag"))
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      Files.writeString(Paths.get(s"plans/$tag/${name}_$suffix.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      if (doTime) {
+        spark.sparkContext.setJobDescription(s"$name noop")
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"NOOP $name ${secs.map(s => f"$s%.2f").mkString(" ")} min=${secs.min}%.2f s")
+        spark.sparkContext.setJobDescription(null)
+      }
+    }
+    spark.stop()
+  }
+}

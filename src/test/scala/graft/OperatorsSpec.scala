@@ -432,6 +432,52 @@ class OperatorsSpec extends SparkSpec {
     assert(r2 >= r1)
   }
 
+  test("probe-prefix sweep sharing: min-probe-rank filter reproduces ivfSearchMultiAssigned at every (assign, nprobe)") {
+    import org.apache.spark.sql.expressions.Window
+    // the r18 e13b rewrite rests on IvfRankCells' prefix property: the
+    // nprobe=np probe list is exactly the first np entries of the
+    // nprobe=max list, so one scored join at max nprobe + a
+    // min-probe-rank < np filter must reproduce the per-np operator
+    // bit-for-bit (pairs AND ranks)
+    val vecs = (0 until 60).map { i =>
+      val c = i % 4
+      val v = Array.fill(4)(0.0f)
+      v(c) = 1.0f
+      v((c + 1) % 4) = 0.3f + 0.001f * i
+      (i.toLong, v)
+    }
+    val df = vecs.toDF("id", "vec")
+    val cents = Similarity.trainIvfCentroids(df, nCells = 4, dim = 4, iters = 3)
+    val queries = df.filter(col("id") < 4)
+    val maxNp = 4
+    val qp = queries.select(col("id").as("query_id"), col("vec").as("qvec"),
+      posexplode(Similarity.ivfProbesD(col("vec"), cents, maxNp)))
+      .withColumnRenamed("pos", "_pr").withColumnRenamed("col", "cell")
+    for (a <- Seq(1, 2, 3)) {
+      val assigned = Similarity.ivfMultiAssign(df, cents, a)
+      val scored = assigned.join(broadcast(qp), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("_pr"),
+          Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(min(col("_pr")).as("_minpr"), max(col("sim")).as("sim"))
+      for (np <- Seq(1, 2, 4)) {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val got = scored.filter(col("_minpr") < np)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val want = Similarity
+          .ivfSearchMultiAssigned(queries, assigned, 5, cents, np)
+          .select("query_id", "rank", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(got == want, s"assign=$a nprobe=$np")
+      }
+    }
+  }
+
   test("incremental IVF-PQ admission equals a from-scratch rebuild") {
     // quantizers train on the EXISTING slice only; the incoming batch
     // folds in against those frozen constants. Because index entries
