@@ -1168,13 +1168,28 @@ object LlmQueries {
       // bucket expression closes over it), so the leg is ONE thunk.
       if (semantic)
         phaseA += { () =>
-          if (center.isEmpty)
-            center = Similarity.meanUnitVector(rawEmbOf(seed), "vec", Dim)
-          import s.implicits._
-          Seq(center).toDF("center")
-            .write.mode("overwrite").parquet(s"$stateDir/center")
-          embFrameOf(seed).write.mode("overwrite")
-            .parquet(s"$stateDir/seed/emb")
+          if (center.isEmpty) {
+            // one tokenize+embed pass, not two (r18): the center agg
+            // and the bucketed emb write both read the seed's raw
+            // embeddings — persist them for the thunk's lifetime
+            val re = rawEmbOf(seed)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              center = Similarity.meanUnitVector(re, "vec", Dim)
+              import s.implicits._
+              Seq(center).toDF("center")
+                .write.mode("overwrite").parquet(s"$stateDir/center")
+              re.select(col("ref_id"), bucketOf(col("vec")).as("bucket"),
+                  col("vec"))
+                .write.mode("overwrite").parquet(s"$stateDir/seed/emb")
+            } finally { re.unpersist(blocking = false); () }
+          } else {
+            import s.implicits._
+            Seq(center).toDF("center")
+              .write.mode("overwrite").parquet(s"$stateDir/center")
+            embFrameOf(seed).write.mode("overwrite")
+              .parquet(s"$stateDir/seed/emb")
+          }
         }
       // the MEDIA axes (w18 = m22/m24's legs fused into this gate):
       // seed media fingerprints bootstrap once; the frozen
