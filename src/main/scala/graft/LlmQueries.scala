@@ -626,39 +626,55 @@ object LlmQueries {
     // Spark plans don't dedupe repeated subplans, so without them the
     // union's single action recomputed the exact ground truth 12× and
     // each assign level's scored pairs 4×.
-    val maxNp = RecallProbes.max
     CacheScope.materialized { implicit scope =>
-      val exact = scope.persist(Similarity.bruteForceTopK(q, emb, TopK)
-        .select("query_id", "neighbor_id")).toDF()
-      val qp = q.select(col("id").as("query_id"), col("vec").as("qvec"),
-        posexplode(Similarity.ivfProbesD(col("vec"), cents, maxNp)))
-        .withColumnRenamed("pos", "_pr").withColumnRenamed("col", "cell")
-      (for (a <- RecallAssigns) yield {
-        val assigned = Similarity.ivfMultiAssign(emb, cents, a)
-        val scored = scope.persist(assigned.join(broadcast(qp), Seq("cell"))
-          .filter(col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"), col("_pr"),
-            Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
-          .groupBy("query_id", "neighbor_id")
-          .agg(min(col("_pr")).as("_minpr"), max(col("sim")).as("sim"))).toDF()
-        (for (np <- RecallProbes) yield {
-          val w = Window.partitionBy("query_id")
-            .orderBy(col("sim").desc, col("neighbor_id"))
-          val approx = scored.filter(col("_minpr") < np)
-            .withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= TopK)
-            .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-          exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-            .groupBy("query_id")
-            .agg(count(col("hit")).as("_n"))
-            .select(lit(np).as("nprobe"), lit(a).as("n_assign"),
-              col("query_id"), lit(TopK).as("k"),
-              col("_n").cast(IntegerType).as("n_hit"),
-              (col("_n").cast(DoubleType) / lit(TopK.toDouble))
-                .as("recall_at_k"))
-        }).reduce(_.unionByName(_))
-      }).reduce(_.unionByName(_))
+      annRecallTrainedBuild(emb, q, cents)
     }.orderBy("nprobe", "n_assign", "query_id")
+  }
+
+  /** The un-materialized e13b sweep plan — exposed (like d13's
+   * `incrementalDedupBuild`) so PlanDump/PlanQualitySpec can inspect
+   * the 3-scored-join shape the r18 rewrite claims. */
+  private[graft] def annRecallTrainedBuild(emb: DataFrame, q: DataFrame,
+      cents: Seq[Seq[Double]])(implicit scope: CacheScope): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxNp = RecallProbes.max
+    val exact = scope.persist(Similarity.bruteForceTopK(q, emb, TopK)
+      .select("query_id", "neighbor_id")).toDF()
+    val qp = q.select(col("id").as("query_id"), col("vec").as("qvec"),
+      posexplode(Similarity.ivfProbesD(col("vec"), cents, maxNp)))
+      .withColumnRenamed("pos", "_pr").withColumnRenamed("col", "cell")
+    (for (a <- RecallAssigns) yield {
+      val assigned = Similarity.ivfMultiAssign(emb, cents, a)
+      val scored = scope.persist(assigned.join(broadcast(qp), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("_pr"),
+          Similarity.cosine(col("qvec"), col("cvec")).as("sim"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(min(col("_pr")).as("_minpr"), max(col("sim")).as("sim"))).toDF()
+      (for (np <- RecallProbes) yield {
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))
+        val approx = scored.filter(col("_minpr") < np)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= TopK)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(count(col("hit")).as("_n"))
+          .select(lit(np).as("nprobe"), lit(a).as("n_assign"),
+            col("query_id"), lit(TopK).as("k"),
+            col("_n").cast(IntegerType).as("n_hit"),
+            (col("_n").cast(DoubleType) / lit(TopK.toDouble))
+              .as("recall_at_k"))
+      }).reduce(_.unionByName(_))
+    }).reduce(_.unionByName(_))
+  }
+
+  /** e13b's (emb, queries, cents) triple for the plan-view tools. */
+  private[graft] def annRecallTrainedInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[Seq[Double]]) = {
+    val emb = embFrame(s, dir)
+    (emb, emb.filter(col("id") < 5), trainedCents(s, dir))
   }
 
   /** E3b: IVF with k-means-TRAINED centroids — the production path next
@@ -1041,6 +1057,25 @@ object LlmQueries {
       ()
     }
 
+  // Per-sub-table schema memo (r18): the admission state tables'
+  // schemas are fixed by their writers (one writer per sub-table name,
+  // identical across gates), but a bare spark.read.parquet re-infers
+  // the schema from footers on EVERY trigger — a driver-side footer
+  // read per sub-table per trigger, and at scale a schema-sampling
+  // pass over many state files. Remember each sub-table's schema after
+  // the first inference and pin it on later reads.
+  private val stateSchemaMemo = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
+  private def readStateTable(sp: SparkSession, sub: String,
+                             paths: Seq[String]): DataFrame =
+    stateSchemaMemo.get(sub) match {
+      case Some(sc) => sp.read.schema(sc).parquet(paths: _*)
+      case None =>
+        val df = sp.read.parquet(paths: _*)
+        stateSchemaMemo.put(sub, df.schema)
+        df
+    }
+
   private[graft] final class AdmissionGateCore(
       base: String, fused: Boolean, hasBench: Boolean,
       containment: Boolean, semantic: Boolean, media: Boolean,
@@ -1266,7 +1301,8 @@ object LlmQueries {
         val preParts = graft.text.AdmissionState.parts(stateDir, id)
         if (preParts.size > foldThreshold) {
           if (semantic) {
-            val nRef = sp.read.parquet(preParts.map(_ + "/emb"): _*).count()
+            val nRef = readStateTable(sp, "emb",
+              preParts.map(_ + "/emb")).count()
             val grown = scaledPlaneCount(nRef, floor = curPlanes.size)
             if (grown > curPlanes.size)
               curPlanes = Similarity.hyperplanes(grown, Dim)
@@ -1289,20 +1325,23 @@ object LlmQueries {
         // small-files maintenance verb) reads as one compacted dir —
         // re-resolved AFTER the fold above retired the dirs it covered
         val parts = graft.text.AdmissionState.parts(stateDir, id)
-        val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
-        val stateSh = if (fused) sp.read.parquet(parts.map(_ + "/sh"): _*)
+        val stateArt = readStateTable(sp, "art", parts.map(_ + "/art"))
+        val stateSh = if (fused)
+                        readStateTable(sp, "sh", parts.map(_ + "/sh"))
                       else sp.emptyDataFrame
         val batchArt = scope.persist(Dedup.admissionArtifacts(
           b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
         val posts = if (hasBench)
-          Some(sp.read.parquet(s"$stateDir/bench/posts")) else None
+          Some(readStateTable(sp, "posts", Seq(s"$stateDir/bench/posts")))
+        else None
         val cposts = if (containment)
-          Some(sp.read.parquet(parts.map(_ + "/cpost"): _*)) else None
+          Some(readStateTable(sp, "cpost", parts.map(_ + "/cpost")))
+        else None
         val batchEmb = if (semantic)
           Some(scope.persist(embFrameOf(b)
             .withColumnRenamed("ref_id", "doc_id")).toDF()) else None
         val semb = batchEmb.map(be =>
-          (be, sp.read.parquet(parts.map(_ + "/emb"): _*)))
+          (be, readStateTable(sp, "emb", parts.map(_ + "/emb"))))
         // the media axes: the batch's OWN decode + fingerprint
         // (O(batch) — reference media never re-decodes), then
         // fingerprint-group semi-joins against the evolving state
@@ -1314,8 +1353,10 @@ object LlmQueries {
         val mediaFlags: Seq[(String, DataFrame)] = batchMedia match {
           case None => Nil
           case Some((bImg, bAud)) =>
-            val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
-            val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
+            val stateImg = readStateTable(sp, "imgfp",
+              parts.map(_ + "/imgfp"))
+            val stateAud = readStateTable(sp, "audfp",
+              parts.map(_ + "/audfp"))
             def hits(bfp: DataFrame, state: DataFrame,
                      keys: Seq[String]): DataFrame =
               bfp.join(state.select(keys.map(col): _*), keys, "left_semi")
@@ -1324,8 +1365,10 @@ object LlmQueries {
               "image_dup" -> hits(bImg, stateImg, Seq("hash_hi", "hash_lo")),
               "audio_dup" -> hits(bAud, stateAud, Seq("fp_hi", "fp_lo"))) ++
               (if (!hasBenchMedia) Nil else {
-                val bi = sp.read.parquet(s"$stateDir/benchm/imgfp")
-                val ba = sp.read.parquet(s"$stateDir/benchm/audfp")
+                val bi = readStateTable(sp, "imgfp",
+                  Seq(s"$stateDir/benchm/imgfp"))
+                val ba = readStateTable(sp, "audfp",
+                  Seq(s"$stateDir/benchm/audfp"))
                 Seq("media_contaminated" ->
                   hits(bImg, bi, Seq("hash_hi", "hash_lo"))
                     .unionByName(hits(bAud, ba, Seq("fp_hi", "fp_lo"))))
@@ -2312,9 +2355,11 @@ object LlmQueries {
           val b = scope.persist(batch).toDF()
           graft.text.AdmissionState.guard(stateDir, epoch)
           val parts = graft.text.AdmissionState.parts(stateDir, id)
-          val stateArt = sp.read.parquet(parts.map(_ + "/art"): _*)
-          val stateImg = sp.read.parquet(parts.map(_ + "/imgfp"): _*)
-          val stateAud = sp.read.parquet(parts.map(_ + "/audfp"): _*)
+          val stateArt = readStateTable(sp, "art", parts.map(_ + "/art"))
+          val stateImg = readStateTable(sp, "imgfp",
+            parts.map(_ + "/imgfp"))
+          val stateAud = readStateTable(sp, "audfp",
+            parts.map(_ + "/audfp"))
           val batchArt = scope.persist(Dedup.admissionArtifacts(
             b, "doc_id", "text", k = 3, numPerms = NumPerms)).toDF()
           val (bImgRaw, bAudRaw) = mediaFingerprints(b)
@@ -2337,8 +2382,10 @@ object LlmQueries {
           // fingerprint tables — per-batch cost O(batch), state never
           // grows (benchmark suites change rarely)
           val mediaCt = benchMedia.map { _ =>
-            val bi = sp.read.parquet(s"$stateDir/bench/imgfp")
-            val ba = sp.read.parquet(s"$stateDir/bench/audfp")
+            val bi = readStateTable(sp, "imgfp",
+              Seq(s"$stateDir/bench/imgfp"))
+            val ba = readStateTable(sp, "audfp",
+              Seq(s"$stateDir/bench/audfp"))
             bImg.join(bi.select("hash_hi", "hash_lo"),
                 Seq("hash_hi", "hash_lo"), "left_semi")
               .select(col("media_id").as("doc_id"))

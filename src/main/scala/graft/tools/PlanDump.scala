@@ -34,6 +34,33 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(s"plans/$tag"))
+    // e13b's declared query localCheckpoints its result, so its explain
+    // is a checkpoint scan; dump the UN-materialized sweep subplan under
+    // a dedicated name. "before" reconstructs the pre-r18 12-point
+    // sweep from the same public operators the old code used; "after"
+    // is the live 3-scored-join build.
+    if (args.drop(1).contains("e13b_sweep")) {
+      import org.apache.spark.sql.functions._
+      import graft.ml.Similarity
+      graft.operators.CacheScope.withScope { implicit scope =>
+        val (emb, q, cents) = graft.LlmQueries.annRecallTrainedInputs(spark, dir)
+        val df =
+          if (suffix == "before")
+            (for (a <- Seq(1, 2, 3)) yield {
+              val assigned = scope.persist(
+                Similarity.ivfMultiAssign(emb, cents, a)).toDF()
+              (for (np <- Seq(1, 2, 4, 8)) yield
+                Similarity.ivfSearchMultiAssigned(q, assigned, 10, cents, np)
+                  .select(col("query_id"), col("neighbor_id"),
+                    lit(np).as("nprobe"), lit(a).as("n_assign"))
+              ).reduce(_.unionByName(_))
+            }).reduce(_.unionByName(_))
+          else graft.LlmQueries.annRecallTrainedBuild(emb, q, cents)
+        Files.writeString(Paths.get(s"plans/$tag/e13b_sweep_$suffix.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       Files.writeString(Paths.get(s"plans/$tag/${name}_$suffix.txt"),
