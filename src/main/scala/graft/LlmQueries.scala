@@ -1496,7 +1496,7 @@ object LlmQueries {
     graft.util.Fs.deleteRecursive(Paths.get(base))
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    stagedWaveFiles(Paths.get(base).getFileName.toString, waves)
+    stagedWaveFiles(graft.Tables.dirTag(base), waves)
       .zipWithIndex.foreach { case (src, i) =>
         graft.Tables.stageCopy(src, in.resolve(f"wave$i%02d.parquet"),
           1000000000000L + i * 60000L)
@@ -1627,7 +1627,7 @@ object LlmQueries {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val (existing, waves) = admissionWaves(docs)
     existing.write.parquet(s"$base/seed")
-    val staged = stagedWaveFiles(Paths.get(base).getFileName.toString, waves)
+    val staged = stagedWaveFiles(graft.Tables.dirTag(base), waves)
     def stage(i: Int): Unit =
       graft.Tables.stageCopy(staged(i), Paths.get(in, f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
@@ -1672,7 +1672,7 @@ object LlmQueries {
     val (seed, benchM, waves) = fullAdmissionFixture(s, dir)
     seed.write.parquet(s"$base/seed")
     benchM.write.parquet(s"$base/bench")
-    val staged = stagedWaveFiles(Paths.get(base).getFileName.toString, waves)
+    val staged = stagedWaveFiles(graft.Tables.dirTag(base), waves)
     def stage(i: Int): Unit =
       graft.Tables.stageCopy(staged(i), Paths.get(in, f"wave$i%02d.parquet"),
         1000000000000L + i * 60000L)
@@ -1764,7 +1764,7 @@ object LlmQueries {
     val docs = Tpar(s, dir, "documents").select("doc_id", "text")
     val (existing, waves) = admissionWaves(docs)
     existing.write.parquet(s"$base/seed")
-    val staged = stagedWaveFiles(Paths.get(base).getFileName.toString,
+    val staged = stagedWaveFiles(graft.Tables.dirTag(base),
       waves.map(wireWave(_)))
     def stage(i: Int): Unit =
       graft.Tables.stageCopy(staged(i),
@@ -1846,7 +1846,7 @@ object LlmQueries {
       1 -> plantRow(None, Some("orphan document with no key"), 8000001L)
         .unionByName(plantRow(Some(9000001L), None, 9000001L)),
       2 -> plantRow(Some(9000002L), Some("y " * 5000), 9000002L)).toMap
-    val staged = stagedWaveFiles(Paths.get(base).getFileName.toString,
+    val staged = stagedWaveFiles(graft.Tables.dirTag(base),
       waves.zipWithIndex.map { case (w, i) => wireWave(w, plants.get(i)) })
     def stage(i: Int): Unit =
       graft.Tables.stageCopy(staged(i),
@@ -2308,7 +2308,7 @@ object LlmQueries {
     graft.util.Fs.deleteRecursive(Paths.get(base))
     val in = Paths.get(base, "in")
     Files.createDirectories(in)
-    stagedWaveFiles(Paths.get(base).getFileName.toString, waves)
+    stagedWaveFiles(graft.Tables.dirTag(base), waves)
       .zipWithIndex.foreach { case (src, i) =>
         graft.Tables.stageCopy(src, in.resolve(f"wave$i%02d.parquet"),
           1000000000000L + i * 60000L)
