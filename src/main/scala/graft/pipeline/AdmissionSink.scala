@@ -233,6 +233,18 @@ object AdmissionSink {
    * trade [[graft.codec.JsonEnvelope.routeDlq]] documents. */
   def routeGateDlq(framed: DataFrame, sink: SinkSpec,
                    id: Long): DataFrame = {
+    val (writeDlq, clean) = splitGateDlq(framed, sink, id)
+    writeDlq()
+    clean
+  }
+
+  /** [[routeGateDlq]] split into (DLQ-write thunk, clean documents) so
+   * the engine can OVERLAP the DLQ write with the gate verdict (r18,
+   * guide §2.6) — the two touch disjoint per-batch overwrite dirs and
+   * neither reads the other's output, so running them concurrently
+   * leaves the replay/crash semantics exactly as sequential. */
+  def splitGateDlq(framed: DataFrame, sink: SinkSpec,
+                   id: Long): (() => Unit, DataFrame) = {
     val v = col(graft.model.Connect.ValueCol)
     def h(k: String): Column =
       if (framed.columns.contains("headers"))
@@ -246,16 +258,17 @@ object AdmissionSink {
       .when(sink.maxDocChars.map(m => length(text) > m)
         .getOrElse(lit(false)), "oversized")
     val isDlq = convErr || (v.isNotNull && gateReason.isNotNull)
-    framed.filter(isDlq)
-      .select(
-        when(!convErr, docId).as("doc_id"),
-        when(convErr, h("__error_stage"))
-          .otherwise(lit("ADMISSION_GATE")).as("stage"),
-        when(convErr, h("__error_class")).otherwise(gateReason)
-          .as("reason"),
-        col(graft.model.Connect.SeqCol).as("seq"),
-        h("__raw").as("raw"))
-      .write.mode("overwrite").parquet(s"${sink.path}/dlq/batch=$id")
-    documentsOf(framed.filter(!isDlq))
+    val writeDlq = () =>
+      framed.filter(isDlq)
+        .select(
+          when(!convErr, docId).as("doc_id"),
+          when(convErr, h("__error_stage"))
+            .otherwise(lit("ADMISSION_GATE")).as("stage"),
+          when(convErr, h("__error_class")).otherwise(gateReason)
+            .as("reason"),
+          col(graft.model.Connect.SeqCol).as("seq"),
+          h("__raw").as("raw"))
+        .write.mode("overwrite").parquet(s"${sink.path}/dlq/batch=$id")
+    (writeDlq, documentsOf(framed.filter(!isDlq)))
   }
 }

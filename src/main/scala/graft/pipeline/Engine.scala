@@ -464,9 +464,23 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
             // (per-record JSON parse — the dominant per-row cost of a
             // wire-source batch)
             batch.persist()
-            try core.applyBatch(batch.sparkSession, epoch,
-              AdmissionSink.routeGateDlq(batch, sink, id), id)
-            finally batch.unpersist()
+            try {
+              // r18: the DLQ write and the gate verdict touch disjoint
+              // per-batch overwrite dirs and neither reads the other's
+              // output — overlap them (guide §2.6; on the global pool,
+              // not the gate's write pool, so the verdict's own
+              // concurrent appends can't starve it). Awaited in finally
+              // so a verdict failure still surfaces a DLQ failure and
+              // never unpersists the frame under a live write.
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.ExecutionContext.Implicits.global
+              import scala.concurrent.duration.Duration
+              val (writeDlq, clean) =
+                AdmissionSink.splitGateDlq(batch, sink, id)
+              val dlqF = Future(writeDlq())
+              try core.applyBatch(batch.sparkSession, epoch, clean, id)
+              finally Await.result(dlqF, Duration.Inf)
+            } finally batch.unpersist()
           } else core.applyBatch(batch.sparkSession, epoch,
             AdmissionSink.documentsOf(batch), id)
         }.start()
