@@ -1052,9 +1052,15 @@ object LlmQueries {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec = stateWriteEc
-      Await.result(
-        Future.sequence(writes.map(w => Future(w()))), Duration.Inf)
-      ()
+      // every write's OUTCOME is awaited (Try lifts failures into the
+      // value), then the first failure re-throws: a fail-fast
+      // Future.sequence would return while sibling writes are still in
+      // flight, and the caller's cleanup/abort (unpersist, state reset)
+      // could race a live write (r18 verdict item)
+      val outcomes = Await.result(
+        Future.sequence(writes.map(w => Future(scala.util.Try(w())))),
+        Duration.Inf)
+      outcomes.foreach(_.get)
     }
 
   // Per-sub-table schema memo (r18): the admission state tables'
@@ -1066,13 +1072,38 @@ object LlmQueries {
   // the first inference and pin it on later reads.
   private val stateSchemaMemo = scala.collection.concurrent.TrieMap
     .empty[String, org.apache.spark.sql.types.StructType]
-  private def readStateTable(sp: SparkSession, sub: String,
-                             paths: Seq[String]): DataFrame =
+  // First-read-per-dir assertion (r19, the r18 verdict's hardening):
+  // the memo is keyed by bare sub-table name for the JVM's lifetime
+  // across all gates and SFs — correct today because every writer of a
+  // given sub name produces one fixed schema, but if a future axis ever
+  // forked a sub-table's schema per config the memo would silently pin
+  // the first-seen one (wrong columns read as nulls). Each distinct
+  // state DIR therefore verifies its actual footer schema against the
+  // pinned one once (per dir, not per trigger — the per-trigger footer
+  // skip the memo exists for is untouched).
+  private val stateSchemaSeen = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Unit]
+  private[graft] def readStateTable(sp: SparkSession, sub: String,
+                                    paths: Seq[String]): DataFrame =
     stateSchemaMemo.get(sub) match {
-      case Some(sc) => sp.read.schema(sc).parquet(paths: _*)
+      case Some(sc) =>
+        paths.headOption.foreach { head =>
+          if (stateSchemaSeen.putIfAbsent((sub, head), ()).isEmpty) {
+            val actual = sp.read.parquet(head).schema
+            require(
+              actual.fields.map(f => (f.name, f.dataType)).toSeq ==
+                sc.fields.map(f => (f.name, f.dataType)).toSeq,
+              s"state sub-table '$sub' at $head has schema $actual but " +
+                s"the JVM-wide memo pinned $sc — a writer forked the " +
+                "sub-table schema; the memo would read the new columns " +
+                "as nulls")
+          }
+        }
+        sp.read.schema(sc).parquet(paths: _*)
       case None =>
         val df = sp.read.parquet(paths: _*)
         stateSchemaMemo.put(sub, df.schema)
+        paths.headOption.foreach(h => stateSchemaSeen.put((sub, h), ()))
         df
     }
 
@@ -1710,7 +1741,7 @@ object LlmQueries {
    * Connector 실습 - 01.md:162-176` — source/ts_ms are capture
    * provenance the gate never reads). */
   private val DocRowDdl = "doc_id BIGINT, text STRING"
-  private val DocCdcDdl =
+  private[graft] val DocCdcDdl =
     s"before STRUCT<$DocRowDdl>, after STRUCT<$DocRowDdl>, op STRING"
 
   /** Stage a document wave as WIRE records in the Kafka dump shape —
@@ -1719,8 +1750,8 @@ object LlmQueries {
    * unique across the fixture waves, so the transport order is
    * deterministic). `extra` appends pre-built wire rows (the l16
    * malformed plants). */
-  private def wireWave(df: DataFrame,
-                       extra: Option[DataFrame] = None): DataFrame = {
+  private[graft] def wireWave(df: DataFrame,
+                              extra: Option[DataFrame] = None): DataFrame = {
     val rowT = org.apache.spark.sql.types.DataType.fromDDL(DocRowDdl)
     val envT = org.apache.spark.sql.types.DataType.fromDDL(DocCdcDdl)
     val w = df.select(
@@ -1777,6 +1808,7 @@ object LlmQueries {
          |  "wireFormat":"json_envelope",
          |  "schemaDdl":${q.writeValueAsString(DocCdcDdl)},
          |  "keyFields":["after"],
+         |  "decodeParallelism":"8",
          |  "topic":"corpus","maxFilesPerTrigger":"1"},
          |"transforms":[{"type":"extractNewRecordState"}],
          |"sink":{"type":"admission",
@@ -1859,6 +1891,7 @@ object LlmQueries {
          |  "wireFormat":"json_envelope",
          |  "schemaDdl":${q.writeValueAsString(DocCdcDdl)},
          |  "keyFields":["after"],
+         |  "decodeParallelism":"8",
          |  "topic":"corpus","maxFilesPerTrigger":"1"},
          |"transforms":[{"type":"extractNewRecordState"}],
          |"sink":{"type":"admission",

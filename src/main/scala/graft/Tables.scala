@@ -9,7 +9,24 @@ object Tables {
 
   def T(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") readEvents(s, dir)
-    else s.read.parquet(s"$dir/$name.parquet")
+    else {
+      // r19 (guide §6 — make the scan cheap): the testdata tables are
+      // immutable by contract, but a bare spark.read.parquet re-infers
+      // the schema from footers at EVERY call — a driver-side footer
+      // read per table per gate per rep, hundreds per bench run (the
+      // readStateTable discipline applied to the fixture readers; at
+      // scale this is schema sampling over many files). The schema is
+      // memoized per absolute path; the returned frame stays bound to
+      // the CALLER's session, so scoped-session confs are untouched.
+      val path = s"$dir/$name.parquet"
+      val abs = new java.io.File(path).getAbsolutePath
+      val sc = tableSchemaMemo.getOrElseUpdate(abs,
+        s.read.parquet(path).schema)
+      s.read.schema(sc).parquet(path)
+    }
+
+  private val tableSchemaMemo =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
 
   /** [[T]] plus an explicit repartition to the session's default
    * parallelism. The synthetic testdata packs each table into a SINGLE

@@ -254,6 +254,17 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
           "wireFormat requires schemaDdl (the record schema the value " +
             "column decodes with)")
     }
+    // r19: the decode-parallelism dial spreads the wire converter's
+    // per-record parse — it is meaningless without a wire decode, and a
+    // plain file/rate source must never gain a silent repartition
+    spec.source.decodeParallelism.foreach { n =>
+      if (n <= 0)
+        throw new IllegalArgumentException("decodeParallelism must be positive")
+      if (spec.source.wireFormat.isEmpty && spec.source.kind != "kafka")
+        throw new IllegalArgumentException(
+          "decodeParallelism spreads the wire-record converter decode; " +
+            "it requires wireFormat (or a kafka source)")
+    }
     if (!Set("none", "all")(spec.sink.errorsTolerance))
       throw new IllegalArgumentException(
         s"unknown errors tolerance '${spec.sink.errorsTolerance}'")
@@ -561,6 +572,14 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
   private[graft] def toFrame(df: DataFrame, s: SourceSpec,
                              tolerant: Boolean = false): DataFrame = {
     if (s.kind == "kafka" || s.wireFormat.nonEmpty) {
+      // r19 (guide §2.1/§4.5): a staged topic dump arrives as few
+      // single-row-group files, so without this exchange the whole
+      // batch's envelope parse runs as ONE task. The repartition moves
+      // only the raw undecoded strings; everything below (decode, key
+      // lift) then runs decodeParallelism-wide. Declared per spec,
+      // never implicit.
+      val in = s.decodeParallelism.filter(_ > 1)
+        .map(df.repartition(_)).getOrElse(df)
       val sc = s.schema.getOrElse(throw new IllegalArgumentException(
         "kafka source requires schemaDdl to decode the message value"))
       // keySchema in keyFields ORDER — it must be the same struct type
@@ -613,7 +632,7 @@ final class Engine(spark: SparkSession, root: String) extends ConnectRuntime {
               lit("__error_stage"), lit("VALUE_CONVERTER"),
               lit("__raw"), rawVal))
           .as("headers"))
-      return df
+      return in
         .withColumn("_v", valueCol)
         .select(Seq(
           when(col("_v").isNotNull,

@@ -71,7 +71,18 @@ final case class SourceSpec(
     // null value stays a tombstone; an UNDECODABLE value fails the
     // task (Connect's errors.tolerance=none default) unless the sink
     // declares errorsTolerance=all, which routes it to the DLQ instead.
-    wireFormat: Option[String] = None) {
+    wireFormat: Option[String] = None,
+    // r19 — the wire-decode parallelism dial: a staged topic dump lands
+    // as few (often single-row-group) files, so the converter's
+    // per-record envelope parse — the dominant per-row cost of a wire
+    // batch — runs on ONE core per trigger. When set (> 1) the raw wire
+    // rows repartition to this many partitions BEFORE the decode,
+    // spreading the parse across cores; the shuffle moves only the
+    // undecoded strings. Size it to the trigger's record count (a few
+    // hundred records per partition amortizes task overhead). Default
+    // off: a wide production source is already partitioned and must not
+    // be down-partitioned by a static exchange.
+    decodeParallelism: Option[Int] = None) {
   def schema: Option[StructType] =
     schemaDdl.map(d => DataType.fromDDL(d).asInstanceOf[StructType])
 }
@@ -219,7 +230,8 @@ object PipelineSpec {
         replicaIdentityFull = str(src, "replicaIdentityFull").exists(_.toBoolean),
         snapshotMode = str(src, "snapshotMode"),
         snapshotPath = str(src, "snapshotPath"),
-        wireFormat = str(src, "wireFormat")),
+        wireFormat = str(src, "wireFormat"),
+        decodeParallelism = str(src, "decodeParallelism").map(_.toInt)),
       transforms = Option(n.get("transforms")).map(_.elements().asScala.map { t =>
         TransformSpec(
           kind = t.get("type").asText,

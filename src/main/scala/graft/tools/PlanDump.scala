@@ -61,6 +61,32 @@ object PlanDump {
             org.apache.spark.sql.execution.FormattedMode))
       }
     }
+    // r19: the l15/l16 wire-path decode subplan — the declared queries
+    // are lifecycle gates (their explain is the final output read), so
+    // the decode-parallelism claim dumps the FRAME plan toFrame builds:
+    // "before" = the dial unset (decode above the bare file scan, one
+    // task per staged file), "after" = decodeParallelism=8 (decode
+    // above a round-robin Exchange).
+    if (args.drop(1).contains("l15_wire")) {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val engine = new graft.pipeline.Engine(spark, "target/tmp/plan_wire")
+      val spec = graft.pipeline.SourceSpec(
+        "parquet", "target/tmp/plan_wire_in",
+        Some("before STRUCT<doc_id BIGINT, text STRING>, " +
+          "after STRUCT<doc_id BIGINT, text STRING>, op STRING"),
+        Seq("after"), None, "corpus", maxFilesPerTrigger = 1,
+        wireFormat = Some("json_envelope"),
+        decodeParallelism =
+          if (suffix == "after") Some(8) else None)
+      val raw = Seq((null: String,
+          """{"schema":{},"payload":{"before":null,"after":{"doc_id":1,"text":"t"},"op":"c"}}""",
+          "corpus", 1L)).toDF("key", "value", "topic", "offset")
+      val framed = engine.toFrame(raw, spec)
+      Files.writeString(Paths.get(s"plans/$tag/l15_wire_decode_$suffix.txt"),
+        framed.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       Files.writeString(Paths.get(s"plans/$tag/${name}_$suffix.txt"),

@@ -31,7 +31,7 @@ object StreamAdmissionLadder {
     val waves = if (args.length > 1) args(1).toInt else 8
     val mode = if (args.length > 2) args(2) else "fused"
     require(Set("plain", "fused", "media", "mediadecont", "full",
-      "semantic", "sink")(mode), s"bad mode $mode")
+      "semantic", "sink", "wire")(mode), s"bad mode $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -131,6 +131,49 @@ object StreamAdmissionLadder {
       // run past ~100 waves would silently lose its earliest rungs'
       // timings and report a truncated ladder — size the buffer to the
       // wave count up front (r18, ADVICE)
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        (waves + 20).toString)
+      val engine = new graft.pipeline.Engine(spark, s"$base/engine")
+      val query = engine.registerJson(spec)
+      query.processAllAvailable()
+      query.recentProgress.foreach { pr =>
+        if (pr.numInputRows > 0)
+          timings += ((pr.batchId,
+            pr.durationMs.getOrDefault("triggerExecution", -1L).toLong))
+      }
+      engine.delete("ladder")
+    } else if (mode == "wire") {
+      // r19 — L15's path: the same declarative gate fed through the
+      // WIRE transport (CDC envelope inside the C1 {schema,payload}
+      // JSON envelope, decoded by the converter + unwrap SMT per
+      // trigger). The decode-parallelism dial comes from
+      // $GRAFT_WIRE_DECODE_PAR (unset = the pre-r19 single-task
+      // decode), so the same binary measures both sides of the knob.
+      import java.nio.file.{Files, Paths}
+      graft.util.Fs.deleteRecursive(Paths.get(base))
+      val in = s"$base/in"
+      Files.createDirectories(Paths.get(in))
+      seed.write.parquet(s"$base/seed")
+      waveFrames.zipWithIndex.foreach { case (w, i) =>
+        graft.Tables.stageFile(graft.LlmQueries.wireWave(w),
+          Paths.get(in, f"wave$i%02d.parquet"),
+          1000000000000L + i * 60000L)
+      }
+      val q = new com.fasterxml.jackson.databind.ObjectMapper()
+      val dial = sys.env.get("GRAFT_WIRE_DECODE_PAR")
+        .map(v => s""""decodeParallelism":"$v",""").getOrElse("")
+      val spec =
+        s"""{"name":"ladder","source":{"type":"parquet",
+           |  "path":${q.writeValueAsString(in)},
+           |  "wireFormat":"json_envelope",
+           |  "schemaDdl":${q.writeValueAsString(graft.LlmQueries.DocCdcDdl)},
+           |  "keyFields":["after"],$dial
+           |  "topic":"corpus","maxFilesPerTrigger":"1"},
+           |"transforms":[{"type":"extractNewRecordState"}],
+           |"sink":{"type":"admission",
+           |  "path":${q.writeValueAsString(s"$base/gate")},
+           |  "seedPath":${q.writeValueAsString(s"$base/seed")}}}"""
+          .stripMargin
       spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
         (waves + 20).toString)
       val engine = new graft.pipeline.Engine(spark, s"$base/engine")

@@ -576,4 +576,56 @@ class AdmissionStateSpec extends SparkSpec {
       para.filter(!col("semantic_dup")).count() == 0,
       "post-resume paraphrase plants must flag semantic_dup")
   }
+
+  test("inParallel awaits EVERY write before re-throwing the first failure (no in-flight sibling after return)") {
+    // r19 hardening: a fail-fast await could return while a sibling
+    // write is still running, letting the caller's cleanup (unpersist,
+    // state reset) race a live write. The slow sibling must have
+    // COMPLETED by the time inParallel throws.
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val boom = intercept[IllegalStateException] {
+      LlmQueries.inParallel(Seq(
+        () => throw new IllegalStateException("fast failure"),
+        () => { Thread.sleep(500); slowDone.set(true) }))
+    }
+    assert(boom.getMessage == "fast failure")
+    assert(slowDone.get(),
+      "inParallel returned while a sibling write was still in flight")
+    // multiple failures: the first (in declaration order) propagates
+    val boom2 = intercept[RuntimeException] {
+      LlmQueries.inParallel(Seq(
+        () => { Thread.sleep(200); throw new RuntimeException("second") },
+        () => throw new RuntimeException("first-to-fail")))
+    }
+    assert(boom2.getMessage == "second",
+      "declaration-order first failure must propagate deterministically")
+  }
+
+  test("readStateTable pins a sub-table schema JVM-wide and REFUSES a dir whose footer schema forked from it") {
+    import spark.implicits._
+    val base = "target/tmp/schema_memo_fork"
+    graft.util.Fs.deleteRecursive(java.nio.file.Paths.get(base))
+    // a synthetic sub-table name no gate uses, so the JVM-wide memo
+    // entry this test creates can never poison a real gate's reads
+    val sub = "spec_forked_sub"
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$base/d1/$sub")
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$base/d2/$sub")
+    // doc_id renamed: the forked-schema shape the memo must refuse
+    Seq((3L, "c")).toDF("other_id", "text")
+      .write.parquet(s"$base/d3/$sub")
+    val first = LlmQueries.readStateTable(spark, sub, Seq(s"$base/d1/$sub"))
+    assert(first.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    // same schema in a new dir: verified once, reads fine
+    assert(LlmQueries.readStateTable(spark, sub,
+      Seq(s"$base/d2/$sub")).count() == 1)
+    // forked schema in a new dir: the first read there must refuse
+    // loudly instead of silently reading doc_id as null
+    val err = intercept[IllegalArgumentException] {
+      LlmQueries.readStateTable(spark, sub,
+        Seq(s"$base/d3/$sub")).count()
+    }
+    assert(err.getMessage.contains(sub))
+  }
 }

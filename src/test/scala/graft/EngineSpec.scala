@@ -211,6 +211,50 @@ class EngineSpec extends SparkSpec {
     assert(out == Set((1, false, 0L), (2, true, 1L), (3, true, 2L), (4, true, 3L)))
   }
 
+  test("decodeParallelism spreads the wire decode above an exchange with identical frames; refuses non-wire sources") {
+    import spark.implicits._
+    import graft.pipeline.SourceSpec
+    val engine = new Engine(spark,
+      Files.createTempDirectory("dpar").toString)
+    val spec = SourceSpec("kafka", "localhost:9092",
+      Some("id INT, v STRING"), Seq("id"), None, "om.t")
+    val raw = (1 to 40).map(i =>
+        (s"""{"id":$i}""", s"""{"id":$i,"v":"x$i"}""", "om.t", i.toLong))
+      .toDF("key", "value", "topic", "offset")
+    val plain = engine.toFrame(raw, spec)
+    val spread = engine.toFrame(raw, spec.copy(decodeParallelism = Some(4)))
+    // the decode now runs 4-wide (the repartition sits BELOW the
+    // parse projection, so the per-record work spreads across tasks)
+    assert(spread.rdd.getNumPartitions == 4)
+    assert(spread.queryExecution.executedPlan.toString.contains("Exchange"),
+      "the dial must introduce an exchange under the decode")
+    assert(!plain.queryExecution.executedPlan.toString.contains("Exchange"),
+      "without the dial the plan must stay exchange-free")
+    // bit-identical frames either way
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key.id"), col("value.v"), col("seq"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(snap(plain) == snap(spread) && snap(plain).size == 40)
+    // validation: positive, and only meaningful with a wire decode
+    val base = Files.createTempDirectory("dparval").toString
+    val nonWire =
+      s"""{"name":"dv",
+         |"source":{"type":"csv","path":"$base/in",
+         |  "schemaDdl":"id INT, v STRING, seq LONG","keyFields":["id"],
+         |  "seqColumn":"seq","topic":"t","decodeParallelism":"4"},
+         |"sink":{"type":"table","path":"$base/state","keys":["id"]}}""".stripMargin
+    val e1 = intercept[IllegalArgumentException](engine.registerJson(nonWire))
+    assert(e1.getMessage.contains("wireFormat"))
+    val nonPos =
+      s"""{"name":"dz",
+         |"source":{"type":"kafka","path":"localhost:9092",
+         |  "schemaDdl":"id INT, v STRING","keyFields":["id"],
+         |  "topic":"t","decodeParallelism":"0"},
+         |"sink":{"type":"table","path":"$base/state2","keys":["id"]}}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](engine.registerJson(nonPos))
+    assert(e2.getMessage.contains("positive"))
+  }
+
   test("keyed sinks refuse empty keys; kafka into a keyed sink refuses empty keyFields") {
     val base = Files.createTempDirectory("emptykeys").toString
     val engine = new Engine(spark, s"$base/engine")
