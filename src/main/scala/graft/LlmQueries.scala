@@ -1106,6 +1106,13 @@ object LlmQueries {
         paths.headOption.foreach(h => stateSchemaSeen.put((sub, h), ()))
         df
     }
+  // NOTE (r19, measured and REJECTED): spreading small state scans by
+  // byte size (repartition to bytes/512KB when 2–64 MB) A/B'd a DEAD
+  // TIE on the 4-gate admission set (27.229 vs 27.228 s at matched
+  // canaries ~0.46). The profiled single-task ~650 ms verdict-leg
+  // stages overlap under AQE already; the trigger wall is bounded by
+  // AQE stage-sequencing + per-plan driver work, not task execution —
+  // an extra exchange per leg buys nothing. Kept single-task.
 
   private[graft] final class AdmissionGateCore(
       base: String, fused: Boolean, hasBench: Boolean,
@@ -1178,12 +1185,21 @@ object LlmQueries {
       // gone. The marker still lands strictly last.
       val phaseA = Seq.newBuilder[() => Unit]
       val phaseB = Seq.newBuilder[() => Unit]
-      phaseA += (() =>
-        seed.write.mode("overwrite").parquet(s"$refDir/seed"))
-      phaseA += (() =>
+      // job labels (guide §1.5), set INSIDE each thunk: the pool
+      // threads running them don't inherit the caller's thread-local
+      def boot(desc: String)(body: => Unit): () => Unit =
+        () => {
+          s.sparkContext.setJobDescription(desc)
+          try body finally s.sparkContext.setJobDescription(null)
+        }
+      phaseA += boot("adm:boot:seed") {
+        seed.write.mode("overwrite").parquet(s"$refDir/seed")
+      }
+      phaseA += boot("adm:boot:art") {
         Dedup.admissionArtifacts(seed, "doc_id", "text",
             k = 3, numPerms = NumPerms)
-          .write.mode("overwrite").parquet(s"$stateDir/seed/art"))
+          .write.mode("overwrite").parquet(s"$stateDir/seed/art")
+      }
       // the distinct-shingle table exists for the novelty leg only — the
       // plain dedup form (w12/l13) neither writes nor reads it. It
       // derives from the artifact PARQUET, not the artifact plan:
@@ -1193,10 +1209,11 @@ object LlmQueries {
       // vs 0.5s on the seed) — the read-back cuts the lineage so the
       // filter lands on a materialized column
       if (fused)
-        phaseB += (() =>
+        phaseB += boot("adm:boot:sh") {
           s.read.parquet(s"$stateDir/seed/art")
             .select(explode(col("sset")).as("h")).distinct()
-            .write.mode("overwrite").parquet(s"$stateDir/seed/sh"))
+            .write.mode("overwrite").parquet(s"$stateDir/seed/sh")
+        }
       // the FROZEN benchmark posting table (w15's decontamination leg):
       // built once at bootstrap — benchmarks change rarely — and read by
       // every trigger; df-capped like d16, derived via the same artifact
@@ -1204,11 +1221,12 @@ object LlmQueries {
       // `bench`-prefixed dirs are invisible to AdmissionState.parts
       // (names parse as neither seed, b<id> nor fold=<k>).
       bench.foreach { b =>
-        phaseA += (() =>
+        phaseA += boot("adm:boot:bench_art") {
           Dedup.admissionArtifacts(b, "doc_id", "text", k = 3,
               numPerms = NumPerms)
-            .write.mode("overwrite").parquet(s"$stateDir/bench/art"))
-        phaseB += { () =>
+            .write.mode("overwrite").parquet(s"$stateDir/bench/art")
+        }
+        phaseB += boot("adm:boot:bench_posts") {
           val bsh = s.read.parquet(s"$stateDir/bench/art")
             .select(col("doc_id").as("bench_id"),
               explode(col("sset")).as("h"))
@@ -1223,17 +1241,18 @@ object LlmQueries {
       // read-back (the same lineage-cut discipline as the sh table);
       // admitted batches append their raw postings per trigger
       if (containment)
-        phaseB += (() =>
+        phaseB += boot("adm:boot:cpost") {
           Dedup.containmentPostings(
               s.read.parquet(s"$stateDir/seed/art"), ContainMaxDf)
-            .write.mode("overwrite").parquet(s"$stateDir/seed/cpost"))
+            .write.mode("overwrite").parquet(s"$stateDir/seed/cpost")
+        }
       // the semantic leg's embedding state (w17): hashed-text vector +
       // LSH bucket per reference doc — one O(seed) codegen pass at
       // bootstrap, appended per admitted batch like every state table.
       // The center agg must complete before the bucketed emb write (the
       // bucket expression closes over it), so the leg is ONE thunk.
       if (semantic)
-        phaseA += { () =>
+        phaseA += boot("adm:boot:emb") {
           if (center.isEmpty) {
             // one tokenize+embed pass, not two (r18): the center agg
             // and the bucketed emb write both read the seed's raw
@@ -1263,16 +1282,20 @@ object LlmQueries {
       // benchmark
       if (media) {
         val (si, sa) = mediaFingerprints(seed)
-        phaseA += (() =>
-          si.write.mode("overwrite").parquet(s"$stateDir/seed/imgfp"))
-        phaseA += (() =>
-          sa.write.mode("overwrite").parquet(s"$stateDir/seed/audfp"))
+        phaseA += boot("adm:boot:imgfp") {
+          si.write.mode("overwrite").parquet(s"$stateDir/seed/imgfp")
+        }
+        phaseA += boot("adm:boot:audfp") {
+          sa.write.mode("overwrite").parquet(s"$stateDir/seed/audfp")
+        }
         benchMedia.foreach { bm =>
           val (bi, ba) = mediaFingerprints(bm)
-          phaseA += (() =>
-            bi.write.mode("overwrite").parquet(s"$stateDir/benchm/imgfp"))
-          phaseA += (() =>
-            ba.write.mode("overwrite").parquet(s"$stateDir/benchm/audfp"))
+          phaseA += boot("adm:boot:benchm_imgfp") {
+            bi.write.mode("overwrite").parquet(s"$stateDir/benchm/imgfp")
+          }
+          phaseA += boot("adm:boot:benchm_audfp") {
+            ba.write.mode("overwrite").parquet(s"$stateDir/benchm/audfp")
+          }
         }
       }
       inParallel(phaseA.result())
@@ -1405,16 +1428,24 @@ object LlmQueries {
                     .unionByName(hits(bAud, ba, Seq("fp_hi", "fp_lo"))))
               })
         }
+        // job labels (guide §1.5): thread-local, so each pool thread's
+        // label names exactly its own append in profiles/the UI
+        def labeled[A](desc: String)(body: => A): A = {
+          sp.sparkContext.setJobDescription(desc)
+          try body finally sp.sparkContext.setJobDescription(null)
+        }
         val verdict = scope.persist(admissionTriggerVerdict(
           b, batchArt, stateArt, stateSh, fused, posts, cposts,
           semb, mediaFlags)).toDF()
-        verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        labeled(s"adm:verdict b$id") {
+          verdict.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
         val admIds = verdict.filter(col("admitted")).select("doc_id")
         // the state append: only the admitted docs' artifacts. Forced
         // into the cache ONCE (count) so the concurrent writers below
         // all read it instead of racing to recompute the join.
         val admArt = scope.persist(batchArt.join(admIds, "doc_id")).toDF()
-        admArt.count()
+        labeled(s"adm:admArt b$id")(admArt.count())
         // r18: the per-batch product + state appends run CONCURRENTLY
         // (guide §2.6) — every input (verdict, b, batchArt, batchEmb,
         // media fingerprints) is already cached by the verdict pass,
@@ -1426,44 +1457,51 @@ object LlmQueries {
         // before any later batch or fold reads b<id>.
         val appends = Seq.newBuilder[() => Unit]
         // the admitted-corpus product (text) — WRITE-only from here on
-        appends += (() =>
+        appends += (() => labeled(s"adm:append:ref b$id") {
           b.join(admIds, "doc_id")
-            .write.mode("overwrite").parquet(s"$refDir/adm$id"))
-        appends += (() =>
-          admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art"))
+            .write.mode("overwrite").parquet(s"$refDir/adm$id")
+        })
+        appends += (() => labeled(s"adm:append:art b$id") {
+          admArt.write.mode("overwrite").parquet(s"$stateDir/b$id/art")
+        })
         if (fused)
-          appends += (() =>
+          appends += (() => labeled(s"adm:append:sh b$id") {
             admArt.select(explode(col("sset")).as("h")).distinct()
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/sh"))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/sh")
+          })
         if (containment)
           // raw (uncapped) postings: the append is batch-bounded, so
           // per-trigger containment fanout stays O(batch*maxDf +
           // unfolded*batch); the maintenance fold above re-caps
           // globally ([[Dedup.maintenanceFold]])
-          appends += (() =>
+          appends += (() => labeled(s"adm:append:cpost b$id") {
             admArt.select(col("doc_id").as("ref_id"), col("sset"))
               .select(col("ref_id"),
                 explode(col("sset")).as("h"),
                 size(col("sset")).cast("long").as("n_b"))
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost"))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/cpost")
+          })
         // bucket derived FROM THE VECTOR at append time (not reused
         // from the verdict frame): if the fold above grew the plane
         // dial, this append must already bucket under the grown planes
         batchEmb.foreach(be =>
-          appends += (() =>
+          appends += (() => labeled(s"adm:append:emb b$id") {
             be.join(admIds, "doc_id")
               .select(col("doc_id").as("ref_id"),
                 bucketOf(col("vec")).as("bucket"), col("vec"))
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/emb")))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/emb")
+          }))
         batchMedia.foreach { case (bImg, bAud) =>
-          appends += (() =>
+          appends += (() => labeled(s"adm:append:imgfp b$id") {
             bImg.join(admIds, bImg("media_id") === admIds("doc_id"),
                 "left_semi")
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp"))
-          appends += (() =>
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/imgfp")
+          })
+          appends += (() => labeled(s"adm:append:audfp b$id") {
             bAud.join(admIds, bAud("media_id") === admIds("doc_id"),
                 "left_semi")
-              .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp"))
+              .write.mode("overwrite").parquet(s"$stateDir/b$id/audfp")
+          })
         }
         inParallel(appends.result())
       }

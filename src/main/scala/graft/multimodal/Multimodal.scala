@@ -41,6 +41,60 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  /** r19 (guide §1.2 per-task work): `AudioSystem.getAudioInputStream`
+   * probes EVERY installed `AudioFileReader` per call — each non-WAV
+   * provider rejects by THROWING (a filled-in stack trace per record)
+   * and the soft-MIDI provider probes by GZIP-decompressing the
+   * payload. jstack-sampled on the admission media legs at ~17%
+   * (Throwable.fillInStackTrace) + ~14% (GZIPInputStream) of executor
+   * task time — pure provider-probing waste on the per-record decode
+   * hot path, which at scale IS the dominant compute. The WAV provider
+   * resolves ONCE per JVM through the public ServiceLoader SPI surface
+   * (probed with a known-good PCM16 header, never by class name) and
+   * is tried first; anything it rejects falls back to the full
+   * `AudioSystem` probe, so non-WAV and corrupted payloads keep
+   * AudioSystem's exact behavior — the m16 quarantine classification
+   * and every fingerprint are unchanged. */
+  private lazy val wavReader
+      : Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val probeAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](4)), fmt, 2)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(probeAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val probe = bos.toByteArray
+    try java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.find { r =>
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(probe)).close()
+          true
+        } catch { case scala.util.control.NonFatal(_) => false }
+      }
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The audio-decode front door every per-record decoder uses: the
+   * pinned WAV reader first, the full AudioSystem probe for anything
+   * it rejects (identical outcomes, no per-record provider sweep). */
+  private[graft] def openAudio(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream =
+    wavReader match {
+      case Some(r) =>
+        try r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+        }
+      case None =>
+        javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+    }
+
   /** Metadata carried beside every media payload. */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
@@ -567,8 +621,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         classifyDecode(id, nStats = 4) {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val ais = openAudio(r.getAs[Array[Byte]](1))
           try {
             val fmt = ais.getFormat
             require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
@@ -729,8 +782,7 @@ object Multimodal {
     val projected = df.select(col("media_id").cast(LongType), col("payload"))
     val rdd = projected.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        val ais = openAudio(r.getAs[Array[Byte]](1))
         val e =
           try {
             val fmt = ais.getFormat
@@ -1139,8 +1191,7 @@ final class ImageIoDecoder {
  */
 final class WavDecoder {
   def decode(bytes: Array[Byte]): Row = {
-    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val ais = Multimodal.openAudio(bytes)
     try {
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
